@@ -1,0 +1,103 @@
+"""SAM text codec: tab-separated line <-> reads-schema row.
+
+Replaces the reference's executor-side ``SAMLineParser`` decode
+(SamSource.java:61-104) and ``getSAMString`` encode (SamSink.java:53-74)
+with pandas-batch functions used under ``mapInPandas`` — one Arrow batch
+per call, no per-row Python<->JVM crossings.
+
+SAM spec: 11 mandatory fields
+  qname flag rname pos mapq cigar rnext pnext tlen seq qual [tags...]
+'*' encodes missing for string fields; pos 0 encodes unplaced.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from disq_spark.schemas import READS_COLUMNS
+
+_CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+_REF_CONSUMING = frozenset("MDN=X")
+
+
+def cigar_reference_length(cigar: str | None) -> int:
+    """Reference bases consumed by a cigar (M/D/N/=/X ops)."""
+    if not cigar or cigar == "*":
+        return 0
+    return sum(int(n) for n, op in _CIGAR_RE.findall(cigar) if op in _REF_CONSUMING)
+
+
+def parse_sam_lines(lines: pd.Series) -> pd.DataFrame:
+    """Vectorized-ish SAM line parse -> DataFrame with READS_COLUMNS."""
+    rows = []
+    for line in lines:
+        if not line or line.startswith("@"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        flags = int(f[1])
+        pos = int(f[3])
+        contig = None if f[2] == "*" else f[2]
+        start = pos if pos > 0 and contig is not None else None
+        cigar = None if f[5] == "*" else f[5]
+        end = (start + max(cigar_reference_length(cigar), 1) - 1) if start else None
+        tags: dict[str, str] = {}
+        read_group = None
+        for tag in f[11:]:
+            k, typ, v = tag.split(":", 2)
+            tags[k] = f"{typ}:{v}"
+            if k == "RG":
+                read_group = v
+        rows.append(
+            (
+                None if f[0] == "*" else f[0],
+                flags,
+                contig,
+                start,
+                end,
+                int(f[4]),
+                cigar,
+                None if f[6] == "*" else (contig if f[6] == "=" else f[6]),
+                int(f[7]) if int(f[7]) > 0 else None,
+                int(f[8]),
+                None if f[9] == "*" else f[9],
+                None if f[10] == "*" else f[10],
+                tags or None,
+                read_group,
+            )
+        )
+    return pd.DataFrame(rows, columns=READS_COLUMNS)
+
+
+def format_sam_line(row) -> str:
+    """reads-schema row (dict-like) -> SAM text line (no newline)."""
+    tags = row["tags"] or {}
+    tag_fields = []
+    for k in tags:
+        typ, v = tags[k].split(":", 1)
+        tag_fields.append(f"{k}:{typ}:{v}")
+    mate = row["mate_contig"]
+    contig = row["contig"]
+    if mate is not None and contig is not None and mate == contig:
+        mate_repr = "="
+    else:
+        mate_repr = mate if mate is not None else "*"
+    fields = [
+        row["name"] if row["name"] is not None else "*",
+        str(int(row["flags"])),
+        contig if contig is not None else "*",
+        str(int(row["start"])) if row["start"] is not None else "0",
+        str(int(row["mapq"])) if row["mapq"] is not None else "255",
+        row["cigar"] if row["cigar"] is not None else "*",
+        mate_repr,
+        str(int(row["mate_start"])) if row["mate_start"] is not None else "0",
+        str(int(row["template_len"])) if row["template_len"] is not None else "0",
+        row["seq"] if row["seq"] is not None else "*",
+        row["qual"] if row["qual"] is not None else "*",
+    ]
+    return "\t".join(fields + tag_fields)
+
+
+def format_sam_batch(pdf: pd.DataFrame) -> pd.Series:
+    return pd.Series([format_sam_line(row) for _, row in pdf.iterrows()], dtype="object")

@@ -1,0 +1,37 @@
+"""SAM flag-derived boolean predicates (SURVEY.md §1.2 derived columns).
+
+Each returns a Column; use ``with_flag_columns`` to materialize all of
+them (e.g. before writing to parquet for the 100 TB analytic form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from disq_spark import schemas as S
+
+_FLAG_FIELDS = {
+    "is_paired": S.FLAG_PAIRED,
+    "is_proper_pair": S.FLAG_PROPER_PAIR,
+    "is_unmapped": S.FLAG_UNMAPPED,
+    "is_mate_unmapped": S.FLAG_MATE_UNMAPPED,
+    "is_reverse": S.FLAG_REVERSE,
+    "is_mate_reverse": S.FLAG_MATE_REVERSE,
+    "is_first_of_pair": S.FLAG_FIRST_OF_PAIR,
+    "is_second_of_pair": S.FLAG_SECOND_OF_PAIR,
+    "is_secondary": S.FLAG_SECONDARY,
+    "is_fail_qc": S.FLAG_FAIL_QC,
+    "is_duplicate": S.FLAG_DUPLICATE,
+    "is_supplementary": S.FLAG_SUPPLEMENTARY,
+}
+
+
+def flag_predicate(name: str, flags_col: str = "flags") -> Column:
+    return F.col(flags_col).bitwiseAND(_FLAG_FIELDS[name]) != 0
+
+
+def with_flag_columns(df: DataFrame, flags_col: str = "flags") -> DataFrame:
+    for name, bit in _FLAG_FIELDS.items():
+        df = df.withColumn(name, F.col(flags_col).bitwiseAND(bit) != 0)
+    return df

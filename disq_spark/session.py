@@ -30,6 +30,15 @@ def get_session(
     when no cluster master is configured — on a real cluster the master
     comes from spark-submit and this argument is left None.
     """
+    # Make the package importable on executor Python workers regardless of
+    # the user's cwd: prepend our parent dir to PYTHONPATH before the JVM
+    # (and hence the forked workers) starts. On a real cluster this is
+    # what --py-files / spark.submit.pyFiles does; this covers local mode.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_parent + (os.pathsep + pp if pp else "")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"

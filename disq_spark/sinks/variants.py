@@ -1,0 +1,125 @@
+"""VCF sinks: single-file (plain or BGZF) and sharded.
+
+Re-expresses VcfSink.java:52-131 / VcfSinkMultiple.java:38-72:
+- single-file: executors write headerless, terminatorless part files
+  (BGZF-compressed when the target is .bgz/.gz — VcfSink.java:66), the
+  driver writes the (compressed) header, concatenates in part order and
+  appends the BGZF terminator once (VcfSink.java:87-103).
+- sharded: one complete VCF (header + records + terminator) per
+  partition, directory output (the natural Spark mode).
+
+Format/cardinality dispatch follows VcfFormat.fromPath semantics
+(VcfFormat.java:82-93): a path with a VCF extension -> SINGLE, else a
+directory of shards.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from disq_spark.formats import bgzf
+from disq_spark.formats.vcf import format_vcf_batch
+from disq_spark.headers import VcfHeader
+from disq_spark.sinks import merge
+
+
+def _is_bgzf_target(path: str) -> bool:
+    return path.endswith((".gz", ".bgz"))
+
+
+def write_vcf(
+    df: DataFrame,
+    header: VcfHeader,
+    path: str,
+    single_file: bool | None = None,
+) -> None:
+    """Write a variants DataFrame as VCF.
+
+    ``single_file=None`` infers: VCF extension -> single file, else
+    sharded directory (VcfFormat.java:91-93).
+    """
+    if single_file is None:
+        single_file = path.endswith((".vcf", ".vcf.gz", ".vcf.bgz"))
+    if single_file:
+        _write_single(df, header, path)
+    else:
+        _write_sharded(df, header, path)
+
+
+def _write_single(df: DataFrame, header: VcfHeader, path: str) -> None:
+    parts_dir = path + ".parts"  # temp-parts convention (HtsjdkReadsRddStorage.java:224-229)
+    os.makedirs(parts_dir, exist_ok=True)
+    compress = _is_bgzf_target(path)
+    samples = header.samples
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        part_path = os.path.join(parts_dir, f"part-{pid:05d}")
+        n = 0
+        tmp = part_path + ".tmp"
+        with open(tmp, "wb") as f:
+            sink = bgzf.BgzfWriter(f, terminate=False) if compress else f
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                lines = format_vcf_batch(pdf, samples)
+                payload = ("\n".join(lines) + "\n").encode("utf-8")
+                sink.write(payload)
+                n += len(pdf)
+            if compress:
+                sink.close()
+        if n > 0:
+            os.replace(tmp, part_path)
+        else:
+            os.remove(tmp)
+        yield pd.DataFrame({"part": [part_path], "n": [n]})
+
+    counts = df.mapInPandas(write_partition, "part string, n long").collect()
+    total = sum(r["n"] for r in counts)
+
+    # driver: header file + terminator + concat (VcfSink.java:87-116)
+    header_path = os.path.join(parts_dir, "_header")
+    header_bytes = header.text.encode("utf-8")
+    with open(header_path, "wb") as f:
+        f.write(bgzf.compress_all(header_bytes, terminate=False) if compress else header_bytes)
+
+    srcs = [header_path] + merge.list_parts(parts_dir)
+    merge.concat_parts(path, srcs)
+    if compress:
+        with open(path, "ab") as f:
+            f.write(bgzf.EOF_BLOCK)
+    merge.cleanup(parts_dir)
+    if total == 0 and not os.path.exists(path):
+        raise RuntimeError("empty write produced no file")
+
+
+def _write_sharded(df: DataFrame, header: VcfHeader, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    samples = header.samples
+    header_text = header.text
+    ext = ".vcf"
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        part_path = os.path.join(path, f"part-{pid:05d}{ext}")
+        n = 0
+        with open(part_path, "w", encoding="utf-8") as f:
+            f.write(header_text)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for line in format_vcf_batch(pdf, samples):
+                    f.write(line)
+                    f.write("\n")
+                n += len(pdf)
+        yield pd.DataFrame({"part": [part_path], "n": [n]})
+
+    df.mapInPandas(write_partition, "part string, n long").collect()

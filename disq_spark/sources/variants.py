@@ -1,0 +1,161 @@
+"""VCF -> variants DataFrame.
+
+Reference lifecycle being re-expressed (SURVEY.md §3.2): driver reads
+header + sniffs compression (VcfSource.java:75-93,106-112); BGZF codecs
+make .bgz/.gz text-splittable (VcfSource.java:152-162); executors decode
+lines after dropping '#' (VcfSource.java:133-149).
+
+Spark-first shape:
+- plain .vcf  -> ``spark.read.text`` (natively splittable) + mapInPandas
+  batch parse.
+- .bgz / BGZF-content .gz -> driver plans block-aligned byte ranges, a
+  tiny plan-DataFrame is exploded via mapInPandas into decompressed
+  lines; split ownership follows text-split semantics (a partition owns
+  lines that *start* after its first newline, reading past its end to
+  finish the last line) so every record is decoded exactly once.
+- plain-gzip .gz -> unsplittable, one range covering the file
+  (BGZFEnhancedGzipCodec.java:66-101 sniffing decides which).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from disq_spark.formats import bgzf
+from disq_spark.formats.vcf import parse_vcf_lines
+from disq_spark.headers import VcfHeader
+from disq_spark.schemas import VARIANTS_SCHEMA
+from disq_spark.sources.plan import DEFAULT_SPLIT_SIZE, plan_ranges, resolve_paths
+
+VCF_EXTENSIONS = (".vcf", ".vcf.gz", ".vcf.bgz", ".vcf.bgzf.gz")
+
+
+def _open_text(path: str):
+    """Open possibly-gzip'd VCF for driver-side header reading."""
+    if bgzf.is_gzip(path):
+        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8")
+    return open(path, "r", encoding="utf-8")
+
+
+def read_header(path: str) -> VcfHeader:
+    """Driver-side header parse from the first file
+    (VcfSource.getFileHeader:75-83 semantics)."""
+    lines = []
+    with _open_text(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                lines.append(line)
+            else:
+                break
+    return VcfHeader.from_lines(lines)
+
+
+def _compression(path: str) -> str:
+    if bgzf.is_bgzf(path):
+        return "bgzf"
+    if bgzf.is_gzip(path):
+        return "gzip"
+    return "plain"
+
+
+def read_vcf(
+    spark: SparkSession,
+    path: str,
+    split_size: int = DEFAULT_SPLIT_SIZE,
+) -> tuple[DataFrame, VcfHeader]:
+    """Load VCF (file, dir, or glob; plain/gzip/BGZF) as a DataFrame."""
+    paths = resolve_paths(path, VCF_EXTENSIONS)
+    header = read_header(paths[0])
+    samples = header.samples
+
+    kinds = {p: _compression(p) for p in paths}
+
+    if all(k == "plain" for k in kinds.values()):
+        text = spark.read.text(list(paths))
+        lines_col = "value"
+
+        def parse_plain(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield parse_vcf_lines(pdf[lines_col], samples)
+
+        return text.mapInPandas(parse_plain, VARIANTS_SCHEMA), header
+
+    # compressed path: plan byte ranges; BGZF files split at block
+    # boundaries, plain-gzip files get one whole-file range
+    ranges = []
+    for p in paths:
+        if kinds[p] == "bgzf":
+            ranges.extend((r.path, r.start, r.end) for r in plan_ranges([p], split_size))
+        else:
+            import os
+
+            ranges.append((p, 0, os.path.getsize(p)))
+
+    plan_df = spark.createDataFrame(ranges, "path string, start long, end long").repartition(
+        max(len(ranges), 1)
+    )
+
+    def decode_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                lines = _range_lines(row["path"], int(row["start"]), int(row["end"]))
+                if lines:
+                    yield parse_vcf_lines(pd.Series(lines, dtype="object"), samples)
+
+    return plan_df.mapInPandas(decode_ranges, VARIANTS_SCHEMA), header
+
+
+def _range_lines(path: str, start: int, end: int) -> list[str]:
+    """Text-split ownership over a compressed byte range.
+
+    BGZF: decompress blocks starting in [start, end); if start > 0 the
+    first partial line belongs to the previous split (skip to first
+    newline — note a block boundary need not be a line boundary), and the
+    last line continues into following blocks until its newline.
+    Plain gzip: whole file (start must be 0).
+    """
+    if not bgzf.is_bgzf(path):
+        with gzip.open(path, "rt", encoding="utf-8", errors="strict") as f:
+            return f.read().splitlines()
+
+    data = bgzf.read_range(path, start, end)
+    if not data:
+        return []
+    text = data.decode("utf-8", errors="strict")
+    lines = text.splitlines(keepends=True)
+    out: list[str] = []
+    # Hadoop text-split ownership: a split with start > 0 always skips its
+    # first line (the previous split reads past its end), and symmetric-
+    # ally this split reads past `end` to finish/claim its last line.
+    idx = 1 if start > 0 else 0
+    for i in range(idx, len(lines)):
+        ln = lines[i]
+        if ln.endswith("\n"):
+            out.append(ln.rstrip("\n"))
+        else:
+            # last line cut at the range end -> finish it from following blocks
+            out.append(ln + _read_until_newline(path, end))
+    if text.endswith("\n"):
+        # data ended exactly on a line boundary: the next split's first
+        # line starts at our end and it will skip it -> we own it
+        tail = _read_until_newline(path, end)
+        if tail:
+            out.append(tail)
+    return out
+
+
+def _read_until_newline(path: str, from_pos: int) -> str:
+    """Decompress blocks from ``from_pos`` until a newline appears."""
+    buf = b""
+    with open(path, "rb") as f:
+        for blk in bgzf.scan_blocks(path, from_pos):
+            chunk = bgzf.decompress_block(f, blk.pos)
+            buf += chunk
+            if b"\n" in chunk:
+                break
+    return buf.split(b"\n", 1)[0].decode("utf-8")
