@@ -1,0 +1,157 @@
+"""BAM sinks: single-file with distributed .sbi build-and-merge, and sharded.
+
+Re-expresses BamSink.java:60-139 + HeaderlessBamOutputFormat.java:57-194:
+- executors write headerless, terminatorless BGZF parts; each task also
+  streams a hidden per-part ``.sbi`` fragment recording every record's
+  virtual offset (HeaderlessBamOutputFormat.java:111-130).
+- driver writes the BGZF-compressed BAM header (magic + text + ref dict),
+  concatenates header + parts in order, appends the 28-byte BGZF EOF
+  terminator once, then merges the part indexes with virtual-offset
+  shifting (SbiMerger.java:39-64): each part's offsets shift by the
+  cumulative compressed byte length of everything before it.
+
+Scale note: concat is the only sequential step (O(bytes) locally,
+O(#parts) with HDFS concat); index merge is O(#records/granularity)
+driver-side — at 100 TB use granularity 4096 (htsjdk default) to keep
+fragments tiny. Sharded mode has no sequential step at all.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from disq_spark.formats import bam as bamcodec
+from disq_spark.formats import bgzf
+from disq_spark.formats import sbi as sbimod
+from disq_spark.headers import SamHeader
+from disq_spark.sinks import merge
+
+DEFAULT_GRANULARITY = 4096
+
+
+def write_bam(
+    df: DataFrame,
+    header: SamHeader,
+    path: str,
+    single_file: bool | None = None,
+    write_sbi: bool = True,
+    sbi_granularity: int = DEFAULT_GRANULARITY,
+) -> None:
+    if single_file is None:
+        single_file = path.endswith(".bam")
+    refs = header.sequences
+    if single_file:
+        _write_single(df, header, refs, path, write_sbi, sbi_granularity)
+    else:
+        _write_sharded(df, header, refs, path)
+
+
+def _encode_partition(
+    batches: Iterator[pd.DataFrame],
+    parts_dir: str,
+    ref_index: dict[str, int],
+    granularity: int,
+):
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    part_path = os.path.join(parts_dir, f"part-{pid:05d}")
+    tmp = part_path + ".tmp"
+    n = 0
+    offsets: list[int] = []
+    with open(tmp, "wb") as f:
+        w = bgzf.BgzfWriter(f, terminate=False)
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                if n % granularity == 0:
+                    offsets.append(w.virtual_offset)
+                w.write(bamcodec.encode_record(row, ref_index))
+                n += 1
+        w.close()
+    if n > 0:
+        os.replace(tmp, part_path)
+        offsets.append(w.compressed_len << 16)  # end-of-part sentinel
+        sbimod.write_sbi(
+            os.path.join(parts_dir, f".part-{pid:05d}.sbi"),
+            sbimod.SbiIndex(w.compressed_len, n, granularity, offsets),
+        )
+    else:
+        os.remove(tmp)
+    yield pd.DataFrame({"part": [part_path], "n": [n]})
+
+
+def _write_single(
+    df: DataFrame,
+    header: SamHeader,
+    refs: list[tuple[str, int]],
+    path: str,
+    with_sbi: bool,
+    granularity: int,
+) -> None:
+    parts_dir = path + ".parts"
+    os.makedirs(parts_dir, exist_ok=True)
+    ref_index = {name: i for i, (name, _l) in enumerate(refs)}
+
+    def run(batches):
+        yield from _encode_partition(batches, parts_dir, ref_index, granularity)
+
+    df.mapInPandas(run, "part string, n long").collect()
+
+    # driver: compressed header, concat, terminator, index merge
+    header_block = bgzf.compress_all(
+        bamcodec.encode_bam_header(header.text, refs), terminate=False
+    )
+    header_path = os.path.join(parts_dir, "_header")
+    with open(header_path, "wb") as f:
+        f.write(header_block)
+
+    part_paths = merge.list_parts(parts_dir)
+    lengths = merge.concat_parts(path, [header_path] + part_paths)
+    data_len = sum(lengths)
+    with open(path, "ab") as f:
+        f.write(bgzf.EOF_BLOCK)
+
+    if with_sbi:
+        part_indexes = []
+        for pp in part_paths:
+            sbi_path = os.path.join(parts_dir, "." + os.path.basename(pp) + ".sbi")
+            part_indexes.append(sbimod.read_sbi(sbi_path))
+        merged = sbimod.merge_sbi(
+            part_indexes,
+            lengths[1:],  # part lengths, in concat order
+            final_voff=data_len << 16,
+            base_offset=lengths[0],  # header block length
+        )
+        merged.file_length = os.path.getsize(path)
+        sbimod.write_sbi(path + ".sbi", merged)
+    merge.cleanup(parts_dir)
+
+
+def _write_sharded(
+    df: DataFrame, header: SamHeader, refs: list[tuple[str, int]], path: str
+) -> None:
+    os.makedirs(path, exist_ok=True)
+    ref_index = {name: i for i, (name, _l) in enumerate(refs)}
+    header_block = bgzf.compress_all(bamcodec.encode_bam_header(header.text, refs), terminate=False)
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        part_path = os.path.join(path, f"part-{pid:05d}.bam")
+        n = 0
+        with open(part_path, "wb") as f:
+            f.write(header_block)
+            w = bgzf.BgzfWriter(f, terminate=True)
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    w.write(bamcodec.encode_record(row, ref_index))
+                    n += 1
+            w.close()
+        yield pd.DataFrame({"part": [part_path], "n": [n]})
+
+    df.mapInPandas(write_partition, "part string, n long").collect()

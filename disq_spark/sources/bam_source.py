@@ -1,0 +1,318 @@
+"""BAM -> reads DataFrame (the reference's flagship path, SURVEY.md §3.1).
+
+Driver-side planning (no Spark jobs, unlike the reference which runs
+planning as distributed jobs — with an index the plan is pure metadata):
+
+1. read header (+ sequence dictionary) from the first BGZF blocks
+   (AbstractSamSource.java:54-71).
+2. with ``.sbi``: byte splits -> record-start virtual-offset chunks via
+   the index, one flatMap-equivalent done driver-side
+   (BamSource.java:99-119).
+3. without: byte splits realign to the next BGZF block boundary, then a
+   record-start guesser validates candidate offsets by checking ~10
+   consecutive records' field invariants (BamSource.java:120-139 +
+   BamRecordGuesser.java:60-226, READS_TO_CHECK=10, MAX_READ_SIZE cap).
+
+Executors decode their virtual-offset span into Arrow batches via
+mapInPandas. Non-overlap invariant: a partition decodes exactly the
+records whose start virtual offset lies in [vStart, vEnd)
+(AbstractBinarySamSource.java:95-98 one-chunk-per-partition analog).
+"""
+
+from __future__ import annotations
+
+import os
+import struct as _struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from disq_spark.formats import bam as bamcodec
+from disq_spark.formats import bgzf
+from disq_spark.formats import sbi as sbimod
+from disq_spark.headers import SamHeader
+from disq_spark.schemas import READS_COLUMNS, READS_SCHEMA
+from disq_spark.sources.plan import DEFAULT_SPLIT_SIZE, resolve_paths
+
+BAM_EXTENSIONS = (".bam",)
+READS_TO_CHECK = 10  # BamRecordGuesser.java:42
+MAX_SEARCH_BYTES = 10 * 1024 * 1024  # MAX_READ_SIZE, BamSource.java:74
+
+
+class _BlockBuffer:
+    """Decompressed view of a run of BGZF blocks with virtual-offset maps."""
+
+    def __init__(self, path: str, c_start: int, min_bytes: int):
+        self.path = path
+        self.blocks: list[tuple[int, int, int]] = []  # (c_pos, buf_start, u_size)
+        chunks = []
+        total = 0
+        with open(path, "rb") as f:
+            for blk in bgzf.scan_blocks(path, c_start):
+                data = bgzf.decompress_block(f, blk.pos)
+                self.blocks.append((blk.pos, total, len(data)))
+                chunks.append(data)
+                total += len(data)
+                if total >= min_bytes:
+                    break
+        self.data = b"".join(chunks)
+
+    def extend(self, min_extra: int) -> bool:
+        """Append more blocks; False if at EOF."""
+        if not self.blocks:
+            return False
+        last_c, last_b, last_u = self.blocks[-1]
+        with open(self.path, "rb") as f:
+            added = 0
+            chunks = [self.data]
+            for blk in bgzf.scan_blocks(self.path, last_c):
+                if blk.pos == last_c:
+                    continue
+                data = bgzf.decompress_block(f, blk.pos)
+                self.blocks.append((blk.pos, len(self.data) + added, len(data)))
+                chunks.append(data)
+                added += len(data)
+                if added >= min_extra:
+                    break
+            if added == 0:
+                return False
+            self.data = b"".join(chunks)
+            return True
+
+    def buf_offset(self, c_pos: int, u_off: int) -> int | None:
+        for c, b, u in self.blocks:
+            if c == c_pos:
+                return b + u_off
+        return None
+
+    def virtual_offset(self, buf_off: int) -> int:
+        """Virtual offset of a record starting at this buffer offset."""
+        for c, b, u in reversed(self.blocks):
+            if buf_off >= b:
+                if buf_off >= b + u:
+                    continue  # block end == start of next block (or EOF)
+                return (c << 16) | (buf_off - b)
+        raise ValueError("offset outside buffer")
+
+
+def read_bam_header(path: str) -> tuple[SamHeader, list[tuple[str, int]], int]:
+    """(header, refs, first_record_virtual_offset)."""
+    buf = _BlockBuffer(path, 0, 1 << 20)
+    while True:
+        try:
+            text, refs, off = bamcodec.parse_bam_header(buf.data)
+            break
+        except (_struct.error, IndexError):  # header spans more blocks
+            if not buf.extend(1 << 20):
+                raise
+    return SamHeader(text=text), refs, buf.virtual_offset(off)
+
+
+def _check_record(data: bytes, off: int, n_ref: int, ref_lens: list[int]) -> int | None:
+    """Validate one candidate record start; return next offset or None.
+
+    Ports the field-invariant checks of BamRecordGuesser.java:105-226:
+    bounded block_size, refID/pos in range, NUL-terminated name, valid
+    cigar operators, internal length arithmetic.
+    """
+    if off + 36 > len(data):
+        return -1  # insufficient data (not a failure)
+    block_size = _struct.unpack_from("<i", data, off)[0]
+    if block_size < 32 or block_size > 8 * 1024 * 1024:
+        return None
+    base = off + 4
+    if base + block_size > len(data):
+        return -1
+    ref_id, pos = _struct.unpack_from("<ii", data, base)
+    if ref_id < -1 or ref_id >= n_ref:
+        return None
+    if pos < -1 or (ref_id >= 0 and pos > ref_lens[ref_id]):
+        return None
+    l_read_name = data[base + 8]
+    if l_read_name == 0:
+        return None
+    n_cigar = _struct.unpack_from("<H", data, base + 12)[0]
+    l_seq = _struct.unpack_from("<i", data, base + 16)[0]
+    if l_seq < 0:
+        return None
+    next_ref, next_pos = _struct.unpack_from("<ii", data, base + 20)
+    if next_ref < -1 or next_ref >= n_ref:
+        return None
+    if next_pos < -1 or (next_ref >= 0 and next_pos > ref_lens[next_ref]):
+        return None
+    fixed = 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
+    if fixed > block_size:
+        return None
+    # NUL-terminated name exactly at l_read_name
+    if data[base + 32 + l_read_name - 1] != 0:
+        return None
+    name_bytes = data[base + 32 : base + 32 + l_read_name - 1]
+    if b"\x00" in name_bytes:
+        return None
+    if any(b < 0x21 or b > 0x7E for b in name_bytes):  # printable, no spaces
+        return None
+    # cigar ops valid; accumulate reference length for the bin check
+    ref_len = 0
+    for i in range(n_cigar):
+        c = _struct.unpack_from("<I", data, base + 32 + l_read_name + 4 * i)[0]
+        op = c & 0xF
+        if op > 8:
+            return None
+        if op in (0, 2, 3, 7, 8):  # M D N = X consume reference
+            ref_len += c >> 4
+    # bin consistency (standard writers set bin = reg2bin of the span) —
+    # the extra discriminator that kills the false positives the
+    # reference's guesser was historically prone to
+    if ref_id >= 0 and pos >= 0 and n_cigar > 0:
+        from disq_spark.formats.bam import _reg2bin
+
+        bin_field = _struct.unpack_from("<H", data, base + 10)[0]
+        if bin_field != _reg2bin(pos, pos + max(ref_len, 1)):
+            return None
+    # qual bytes plausible: phred 0..93 or the 0xFF missing marker
+    qoff = base + 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2
+    qual = data[qoff : qoff + min(l_seq, 64)]
+    if qual and qual[0] != 0xFF and any(q > 93 for q in qual):
+        return None
+    return off + 4 + block_size
+
+
+def find_record_start(
+    buf: _BlockBuffer, n_ref: int, ref_lens: list[int], search_limit: int = MAX_SEARCH_BYTES
+) -> int | None:
+    """First buffer offset that begins a run of READS_TO_CHECK valid
+    records (BamRecordGuesser.checkRecordStart semantics)."""
+    cand = 0
+    while cand < min(len(buf.data), search_limit):
+        off = cand
+        validated = 0
+        ok = True
+        while validated < READS_TO_CHECK:
+            nxt = _check_record(buf.data, off, n_ref, ref_lens)
+            while nxt == -1:
+                # candidate record overruns the buffer: fetch more blocks;
+                # at EOF a first record overrunning the file is bogus, but
+                # a chain that already validated >= 1 real record just hit
+                # the end of data — accept it
+                if not buf.extend(1 << 22):
+                    nxt = None if validated == 0 else -2
+                    break
+                nxt = _check_record(buf.data, off, n_ref, ref_lens)
+            if nxt is None:
+                ok = False
+                break
+            if nxt == -2:
+                break
+            validated += 1
+            off = nxt
+        if ok and validated > 0:
+            return cand
+        cand += 1
+    return None
+
+
+def plan_bam_chunks(
+    path: str, split_size: int, refs: list[tuple[str, int]], first_voff: int
+) -> list[tuple[int, int]]:
+    """[(vStart, vEnd)] per split. Uses .sbi when present; else the
+    block-realign + record-guess fallback, all driver-side."""
+    size = os.path.getsize(path)
+    sbi_path = path + ".sbi"
+    chunks: list[tuple[int, int]] = []
+    if os.path.exists(sbi_path):
+        index = sbimod.read_sbi(sbi_path)
+        start = 0
+        while start < size:
+            c = index.chunk(start, min(start + split_size, size))
+            if c is not None and c[0] < c[1]:
+                chunks.append(c)
+            start += split_size
+        return chunks
+
+    n_ref = len(refs)
+    ref_lens = [l for _n, l in refs]
+    starts: list[int] = []
+    pos = 0
+    while pos < size:
+        if pos == 0:
+            starts.append(first_voff)
+        else:
+            buf = _BlockBuffer(path, pos, 1 << 20)
+            if buf.blocks:
+                rec = find_record_start(buf, n_ref, ref_lens)
+                if rec is not None:
+                    starts.append(buf.virtual_offset(rec))
+        pos += split_size
+    # dedupe + pair into [vStart, vEnd)
+    starts = sorted(set(starts))
+    end_voff = size << 16
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else end_voff
+        if s < e:
+            chunks.append((s, e))
+    return chunks
+
+
+def decode_chunk(path: str, refs: list[tuple[str, int]], v_start: int, v_end: int):
+    """Decode all records whose start virtual offset is in [v_start, v_end)."""
+    c_start, u_start = v_start >> 16, v_start & 0xFFFF
+    buf = _BlockBuffer(path, c_start, 1 << 22)
+    off = buf.buf_offset(c_start, u_start)
+    if off is None:
+        return
+    rows = []
+    while True:
+        if off + 4 > len(buf.data):
+            if not buf.extend(1 << 22):
+                break
+        try:
+            voff = buf.virtual_offset(off)
+        except ValueError:
+            break
+        if voff >= v_end:
+            break
+        # ensure whole record in buffer
+        while off + 4 > len(buf.data) or off + 4 + _struct.unpack_from("<i", buf.data, off)[0] > len(buf.data):
+            if not buf.extend(1 << 22):
+                break
+        if off + 4 > len(buf.data):
+            break
+        row, off = bamcodec.decode_record(buf.data, off, refs)
+        rows.append(row)
+        if off >= len(buf.data):
+            # might be exactly at end-of-data
+            if not buf.extend(1 << 22):
+                break
+    return rows
+
+
+def read_bam(
+    spark: SparkSession, path: str, split_size: int = DEFAULT_SPLIT_SIZE
+) -> tuple[DataFrame, SamHeader]:
+    """Load BAM (file, dir, or glob) as a reads DataFrame + header."""
+    paths = resolve_paths(path, BAM_EXTENSIONS)
+    header, refs, first_voff = read_bam_header(paths[0])
+
+    plan: list[tuple[str, int, int]] = []
+    for p in paths:
+        _h, p_refs, p_voff = (header, refs, first_voff) if p == paths[0] else read_bam_header(p)
+        for v_start, v_end in plan_bam_chunks(p, split_size, p_refs, p_voff):
+            plan.append((p, v_start, v_end))
+
+    if not plan:
+        return spark.createDataFrame([], READS_SCHEMA), header
+
+    plan_df = spark.createDataFrame(
+        plan, "path string, v_start long, v_end long"
+    ).repartition(len(plan))
+    refs_b = refs
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                rows = decode_chunk(r["path"], refs_b, int(r["v_start"]), int(r["v_end"]))
+                if rows:
+                    yield pd.DataFrame(rows, columns=READS_COLUMNS)
+
+    return plan_df.mapInPandas(decode, READS_SCHEMA), header

@@ -1,0 +1,145 @@
+"""BAM path: header, sbi + guesser planning, decode, round-trip, sbi merge.
+
+Models HtsjdkReadsRddTest.testReadAndWrite / testWriteSBIIndex and
+BamSourceTest.testPathChunksDontOverlap."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from disq_spark.formats import sbi as sbimod
+from disq_spark.sinks.bam import write_bam
+from disq_spark.sources.bam_source import (
+    decode_chunk,
+    plan_bam_chunks,
+    read_bam,
+    read_bam_header,
+)
+
+N_RECORDS = 4917  # ground truth from the fixture's granularity-1 .sbi
+
+
+def test_header(fixtures_dir):
+    header, refs, voff = read_bam_header(os.path.join(fixtures_dir, "1.bam"))
+    assert header.sort_order == "coordinate"
+    assert len(refs) == 85
+    assert refs[0] == ("1", 249250621)
+
+
+def test_sbi_matches_fixture_truth(fixtures_dir):
+    idx = sbimod.read_sbi(os.path.join(fixtures_dir, "1-with-splitting-index.bam.sbi"))
+    assert idx.total_records == N_RECORDS
+    assert idx.granularity == 1
+    assert idx.offsets == sorted(idx.offsets)
+
+
+@pytest.mark.parametrize("split", [50_000, 76_458, 100_000, 1 << 20])
+def test_chunks_nonoverlapping_complete(fixtures_dir, split):
+    """Every record decoded exactly once for any split size — with and
+    without the index (BamSourceTest.java:44-77 analog)."""
+    for name in ("1-with-splitting-index.bam", "1.bam"):
+        p = os.path.join(fixtures_dir, name)
+        header, refs, voff = read_bam_header(p)
+        chunks = plan_bam_chunks(p, split, refs, voff)
+        # non-overlap: ends meet starts
+        for (s1, e1), (s2, e2) in zip(chunks, chunks[1:]):
+            assert e1 <= s2
+        names = []
+        for vs, ve in chunks:
+            names.extend(r[0] for r in decode_chunk(p, refs, vs, ve))
+        assert len(names) == N_RECORDS, f"{name} split={split}"
+
+
+def test_read_bam_spark(spark, fixtures_dir):
+    df, header = read_bam(spark, os.path.join(fixtures_dir, "1-with-splitting-index.bam"), split_size=100_000)
+    assert df.count() == N_RECORDS
+    # typed columns usable in Catalyst expressions
+    agg = df.filter(F.col("contig") == "1").agg(
+        F.min("start").alias("lo"), F.max("end").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    assert agg.n > 0 and agg.lo <= agg.hi
+
+
+def test_roundtrip_single_file_with_sbi(spark, fixtures_dir, tmp_path):
+    src = os.path.join(fixtures_dir, "1-with-splitting-index.bam")
+    df, header = read_bam(spark, src, split_size=200_000)
+    out = str(tmp_path / "out.bam")
+    write_bam(df, header, out, sbi_granularity=1)
+    assert os.path.exists(out) and os.path.exists(out + ".sbi")
+
+    df2, header2 = read_bam(spark, out, split_size=100_000)
+    assert header2.text == header.text
+    assert df2.count() == N_RECORDS
+    # value-level equality of the full record set (order-insensitive;
+    # writing repartitions so file order may differ)
+    cols = ["name", "flags", "contig", "start", "end", "cigar", "seq", "qual"]
+    a = sorted(map(tuple, df.select(cols).collect()))
+    b = sorted(map(tuple, df2.select(cols).collect()))
+    assert a == b
+
+
+def test_written_sbi_is_correct(spark, fixtures_dir, tmp_path):
+    """Merged .sbi must list exactly the true record-start virtual
+    offsets of the written file (testWriteSBIIndex analog, semantic
+    equality instead of byte equality — we zero the optional md5/uuid)."""
+    src = os.path.join(fixtures_dir, "1-with-splitting-index.bam")
+    df, header = read_bam(spark, src, split_size=200_000)
+    out = str(tmp_path / "indexed.bam")
+    write_bam(df, header, out, sbi_granularity=1)
+
+    idx = sbimod.read_sbi(out + ".sbi")
+    assert idx.total_records == N_RECORDS
+    assert idx.file_length == os.path.getsize(out)
+
+    # serially decode the written file recording true start offsets
+    header2, refs2, voff2 = read_bam_header(out)
+    truth = []
+    size = os.path.getsize(out)
+
+    import struct
+
+    from disq_spark.sources.bam_source import _BlockBuffer
+
+    buf = _BlockBuffer(out, 0, size * 4)
+    off = buf.buf_offset(voff2 >> 16, voff2 & 0xFFFF)
+    while off is not None and off + 4 <= len(buf.data):
+        truth.append(buf.virtual_offset(off))
+        bs = struct.unpack_from("<i", buf.data, off)[0]
+        off = off + 4 + bs
+        if off >= len(buf.data):
+            break
+    assert len(truth) == N_RECORDS
+    assert idx.offsets[:-1] == truth
+
+
+def test_roundtrip_sharded(spark, fixtures_dir, tmp_path):
+    src = os.path.join(fixtures_dir, "1.bam")
+    df, header = read_bam(spark, src)
+    out = str(tmp_path / "bam_shards")
+    write_bam(df.repartition(3), header, out, single_file=False)
+    shards = [f for f in os.listdir(out) if f.endswith(".bam")]
+    assert len(shards) == 3
+    df2, _ = read_bam(spark, out)
+    assert df2.count() == N_RECORDS
+
+
+def test_tags_roundtrip(spark, fixtures_dir, tmp_path):
+    src = os.path.join(fixtures_dir, "1.bam")
+    df, header = read_bam(spark, src)
+    row = df.filter(F.col("tags").isNotNull()).first()
+    assert row.tags  # fixture records carry aux tags
+    out = str(tmp_path / "tags.bam")
+    write_bam(df, header, out)
+    df2, _ = read_bam(spark, out)
+    t1 = sorted(tuple(sorted((r.tags or {}).items())) for r in df.select("tags").collect())
+    t2 = sorted(tuple(sorted((r.tags or {}).items())) for r in df2.select("tags").collect())
+    assert t1 == t2
+
+
+def test_zero_length_secondary(spark, fixtures_dir):
+    """Records with '*' seq (zero-length secondary alignments fixture)."""
+    df, _ = read_bam(spark, os.path.join(fixtures_dir, "zero-length-secondary-alignment.bam"))
+    rows = df.collect()
+    assert rows
+    assert any(r.seq is None for r in rows)
