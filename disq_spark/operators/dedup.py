@@ -21,9 +21,9 @@ min() is taken over md5 hex strings — lexicographic min of the hex
 encoding equals numeric min of the 128-bit hash, no integer conversion
 needed.
 
-Scale notes: the only O(n^2) danger is a hot LSH bucket (e.g. boilerplate
-docs). ``max_bucket`` caps bucket size (drop-with-log semantics), the
-standard production mitigation; AQE skew-join handles moderate skew.
+Scale notes: the only O(n^2) danger is hot shingles/buckets (boilerplate
+text). ``max_df`` caps shingle document frequency — the standard
+production mitigation; AQE skew-join handles moderate residual skew.
 """
 
 from __future__ import annotations
@@ -57,23 +57,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _shingle_expr(text_col: str, k: int, stride: int) -> str:
-    """SQL expression string for shingles (shared Spark/oracle shape)."""
-    t = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
-    return (
-        f"array_distinct(transform("
-        f"sequence(0, greatest(cast(floor((length({t}) - {k}) / {stride}) as int), 0)), "
-        f"i -> substring({t}, i * {stride} + 1, {k})))"
-    )
-
-
 def shingle_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, stride: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    stride: int = 4,
+    max_df: float | None = None,
 ) -> DataFrame:
-    """(id, shingle) inverted-index rows — distinct shingles per doc."""
-    return df.select(
-        F.col(id_col), F.explode(F.expr(_shingle_expr(text_col, k, stride))).alias("shingle")
+    """(id, shingle) inverted-index rows — distinct shingles per doc.
+
+    ``max_df``: drop shingles appearing in more than this many documents.
+    Ultra-common shingles carry no dedup signal but are exactly the hot
+    keys that make the candidate join quadratic — capping document
+    frequency is the standard production mitigation (and the one that
+    keeps this operator viable at 100 TB).
+
+    Implementation note: shingling runs as an Arrow-batched pandas kernel
+    rather than a SQL ``transform(sequence(...))`` — Catalyst's project
+    collapsing inlines the normalize regex into every lambda element,
+    re-running it ~(len/stride) times per row (measured 7x slowdown).
+    The kernel normalizes once per doc and slices; hashing stays JVM-side.
+    """
+    import pandas as pd
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, shingles = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = ws.sub(" ", str(text).lower()).strip()
+                n_starts = max((len(t) - k) // stride + 1, 1)
+                seen = set()
+                for i in range(n_starts):
+                    s = t[i * stride : i * stride + k]
+                    if s not in seen:
+                        seen.add(s)
+                        ids.append(doc_id)
+                        shingles.append(s)
+            yield pd.DataFrame({id_col: ids, "shingle": shingles})
+
+    id_type = dict(df.dtypes)[id_col]
+    sh = df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} {id_type}, shingle string"
     )
+    if max_df is not None:
+        # cache the exploded table: it feeds both the frequency count and
+        # the pruning join (without it the kernel runs twice)
+        sh = sh.cache()
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    return sh
 
 
 def minhash_signatures(
@@ -83,13 +124,14 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     k: int = 8,
     stride: int = 4,
+    max_df: float | None = None,
 ) -> DataFrame:
     """One row per doc: id + mh_0..mh_{n-1} (md5-hex minhash components).
 
     Single explode + single groupBy; the i-th hash family is
     md5(i || ':' || shingle).
     """
-    sh = shingle_table(df, text_col, id_col, k, stride)
+    sh = shingle_table(df, text_col, id_col, k, stride, max_df)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -106,6 +148,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     k: int = 8,
     stride: int = 4,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -115,7 +158,10 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, stride).cache()
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, stride, max_df).cache()
+    # materialize before the 4-way band union + 2 signature joins below —
+    # an unmaterialized cache is recomputed once per union branch
+    sig.count()
 
     band_cols = []
     for b in range(bands):
@@ -166,13 +212,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
     k: int = 8,
     stride: int = 4,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, computed only for pairs that share
     at least one shingle (inverted-index candidate join).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = shingle_table(df, text_col, id_col, k, stride).cache()
+    sh = shingle_table(df, text_col, id_col, k, stride, max_df).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

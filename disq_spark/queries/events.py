@@ -169,3 +169,58 @@ SELECT event_type,
        round(max(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# interval_bin_join — the binned genomic overlap-join operator
+# (operators/genomics.interval_join) exercised on synthetic intervals; the
+# oracle is the naive non-equi join, so this differentially verifies the
+# bin-dedup trick end-to-end.
+# ---------------------------------------------------------------------------
+@_q("interval_bin_join")
+def interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.genomics import interval_join
+
+    e = load(spark, sf_dir, "events")
+    pts = e.select(
+        F.col("event_type").alias("contig"),
+        (F.floor(F.col("value") * 100).cast("long") + 1).alias("start"),
+        (F.floor(F.col("value") * 100).cast("long") + 51).alias("end"),
+        "event_id",
+    )
+    types = e.select(F.col("event_type").alias("contig")).distinct()
+    tiles = (
+        types.crossJoin(spark.range(20).select(F.col("id").alias("tile_id")))
+        .select(
+            "contig",
+            "tile_id",
+            (F.col("tile_id") * 2500 + 1).alias("start"),
+            (F.col("tile_id") * 2500 + 3000).alias("end"),
+        )
+    )
+    joined = interval_join(pts, tiles, right_prefix="t_", bin_size=512)
+    return (
+        joined.groupBy(F.col("contig"), F.col("t_tile_id").alias("tile_id"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("contig", "tile_id")
+    )
+
+
+ORACLE["interval_bin_join"] = """
+WITH pts AS (
+  SELECT event_type AS contig,
+         CAST(floor(value * 100) AS BIGINT) + 1 AS s,
+         CAST(floor(value * 100) AS BIGINT) + 51 AS e,
+         event_id
+  FROM events
+),
+tiles AS (
+  SELECT t.contig, g.i AS tile_id, g.i * 2500 + 1 AS s, g.i * 2500 + 3000 AS e
+  FROM (SELECT DISTINCT event_type AS contig FROM events) t,
+       (SELECT unnest(generate_series(0, 19)) AS i) g
+)
+SELECT pts.contig AS contig, tiles.tile_id, count(*) AS n
+FROM pts JOIN tiles
+  ON pts.contig = tiles.contig AND pts.s <= tiles.e AND pts.e >= tiles.s
+GROUP BY 1, 2 ORDER BY contig, tile_id
+"""

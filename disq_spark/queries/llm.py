@@ -41,6 +41,18 @@ NUM_HASHES = DD.DEFAULT_NUM_HASHES
 BANDS = DD.DEFAULT_BANDS
 MINHASH_THRESHOLD = 0.25
 JACCARD_THRESHOLD = 0.15
+# document-frequency cap: shingles in more than max(20, 4% of docs)
+# documents are dropped (hot-key mitigation, same formula both engines)
+MAX_DF_FRACTION = 0.04
+MAX_DF_FLOOR = 20.0
+
+
+def _max_df(spark: SparkSession, sf_dir: str) -> float:
+    n = load(spark, sf_dir, "documents").count()
+    return max(MAX_DF_FLOOR, MAX_DF_FRACTION * n)
+
+
+_MAX_DF_SQL = f"greatest({MAX_DF_FLOOR}, {MAX_DF_FRACTION} * (SELECT count(*) FROM documents))"
 
 
 def _oracle_shingles() -> str:
@@ -49,6 +61,20 @@ def _oracle_shingles() -> str:
         f"list_distinct([substring({_NORM}, i * {s} + 1, {k}) "
         f"for i in generate_series(0, greatest(cast(floor((length({_NORM}) - {k}) / {s}) as int), 0))])"
     )
+
+
+# shared CTE prefix: exploded shingles with the document-frequency cap
+def _oracle_sh_cte() -> str:
+    return f"""
+sh0 AS (
+  SELECT doc_id, unnest({_oracle_shingles()}) AS shingle FROM documents
+),
+rare AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_DF_SQL}
+),
+sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)
+)"""
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +231,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=MINHASH_THRESHOLD,
         k=SHINGLE_K,
         stride=SHINGLE_STRIDE,
+        max_df=_max_df(spark, sf_dir),
     ).orderBy("id_a", "id_b")
 
 
@@ -226,9 +253,7 @@ def _minhash_oracle() -> str:
         f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_oracle_shingles()}) AS shingle FROM documents
-),
+WITH {_oracle_sh_cte()},
 sig AS (
   SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
 ),
@@ -255,14 +280,18 @@ ORACLE["dedup_minhash_lsh"] = _minhash_oracle()
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(
-        d, "text", "doc_id", threshold=JACCARD_THRESHOLD, k=SHINGLE_K, stride=SHINGLE_STRIDE
+        d,
+        "text",
+        "doc_id",
+        threshold=JACCARD_THRESHOLD,
+        k=SHINGLE_K,
+        stride=SHINGLE_STRIDE,
+        max_df=_max_df(spark, sf_dir),
     ).orderBy("id_a", "id_b")
 
 
 ORACLE["dedup_ngram_jaccard"] = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_oracle_shingles()}) AS shingle FROM documents
-),
+WITH {_oracle_sh_cte()},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -425,3 +454,39 @@ ORACLE["multimodal_meta"] = """
 SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS payload_md5
 FROM documents ORDER BY doc_id LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode — the mapInPandas fake-decode kernel end-to-end; the
+# oracle recomputes the md5-seeded dims/features in pure SQL, so this
+# differentially verifies the distributed plumbing (batching, Arrow
+# transfer, float storage) against an independent scalar formulation.
+# ---------------------------------------------------------------------------
+@_q("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import attach_payload, decode_image
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    feats = decode_image(attach_payload(d), fake=True)
+    cols = [F.round(F.element_at("features", i + 1).cast("double"), 6).alias(f"f{i}") for i in range(8)]
+    return feats.select("doc_id", "width", "height", *cols).orderBy("doc_id")
+
+
+def _multimodal_oracle() -> str:
+    def hv(i: int) -> str:  # value of i-th (1-based) hex char of md5(text)
+        return f"(instr('0123456789abcdef', substring(md5(text), {i}, 1)) - 1)"
+
+    def byte(j: int) -> str:  # j-th byte (0-based) of the md5 digest
+        return f"({hv(2 * j + 1)} * 16 + {hv(2 * j + 2)})"
+
+    feats = ", ".join(f"round({byte(k + 2)} / 255.0, 6) AS f{k}" for k in range(8))
+    return f"""
+SELECT doc_id,
+       CAST(64 + {byte(0)} % 192 AS INT) AS width,
+       CAST(64 + {byte(1)} % 192 AS INT) AS height,
+       {feats}
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+ORACLE["multimodal_decode"] = _multimodal_oracle()

@@ -288,9 +288,31 @@ def decode_chunk(path: str, refs: list[tuple[str, int]], v_start: int, v_end: in
 
 
 def read_bam(
+    spark: SparkSession,
+    path: str,
+    split_size: int = DEFAULT_SPLIT_SIZE,
+    intervals: list | None = None,
+    traverse_unplaced_unmapped: bool = False,
+) -> tuple[DataFrame, SamHeader]:
+    """Load BAM (file, dir, or glob) as a reads DataFrame + header.
+
+    ``intervals``/``traverse_unplaced_unmapped`` mirror the reference's
+    HtsjdkReadsTraversalParameters surface as a residual Column predicate
+    (always correct; .bai-driven partition pruning is a future physical
+    optimization — unlike the reference we do not require an index,
+    AbstractBinarySamSource.java:112-116).
+    """
+    df, header = _read_bam_all(spark, path, split_size)
+    if intervals is not None or traverse_unplaced_unmapped:
+        from disq_spark.functions.intervals import filter_intervals
+
+        df = filter_intervals(df, intervals, traverse_unplaced_unmapped)
+    return df, header
+
+
+def _read_bam_all(
     spark: SparkSession, path: str, split_size: int = DEFAULT_SPLIT_SIZE
 ) -> tuple[DataFrame, SamHeader]:
-    """Load BAM (file, dir, or glob) as a reads DataFrame + header."""
     paths = resolve_paths(path, BAM_EXTENSIONS)
     header, refs, first_voff = read_bam_header(paths[0])
 

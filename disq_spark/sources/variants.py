@@ -67,8 +67,31 @@ def read_vcf(
     spark: SparkSession,
     path: str,
     split_size: int = DEFAULT_SPLIT_SIZE,
+    intervals: list | None = None,
 ) -> tuple[DataFrame, VcfHeader]:
-    """Load VCF (file, dir, or glob; plain/gzip/BGZF) as a DataFrame."""
+    """Load VCF (file, dir, or glob; plain/gzip/BGZF) as a DataFrame.
+
+    ``intervals``: list of ``disq_spark.functions.intervals.Interval``.
+    When given, splits of .tbi-indexed BGZF files that cannot contain an
+    overlapping record are pruned at plan time (VcfSource.java:177-201
+    semantics) and a residual overlap predicate is applied. Unlike the
+    reference (which errors without an index, VcfSource.java:184-187),
+    index-less inputs degrade gracefully to filter-only.
+    """
+    df, header = _read_vcf_all(spark, path, split_size, intervals)
+    if intervals is not None:
+        from disq_spark.functions.intervals import overlaps
+
+        df = df.filter(overlaps(intervals))
+    return df, header
+
+
+def _read_vcf_all(
+    spark: SparkSession,
+    path: str,
+    split_size: int,
+    intervals: list | None,
+) -> tuple[DataFrame, VcfHeader]:
     paths = resolve_paths(path, VCF_EXTENSIONS)
     header = read_header(paths[0])
     samples = header.samples
@@ -86,14 +109,25 @@ def read_vcf(
         return text.mapInPandas(parse_plain, VARIANTS_SCHEMA), header
 
     # compressed path: plan byte ranges; BGZF files split at block
-    # boundaries, plain-gzip files get one whole-file range
+    # boundaries, plain-gzip files get one whole-file range. With
+    # intervals + a .tbi, non-overlapping splits are dropped at plan time.
+    import os
+
     ranges = []
     for p in paths:
         if kinds[p] == "bgzf":
-            ranges.extend((r.path, r.start, r.end) for r in plan_ranges([p], split_size))
-        else:
-            import os
+            p_ranges = [(r.path, r.start, r.end) for r in plan_ranges([p], split_size)]
+            tbi = p + ".tbi"
+            if intervals is not None and os.path.exists(tbi):
+                from disq_spark.formats.tabix import read_tbi, split_overlaps_intervals
 
+                idx = read_tbi(tbi)
+                triples = [(iv.contig, iv.start, iv.end) for iv in intervals]
+                p_ranges = [
+                    r for r in p_ranges if split_overlaps_intervals(idx, r[1], r[2], triples)
+                ]
+            ranges.extend(p_ranges)
+        else:
             ranges.append((p, 0, os.path.getsize(p)))
 
     plan_df = spark.createDataFrame(ranges, "path string, start long, end long").repartition(

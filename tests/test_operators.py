@@ -1,0 +1,136 @@
+"""Beyond-reference operators: interval join, coordinate sort, markdup,
+pair grouping, as-of join, multimodal plumbing, dedup/similarity units."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from disq_spark.operators.asof import asof_join
+from disq_spark.operators.genomics import (
+    coordinate_sort,
+    interval_join,
+    mark_duplicates,
+    pair_reads,
+)
+from disq_spark.operators.multimodal import attach_payload, decode_image, frame_sample
+from disq_spark.queries.tables import load
+from disq_spark.sources.bam_source import read_bam
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interval_join_matches_naive(spark):
+    """Binned interval join == naive non-equi join (the differential)."""
+    rows_l = [("c1", i * 7 + 1, i * 7 + 30, i) for i in range(200)] + [
+        ("c2", i * 11 + 5, i * 11 + 40, 1000 + i) for i in range(100)
+    ]
+    rows_r = [("c1", j * 50 + 1, j * 50 + 60, j) for j in range(40)] + [
+        ("c2", 100, 200, 99)
+    ]
+    left = spark.createDataFrame(rows_l, "contig string, start long, end long, lid long")
+    right = spark.createDataFrame(rows_r, "contig string, start long, end long, rid long")
+
+    got = interval_join(left, right, bin_size=64)
+    pairs = sorted((r.lid, r.r_rid) for r in got.select("lid", "r_rid").collect())
+
+    naive = left.alias("a").join(
+        right.alias("b"),
+        (F.col("a.contig") == F.col("b.contig"))
+        & (F.col("a.start") <= F.col("b.end"))
+        & (F.col("a.end") >= F.col("b.start")),
+    )
+    expect = sorted((r["lid"], r["rid"]) for r in naive.select("a.lid", "b.rid").collect())
+    assert pairs == expect
+    assert len(pairs) > 0
+
+
+def test_interval_join_on_bam(spark, fixtures_dir):
+    df, _ = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    targets = spark.createDataFrame(
+        [("1", 1, 20000), ("1", 30000, 31000)], "contig string, start long, end long"
+    )
+    joined = interval_join(df.filter(F.col("start").isNotNull()), targets, bin_size=5000)
+    brute = df.filter(
+        ((F.col("start") <= 20000) & (F.col("end") >= 1))
+        | ((F.col("start") <= 31000) & (F.col("end") >= 30000))
+    ).filter(F.col("contig") == "1")
+    assert joined.select("name", "start").distinct().count() == brute.filter(
+        F.col("start").isNotNull()
+    ).select("name", "start").distinct().count()
+
+
+def test_coordinate_sort(spark, fixtures_dir):
+    df, header = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    # shuffle it out of order first
+    shuffled = df.repartition(7)
+    sorted_df = coordinate_sort(shuffled, header, num_partitions=4)
+    parts = sorted_df.select("contig", "start").rdd.glom().collect()
+    flat = [r for p in parts for r in p]
+    starts = [r.start for r in flat if r.start is not None]
+    assert starts == sorted(starts)  # global order across partition concat
+
+
+def test_mark_duplicates(spark):
+    rows = [
+        ("r1", 0, "c1", 100, 150, 60, "50M", None, None, 0, "A" * 50, "I" * 50, None, None),
+        ("r2", 0, "c1", 100, 150, 60, "50M", None, None, 0, "A" * 50, "5" * 50, None, None),
+        ("r3", 0, "c1", 200, 250, 60, "50M", None, None, 0, "A" * 50, "I" * 50, None, None),
+        ("r4", 16, "c1", 100, 150, 60, "50M", None, None, 0, "A" * 50, "I" * 50, None, None),
+    ]
+    from disq_spark.schemas import READS_SCHEMA
+
+    df = spark.createDataFrame(rows, READS_SCHEMA)
+    out = {r.name: r.flags for r in mark_duplicates(df).collect()}
+    assert out["r1"] & 0x400 == 0  # higher qual kept
+    assert out["r2"] & 0x400 != 0  # duplicate of r1, lower qual
+    assert out["r3"] & 0x400 == 0  # different position
+    assert out["r4"] & 0x400 == 0  # reverse strand = different key
+
+
+def test_pair_reads_atomicity(spark, fixtures_dir):
+    df, _ = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    pairs = pair_reads(df)
+    counts = pairs.groupBy("n_reads").count().collect()
+    by_n = {r.n_reads: r["count"] for r in counts}
+    assert max(by_n) <= 2  # primary alignments only: fragments or pairs
+    assert pairs.count() == df.filter(
+        (F.col("flags").bitwiseAND(0x100) == 0) & (F.col("flags").bitwiseAND(0x800) == 0)
+    ).select("name").distinct().count()
+
+
+def test_asof_join_matches_gate_formulation(spark):
+    """applyInPandas merge_asof == join+window formulation (differential)."""
+    from disq_spark.queries.events import asof_join_events
+
+    gate = {
+        r.purchase_id: r.view_id for r in asof_join_events(spark, SF).collect()
+    }
+    e = load(spark, SF, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    got_df = asof_join(p, v, on="ts", by="user_id", right_cols=["view_id"])
+    got = {r.purchase_id: r.view_id_right for r in got_df.collect()}
+    assert got == gate
+
+
+def test_multimodal_plumbing(spark):
+    d = load(spark, SF, "documents")
+    media = attach_payload(d)
+    feats = decode_image(media, fake=True)
+    rows = feats.orderBy("doc_id").limit(5).collect()
+    assert rows and all(len(r.features) == 8 for r in rows)
+    assert all(64 <= r.width < 256 for r in rows)
+    # determinism: same payload -> same features
+    again = decode_image(media, fake=True).orderBy("doc_id").limit(5).collect()
+    assert [r.features for r in rows] == [r.features for r in again]
+    # stub contract: real decode clearly not implemented
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image(media, fake=False)
+    fs = frame_sample(media, every_n_bytes=100)
+    assert fs.count() >= media.count()
