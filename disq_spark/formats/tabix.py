@@ -1,4 +1,10 @@
-"""Tabix (.tbi) index reader, used for VCF split-level partition pruning.
+"""Tabix (.tbi) index reader/writer/merger.
+
+Reading drives VCF split-level partition pruning; writing happens
+distributed during single-file BGZF VCF output (per-part index built
+while encoding, then merged with virtual-offset shifting — the
+HeaderlessVcfOutputFormat.java:68-88 build + TbiMerger.java:39-65 merge
+pattern).
 
 Re-expresses the reference's tribble/tabix split filtering
 (TribbleIndexIntervalFilteringTextInputFormat.java:59-98 +
@@ -46,8 +52,7 @@ def _reg2bins(beg: int, end: int) -> list[int]:
     return out
 
 
-def read_tbi(path: str) -> TabixIndex:
-    import io
+def read_tbi(path: str, fragment: bool = False) -> TabixIndex:
     import os
 
     data = bgzf.read_range(path, 0, os.path.getsize(path))
@@ -77,6 +82,8 @@ def read_tbi(path: str) -> TabixIndex:
         n_intv = struct.unpack_from("<i", data, off)[0]
         off += 4
         linear = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+        if fragment:
+            linear = [v - 1 if v > 0 else -1 for v in linear]
         off += 8 * n_intv
         bins_all.append(bins)
         linear_all.append(linear)
@@ -94,13 +101,154 @@ def chunks_for_interval(idx: TabixIndex, contig: str, start: int, end: int) -> l
     ref_bins = idx.bins[rid]
     # linear-index lower bound (skip chunks wholly before the window)
     lin = idx.linear[rid]
-    min_voff = lin[min(beg0 >> 14, len(lin) - 1)] if lin else 0
+    min_voff = max(lin[min(beg0 >> 14, len(lin) - 1)], 0) if lin else 0
     for b in _reg2bins(beg0, end0):
         for cb, ce in ref_bins.get(b, ()):
             if ce > min_voff:
                 out.append((cb, ce))
     out.sort()
     return out
+
+
+class TbiBuilder:
+    """Incremental per-part tabix index builder (VCF preset).
+
+    ``add`` is called once per record in file order with part-relative
+    virtual offsets; contigs register in order of first appearance.
+    """
+
+    def __init__(self) -> None:
+        self.names: list[str] = []
+        self._rid: dict[str, int] = {}
+        self.bins: list[dict[int, list[tuple[int, int]]]] = []
+        self.linear: list[list[int]] = []
+
+    def add(self, contig: str, start1: int, end1: int, v_start: int, v_end: int) -> None:
+        rid = self._rid.get(contig)
+        if rid is None:
+            rid = len(self.names)
+            self._rid[contig] = rid
+            self.names.append(contig)
+            self.bins.append({})
+            self.linear.append([])
+        beg0, end0 = start1 - 1, max(end1, start1)
+        b = _reg2bin(beg0, end0)
+        chunks = self.bins[rid].setdefault(b, [])
+        if chunks and v_start <= chunks[-1][1]:
+            chunks[-1] = (chunks[-1][0], max(chunks[-1][1], v_end))
+        else:
+            chunks.append((v_start, v_end))
+        lin = self.linear[rid]
+        w_beg, w_end = beg0 >> 14, (end0 - 1) >> 14
+        if len(lin) <= w_end:
+            lin.extend([-1] * (w_end + 1 - len(lin)))  # -1 = unset
+        for w in range(w_beg, w_end + 1):
+            if lin[w] < 0 or v_start < lin[w]:
+                lin[w] = v_start
+
+    def build(self) -> TabixIndex:
+        # -1 = uncovered window (in-memory convention; see bai.RefIndex)
+        return TabixIndex(list(self.names), self.bins, self.linear)
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """Single bin fully containing 0-based half-open [beg, end)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return 4681 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return 585 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return 73 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return 9 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return 1 + (beg >> 26)
+    return 0
+
+
+def write_tbi(path: str, idx: TabixIndex, fragment: bool = False) -> None:
+    """Serialize with the VCF preset header (format=2, seq/beg cols 1/2,
+    end=0 i.e. derived, meta '#', skip 0); body BGZF-compressed.
+
+    ``fragment=True`` = hidden per-part intermediate: linear stored
+    biased (v+1, 0 = absent) because part-relative voff 0 is a real
+    offset. Final indexes store absent as 0 (spec convention)."""
+    body = bytearray()
+    body += b"TBI\x01"
+    names_blob = b"".join(n.encode("utf-8") + b"\x00" for n in idx.names)
+    body += struct.pack(
+        "<7i", len(idx.names), 2, 1, 2, 0, ord("#"), 0
+    )
+    body += struct.pack("<i", len(names_blob))
+    body += names_blob
+    for rid in range(len(idx.names)):
+        bins = sorted(idx.bins[rid].items())
+        body += struct.pack("<i", len(bins))
+        for b, chunks in bins:
+            body += struct.pack("<Ii", b, len(chunks))
+            for cb, ce in chunks:
+                body += struct.pack("<QQ", cb, ce)
+        if fragment:
+            lin = [v + 1 if v >= 0 else 0 for v in idx.linear[rid]]
+        else:
+            lin = [max(v, 0) for v in idx.linear[rid]]
+        body += struct.pack("<i", len(lin))
+        if lin:
+            body += struct.pack(f"<{len(lin)}Q", *lin)
+    with open(path, "wb") as f:
+        f.write(bgzf.compress_all(bytes(body), terminate=True))
+
+
+def _shift(voff: int, shift_bytes: int) -> int:
+    return ((voff >> 16) + shift_bytes) << 16 | (voff & 0xFFFF)
+
+
+def merge_tbi(parts: list[TabixIndex], part_lengths: list[int], base_offset: int = 0) -> TabixIndex:
+    """Merge per-part indexes of concatenated parts, shifting virtual
+    offsets by the cumulative compressed length of preceding bytes
+    (TbiMerger.java:39-65 / htsjdk TabixIndexMerger semantics). Contig
+    order = first appearance across parts in part order (legal for
+    sorted VCF, where it equals header contig order)."""
+    out = TbiBuilder()
+    shift = base_offset
+    for idx, plen in zip(parts, part_lengths):
+        for rid, name in enumerate(idx.names):
+            orid = out._rid.get(name)
+            if orid is None:
+                orid = len(out.names)
+                out._rid[name] = orid
+                out.names.append(name)
+                out.bins.append({})
+                out.linear.append([])
+            for b, chunks in idx.bins[rid].items():
+                dst = out.bins[orid].setdefault(b, [])
+                for cb, ce in chunks:
+                    cb, ce = _shift(cb, shift), _shift(ce, shift)
+                    if dst and cb <= dst[-1][1]:
+                        dst[-1] = (dst[-1][0], max(dst[-1][1], ce))
+                    else:
+                        dst.append((cb, ce))
+            lin, olin = idx.linear[rid], out.linear[orid]
+            if len(olin) < len(lin):
+                olin.extend([-1] * (len(lin) - len(olin)))
+            for w, vo in enumerate(lin):
+                if vo < 0:  # window not covered by this part
+                    continue
+                vo = _shift(vo, shift)
+                if olin[w] < 0 or vo < olin[w]:
+                    olin[w] = vo
+        shift += plen
+    return out.build()
+
+
+def patch_dangling_end(idx: TabixIndex, dangling_voff: int, safe_voff: int) -> None:
+    """Same concat-correctness patch as bai.patch_dangling_end."""
+    for rbins in idx.bins:
+        for chunks in rbins.values():
+            for i, (cb, ce) in enumerate(chunks):
+                if ce == dangling_voff:
+                    chunks[i] = (cb, safe_voff)
 
 
 def split_overlaps_intervals(

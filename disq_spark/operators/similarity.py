@@ -91,6 +91,44 @@ def sign_bucket(vec, n_bits: int = 8) -> F.Column:
     return b.cast("int")
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Self-join restricted to the sign bucket (hyperplane LSH): the O(n^2)
+    cross product becomes an equi-join whose shuffle is proportional to
+    bucket sizes — the scale path for embedding dedup at 100 TB (near
+    duplicates have near-identical sign patterns, so recall for
+    high-threshold dedup is high; raise coverage with multiple rotated
+    bucket families if needed).
+
+    Output: (id_a, id_b, score) with id_a < id_b, score >= threshold.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("a_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("b_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("a_vec"), F.col("b_vec")), round_to))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def signlsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

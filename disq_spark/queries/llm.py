@@ -411,6 +411,46 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# dedup_embedding_cosine — embedding-cosine near-dup pairs, LSH-bucketed
+# (the embedding analog of dedup_minhash_lsh; same bucket family as
+# ann_signlsh_topk so the oracle replicates the bucketing exactly)
+# ---------------------------------------------------------------------------
+EMB_DEDUP_THRESHOLD = 0.3
+
+
+@_q("dedup_embedding_cosine")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_pairs(
+        e, threshold=EMB_DEDUP_THRESHOLD, n_bits=6
+    ).orderBy("id_a", "id_b")
+
+
+_DOT_AB = "list_sum(list_transform(generate_series(1, len(av)), i -> av[i] * bv[i]))"
+_NORM_A = "sqrt(list_sum(list_transform(av, x -> x * x)))"
+_NORM_B = "sqrt(list_sum(list_transform(bv, x -> x * x)))"
+
+ORACLE["dedup_embedding_cosine"] = f"""
+WITH a AS (
+  SELECT vec_id AS id_a, embedding::DOUBLE[] AS av,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id AS id_b, embedding::DOUBLE[] AS bv,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT id_a, id_b, round({_DOT_AB} / ({_NORM_A} * {_NORM_B}), 4) AS score
+  FROM a JOIN b USING (bucket) WHERE id_a < id_b
+)
+SELECT id_a, id_b, score FROM scored
+WHERE score >= {EMB_DEDUP_THRESHOLD} ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding_label_stats — per-label vector stats (norms in double)
 # ---------------------------------------------------------------------------
 @_q("embedding_label_stats")

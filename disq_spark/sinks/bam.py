@@ -24,10 +24,13 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from disq_spark.formats import bai as baimod
 from disq_spark.formats import bam as bamcodec
 from disq_spark.formats import bgzf
 from disq_spark.formats import sbi as sbimod
+from disq_spark.formats.bam import _reg2bin
 from disq_spark.headers import SamHeader
+from disq_spark.schemas import FLAG_UNMAPPED
 from disq_spark.sinks import merge
 
 DEFAULT_GRANULARITY = 4096
@@ -39,13 +42,18 @@ def write_bam(
     path: str,
     single_file: bool | None = None,
     write_sbi: bool = True,
+    write_bai: bool | None = None,
     sbi_granularity: int = DEFAULT_GRANULARITY,
 ) -> None:
     if single_file is None:
         single_file = path.endswith(".bam")
+    if write_bai is None:
+        # .bai is only meaningful for coordinate-sorted output
+        # (BamSink.java:78-80)
+        write_bai = header.sort_order == "coordinate"
     refs = header.sequences
     if single_file:
-        _write_single(df, header, refs, path, write_sbi, sbi_granularity)
+        _write_single(df, header, refs, path, write_sbi, write_bai, sbi_granularity)
     else:
         _write_sharded(df, header, refs, path)
 
@@ -55,6 +63,7 @@ def _encode_partition(
     parts_dir: str,
     ref_index: dict[str, int],
     granularity: int,
+    with_bai: bool,
 ):
     from pyspark import TaskContext
 
@@ -63,14 +72,33 @@ def _encode_partition(
     tmp = part_path + ".tmp"
     n = 0
     offsets: list[int] = []
+    bai = baimod.BaiBuilder(len(ref_index)) if with_bai else None
     with open(tmp, "wb") as f:
         w = bgzf.BgzfWriter(f, terminate=False)
         for pdf in batches:
             for row in pdf.to_dict("records"):
+                v_start = w.virtual_offset
                 if n % granularity == 0:
-                    offsets.append(w.virtual_offset)
+                    offsets.append(v_start)
                 w.write(bamcodec.encode_record(row, ref_index))
                 n += 1
+                if bai is not None:
+                    contig, start = row["contig"], row["start"]
+                    if contig is None or start is None or pd.isna(start):
+                        bai.add(-1, -1, -1, 0, v_start, w.virtual_offset, False)
+                    else:
+                        pos0 = int(start) - 1
+                        end0 = int(row["end"]) if row["end"] is not None and not pd.isna(row["end"]) else pos0 + 1
+                        bai.add(
+                            ref_index[contig],
+                            pos0,
+                            end0,
+                            _reg2bin(pos0, max(end0, pos0 + 1)),
+                            v_start,
+                            w.virtual_offset,
+                            int(row["flags"]) & FLAG_UNMAPPED == 0,
+                        )
+        dangling = w.virtual_offset  # last record's end, pre-final-flush
         w.close()
     if n > 0:
         os.replace(tmp, part_path)
@@ -79,6 +107,11 @@ def _encode_partition(
             os.path.join(parts_dir, f".part-{pid:05d}.sbi"),
             sbimod.SbiIndex(w.compressed_len, n, granularity, offsets),
         )
+        if bai is not None:
+            built = bai.build()
+            if dangling & 0xFFFF:
+                baimod.patch_dangling_end(built, dangling, w.compressed_len << 16)
+            baimod.write_bai(os.path.join(parts_dir, f".part-{pid:05d}.bai"), built, fragment=True)
     else:
         os.remove(tmp)
     yield pd.DataFrame({"part": [part_path], "n": [n]})
@@ -90,6 +123,7 @@ def _write_single(
     refs: list[tuple[str, int]],
     path: str,
     with_sbi: bool,
+    with_bai: bool,
     granularity: int,
 ) -> None:
     parts_dir = path + ".parts"
@@ -97,7 +131,7 @@ def _write_single(
     ref_index = {name: i for i, (name, _l) in enumerate(refs)}
 
     def run(batches):
-        yield from _encode_partition(batches, parts_dir, ref_index, granularity)
+        yield from _encode_partition(batches, parts_dir, ref_index, granularity, with_bai)
 
     df.mapInPandas(run, "part string, n long").collect()
 
@@ -128,6 +162,13 @@ def _write_single(
         )
         merged.file_length = os.path.getsize(path)
         sbimod.write_sbi(path + ".sbi", merged)
+    if with_bai:
+        part_bais = [
+            baimod.read_bai(os.path.join(parts_dir, "." + os.path.basename(pp) + ".bai"), fragment=True)
+            for pp in part_paths
+        ]
+        merged_bai = baimod.merge_bai(part_bais, lengths[1:], base_offset=lengths[0])
+        baimod.write_bai(path + ".bai", merged_bai)
     merge.cleanup(parts_dir)
 
 

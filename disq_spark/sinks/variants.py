@@ -36,21 +36,30 @@ def write_vcf(
     header: VcfHeader,
     path: str,
     single_file: bool | None = None,
+    write_tbi: bool = False,
 ) -> None:
     """Write a variants DataFrame as VCF.
 
     ``single_file=None`` infers: VCF extension -> single file, else
-    sharded directory (VcfFormat.java:91-93).
+    sharded directory (VcfFormat.java:91-93). ``write_tbi`` builds a
+    tabix index during the distributed write and merges the per-part
+    fragments with virtual-offset shifting (HeaderlessVcfOutputFormat
+    .java:68-88 + TbiMerger.java:39-65); requires a BGZF target and
+    coordinate-sorted input.
     """
     if single_file is None:
         single_file = path.endswith((".vcf", ".vcf.gz", ".vcf.bgz"))
+    if write_tbi and not (_is_bgzf_target(path) and single_file):
+        raise ValueError("write_tbi requires a single-file BGZF target")
     if single_file:
-        _write_single(df, header, path)
+        _write_single(df, header, path, write_tbi)
     else:
         _write_sharded(df, header, path)
 
 
-def _write_single(df: DataFrame, header: VcfHeader, path: str) -> None:
+def _write_single(df: DataFrame, header: VcfHeader, path: str, with_tbi: bool = False) -> None:
+    from disq_spark.formats import tabix as tbimod
+
     parts_dir = path + ".parts"  # temp-parts convention (HtsjdkReadsRddStorage.java:224-229)
     os.makedirs(parts_dir, exist_ok=True)
     compress = _is_bgzf_target(path)
@@ -63,19 +72,36 @@ def _write_single(df: DataFrame, header: VcfHeader, path: str) -> None:
         part_path = os.path.join(parts_dir, f"part-{pid:05d}")
         n = 0
         tmp = part_path + ".tmp"
+        tbi = tbimod.TbiBuilder() if with_tbi else None
+        dangling = 0
         with open(tmp, "wb") as f:
             sink = bgzf.BgzfWriter(f, terminate=False) if compress else f
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 lines = format_vcf_batch(pdf, samples)
-                payload = ("\n".join(lines) + "\n").encode("utf-8")
-                sink.write(payload)
+                if tbi is None:
+                    payload = ("\n".join(lines) + "\n").encode("utf-8")
+                    sink.write(payload)
+                else:
+                    # per-record virtual-offset tracking for the index
+                    for line, contig, start, end in zip(
+                        lines, pdf["contig"], pdf["start"], pdf["end"]
+                    ):
+                        v_start = sink.virtual_offset
+                        sink.write(line.encode("utf-8") + b"\n")
+                        tbi.add(contig, int(start), int(end), v_start, sink.virtual_offset)
                 n += len(pdf)
             if compress:
+                dangling = sink.virtual_offset
                 sink.close()
         if n > 0:
             os.replace(tmp, part_path)
+            if tbi is not None:
+                built = tbi.build()
+                if dangling & 0xFFFF:
+                    tbimod.patch_dangling_end(built, dangling, sink.compressed_len << 16)
+                tbimod.write_tbi(os.path.join(parts_dir, f".part-{pid:05d}.tbi"), built, fragment=True)
         else:
             os.remove(tmp)
         yield pd.DataFrame({"part": [part_path], "n": [n]})
@@ -89,11 +115,18 @@ def _write_single(df: DataFrame, header: VcfHeader, path: str) -> None:
     with open(header_path, "wb") as f:
         f.write(bgzf.compress_all(header_bytes, terminate=False) if compress else header_bytes)
 
-    srcs = [header_path] + merge.list_parts(parts_dir)
-    merge.concat_parts(path, srcs)
+    part_paths = merge.list_parts(parts_dir)
+    lengths = merge.concat_parts(path, [header_path] + part_paths)
     if compress:
         with open(path, "ab") as f:
             f.write(bgzf.EOF_BLOCK)
+    if with_tbi:
+        part_idx = [
+            tbimod.read_tbi(os.path.join(parts_dir, "." + os.path.basename(pp) + ".tbi"), fragment=True)
+            for pp in part_paths
+        ]
+        merged = tbimod.merge_tbi(part_idx, lengths[1:], base_offset=lengths[0])
+        tbimod.write_tbi(path + ".tbi", merged)
     merge.cleanup(parts_dir)
     if total == 0 and not os.path.exists(path):
         raise RuntimeError("empty write produced no file")

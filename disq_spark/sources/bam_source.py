@@ -297,12 +297,13 @@ def read_bam(
     """Load BAM (file, dir, or glob) as a reads DataFrame + header.
 
     ``intervals``/``traverse_unplaced_unmapped`` mirror the reference's
-    HtsjdkReadsTraversalParameters surface as a residual Column predicate
-    (always correct; .bai-driven partition pruning is a future physical
-    optimization — unlike the reference we do not require an index,
-    AbstractBinarySamSource.java:112-116).
+    HtsjdkReadsTraversalParameters surface: a residual Column predicate
+    (always correct) plus .bai-driven partition pruning when the index
+    exists (AbstractBinarySamSource.java:111-158 — but unlike the
+    reference we do not *require* an index, :112-116; index-less input
+    degrades to filter-only).
     """
-    df, header = _read_bam_all(spark, path, split_size)
+    df, header = _read_bam_all(spark, path, split_size, intervals, traverse_unplaced_unmapped)
     if intervals is not None or traverse_unplaced_unmapped:
         from disq_spark.functions.intervals import filter_intervals
 
@@ -310,8 +311,44 @@ def read_bam(
     return df, header
 
 
+def _chunk_may_match(
+    bai_path: str,
+    refs: list[tuple[str, int]],
+    chunks: list[tuple[int, int]],
+    intervals: list | None,
+    unplaced_unmapped: bool,
+) -> list[tuple[int, int]]:
+    """Drop planned (vStart, vEnd) chunks the .bai proves irrelevant.
+
+    A chunk survives if it overlaps any interval's file span, or (for the
+    unplaced-unmapped tail) extends past the last indexed offset
+    (AbstractBinarySamSource.java:117-157). Pure metadata pruning — the
+    residual record filter keeps correctness regardless.
+    """
+    from disq_spark.formats import bai as baimod
+
+    idx = baimod.read_bai(bai_path)
+    ref_id = {name: i for i, (name, _l) in enumerate(refs)}
+    spans: list[tuple[int, int]] = []
+    for iv in intervals or []:
+        spans.extend(baimod.chunks_for_interval(idx, ref_id.get(iv.contig, -1), iv.start, iv.end))
+    tail_voff = baimod.last_indexed_voff(idx) if unplaced_unmapped else None
+    out = []
+    for v_start, v_end in chunks:
+        keep = any(cb < v_end and ce > v_start for cb, ce in spans)
+        if not keep and tail_voff is not None:
+            keep = v_end > tail_voff
+        if keep:
+            out.append((v_start, v_end))
+    return out
+
+
 def _read_bam_all(
-    spark: SparkSession, path: str, split_size: int = DEFAULT_SPLIT_SIZE
+    spark: SparkSession,
+    path: str,
+    split_size: int = DEFAULT_SPLIT_SIZE,
+    intervals: list | None = None,
+    traverse_unplaced_unmapped: bool = False,
 ) -> tuple[DataFrame, SamHeader]:
     paths = resolve_paths(path, BAM_EXTENSIONS)
     header, refs, first_voff = read_bam_header(paths[0])
@@ -319,15 +356,25 @@ def _read_bam_all(
     plan: list[tuple[str, int, int]] = []
     for p in paths:
         _h, p_refs, p_voff = (header, refs, first_voff) if p == paths[0] else read_bam_header(p)
-        for v_start, v_end in plan_bam_chunks(p, split_size, p_refs, p_voff):
+        p_chunks = plan_bam_chunks(p, split_size, p_refs, p_voff)
+        if (intervals is not None or traverse_unplaced_unmapped) and os.path.exists(p + ".bai"):
+            p_chunks = _chunk_may_match(
+                p + ".bai", p_refs, p_chunks, intervals, traverse_unplaced_unmapped
+            )
+        for v_start, v_end in p_chunks:
             plan.append((p, v_start, v_end))
 
     if not plan:
         return spark.createDataFrame([], READS_SCHEMA), header
 
+    # one plan row per partition, partition index == plan index: parallelize
+    # slices preserve order (repartition would round-robin arbitrarily,
+    # breaking the file-order guarantee single-file sinks rely on —
+    # README.md:152-156 record-ordering semantics)
     plan_df = spark.createDataFrame(
-        plan, "path string, v_start long, v_end long"
-    ).repartition(len(plan))
+        spark.sparkContext.parallelize(plan, len(plan)),
+        "path string, v_start long, v_end long",
+    )
     refs_b = refs
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -130,8 +130,12 @@ def _read_vcf_all(
         else:
             ranges.append((p, 0, os.path.getsize(p)))
 
-    plan_df = spark.createDataFrame(ranges, "path string, start long, end long").repartition(
-        max(len(ranges), 1)
+    # parallelize slices: partition i == plan row i, preserving file order
+    # through the scan (single-file sinks depend on it; repartition would
+    # round-robin arbitrarily)
+    plan_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(ranges, max(len(ranges), 1)),
+        "path string, start long, end long",
     )
 
     def decode_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

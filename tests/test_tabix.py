@@ -53,3 +53,85 @@ def test_split_overlap_primitive(fixtures_dir):
     assert split_overlaps_intervals(idx, 0, size, triples)
     # a range past EOF cannot
     assert not split_overlaps_intervals(idx, size + 10, size + 20, [(contig, 1, 2)])
+
+
+# ---------------------------------------------------------------------------
+# distributed .tbi write + merge (HeaderlessVcfOutputFormat + TbiMerger
+# analog of TbiMergingTest.java: distributed merge == serial single-pass
+# build of the final file, and the index actually works for pruning)
+# ---------------------------------------------------------------------------
+def _serial_tbi(path):
+    """Ground-truth tabix index: single pass over the finished BGZF VCF."""
+    from disq_spark.formats import bgzf
+    from disq_spark.formats.tabix import TbiBuilder
+
+    b = TbiBuilder()
+    blocks = list(bgzf.scan_blocks(path))
+    # walk records with exact virtual offsets (line by line across blocks)
+    with open(path, "rb") as f:
+        carry = b""
+        carry_voff = None
+        for blk in blocks:
+            data = bgzf.decompress_block(f, blk.pos)
+            off = 0
+            while True:
+                nl = data.find(b"\n", off)
+                if nl < 0:
+                    if off < len(data):
+                        if not carry:
+                            carry_voff = (blk.pos << 16) | off
+                        carry += data[off:]
+                    break
+                if carry:
+                    line = carry + data[off : nl + 1]
+                    v_start = carry_voff
+                    carry = b""
+                else:
+                    line = data[off : nl + 1]
+                    v_start = (blk.pos << 16) | off
+                nxt = nl + 1
+                v_end = (blk.end << 16) if nxt >= len(data) else ((blk.pos << 16) | nxt)
+                if not line.startswith(b"#"):
+                    fld = line.split(b"\t", 4)
+                    contig, pos, ref = fld[0].decode(), int(fld[1]), fld[3].decode()
+                    b.add(contig, pos, pos + len(ref) - 1, v_start, v_end)
+                off = nxt
+    return b.build()
+
+
+def test_written_tbi_matches_serial_build(spark, fixtures_dir, tmp_path):
+    from disq_spark.formats.tabix import read_tbi as _read
+    from disq_spark.sinks.variants import write_vcf
+
+    src = os.path.join(fixtures_dir, "HiSeq.10000.vcf.bgz")
+    df, header = read_vcf(spark, src, split_size=64 * 1024)  # multi-partition
+    out = str(tmp_path / "out.vcf.bgz")
+    write_vcf(df, header, out, write_tbi=True)
+    assert os.path.exists(out + ".tbi")
+
+    merged = _read(out + ".tbi")
+    serial = _serial_tbi(out)
+    assert merged.names == serial.names
+    assert merged.bins == serial.bins
+    # merged came off disk (absent == 0); serial is in-memory (-1)
+    assert merged.linear == [[max(v, 0) for v in lin] for lin in serial.linear]
+
+
+def test_written_tbi_prunes_correctly(spark, fixtures_dir, tmp_path):
+    from disq_spark.sinks.variants import write_vcf
+
+    src = os.path.join(fixtures_dir, "HiSeq.10000.vcf.bgz")
+    df, header = read_vcf(spark, src, split_size=64 * 1024)
+    out = str(tmp_path / "q.vcf.bgz")
+    write_vcf(df, header, out, write_tbi=True)
+
+    contig = _contig_of(fixtures_dir)
+    ivs = [Interval(contig, 800_000, 900_000)]
+    full, _ = read_vcf(spark, out, split_size=64 * 1024)
+    expect = sorted(
+        map(tuple, full.filter(overlaps(ivs)).select("contig", "start", "ref").collect())
+    )
+    pruned, _ = read_vcf(spark, out, split_size=64 * 1024, intervals=ivs)
+    got = sorted(map(tuple, pruned.select("contig", "start", "ref").collect()))
+    assert got == expect and len(got) > 0
+    assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions()
