@@ -89,24 +89,28 @@ def shingle_table(
             ids, shingles = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 t = ws.sub(" ", str(text).lower()).strip()
-                n_starts = max((len(t) - k) // stride + 1, 1)
-                seen = set()
-                for i in range(n_starts):
-                    s = t[i * stride : i * stride + k]
-                    if s not in seen:
-                        seen.add(s)
-                        ids.append(doc_id)
-                        shingles.append(s)
+                hi = max(len(t) - k, 0) + 1
+                uniq = {t[i : i + k] for i in range(0, hi, stride)}
+                ids.extend([doc_id] * len(uniq))
+                shingles.extend(uniq)
             yield pd.DataFrame({id_col: ids, "shingle": shingles})
 
     id_type = dict(df.dtypes)[id_col]
+    # NOTE on parallelism: the kernel parallelizes per input partition. At
+    # scale the scan supplies plenty of partitions; forcing a repartition
+    # here measured SLOWER at small sizes (32 Python worker spawns + a
+    # shuffle outweigh ~2s of kernel) — callers with a single giant
+    # partition should repartition upstream.
     sh = df.select(id_col, text_col).mapInPandas(
         kernel, f"{id_col} {id_type}, shingle string"
     )
     if max_df is not None:
-        # cache the exploded table: it feeds both the frequency count and
-        # the pruning join (without it the kernel runs twice)
+        # cache + materialize the exploded table: it feeds both the
+        # frequency count and the pruning join, and within a single job
+        # the two consumers would otherwise each run the kernel (the
+        # cache only dedupes across jobs once populated)
         sh = sh.cache()
+        sh.count()
         rare = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("__df"))

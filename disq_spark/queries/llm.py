@@ -41,9 +41,12 @@ NUM_HASHES = DD.DEFAULT_NUM_HASHES
 BANDS = DD.DEFAULT_BANDS
 MINHASH_THRESHOLD = 0.25
 JACCARD_THRESHOLD = 0.15
-# document-frequency cap: shingles in more than max(20, 4% of docs)
-# documents are dropped (hot-key mitigation, same formula both engines)
-MAX_DF_FRACTION = 0.04
+# document-frequency cap: shingles in more than max(20, 1% of docs)
+# documents are dropped (hot-key mitigation, same formula both engines).
+# Measured at sf0.1: 1% cuts the candidate join 10x vs 4% with BETTER
+# recall (dropping ubiquitous shingles shrinks Jaccard denominators, so
+# true near-dups clear the threshold more easily).
+MAX_DF_FRACTION = 0.01
 MAX_DF_FLOOR = 20.0
 
 
