@@ -64,3 +64,41 @@ def test_session_counts_stream(spark, tmp_path):
     totals = {r.user_id: r["count"] for r in batch.groupBy("user_id").count().collect()}
     assert per_user
     assert all(per_user[u] <= totals[u] for u in per_user)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicated corpus in, each distinct
+    content out exactly once — across micro-batches (two source files)."""
+    from disq_spark.streaming.dedup import streaming_exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "dedup_src")
+    # two copies written as separate files -> duplicates arrive in later
+    # micro-batches too (maxFilesPerTrigger=1 forces multi-batch)
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_exact_dedup(stream, "text")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT doc_id, fingerprint FROM dedup_out").collect()
+
+    from disq_spark.functions.text import normalize
+
+    n_distinct = docs.select(F.md5(normalize(F.col("text")))).distinct().count()
+    # exactly one row per distinct content, no fingerprint twice
+    assert len(out) == n_distinct
+    assert len({r.fingerprint for r in out}) == n_distinct
