@@ -29,28 +29,36 @@ def cigar_reference_length(cigar: str | None) -> int:
     return sum(int(n) for n, op in _CIGAR_RE.findall(cigar) if op in _REF_CONSUMING)
 
 
-def parse_sam_lines(lines: pd.Series) -> pd.DataFrame:
-    """Vectorized-ish SAM line parse -> DataFrame with READS_COLUMNS."""
+def parse_sam_lines(lines: pd.Series, mode: str = "STRICT") -> pd.DataFrame:
+    """Vectorized-ish SAM line parse -> DataFrame with READS_COLUMNS.
+
+    ``mode`` is the validation stringency (htsjdk ValidationStringency,
+    threaded through readers at HtsjdkReadsRddStorage.java:85-88):
+    STRICT raises on a malformed record, LENIENT warns and skips it,
+    SILENT skips silently — cf. Spark's JSON/CSV parse modes.
+    """
     rows = []
     for line in lines:
         if not line or line.startswith("@"):
             continue
-        f = line.rstrip("\n").split("\t")
-        flags = int(f[1])
-        pos = int(f[3])
-        contig = None if f[2] == "*" else f[2]
-        start = pos if pos > 0 and contig is not None else None
-        cigar = None if f[5] == "*" else f[5]
-        end = (start + max(cigar_reference_length(cigar), 1) - 1) if start else None
-        tags: dict[str, str] = {}
-        read_group = None
-        for tag in f[11:]:
-            k, typ, v = tag.split(":", 2)
-            tags[k] = f"{typ}:{v}"
-            if k == "RG":
-                read_group = v
-        rows.append(
-            (
+        try:
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 11:
+                raise ValueError(f"SAM record has {len(f)} fields, needs 11")
+            flags = int(f[1])
+            pos = int(f[3])
+            contig = None if f[2] == "*" else f[2]
+            start = pos if pos > 0 and contig is not None else None
+            cigar = None if f[5] == "*" else f[5]
+            end = (start + max(cigar_reference_length(cigar), 1) - 1) if start else None
+            tags: dict[str, str] = {}
+            read_group = None
+            for tag in f[11:]:
+                k, typ, v = tag.split(":", 2)
+                tags[k] = f"{typ}:{v}"
+                if k == "RG":
+                    read_group = v
+            row = (
                 None if f[0] == "*" else f[0],
                 flags,
                 contig,
@@ -66,7 +74,15 @@ def parse_sam_lines(lines: pd.Series) -> pd.DataFrame:
                 tags or None,
                 read_group,
             )
-        )
+        except (ValueError, IndexError) as e:
+            if mode == "STRICT":
+                raise ValueError(f"malformed SAM record: {line[:200]!r}: {e}") from e
+            if mode == "LENIENT":
+                import sys
+
+                print(f"WARN skipping malformed SAM record: {line[:120]!r}", file=sys.stderr)
+            continue
+        rows.append(row)
     return pd.DataFrame(rows, columns=READS_COLUMNS)
 
 

@@ -31,33 +31,40 @@ def _parse_info(s: str) -> dict[str, str] | None:
     return out
 
 
-def parse_vcf_lines(lines, samples: list[str]) -> pd.DataFrame:
-    """VCF data lines -> DataFrame with VARIANTS_COLUMNS."""
+def parse_vcf_lines(lines, samples: list[str], mode: str = "STRICT") -> pd.DataFrame:
+    """VCF data lines -> DataFrame with VARIANTS_COLUMNS.
+
+    ``mode``: STRICT raises on malformed records, LENIENT warns + skips,
+    SILENT skips (htsjdk ValidationStringency semantics, threaded like
+    HtsjdkVariantsRddStorage's stringency option).
+    """
     rows = []
     for line in lines:
         if not line or line.startswith("#"):
             continue
-        f = line.rstrip("\n").split("\t")
-        contig, pos, vid, ref, alt, qual, filt, info = f[:8]
-        start = int(pos)
-        info_map = _parse_info(info)
-        if info_map and "END" in info_map and info_map["END"]:
-            end = int(info_map["END"])
-        else:
-            end = start + len(ref) - 1
-        genotypes = None
-        if len(f) > 9 and samples:
-            fmt_keys = f[8].split(":")
-            genotypes = []
-            for si, sample in enumerate(samples):
-                if 9 + si >= len(f):
-                    break
-                vals = f[9 + si].split(":")
-                attrs = {k: (vals[i] if i < len(vals) else ".") for i, k in enumerate(fmt_keys)}
-                gt = attrs.get("GT")
-                genotypes.append({"sample": sample, "gt": gt, "attrs": attrs})
-        rows.append(
-            (
+        try:
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 8:
+                raise ValueError(f"VCF record has {len(f)} fields, needs 8")
+            contig, pos, vid, ref, alt, qual, filt, info = f[:8]
+            start = int(pos)
+            info_map = _parse_info(info)
+            if info_map and "END" in info_map and info_map["END"]:
+                end = int(info_map["END"])
+            else:
+                end = start + len(ref) - 1
+            genotypes = None
+            if len(f) > 9 and samples:
+                fmt_keys = f[8].split(":")
+                genotypes = []
+                for si, sample in enumerate(samples):
+                    if 9 + si >= len(f):
+                        break
+                    vals = f[9 + si].split(":")
+                    attrs = {k: (vals[i] if i < len(vals) else ".") for i, k in enumerate(fmt_keys)}
+                    gt = attrs.get("GT")
+                    genotypes.append({"sample": sample, "gt": gt, "attrs": attrs})
+            row = (
                 contig,
                 start,
                 end,
@@ -69,7 +76,15 @@ def parse_vcf_lines(lines, samples: list[str]) -> pd.DataFrame:
                 info_map,
                 genotypes,
             )
-        )
+        except (ValueError, IndexError) as e:
+            if mode == "STRICT":
+                raise ValueError(f"malformed VCF record: {line[:200]!r}: {e}") from e
+            if mode == "LENIENT":
+                import sys
+
+                print(f"WARN skipping malformed VCF record: {line[:120]!r}", file=sys.stderr)
+            continue
+        rows.append(row)
     return pd.DataFrame(rows, columns=VARIANTS_COLUMNS)
 
 

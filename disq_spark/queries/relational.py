@@ -533,3 +533,218 @@ SELECT count(DISTINCT l_orderkey) AS n_orders,
        count(DISTINCT l_suppkey)  AS n_supps
 FROM lineitem
 """
+
+
+# ---------------------------------------------------------------------------
+# q7_nation_volume — TPC-H Q7 analog: bidirectional nation-to-nation trade
+# volume (two independent dimension chains off the same fact row; both
+# nation sides broadcast, so the only shuffle is the final aggregate)
+# ---------------------------------------------------------------------------
+@_q("q7_nation_volume")
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.cn_key)
+        .join(F.broadcast(n2), s.s_nationkey == n2.sn_key)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            # decimal sum: exact, so large-group rounding matches the
+            # oracle bit-for-bit (float sums differ in the 2nd decimal
+            # under parallel reduction order)
+            # round the DECIMAL (half-up, both engines), THEN cast: a
+            # decimal .035 tie would flip if squeezed through binary
+            # double first
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE["q7_nation_volume"] = """
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11_important_parts — TPC-H Q11 analog: per-part value vs a scalar
+# aggregate threshold (cross-join of a 1-row aggregate; Catalyst
+# broadcasts the scalar, no correlated subquery machinery needed)
+# ---------------------------------------------------------------------------
+@_q("q11_important_parts")
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    value = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
+    )
+    total = value.agg((F.sum("val") * 0.0007).alias("threshold"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+        .limit(20)
+    )
+
+
+ORACLE["q11_important_parts"] = """
+WITH value AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(val, 2) AS part_value
+FROM value
+WHERE val > (SELECT sum(val) * 0.0007 FROM value)
+ORDER BY part_value DESC, l_partkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15_top_supplier — TPC-H Q15: suppliers achieving the max revenue in a
+# window (self-referential max over an aggregate)
+# ---------------------------------------------------------------------------
+@_q("q15_top_supplier")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"), "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE["q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16_part_supplier_kinds — TPC-H Q16 analog: distinct supplier counts per
+# part attribute bucket (countDistinct under a grouped agg)
+# ---------------------------------------------------------------------------
+@_q("q16_part_supplier_kinds")
+def q16_part_supplier_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(25)
+    )
+
+
+ORACLE["q16_part_supplier_kinds"] = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 10, 15, 20, 25)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19_discounted_revenue — TPC-H Q19: OR-of-ANDs predicate across the
+# join (brand x size x quantity bands); exercises predicate pushdown
+# through a join with a disjunctive residual
+# ---------------------------------------------------------------------------
+@_q("q19_discounted_revenue")
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 15) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE["q19_discounted_revenue"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size <= 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22_sales_opportunity — TPC-H Q22 analog: above-average-balance
+# customers with no orders (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+@_q("q22_sales_opportunity")
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    big = o.filter(F.col("o_totalprice") > 300_000.0)
+    no_orders = rich.join(big, rich.c_custkey == big.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("nationkey")
+    )
+
+
+ORACLE["q22_sales_opportunity"] = """
+SELECT c_nationkey AS nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+GROUP BY c_nationkey ORDER BY nationkey
+"""

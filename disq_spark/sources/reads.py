@@ -36,8 +36,20 @@ def read_sam_header(path: str) -> SamHeader:
     return SamHeader(text="".join(lines))
 
 
-def read_sam(spark: SparkSession, path: str) -> tuple[DataFrame, SamHeader]:
-    """Load SAM (file, dir, or glob) as a reads DataFrame + header."""
+def read_sam(
+    spark: SparkSession,
+    path: str,
+    intervals: list | None = None,
+    traverse_unplaced_unmapped: bool = False,
+    mode: str = "STRICT",
+) -> tuple[DataFrame, SamHeader]:
+    """Load SAM (file, dir, or glob) as a reads DataFrame + header.
+
+    ``intervals``: brute-force residual overlap filter — SAM has no index,
+    matching the reference (TraversalOverlapDetector.java:34-59 applied at
+    SamSource.java:93-102). ``mode``: STRICT/LENIENT/SILENT validation
+    stringency (HtsjdkReadsRddStorage.java:85-88).
+    """
     paths = resolve_paths(path, SAM_EXTENSIONS)
     header = read_sam_header(paths[0])
 
@@ -46,6 +58,11 @@ def read_sam(spark: SparkSession, path: str) -> tuple[DataFrame, SamHeader]:
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield parse_sam_lines(pdf["value"])
+                yield parse_sam_lines(pdf["value"], mode)
 
-    return text.mapInPandas(parse, READS_SCHEMA), header
+    df = text.mapInPandas(parse, READS_SCHEMA)
+    if intervals is not None or traverse_unplaced_unmapped:
+        from disq_spark.functions.intervals import filter_intervals
+
+        df = filter_intervals(df, intervals, traverse_unplaced_unmapped)
+    return df, header

@@ -68,6 +68,7 @@ def read_vcf(
     path: str,
     split_size: int = DEFAULT_SPLIT_SIZE,
     intervals: list | None = None,
+    mode: str = "STRICT",
 ) -> tuple[DataFrame, VcfHeader]:
     """Load VCF (file, dir, or glob; plain/gzip/BGZF) as a DataFrame.
 
@@ -78,7 +79,7 @@ def read_vcf(
     reference (which errors without an index, VcfSource.java:184-187),
     index-less inputs degrade gracefully to filter-only.
     """
-    df, header = _read_vcf_all(spark, path, split_size, intervals)
+    df, header = _read_vcf_all(spark, path, split_size, intervals, mode)
     if intervals is not None:
         from disq_spark.functions.intervals import overlaps
 
@@ -91,6 +92,7 @@ def _read_vcf_all(
     path: str,
     split_size: int,
     intervals: list | None,
+    mode: str = "STRICT",
 ) -> tuple[DataFrame, VcfHeader]:
     paths = resolve_paths(path, VCF_EXTENSIONS)
     header = read_header(paths[0])
@@ -104,7 +106,7 @@ def _read_vcf_all(
 
         def parse_plain(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                yield parse_vcf_lines(pdf[lines_col], samples)
+                yield parse_vcf_lines(pdf[lines_col], samples, mode)
 
         return text.mapInPandas(parse_plain, VARIANTS_SCHEMA), header
 
@@ -143,7 +145,7 @@ def _read_vcf_all(
             for _, row in pdf.iterrows():
                 lines = _range_lines(row["path"], int(row["start"]), int(row["end"]))
                 if lines:
-                    yield parse_vcf_lines(pd.Series(lines, dtype="object"), samples)
+                    yield parse_vcf_lines(pd.Series(lines, dtype="object"), samples, mode)
 
     return plan_df.mapInPandas(decode_ranges, VARIANTS_SCHEMA), header
 
