@@ -184,19 +184,36 @@ def decode_record(data: bytes, off: int, refs: list[tuple[str, int]]):
     return row, off + 4 + block_size
 
 
+def _opt_int(v) -> int | None:
+    """None/NaN-safe int (pandas renders nullable longs as float NaN)."""
+    if v is None:
+        return None
+    try:
+        import math
+
+        if isinstance(v, float) and math.isnan(v):
+            return None
+    except TypeError:
+        pass
+    return int(v)
+
+
 def encode_record(row: dict, ref_index: dict[str, int]) -> bytes:
     """reads-schema row (dict-like) -> one BAM alignment record."""
     name = row["name"] if row["name"] is not None else "*"
     flag = int(row["flags"])
     contig = row["contig"]
     ref_id = ref_index[contig] if contig is not None else -1
-    pos = int(row["start"]) - 1 if row["start"] is not None else -1
-    mapq = int(row["mapq"]) if row["mapq"] is not None else 255
+    start = _opt_int(row["start"])
+    pos = start - 1 if start is not None else -1
+    mapq = _opt_int(row["mapq"])
+    mapq = mapq if mapq is not None else 255
     cigar = row["cigar"]
     mate = row["mate_contig"]
     next_ref = ref_index[mate] if mate is not None else -1
-    next_pos = int(row["mate_start"]) - 1 if row["mate_start"] is not None else -1
-    tlen = int(row["template_len"]) if row["template_len"] is not None else 0
+    mate_start = _opt_int(row["mate_start"])
+    next_pos = mate_start - 1 if mate_start is not None else -1
+    tlen = _opt_int(row["template_len"]) or 0
     seq = row["seq"]
     qual = row["qual"]
 

@@ -5,11 +5,10 @@ Re-expresses the reference's CRAM split planning (CramSource.java:82-174):
 splits must snap to container boundaries, discovered either from the
 .crai index (:146-160) or by walking container headers (:162-174).
 
-Record DECODE is a stub: a full CRAM codec needs the reference-FASTA
-machinery and per-slice codecs (htsjdk/pysam territory; neither exists in
-this environment). The partition planner — the Spark-relevant part — is
-real and tested against the reference fixtures; ``read_cram`` raises
-NotImplementedError at decode with a clear message.
+Record DECODE lives in formats/cram_decode.py (pure-Python: huffman/
+external/byte-array codecs + reference-based sequence reconstruction);
+this module holds the container/byte-level machinery both the planner
+and the decoder share.
 """
 
 from __future__ import annotations
