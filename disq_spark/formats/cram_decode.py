@@ -78,10 +78,14 @@ def read_block(data: bytes, off: int, major: int) -> Block:
         import lzma
 
         payload = lzma.decompress(raw)
+    elif method == RANS:
+        from disq_spark.formats import rans
+
+        payload = rans.uncompress(raw)
     else:
         raise NotImplementedError(
-            f"CRAM block compression method {method} (rANS) not supported "
-            "by the pure-Python decoder; re-encode with gzip or use pysam"
+            f"CRAM block compression method {method} not supported "
+            "by the pure-Python decoder"
         )
     if len(payload) != usize:
         raise ValueError(f"block inflate mismatch: {len(payload)} != {usize}")
@@ -725,8 +729,15 @@ def decode_cram_range(
     byte_end: int,
     refs: list[tuple[str, int]],
     reference_path: str | None,
+    missing_ref_as_n: bool = False,
 ):
-    """Decode all containers starting in [byte_start, byte_end)."""
+    """Decode all containers starting in [byte_start, byte_end).
+
+    ``missing_ref_as_n``: decode without a reference, substituting 'N'
+    for reference-copied bases — structure (names, flags, positions,
+    CIGARs, quals, tags) stays exact; sequences are placeholders. For
+    pipelines that never touch ``seq`` this also skips the FASTA load.
+    """
     from disq_spark.formats.cram import scan_containers
 
     with open(path, "rb") as f:
@@ -736,6 +747,8 @@ def decode_cram_range(
 
     def get_ref(contig, s1, e1):
         if ref is None:
+            if missing_ref_as_n:
+                return "N" * (e1 - s1 + 1)
             raise ValueError("CRAM decode requires a reference FASTA (reference_path=)")
         return ref.get(contig, s1, e1)
 

@@ -12,10 +12,10 @@ Mirrors the reference's CRAM path (CramSource.java:67-196):
   so records are produced exactly once — the PathChunk non-overlap
   invariant (AbstractBinarySamSource.java:95-98) by construction.
 
-Decoder coverage: CRAM 2.1/3.0 with gzip/raw/bzip2/lzma blocks and the
-EXTERNAL/HUFFMAN/BYTE_ARRAY_LEN/BYTE_ARRAY_STOP/BETA/GAMMA codecs
-(htsjdk's default v2.1 output). rANS blocks raise NotImplementedError
-with a clear message.
+Decoder coverage: CRAM 2.1/3.0 with gzip/raw/bzip2/lzma/rANS-4x8 block
+compression and the EXTERNAL/HUFFMAN/BYTE_ARRAY_LEN/BYTE_ARRAY_STOP/
+BETA/GAMMA record codecs — both htsjdk's v2.1 and v3.0 default outputs
+decode fully (rANS order-0 and order-1 implemented in formats/rans.py).
 """
 
 from __future__ import annotations
@@ -58,6 +58,7 @@ def read_cram(
     split_size: int = DEFAULT_SPLIT_SIZE,
     intervals: list | None = None,
     traverse_unplaced_unmapped: bool = False,
+    missing_ref_as_n: bool = False,
 ) -> tuple[DataFrame, SamHeader]:
     """Load CRAM (file, dir, or glob) as a reads DataFrame + header."""
     paths = resolve_paths(path, CRAM_EXTENSIONS)
@@ -77,12 +78,14 @@ def read_cram(
     )
     refs_b = refs
     ref_path = reference_path
+    as_n = missing_ref_as_n
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, r in pdf.iterrows():
                 rows = decode_cram_range(
-                    r["path"], int(r["start"]), int(r["end"]), refs_b, ref_path
+                    r["path"], int(r["start"]), int(r["end"]), refs_b, ref_path,
+                    missing_ref_as_n=as_n,
                 )
                 if rows:
                     yield pd.DataFrame(rows, columns=READS_COLUMNS)
