@@ -1,0 +1,192 @@
+"""CRAM sinks: single-file with distributed .crai build-and-merge, and
+sharded — completing the reference's CRAM write path
+(CramSink.java:60-141, CramOutputFormat.java:51-127, CraiMerger.java:40-66)
+on the pure-Python encoder (formats/cram_encode.py).
+
+Same single-file pattern as the BAM sink: executors write headerless
+container runs + hidden per-part .crai fragments (container offsets
+part-relative); the driver writes the file-definition + SAM-header
+container, concatenates parts in partition order, appends the spec EOF
+container once, and merges the fragments by shifting each container
+offset by the cumulative byte length of everything before its part —
+the CraiMerger offset-shift, in plain TSV.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from disq_spark.formats import cram_encode as CE
+from disq_spark.formats.cram_decode import FastaReference
+from disq_spark.headers import SamHeader
+from disq_spark.schemas import READS_COLUMNS
+from disq_spark.sinks import merge
+
+RECORDS_PER_CONTAINER = 10_000
+
+
+def _row_tuples(pdf: pd.DataFrame):
+    from disq_spark.formats.bam import _opt_int
+
+    for row in pdf.to_dict("records"):
+        yield (
+            row["name"],
+            int(row["flags"]),
+            row["contig"],
+            _opt_int(row["start"]),
+            _opt_int(row["end"]),
+            _opt_int(row["mapq"]),
+            row["cigar"],
+            row["mate_contig"],
+            _opt_int(row["mate_start"]),
+            _opt_int(row["template_len"]),
+            row["seq"],
+            row["qual"],
+            dict(row["tags"]) if row["tags"] is not None else None,
+            row["read_group"],
+        )
+
+
+def write_cram(
+    df: DataFrame,
+    header: SamHeader,
+    path: str,
+    reference_path: str | None = None,
+    single_file: bool | None = None,
+    write_crai: bool = True,
+) -> None:
+    """Write a reads DataFrame as CRAM 3.0.
+
+    ``reference_path``: FASTA used to express mapped sequences as
+    reference-relative features (required when any mapped record has a
+    sequence).
+    """
+    if single_file is None:
+        single_file = path.endswith(".cram")
+    refs = header.sequences
+    ref_index = {name: i for i, (name, _l) in enumerate(refs)}
+    if single_file:
+        _write_single(df, header, ref_index, path, reference_path, write_crai)
+    else:
+        _write_sharded(df, header, ref_index, path, reference_path)
+
+
+def _encode_partition_containers(batches, ref_index, reference_path):
+    """Yields (container_bytes, crai_entries_with_relative_offsets)."""
+    ref = FastaReference(reference_path) if reference_path else None
+
+    def get_ref(contig, s1, e1):
+        if ref is None:
+            raise ValueError("CRAM write of mapped sequences requires reference_path")
+        return ref.get(contig, s1, e1)
+
+    pending: list[tuple] = []
+    for pdf in batches:
+        pending.extend(_row_tuples(pdf))
+        while len(pending) >= RECORDS_PER_CONTAINER:
+            chunk, pending = pending[:RECORDS_PER_CONTAINER], pending[RECORDS_PER_CONTAINER:]
+            yield CE.encode_container(chunk, ref_index, get_ref)
+    if pending:
+        yield CE.encode_container(pending, ref_index, get_ref)
+
+
+def _write_single(
+    df: DataFrame,
+    header: SamHeader,
+    ref_index: dict[str, int],
+    path: str,
+    reference_path: str | None,
+    with_crai: bool,
+) -> None:
+    parts_dir = path + ".parts"
+    os.makedirs(parts_dir, exist_ok=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        part_path = os.path.join(parts_dir, f"part-{pid:05d}")
+        tmp = part_path + ".tmp"
+        n = 0
+        crai_rows = []
+        offset = 0
+        with open(tmp, "wb") as f:
+            for container, crai in _encode_partition_containers(batches, ref_index, reference_path):
+                f.write(container)
+                for (rid, start, span, _c0, s_off, s_size) in crai:
+                    crai_rows.append((rid, start, span, offset, s_off, s_size))
+                offset += len(container)
+                n += 1
+        if offset > 0:
+            os.replace(tmp, part_path)
+            with open(os.path.join(parts_dir, f".part-{pid:05d}.crai"), "w") as cf:
+                for r in crai_rows:
+                    cf.write("\t".join(str(x) for x in r) + "\n")
+        else:
+            os.remove(tmp)
+        yield pd.DataFrame({"part": [part_path], "n": [n]})
+
+    df.mapInPandas(run, "part string, n long").collect()
+
+    header_bytes = CE.file_definition() + CE.encode_file_header(
+        header.text if header.text.endswith("\n") else header.text + "\n"
+    )
+    header_path = os.path.join(parts_dir, "_header")
+    with open(header_path, "wb") as f:
+        f.write(header_bytes)
+
+    part_paths = merge.list_parts(parts_dir)
+    lengths = merge.concat_parts(path, [header_path] + part_paths)
+    with open(path, "ab") as f:
+        f.write(CE.EOF_V3)
+
+    if with_crai:
+        entries = []
+        shift = lengths[0]
+        for pp, plen in zip(part_paths, lengths[1:]):
+            frag = os.path.join(parts_dir, "." + os.path.basename(pp) + ".crai")
+            with open(frag) as cf:
+                for line in cf:
+                    rid, start, span, c_off, s_off, s_size = (int(x) for x in line.split("\t"))
+                    entries.append((rid, start, span, c_off + shift, s_off, s_size))
+            shift += plen
+        with gzip.open(path + ".crai", "wt") as f:
+            for e in entries:
+                f.write("\t".join(str(x) for x in e) + "\n")
+    merge.cleanup(parts_dir)
+
+
+def _write_sharded(
+    df: DataFrame,
+    header: SamHeader,
+    ref_index: dict[str, int],
+    path: str,
+    reference_path: str | None,
+) -> None:
+    os.makedirs(path, exist_ok=True)
+    header_bytes = CE.file_definition() + CE.encode_file_header(
+        header.text if header.text.endswith("\n") else header.text + "\n"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        part_path = os.path.join(path, f"part-{pid:05d}.cram")
+        n = 0
+        with open(part_path, "wb") as f:
+            f.write(header_bytes)
+            for container, _crai in _encode_partition_containers(
+                batches, ref_index, reference_path
+            ):
+                f.write(container)
+                n += 1
+            f.write(CE.EOF_V3)
+        yield pd.DataFrame({"part": [part_path], "n": [n]})
+
+    df.mapInPandas(run, "part string, n long").collect()

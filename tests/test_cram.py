@@ -153,3 +153,42 @@ def test_rans_v3_real_world_decode(spark, fixtures_dir):
             assert r.end - r.start + 1 == ref_len
             read_len = sum(int(n) for n, op in cig.findall(r.cigar) if op in "MIS=X")
             assert read_len == len(r.seq)
+
+
+def test_cram_write_roundtrip_single_file(spark, fixtures_dir, tmp_path):
+    """CRAM sink: distributed single-file write + merged .crai, re-read
+    with our own reader — value-identical records (CramSink analog)."""
+    from disq_spark.sinks.cram import write_cram
+
+    fasta = os.path.join(fixtures_dir, "valid.fasta")
+    df, header = read_cram(spark, os.path.join(fixtures_dir, "valid.cram"), reference_path=fasta)
+    out = str(tmp_path / "out.cram")
+    write_cram(df.repartition(3), header, out, reference_path=fasta)
+    assert os.path.exists(out) and os.path.exists(out + ".crai")
+
+    back, header2 = read_cram(spark, out, reference_path=fasta)
+    assert header2.sequences == header.sequences
+    cols = ["name", "flags", "contig", "start", "end", "mapq", "cigar",
+            "mate_contig", "mate_start", "seq", "qual"]
+    assert sorted(map(tuple, back.select(cols).collect())) == sorted(
+        map(tuple, df.select(cols).collect())
+    )
+    # container structure sane: scan agrees with the .crai offsets
+    cs = scan_containers(out)
+    assert cs[-1].is_eof
+    offsets = {c.offset for c in cs}
+    for e in read_crai(out + ".crai"):
+        assert e[3] in offsets
+
+
+def test_cram_write_sharded(spark, fixtures_dir, tmp_path):
+    from disq_spark.sinks.cram import write_cram
+
+    fasta = os.path.join(fixtures_dir, "valid.fasta")
+    df, header = read_cram(spark, os.path.join(fixtures_dir, "valid.cram"), reference_path=fasta)
+    out = str(tmp_path / "cram_shards")
+    write_cram(df.repartition(2), header, out, reference_path=fasta, single_file=False)
+    shards = [f for f in os.listdir(out) if f.endswith(".cram")]
+    assert len(shards) == 2
+    back, _ = read_cram(spark, out, reference_path=fasta)
+    assert back.count() == N_RECORDS
