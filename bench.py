@@ -26,10 +26,12 @@ HEADLINE = [
     "windowed_event_agg",
     "sessionize",
     "asof_join_events",
+    "q7_nation_volume",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    "dedup_embedding_cosine",
     "text_token_stats",
 ]
 

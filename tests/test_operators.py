@@ -134,3 +134,36 @@ def test_multimodal_plumbing(spark):
         decode_image(media, fake=False)
     fs = frame_sample(media, every_n_bytes=100)
     assert fs.count() >= media.count()
+
+
+def test_salted_join_equals_plain(spark):
+    """Salting must not change join semantics (inner + left)."""
+    from disq_spark.operators.skew import salted_join
+
+    # skewed fact: 90% of rows share key 1
+    left = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 1 ELSE CAST(id % 50 AS BIGINT) END AS k", "id AS v"
+    )
+    right = spark.range(0, 50).selectExpr("id AS k", "id * 100 AS w")
+    for how in ("inner", "left"):
+        got = salted_join(left, right, "k", n_salts=8, how=how)
+        want = left.join(right, "k", how)
+        assert sorted(map(tuple, got.select("k", "v", "w").collect())) == sorted(
+            map(tuple, want.select("k", "v", "w").collect())
+        )
+
+
+def test_two_phase_agg_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from disq_spark.operators.skew import two_phase_agg
+
+    df = spark.range(0, 5000).selectExpr(
+        "CASE WHEN id % 5 < 4 THEN 'hot' ELSE concat('k', id % 7) END AS k",
+        "CAST(id AS DOUBLE) AS x",
+    )
+    got = two_phase_agg(df, ["k"], {"n": "count(*)", "s": "sum(x)", "lo": "min(x)", "hi": "max(x)"})
+    want = df.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s"), F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

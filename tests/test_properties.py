@@ -1,0 +1,137 @@
+"""Property-based round-trip tests (hypothesis) for the byte-level
+codecs — the layer where a single off-by-one corrupts a 100 TB dataset.
+No Spark session needed; these run in milliseconds per case.
+"""
+
+import io
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from disq_spark.formats import bgzf
+from disq_spark.formats.bam import decode_record, encode_record
+from disq_spark.formats.cram_encode import write_itf8, write_ltf8
+from disq_spark.formats.cram import read_itf8, read_ltf8
+from disq_spark.formats.sam import format_sam_line, parse_sam_lines
+from disq_spark.schemas import READS_COLUMNS
+
+# --------------------------------------------------------------------------
+# ITF8 / LTF8 varints
+# --------------------------------------------------------------------------
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+def test_itf8_roundtrip(v):
+    data = write_itf8(v)
+    got, n = read_itf8(data, 0)
+    assert got == v and n == len(data)
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_ltf8_roundtrip(v):
+    data = write_ltf8(v)
+    got, n = read_ltf8(data, 0)
+    assert got == v and n == len(data)
+
+
+# --------------------------------------------------------------------------
+# BGZF: write -> scan -> decompress recovers the payload, any block size
+# --------------------------------------------------------------------------
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=300_000))
+def test_bgzf_roundtrip(payload):
+    out = io.BytesIO()
+    w = bgzf.BgzfWriter(out, terminate=True)
+    w.write(payload)
+    w.close()
+    raw = out.getvalue()
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".bgz") as f:
+        f.write(raw)
+        f.flush()
+        assert bgzf.is_bgzf(f.name) or len(payload) == 0
+        back = bgzf.read_range(f.name, 0, len(raw))
+    assert back == payload
+
+
+# --------------------------------------------------------------------------
+# BAM record codec: arbitrary reads-schema rows survive encode -> decode
+# --------------------------------------------------------------------------
+_name = st.text(
+    alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E, exclude_characters="@"),
+    min_size=1,
+    max_size=20,
+)
+_seq = st.text(alphabet="ACGTN", min_size=1, max_size=60)
+
+
+@st.composite
+def read_rows(draw):
+    seq = draw(_seq)
+    n = len(seq)
+    mapped = draw(st.booleans())
+    cigar = f"{n}M" if mapped else None
+    start = draw(st.integers(min_value=1, max_value=10_000)) if mapped else None
+    qual = "".join(chr(draw(st.integers(min_value=33, max_value=93 + 33)) ) for _ in range(n))
+    flags = draw(st.integers(min_value=0, max_value=0xFFF))
+    flags = (flags | 0x4) if not mapped else (flags & ~0x4)
+    tags = draw(
+        st.dictionaries(
+            st.text(alphabet="ABXYZ", min_size=2, max_size=2),
+            st.one_of(
+                st.integers(min_value=-1000, max_value=1000).map(lambda v: f"i:{v}"),
+                st.text(alphabet="abc123", max_size=8).map(lambda s: f"Z:{s}"),
+            ),
+            max_size=3,
+        )
+    )
+    return {
+        "name": draw(_name),
+        "flags": flags,
+        "contig": "c1" if mapped else None,
+        "start": start,
+        "end": (start + n - 1) if mapped else None,
+        "mapq": draw(st.integers(min_value=0, max_value=254)),
+        "cigar": cigar,
+        "mate_contig": None,
+        "mate_start": None,
+        "template_len": draw(st.integers(min_value=-5000, max_value=5000)),
+        "seq": seq,
+        "qual": qual,
+        "tags": tags or None,
+        "read_group": None,
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(read_rows())
+def test_bam_record_roundtrip(row):
+    refs = [("c1", 100_000)]
+    ref_index = {"c1": 0}
+    blob = encode_record(row, ref_index)
+    got, nxt = decode_record(blob, 0, refs)
+    assert nxt == len(blob)
+    d = dict(zip(READS_COLUMNS, got))
+    for k in ("name", "flags", "contig", "start", "end", "mapq", "cigar", "seq", "qual"):
+        assert d[k] == row[k], k
+    assert (d["tags"] or {}) == (row["tags"] or {})
+
+
+# --------------------------------------------------------------------------
+# SAM line codec round-trip
+# --------------------------------------------------------------------------
+@settings(max_examples=100, deadline=None)
+@given(read_rows())
+def test_sam_line_roundtrip(row):
+    import pandas as pd
+
+    line = format_sam_line(row)
+    back = parse_sam_lines(pd.Series([line]))
+    assert len(back) == 1
+    d = back.iloc[0]
+    for k in ("name", "flags", "contig", "start", "end", "cigar", "seq", "qual"):
+        got = d[k]
+        if got is None or (isinstance(got, float) and pd.isna(got)):
+            assert row[k] is None, k
+        else:
+            assert got == row[k], k
