@@ -743,7 +743,12 @@ def decode_cram_range(
     with open(path, "rb") as f:
         data = f.read()
     major, _minor, _off = parse_file_definition(data)
-    ref = FastaReference(reference_path) if reference_path else None
+    if reference_path:
+        from disq_spark.formats.gzi import open_reference
+
+        ref = open_reference(reference_path)  # .gzi-indexed when available
+    else:
+        ref = None
 
     def get_ref(contig, s1, e1):
         if ref is None:

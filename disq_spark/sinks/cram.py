@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from disq_spark.formats import cram_encode as CE
-from disq_spark.formats.cram_decode import FastaReference
+from disq_spark.formats.gzi import open_reference
 from disq_spark.headers import SamHeader
 from disq_spark.schemas import READS_COLUMNS
 from disq_spark.sinks import merge
@@ -78,7 +78,7 @@ def write_cram(
 
 def _encode_partition_containers(batches, ref_index, reference_path):
     """Yields (container_bytes, crai_entries_with_relative_offsets)."""
-    ref = FastaReference(reference_path) if reference_path else None
+    ref = open_reference(reference_path) if reference_path else None
 
     def get_ref(contig, s1, e1):
         if ref is None:

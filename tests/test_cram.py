@@ -192,3 +192,40 @@ def test_cram_write_sharded(spark, fixtures_dir, tmp_path):
     assert len(shards) == 2
     back, _ = read_cram(spark, out, reference_path=fasta)
     assert back.count() == N_RECORDS
+
+
+def test_gzi_indexed_reference(fixtures_dir):
+    """Bgzipped reference + .gzi/.fai random access
+    (CramReferenceSourceBuilder.java:50-59): slices equal the plain
+    FASTA, reading only covering blocks."""
+    from disq_spark.formats.cram_decode import FastaReference
+    from disq_spark.formats.gzi import IndexedBgzfFasta, open_reference
+
+    plain = FastaReference(os.path.join(fixtures_dir, "valid.fasta"))
+    idx = IndexedBgzfFasta(os.path.join(fixtures_dir, "valid.fasta.gz"))
+    for contig, ln in (("chr1", 101), ("chr7", 404), ("chr8", 202)):
+        assert idx.get(contig, 1, ln) == plain.get(contig, 1, ln)
+        assert idx.get(contig, 5, 37) == plain.get(contig, 5, 37)
+        assert idx.get(contig, ln - 3, ln) == plain.get(contig, ln - 3, ln)
+    # dispatch picks the indexed path for .gz + sidecars
+    ref = open_reference(os.path.join(fixtures_dir, "valid.fasta.gz"))
+    assert isinstance(ref, IndexedBgzfFasta)
+
+
+def test_cram_decode_with_bgzipped_reference(spark, fixtures_dir):
+    """read_cram accepts a bgzipped reference (gzip whole-file load or
+    .gzi random access) and produces the same rows as the plain FASTA."""
+    a, _ = read_cram(
+        spark,
+        os.path.join(fixtures_dir, "valid.cram"),
+        reference_path=os.path.join(fixtures_dir, "valid.fasta"),
+    )
+    b, _ = read_cram(
+        spark,
+        os.path.join(fixtures_dir, "valid.cram"),
+        reference_path=os.path.join(fixtures_dir, "valid.fasta.gz"),
+    )
+    cols = ["name", "flags", "contig", "start", "seq"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
