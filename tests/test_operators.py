@@ -167,3 +167,31 @@ def test_two_phase_agg_equals_plain(spark):
         F.count("*").alias("n"), F.sum("x").alias("s"), F.min("x").alias("lo"), F.max("x").alias("hi")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Facts bucketed on the join key -> sort-merge join with ZERO
+    Exchange operators (the co-located join layout for 100 TB)."""
+    from disq_spark.operators.bucketing import co_located_join, write_bucketed
+
+    a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bkt_a", "k", n_buckets=8)
+    write_bucketed(b, "bkt_b", "k", n_buckets=8)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the fact-fact (non-broadcast) shape the layout exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = co_located_join(spark, "bkt_a", "bkt_b", "k")
+        assert joined.count() == 10_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # contrast: the un-bucketed formulation shuffles both sides
+        plain = a.join(b, "k")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

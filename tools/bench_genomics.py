@@ -1,0 +1,80 @@
+"""Genomics I/O throughput: replicate the reference fixture to ~200k
+records, write a single-file BAM (with .sbi/.bai), read it back across
+many partitions. Prints one JSON line with records/sec. Not part of the
+driver's bench.py contract — numbers recorded in BASELINE.md.
+
+Usage: python tools/bench_genomics.py [replication_factor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from disq_spark.session import get_session  # noqa: E402
+from disq_spark.sinks.bam import write_bam  # noqa: E402
+from disq_spark.sources.bam_source import read_bam  # noqa: E402
+
+FIXTURE = "/root/reference/src/test/resources/1-with-splitting-index.bam"
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    spark = get_session("bench_genomics")
+    base, header = read_bam(spark, FIXTURE, split_size=200_000)
+    base = base.cache()
+    n_base = base.count()
+
+    big = None
+    for i in range(factor):
+        part = base.withColumn("name", F.concat(F.col("name"), F.lit(f"_{i}")))
+        big = part if big is None else big.unionByName(part)
+    big = big.repartition(32).cache()
+    n = big.count()
+
+    tmp = tempfile.mkdtemp()
+    # warm the Python worker pool (first mapInPandas pays worker spawn)
+    write_bam(base, header, os.path.join(tmp, "warmup.bam"), write_sbi=False, write_bai=False)
+
+    out = os.path.join(tmp, "big.bam")
+    t0 = time.time()
+    write_bam(big, header, out, write_bai=True)
+    t_write = time.time() - t0
+    size_mb = os.path.getsize(out) / 1e6
+
+    t0 = time.time()
+    df2, _ = read_bam(spark, out, split_size=1024 * 1024)
+    n2 = df2.count()
+    t_read = time.time() - t0
+    assert n2 == n, (n2, n)
+
+    # narrow aggregation over the decoded frame (the common analytic shape)
+    t0 = time.time()
+    df2.groupBy("contig").agg(F.count("*"), F.avg("mapq")).collect()
+    t_agg = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "records": n,
+                "bam_mb": round(size_mb, 1),
+                "write_s": round(t_write, 2),
+                "write_rec_per_s": int(n / t_write),
+                "read_s": round(t_read, 2),
+                "read_rec_per_s": int(n / t_read),
+                "agg_s": round(t_agg, 2),
+                "n_base": n_base,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
