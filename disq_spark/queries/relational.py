@@ -748,3 +748,64 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
 GROUP BY c_nationkey ORDER BY nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# q13_customer_distribution — TPC-H Q13: orders-per-customer histogram
+# (left outer join + double aggregation)
+# ---------------------------------------------------------------------------
+@_q("q13_customer_distribution")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(~F.col("o_orderpriority").startswith("1"))
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE["q13_customer_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND NOT starts_with(o_orderpriority, '1')
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17_small_quantity_revenue — TPC-H Q17: rows below 20% of the per-part
+# average quantity (correlated-aggregate turned into a join)
+# ---------------------------------------------------------------------------
+@_q("q17_small_quantity_revenue")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        l.join(avg_qty, l.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE["q17_small_quantity_revenue"] = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+)
+"""

@@ -143,3 +143,26 @@ def test_zero_length_secondary(spark, fixtures_dir):
     rows = df.collect()
     assert rows
     assert any(r.seq is None for r in rows)
+
+
+def test_build_sbi_matches_fixture_index(spark, fixtures_dir, tmp_path):
+    """Distributed .sbi construction over an index-less copy reproduces
+    the htsjdk-written fixture index's record offsets exactly
+    (BamRecordGuesserChecker.getSBIIndex pattern)."""
+    import shutil
+
+    from disq_spark.sources.bam_source import build_sbi
+
+    src = os.path.join(fixtures_dir, "1-with-splitting-index.bam")
+    bam = str(tmp_path / "copy.bam")
+    shutil.copyfile(src, bam)
+
+    out = build_sbi(spark, bam, split_size=150_000, granularity=1)
+    ours = sbimod.read_sbi(out)
+    truth = sbimod.read_sbi(src + ".sbi")
+    assert ours.total_records == truth.total_records == N_RECORDS
+    assert ours.offsets[:-1] == truth.offsets[:-1]
+
+    # and reads now plan from the index
+    df, _ = read_bam(spark, bam, split_size=100_000)
+    assert df.count() == N_RECORDS
