@@ -149,10 +149,13 @@ def scan_blocks(path: str, start: int = 0, end: int | None = None) -> Iterator[B
                 f.seek(pos)
                 buf = f.read(MAX_BLOCK_SIZE)
                 bsize = _parse_block_header(buf, 0)
-            if bsize is None:
-                return
+            if bsize is None or pos + bsize > flen:
+                return  # trailing garbage or a truncated final block
             f.seek(pos + bsize - 4)
-            isize = struct.unpack("<I", f.read(4))[0]
+            tail = f.read(4)
+            if len(tail) < 4:
+                return
+            isize = struct.unpack("<I", tail)[0]
             yield BgzfBlock(pos, bsize, isize)
             pos += bsize
 

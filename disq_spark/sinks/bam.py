@@ -52,6 +52,7 @@ def write_bam(
         # (BamSink.java:78-80)
         write_bai = header.sort_order == "coordinate"
     refs = header.sequences
+    merge.prepare_overwrite(path, (".sbi", ".bai"))
     if single_file:
         _write_single(df, header, refs, path, write_sbi, write_bai, sbi_granularity)
     else:

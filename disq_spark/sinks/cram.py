@@ -70,6 +70,7 @@ def write_cram(
         single_file = path.endswith(".cram")
     refs = header.sequences
     ref_index = {name: i for i, (name, _l) in enumerate(refs)}
+    merge.prepare_overwrite(path, (".crai",))
     if single_file:
         _write_single(df, header, ref_index, path, reference_path, write_crai)
     else:

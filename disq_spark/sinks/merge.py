@@ -43,3 +43,17 @@ def concat_parts(dst: str, srcs: list[str], buf_size: int = 8 * 1024 * 1024) -> 
 
 def cleanup(parts_dir: str) -> None:
     shutil.rmtree(parts_dir, ignore_errors=True)
+
+
+def prepare_overwrite(path: str, index_exts: tuple[str, ...] = ()) -> None:
+    """Delete a pre-existing output (file or shard directory) and any
+    stale index sidecars BEFORE writing (AnySamSinkMultiple.java:74-78
+    semantics). Stale sidecars are the dangerous case: a leftover .sbi/
+    .bai next to a rewritten file silently mis-plans every later read."""
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    elif os.path.exists(path):
+        os.remove(path)
+    for ext in index_exts:
+        if os.path.exists(path + ext):
+            os.remove(path + ext)

@@ -22,6 +22,7 @@ def write_sam(
 ) -> None:
     if single_file is None:
         single_file = path.endswith(".sam")
+    merge.prepare_overwrite(path)
     if single_file:
         _write_single(df, header, path)
     else:

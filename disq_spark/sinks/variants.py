@@ -51,6 +51,7 @@ def write_vcf(
         single_file = path.endswith((".vcf", ".vcf.gz", ".vcf.bgz"))
     if write_tbi and not (_is_bgzf_target(path) and single_file):
         raise ValueError("write_tbi requires a single-file BGZF target")
+    merge.prepare_overwrite(path, (".tbi",))
     if single_file:
         _write_single(df, header, path, write_tbi)
     else:

@@ -106,7 +106,14 @@ def read_bam_header(path: str) -> tuple[SamHeader, list[tuple[str, int]], int]:
         except (_struct.error, IndexError):  # header spans more blocks
             if not buf.extend(1 << 20):
                 raise
-    return SamHeader(text=text), refs, buf.virtual_offset(off)
+    try:
+        voff = buf.virtual_offset(off)
+    except ValueError:
+        # header-only file: the "first record" position is end-of-data,
+        # i.e. the start of the block right after the header (EOF block)
+        nxt = [c for c, b, _u in buf.blocks if b == off]
+        voff = (nxt[0] << 16) if nxt else (os.path.getsize(path) << 16)
+    return SamHeader(text=text), refs, voff
 
 
 def _check_record(data: bytes, off: int, n_ref: int, ref_lens: list[int]) -> int | None:
@@ -276,8 +283,8 @@ def decode_chunk(path: str, refs: list[tuple[str, int]], v_start: int, v_end: in
         while off + 4 > len(buf.data) or off + 4 + _struct.unpack_from("<i", buf.data, off)[0] > len(buf.data):
             if not buf.extend(1 << 22):
                 break
-        if off + 4 > len(buf.data):
-            break
+        if off + 4 > len(buf.data) or off + 4 + _struct.unpack_from("<i", buf.data, off)[0] > len(buf.data):
+            break  # truncated final record (file cut mid-block)
         row, off = bamcodec.decode_record(buf.data, off, refs)
         rows.append(row)
         if off >= len(buf.data):

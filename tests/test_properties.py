@@ -57,8 +57,10 @@ def test_bgzf_roundtrip(payload):
 # --------------------------------------------------------------------------
 # BAM record codec: arbitrary reads-schema rows survive encode -> decode
 # --------------------------------------------------------------------------
+# '*' is the SAM "missing name" sentinel: it round-trips to NULL by
+# design, so the generator avoids it ('@' would collide with headers)
 _name = st.text(
-    alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E, exclude_characters="@"),
+    alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E, exclude_characters="@*"),
     min_size=1,
     max_size=20,
 )
