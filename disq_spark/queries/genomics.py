@@ -1,0 +1,119 @@
+"""Gate-facing genomics queries — the format I/O and genomic operators
+exercised through the driver's harness. DuckDB cannot read BAM/CRAM/VCF,
+so these entries carry no oracle_sql: the driver records the rows-only
+check (the documented path for non-SQL-expressible operators). Deep
+correctness lives in tests/ (differential against reference fixtures,
+index-merge equality, round-trips).
+
+The inputs are the reference's own test fixtures (read-only), not the
+synthetic sf tables — genomics formats only exist there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLE: dict[str, str] = {}  # intentionally empty: rows-only checks
+
+FIXTURES = "/root/reference/src/test/resources"
+
+
+def _q(name):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def _have_fixtures() -> bool:
+    return os.path.isdir(FIXTURES)
+
+
+@_q("genomics_bam_flagstat")
+def genomics_bam_flagstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """samtools-flagstat-style summary over the BAM source (scan, flag
+    decomposition, aggregation — the flagship read path end-to-end)."""
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1-with-splitting-index.bam"), split_size=200_000)
+    f = F.col("flags")
+    return df.agg(
+        F.count("*").alias("total"),
+        F.sum(((f.bitwiseAND(4)) == 0).cast("long")).alias("mapped"),
+        F.sum(((f.bitwiseAND(1)) != 0).cast("long")).alias("paired"),
+        F.sum(((f.bitwiseAND(2)) != 0).cast("long")).alias("proper_pair"),
+        F.sum(((f.bitwiseAND(1024)) != 0).cast("long")).alias("duplicates"),
+        F.sum(((f.bitwiseAND(256)) != 0).cast("long")).alias("secondary"),
+    )
+
+
+@_q("genomics_bam_interval_query")
+def genomics_bam_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-pruned interval traversal + per-position aggregate."""
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(
+        spark,
+        os.path.join(FIXTURES, "1-with-splitting-index.bam"),
+        split_size=200_000,
+        intervals=[Interval("1", 24_800_000, 24_900_000)],
+    )
+    return (
+        df.groupBy((F.col("start") / 10_000).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n_reads"), F.round(F.avg("mapq"), 2).alias("avg_mapq"))
+        .orderBy("bucket")
+    )
+
+
+@_q("genomics_vcf_by_contig")
+def genomics_vcf_by_contig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable BGZF VCF scan -> typed variant aggregation."""
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "HiSeq.10000.vcf.bgz"), split_size=64 * 1024)
+    return (
+        df.groupBy("contig")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.sum((F.length("ref") > 1).cast("long")).alias("n_multi_base"),
+            F.round(F.avg("qual"), 2).alias("avg_qual"),
+        )
+        .orderBy("contig")
+    )
+
+
+@_q("genomics_cram_decode")
+def genomics_cram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAM 3.0 + rANS decode of the real-world GATK fixture."""
+    from disq_spark.sources.cram_source import read_cram
+
+    df, _h = read_cram(
+        spark,
+        os.path.join(FIXTURES, "CEUTrio.HiSeq.WGS.b37.NA12878.20.21.10m-10m100.cram"),
+        missing_ref_as_n=True,
+    )
+    return (
+        df.groupBy("contig")
+        .agg(F.count("*").alias("n_reads"), F.min("start").alias("min_pos"), F.max("end").alias("max_pos"))
+        .orderBy("contig")
+    )
+
+
+@_q("genomics_mark_duplicates")
+def genomics_mark_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mark_duplicates over the BAM fixture: count newly flagged."""
+    from disq_spark.operators.genomics import mark_duplicates
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    marked = mark_duplicates(df)
+    return marked.agg(
+        F.count("*").alias("total"),
+        F.sum((F.col("flags").bitwiseAND(1024) != 0).cast("long")).alias("flagged_dup"),
+    )
