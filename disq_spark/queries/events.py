@@ -224,3 +224,62 @@ FROM pts JOIN tiles
   ON pts.contig = tiles.contig AND pts.s <= tiles.e AND pts.e >= tiles.s
 GROUP BY 1, 2 ORDER BY contig, tile_id
 """
+
+
+# ---------------------------------------------------------------------------
+# hourly_active_users — exact count-distinct per tumbling window
+# ---------------------------------------------------------------------------
+@_q("hourly_active_users")
+def hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("hour")
+        .select(F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"), "active_users", "n_events")
+    )
+
+
+ORACLE["hourly_active_users"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(DISTINCT user_id) AS active_users,
+       count(*) AS n_events
+FROM events GROUP BY date_trunc('hour', ts) ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_funnel — per-user previous-event transition counts (lag window)
+# ---------------------------------------------------------------------------
+@_q("event_funnel")
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE["event_funnel"] = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n
+FROM seq WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type
+"""

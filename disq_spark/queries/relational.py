@@ -809,3 +809,85 @@ WHERE l_quantity < (
   SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# quantile_stats — discrete rank-based percentiles via window functions.
+# (Interpolating quantiles — Spark `percentile` / DuckDB quantile_cont —
+# produce engine-specific ulp differences that flip a rounding tie; the
+# rank formulation selects an actual data value, so it matches exactly.)
+# ---------------------------------------------------------------------------
+@_q("quantile_stats")
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    l = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    wn = W.partitionBy("l_returnflag")
+    ranked = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pick(p):
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("l_extendedprice"))
+        )
+
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            pick(0.5).alias("p50"),
+            pick(0.9).alias("p90"),
+            pick(0.99).alias("p99"),
+            F.max("n").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["quantile_stats"] = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       min(CASE WHEN rn >= ceil(0.5 * n) THEN l_extendedprice END) AS p50,
+       min(CASE WHEN rn >= ceil(0.9 * n) THEN l_extendedprice END) AS p90,
+       min(CASE WHEN rn >= ceil(0.99 * n) THEN l_extendedprice END) AS p99,
+       max(n) AS n
+FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# salted_join_check — the skew operator through the gate: salting must be
+# result-invariant, so the oracle is the PLAIN join
+# ---------------------------------------------------------------------------
+@_q("salted_join_check")
+def salted_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.skew import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(l, s, "s_suppkey", n_salts=8)
+    return (
+        joined.groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 0).alias("revenue"))
+        .orderBy("nationkey")
+    )
+
+
+ORACLE["salted_join_check"] = """
+SELECT s_nationkey AS nationkey, count(*) AS n,
+       round(sum(l_extendedprice), 0) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey ORDER BY nationkey
+"""
