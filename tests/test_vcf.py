@@ -108,3 +108,35 @@ def test_header_roundtrip(fixtures_dir):
     h = read_header(os.path.join(fixtures_dir, "test.vcf"))
     assert h.text.startswith("##fileformat")
     assert h.text.rstrip("\n").splitlines()[-1].startswith("#CHROM")
+
+
+def test_typed_info_and_genotypes(spark, fixtures_dir):
+    """Header-declared ##INFO/##FORMAT types become Catalyst casts
+    (typed projection over the stable map-based schema)."""
+    from disq_spark.functions.vcf_typed import (
+        declared_fields,
+        explode_genotypes,
+        with_typed_info,
+    )
+    from disq_spark.sources.variants import read_vcf
+
+    path = os.path.join(fixtures_dir, "CEUTrio.20.21.gatk3.4.g.vcf.bgz")
+    df, header = read_vcf(spark, path, split_size=256 * 1024)
+    info_decls = {d.id: d for d in declared_fields(header, "INFO")}
+    fmt_decls = {d.id: d for d in declared_fields(header, "FORMAT")}
+    assert "DP" in info_decls and info_decls["DP"].type == "Integer"
+    assert "GT" in fmt_decls
+
+    typed = with_typed_info(df, header)
+    assert dict(typed.dtypes)["info_DP"] == "bigint"
+    row = typed.filter(typed.info_DP.isNotNull()).select("info_DP").first()
+    assert row is not None and isinstance(row.info_DP, int)
+
+    g = explode_genotypes(df, header)
+    assert dict(g.dtypes)["fmt_DP"] == "bigint"
+    assert dict(g.dtypes)["fmt_GQ"] == "bigint"
+    samples = {r.sample for r in g.select("sample").distinct().collect()}
+    assert samples == set(header.samples)
+    # typed aggregation runs JVM-side over the projection
+    agg = g.groupBy("sample").agg(F.avg("fmt_DP").alias("mean_dp")).collect()
+    assert all(r.mean_dp is None or r.mean_dp >= 0 for r in agg)
