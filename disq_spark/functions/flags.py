@@ -35,3 +35,28 @@ def with_flag_columns(df: DataFrame, flags_col: str = "flags") -> DataFrame:
     for name, bit in _FLAG_FIELDS.items():
         df = df.withColumn(name, F.col(flags_col).bitwiseAND(bit) != 0)
     return df
+
+
+def typed_tag(tag: str, type_char: str | None = None):
+    """Typed access to a SAM auxiliary tag stored as "T:value" in the
+    ``tags`` map (htsjdk getAttribute parity as a Column projection).
+
+    ``type_char=None`` returns the raw value string; 'i' -> long,
+    'f' -> double, 'Z'/'A'/'H' -> string, 'B' -> array of doubles.
+    """
+    from pyspark.sql import functions as F
+
+    raw = F.col("tags").getItem(tag)
+    # strip the "T:" prefix positionally — Z values may contain colons
+    val = F.substring(raw, 3, 2**24)
+    if type_char is None or type_char in ("A", "Z", "H"):
+        return val
+    if type_char == "i":
+        return val.cast("long")
+    if type_char == "f":
+        return val.cast("double")
+    if type_char == "B":
+        # "B:c,1,2,3" -> skip subtype, cast elements
+        arr = F.split(F.expr(f"substring(tags['{tag}'], 5)"), ",")
+        return F.transform(arr, lambda x: x.cast("double"))
+    raise ValueError(f"unknown tag type {type_char!r}")

@@ -891,3 +891,62 @@ SELECT s_nationkey AS nationkey, count(*) AS n,
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey ORDER BY nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# cube_agg — full CUBE over two dims (rollup_agg covers ROLLUP)
+# ---------------------------------------------------------------------------
+@_q("cube_agg")
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE["cube_agg"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# array_hof — higher-order array functions (transform/filter/aggregate)
+# over per-order collected line quantities
+# ---------------------------------------------------------------------------
+@_q("array_hof")
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("double"))).alias("qtys")
+    )
+    return (
+        per_order.select(
+            "l_orderkey",
+            F.size("qtys").alias("n_lines"),
+            F.round(
+                F.aggregate("qtys", F.lit(0.0), lambda acc, x: acc + x), 2
+            ).alias("total_qty"),
+            F.size(F.filter("qtys", lambda x: x > 25.0)).alias("n_large"),
+            F.round(F.element_at("qtys", -1), 2).alias("max_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "l_orderkey")
+        .limit(30)
+    )
+
+
+ORACLE["array_hof"] = """
+WITH per_order AS (
+  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS DOUBLE))) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(qtys) AS n_lines,
+       round(list_sum(qtys), 2) AS total_qty,
+       len(list_filter(qtys, x -> x > 25.0)) AS n_large,
+       round(qtys[-1], 2) AS max_qty
+FROM per_order ORDER BY total_qty DESC, l_orderkey LIMIT 30
+"""

@@ -166,3 +166,20 @@ def test_build_sbi_matches_fixture_index(spark, fixtures_dir, tmp_path):
     # and reads now plan from the index
     df, _ = read_bam(spark, bam, split_size=100_000)
     assert df.count() == N_RECORDS
+
+
+def test_typed_tag_projection(spark, fixtures_dir):
+    """SAM aux tags as typed Columns (htsjdk getAttribute parity)."""
+    from disq_spark.functions.flags import typed_tag
+
+    df, _ = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    t = df.select(
+        typed_tag("NM", "i").alias("nm"),
+        typed_tag("MD").alias("md"),
+        typed_tag("RG", "Z").alias("rg"),
+    ).filter(F.col("nm").isNotNull())
+    assert dict(t.dtypes)["nm"] == "bigint"
+    row = t.first()
+    assert isinstance(row.nm, int) and row.rg
+    stats = t.agg(F.avg("nm").alias("mean_nm")).collect()[0]
+    assert stats.mean_nm >= 0
