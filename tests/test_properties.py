@@ -137,3 +137,65 @@ def test_sam_line_roundtrip(row):
             assert row[k] is None, k
         else:
             assert got == row[k], k
+
+
+# --------------------------------------------------------------------------
+# CRAM container codec: random mapped reads (substitutions + clips)
+# survive encode_container -> decode round-trip
+# --------------------------------------------------------------------------
+@st.composite
+def cram_reads(draw):
+    import random as _r
+
+    rng = _r.Random(draw(st.integers(min_value=0, max_value=2**31)))
+    ref = "".join(rng.choice("ACGT") for _ in range(800))
+    rows = []
+    n = draw(st.integers(min_value=1, max_value=12))
+    pos_cursor = 1
+    for i in range(n):
+        pos = min(pos_cursor + rng.randint(0, 40), 700)
+        pos_cursor = pos
+        rl = rng.randint(20, 60)
+        clip = rng.randint(0, 5)
+        body = list(ref[pos - 1 : pos - 1 + rl - clip])
+        for _ in range(rng.randint(0, 3)):  # substitutions
+            j = rng.randrange(len(body))
+            body[j] = rng.choice([b for b in "ACGT" if b != body[j]])
+        seq = "".join(rng.choice("ACGT") for _ in range(clip)) + "".join(body)
+        cigar = (f"{clip}S" if clip else "") + f"{rl - clip}M"
+        qual = "".join(chr(33 + rng.randint(0, 60)) for _ in range(rl))
+        rows.append(
+            (
+                f"r{i}", 0, "c1", pos, pos + (rl - clip) - 1, 30, cigar,
+                None, None, 0, seq, qual, {"XT": f"Z:v{i}"}, None,
+            )
+        )
+    return ref, rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(cram_reads())
+def test_cram_container_roundtrip(case):
+    from disq_spark.formats import cram_encode as CE
+    from disq_spark.formats.cram_decode import (
+        COMPRESSION_HEADER,
+        decode_containers,
+    )
+    from disq_spark.formats.cram import parse_container_header
+
+    ref, rows = case
+    refs = [("c1", len(ref))]
+
+    def get_ref(contig, s1, e1):
+        return ref[s1 - 1 : e1]
+
+    container, _crai = CE.encode_container(rows, {"c1": 0}, get_ref)
+    c = parse_container_header(container, 0, major=3)
+    got = list(decode_containers(container, [c], 3, refs, get_ref))
+    assert len(got) == len(rows)
+    for want, have in zip(rows, sorted(got, key=lambda r: int(r[0][1:]))):
+        w = dict(zip(READS_COLUMNS, want))
+        h = dict(zip(READS_COLUMNS, have))
+        for k in ("name", "flags", "contig", "start", "end", "cigar", "seq", "qual"):
+            assert h[k] == w[k], (k, w[k], h[k])
+        assert h["tags"] == w["tags"]
