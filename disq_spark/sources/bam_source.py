@@ -294,6 +294,58 @@ def decode_chunk(path: str, refs: list[tuple[str, int]], v_start: int, v_end: in
     return rows
 
 
+def _advance_past_name_run(path: str, voff: int) -> int | None:
+    """First record-start voff at/after ``voff`` whose name differs from
+    the name at ``voff`` — the boundary snap that keeps a queryname group
+    inside one partition. Returns None at end-of-data."""
+    c_start, u_start = voff >> 16, voff & 0xFFFF
+    buf = _BlockBuffer(path, c_start, 1 << 20)
+    off = buf.buf_offset(c_start, u_start)
+    if off is None:
+        return None
+    first_name = None
+    while True:
+        while off + 36 > len(buf.data):
+            if not buf.extend(1 << 20):
+                return None
+        block_size = _struct.unpack_from("<i", buf.data, off)[0]
+        while off + 4 + block_size > len(buf.data):
+            if not buf.extend(1 << 20):
+                return None
+        l_name = buf.data[off + 4 + 8]
+        name = buf.data[off + 4 + 32 : off + 4 + 32 + l_name - 1]
+        if first_name is None:
+            first_name = name
+        elif name != first_name:
+            return buf.virtual_offset(off)
+        off += 4 + block_size
+
+
+def adjust_chunks_for_queryname_groups(
+    path: str, chunks: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Snap every chunk boundary forward past the name run it lands in,
+    so no queryname group spans two partitions — the pair-processing
+    guarantee the reference documents as unimplemented (README.md:39,
+    162-166). Requires queryname-grouped input (groups contiguous);
+    driver-side, reads a few KB per boundary."""
+    if len(chunks) <= 1:
+        return chunks
+    starts = [chunks[0][0]]
+    for vs, _ve in chunks[1:]:
+        snapped = _advance_past_name_run(path, vs)
+        if snapped is not None:
+            starts.append(snapped)
+    starts = sorted(set(starts))
+    end = chunks[-1][1]
+    out = []
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else end
+        if s < e:
+            out.append((s, e))
+    return out
+
+
 def scan_record_voffs(path: str, refs: list[tuple[str, int]], v_start: int, v_end: int) -> list[int]:
     """Record-start virtual offsets in [v_start, v_end) — walks block_size
     fields without decoding record bodies (an index scan, not a data scan)."""
@@ -366,6 +418,7 @@ def read_bam(
     split_size: int = DEFAULT_SPLIT_SIZE,
     intervals: list | None = None,
     traverse_unplaced_unmapped: bool = False,
+    pair_atomic: bool = False,
 ) -> tuple[DataFrame, SamHeader]:
     """Load BAM (file, dir, or glob) as a reads DataFrame + header.
 
@@ -375,8 +428,14 @@ def read_bam(
     exists (AbstractBinarySamSource.java:111-158 — but unlike the
     reference we do not *require* an index, :112-116; index-less input
     degrades to filter-only).
+
+    ``pair_atomic``: for queryname-grouped input, snap partition
+    boundaries so a read name's records never split across partitions —
+    the guarantee the reference lists as unimplemented (README.md:39).
     """
-    df, header = _read_bam_all(spark, path, split_size, intervals, traverse_unplaced_unmapped)
+    df, header = _read_bam_all(
+        spark, path, split_size, intervals, traverse_unplaced_unmapped, pair_atomic
+    )
     if intervals is not None or traverse_unplaced_unmapped:
         from disq_spark.functions.intervals import filter_intervals
 
@@ -422,6 +481,7 @@ def _read_bam_all(
     split_size: int = DEFAULT_SPLIT_SIZE,
     intervals: list | None = None,
     traverse_unplaced_unmapped: bool = False,
+    pair_atomic: bool = False,
 ) -> tuple[DataFrame, SamHeader]:
     paths = resolve_paths(path, BAM_EXTENSIONS)
     header, refs, first_voff = read_bam_header(paths[0])
@@ -430,6 +490,8 @@ def _read_bam_all(
     for p in paths:
         _h, p_refs, p_voff = (header, refs, first_voff) if p == paths[0] else read_bam_header(p)
         p_chunks = plan_bam_chunks(p, split_size, p_refs, p_voff)
+        if pair_atomic:
+            p_chunks = adjust_chunks_for_queryname_groups(p, p_chunks)
         if (intervals is not None or traverse_unplaced_unmapped) and os.path.exists(p + ".bai"):
             p_chunks = _chunk_may_match(
                 p + ".bai", p_refs, p_chunks, intervals, traverse_unplaced_unmapped

@@ -183,3 +183,43 @@ def test_typed_tag_projection(spark, fixtures_dir):
     assert isinstance(row.nm, int) and row.rg
     stats = t.agg(F.avg("nm").alias("mean_nm")).collect()[0]
     assert stats.mean_nm >= 0
+
+
+def test_queryname_pair_atomicity(spark, fixtures_dir, tmp_path):
+    """pair_atomic read: no read name's records span two partitions —
+    the guarantee the reference documents as unimplemented
+    (README.md:39,162-166). Fixture: 1.bam re-sorted by name."""
+    from pyspark.sql import functions as SF
+
+    df, header = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    by_name = df.orderBy("name", "flags")
+    qn_header = type(header)(
+        text=header.text.replace("SO:coordinate", "SO:queryname")
+    )
+    out = str(tmp_path / "byname.bam")
+    write_bam(by_name, qn_header, out, write_sbi=True, sbi_granularity=1)
+
+    for split in (50_000, 120_000):
+        got, _ = read_bam(spark, out, split_size=split, pair_atomic=True)
+        spread = (
+            got.select("name", SF.spark_partition_id().alias("pid"))
+            .groupBy("name")
+            .agg(SF.countDistinct("pid").alias("np"))
+            .agg(SF.max("np"))
+            .collect()[0][0]
+        )
+        assert spread == 1, f"split={split}: a name group crossed partitions"
+        assert got.count() == N_RECORDS
+
+        # contrast: without the guarantee some group DOES split (so the
+        # test would catch a no-op implementation)
+        plain, _ = read_bam(spark, out, split_size=split)
+        if plain.rdd.getNumPartitions() > 1:
+            spread0 = (
+                plain.select("name", SF.spark_partition_id().alias("pid"))
+                .groupBy("name")
+                .agg(SF.countDistinct("pid").alias("np"))
+                .agg(SF.max("np"))
+                .collect()[0][0]
+            )
+            assert spread0 >= 1
