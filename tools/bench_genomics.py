@@ -60,6 +60,30 @@ def main() -> None:
     df2.groupBy("contig").agg(F.count("*"), F.avg("mapq")).collect()
     t_agg = time.time() - t0
 
+    # VCF path: splittable BGZF scan of the 10k-variant fixture
+    from disq_spark.sources.variants import read_vcf
+
+    t0 = time.time()
+    vdf, _vh = read_vcf(
+        spark,
+        "/root/reference/src/test/resources/HiSeq.10000.vcf.bgz",
+        split_size=64 * 1024,
+    )
+    nv = vdf.count()
+    t_vcf = time.time() - t0
+
+    # CRAM path: v3 + rANS decode of the GATK fixture
+    from disq_spark.sources.cram_source import read_cram
+
+    t0 = time.time()
+    cdf, _ch = read_cram(
+        spark,
+        "/root/reference/src/test/resources/CEUTrio.HiSeq.WGS.b37.NA12878.20.21.10m-10m100.cram",
+        missing_ref_as_n=True,
+    )
+    nc = cdf.count()
+    t_cram = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -71,6 +95,10 @@ def main() -> None:
                 "read_rec_per_s": int(n / t_read),
                 "agg_s": round(t_agg, 2),
                 "n_base": n_base,
+                "vcf_records": nv,
+                "vcf_s": round(t_vcf, 2),
+                "cram_records": nc,
+                "cram_s": round(t_cram, 2),
             }
         )
     )
