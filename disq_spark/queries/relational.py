@@ -950,3 +950,27 @@ SELECT l_orderkey,
        round(qtys[-1], 2) AS max_qty
 FROM per_order ORDER BY total_qty DESC, l_orderkey LIMIT 30
 """
+
+
+# ---------------------------------------------------------------------------
+# semi_join_customers — left-semi join (EXISTS shape; anti covered by
+# anti_join_customers)
+# ---------------------------------------------------------------------------
+@_q("semi_join_customers")
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400_000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["semi_join_customers"] = """
+SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

@@ -140,3 +140,20 @@ def test_typed_info_and_genotypes(spark, fixtures_dir):
     # typed aggregation runs JVM-side over the projection
     agg = g.groupBy("sample").agg(F.avg("fmt_DP").alias("mean_dp")).collect()
     assert all(r.mean_dp is None or r.mean_dp >= 0 for r in agg)
+
+
+def test_bgz_split_partition_counts(spark, fixtures_dir):
+    """Splittable BGZF: smaller splits -> more partitions, same rows
+    (HtsjdkVariantsRddTest.java:161-178 parity)."""
+    from disq_spark.sources.variants import read_vcf
+
+    path = os.path.join(fixtures_dir, "HiSeq.10000.vcf.bgz")
+    sizes = {}
+    counts = {}
+    for split in (128 * 1024, 64 * 1024, 32 * 1024):
+        df, _ = read_vcf(spark, path, split_size=split)
+        sizes[split] = df.rdd.getNumPartitions()
+        counts[split] = df.count()
+    assert len(set(counts.values())) == 1  # identical record sets
+    assert sizes[32 * 1024] > sizes[128 * 1024] >= 1
+    assert sizes[128 * 1024] >= 2  # the file is bigger than one split
