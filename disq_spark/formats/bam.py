@@ -27,6 +27,7 @@ BAM_MAGIC = b"BAM\x01"
 # hot-loop lookup tables (the per-base loops dominated decode at ~30k
 # records/s; per-byte table lookups + bytes.translate run in C)
 _SEQ_PAIR = [SEQ_CODES[b >> 4] + SEQ_CODES[b & 0xF] for b in range(256)]
+_SEQ_PAIR_B = [p.encode("ascii") for p in _SEQ_PAIR]
 _QUAL_TO_ASCII = bytes((min(q + 33, 255)) for q in range(256))
 _ASCII_TO_QUAL = bytes((max(c - 33, 0)) for c in range(256))
 _SEQ_PACK = {}
@@ -112,10 +113,23 @@ def _decode_tags(data: bytes, off: int, end: int) -> dict[str, str]:
     return tags
 
 
-def decode_record(data: bytes, off: int, refs: list[tuple[str, int]]):
+_REC_HDR = struct.Struct("<iiBBHHHiiii")
+
+
+def decode_record(
+    data: bytes,
+    off: int,
+    refs: list[tuple[str, int]],
+    with_seq: bool = True,
+    with_qual: bool = True,
+    with_tags: bool = True,
+):
     """Decode one alignment starting at ``off`` (at block_size field).
 
-    Returns (row_tuple_in_READS_COLUMNS_order, next_offset).
+    Returns (row_tuple_in_READS_COLUMNS_order, next_offset). The
+    ``with_*`` switches are manual column pruning INTO the Python
+    decoder: seq/qual/tags are most of the bytes and most of the decode
+    time, and counting/position workloads never look at them.
     """
     block_size = struct.unpack_from("<i", data, off)[0]
     base = off + 4
@@ -131,18 +145,18 @@ def decode_record(data: bytes, off: int, refs: list[tuple[str, int]]):
         next_ref,
         next_pos,
         tlen,
-    ) = struct.unpack_from("<iiBBHHHiiii", data, base)
+    ) = _REC_HDR.unpack_from(data, base)
     p = base + 32
     name = data[p : p + l_read_name - 1].decode("ascii")
     p += l_read_name
     cigar_ops = struct.unpack_from(f"<{n_cigar}I", data, p)
     p += 4 * n_cigar
     n_seq_bytes = (l_seq + 1) // 2
-    seq_packed = data[p : p + n_seq_bytes]
+    seq_packed = data[p : p + n_seq_bytes] if with_seq else None
     p += n_seq_bytes
-    qual_raw = data[p : p + l_seq]
+    qual_raw = data[p : p + l_seq] if with_qual else None
     p += l_seq
-    tags = _decode_tags(data, p, base + block_size)
+    tags = _decode_tags(data, p, base + block_size) if with_tags else None
 
     cigar_str = None
     ref_len = 0
@@ -156,11 +170,10 @@ def decode_record(data: bytes, off: int, refs: list[tuple[str, int]]):
         cigar_str = "".join(parts)
 
     seq = None
-    if l_seq:
-        pairs = _SEQ_PAIR
-        seq = "".join(pairs[b] for b in seq_packed)[:l_seq]
+    if l_seq and with_seq:
+        seq = b"".join(map(_SEQ_PAIR_B.__getitem__, seq_packed)).decode("ascii")[:l_seq]
     qual = None
-    if l_seq and (not qual_raw or qual_raw[0] != 0xFF):
+    if l_seq and with_qual and (not qual_raw or qual_raw[0] != 0xFF):
         qual = qual_raw.translate(_QUAL_TO_ASCII).decode("latin-1")
 
     contig = refs[ref_id][0] if ref_id >= 0 else None
@@ -169,7 +182,7 @@ def decode_record(data: bytes, off: int, refs: list[tuple[str, int]]):
     mate_contig = refs[next_ref][0] if next_ref >= 0 else None
     mate_start = next_pos + 1 if (next_ref >= 0 and next_pos >= 0) else None
     read_group = None
-    if "RG" in tags:
+    if tags and "RG" in tags:
         read_group = tags["RG"].split(":", 1)[1]
 
     row = (

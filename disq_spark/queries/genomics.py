@@ -40,7 +40,14 @@ def genomics_bam_flagstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition, aggregation — the flagship read path end-to-end)."""
     from disq_spark.sources.bam_source import read_bam
 
-    df, _h = read_bam(spark, os.path.join(FIXTURES, "1-with-splitting-index.bam"), split_size=200_000)
+    # column pruning pushed into the decoder: flagstat never reads
+    # seq/qual/tags (most of the bytes)
+    df, _h = read_bam(
+        spark,
+        os.path.join(FIXTURES, "1-with-splitting-index.bam"),
+        split_size=200_000,
+        columns=["flags"],
+    )
     f = F.col("flags")
     return df.agg(
         F.count("*").alias("total"),

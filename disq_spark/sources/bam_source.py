@@ -261,7 +261,15 @@ def plan_bam_chunks(
     return chunks
 
 
-def decode_chunk(path: str, refs: list[tuple[str, int]], v_start: int, v_end: int):
+def decode_chunk(
+    path: str,
+    refs: list[tuple[str, int]],
+    v_start: int,
+    v_end: int,
+    with_seq: bool = True,
+    with_qual: bool = True,
+    with_tags: bool = True,
+):
     """Decode all records whose start virtual offset is in [v_start, v_end)."""
     c_start, u_start = v_start >> 16, v_start & 0xFFFF
     buf = _BlockBuffer(path, c_start, 1 << 22)
@@ -285,7 +293,9 @@ def decode_chunk(path: str, refs: list[tuple[str, int]], v_start: int, v_end: in
                 break
         if off + 4 > len(buf.data) or off + 4 + _struct.unpack_from("<i", buf.data, off)[0] > len(buf.data):
             break  # truncated final record (file cut mid-block)
-        row, off = bamcodec.decode_record(buf.data, off, refs)
+        row, off = bamcodec.decode_record(
+            buf.data, off, refs, with_seq=with_seq, with_qual=with_qual, with_tags=with_tags
+        )
         rows.append(row)
         if off >= len(buf.data):
             # might be exactly at end-of-data
@@ -419,8 +429,14 @@ def read_bam(
     intervals: list | None = None,
     traverse_unplaced_unmapped: bool = False,
     pair_atomic: bool = False,
+    columns: list[str] | None = None,
 ) -> tuple[DataFrame, SamHeader]:
     """Load BAM (file, dir, or glob) as a reads DataFrame + header.
+
+    ``columns``: manual pushdown of column pruning into the decoder —
+    seq/qual/tags are most of the bytes; omitting them from this list
+    skips their decode entirely (the columns still exist, as NULLs).
+    The schema stays READS_SCHEMA either way.
 
     ``intervals``/``traverse_unplaced_unmapped`` mirror the reference's
     HtsjdkReadsTraversalParameters surface: a residual Column predicate
@@ -434,7 +450,7 @@ def read_bam(
     the guarantee the reference lists as unimplemented (README.md:39).
     """
     df, header = _read_bam_all(
-        spark, path, split_size, intervals, traverse_unplaced_unmapped, pair_atomic
+        spark, path, split_size, intervals, traverse_unplaced_unmapped, pair_atomic, columns
     )
     if intervals is not None or traverse_unplaced_unmapped:
         from disq_spark.functions.intervals import filter_intervals
@@ -482,6 +498,7 @@ def _read_bam_all(
     intervals: list | None = None,
     traverse_unplaced_unmapped: bool = False,
     pair_atomic: bool = False,
+    columns: list[str] | None = None,
 ) -> tuple[DataFrame, SamHeader]:
     paths = resolve_paths(path, BAM_EXTENSIONS)
     header, refs, first_voff = read_bam_header(paths[0])
@@ -512,10 +529,17 @@ def _read_bam_all(
     )
     refs_b = refs
 
+    w_seq = columns is None or "seq" in columns
+    w_qual = columns is None or "qual" in columns
+    w_tags = columns is None or "tags" in columns or "read_group" in (columns or [])
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, r in pdf.iterrows():
-                rows = decode_chunk(r["path"], refs_b, int(r["v_start"]), int(r["v_end"]))
+                rows = decode_chunk(
+                    r["path"], refs_b, int(r["v_start"]), int(r["v_end"]),
+                    with_seq=w_seq, with_qual=w_qual, with_tags=w_tags,
+                )
                 if rows:
                     yield pd.DataFrame(rows, columns=READS_COLUMNS)
 

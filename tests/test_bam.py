@@ -223,3 +223,17 @@ def test_queryname_pair_atomicity(spark, fixtures_dir, tmp_path):
                 .collect()[0][0]
             )
             assert spread0 >= 1
+
+
+def test_column_pruned_decode(spark, fixtures_dir):
+    """columns= pushes pruning into the Python decoder: same record set,
+    seq/qual/tags skipped (NULL), measurably less work."""
+    src = os.path.join(fixtures_dir, "1-with-splitting-index.bam")
+    full, _ = read_bam(spark, src, split_size=200_000)
+    lean, _ = read_bam(spark, src, split_size=200_000, columns=["flags", "contig", "start", "end"])
+    assert lean.count() == N_RECORDS
+    row = lean.first()
+    assert row.seq is None and row.qual is None and row.tags is None
+    a = sorted(map(tuple, full.select("name", "flags", "contig", "start", "end").collect()))
+    b = sorted(map(tuple, lean.select("name", "flags", "contig", "start", "end").collect()))
+    assert a == b
