@@ -3,19 +3,57 @@ disq-bio/disq (distributed genomics-format I/O) re-expressed Spark-first,
 plus the relational/LLM-data-pipeline operators a 100 TB training-data
 pipeline needs.
 
-Design (see SURVEY.md):
+Design (see SURVEY.md, SCALE.md, COVERAGE.md):
 - DataFrames everywhere; genomics formats surface as typed DataFrames.
 - Partition planning for splittable compressed formats happens driver-side
   (index-driven where indexes exist), decode happens in Arrow-batched
   Pandas stages (``mapInPandas``), relational work stays JVM-side in
   whole-stage codegen.
 - Single-file outputs use the reference's signature pattern (headerless
-  part files + header + terminator + filesystem concat), re-implemented as
-  a post-commit merge.
+  part files + header + terminator + filesystem concat) with per-part
+  index fragments merged by virtual-offset shifting.
+
+Quick start::
+
+    from disq_spark import get_session, read_bam, write_bam, Interval
+
+    spark = get_session()
+    reads, header = read_bam(spark, "sample.bam",
+                             intervals=[Interval("chr1", 1, 1_000_000)])
+    reads.groupBy("contig").count().show()
+    write_bam(reads, header, "out.bam", write_bai=True)
 """
 
+from disq_spark.functions.intervals import Interval, filter_intervals, overlaps
 from disq_spark.session import get_session
+from disq_spark.sinks.bam import write_bam
+from disq_spark.sinks.cram import write_cram
+from disq_spark.sinks.materialize import materialize_reads, materialize_variants, read_materialized
+from disq_spark.sinks.reads import write_sam
+from disq_spark.sinks.variants import write_vcf
+from disq_spark.sources.bam_source import build_sbi, read_bam
+from disq_spark.sources.cram_source import read_cram
+from disq_spark.sources.reads import read_sam
+from disq_spark.sources.variants import read_vcf
 
 __version__ = "0.1.0"
 
-__all__ = ["get_session", "__version__"]
+__all__ = [
+    "Interval",
+    "build_sbi",
+    "filter_intervals",
+    "get_session",
+    "materialize_reads",
+    "materialize_variants",
+    "overlaps",
+    "read_bam",
+    "read_cram",
+    "read_materialized",
+    "read_sam",
+    "read_vcf",
+    "write_bam",
+    "write_cram",
+    "write_sam",
+    "write_vcf",
+    "__version__",
+]
