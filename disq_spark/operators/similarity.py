@@ -91,6 +91,80 @@ def sign_bucket(vec, n_bits: int = 8) -> F.Column:
     return b.cast("int")
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Coarse quantization: assign each vector to its ``nprobe`` nearest
+    centroids by cosine. Centroids are a small DataFrame (cid, cvec) —
+    broadcast, so assignment is one scan with no shuffle. Output:
+    (id, bucket, probe_rank)."""
+    from pyspark.sql import Window as W2
+
+    c = centroids.select(F.col("cid"), F.col("cvec"))
+    scored = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        F.broadcast(c)
+    )
+    w = W2.partitionBy("id").orderBy(F.desc(cosine(F.col("v"), F.col("cvec"))), F.asc("cid"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("id", F.col("cid").alias("bucket"), "probe_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: the index-structure scale path next to
+    sign-LSH. Deterministic coarse quantizer (the first ``n_centroids``
+    vectors by id serve as seed centroids — reproducible across engines,
+    no iterative training), corpus vectors assigned to their nearest
+    centroid (the inverted lists), queries probe their ``nprobe`` nearest
+    lists. Exact cosine only within probed lists: the cross product
+    becomes an equi-join on the (tiny) bucket key, shuffle proportional
+    to list sizes. Output: (query_id, neighbor_id, rank, score).
+    """
+    cents = corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    corpus_b = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col("id").alias("neighbor_id"), "bucket"
+    )
+    query_b = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col("id").alias("query_id"), "bucket"
+    )
+    c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cand = (
+        query_b.join(corpus_b, "bucket")
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = (
+        cand.join(F.broadcast(q_vec), "query_id")
+        .join(c_vec, "neighbor_id")
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", round_to).alias("score"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -533,3 +533,79 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 
 
 ORACLE["multimodal_decode"] = _multimodal_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_topk — IVF coarse-quantizer ANN (the index-structure scale path
+# next to sign-LSH); oracle replicates the same deterministic centroids,
+# assignment, probing, and scoring in SQL
+# ---------------------------------------------------------------------------
+IVF_K = 5
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+@_q("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(
+        e, q, k=IVF_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_oracle() -> str:
+    cos = (
+        "list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * cv[i]))"
+        " / (sqrt(list_sum(list_transform(v, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(cv, x -> x * x))))"
+    )
+    qcos = (
+        "list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * nv[i]))"
+        " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(nv, x -> x * x))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+corpus_assign AS (
+  SELECT id, cid AS bucket FROM (
+    SELECT e.vec_id AS id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos.replace('v[', 'v[').replace('cv[', 'cv[')} DESC, c.cid) AS rn
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e, (SELECT cid, cvec AS cv FROM cents) c
+  ) WHERE rn = 1
+),
+query_assign AS (
+  SELECT id AS query_id, cid AS bucket FROM (
+    SELECT e.vec_id AS id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cid) AS rn
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5) e,
+         (SELECT cid, cvec AS cv FROM cents) c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT query_id, ca.id AS neighbor_id
+  FROM query_assign qa JOIN corpus_assign ca USING (bucket)
+  WHERE query_id <> ca.id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {qcos} AS score
+  FROM cand
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings) q ON q.vec_id = query_id
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS nv FROM embeddings) n ON n.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cast(rank AS int) AS rank, round(score, 4) AS score
+FROM ranked WHERE rank <= {IVF_K} ORDER BY query_id, rank
+"""
+
+
+ORACLE["ann_ivf_topk"] = _ivf_oracle()
