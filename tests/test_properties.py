@@ -199,3 +199,63 @@ def test_cram_container_roundtrip(case):
         for k in ("name", "flags", "contig", "start", "end", "cigar", "seq", "qual"):
             assert h[k] == w[k], (k, w[k], h[k])
         assert h["tags"] == w["tags"]
+
+
+# --------------------------------------------------------------------------
+# BAI distributed-merge algebra: splitting a record stream into parts at
+# ANY boundaries and merging the per-part indexes (through the fragment
+# file encoding) equals the serial single-pass index
+# --------------------------------------------------------------------------
+@st.composite
+def indexed_records(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    recs = []
+    pos = 0
+    for _ in range(n):
+        pos += draw(st.integers(min_value=0, max_value=40_000))
+        length = draw(st.integers(min_value=1, max_value=300))
+        recs.append((0, pos, pos + length))  # (ref_id, pos0, end0)
+    cuts = sorted(draw(st.sets(st.integers(min_value=1, max_value=max(n - 1, 1)), max_size=4)))
+    return recs, [c for c in cuts if c < n]
+
+
+@settings(max_examples=60, deadline=None)
+@given(indexed_records())
+def test_bai_merge_equals_serial(case):
+    import tempfile
+    from pathlib import Path
+
+    from disq_spark.formats import bai as baimod
+    from disq_spark.formats.bam import _reg2bin
+
+    recs, cuts = case
+    REC = 100  # synthetic compressed bytes per record
+
+    serial = baimod.BaiBuilder(1)
+    for j, (rid, p0, e0) in enumerate(recs):
+        serial.add(rid, p0, e0, _reg2bin(p0, e0), (j * REC) << 16, ((j + 1) * REC) << 16, True)
+    serial_idx = serial.build()
+
+    bounds = [0] + cuts + [len(recs)]
+    tmp = Path(tempfile.mkdtemp())
+    parts, lengths = [], []
+    for pi in range(len(bounds) - 1):
+        a, b = bounds[pi], bounds[pi + 1]
+        builder = baimod.BaiBuilder(1)
+        for j in range(a, b):
+            rid, p0, e0 = recs[j]
+            builder.add(
+                rid, p0, e0, _reg2bin(p0, e0),
+                ((j - a) * REC) << 16, ((j - a + 1) * REC) << 16, True,
+            )
+        frag = str(tmp / f"part{pi}.bai")
+        baimod.write_bai(frag, builder.build(), fragment=True)
+        parts.append(baimod.read_bai(frag, fragment=True))
+        lengths.append((b - a) * REC)
+    merged = baimod.merge_bai(parts, lengths, base_offset=0)
+
+    ms, ss = merged.refs[0], serial_idx.refs[0]
+    assert ms.bins == ss.bins
+    assert [max(v, 0) for v in ms.linear] == [max(v, 0) for v in ss.linear]
+    assert (ms.n_mapped, ms.n_unmapped) == (ss.n_mapped, ss.n_unmapped)
+    assert ms.ref_beg == ss.ref_beg and ms.ref_end == ss.ref_end
