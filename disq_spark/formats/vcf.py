@@ -31,12 +31,19 @@ def _parse_info(s: str) -> dict[str, str] | None:
     return out
 
 
-def parse_vcf_lines(lines, samples: list[str], mode: str = "STRICT") -> pd.DataFrame:
+def parse_vcf_lines(
+    lines, samples: list[str], mode: str = "STRICT", with_genotypes: bool = True
+) -> pd.DataFrame:
     """VCF data lines -> DataFrame with VARIANTS_COLUMNS.
 
     ``mode``: STRICT raises on malformed records, LENIENT warns + skips,
     SILENT skips (htsjdk ValidationStringency semantics, threaded like
     HtsjdkVariantsRddStorage's stringency option).
+
+    ``with_genotypes=False`` skips sample-column parsing entirely — the
+    genotype block is most of a cohort/gVCF line, and variant-level
+    queries never touch it (column pruning into the parser; the column
+    stays in the schema as NULL).
     """
     rows = []
     for line in lines:
@@ -54,7 +61,7 @@ def parse_vcf_lines(lines, samples: list[str], mode: str = "STRICT") -> pd.DataF
             else:
                 end = start + len(ref) - 1
             genotypes = None
-            if len(f) > 9 and samples:
+            if with_genotypes and len(f) > 9 and samples:
                 fmt_keys = f[8].split(":")
                 genotypes = []
                 for si, sample in enumerate(samples):

@@ -69,8 +69,12 @@ def read_vcf(
     split_size: int = DEFAULT_SPLIT_SIZE,
     intervals: list | None = None,
     mode: str = "STRICT",
+    columns: list[str] | None = None,
 ) -> tuple[DataFrame, VcfHeader]:
     """Load VCF (file, dir, or glob; plain/gzip/BGZF) as a DataFrame.
+
+    ``columns``: omitting "genotypes" prunes the sample-column parse
+    entirely (most of a cohort line); the column remains as NULL.
 
     ``intervals``: list of ``disq_spark.functions.intervals.Interval``.
     When given, splits of .tbi-indexed BGZF files that cannot contain an
@@ -79,7 +83,8 @@ def read_vcf(
     reference (which errors without an index, VcfSource.java:184-187),
     index-less inputs degrade gracefully to filter-only.
     """
-    df, header = _read_vcf_all(spark, path, split_size, intervals, mode)
+    with_gt = columns is None or "genotypes" in columns
+    df, header = _read_vcf_all(spark, path, split_size, intervals, mode, with_gt)
     if intervals is not None:
         from disq_spark.functions.intervals import overlaps
 
@@ -93,6 +98,7 @@ def _read_vcf_all(
     split_size: int,
     intervals: list | None,
     mode: str = "STRICT",
+    with_genotypes: bool = True,
 ) -> tuple[DataFrame, VcfHeader]:
     paths = resolve_paths(path, VCF_EXTENSIONS)
     header = read_header(paths[0])
@@ -106,7 +112,7 @@ def _read_vcf_all(
 
         def parse_plain(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                yield parse_vcf_lines(pdf[lines_col], samples, mode)
+                yield parse_vcf_lines(pdf[lines_col], samples, mode, with_genotypes)
 
         return text.mapInPandas(parse_plain, VARIANTS_SCHEMA), header
 
@@ -145,7 +151,7 @@ def _read_vcf_all(
             for _, row in pdf.iterrows():
                 lines = _range_lines(row["path"], int(row["start"]), int(row["end"]))
                 if lines:
-                    yield parse_vcf_lines(pd.Series(lines, dtype="object"), samples, mode)
+                    yield parse_vcf_lines(pd.Series(lines, dtype="object"), samples, mode, with_genotypes)
 
     return plan_df.mapInPandas(decode_ranges, VARIANTS_SCHEMA), header
 

@@ -157,3 +157,20 @@ def test_bgz_split_partition_counts(spark, fixtures_dir):
     assert len(set(counts.values())) == 1  # identical record sets
     assert sizes[32 * 1024] > sizes[128 * 1024] >= 1
     assert sizes[128 * 1024] >= 2  # the file is bigger than one split
+
+
+def test_genotype_pruned_parse(spark, fixtures_dir):
+    """columns= without 'genotypes' skips the sample-block parse: same
+    variant-level values, NULL genotypes, for a multi-sample gVCF."""
+    from disq_spark.sources.variants import read_vcf
+
+    path = os.path.join(fixtures_dir, "CEUTrio.20.21.gatk3.4.g.vcf.bgz")
+    full, _ = read_vcf(spark, path, split_size=256 * 1024)
+    lean, _ = read_vcf(
+        spark, path, split_size=256 * 1024, columns=["contig", "start", "ref", "qual"]
+    )
+    assert lean.count() == full.count()
+    assert lean.first().genotypes is None
+    a = sorted(map(tuple, full.select("contig", "start", "ref").collect()))
+    b = sorted(map(tuple, lean.select("contig", "start", "ref").collect()))
+    assert a == b
