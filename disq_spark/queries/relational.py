@@ -974,3 +974,307 @@ FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# q2_min_cost_supplier — TPC-H Q2 analog (no partsupp table in this schema:
+# supply cost is derived as the supplier's average unit price on lineitem).
+# Correlated-min shape: cheapest EUROPE supplier per small part.
+# Scale: the (part, supplier) cost aggregate shuffles on a compound key
+# whose cardinality is bounded by |part|x|supplier| — far smaller than
+# lineitem — and the min-per-part is a window over that reduced set, so
+# the expensive fact scan happens exactly once. Dims broadcast.
+# ---------------------------------------------------------------------------
+@_q("q2_min_cost_supplier")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    cost = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supply_cost"))
+    )
+    euro = (
+        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = W.partitionBy("l_partkey").orderBy("supply_cost", "l_suppkey")
+    best = euro.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("p_partkey"),
+            F.col("p_brand"),
+            F.col("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey")
+        .limit(25)
+    )
+
+
+ORACLE["q2_min_cost_supplier"] = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 2) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), euro AS (
+  SELECT c.*, s_acctbal, s_name, n_name,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY supply_cost, l_suppkey) AS rk
+  FROM cost c
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+FROM euro JOIN part ON l_partkey = p_partkey
+WHERE rk = 1 AND p_size < 10
+ORDER BY s_acctbal DESC, p_partkey LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# q8_market_share — TPC-H Q8: one nation's share of revenue inside a
+# region's market, by year (conditional aggregation over a 5-way join).
+# Scale: single lineitem scan; orders co-shuffles on orderkey; every
+# other side broadcasts. share = algebraic ratio of two partial sums.
+# ---------------------------------------------------------------------------
+@_q("q8_market_share")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n_c = load(spark, sf_dir, "nation").alias("nc")
+    n_s = load(spark, sf_dir, "nation").alias("ns")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(F.broadcast(r), F.col("nc.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("ns.n_name") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE["q8_market_share"] = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN ns.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region   ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q9_product_type_profit — TPC-H Q9 analog (supply cost proxied from
+# p_retailprice since there is no partsupp): profit by supplier nation
+# and order year for parts whose name contains 'bolt'.
+# Scale: the part filter prunes the broadcast side BEFORE the join, so
+# the lineitem scan is reduced by the join's selectivity; groupBy is
+# low-cardinality (25 nations x 7 years) -> map-side partials dominate.
+# ---------------------------------------------------------------------------
+@_q("q9_product_type_profit")
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+ORACLE["q9_product_type_profit"] = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12_priority_shipping — TPC-H Q12 analog (no l_shipmode column: classes
+# are slow vs fast shipments, > 60 days after order date): count urgent
+# vs non-urgent orders per class.
+# Scale: fact-fact join on orderkey then a 2-row aggregate; AQE coalesces
+# the post-join partitions. The date arithmetic stays in codegen.
+# ---------------------------------------------------------------------------
+@_q("q12_priority_shipping")
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "ship_class",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("SLOW"),
+            ).otherwise(F.lit("FAST")),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+ORACLE["q12_priority_shipping"] = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+            THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ship_class ORDER BY ship_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20_part_promotion — TPC-H Q20 analog (availqty proxied by shipped
+# quantity): suppliers who moved >20% of a 'red' part's 1996 volume,
+# surfaced via a left-semi join (EXISTS chain in the original).
+# Scale: the qualifying-supplier set is computed on an aggregate whose
+# size is bounded by |part|x|supplier|; the semi-join against supplier
+# broadcasts that set. A window sum (not a self-join) derives the
+# per-part total from the same shuffle.
+# ---------------------------------------------------------------------------
+@_q("q20_part_promotion")
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    s = load(spark, sf_dir, "supplier")
+    per = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = per.withColumn("part_total", F.sum("qty").over(W.partitionBy("l_partkey")))
+    qualifying = tot.filter(F.col("qty") > 0.2 * F.col("part_total")).select("l_suppkey").distinct()
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE["q20_part_promotion"] = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS part_total FROM per
+)
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM tot WHERE l_suppkey = s_suppkey
+              AND qty > 0.2 * part_total)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21_sole_returned_supplier — TPC-H Q21 analog (no receipt/commit dates:
+# "kept orders waiting" becomes "sole supplier whose lines were returned
+# on a multi-supplier order" — the same EXISTS + NOT-EXISTS shape).
+# Scale: one shuffle on (orderkey, suppkey), then a window over orderkey
+# replaces the original's two correlated subqueries (each a self-join of
+# lineitem at 100 TB); supplier broadcasts at the end.
+# ---------------------------------------------------------------------------
+@_q("q21_sole_returned_supplier")
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    per = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = per.withColumn("n_supps", F.count("*").over(w)).withColumn(
+        "n_r_supps", F.sum("has_r").over(w)
+    )
+    sole = flagged.filter(
+        (F.col("has_r") == 1) & (F.col("n_r_supps") == 1) & (F.col("n_supps") > 1)
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE["q21_sole_returned_supplier"] = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), flagged AS (
+  SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+         sum(has_r) OVER (PARTITION BY l_orderkey) AS n_r_supps
+  FROM per
+)
+SELECT s_name, count(*) AS numwait
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+WHERE has_r = 1 AND n_r_supps = 1 AND n_supps > 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
