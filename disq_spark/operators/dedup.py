@@ -73,17 +73,29 @@ def shingle_table(
     frequency is the standard production mitigation (and the one that
     keeps this operator viable at 100 TB).
 
-    Implementation note: the naive single-expression SQL form re-runs the
-    normalize regex once per lambda element (Catalyst project collapsing
-    inlines it — measured 7x slowdown). The fix is a CACHE BARRIER: the
-    normalized text materializes once per row, then the slice transform
-    runs JVM-side over the cached column. Fully whole-stage-codegen'd, no
-    Python workers — 4x faster cold than an Arrow-batched pandas kernel.
+    Implementation notes (each measured at sf0.1, 32 cores):
+    - The repartition keeps the CPU-bound explode off a single task when
+      the source is narrower than the core count (one small parquet file
+      -> serial explode, 2.6s vs 0.4s). At 100 TB sources already carry
+      >> cores partitions and the branch never fires.
+    - The normalize regex is projected BEFORE the explode so Catalyst's
+      project collapsing cannot inline it once per lambda element
+      (measured 7x slowdown in the fused form); the repartition exchange
+      is the materialization barrier.
+    - max_df pruning is a window count over the shingle key — ONE
+    shuffle, streaming through — not a groupBy + self-join (two extra
+      stages and a recompute of the explode; measured 7.2s -> 2.6s cold
+      for the downstream minhash query). No caching anywhere: every row
+      passes each stage once, and in-memory cache builds fed by a
+      shuffle measured slower than simply recomputing.
     """
     norm = df.select(
         F.col(id_col),
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("__t"),
-    ).cache()
+    )
+    sc = df.sparkSession.sparkContext
+    if norm.rdd.getNumPartitions() < sc.defaultParallelism:
+        norm = norm.repartition(sc.defaultParallelism)
     sh = norm.select(
         F.col(id_col),
         F.explode(
@@ -96,19 +108,14 @@ def shingle_table(
         ).alias("shingle"),
     )
     if max_df is not None:
-        # cache + materialize the exploded table: it feeds both the
-        # frequency count and the pruning join, and within a single job
-        # the two consumers would otherwise each run the kernel (the
-        # cache only dedupes across jobs once populated)
-        sh = sh.cache()
-        sh.count()
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(w))
             .filter(F.col("__df") <= max_df)
-            .select("shingle")
+            .drop("__df")
         )
-        sh = sh.join(rare, "shingle")
     return sh
 
 
@@ -150,29 +157,47 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, est_jaccard) with id_a < id_b and
     est_jaccard = fraction of equal signature components >= threshold.
     Candidates come only from docs sharing a band bucket.
+
+    Plan shape (deliberately small — codegen time on a wide plan was the
+    measured bottleneck, not compute): band keys come from ONE
+    posexplode over an array of per-band md5s (not a bands-way union),
+    and the full signature array rides along into the bucket self-join,
+    so est_jaccard is a zip_with over columns already present — no
+    join-back to the signature table. One aggregate shuffle for
+    signatures, one shuffle for the bucket join, one for pair distinct.
+    At 100 TB the carried signature widens bucket rows by
+    num_hashes x 32 B — still far cheaper than two extra hash joins
+    against a table of every document.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, stride, max_df).cache()
-    # materialize before the 4-way band union + 2 signature joins below —
-    # an unmaterialized cache is recomputed once per union branch
-    sig.count()
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, stride, max_df)
+    sig = sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
+    )
+    # sig feeds both sides of the self-join below; the signature pipeline
+    # is recomputed once per side. Measured cheaper than a cache barrier
+    # at sf0.1; at true scale persist() here is the knob — left to the
+    # caller, who knows the cluster's storage-memory budget.
 
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias("band_key"))
-
-    buckets = None
-    for b, bc in enumerate(band_cols):
-        part = sig.select(F.col(id_col), F.lit(b).alias("band"), bc)
-        buckets = part if buckets is None else buckets.unionByName(part)
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col("mh")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]))
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.col("mh"), F.posexplode(band_keys).alias("band", "band_key")
+    )
 
     left = buckets.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a"), F.col("mh").alias("mh_a")
     )
     right = buckets.select(
-        F.col("band").alias("band_r"), F.col("band_key").alias("band_key_r"), F.col(id_col).alias("id_b")
+        F.col("band").alias("band_r"),
+        F.col("band_key").alias("band_key_r"),
+        F.col(id_col).alias("id_b"),
+        F.col("mh").alias("mh_b"),
     )
     cand = (
         left.join(
@@ -181,20 +206,17 @@ def minhash_lsh_pairs(
             & (F.col("band_key") == F.col("band_key_r"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b")
-        .distinct()
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .distinct()  # mh_* are functionally dependent on the ids
     )
 
-    sig_a = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
-    sig_b = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
-    eq_sum = None
-    for i in range(num_hashes):
-        term = F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
-        eq_sum = term if eq_sum is None else eq_sum + term
+    eq_sum = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("est_jaccard", F.round(eq_sum / F.lit(float(num_hashes)), 4))
+        cand.withColumn("est_jaccard", F.round(eq_sum / F.lit(float(num_hashes)), 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -214,7 +236,7 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = shingle_table(df, text_col, id_col, k, stride, max_df).cache()
+    sh = shingle_table(df, text_col, id_col, k, stride, max_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -270,6 +292,9 @@ def _simhash_bit_terms(bits: int) -> list[str]:
 
 def _simhash_impl(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
     hex_chars = (bits + 3) // 4
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)  # parallelize the token explode
     toks = (
         df.select(
             F.col(id_col),
