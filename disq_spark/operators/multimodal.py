@@ -89,3 +89,84 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
         ).alias("frame_idx"),
         "n_bytes",
     )
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, resized_w int, resized_h int, "
+    "resized_payload binary"
+)
+FEATURES_SCHEMA = "doc_id long, features array<double>"
+
+
+def resize_image(
+    df: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = False
+) -> DataFrame:
+    """Aspect-preserving fit-resize. STUB: a real kernel needs PIL; the
+    fake kernel derives source dims from the deterministic fake decode,
+    computes the same fit arithmetic a real resize would, and emits a
+    16-byte stand-in payload (the md5 digest) — exercising the
+    binary-in/binary-out mapInPandas shape (Arrow handles BinaryType
+    zero-copy in both directions; that is the property to protect at
+    100 TB, where re-encoded payloads dominate the shuffle).
+
+    Rounding is floor(x + 0.5) — not Python's round() — so an external
+    SQL oracle can reproduce it exactly (banker's rounding can't be
+    spelled portably).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/pillow (not in this environment); "
+            "call with fake=True to run the deterministic stub kernel"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, _ = _fake_decode(b)
+                scale = min(target_w / w, target_h / h)
+                rw, rh = int(w * scale + 0.5), int(h * scale + 0.5)
+                rows.append((doc_id, w, h, rw, rh, hashlib.md5(b).digest()))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "resized_w",
+                    "resized_h",
+                    "resized_payload",
+                ],
+            )
+
+    return df.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def extract_features(df: DataFrame, bins: int = 16) -> DataFrame:
+    """Byte-histogram feature vector — a REAL kernel (no decode library
+    needed): normalized ``bins``-bin histogram of payload bytes, the
+    stand-in for a CLIP-style featurizer. Swap the numpy body for a GPU
+    batch call and the distributed shape is unchanged: Arrow batches in,
+    fixed-width float arrays out, memory bounded by
+    maxRecordsPerBatch x payload size, never partition size.
+    """
+    import numpy as np
+
+    span = 256 // bins
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(arr) or 1
+                hist = np.bincount(arr // span, minlength=bins)[:bins]
+                # explicit half-up rounding: counts/n are dyadic rationals
+                # that DO land on exact 1e-6 halves, where Python's
+                # banker's rounding and SQL ROUND() disagree
+                out.append(
+                    (doc_id, [int(float(c) / n * 1e6 + 0.5) / 1e6 for c in hist])
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "features"])
+
+    return df.mapInPandas(kernel, FEATURES_SCHEMA)

@@ -609,3 +609,120 @@ FROM ranked WHERE rank <= {IVF_K} ORDER BY query_id, rank
 
 
 ORACLE["ann_ivf_topk"] = _ivf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# multimodal_resize — the binary-in/binary-out resize stub end-to-end; the
+# oracle reproduces the md5-seeded dims, the fit arithmetic, and the hex
+# of the 16-byte stand-in payload in pure SQL
+# ---------------------------------------------------------------------------
+@_q("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import attach_payload, resize_image
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    r = resize_image(attach_payload(d), target_w=224, target_h=224, fake=True)
+    return r.select(
+        "doc_id",
+        "width",
+        "height",
+        "resized_w",
+        "resized_h",
+        F.hex("resized_payload").alias("payload_hex"),
+    ).orderBy("doc_id")
+
+
+def _resize_oracle() -> str:
+    def hv(i: int) -> str:
+        return f"(instr('0123456789abcdef', substring(md5(text), {i}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        return f"({hv(2 * j + 1)} * 16 + {hv(2 * j + 2)})"
+
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(64 + {byte(0)} % 192 AS INT) AS width,
+         CAST(64 + {byte(1)} % 192 AS INT) AS height,
+         upper(md5(text)) AS payload_hex
+  FROM documents WHERE doc_id < 100
+), scaled AS (
+  SELECT *, least(224.0 / width, 224.0 / height) AS s FROM dims
+)
+SELECT doc_id, width, height,
+       CAST(floor(width * s + 0.5) AS INT)  AS resized_w,
+       CAST(floor(height * s + 0.5) AS INT) AS resized_h,
+       payload_hex
+FROM scaled ORDER BY doc_id
+"""
+
+
+ORACLE["multimodal_resize"] = _resize_oracle()
+
+
+# ---------------------------------------------------------------------------
+# multimodal_features — byte-histogram featurizer (a REAL Arrow-batched
+# kernel, not a stub: payload bytes are ASCII text here, so the oracle
+# can recompute the histogram by unnesting code points in SQL)
+# ---------------------------------------------------------------------------
+N_FEATURE_BINS = 16
+
+
+@_q("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import attach_payload, extract_features
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    feats = extract_features(attach_payload(d), bins=N_FEATURE_BINS)
+    # kernel already half-up-rounds to 1e-6; no re-rounding here
+    cols = [
+        F.element_at("features", i + 1).alias(f"f{i}") for i in range(N_FEATURE_BINS)
+    ]
+    return feats.select("doc_id", *cols).orderBy("doc_id")
+
+
+def _features_oracle() -> str:
+    cols = ", ".join(
+        f"floor(sum(CASE WHEN bin = {b} THEN 1 ELSE 0 END) * 1e6 / any_value(n) + 0.5) / 1e6 AS f{b}"
+        for b in range(N_FEATURE_BINS)
+    )
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, octet_length(text::BLOB) AS n,
+         unnest(generate_series(1, length(text))) AS i
+  FROM documents WHERE doc_id < 100
+), chars AS (
+  SELECT doc_id, n, ord(substring(text, i, 1)) // 16 AS bin FROM pos
+)
+SELECT doc_id, {cols}
+FROM chars GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE["multimodal_features"] = _features_oracle()
+
+
+# ---------------------------------------------------------------------------
+# multimodal_frame_sample — the explode shape of video frame extraction:
+# one row per sampled frame index, purely relational on both sides
+# ---------------------------------------------------------------------------
+FRAME_STRIDE_BYTES = 500
+
+
+@_q("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import attach_payload, frame_sample
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return frame_sample(attach_payload(d), every_n_bytes=FRAME_STRIDE_BYTES).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+ORACLE["multimodal_frame_sample"] = f"""
+SELECT doc_id,
+       unnest(generate_series(0, greatest(CAST(octet_length(text::BLOB) / {FRAME_STRIDE_BYTES} AS INT) - 1, 0))) AS frame_idx,
+       octet_length(text::BLOB) AS n_bytes
+FROM documents WHERE doc_id < 100
+ORDER BY doc_id, frame_idx
+"""

@@ -136,6 +136,30 @@ def test_multimodal_plumbing(spark):
     assert fs.count() >= media.count()
 
 
+def test_multimodal_resize_and_features(spark):
+    from disq_spark.operators.multimodal import extract_features, resize_image
+
+    d = load(spark, SF, "documents")
+    media = attach_payload(d)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        resize_image(media, fake=False)
+    r = resize_image(media, target_w=224, target_h=224, fake=True)
+    rows = r.orderBy("doc_id").limit(20).collect()
+    assert rows
+    for row in rows:
+        # aspect-preserving fit: the long edge lands exactly on target
+        assert max(row.resized_w, row.resized_h) == 224
+        assert len(bytes(row.resized_payload)) == 16
+        # ratio preserved within rounding
+        assert abs(row.resized_w / row.resized_h - row.width / row.height) < 0.02
+    feats = extract_features(media, bins=16).orderBy("doc_id").limit(20).collect()
+    for row in feats:
+        assert len(row.features) == 16
+        assert abs(sum(row.features) - 1.0) < 1e-4  # normalized histogram
+
+
 def test_salted_join_equals_plain(spark):
     """Salting must not change join semantics (inner + left)."""
     from disq_spark.operators.skew import salted_join
