@@ -22,6 +22,12 @@ Quick start::
                              intervals=[Interval("chr1", 1, 1_000_000)])
     reads.groupBy("contig").count().show()
     write_bam(reads, header, "out.bam", write_bai=True)
+
+Or through the Spark DataSource registry (Spark 4 Python sources)::
+
+    register_datasources(spark)
+    spark.read.format("bam").load("sample.bam").createOrReplaceTempView("reads")
+    spark.sql("SELECT contig, count(*) FROM reads GROUP BY contig").show()
 """
 
 from disq_spark.functions.intervals import Interval, filter_intervals, overlaps
@@ -32,6 +38,7 @@ from disq_spark.sinks.materialize import materialize_reads, materialize_variants
 from disq_spark.sinks.reads import write_sam
 from disq_spark.sinks.variants import write_vcf
 from disq_spark.sources.bam_source import build_sbi, read_bam
+from disq_spark.sources.datasource import register_datasources
 from disq_spark.sources.cram_source import read_cram
 from disq_spark.sources.reads import read_sam
 from disq_spark.sources.variants import read_vcf
@@ -51,6 +58,7 @@ __all__ = [
     "read_materialized",
     "read_sam",
     "read_vcf",
+    "register_datasources",
     "write_bam",
     "write_cram",
     "write_sam",

@@ -1,0 +1,49 @@
+"""spark.read.format("bam"/"vcf") Python DataSources: results must be
+identical to the functional readers (same planner, same decoders)."""
+
+import os
+
+import pytest
+
+from disq_spark.sources.datasource import register_datasources
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_datasources(spark)
+
+
+def test_bam_datasource_matches_functional(spark, fixtures_dir):
+    from disq_spark.sources.bam_source import read_bam
+
+    path = os.path.join(fixtures_dir, "1.bam")
+    ds = spark.read.format("bam").option("split_size", 200_000).load(path)
+    fn, _ = read_bam(spark, path, split_size=123_456)
+    key = ["name", "start", "flags"]
+    a = sorted(map(tuple, ds.select(*key).collect()))
+    b = sorted(map(tuple, fn.select(*key).collect()))
+    assert a == b and len(a) == 4917
+    assert ds.rdd.getNumPartitions() > 1  # split planning engaged
+
+
+def test_vcf_datasource_split_invariance(spark, fixtures_dir):
+    path = os.path.join(fixtures_dir, "HiSeq.10000.vcf.bgz")
+    whole = spark.read.format("vcf").load(path)
+    split = spark.read.format("vcf").option("split_size", 65536).load(path)
+    assert whole.count() == split.count() == 8171
+    assert split.rdd.getNumPartitions() > whole.rdd.getNumPartitions()
+    key = ["contig", "start", "ref"]
+    assert sorted(map(tuple, whole.select(*key).collect())) == sorted(
+        map(tuple, split.select(*key).collect())
+    )
+
+
+def test_vcf_datasource_plain_and_sql(spark, fixtures_dir):
+    path = os.path.join(fixtures_dir, "test.vcf")
+    df = spark.read.format("vcf").load(path)
+    assert df.count() == 5
+    df.createOrReplaceTempView("ds_variants")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM ds_variants WHERE contig = '20'"
+    ).first().n
+    assert n == df.filter("contig = '20'").count()
