@@ -59,6 +59,66 @@ def write_bam(
         _write_sharded(df, header, refs, path)
 
 
+def encode_part(
+    rows: Iterator[dict],
+    part_path: str,
+    ref_index: dict[str, int],
+    granularity: int,
+    with_bai: bool,
+) -> int:
+    """Write one headerless/terminatorless BGZF part + hidden .sbi (and
+    optionally .bai) fragments next to it; returns the record count.
+    Empty input writes nothing. This is the task-side core shared by the
+    mapInPandas sink and the format("bam") DataSource writer."""
+    parts_dir = os.path.dirname(part_path)
+    tmp = part_path + ".tmp"
+    n = 0
+    offsets: list[int] = []
+    bai = baimod.BaiBuilder(len(ref_index)) if with_bai else None
+    with open(tmp, "wb") as f:
+        w = bgzf.BgzfWriter(f, terminate=False)
+        for row in rows:
+            v_start = w.virtual_offset
+            if n % granularity == 0:
+                offsets.append(v_start)
+            w.write(bamcodec.encode_record(row, ref_index))
+            n += 1
+            if bai is not None:
+                contig, start = row["contig"], row["start"]
+                if contig is None or start is None or pd.isna(start):
+                    bai.add(-1, -1, -1, 0, v_start, w.virtual_offset, False)
+                else:
+                    pos0 = int(start) - 1
+                    end0 = int(row["end"]) if row["end"] is not None and not pd.isna(row["end"]) else pos0 + 1
+                    bai.add(
+                        ref_index[contig],
+                        pos0,
+                        end0,
+                        _reg2bin(pos0, max(end0, pos0 + 1)),
+                        v_start,
+                        w.virtual_offset,
+                        int(row["flags"]) & FLAG_UNMAPPED == 0,
+                    )
+        dangling = w.virtual_offset  # last record's end, pre-final-flush
+        w.close()
+    base = os.path.basename(part_path)
+    if n > 0:
+        os.replace(tmp, part_path)
+        offsets.append(w.compressed_len << 16)  # end-of-part sentinel
+        sbimod.write_sbi(
+            os.path.join(parts_dir, f".{base}.sbi"),
+            sbimod.SbiIndex(w.compressed_len, n, granularity, offsets),
+        )
+        if bai is not None:
+            built = bai.build()
+            if dangling & 0xFFFF:
+                baimod.patch_dangling_end(built, dangling, w.compressed_len << 16)
+            baimod.write_bai(os.path.join(parts_dir, f".{base}.bai"), built, fragment=True)
+    else:
+        os.remove(tmp)
+    return n
+
+
 def _encode_partition(
     batches: Iterator[pd.DataFrame],
     parts_dir: str,
@@ -70,51 +130,8 @@ def _encode_partition(
 
     pid = TaskContext.get().partitionId()
     part_path = os.path.join(parts_dir, f"part-{pid:05d}")
-    tmp = part_path + ".tmp"
-    n = 0
-    offsets: list[int] = []
-    bai = baimod.BaiBuilder(len(ref_index)) if with_bai else None
-    with open(tmp, "wb") as f:
-        w = bgzf.BgzfWriter(f, terminate=False)
-        for pdf in batches:
-            for row in pdf.to_dict("records"):
-                v_start = w.virtual_offset
-                if n % granularity == 0:
-                    offsets.append(v_start)
-                w.write(bamcodec.encode_record(row, ref_index))
-                n += 1
-                if bai is not None:
-                    contig, start = row["contig"], row["start"]
-                    if contig is None or start is None or pd.isna(start):
-                        bai.add(-1, -1, -1, 0, v_start, w.virtual_offset, False)
-                    else:
-                        pos0 = int(start) - 1
-                        end0 = int(row["end"]) if row["end"] is not None and not pd.isna(row["end"]) else pos0 + 1
-                        bai.add(
-                            ref_index[contig],
-                            pos0,
-                            end0,
-                            _reg2bin(pos0, max(end0, pos0 + 1)),
-                            v_start,
-                            w.virtual_offset,
-                            int(row["flags"]) & FLAG_UNMAPPED == 0,
-                        )
-        dangling = w.virtual_offset  # last record's end, pre-final-flush
-        w.close()
-    if n > 0:
-        os.replace(tmp, part_path)
-        offsets.append(w.compressed_len << 16)  # end-of-part sentinel
-        sbimod.write_sbi(
-            os.path.join(parts_dir, f".part-{pid:05d}.sbi"),
-            sbimod.SbiIndex(w.compressed_len, n, granularity, offsets),
-        )
-        if bai is not None:
-            built = bai.build()
-            if dangling & 0xFFFF:
-                baimod.patch_dangling_end(built, dangling, w.compressed_len << 16)
-            baimod.write_bai(os.path.join(parts_dir, f".part-{pid:05d}.bai"), built, fragment=True)
-    else:
-        os.remove(tmp)
+    rows = (row for pdf in batches for row in pdf.to_dict("records"))
+    n = encode_part(rows, part_path, ref_index, granularity, with_bai)
     yield pd.DataFrame({"part": [part_path], "n": [n]})
 
 
@@ -135,16 +152,27 @@ def _write_single(
         yield from _encode_partition(batches, parts_dir, ref_index, granularity, with_bai)
 
     df.mapInPandas(run, "part string, n long").collect()
+    finalize_single(path, parts_dir, header, refs, merge.list_parts(parts_dir),
+                    with_sbi, with_bai)
 
-    # driver: compressed header, concat, terminator, index merge
+
+def finalize_single(
+    path: str,
+    parts_dir: str,
+    header: SamHeader,
+    refs: list[tuple[str, int]],
+    part_paths: list[str],
+    with_sbi: bool,
+    with_bai: bool,
+) -> None:
+    """Driver-side single-file commit: compressed header, concat in part
+    order, BGZF terminator, offset-shifted index merge (BamSink.java:96-137)."""
     header_block = bgzf.compress_all(
         bamcodec.encode_bam_header(header.text, refs), terminate=False
     )
     header_path = os.path.join(parts_dir, "_header")
     with open(header_path, "wb") as f:
         f.write(header_block)
-
-    part_paths = merge.list_parts(parts_dir)
     lengths = merge.concat_parts(path, [header_path] + part_paths)
     data_len = sum(lengths)
     with open(path, "ab") as f:

@@ -26,18 +26,30 @@ Scale notes:
   identical; at scale prefer ``read_bam(intervals=...)`` for index
   pruning until the DataSource filter-pushdown API stabilizes.
 
-Write paths intentionally stay on the sink functions (single-file
-outputs need a commit-time concat + index merge that the Python
-DataSource writer API does not model).
+Writes: ``df.write.format("bam")`` maps onto the DataSource writer
+protocol exactly like the reference's sink (BamSink.java:60-139):
+``write()`` tasks produce headerless/terminatorless BGZF parts plus
+hidden per-part ``.sbi``/``.bai`` fragments, and the driver-side
+``commit()`` performs the concat + terminator + offset-shifted index
+merge. Task retries are safe because parts carry a unique suffix and
+``commit()`` merges only the parts named in the collected commit
+messages — stragglers are swept with the temp dir.
 """
 
 from __future__ import annotations
 
 import os
+import uuid
 from dataclasses import dataclass
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 DEFAULT_SPLIT_SIZE = 1 << 20
 
@@ -83,8 +95,110 @@ class BamReader(DataSourceReader):
             yield row
 
 
+@dataclass
+class BamPartCommit(WriterCommitMessage):
+    part: str
+    n: int
+
+
+class BamWriter(DataSourceWriter):
+    """df.write.format("bam"): parallel part encode, commit-time merge.
+
+    The header cannot be inferred from rows (sequence dictionary order
+    defines refIDs), so it is passed as an option: ``header_path`` (copy
+    the header of an existing .sam/.bam file) or ``header_text`` (literal
+    ``@``-line text). Mirrors the reference, where the caller always
+    supplies a SAMFileHeader to the sink (BamSink.java:62-67).
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        from disq_spark.headers import SamHeader
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError('format("bam") write requires .save(path)')
+        header_text = options.get("header_text")
+        header_path = options.get("header_path")
+        if header_text:
+            self.header = SamHeader(
+                text=header_text if header_text.endswith("\n") else header_text + "\n"
+            )
+        elif header_path:
+            if header_path.endswith(".bam"):
+                from disq_spark.sources.bam_source import read_bam_header
+
+                self.header, _refs, _ = read_bam_header(header_path)
+            else:
+                from disq_spark.sources.reads import read_sam_header
+
+                self.header = read_sam_header(header_path)
+        else:
+            raise ValueError(
+                'format("bam") write requires option("header_path", ...) or '
+                'option("header_text", ...)'
+            )
+        self.refs = self.header.sequences
+        self.ref_index = {name: i for i, (name, _l) in enumerate(self.refs)}
+        self.granularity = int(options.get("sbi_granularity", 4096))
+        self.write_sbi = options.get("write_sbi", "true").lower() == "true"
+        bai_opt = options.get("write_bai")
+        self.write_bai = (
+            self.header.sort_order == "coordinate"
+            if bai_opt is None
+            else bai_opt.lower() == "true"
+        )
+        if os.path.exists(self.path) and not overwrite:
+            raise ValueError(f"path exists (use mode('overwrite')): {self.path}")
+        from disq_spark.sinks.merge import prepare_overwrite
+
+        prepare_overwrite(self.path, (".sbi", ".bai"))
+        self.parts_dir = self.path + ".parts"
+        os.makedirs(self.parts_dir, exist_ok=True)
+
+    def write(self, rows) -> BamPartCommit:
+        from pyspark import TaskContext
+
+        from disq_spark.sinks.bam import encode_part
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        # unique suffix → task retries never collide; commit() keeps only
+        # the parts the scheduler reports as successful
+        part = os.path.join(
+            self.parts_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}"
+        )
+        n = encode_part(
+            (r.asDict() for r in rows),
+            part,
+            self.ref_index,
+            self.granularity,
+            self.write_bai,
+        )
+        return BamPartCommit(part=part if n else "", n=n)
+
+    def commit(self, messages) -> None:
+        from disq_spark.sinks.bam import finalize_single
+
+        parts = sorted(m.part for m in messages if m is not None and m.part)
+        finalize_single(
+            self.path,
+            self.parts_dir,
+            self.header,
+            self.refs,
+            parts,
+            self.write_sbi,
+            self.write_bai,
+        )
+
+    def abort(self, messages) -> None:
+        from disq_spark.sinks.merge import cleanup
+
+        cleanup(self.parts_dir)
+
+
 class BamDataSource(DataSource):
-    """Splittable BAM scan (BamSource.java:70 equivalent)."""
+    """Splittable BAM scan + single-file write (BamSource.java:70,
+    BamSink.java:60 equivalents)."""
 
     @classmethod
     def name(cls) -> str:
@@ -97,6 +211,9 @@ class BamDataSource(DataSource):
 
     def reader(self, schema) -> BamReader:
         return BamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> BamWriter:
+        return BamWriter(self.options, overwrite)
 
 
 @dataclass
@@ -177,7 +294,153 @@ class VcfDataSource(DataSource):
         return VcfReader(self.options)
 
 
+@dataclass
+class SamRange(InputPartition):
+    path: str
+    start: int
+    end: int
+    mode: str
+
+
+class SamReader(DataSourceReader):
+    """SAM text scan with Hadoop-style newline-aligned byte splits
+    (SamSource.java:61-104 semantics): a line belongs to the split that
+    contains its first byte, so each record is parsed exactly once."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("format('sam') requires .load(path)")
+        self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        self.mode = options.get("mode", "STRICT")
+
+    def partitions(self) -> list[SamRange]:
+        from disq_spark.sources.plan import resolve_paths
+        from disq_spark.sources.reads import SAM_EXTENSIONS
+
+        parts: list[SamRange] = []
+        for p in resolve_paths(self.path, SAM_EXTENSIONS):
+            size = os.path.getsize(p)
+            for s in range(0, max(size, 1), self.split_size):
+                parts.append(SamRange(p, s, min(s + self.split_size, size), self.mode))
+        return parts
+
+    def read(self, part: SamRange) -> Iterator[tuple]:
+        import pandas as pd
+
+        from disq_spark.formats.sam import parse_sam_lines
+
+        lines: list[str] = []
+        with open(part.path, "rb") as f:
+            if part.start > 0:
+                # skip the line straddling the boundary — it belongs to
+                # the previous split (readline from start-1 lands on the
+                # first line starting at offset >= start)
+                f.seek(part.start - 1)
+                f.readline()
+            while f.tell() < part.end:
+                line = f.readline()
+                if not line:
+                    break
+                text = line.decode("utf-8").rstrip("\n")
+                if text and not text.startswith("@"):
+                    lines.append(text)
+        if not lines:
+            return
+        pdf = parse_sam_lines(pd.Series(lines, dtype="object"), part.mode)
+        for row in pdf.itertuples(index=False, name=None):
+            yield row
+
+
+class SamDataSource(DataSource):
+    """Splittable SAM text scan (SamSource.java:49 equivalent)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sam"
+
+    def schema(self):
+        from disq_spark.schemas import READS_SCHEMA
+
+        return READS_SCHEMA
+
+    def reader(self, schema) -> SamReader:
+        return SamReader(self.options)
+
+
+@dataclass
+class CramContainers(InputPartition):
+    path: str
+    start: int
+    end: int
+    refs: list
+    reference_path: str | None
+    missing_ref_as_n: bool
+
+
+class CramReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("format('cram') requires .load(path)")
+        self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        self.reference = options.get("reference")
+        self.missing_ref_as_n = (
+            options.get("missing_ref_as_n", "false").lower() == "true"
+        )
+
+    def partitions(self) -> list[CramContainers]:
+        from disq_spark.formats.cram_decode import read_cram_header
+        from disq_spark.sources.cram_source import CRAM_EXTENSIONS, plan_cram
+        from disq_spark.sources.plan import resolve_paths
+
+        paths = resolve_paths(self.path, CRAM_EXTENSIONS)
+        _text, refs = read_cram_header(paths[0])
+        parts: list[CramContainers] = []
+        for p in paths:
+            for _p, s, e in plan_cram(p, self.split_size):
+                parts.append(
+                    CramContainers(p, s, e, refs, self.reference, self.missing_ref_as_n)
+                )
+        return parts or [CramContainers("", 0, 0, [], None, False)]
+
+    def read(self, part: CramContainers) -> Iterator[tuple]:
+        if not part.path:
+            return
+        from disq_spark.formats.cram_decode import decode_cram_range
+
+        rows = decode_cram_range(
+            part.path,
+            part.start,
+            part.end,
+            part.refs,
+            part.reference_path,
+            missing_ref_as_n=part.missing_ref_as_n,
+        )
+        for row in rows or []:
+            yield row
+
+
+class CramDataSource(DataSource):
+    """Container-aligned CRAM scan (CramSource.java:67 equivalent)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cram"
+
+    def schema(self):
+        from disq_spark.schemas import READS_SCHEMA
+
+        return READS_SCHEMA
+
+    def reader(self, schema) -> CramReader:
+        return CramReader(self.options)
+
+
 def register_datasources(spark) -> None:
-    """Register bam/vcf with a SparkSession: enables spark.read.format(...)."""
+    """Register bam/sam/cram/vcf with a SparkSession: enables
+    spark.read.format(...) and df.write.format("bam")."""
     spark.dataSource.register(BamDataSource)
+    spark.dataSource.register(SamDataSource)
+    spark.dataSource.register(CramDataSource)
     spark.dataSource.register(VcfDataSource)

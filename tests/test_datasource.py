@@ -38,6 +38,63 @@ def test_vcf_datasource_split_invariance(spark, fixtures_dir):
     )
 
 
+def test_sam_datasource_split_invariance(spark, fixtures_dir):
+    from disq_spark.sources.reads import read_sam
+
+    path = os.path.join(fixtures_dir, "test.sam")
+    fn, _ = read_sam(spark, path)
+    expected = sorted(map(tuple, fn.select("name", "start", "flags").collect()))
+    whole = spark.read.format("sam").load(path)
+    tiny = spark.read.format("sam").option("split_size", 200).load(path)
+    assert tiny.rdd.getNumPartitions() > 1  # byte splits engaged
+    for df in (whole, tiny):
+        got = sorted(map(tuple, df.select("name", "start", "flags").collect()))
+        assert got == expected
+
+
+def test_cram_datasource_matches_functional(spark, fixtures_dir):
+    from disq_spark.sources.cram_source import read_cram
+
+    path = os.path.join(fixtures_dir, "valid.cram")
+    ref = os.path.join(fixtures_dir, "valid.fasta")
+    ds = (
+        spark.read.format("cram")
+        .option("reference", ref)
+        .option("split_size", 1000)
+        .load(path)
+    )
+    fn, _ = read_cram(spark, path, reference_path=ref)
+    key = ["name", "start", "flags", "seq"]
+    assert sorted(map(repr, ds.select(*key).collect())) == sorted(
+        map(repr, fn.select(*key).collect())
+    )
+
+
+def test_bam_datasource_write_single_file(spark, fixtures_dir, tmp_path):
+    from disq_spark.formats.sbi import read_sbi
+    from disq_spark.sources.bam_source import read_bam
+
+    src = os.path.join(fixtures_dir, "1.bam")
+    reads = spark.read.format("bam").load(src)
+    out = str(tmp_path / "out.bam")
+    (
+        reads.repartition(4)
+        .write.format("bam")
+        .option("header_path", src)
+        .mode("overwrite")
+        .save(out)
+    )
+    back, _ = read_bam(spark, out)
+    assert back.count() == 4917
+    key = ["name", "start", "flags", "cigar"]
+    assert sorted(map(tuple, back.select(*key).collect())) == sorted(
+        map(tuple, reads.select(*key).collect())
+    )
+    # merged .sbi from per-task fragments must cover every record
+    assert read_sbi(out + ".sbi").total_records == 4917
+    assert not os.path.exists(out + ".parts")
+
+
 def test_vcf_datasource_plain_and_sql(spark, fixtures_dir):
     path = os.path.join(fixtures_dir, "test.vcf")
     df = spark.read.format("vcf").load(path)
