@@ -114,8 +114,10 @@ def format_vcf_line(row, samples: list[str]) -> str:
     if qual is None:
         qual_s = "."
     else:
-        # VCF convention: print integral quals without decimal point
-        qual_s = f"{qual:g}" if qual != int(qual) else str(int(qual))
+        # VCF convention: print integral quals without decimal point;
+        # non-integral use Python's shortest round-trip repr (%g loses
+        # digits past 6 significant figures, e.g. 16357.98 -> "16358")
+        qual_s = str(qual) if qual != int(qual) else str(int(qual))
     fields = [
         row["contig"],
         str(int(row["start"])),

@@ -58,65 +58,77 @@ def write_vcf(
         _write_sharded(df, header, path)
 
 
-def _write_single(df: DataFrame, header: VcfHeader, path: str, with_tbi: bool = False) -> None:
+def encode_vcf_part(
+    batches: Iterator[pd.DataFrame],
+    part_path: str,
+    samples: list[str],
+    compress: bool,
+    with_tbi: bool,
+) -> int:
+    """Write one headerless (optionally terminatorless-BGZF) VCF part,
+    plus a hidden .tbi fragment when indexing; returns the record count.
+    Task-side core shared by the mapInPandas sink and the format("vcf")
+    DataSource writer."""
     from disq_spark.formats import tabix as tbimod
 
-    parts_dir = path + ".parts"  # temp-parts convention (HtsjdkReadsRddStorage.java:224-229)
-    os.makedirs(parts_dir, exist_ok=True)
-    compress = _is_bgzf_target(path)
-    samples = header.samples
+    parts_dir = os.path.dirname(part_path)
+    n = 0
+    tmp = part_path + ".tmp"
+    tbi = tbimod.TbiBuilder() if with_tbi else None
+    dangling = 0
+    with open(tmp, "wb") as f:
+        sink = bgzf.BgzfWriter(f, terminate=False) if compress else f
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lines = format_vcf_batch(pdf, samples)
+            if tbi is None:
+                payload = ("\n".join(lines) + "\n").encode("utf-8")
+                sink.write(payload)
+            else:
+                # per-record virtual-offset tracking for the index
+                for line, contig, start, end in zip(
+                    lines, pdf["contig"], pdf["start"], pdf["end"]
+                ):
+                    v_start = sink.virtual_offset
+                    sink.write(line.encode("utf-8") + b"\n")
+                    tbi.add(contig, int(start), int(end), v_start, sink.virtual_offset)
+            n += len(pdf)
+        if compress:
+            dangling = sink.virtual_offset
+            sink.close()
+    if n > 0:
+        os.replace(tmp, part_path)
+        if tbi is not None:
+            built = tbi.build()
+            if dangling & 0xFFFF:
+                tbimod.patch_dangling_end(built, dangling, sink.compressed_len << 16)
+            base = os.path.basename(part_path)
+            tbimod.write_tbi(
+                os.path.join(parts_dir, f".{base}.tbi"), built, fragment=True
+            )
+    else:
+        os.remove(tmp)
+    return n
 
-    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        part_path = os.path.join(parts_dir, f"part-{pid:05d}")
-        n = 0
-        tmp = part_path + ".tmp"
-        tbi = tbimod.TbiBuilder() if with_tbi else None
-        dangling = 0
-        with open(tmp, "wb") as f:
-            sink = bgzf.BgzfWriter(f, terminate=False) if compress else f
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                lines = format_vcf_batch(pdf, samples)
-                if tbi is None:
-                    payload = ("\n".join(lines) + "\n").encode("utf-8")
-                    sink.write(payload)
-                else:
-                    # per-record virtual-offset tracking for the index
-                    for line, contig, start, end in zip(
-                        lines, pdf["contig"], pdf["start"], pdf["end"]
-                    ):
-                        v_start = sink.virtual_offset
-                        sink.write(line.encode("utf-8") + b"\n")
-                        tbi.add(contig, int(start), int(end), v_start, sink.virtual_offset)
-                n += len(pdf)
-            if compress:
-                dangling = sink.virtual_offset
-                sink.close()
-        if n > 0:
-            os.replace(tmp, part_path)
-            if tbi is not None:
-                built = tbi.build()
-                if dangling & 0xFFFF:
-                    tbimod.patch_dangling_end(built, dangling, sink.compressed_len << 16)
-                tbimod.write_tbi(os.path.join(parts_dir, f".part-{pid:05d}.tbi"), built, fragment=True)
-        else:
-            os.remove(tmp)
-        yield pd.DataFrame({"part": [part_path], "n": [n]})
+def finalize_single(
+    path: str,
+    parts_dir: str,
+    header: VcfHeader,
+    part_paths: list[str],
+    compress: bool,
+    with_tbi: bool,
+) -> None:
+    """Driver-side single-file commit: header file + concat in part order
+    + one BGZF terminator + offset-shifted .tbi merge (VcfSink.java:87-127)."""
+    from disq_spark.formats import tabix as tbimod
 
-    counts = df.mapInPandas(write_partition, "part string, n long").collect()
-    total = sum(r["n"] for r in counts)
-
-    # driver: header file + terminator + concat (VcfSink.java:87-116)
     header_path = os.path.join(parts_dir, "_header")
     header_bytes = header.text.encode("utf-8")
     with open(header_path, "wb") as f:
         f.write(bgzf.compress_all(header_bytes, terminate=False) if compress else header_bytes)
 
-    part_paths = merge.list_parts(parts_dir)
     lengths = merge.concat_parts(path, [header_path] + part_paths)
     if compress:
         with open(path, "ab") as f:
@@ -129,8 +141,24 @@ def _write_single(df: DataFrame, header: VcfHeader, path: str, with_tbi: bool = 
         merged = tbimod.merge_tbi(part_idx, lengths[1:], base_offset=lengths[0])
         tbimod.write_tbi(path + ".tbi", merged)
     merge.cleanup(parts_dir)
-    if total == 0 and not os.path.exists(path):
-        raise RuntimeError("empty write produced no file")
+
+
+def _write_single(df: DataFrame, header: VcfHeader, path: str, with_tbi: bool = False) -> None:
+    parts_dir = path + ".parts"  # temp-parts convention (HtsjdkReadsRddStorage.java:224-229)
+    os.makedirs(parts_dir, exist_ok=True)
+    compress = _is_bgzf_target(path)
+    samples = header.samples
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        part_path = os.path.join(parts_dir, f"part-{pid:05d}")
+        n = encode_vcf_part(batches, part_path, samples, compress, with_tbi)
+        yield pd.DataFrame({"part": [part_path], "n": [n]})
+
+    df.mapInPandas(write_partition, "part string, n long").collect()
+    finalize_single(path, parts_dir, header, merge.list_parts(parts_dir), compress, with_tbi)
 
 
 def _write_sharded(df: DataFrame, header: VcfHeader, path: str) -> None:

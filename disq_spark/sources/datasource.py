@@ -278,8 +278,100 @@ class VcfReader(DataSourceReader):
             yield row
 
 
+@dataclass
+class VcfPartCommit(WriterCommitMessage):
+    part: str
+    n: int
+
+
+class VcfWriter(DataSourceWriter):
+    """df.write.format("vcf"): single-file VCF (plain or BGZF by target
+    extension), optional distributed .tbi build+merge. Header comes from
+    option("header_path", <existing .vcf[.gz|.bgz]>) or
+    option("header_text", ...)."""
+
+    BATCH = 4096
+
+    def __init__(self, options: dict, overwrite: bool):
+        from disq_spark.headers import VcfHeader
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError('format("vcf") write requires .save(path)')
+        header_text = options.get("header_text")
+        header_path = options.get("header_path")
+        if header_text:
+            self.header = VcfHeader(
+                text=header_text if header_text.endswith("\n") else header_text + "\n"
+            )
+        elif header_path:
+            from disq_spark.sources.variants import read_header
+
+            self.header = read_header(header_path)
+        else:
+            raise ValueError(
+                'format("vcf") write requires option("header_path", ...) or '
+                'option("header_text", ...)'
+            )
+        self.compress = self.path.endswith((".gz", ".bgz"))
+        self.write_tbi = options.get("write_tbi", "false").lower() == "true"
+        if self.write_tbi and not self.compress:
+            raise ValueError("write_tbi requires a BGZF target (.gz/.bgz)")
+        if os.path.exists(self.path) and not overwrite:
+            raise ValueError(f"path exists (use mode('overwrite')): {self.path}")
+        from disq_spark.sinks.merge import prepare_overwrite
+
+        prepare_overwrite(self.path, (".tbi",))
+        self.parts_dir = self.path + ".parts"
+        os.makedirs(self.parts_dir, exist_ok=True)
+
+    def write(self, rows) -> VcfPartCommit:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from disq_spark.schemas import VARIANTS_COLUMNS
+        from disq_spark.sinks.variants import encode_vcf_part
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        part = os.path.join(
+            self.parts_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}"
+        )
+
+        def batches():
+            # asDict keeps nested genotype Rows (format_vcf_line reads
+            # them by field name) and makes us order-independent
+            buf = []
+            for r in rows:
+                buf.append(r.asDict(recursive=False))
+                if len(buf) >= self.BATCH:
+                    yield pd.DataFrame(buf, columns=VARIANTS_COLUMNS)
+                    buf = []
+            if buf:
+                yield pd.DataFrame(buf, columns=VARIANTS_COLUMNS)
+
+        n = encode_vcf_part(
+            batches(), part, self.header.samples, self.compress, self.write_tbi
+        )
+        return VcfPartCommit(part=part if n else "", n=n)
+
+    def commit(self, messages) -> None:
+        from disq_spark.sinks.variants import finalize_single
+
+        parts = sorted(m.part for m in messages if m is not None and m.part)
+        finalize_single(
+            self.path, self.parts_dir, self.header, parts, self.compress, self.write_tbi
+        )
+
+    def abort(self, messages) -> None:
+        from disq_spark.sinks.merge import cleanup
+
+        cleanup(self.parts_dir)
+
+
 class VcfDataSource(DataSource):
-    """Splittable plain/gzip/BGZF VCF scan (VcfSource.java:71 equivalent)."""
+    """Splittable plain/gzip/BGZF VCF scan + single-file write
+    (VcfSource.java:71, VcfSink.java:52 equivalents)."""
 
     @classmethod
     def name(cls) -> str:
@@ -292,6 +384,9 @@ class VcfDataSource(DataSource):
 
     def reader(self, schema) -> VcfReader:
         return VcfReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> VcfWriter:
+        return VcfWriter(self.options, overwrite)
 
 
 @dataclass

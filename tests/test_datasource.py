@@ -95,6 +95,27 @@ def test_bam_datasource_write_single_file(spark, fixtures_dir, tmp_path):
     assert not os.path.exists(out + ".parts")
 
 
+def test_vcf_datasource_write_single_file(spark, fixtures_dir, tmp_path):
+    src = os.path.join(fixtures_dir, "HiSeq.10000.vcf.bgz")
+    variants = spark.read.format("vcf").load(src)
+    out = str(tmp_path / "out.vcf.bgz")
+    (
+        variants.repartition(3)
+        .sortWithinPartitions("contig", "start")
+        .write.format("vcf")
+        .option("header_path", src)
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("vcf").load(out)
+    assert back.count() == 8171
+    key = ["contig", "start", "ref", "qual"]
+    assert sorted(map(repr, back.select(*key).collect())) == sorted(
+        map(repr, variants.select(*key).collect())
+    )
+    assert not os.path.exists(out + ".parts")
+
+
 def test_vcf_datasource_plain_and_sql(spark, fixtures_dir):
     path = os.path.join(fixtures_dir, "test.vcf")
     df = spark.read.format("vcf").load(path)
