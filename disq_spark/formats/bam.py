@@ -62,6 +62,17 @@ def parse_bam_header(data: bytes) -> tuple[str, list[tuple[str, int]], int]:
     return text, refs, off
 
 
+def _f32_str(v: float) -> str:
+    """Shortest decimal string that round-trips to the same float32.
+
+    '%g' keeps only 6 significant digits (16357.98 -> '16358'), silently
+    corrupting f / B:f tag values on a read->write round trip.
+    """
+    import numpy as _np
+
+    return _np.format_float_positional(_np.float32(v), unique=True, trim="-")
+
+
 def _decode_tags(data: bytes, off: int, end: int) -> dict[str, str]:
     """Aux tags -> {tag: "TYPE:value"} (lossless string form)."""
     tags: dict[str, str] = {}
@@ -86,7 +97,7 @@ def _decode_tags(data: bytes, off: int, end: int) -> dict[str, str]:
             off += 4
         elif typ == "f":
             v = struct.unpack_from("<f", data, off)[0]
-            tags[tag] = f"f:{v:g}"
+            tags[tag] = f"f:{_f32_str(v)}"
             off += 4
         elif typ == "Z":
             endz = data.index(b"\x00", off)
@@ -105,7 +116,7 @@ def _decode_tags(data: bytes, off: int, end: int) -> dict[str, str]:
             vals = struct.unpack_from(f"<{n}{fmt}", data, off)
             off += n * size
             if sub == "f":
-                tags[tag] = "B:" + sub + "," + ",".join(f"{v:g}" for v in vals)
+                tags[tag] = "B:" + sub + "," + ",".join(_f32_str(v) for v in vals)
             else:
                 tags[tag] = "B:" + sub + "," + ",".join(str(v) for v in vals)
         else:

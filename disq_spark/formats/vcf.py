@@ -13,6 +13,8 @@ present (htsjdk VariantContext.getEnd semantics).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from disq_spark.schemas import VARIANTS_COLUMNS
@@ -111,7 +113,9 @@ def format_vcf_line(row, samples: list[str]) -> str:
     else:
         filt_s = ";".join(filters)
     qual = row["qual"]
-    if qual is None:
+    # Arrow->pandas turns a null qual into float NaN, which is not None —
+    # guard both spellings of "missing" or int(qual) below raises
+    if qual is None or (isinstance(qual, float) and math.isnan(qual)):
         qual_s = "."
     else:
         # VCF convention: print integral quals without decimal point;

@@ -45,7 +45,9 @@ def content_hash(col) -> F.Column:
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per identical (normalized) text.
 
-    Returns the kept rows. One hash-shuffle on the 64-hex-char digest;
+    Returns one row per distinct text with only (id_col, n_copies) — the
+    groupBy projects the other columns away; rejoin on id_col to recover
+    the surviving documents. One hash-shuffle on the 64-hex-char digest;
     map-side partial agg keeps shuffle volume ~= distinct count.
     """
     h = content_hash(F.col(text_col))

@@ -33,7 +33,9 @@ def _q(name):
 # NOTE: DuckDB regexp_replace needs the 'g' flag (Spark replaces all
 # occurrences by default).
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_TOKS = f"string_split({_NORM}, ' ')"
+# Parity with functions/text.py tokens(): empty text -> empty list, where
+# DuckDB's string_split('', ' ') would return [''] (length 1).
+_TOKS = f"(CASE WHEN {_NORM} = '' THEN [] ELSE string_split({_NORM}, ' ') END)"
 
 SHINGLE_K = 8
 SHINGLE_STRIDE = 4
@@ -102,7 +104,7 @@ ORACLE["text_token_stats"] = f"""
 SELECT source, count(*) AS n_docs,
        round(avg(len({_TOKS})), 4) AS avg_tokens,
        round(avg(length({_NORM})), 4) AS avg_chars,
-       sum(len({_TOKS})) AS total_tokens
+       CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -213,8 +215,8 @@ WITH g AS (
   SELECT sha256({_NORM}) AS h, min(doc_id) AS doc_id, count(*) AS n_copies
   FROM documents GROUP BY 1
 )
-SELECT count(*) AS n_kept, sum(n_copies) AS n_total,
-       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_removed
+SELECT count(*) AS n_kept, CAST(sum(n_copies) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM g
 """
 

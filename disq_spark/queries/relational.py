@@ -1173,10 +1173,10 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q12_priority_shipping"] = """
 SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
             THEN 'SLOW' ELSE 'FAST' END AS ship_class,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY ship_class ORDER BY ship_class
 """

@@ -116,7 +116,9 @@ def read_bam_header(path: str) -> tuple[SamHeader, list[tuple[str, int]], int]:
     return SamHeader(text=text), refs, voff
 
 
-def _check_record(data: bytes, off: int, n_ref: int, ref_lens: list[int]) -> int | None:
+def _check_record(
+    data: bytes, off: int, n_ref: int, ref_lens: list[int], check_bin: bool = True
+) -> int | None:
     """Validate one candidate record start; return next offset or None.
 
     Ports the field-invariant checks of BamRecordGuesser.java:105-226:
@@ -170,8 +172,10 @@ def _check_record(data: bytes, off: int, n_ref: int, ref_lens: list[int]) -> int
             ref_len += c >> 4
     # bin consistency (standard writers set bin = reg2bin of the span) —
     # the extra discriminator that kills the false positives the
-    # reference's guesser was historically prone to
-    if ref_id >= 0 and pos >= 0 and n_cigar > 0:
+    # reference's guesser was historically prone to. Some writers leave
+    # the field stale or 0, so callers can disable it (find_record_start
+    # retries without it rather than degrading to a single partition).
+    if check_bin and ref_id >= 0 and pos >= 0 and n_cigar > 0:
         from disq_spark.formats.bam import _reg2bin
 
         bin_field = _struct.unpack_from("<H", data, base + 10)[0]
@@ -189,14 +193,36 @@ def find_record_start(
     buf: _BlockBuffer, n_ref: int, ref_lens: list[int], search_limit: int = MAX_SEARCH_BYTES
 ) -> int | None:
     """First buffer offset that begins a run of READS_TO_CHECK valid
-    records (BamRecordGuesser.checkRecordStart semantics)."""
+    records (BamRecordGuesser.checkRecordStart semantics).
+
+    The bin-consistency discriminator assumes standard writers
+    (bin = reg2bin of the alignment span); writers that leave bin stale
+    or 0 would fail every candidate chain and collapse planning to one
+    partition. So: strict pass first, then a retry without the bin check
+    — false positives remain vanishingly unlikely because the other ~10
+    field invariants must hold for READS_TO_CHECK consecutive records.
+    """
+    for check_bin in (True, False):
+        cand = _scan_for_record_start(buf, n_ref, ref_lens, search_limit, check_bin)
+        if cand is not None:
+            return cand
+    return None
+
+
+def _scan_for_record_start(
+    buf: _BlockBuffer,
+    n_ref: int,
+    ref_lens: list[int],
+    search_limit: int,
+    check_bin: bool,
+) -> int | None:
     cand = 0
     while cand < min(len(buf.data), search_limit):
         off = cand
         validated = 0
         ok = True
         while validated < READS_TO_CHECK:
-            nxt = _check_record(buf.data, off, n_ref, ref_lens)
+            nxt = _check_record(buf.data, off, n_ref, ref_lens, check_bin)
             while nxt == -1:
                 # candidate record overruns the buffer: fetch more blocks;
                 # at EOF a first record overrunning the file is bogus, but
@@ -205,7 +231,7 @@ def find_record_start(
                 if not buf.extend(1 << 22):
                     nxt = None if validated == 0 else -2
                     break
-                nxt = _check_record(buf.data, off, n_ref, ref_lens)
+                nxt = _check_record(buf.data, off, n_ref, ref_lens, check_bin)
             if nxt is None:
                 ok = False
                 break

@@ -237,3 +237,52 @@ def test_column_pruned_decode(spark, fixtures_dir):
     a = sorted(map(tuple, full.select("name", "flags", "contig", "start", "end").collect()))
     b = sorted(map(tuple, lean.select("name", "flags", "contig", "start", "end").collect()))
     assert a == b
+
+
+def test_guesser_handles_stale_bin_fields(fixtures_dir, tmp_path):
+    """Writers that leave the BAM bin field stale/0 must not defeat split
+    planning: find_record_start falls back to a pass without the
+    bin-consistency check instead of finding no boundary at all."""
+    import struct
+
+    from disq_spark.formats import bgzf
+    from disq_spark.formats.bam import parse_bam_header
+    from disq_spark.sources.bam_source import (
+        _BlockBuffer,
+        find_record_start,
+        read_bam_header,
+    )
+
+    src = os.path.join(fixtures_dir, "1.bam")
+    with open(src, "rb") as f:
+        raw = b"".join(bgzf.decompress_block(f, b.pos) for b in bgzf.scan_blocks(src))
+    _text, refs, header_end = parse_bam_header(raw)
+
+    # zero every record's bin field (offset 14 into the length-prefixed record)
+    data = bytearray(raw)
+    off = header_end
+    n_rec = 0
+    while off + 4 <= len(data):
+        block_size = struct.unpack_from("<i", data, off)[0]
+        struct.pack_into("<H", data, off + 14, 0)
+        off += 4 + block_size
+        n_rec += 1
+    assert n_rec > 100
+
+    out = str(tmp_path / "stale_bin.bam")
+    with open(out, "wb") as f:
+        f.write(bgzf.compress_all(bytes(data)))
+
+    _h, refs2, _v = read_bam_header(out)
+    ref_lens = [l for _n, l in refs2]
+    # start the search in the middle of the file, as a split planner would
+    blocks = list(bgzf.scan_blocks(out))
+    mid_block = blocks[len(blocks) // 2]
+    buf = _BlockBuffer(out, mid_block.pos, 1 << 20)
+    found = find_record_start(buf, len(refs2), ref_lens)
+    assert found is not None
+
+    # and the found offset really is a record boundary: its block_size
+    # walks to another valid record chain
+    bs = struct.unpack_from("<i", buf.data, found)[0]
+    assert 32 <= bs < 1 << 20

@@ -9,7 +9,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from disq_spark.formats import bgzf
-from disq_spark.formats.bam import decode_record, encode_record
+from disq_spark.formats.bam import _f32_str, decode_record, encode_record
 from disq_spark.formats.cram_encode import write_itf8, write_ltf8
 from disq_spark.formats.cram import read_itf8, read_ltf8
 from disq_spark.formats.sam import format_sam_line, parse_sam_lines
@@ -75,6 +75,8 @@ def read_rows(draw):
     cigar = f"{n}M" if mapped else None
     start = draw(st.integers(min_value=1, max_value=10_000)) if mapped else None
     qual = "".join(chr(draw(st.integers(min_value=33, max_value=93 + 33)) ) for _ in range(n))
+    if qual == "*":  # length-1 '*' collides with SAM's missing-qual sentinel
+        qual = "+"
     flags = draw(st.integers(min_value=0, max_value=0xFFF))
     flags = (flags | 0x4) if not mapped else (flags & ~0x4)
     tags = draw(
@@ -83,6 +85,17 @@ def read_rows(draw):
             st.one_of(
                 st.integers(min_value=-1000, max_value=1000).map(lambda v: f"i:{v}"),
                 st.text(alphabet="abc123", max_size=8).map(lambda s: f"Z:{s}"),
+                # float tags canonicalized to the shortest float32 repr the
+                # decoder emits, so equality tests the full 32-bit value
+                # ('%g' used to truncate at 6 significant digits)
+                st.floats(width=32, allow_nan=False, allow_infinity=False).map(
+                    lambda v: f"f:{_f32_str(v)}"
+                ),
+                st.lists(
+                    st.floats(width=32, allow_nan=False, allow_infinity=False),
+                    min_size=1,
+                    max_size=4,
+                ).map(lambda vs: "B:f," + ",".join(_f32_str(v) for v in vs)),
             ),
             max_size=3,
         )

@@ -1,0 +1,60 @@
+"""Text-function parity tests, focusing on the Spark-vs-DuckDB-oracle
+edge cases the sf fixtures don't cover (empty / whitespace-only docs).
+
+Oracle fragments are imported from disq_spark.queries.llm so a drift
+between the Spark column functions and the gate SQL fails here first.
+"""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from disq_spark.functions import text as TX
+from disq_spark.queries.llm import _NORM, _TOKS
+
+DOCS = [
+    "Hello  world",
+    "",
+    "   ",
+    "one",
+    "a b  c\td\ne",
+    "The quick brown fox",
+]
+
+
+def _spark_tok(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(DOCS)], "i long, text string")
+    rows = (
+        df.select("i", TX.tokens("text").alias("toks"), TX.token_count("text").alias("n"))
+        .orderBy("i")
+        .collect()
+    )
+    return [(r.toks, r.n) for r in rows]
+
+
+def _duck_tok():
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"i": range(len(DOCS)), "text": DOCS}))
+    out = con.execute(
+        f"SELECT i, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents ORDER BY i"
+    ).fetchall()
+    return [(list(t), int(n)) for _, t, n in out]
+
+
+def test_tokens_parity_including_empty(spark):
+    assert _spark_tok(spark) == _duck_tok()
+
+
+def test_empty_doc_zero_tokens(spark):
+    df = spark.createDataFrame([("",), ("   ",)], "text string")
+    counts = [r.n for r in df.select(TX.token_count("text").alias("n")).collect()]
+    assert counts == [0, 0]
+
+
+def test_normalize_parity(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(DOCS)], "i long, text string")
+    got = [r.v for r in df.select(TX.normalize("text").alias("v")).orderBy("i").collect()]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"i": range(len(DOCS)), "text": DOCS}))
+    want = [v for (v,) in con.execute(f"SELECT {_NORM} FROM documents ORDER BY i").fetchall()]
+    assert got == want

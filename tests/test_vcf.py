@@ -174,3 +174,28 @@ def test_genotype_pruned_parse(spark, fixtures_dir):
     a = sorted(map(tuple, full.select("contig", "start", "ref").collect()))
     b = sorted(map(tuple, lean.select("contig", "start", "ref").collect()))
     assert a == b
+
+
+def test_roundtrip_missing_qual(spark, tmp_path):
+    """Null QUAL ('.') records must survive a write: Arrow->pandas turns
+    null qual into float NaN, which previously crashed int(qual)."""
+    src = tmp_path / "missing_qual.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##contig=<ID=20,length=63025520>\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "20\t100\t.\tA\tT\t50.5\tPASS\t.\n"
+        "20\t200\t.\tC\tG\t.\tPASS\t.\n"
+        "20\t300\t.\tG\tA\t16357.98\tPASS\t.\n"
+    )
+    from disq_spark.sinks.variants import write_vcf
+    from disq_spark.sources.variants import read_vcf
+
+    df, header = read_vcf(spark, str(src))
+    out = str(tmp_path / "out.vcf")
+    write_vcf(df, header, out)
+    df2, _ = read_vcf(spark, out)
+    key = lambda d: sorted((r.start, r.qual) for r in d.select("start", "qual").collect())
+    got = key(df2)
+    assert got == key(df)
+    assert [q for _, q in got] == [50.5, None, 16357.98]
