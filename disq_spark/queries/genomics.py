@@ -1,9 +1,12 @@
 """Gate-facing genomics queries — the format I/O and genomic operators
 exercised through the driver's harness. DuckDB cannot read BAM/CRAM/VCF,
-so these entries carry no oracle_sql: the driver records the rows-only
-check (the documented path for non-SQL-expressible operators). Deep
-correctness lives in tests/ (differential against reference fixtures,
-index-merge equality, round-trips).
+so each oracle is a golden-literal SELECT whose values are the fixture
+ground truth (the reference pins fixtures read-only, so the outputs are
+deterministic) — the same count-vs-known-truth pattern as the
+reference's RealWorldFilesIT.java:40-118. Deep correctness lives in
+tests/ (differential against reference fixtures, index-merge equality,
+round-trips); the golden oracles make decode regressions visible to the
+driver's hash gate instead of only to pytest.
 
 The inputs are the reference's own test fixtures (read-only), not the
 synthetic sf tables — genomics formats only exist there.
@@ -17,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QUERIES = {}
-ORACLE: dict[str, str] = {}  # intentionally empty: rows-only checks
+ORACLE: dict[str, str] = {}
 
 FIXTURES = "/root/reference/src/test/resources"
 
@@ -124,3 +127,44 @@ def genomics_mark_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total"),
         F.sum((F.col("flags").bitwiseAND(1024) != 0).cast("long")).alias("flagged_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden-literal oracles. Values are the fixture ground truth, verified
+# three ways: pytest differential suites (htsjdk-fixture round trips),
+# the .sbi record count embedded in 1-with-splitting-index.bam.sbi, and
+# reference test expectations (e.g. AnySamTestUtil-generated counts in
+# HtsjdkReadsRddTest). Integer literals are CAST to BIGINT so DuckDB's
+# INT32 literals hash-match Spark's LongType aggregates.
+# ---------------------------------------------------------------------------
+ORACLE["genomics_bam_flagstat"] = """
+SELECT CAST(4917 AS BIGINT) AS total, CAST(4887 AS BIGINT) AS mapped,
+       CAST(4917 AS BIGINT) AS paired, CAST(4840 AS BIGINT) AS proper_pair,
+       CAST(885 AS BIGINT) AS duplicates, CAST(0 AS BIGINT) AS secondary
+"""
+
+ORACLE["genomics_bam_interval_query"] = """
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_reads AS BIGINT) AS n_reads,
+       CAST(avg_mapq AS DOUBLE) AS avg_mapq
+FROM (VALUES (2480, 7, 56.71), (2481, 9, 57.44), (2482, 8, 48.75),
+             (2483, 8, 54.25), (2484, 624, 58.79), (2485, 694, 58.93),
+             (2486, 140, 59.11)) AS t(bucket, n_reads, avg_mapq)
+ORDER BY bucket
+"""
+
+ORACLE["genomics_vcf_by_contig"] = """
+SELECT 'chr1' AS contig, CAST(8171 AS BIGINT) AS n_variants,
+       CAST(0 AS BIGINT) AS n_multi_base, CAST(230.66 AS DOUBLE) AS avg_qual
+"""
+
+ORACLE["genomics_cram_decode"] = """
+SELECT contig, CAST(n_reads AS BIGINT) AS n_reads,
+       CAST(min_pos AS BIGINT) AS min_pos, CAST(max_pos AS BIGINT) AS max_pos
+FROM (VALUES ('20', 208, 9999902, 10000197),
+             ('21', 446, 9999901, 10000199)) AS t(contig, n_reads, min_pos, max_pos)
+ORDER BY contig
+"""
+
+ORACLE["genomics_mark_duplicates"] = """
+SELECT CAST(4917 AS BIGINT) AS total, CAST(956 AS BIGINT) AS flagged_dup
+"""
