@@ -84,12 +84,19 @@ def shingle_table(
       project collapsing cannot inline it once per lambda element
       (measured 7x slowdown in the fused form); the repartition exchange
       is the materialization barrier.
-    - max_df pruning is a window count over the shingle key — ONE
-    shuffle, streaming through — not a groupBy + self-join (two extra
-      stages and a recompute of the explode; measured 7.2s -> 2.6s cold
-      for the downstream minhash query). No caching anywhere: every row
-      passes each stage once, and in-memory cache builds fed by a
-      shuffle measured slower than simply recomputing.
+    - max_df pruning: groupBy(shingle).count() -> hot-shingle blacklist
+      -> broadcast LEFT ANTI join. The count shuffle carries one row per
+      (map partition, distinct shingle) thanks to partial aggregation —
+      a shingle in 10^9 docs contributes #map-partitions rows, not 10^9
+      — and the blacklist (shingles above max_df) is small by
+      construction, so the anti join broadcasts and the main path never
+      shuffles on the skewed key. The previously-used window count
+      (partitionBy shingle) shuffled the entire inverted index AND sent
+      every occurrence of a hot shingle to a single reducer — the exact
+      skew max_df exists to kill. Costs one recompute of the explode
+      (CPU-bound, embarrassingly parallel — wall-clock safe), saves the
+      skew bottleneck. No caching anywhere: cache builds fed by a
+      shuffle measured slower than recomputing.
     """
     norm = df.select(
         F.col(id_col),
@@ -110,14 +117,13 @@ def shingle_table(
         ).alias("shingle"),
     )
     if max_df is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__df", F.count("*").over(w))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
         )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     return sh
 
 

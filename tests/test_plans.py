@@ -136,3 +136,19 @@ def test_interval_overlap_filter_is_codegen(spark):
     plan = simple_plan_of(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "WholeStageCodegen" in plan_of(out) or "*(1)" in plan
+
+
+def test_max_df_prune_is_broadcast_anti_join(spark):
+    """max_df pruning must be partial-agg counts + broadcast LEFT ANTI —
+    never a window over the shingle key, which would shuffle the whole
+    inverted index and pile every occurrence of a hot (boilerplate)
+    shingle onto one reducer."""
+    from disq_spark.operators.dedup import shingle_table
+    from disq_spark.queries.tables import load
+
+    sh = shingle_table(load(spark, SF, "documents"), max_df=20)
+    plan = simple_plan_of(sh)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the count side partial-aggregates before its exchange
+    assert plan.count("HashAggregate") >= 2, plan
