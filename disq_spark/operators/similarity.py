@@ -79,16 +79,36 @@ def cosine_topk(
     )
 
 
-def sign_bucket(vec, n_bits: int = 8) -> F.Column:
-    """Deterministic coarse bucket: bit i = sign(vec[i]) for i < n_bits.
+def scale_n_bits(n: int, target_bucket_size: int = 8192, min_bits: int = 4, max_bits: int = 24) -> int:
+    """Bucket-count sizing: enough sign bits that the *expected* bucket
+    holds <= target_bucket_size vectors (within-bucket work is O(b^2),
+    so fixed bit counts go quadratic as n grows — bits must scale with
+    log2(n)). Clamped: >= 2^min_bits buckets for parallelism, <= 2^max_bits
+    so the key stays a cheap int."""
+    import math
+
+    if n <= 0:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(max(n / target_bucket_size, 1.0)))))
+
+
+def sign_bucket(vec, n_bits: int = 8, offset: int = 0) -> F.Column:
+    """Deterministic coarse bucket: bit i = sign(vec[offset + i]).
 
     Equivalent to hyperplane LSH with axis-aligned hyperplanes — cheap,
     engine-portable, and good enough for high-dim random embeddings.
+    ``offset`` selects a disjoint dimension slice, giving independent
+    bucket families for multi-probe recall.
     """
     b = F.lit(0)
     for i in range(n_bits):
-        b = b + F.when(F.element_at(vec, i + 1) >= 0.0, F.lit(2**i)).otherwise(F.lit(0))
+        b = b + F.when(F.element_at(vec, offset + i + 1) >= 0.0, F.lit(2**i)).otherwise(F.lit(0))
     return b.cast("int")
+
+
+def _family_buckets(vec, n_bits: int, n_families: int) -> F.Column:
+    """array of per-family bucket ids (family f = dims [f*n_bits, (f+1)*n_bits))."""
+    return F.array(*[sign_bucket(vec, n_bits, offset=f * n_bits) for f in range(n_families)])
 
 
 def ivf_assign(
@@ -120,23 +140,33 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
 ) -> DataFrame:
     """IVF approximate top-k: the index-structure scale path next to
-    sign-LSH. Deterministic coarse quantizer (the first ``n_centroids``
-    vectors by id serve as seed centroids — reproducible across engines,
-    no iterative training), corpus vectors assigned to their nearest
-    centroid (the inverted lists), queries probe their ``nprobe`` nearest
-    lists. Exact cosine only within probed lists: the cross product
-    becomes an equi-join on the (tiny) bucket key, shuffle proportional
-    to list sizes. Output: (query_id, neighbor_id, rank, score).
+    sign-LSH. Deterministic coarse quantizer: ``n_centroids`` (default
+    ceil(sqrt(n)) — balances #lists against list length so probe cost is
+    O(sqrt(n)) instead of the n/const a fixed count gives) corpus
+    vectors chosen by md5-hash order of their id — a deterministic
+    uniform sample, reproducible across engines, no iterative training
+    and no head-of-file bias. Corpus vectors are assigned to their
+    nearest centroid (the inverted lists); queries probe their
+    ``nprobe`` nearest lists. Exact cosine only within probed lists:
+    the cross product becomes an equi-join on the bucket key, shuffle
+    proportional to list sizes. Output: (query_id, neighbor_id, rank,
+    score).
     """
-    cents = corpus.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(1, math.ceil(math.sqrt(corpus.count())))
+    cents = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
     corpus_b = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
         F.col("id").alias("neighbor_id"), "bucket"
@@ -168,7 +198,8 @@ def ivf_topk(
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
-    n_bits: int = 6,
+    n_bits: int | None = None,
+    n_families: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
@@ -177,27 +208,52 @@ def embedding_neardup_pairs(
 
     Self-join restricted to the sign bucket (hyperplane LSH): the O(n^2)
     cross product becomes an equi-join whose shuffle is proportional to
-    bucket sizes — the scale path for embedding dedup at 100 TB (near
-    duplicates have near-identical sign patterns, so recall for
-    high-threshold dedup is high; raise coverage with multiple rotated
-    bucket families if needed).
+    bucket sizes. ``n_bits=None`` (the scale default) sizes the bucket
+    count from the corpus so expected bucket population stays bounded —
+    a fixed bit count makes the within-bucket self-join O((n/2^bits)^2),
+    quadratic as n grows. ``n_families > 1`` probes disjoint dimension
+    slices (one posexplode, one join — no per-family unions) to recover
+    the recall a single hyperplane family loses; requires
+    n_families * n_bits <= dim.
 
     Output: (id_a, id_b, score) with id_a < id_b, score >= threshold.
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("a_vec"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("b_vec"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
+    if n_bits is None:
+        # driver-side sizing action, same spirit as the reference running
+        # split planning as Spark jobs (BamSource.java:120-139)
+        n_bits = scale_n_bits(df.count())
+    if n_families <= 1:
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("a_vec"),
+            sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("b_vec"),
+            sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        )
+        cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        fams = _family_buckets(F.col(vec_col), n_bits, n_families)
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("a_vec"),
+            F.posexplode(fams).alias("fam", "bucket"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("b_vec"),
+            F.posexplode(fams).alias("fam", "bucket"),
+        )
+        cand = (
+            a.join(b, ["fam", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            # a pair sharing several family buckets must score once
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", F.round(cosine(F.col("a_vec"), F.col("b_vec")), round_to))
+        cand.withColumn("score", F.round(cosine(F.col("a_vec"), F.col("b_vec")), round_to))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
@@ -207,30 +263,54 @@ def signlsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_bits: int = 6,
+    n_bits: int | None = None,
+    n_families: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign bucket.
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket(s). ``n_bits=None`` auto-sizes buckets from the corpus count
+    (see scale_n_bits); ``n_families > 1`` unions candidates from
+    disjoint dimension slices via one posexplode — recall multiplies,
+    cost stays an equi-join.
 
-    Output: (query_id, neighbor_id, rank, score) — rank within bucket.
+    Output: (query_id, neighbor_id, rank, score) — rank within candidates.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
-    )
+    if n_bits is None:
+        n_bits = scale_n_bits(corpus.count())
+    if n_families <= 1:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        )
+        scored = c.join(F.broadcast(q), "bucket").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        fams = _family_buckets(F.col(vec_col), n_bits, n_families)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.posexplode(fams).alias("fam", "bucket"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.posexplode(fams).alias("fam", "bucket"),
+        )
+        scored = (
+            c.join(F.broadcast(q), ["fam", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+    scored = scored.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -543,7 +543,6 @@ ORACLE["multimodal_decode"] = _multimodal_oracle()
 # assignment, probing, and scoring in SQL
 # ---------------------------------------------------------------------------
 IVF_K = 5
-IVF_CENTROIDS = 8
 IVF_NPROBE = 2
 
 
@@ -551,9 +550,11 @@ IVF_NPROBE = 2
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return SIM.ivf_topk(
-        e, q, k=IVF_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
-    ).orderBy("query_id", "rank")
+    # n_centroids=None -> ceil(sqrt(n)) hash-sampled centroids: the gate
+    # exercises the scale configuration, not a fixed-8 toy quantizer
+    return SIM.ivf_topk(e, q, k=IVF_K, n_centroids=None, nprobe=IVF_NPROBE).orderBy(
+        "query_id", "rank"
+    )
 
 
 def _ivf_oracle() -> str:
@@ -570,7 +571,8 @@ def _ivf_oracle() -> str:
     return f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
-  ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
 ),
 corpus_assign AS (
   SELECT id, cid AS bucket FROM (

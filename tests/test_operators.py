@@ -219,3 +219,63 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_ann_planted_recall(spark):
+    """The LSH contract: high-similarity neighbors must be found. Plant
+    near-duplicate queries (cos ~ 0.97 perturbations of corpus vectors)
+    and require recall@5 >= 0.9 for the auto-sized scale paths. (True
+    top-5 of *random* vectors sit at cos ~ 0.25 — below any LSH
+    guarantee — so recall is measured on the planted workload.)"""
+    from disq_spark.operators import similarity as SIM
+
+    e = load(spark, "/root/testdata/sf0.01", "embeddings")
+    src = e.filter(F.col("vec_id") < 50)
+    pert = src.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + 0.05 * F.sin(F.col("vec_id").cast("double") * 7.0 + i.cast("double")),
+        ).alias("embedding"),
+    )
+    planted = {r.vec_id + 100000: r.vec_id for r in src.select("vec_id").collect()}
+
+    def recall(df):
+        by_q = {}
+        for r in df.collect():
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(1 for q, want in planted.items() if want in by_q.get(q, set())) / len(planted)
+
+    assert recall(SIM.signlsh_topk(e, pert, k=5, n_bits=None, n_families=4)) >= 0.9
+    assert recall(SIM.ivf_topk(e, pert, k=5, n_centroids=None, nprobe=4)) >= 0.9
+
+
+def test_ann_bucket_scaling():
+    """Bucket count must grow with corpus size (fixed buckets go
+    quadratic); centroid count must track sqrt(n)."""
+    from disq_spark.operators.similarity import scale_n_bits
+
+    assert scale_n_bits(500) == 4  # floor: parallelism
+    assert scale_n_bits(1_000_000) == 7  # ~8k per bucket
+    assert scale_n_bits(1_000_000_000) == 17
+    assert scale_n_bits(10**13) == 24  # ceiling: key stays an int
+    # monotone non-decreasing
+    vals = [scale_n_bits(10**i) for i in range(3, 13)]
+    assert vals == sorted(vals)
+
+
+def test_ann_plans_are_equi_joins(spark):
+    """Neither LSH path may degenerate to a cross product: candidate
+    generation must be an equi-join on the bucket key."""
+    from disq_spark.operators import similarity as SIM
+
+    e = load(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    for df in (
+        SIM.signlsh_topk(e, q, k=5, n_bits=None, n_families=4),
+        SIM.embedding_neardup_pairs(e, threshold=0.5, n_bits=None, n_families=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
