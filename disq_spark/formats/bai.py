@@ -29,6 +29,8 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
+from disq_spark import fs
+
 MAGIC = b"BAI\x01"
 PSEUDO_BIN = 37450
 LINEAR_SHIFT = 14  # 16 kb windows
@@ -157,7 +159,7 @@ def _decode_linear(lin: list[int], fragment: bool) -> list[int]:
 def write_bai(path: str, idx: BaiIndex, fragment: bool = False) -> None:
     """``fragment=True`` = hidden per-part intermediate (biased linear
     encoding, see RefIndex.linear); False = spec-compliant final index."""
-    with open(path, "wb") as f:
+    with fs.open_output(path) as f:
         f.write(MAGIC)
         f.write(struct.pack("<i", len(idx.refs)))
         for r in idx.refs:
@@ -181,7 +183,7 @@ def write_bai(path: str, idx: BaiIndex, fragment: bool = False) -> None:
 
 
 def read_bai(path: str, fragment: bool = False) -> BaiIndex:
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         data = f.read()
     if data[:4] != MAGIC:
         raise ValueError("not a BAI index")

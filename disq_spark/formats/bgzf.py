@@ -22,6 +22,8 @@ import zlib
 from dataclasses import dataclass
 from typing import BinaryIO, Iterator
 
+from disq_spark import fs
+
 # gzip magic + CM=8 (deflate) + FLG=4 (FEXTRA) — the 4-byte BGZF block prelude
 MAGIC = b"\x1f\x8b\x08\x04"
 # Fixed 28-byte BGZF EOF marker (empty final block) — the "terminator" the
@@ -84,13 +86,13 @@ def is_bgzf(path: str) -> bool:
     """Content sniff: first bytes form a valid BGZF block header
     (BGZFEnhancedGzipCodec.java:72 semantics — gzip files that are not
     BGZF are legal gzip but lack the BC subfield)."""
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         head = f.read(MAX_BLOCK_SIZE)
     return _parse_block_header(head, 0) is not None
 
 
 def is_gzip(path: str) -> bool:
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         return f.read(2) == b"\x1f\x8b"
 
 
@@ -126,7 +128,7 @@ def find_block_start(buf: bytes, base_offset: int = 0, require_next: bool = True
 def scan_blocks(path: str, start: int = 0, end: int | None = None) -> Iterator[BgzfBlock]:
     """Yield all blocks whose start lies in [start, end). Realigns
     ``start`` to the next block boundary first (split semantics)."""
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         f.seek(0, 2)
         flen = f.tell()
         end = flen if end is None else min(end, flen)
@@ -175,7 +177,7 @@ def decompress_block(f: BinaryIO, pos: int) -> bytes:
 def read_range(path: str, start: int, end: int) -> bytes:
     """Decompressed bytes of every block starting in [start, end)."""
     out = []
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         for blk in scan_blocks(path, start, end):
             out.append(decompress_block(f, blk.pos))
     return b"".join(out)

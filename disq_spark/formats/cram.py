@@ -17,6 +17,8 @@ import gzip
 import struct
 from dataclasses import dataclass
 
+from disq_spark import fs
+
 CRAM_MAGIC = b"CRAM"
 # v3 EOF container marker bytes (spec-defined sentinel; contains the
 # special content-id -1 empty container)
@@ -131,7 +133,7 @@ def scan_containers(path: str) -> list[CramContainer]:
 
     Driver-side: reads only the ~30-byte headers, seeking over content.
     """
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         data = f.read()  # fixtures are small; real impl would seek
     major, _minor, off = parse_file_definition(data)
     out: list[CramContainer] = []
@@ -146,7 +148,7 @@ def read_crai(path: str) -> list[tuple[int, int, int, int, int, int]]:
     """.crai entries: (seq_id, start, span, container_offset,
     slice_offset, slice_size) — gzip-compressed TSV (CramSource.java:146-160)."""
     out = []
-    with gzip.open(path, "rt") as f:
+    with gzip.open(fs.open_input(path), "rt") as f:
         for line in f:
             if not line.strip():
                 continue
@@ -166,7 +168,7 @@ def plan_cram_containers(path: str, split_size: int) -> list[tuple[int, int]]:
     boundaries = [c.offset for c in containers[1:]]
     if not boundaries:
         return []
-    size = os.path.getsize(path)
+    size = fs.getsize(path)
     chunks: list[tuple[int, int]] = []
     starts = sorted(boundaries)
     pos = 0

@@ -23,6 +23,7 @@ from __future__ import annotations
 import zlib
 from dataclasses import dataclass, field
 
+from disq_spark import fs
 from disq_spark.formats.cram import (
     CramContainer,
     parse_container_header,
@@ -740,7 +741,7 @@ def decode_cram_range(
     """
     from disq_spark.formats.cram import scan_containers
 
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         data = f.read()
     major, _minor, _off = parse_file_definition(data)
     if reference_path:
@@ -775,7 +776,7 @@ def decode_cram_range(
 
 def read_cram_header(path: str) -> tuple[str, list[tuple[str, int]]]:
     """(SAM header text, [(ref name, length)]) from the first container."""
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         data = f.read(4 << 20)
     major, _minor, off = parse_file_definition(data)
     c = parse_container_header(data, off, major)

@@ -20,10 +20,13 @@ load and a few KB per task at 100 TB.
 from __future__ import annotations
 
 import bisect
+import io
 import struct
 from dataclasses import dataclass
 
 from disq_spark.formats import bgzf
+
+from disq_spark import fs
 
 
 @dataclass
@@ -33,7 +36,7 @@ class GziIndex:
 
 
 def read_gzi(path: str) -> GziIndex:
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         data = f.read()
     n = struct.unpack_from("<Q", data, 0)[0]
     comp = [0]
@@ -56,7 +59,7 @@ class FaiEntry:
 
 def read_fai(path: str) -> dict[str, FaiEntry]:
     out: dict[str, FaiEntry] = {}
-    with open(path) as f:
+    with io.TextIOWrapper(fs.open_input(path)) as f:
         for line in f:
             if not line.strip():
                 continue
@@ -79,7 +82,7 @@ class IndexedBgzfFasta:
         gz = self.gzi
         i = bisect.bisect_right(gz.uncomp_offsets, u_start) - 1
         out = bytearray()
-        with open(self.path, "rb") as f:
+        with fs.open_input(self.path) as f:
             pos = gz.comp_offsets[i]
             covered = gz.uncomp_offsets[i]
             while covered < u_end:
@@ -115,7 +118,7 @@ def open_reference(path: str):
     random access; bgzipped without .gzi -> whole-file gzip load."""
     import os
 
-    if path.endswith(".gz") and os.path.exists(path + ".gzi") and os.path.exists(path + ".fai"):
+    if path.endswith(".gz") and fs.exists(path + ".gzi") and fs.exists(path + ".fai"):
         return IndexedBgzfFasta(path)
     from disq_spark.formats.cram_decode import FastaReference
 

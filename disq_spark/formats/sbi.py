@@ -18,6 +18,8 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass
 
+from disq_spark import fs
+
 MAGIC = b"SBI\x01"
 
 
@@ -47,7 +49,7 @@ class SbiIndex:
 
 
 def read_sbi(path: str) -> SbiIndex:
-    with open(path, "rb") as f:
+    with fs.open_input(path) as f:
         data = f.read()
     if data[:4] != MAGIC:
         raise ValueError("not an SBI index")
@@ -58,7 +60,7 @@ def read_sbi(path: str) -> SbiIndex:
 
 
 def write_sbi(path: str, index: SbiIndex) -> None:
-    with open(path, "wb") as f:
+    with fs.open_output(path) as f:
         f.write(MAGIC)
         f.write(struct.pack("<q", index.file_length))
         f.write(b"\x00" * 32)  # md5 + uuid (optional integrity fields)

@@ -27,6 +27,8 @@ from dataclasses import dataclass
 
 from disq_spark.formats import bgzf
 
+from disq_spark import fs
+
 
 @dataclass
 class TabixIndex:
@@ -55,7 +57,7 @@ def _reg2bins(beg: int, end: int) -> list[int]:
 def read_tbi(path: str, fragment: bool = False) -> TabixIndex:
     import os
 
-    data = bgzf.read_range(path, 0, os.path.getsize(path))
+    data = bgzf.read_range(path, 0, fs.getsize(path))
     if data[:4] != b"TBI\x01":
         raise ValueError("not a tabix index")
     n_ref = struct.unpack_from("<i", data, 4)[0]
@@ -196,7 +198,7 @@ def write_tbi(path: str, idx: TabixIndex, fragment: bool = False) -> None:
         body += struct.pack("<i", len(lin))
         if lin:
             body += struct.pack(f"<{len(lin)}Q", *lin)
-    with open(path, "wb") as f:
+    with fs.open_output(path) as f:
         f.write(bgzf.compress_all(bytes(body), terminate=True))
 
 

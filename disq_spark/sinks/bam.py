@@ -18,6 +18,8 @@ fragments tiny. Sharded mode has no sequential step at all.
 
 from __future__ import annotations
 
+from disq_spark import fs as _dfs
+
 import os
 from typing import Iterator
 
@@ -75,7 +77,7 @@ def encode_part(
     n = 0
     offsets: list[int] = []
     bai = baimod.BaiBuilder(len(ref_index)) if with_bai else None
-    with open(tmp, "wb") as f:
+    with _dfs.open_output(tmp) as f:
         w = bgzf.BgzfWriter(f, terminate=False)
         for row in rows:
             v_start = w.virtual_offset
@@ -103,7 +105,7 @@ def encode_part(
         w.close()
     base = os.path.basename(part_path)
     if n > 0:
-        os.replace(tmp, part_path)
+        _dfs.rename(tmp, part_path)
         offsets.append(w.compressed_len << 16)  # end-of-part sentinel
         sbimod.write_sbi(
             os.path.join(parts_dir, f".{base}.sbi"),
@@ -115,7 +117,7 @@ def encode_part(
                 baimod.patch_dangling_end(built, dangling, w.compressed_len << 16)
             baimod.write_bai(os.path.join(parts_dir, f".{base}.bai"), built, fragment=True)
     else:
-        os.remove(tmp)
+        _dfs.remove(tmp)
     return n
 
 
@@ -145,7 +147,7 @@ def _write_single(
     granularity: int,
 ) -> None:
     parts_dir = path + ".parts"
-    os.makedirs(parts_dir, exist_ok=True)
+    _dfs.makedirs(parts_dir)
     ref_index = {name: i for i, (name, _l) in enumerate(refs)}
 
     def run(batches):
@@ -171,11 +173,11 @@ def finalize_single(
         bamcodec.encode_bam_header(header.text, refs), terminate=False
     )
     header_path = os.path.join(parts_dir, "_header")
-    with open(header_path, "wb") as f:
+    with _dfs.open_output(header_path) as f:
         f.write(header_block)
     lengths = merge.concat_parts(path, [header_path] + part_paths)
     data_len = sum(lengths)
-    with open(path, "ab") as f:
+    with _dfs.open_append(path) as f:
         f.write(bgzf.EOF_BLOCK)
 
     if with_sbi:
@@ -189,7 +191,7 @@ def finalize_single(
             final_voff=data_len << 16,
             base_offset=lengths[0],  # header block length
         )
-        merged.file_length = os.path.getsize(path)
+        merged.file_length = _dfs.getsize(path)
         sbimod.write_sbi(path + ".sbi", merged)
     if with_bai:
         part_bais = [
@@ -204,7 +206,7 @@ def finalize_single(
 def _write_sharded(
     df: DataFrame, header: SamHeader, refs: list[tuple[str, int]], path: str
 ) -> None:
-    os.makedirs(path, exist_ok=True)
+    _dfs.makedirs(path)
     ref_index = {name: i for i, (name, _l) in enumerate(refs)}
     header_block = bgzf.compress_all(bamcodec.encode_bam_header(header.text, refs), terminate=False)
 
@@ -214,7 +216,7 @@ def _write_sharded(
         pid = TaskContext.get().partitionId()
         part_path = os.path.join(path, f"part-{pid:05d}.bam")
         n = 0
-        with open(part_path, "wb") as f:
+        with _dfs.open_output(part_path) as f:
             f.write(header_block)
             w = bgzf.BgzfWriter(f, terminate=True)
             for pdf in batches:

@@ -14,6 +14,10 @@ the CraiMerger offset-shift, in plain TSV.
 
 from __future__ import annotations
 
+import io
+
+from disq_spark import fs as _dfs
+
 import gzip
 import os
 from typing import Iterator
@@ -105,7 +109,7 @@ def _write_single(
     with_crai: bool,
 ) -> None:
     parts_dir = path + ".parts"
-    os.makedirs(parts_dir, exist_ok=True)
+    _dfs.makedirs(parts_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -116,7 +120,7 @@ def _write_single(
         n = 0
         crai_rows = []
         offset = 0
-        with open(tmp, "wb") as f:
+        with _dfs.open_output(tmp) as f:
             for container, crai in _encode_partition_containers(batches, ref_index, reference_path):
                 f.write(container)
                 for (rid, start, span, _c0, s_off, s_size) in crai:
@@ -124,12 +128,12 @@ def _write_single(
                 offset += len(container)
                 n += 1
         if offset > 0:
-            os.replace(tmp, part_path)
-            with open(os.path.join(parts_dir, f".part-{pid:05d}.crai"), "w") as cf:
+            _dfs.rename(tmp, part_path)
+            with io.TextIOWrapper(_dfs.open_output(os.path.join(parts_dir, f".part-{pid:05d}.crai"))) as cf:
                 for r in crai_rows:
                     cf.write("\t".join(str(x) for x in r) + "\n")
         else:
-            os.remove(tmp)
+            _dfs.remove(tmp)
         yield pd.DataFrame({"part": [part_path], "n": [n]})
 
     df.mapInPandas(run, "part string, n long").collect()
@@ -138,12 +142,12 @@ def _write_single(
         header.text if header.text.endswith("\n") else header.text + "\n"
     )
     header_path = os.path.join(parts_dir, "_header")
-    with open(header_path, "wb") as f:
+    with _dfs.open_output(header_path) as f:
         f.write(header_bytes)
 
     part_paths = merge.list_parts(parts_dir)
     lengths = merge.concat_parts(path, [header_path] + part_paths)
-    with open(path, "ab") as f:
+    with _dfs.open_append(path) as f:
         f.write(CE.EOF_V3)
 
     if with_crai:
@@ -151,12 +155,12 @@ def _write_single(
         shift = lengths[0]
         for pp, plen in zip(part_paths, lengths[1:]):
             frag = os.path.join(parts_dir, "." + os.path.basename(pp) + ".crai")
-            with open(frag) as cf:
+            with io.TextIOWrapper(_dfs.open_input(frag)) as cf:
                 for line in cf:
                     rid, start, span, c_off, s_off, s_size = (int(x) for x in line.split("\t"))
                     entries.append((rid, start, span, c_off + shift, s_off, s_size))
             shift += plen
-        with gzip.open(path + ".crai", "wt") as f:
+        with gzip.open(_dfs.open_output(path + ".crai"), "wt") as f:
             for e in entries:
                 f.write("\t".join(str(x) for x in e) + "\n")
     merge.cleanup(parts_dir)
@@ -169,7 +173,7 @@ def _write_sharded(
     path: str,
     reference_path: str | None,
 ) -> None:
-    os.makedirs(path, exist_ok=True)
+    _dfs.makedirs(path)
     header_bytes = CE.file_definition() + CE.encode_file_header(
         header.text if header.text.endswith("\n") else header.text + "\n"
     )
@@ -180,7 +184,7 @@ def _write_sharded(
         pid = TaskContext.get().partitionId()
         part_path = os.path.join(path, f"part-{pid:05d}.cram")
         n = 0
-        with open(part_path, "wb") as f:
+        with _dfs.open_output(part_path) as f:
             f.write(header_bytes)
             for container, _crai in _encode_partition_containers(
                 batches, ref_index, reference_path

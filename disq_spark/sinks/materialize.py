@@ -26,6 +26,10 @@ materialized dataset round-trips back to BAM/VCF losslessly.
 
 from __future__ import annotations
 
+import io
+
+from disq_spark import fs as _dfs
+
 import json
 import os
 
@@ -53,7 +57,7 @@ def _write(
         .partitionBy("contig")
     )
     out.parquet(path)
-    with open(os.path.join(path, HEADER_FILE), "w", encoding="utf-8") as f:
+    with io.TextIOWrapper(_dfs.open_output(os.path.join(path, HEADER_FILE)), encoding="utf-8") as f:
         json.dump({"kind": kind, "text": header_text}, f)
 
 
@@ -76,7 +80,7 @@ def read_materialized(spark: SparkSession, path: str, intervals=None):
     applied as a plain Column filter — Catalyst turns it into partition
     pruning (contig=) + Parquet row-group min/max skipping; check
     ``df.explain()`` for PartitionFilters / PushedFilters."""
-    with open(os.path.join(path, HEADER_FILE), encoding="utf-8") as f:
+    with io.TextIOWrapper(_dfs.open_input(os.path.join(path, HEADER_FILE)), encoding="utf-8") as f:
         meta = json.load(f)
     header = (
         SamHeader(text=meta["text"]) if meta["kind"] == "reads" else VcfHeader(text=meta["text"])

@@ -2,16 +2,18 @@
 
 The reference's move (Merger.java:41-63 + HadoopFileSystemWrapper
 .concat:142-168): write headerless/terminatorless parts in parallel,
-then concatenate header + parts + terminator in filename order. On HDFS
-``FileSystem.concat`` is O(#parts) metadata-only; here (local FS /
-object stores) we stream-copy, which is the reference's own fallback
-path. Zero-length and hidden parts are skipped (Merger.java:48-52).
+then concatenate header + parts + terminator in filename order. Merge
+strategy is dispatched per filesystem:
 
-At 100 TB: single-file output is inherently a merge bottleneck — the
-design keeps it optional (sharded output is the default Spark mode) and
-the merge itself is sequential I/O at disk bandwidth. On HDFS the py4j
-FileSystem.concat call restores O(#parts); object stores offer multipart
--upload compose, pluggable here.
+- HDFS-family schemes: rename the first part onto the target, then one
+  driver-side ``FileSystem.concat`` py4j call — O(#parts) metadata-only,
+  no bytes move. This is what keeps single-file output viable at 100 TB.
+- everything else (local, object stores, memory): stream copy at disk
+  bandwidth — the reference's own fallback path. Object stores could
+  plug multipart-upload compose into fs.register().
+
+All byte/metadata I/O goes through disq_spark.fs, so parts directories
+on any registered scheme work.
 """
 
 from __future__ import annotations
@@ -19,30 +21,57 @@ from __future__ import annotations
 import os
 import shutil
 
+from disq_spark import fs as _dfs
+
+# schemes whose Hadoop FileSystem implements concat() (metadata-only)
+HADOOP_CONCAT_SCHEMES = ("hdfs", "webhdfs", "viewfs")
+
 
 def list_parts(parts_dir: str) -> list[str]:
-    names = [
-        n
-        for n in os.listdir(parts_dir)
-        if not n.startswith((".", "_")) and os.path.getsize(os.path.join(parts_dir, n)) > 0
+    paths = [
+        p
+        for p in _dfs.listdir(parts_dir)
+        if not os.path.basename(p).startswith((".", "_")) and _dfs.getsize(p) > 0
     ]
-    return [os.path.join(parts_dir, n) for n in sorted(names)]
+    return sorted(paths)
+
+
+def _hadoop_concat(dst: str, srcs: list[str]) -> list[int] | None:
+    """O(#parts) commit on concat-capable filesystems: lengths are
+    captured first (concat consumes the sources), srcs[0] is renamed to
+    dst, and the rest append via one FileSystem.concat RPC
+    (HadoopFileSystemWrapper.java:142-168). Returns None -> caller falls
+    back to the serial copy (also the reference's fallback)."""
+    scheme = _dfs.split_scheme(dst)[0]
+    if scheme not in HADOOP_CONCAT_SCHEMES and not os.environ.get(
+        "DISQ_SPARK_FORCE_HADOOP_CONCAT"
+    ):
+        return None
+    try:
+        lengths = [_dfs.getsize(s) for s in srcs]
+        rest = _dfs.try_hadoop_concat(dst, srcs)
+        return lengths if rest is not None else None
+    except Exception:
+        return None
 
 
 def concat_parts(dst: str, srcs: list[str], buf_size: int = 8 * 1024 * 1024) -> list[int]:
     """Concatenate ``srcs`` into ``dst`` in order; returns part lengths
     (needed by the index mergers for virtual-offset shifting)."""
+    lengths = _hadoop_concat(dst, srcs)
+    if lengths is not None:
+        return lengths
     lengths = []
-    with open(dst, "wb") as out:
+    with _dfs.open_output(dst) as out:
         for src in srcs:
-            lengths.append(os.path.getsize(src))
-            with open(src, "rb") as f:
+            lengths.append(_dfs.getsize(src))
+            with _dfs.open_input(src) as f:
                 shutil.copyfileobj(f, out, buf_size)
     return lengths
 
 
 def cleanup(parts_dir: str) -> None:
-    shutil.rmtree(parts_dir, ignore_errors=True)
+    _dfs.rmtree(parts_dir)
 
 
 def prepare_overwrite(path: str, index_exts: tuple[str, ...] = ()) -> None:
@@ -50,10 +79,10 @@ def prepare_overwrite(path: str, index_exts: tuple[str, ...] = ()) -> None:
     stale index sidecars BEFORE writing (AnySamSinkMultiple.java:74-78
     semantics). Stale sidecars are the dangerous case: a leftover .sbi/
     .bai next to a rewritten file silently mis-plans every later read."""
-    if os.path.isdir(path):
-        shutil.rmtree(path, ignore_errors=True)
-    elif os.path.exists(path):
-        os.remove(path)
+    if _dfs.isdir(path):
+        _dfs.rmtree(path)
+    elif _dfs.exists(path):
+        _dfs.remove(path)
     for ext in index_exts:
-        if os.path.exists(path + ext):
-            os.remove(path + ext)
+        if _dfs.exists(path + ext):
+            _dfs.remove(path + ext)

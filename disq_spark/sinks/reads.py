@@ -6,6 +6,10 @@ Single-file: headerless text parts in parallel -> header file -> concat.
 
 from __future__ import annotations
 
+import io
+
+from disq_spark import fs as _dfs
+
 import os
 from typing import Iterator
 
@@ -31,7 +35,7 @@ def write_sam(
 
 def _write_single(df: DataFrame, header: SamHeader, path: str) -> None:
     parts_dir = path + ".parts"
-    os.makedirs(parts_dir, exist_ok=True)
+    _dfs.makedirs(parts_dir)
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -40,7 +44,7 @@ def _write_single(df: DataFrame, header: SamHeader, path: str) -> None:
         part_path = os.path.join(parts_dir, f"part-{pid:05d}")
         tmp = part_path + ".tmp"
         n = 0
-        with open(tmp, "w", encoding="utf-8") as f:
+        with io.TextIOWrapper(_dfs.open_output(tmp), encoding="utf-8") as f:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -49,22 +53,22 @@ def _write_single(df: DataFrame, header: SamHeader, path: str) -> None:
                     f.write("\n")
                 n += len(pdf)
         if n > 0:
-            os.replace(tmp, part_path)
+            _dfs.rename(tmp, part_path)
         else:
-            os.remove(tmp)
+            _dfs.remove(tmp)
         yield pd.DataFrame({"part": [part_path], "n": [n]})
 
     df.mapInPandas(write_partition, "part string, n long").collect()
 
     header_path = os.path.join(parts_dir, "_header")
-    with open(header_path, "w", encoding="utf-8") as f:
+    with io.TextIOWrapper(_dfs.open_output(header_path), encoding="utf-8") as f:
         f.write(header.text)
     merge.concat_parts(path, [header_path] + merge.list_parts(parts_dir))
     merge.cleanup(parts_dir)
 
 
 def _write_sharded(df: DataFrame, header: SamHeader, path: str) -> None:
-    os.makedirs(path, exist_ok=True)
+    _dfs.makedirs(path)
     header_text = header.text
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -73,7 +77,7 @@ def _write_sharded(df: DataFrame, header: SamHeader, path: str) -> None:
         pid = TaskContext.get().partitionId()
         part_path = os.path.join(path, f"part-{pid:05d}.sam")
         n = 0
-        with open(part_path, "w", encoding="utf-8") as f:
+        with io.TextIOWrapper(_dfs.open_output(part_path), encoding="utf-8") as f:
             f.write(header_text)
             for pdf in batches:
                 if len(pdf) == 0:

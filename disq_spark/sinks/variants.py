@@ -15,6 +15,10 @@ directory of shards.
 
 from __future__ import annotations
 
+import io
+
+from disq_spark import fs as _dfs
+
 import os
 from typing import Iterator
 
@@ -76,7 +80,7 @@ def encode_vcf_part(
     tmp = part_path + ".tmp"
     tbi = tbimod.TbiBuilder() if with_tbi else None
     dangling = 0
-    with open(tmp, "wb") as f:
+    with _dfs.open_output(tmp) as f:
         sink = bgzf.BgzfWriter(f, terminate=False) if compress else f
         for pdf in batches:
             if len(pdf) == 0:
@@ -98,7 +102,7 @@ def encode_vcf_part(
             dangling = sink.virtual_offset
             sink.close()
     if n > 0:
-        os.replace(tmp, part_path)
+        _dfs.rename(tmp, part_path)
         if tbi is not None:
             built = tbi.build()
             if dangling & 0xFFFF:
@@ -108,7 +112,7 @@ def encode_vcf_part(
                 os.path.join(parts_dir, f".{base}.tbi"), built, fragment=True
             )
     else:
-        os.remove(tmp)
+        _dfs.remove(tmp)
     return n
 
 
@@ -126,12 +130,12 @@ def finalize_single(
 
     header_path = os.path.join(parts_dir, "_header")
     header_bytes = header.text.encode("utf-8")
-    with open(header_path, "wb") as f:
+    with _dfs.open_output(header_path) as f:
         f.write(bgzf.compress_all(header_bytes, terminate=False) if compress else header_bytes)
 
     lengths = merge.concat_parts(path, [header_path] + part_paths)
     if compress:
-        with open(path, "ab") as f:
+        with _dfs.open_append(path) as f:
             f.write(bgzf.EOF_BLOCK)
     if with_tbi:
         part_idx = [
@@ -145,7 +149,7 @@ def finalize_single(
 
 def _write_single(df: DataFrame, header: VcfHeader, path: str, with_tbi: bool = False) -> None:
     parts_dir = path + ".parts"  # temp-parts convention (HtsjdkReadsRddStorage.java:224-229)
-    os.makedirs(parts_dir, exist_ok=True)
+    _dfs.makedirs(parts_dir)
     compress = _is_bgzf_target(path)
     samples = header.samples
 
@@ -162,7 +166,7 @@ def _write_single(df: DataFrame, header: VcfHeader, path: str, with_tbi: bool = 
 
 
 def _write_sharded(df: DataFrame, header: VcfHeader, path: str) -> None:
-    os.makedirs(path, exist_ok=True)
+    _dfs.makedirs(path)
     samples = header.samples
     header_text = header.text
     ext = ".vcf"
@@ -173,7 +177,7 @@ def _write_sharded(df: DataFrame, header: VcfHeader, path: str) -> None:
         pid = TaskContext.get().partitionId()
         part_path = os.path.join(path, f"part-{pid:05d}{ext}")
         n = 0
-        with open(part_path, "w", encoding="utf-8") as f:
+        with io.TextIOWrapper(_dfs.open_output(part_path), encoding="utf-8") as f:
             f.write(header_text)
             for pdf in batches:
                 if len(pdf) == 0:

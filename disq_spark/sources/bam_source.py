@@ -21,6 +21,8 @@ records whose start virtual offset lies in [vStart, vEnd)
 
 from __future__ import annotations
 
+from disq_spark import fs as _dfs
+
 import os
 import struct as _struct
 from typing import Iterator
@@ -48,7 +50,7 @@ class _BlockBuffer:
         self.blocks: list[tuple[int, int, int]] = []  # (c_pos, buf_start, u_size)
         chunks = []
         total = 0
-        with open(path, "rb") as f:
+        with _dfs.open_input(path) as f:
             for blk in bgzf.scan_blocks(path, c_start):
                 data = bgzf.decompress_block(f, blk.pos)
                 self.blocks.append((blk.pos, total, len(data)))
@@ -63,7 +65,7 @@ class _BlockBuffer:
         if not self.blocks:
             return False
         last_c, last_b, last_u = self.blocks[-1]
-        with open(self.path, "rb") as f:
+        with _dfs.open_input(self.path) as f:
             added = 0
             chunks = [self.data]
             for blk in bgzf.scan_blocks(self.path, last_c):
@@ -112,7 +114,7 @@ def read_bam_header(path: str) -> tuple[SamHeader, list[tuple[str, int]], int]:
         # header-only file: the "first record" position is end-of-data,
         # i.e. the start of the block right after the header (EOF block)
         nxt = [c for c, b, _u in buf.blocks if b == off]
-        voff = (nxt[0] << 16) if nxt else (os.path.getsize(path) << 16)
+        voff = (nxt[0] << 16) if nxt else (_dfs.getsize(path) << 16)
     return SamHeader(text=text), refs, voff
 
 
@@ -250,10 +252,10 @@ def plan_bam_chunks(
 ) -> list[tuple[int, int]]:
     """[(vStart, vEnd)] per split. Uses .sbi when present; else the
     block-realign + record-guess fallback, all driver-side."""
-    size = os.path.getsize(path)
+    size = _dfs.getsize(path)
     sbi_path = path + ".sbi"
     chunks: list[tuple[int, int]] = []
-    if os.path.exists(sbi_path):
+    if _dfs.exists(sbi_path):
         index = sbimod.read_sbi(sbi_path)
         start = 0
         while start < size:
@@ -438,7 +440,7 @@ def build_sbi(
 
     rows = plan_df.mapInPandas(scan, "voff long, chunk long").collect()
     voffs = sorted(r.voff for r in rows)
-    size = os.path.getsize(path)
+    size = _dfs.getsize(path)
     offsets = voffs[::granularity]
     offsets.append(size << 16)
     idx = sbimod.SbiIndex(
@@ -535,7 +537,7 @@ def _read_bam_all(
         p_chunks = plan_bam_chunks(p, split_size, p_refs, p_voff)
         if pair_atomic:
             p_chunks = adjust_chunks_for_queryname_groups(p, p_chunks)
-        if (intervals is not None or traverse_unplaced_unmapped) and os.path.exists(p + ".bai"):
+        if (intervals is not None or traverse_unplaced_unmapped) and _dfs.exists(p + ".bai"):
             p_chunks = _chunk_may_match(
                 p + ".bai", p_refs, p_chunks, intervals, traverse_unplaced_unmapped
             )

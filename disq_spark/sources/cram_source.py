@@ -20,6 +20,8 @@ decode fully (rANS order-0 and order-1 implemented in formats/rans.py).
 
 from __future__ import annotations
 
+from disq_spark import fs as _dfs
+
 import os
 from typing import Iterator
 
@@ -39,10 +41,10 @@ def plan_cram(path: str, split_size: int = DEFAULT_SPLIT_SIZE) -> list[tuple[str
     """Container-aligned split plan; prefers .crai offsets when present
     (CramSource.java:146-160), else a header walk (:162-174)."""
     crai = path + ".crai"
-    if os.path.exists(crai):
+    if _dfs.exists(crai):
         entries = read_crai(crai)
         offs = sorted({e[3] for e in entries})
-        size = os.path.getsize(path)
+        size = _dfs.getsize(path)
         chunks = []
         for i, s in enumerate(offs):
             e = offs[i + 1] if i + 1 < len(offs) else size

@@ -38,6 +38,10 @@ messages — stragglers are swept with the temp dir.
 
 from __future__ import annotations
 
+import io
+
+from disq_spark import fs as _dfs
+
 import os
 import uuid
 from dataclasses import dataclass
@@ -147,13 +151,13 @@ class BamWriter(DataSourceWriter):
             if bai_opt is None
             else bai_opt.lower() == "true"
         )
-        if os.path.exists(self.path) and not overwrite:
+        if _dfs.exists(self.path) and not overwrite:
             raise ValueError(f"path exists (use mode('overwrite')): {self.path}")
         from disq_spark.sinks.merge import prepare_overwrite
 
         prepare_overwrite(self.path, (".sbi", ".bai"))
         self.parts_dir = self.path + ".parts"
-        os.makedirs(self.parts_dir, exist_ok=True)
+        _dfs.makedirs(self.parts_dir)
 
     def write(self, rows) -> BamPartCommit:
         from pyspark import TaskContext
@@ -255,7 +259,7 @@ class VcfReader(DataSourceReader):
                     )
             else:
                 parts.append(
-                    VcfRange(p, 0, os.path.getsize(p), kind, samples, self.mode)
+                    VcfRange(p, 0, _dfs.getsize(p), kind, samples, self.mode)
                 )
         return parts
 
@@ -266,7 +270,7 @@ class VcfReader(DataSourceReader):
         from disq_spark.sources.variants import _range_lines
 
         if part.kind == "plain":
-            with open(part.path, "rt") as f:
+            with io.TextIOWrapper(_dfs.open_input(part.path)) as f:
                 lines = [ln.rstrip("\n") for ln in f if not ln.startswith("#")]
         else:
             lines = [ln for ln in _range_lines(part.path, part.start, part.end)
@@ -317,13 +321,13 @@ class VcfWriter(DataSourceWriter):
         self.write_tbi = options.get("write_tbi", "false").lower() == "true"
         if self.write_tbi and not self.compress:
             raise ValueError("write_tbi requires a BGZF target (.gz/.bgz)")
-        if os.path.exists(self.path) and not overwrite:
+        if _dfs.exists(self.path) and not overwrite:
             raise ValueError(f"path exists (use mode('overwrite')): {self.path}")
         from disq_spark.sinks.merge import prepare_overwrite
 
         prepare_overwrite(self.path, (".tbi",))
         self.parts_dir = self.path + ".parts"
-        os.makedirs(self.parts_dir, exist_ok=True)
+        _dfs.makedirs(self.parts_dir)
 
     def write(self, rows) -> VcfPartCommit:
         import pandas as pd
@@ -415,7 +419,7 @@ class SamReader(DataSourceReader):
 
         parts: list[SamRange] = []
         for p in resolve_paths(self.path, SAM_EXTENSIONS):
-            size = os.path.getsize(p)
+            size = _dfs.getsize(p)
             for s in range(0, max(size, 1), self.split_size):
                 parts.append(SamRange(p, s, min(s + self.split_size, size), self.mode))
         return parts
@@ -426,7 +430,7 @@ class SamReader(DataSourceReader):
         from disq_spark.formats.sam import parse_sam_lines
 
         lines: list[str] = []
-        with open(part.path, "rb") as f:
+        with _dfs.open_input(part.path) as f:
             if part.start > 0:
                 # skip the line straddling the boundary — it belongs to
                 # the previous split (readline from start-1 lands on the

@@ -13,6 +13,8 @@ then scales with the cluster, not the driver.
 
 from __future__ import annotations
 
+from disq_spark import fs as _dfs
+
 import glob
 import os
 from dataclasses import dataclass
@@ -32,11 +34,11 @@ def resolve_paths(path: str, extensions: tuple[str, ...]) -> list[str]:
     same-format files (README.md:85-95). Hidden/_ files are skipped
     (HiddenFileFilter.java:26-37 semantics). Sorted lexicographically
     (HadoopFileSystemWrapper.java:122-139)."""
-    if os.path.isdir(path):
+    if _dfs.isdir(path):
         names = [
-            os.path.join(path, n)
-            for n in os.listdir(path)
-            if not n.startswith((".", "_")) and n.endswith(extensions)
+            p
+            for p in _dfs.listdir(path)
+            if not os.path.basename(p).startswith((".", "_")) and p.endswith(extensions)
         ]
         if not names:
             raise FileNotFoundError(f"no {extensions} files in directory {path}")
@@ -50,7 +52,7 @@ def resolve_paths(path: str, extensions: tuple[str, ...]) -> list[str]:
 def plan_ranges(paths: list[str], split_size: int = DEFAULT_SPLIT_SIZE) -> list[PathRange]:
     out = []
     for p in paths:
-        size = os.path.getsize(p)
+        size = _dfs.getsize(p)
         if size == 0:
             continue
         start = 0

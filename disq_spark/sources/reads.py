@@ -9,6 +9,10 @@ Python sees them.
 
 from __future__ import annotations
 
+import io
+
+from disq_spark import fs as _dfs
+
 from typing import Iterator
 
 import pandas as pd
@@ -27,7 +31,7 @@ def read_sam_header(path: str) -> SamHeader:
     """Driver-side header read from the first file
     (AbstractSamSource.java:54-71 semantics)."""
     lines = []
-    with open(path, "r", encoding="utf-8") as f:
+    with io.TextIOWrapper(_dfs.open_input(path), encoding="utf-8") as f:
         for line in f:
             if line.startswith("@"):
                 lines.append(line)

@@ -19,6 +19,8 @@ Spark-first shape:
 
 from __future__ import annotations
 
+from disq_spark import fs as _dfs
+
 import gzip
 import io
 from typing import Iterator
@@ -38,8 +40,8 @@ VCF_EXTENSIONS = (".vcf", ".vcf.gz", ".vcf.bgz", ".vcf.bgzf.gz")
 def _open_text(path: str):
     """Open possibly-gzip'd VCF for driver-side header reading."""
     if bgzf.is_gzip(path):
-        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8")
-    return open(path, "r", encoding="utf-8")
+        return io.TextIOWrapper(gzip.open(_dfs.open_input(path), "rb"), encoding="utf-8")
+    return io.TextIOWrapper(_dfs.open_input(path), encoding="utf-8")
 
 
 def read_header(path: str) -> VcfHeader:
@@ -126,7 +128,7 @@ def _read_vcf_all(
         if kinds[p] == "bgzf":
             p_ranges = [(r.path, r.start, r.end) for r in plan_ranges([p], split_size)]
             tbi = p + ".tbi"
-            if intervals is not None and os.path.exists(tbi):
+            if intervals is not None and _dfs.exists(tbi):
                 from disq_spark.formats.tabix import read_tbi, split_overlaps_intervals
 
                 idx = read_tbi(tbi)
@@ -136,7 +138,7 @@ def _read_vcf_all(
                 ]
             ranges.extend(p_ranges)
         else:
-            ranges.append((p, 0, os.path.getsize(p)))
+            ranges.append((p, 0, _dfs.getsize(p)))
 
     # parallelize slices: partition i == plan row i, preserving file order
     # through the scan (single-file sinks depend on it; repartition would
@@ -166,7 +168,7 @@ def _range_lines(path: str, start: int, end: int) -> list[str]:
     Plain gzip: whole file (start must be 0).
     """
     if not bgzf.is_bgzf(path):
-        with gzip.open(path, "rt", encoding="utf-8", errors="strict") as f:
+        with gzip.open(_dfs.open_input(path), "rt", encoding="utf-8", errors="strict") as f:
             return f.read().splitlines()
 
     data = bgzf.read_range(path, start, end)
@@ -198,7 +200,7 @@ def _range_lines(path: str, start: int, end: int) -> list[str]:
 def _read_until_newline(path: str, from_pos: int) -> str:
     """Decompress blocks from ``from_pos`` until a newline appears."""
     buf = b""
-    with open(path, "rb") as f:
+    with _dfs.open_input(path) as f:
         for blk in bgzf.scan_blocks(path, from_pos):
             chunk = bgzf.decompress_block(f, blk.pos)
             buf += chunk
