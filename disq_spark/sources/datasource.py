@@ -64,6 +64,7 @@ class BamChunk(InputPartition):
     refs: list
     v_start: int
     v_end: int
+    hosts: tuple = ()  # block-location hints (informational; see fs.block_locations)
 
 
 class BamReader(DataSourceReader):
@@ -85,7 +86,8 @@ class BamReader(DataSourceReader):
         for p in resolve_paths(self.path, BAM_EXTENSIONS):
             _header, refs, first_voff = read_bam_header(p)
             for vs, ve in plan_bam_chunks(p, self.split_size, refs, first_voff):
-                parts.append(BamChunk(p, refs, vs, ve))
+                hosts = tuple(_dfs.block_locations(p, vs >> 16, (ve >> 16) - (vs >> 16)))
+                parts.append(BamChunk(p, refs, vs, ve, hosts))
         # zero-record file: still need >=1 partition for an empty scan
         return parts or [BamChunk("", [], 0, 0)]
 
@@ -228,6 +230,7 @@ class VcfRange(InputPartition):
     kind: str  # plain | gzip | bgzf
     samples: list
     mode: str
+    hosts: tuple = ()
 
 
 class VcfReader(DataSourceReader):
@@ -254,12 +257,14 @@ class VcfReader(DataSourceReader):
             kind = _compression(p)
             if kind == "bgzf":
                 for r in plan_ranges([p], self.split_size):
+                    hosts = tuple(_dfs.block_locations(r.path, r.start, r.end - r.start))
                     parts.append(
-                        VcfRange(r.path, r.start, r.end, "bgzf", samples, self.mode)
+                        VcfRange(r.path, r.start, r.end, "bgzf", samples, self.mode, hosts)
                     )
             else:
                 parts.append(
-                    VcfRange(p, 0, _dfs.getsize(p), kind, samples, self.mode)
+                    VcfRange(p, 0, _dfs.getsize(p), kind, samples, self.mode,
+                             tuple(_dfs.block_locations(p)))
                 )
         return parts
 
@@ -399,6 +404,7 @@ class SamRange(InputPartition):
     start: int
     end: int
     mode: str
+    hosts: tuple = ()
 
 
 class SamReader(DataSourceReader):
@@ -421,7 +427,10 @@ class SamReader(DataSourceReader):
         for p in resolve_paths(self.path, SAM_EXTENSIONS):
             size = _dfs.getsize(p)
             for s in range(0, max(size, 1), self.split_size):
-                parts.append(SamRange(p, s, min(s + self.split_size, size), self.mode))
+                e = min(s + self.split_size, size)
+                parts.append(
+                    SamRange(p, s, e, self.mode, tuple(_dfs.block_locations(p, s, e - s)))
+                )
         return parts
 
     def read(self, part: SamRange) -> Iterator[tuple]:
@@ -475,6 +484,7 @@ class CramContainers(InputPartition):
     refs: list
     reference_path: str | None
     missing_ref_as_n: bool
+    hosts: tuple = ()
 
 
 class CramReader(DataSourceReader):
@@ -499,7 +509,8 @@ class CramReader(DataSourceReader):
         for p in paths:
             for _p, s, e in plan_cram(p, self.split_size):
                 parts.append(
-                    CramContainers(p, s, e, refs, self.reference, self.missing_ref_as_n)
+                    CramContainers(p, s, e, refs, self.reference, self.missing_ref_as_n,
+                                   tuple(_dfs.block_locations(p, s, e - s)))
                 )
         return parts or [CramContainers("", 0, 0, [], None, False)]
 
