@@ -15,6 +15,7 @@ byte-identical modulo the `bin` field (recomputed).
 
 from __future__ import annotations
 
+import math as _math
 import struct
 
 from disq_spark.schemas import READS_COLUMNS as _READS_COLS
@@ -36,6 +37,11 @@ _SEQ_PACK = {}
 for _a in SEQ_CODES + SEQ_CODES.lower():
     for _b in SEQ_CODES + SEQ_CODES.lower():
         _SEQ_PACK[_a + _b] = (_SEQ_INDEX[_a.upper()] << 4) | _SEQ_INDEX[_b.upper()]
+# char -> 4-bit code table for the C-speed packer (0xFF = non-IUPAC sentinel)
+_SEQ_CODE_TABLE = bytes(
+    _SEQ_INDEX.get(chr(c).upper(), 0xFF) if chr(c).upper() in _SEQ_INDEX else 0xFF
+    for c in range(256)
+)
 
 
 def parse_bam_header(data: bytes) -> tuple[str, list[tuple[str, int]], int]:
@@ -442,14 +448,44 @@ def _opt_int(v) -> int | None:
     """None/NaN-safe int (pandas renders nullable longs as float NaN)."""
     if v is None:
         return None
+    if type(v) is int:
+        return v
     try:
-        import math
-
-        if isinstance(v, float) and math.isnan(v):
+        if isinstance(v, float) and _math.isnan(v):
             return None
     except TypeError:
         pass
     return int(v)
+
+
+_CIGAR_RE = None
+# cigar-string -> (packed_ops_bytes, n_ops, ref_len) memo: real corpora
+# have a tiny distinct-cigar set ('101M', '100M', ...), so parsing each
+# string once makes cigar encoding a dict hit. Bounded against
+# adversarial inputs.
+_CIGAR_CACHE: dict[str, tuple[bytes, int, int]] = {}
+_CIGAR_CACHE_MAX = 1 << 16
+
+
+def _encode_cigar(cigar: str) -> tuple[bytes, int, int]:
+    global _CIGAR_RE
+    hit = _CIGAR_CACHE.get(cigar)
+    if hit is not None:
+        return hit
+    if _CIGAR_RE is None:
+        import re
+
+        _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+    ops = []
+    ref_len = 0
+    for n, op in _CIGAR_RE.findall(cigar):
+        ops.append((int(n) << 4) | CIGAR_OPS.index(op))
+        if op in _REF_CONSUMING:
+            ref_len += int(n)
+    packed = struct.pack(f"<{len(ops)}I", *ops)
+    if len(_CIGAR_CACHE) < _CIGAR_CACHE_MAX:
+        _CIGAR_CACHE[cigar] = (packed, len(ops), ref_len)
+    return packed, len(ops), ref_len
 
 
 def encode_record(row: dict, ref_index: dict[str, int]) -> bytes:
@@ -473,30 +509,31 @@ def encode_record(row: dict, ref_index: dict[str, int]) -> bytes:
 
     name_b = name.encode("ascii") + b"\x00"
 
-    cigar_ops = []
-    ref_len = 0
     if cigar:
-        import re
-
-        for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar):
-            cigar_ops.append((int(n) << 4) | CIGAR_OPS.index(op))
-            if op in _REF_CONSUMING:
-                ref_len += int(n)
+        cigar_b, n_cigar, ref_len = _encode_cigar(cigar)
+    else:
+        cigar_b, n_cigar, ref_len = b"", 0, 0
 
     l_seq = len(seq) if seq else 0
     if seq:
-        pack = _SEQ_PACK
+        # C-speed nibble pack: translate chars to 4-bit codes, then
+        # hi*16+lo over all bytes at once via big-int arithmetic (codes
+        # <= 15, so per-byte products never carry into the next byte)
         padded = seq if l_seq % 2 == 0 else seq + "="
-        try:
-            seq_packed = bytes(
-                pack[padded[i : i + 2]] for i in range(0, len(padded), 2)
-            )
-        except KeyError:  # rare non-IUPAC characters: slow path, map to N
+        codes = padded.encode("latin-1", "replace").translate(_SEQ_CODE_TABLE)
+        if 0xFF in codes:  # rare non-IUPAC characters: slow path, map to N
             seq_packed = bytearray((l_seq + 1) // 2)
             for i, ch in enumerate(seq):
                 code = _SEQ_INDEX.get(ch.upper(), 15)
                 seq_packed[i // 2] |= code << 4 if i % 2 == 0 else code
             seq_packed = bytes(seq_packed)
+        else:
+            half = len(codes) // 2
+            packed_int = (
+                int.from_bytes(codes[0::2], "big") * 16
+                + int.from_bytes(codes[1::2], "big")
+            )
+            seq_packed = packed_int.to_bytes(half, "big")
     else:
         seq_packed = b""
     qual_b = qual.encode("latin-1").translate(_ASCII_TO_QUAL) if qual else b"\xff" * l_seq
@@ -508,14 +545,13 @@ def encode_record(row: dict, ref_index: dict[str, int]) -> bytes:
     bin_ = _reg2bin(pos if pos >= 0 else 0, endp if endp > 0 else 1)
 
     body = (
-        struct.pack(
-            "<iiBBHHHiiii",
+        _REC_HDR.pack(
             ref_id,
             pos,
             len(name_b),
             mapq,
             bin_,
-            len(cigar_ops),
+            n_cigar,
             flag,
             l_seq,
             next_ref,
@@ -523,7 +559,7 @@ def encode_record(row: dict, ref_index: dict[str, int]) -> bytes:
             tlen,
         )
         + name_b
-        + struct.pack(f"<{len(cigar_ops)}I", *cigar_ops)
+        + cigar_b
         + bytes(seq_packed)
         + qual_b
         + tags_b
