@@ -43,6 +43,22 @@ def token_count(col) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# BPE-ish subword segmentation: words / number runs / single punctuation
+# marks, in the spirit of the GPT-2 pre-tokenizer but restricted to a
+# regex dialect Java (Spark) and RE2-ish engines (DuckDB) evaluate
+# identically — the token-count estimator for pipeline budgeting.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_tokens(col) -> Column:
+    """Subword-ish tokens of the normalized text -> array<string>."""
+    return F.regexp_extract_all(normalize(col), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col) -> Column:
+    return F.size(bpe_tokens(col)).cast("long")
+
+
 def fingerprint(col) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

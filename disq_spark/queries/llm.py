@@ -110,6 +110,38 @@ FROM documents GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# text_bpe_stats — BPE-ish subword token counting (words / digit runs /
+# punctuation marks over normalized text), the cost estimator a training
+# pipeline budgets with; compared against whitespace tokens per source.
+# ---------------------------------------------------------------------------
+@_q("text_bpe_stats")
+def text_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bpe = TX.bpe_token_count(F.col("text"))
+    ws = TX.token_count(F.col("text"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(bpe).alias("total_bpe"),
+            F.round(F.avg(bpe), 4).alias("avg_bpe"),
+            F.round(F.avg(bpe / F.greatest(ws, F.lit(1))), 4).alias("bpe_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
+_BPE = f"regexp_extract_all({_NORM}, '[a-z]+|[0-9]+|[^a-z0-9 ]')"
+
+ORACLE["text_bpe_stats"] = f"""
+SELECT source,
+       CAST(sum(len({_BPE})) AS BIGINT) AS total_bpe,
+       round(avg(len({_BPE})), 4) AS avg_bpe,
+       round(avg(len({_BPE}) * 1.0 / greatest(len({_TOKS}), 1)), 4) AS bpe_per_word
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_quality — composite quality score per doc (top 25 by score)
 # ---------------------------------------------------------------------------
 @_q("text_quality")

@@ -598,3 +598,90 @@ def _read_bam_all(
                     yield pd.DataFrame(cols, columns=READS_COLUMNS)
 
     return plan_df.mapInPandas(decode, READS_SCHEMA), header
+
+
+def check_record_guesser(
+    spark: SparkSession,
+    path: str,
+    split_size: int = DEFAULT_SPLIT_SIZE,
+    neighborhood: int = 8,
+) -> DataFrame:
+    """Distributed diagnostic scan of the record-start guesser — the
+    BamRecordGuesserChecker.java:107-177 analog, exposed as a DataFrame.
+
+    Ground truth per partition is the sequential record walk (the same
+    walk the decoder trusts); each task then re-judges every true start
+    with the chain guesser (a miss is a FALSE_NEGATIVE) and probes the
+    ``neighborhood`` byte offsets after each start, which must all fail
+    (a pass is a FALSE_POSITIVE — the class of bug that corrupted
+    Hadoop-BAM splits historically). Returns only disagreements
+    (voff: long, kind: string); an empty result means the guesser is
+    exact on this file at this granularity.
+    """
+    import pandas as pd_
+
+    header, refs, first_voff = read_bam_header(path)
+    chunks = plan_bam_chunks(path, split_size, refs, first_voff)
+    if not chunks:
+        return spark.createDataFrame([], "voff long, kind string")
+    plan_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(chunks, len(chunks)), "v_start long, v_end long"
+    )
+    n_ref = len(refs)
+    ref_lens = [l for _n, l in refs]
+
+    def chain_ok(data: bytes, off: int) -> bool:
+        validated = 0
+        while validated < READS_TO_CHECK:
+            nxt = _check_record(data, off, n_ref, ref_lens)
+            if nxt is None:
+                return False
+            if nxt == -1:  # ran off the buffer: accept what we verified
+                return validated > 0
+            off = nxt
+            validated += 1
+        return True
+
+    def scan(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                v_start, v_end = int(r["v_start"]), int(r["v_end"])
+                c_start, u_start = v_start >> 16, v_start & 0xFFFF
+                buf = _BlockBuffer(path, c_start, 1 << 22)
+                off = buf.buf_offset(c_start, u_start)
+                if off is None:
+                    continue
+                bad: list[tuple[int, str]] = []
+                bi = 0
+                while True:
+                    if off + 4 > len(buf.data) and not buf.extend(1 << 22):
+                        break
+                    while bi < len(buf.blocks) and off >= buf.blocks[bi][1] + buf.blocks[bi][2]:
+                        bi += 1
+                    if bi >= len(buf.blocks):
+                        break
+                    c_pos, b_start, _u = buf.blocks[bi]
+                    voff = (c_pos << 16) | (off - b_start)
+                    if voff >= v_end:
+                        break
+                    while off + 4 > len(buf.data) or off + 4 + _struct.unpack_from(
+                        "<i", buf.data, off
+                    )[0] > len(buf.data):
+                        if not buf.extend(1 << 22):
+                            break
+                    if off + 4 > len(buf.data) or off + 4 + _struct.unpack_from(
+                        "<i", buf.data, off
+                    )[0] > len(buf.data):
+                        break
+                    if not chain_ok(buf.data, off):
+                        bad.append((voff, "FALSE_NEGATIVE"))
+                    for d in range(1, neighborhood + 1):
+                        if off + d + 36 <= len(buf.data) and chain_ok(buf.data, off + d):
+                            bad.append((voff + d, "FALSE_POSITIVE"))
+                    off += 4 + _struct.unpack_from("<i", buf.data, off)[0]
+                    if off >= len(buf.data) and not buf.extend(1 << 22):
+                        break
+                if bad:
+                    yield pd_.DataFrame(bad, columns=["voff", "kind"])
+
+    return plan_df.mapInPandas(scan, "voff long, kind string")

@@ -309,3 +309,17 @@ def test_decode_batch_matches_decode_record(fixtures_dir):
     for i, got in enumerate(rows):
         want, off = decode_record(buf.data, off, refs)
         assert tuple(got) == want, f"record {i} differs"
+
+
+def test_check_record_guesser_exact_on_fixture(spark, fixtures_dir):
+    """The distributed diagnostic scan (BamRecordGuesserChecker analog)
+    must find zero FALSE_NEGATIVEs and zero FALSE_POSITIVEs on the
+    fixture: every true record start chain-validates, and the 8 offsets
+    after each start do not."""
+    from disq_spark.sources.bam_source import check_record_guesser
+
+    bad = check_record_guesser(
+        spark, os.path.join(fixtures_dir, "1-with-splitting-index.bam"),
+        split_size=512 * 1024,
+    ).collect()
+    assert bad == [], bad[:10]

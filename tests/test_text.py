@@ -58,3 +58,27 @@ def test_normalize_parity(spark):
     con.register("documents", pd.DataFrame({"i": range(len(DOCS)), "text": DOCS}))
     want = [v for (v,) in con.execute(f"SELECT {_NORM} FROM documents ORDER BY i").fetchall()]
     assert got == want
+
+
+def test_bpe_tokens_parity(spark):
+    from disq_spark.queries.llm import _BPE
+
+    edge = DOCS + ["it's 2024-08, v2.0!", "42", "...", "a1b2c3"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(edge)], "i long, text string")
+    got = [
+        (list(r.toks), r.n)
+        for r in df.select(
+            "i", TX.bpe_tokens("text").alias("toks"), TX.bpe_token_count("text").alias("n")
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"i": range(len(edge)), "text": edge}))
+    want = [
+        (list(t), int(n))
+        for _, t, n in con.execute(
+            f"SELECT i, {_BPE} AS toks, len({_BPE}) AS n FROM documents ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want
