@@ -37,16 +37,51 @@ from disq_spark.sources.plan import DEFAULT_SPLIT_SIZE, resolve_paths
 CRAM_EXTENSIONS = (".cram",)
 
 
-def plan_cram(path: str, split_size: int = DEFAULT_SPLIT_SIZE) -> list[tuple[str, int, int]]:
+def plan_cram(
+    path: str,
+    split_size: int = DEFAULT_SPLIT_SIZE,
+    intervals: list | None = None,
+    refs: list[tuple[str, int]] | None = None,
+    include_unmapped: bool = False,
+) -> list[tuple[str, int, int]]:
     """Container-aligned split plan; prefers .crai offsets when present
-    (CramSource.java:146-160), else a header walk (:162-174)."""
+    (CramSource.java:146-160), else a header walk (:162-174).
+
+    With ``intervals`` and a ``.crai``, containers whose indexed slice
+    spans miss every interval are pruned at plan time (the CRAM analog
+    of the BAI file-span clipping, AbstractBinarySamSource.java:117-137)
+    — zero tasks for non-overlapping regions; the residual per-record
+    predicate in read_cram keeps exactness. seq_id -1 (unmapped) slices
+    are kept only when ``include_unmapped``. Without an index the plan
+    is the full container walk and the filter does all the work, which
+    is a full scan but still correct (the reference errors instead).
+    """
     crai = path + ".crai"
     if _dfs.exists(crai):
         entries = read_crai(crai)
+        keep: set[int] | None = None
+        if intervals is not None and refs is not None:
+            ref_idx = {name: i for i, (name, _l) in enumerate(refs)}
+            wanted = [
+                (ref_idx.get(iv.contig, -2), iv.start, iv.end) for iv in intervals
+            ]
+            keep = set()
+            for seq_id, a_start, a_span, c_off, *_rest in entries:
+                if seq_id == -1:
+                    if include_unmapped:
+                        keep.add(c_off)
+                    continue
+                a_end = a_start + max(a_span, 1) - 1  # 1-based closed slice span
+                for sid, s, e in wanted:
+                    if sid == seq_id and a_start <= e and a_end >= s:
+                        keep.add(c_off)
+                        break
         offs = sorted({e[3] for e in entries})
         size = _dfs.getsize(path)
         chunks = []
         for i, s in enumerate(offs):
+            if keep is not None and s not in keep:
+                continue
             e = offs[i + 1] if i + 1 < len(offs) else size
             chunks.append((path, s, e))
         return chunks
@@ -69,7 +104,15 @@ def read_cram(
 
     plan: list[tuple[str, int, int]] = []
     for p in paths:
-        plan.extend(plan_cram(p, split_size))
+        plan.extend(
+            plan_cram(
+                p,
+                split_size,
+                intervals=intervals,
+                refs=refs,
+                include_unmapped=traverse_unplaced_unmapped,
+            )
+        )
 
     if not plan:
         return spark.createDataFrame([], READS_SCHEMA), header

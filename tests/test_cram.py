@@ -229,3 +229,35 @@ def test_cram_decode_with_bgzipped_reference(spark, fixtures_dir):
     assert sorted(map(tuple, a.select(cols).collect())) == sorted(
         map(tuple, b.select(cols).collect())
     )
+
+
+def test_crai_interval_partition_pruning(spark, fixtures_dir):
+    """With a .crai, interval planning must drop containers whose slice
+    spans miss the query (AbstractBinarySamSource BAI-clip analog for
+    CRAM) — and prune to ZERO partitions for an empty region — while
+    matching the brute-force residual filter exactly."""
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.sources.cram_source import plan_cram, read_cram
+    from disq_spark.formats.cram_decode import read_cram_header
+
+    path = os.path.join(fixtures_dir, "valid.cram")
+    ref = os.path.join(fixtures_dir, "valid.fasta")
+    _t, refs = read_cram_header(path)
+
+    full = plan_cram(path)
+    hit = plan_cram(path, intervals=[Interval("chr7", 1, 150)], refs=refs)
+    miss = plan_cram(path, intervals=[Interval("chr7", 90_000_000, 90_000_100)], refs=refs)
+    assert 0 < len(hit) <= len(full)
+    assert miss == []  # empty region -> zero tasks
+
+    pruned, _ = read_cram(
+        spark, path, reference_path=ref, intervals=[Interval("chr7", 1, 150)]
+    )
+    brute, _ = read_cram(spark, path, reference_path=ref)
+    from disq_spark.functions.intervals import overlaps
+
+    want = sorted(
+        (r.name, r.start) for r in brute.filter(overlaps([Interval("chr7", 1, 150)])).collect()
+    )
+    got = sorted((r.name, r.start) for r in pruned.collect())
+    assert got == want and got
