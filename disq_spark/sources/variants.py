@@ -109,6 +109,14 @@ def _read_vcf_all(
     kinds = {p: _compression(p) for p in paths}
 
     if all(k == "plain" for k in kinds.values()):
+        if intervals is not None and all(_dfs.exists(p + ".idx") for p in paths):
+            # tribble-indexed plain VCF: prune byte splits whose indexed
+            # blocks miss every interval (the .idx counterpart of the
+            # .tbi branch below; VcfSource.java:177-201 loads the same
+            # index family through IndexFactory)
+            return _read_plain_pruned(
+                spark, paths, samples, split_size, intervals, mode, with_genotypes
+            ), header
         text = spark.read.text(list(paths))
         lines_col = "value"
 
@@ -207,3 +215,54 @@ def _read_until_newline(path: str, from_pos: int) -> str:
             if b"\n" in chunk:
                 break
     return buf.split(b"\n", 1)[0].decode("utf-8")
+
+
+def _read_plain_pruned(
+    spark: SparkSession,
+    paths: list[str],
+    samples: list[str],
+    split_size: int,
+    intervals: list,
+    mode: str,
+    with_genotypes: bool,
+) -> DataFrame:
+    """Plain-text VCF scan over newline-aligned byte splits, with splits
+    pruned through the tribble .idx (plan-time; the residual overlap
+    predicate in read_vcf keeps exactness)."""
+    from disq_spark.formats.tribble import read_tribble, split_overlaps_intervals
+
+    triples = [(iv.contig, iv.start, iv.end) for iv in intervals]
+    ranges: list[tuple[str, int, int]] = []
+    for p in paths:
+        tidx = read_tribble(p + ".idx")
+        size = _dfs.getsize(p)
+        for s in range(0, max(size, 1), split_size):
+            e = min(s + split_size, size)
+            if split_overlaps_intervals(tidx, s, e, triples):
+                ranges.append((p, s, e))
+    if not ranges:
+        return spark.createDataFrame([], VARIANTS_SCHEMA)
+    plan_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(ranges, len(ranges)),
+        "path string, start long, end long",
+    )
+
+    def parse_range(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                lines: list[str] = []
+                with _dfs.open_input(r["path"]) as f:
+                    if int(r["start"]) > 0:
+                        f.seek(int(r["start"]) - 1)
+                        f.readline()  # straddling line belongs to prior split
+                    while f.tell() < int(r["end"]):
+                        raw = f.readline()
+                        if not raw:
+                            break
+                        text = raw.decode("utf-8").rstrip("\n")
+                        if text and not text.startswith("#"):
+                            lines.append(text)
+                if lines:
+                    yield parse_vcf_lines(pd.Series(lines, dtype="object"), samples, mode, with_genotypes)
+
+    return plan_df.mapInPandas(parse_range, VARIANTS_SCHEMA)

@@ -199,3 +199,70 @@ def test_roundtrip_missing_qual(spark, tmp_path):
     got = key(df2)
     assert got == key(df)
     assert [q for _, q in got] == [50.5, None, 16357.98]
+
+
+def test_tribble_parse_gatk_fixture(fixtures_dir):
+    """The reader must parse a real GATK-written interval-tree .idx
+    byte-exactly (layout documented in formats/tribble.py)."""
+    from disq_spark.formats.tribble import read_tribble
+
+    idx = read_tribble(os.path.join(fixtures_dir, "CEUTrio.20.21.gatk3.4.g.vcf.idx"))
+    assert sorted(idx.chroms) == ["20", "21"]
+    assert len(idx.chroms["20"]) == 46 and len(idx.chroms["21"]) == 220
+    assert idx.properties["FEATURE_COUNT"] == "19910"
+    # block byte ranges live inside the indexed file
+    for nodes in idx.chroms.values():
+        for _s, _e, bpos, bsize in nodes:
+            assert 0 <= bpos and bpos + bsize <= idx.file_size
+
+
+def test_tribble_roundtrip(tmp_path):
+    from disq_spark.formats.tribble import TribbleIndex, read_tribble, write_tribble
+
+    idx = TribbleIndex(
+        "x.vcf", 1234, 99, {"k": "v"},
+        {"20": [(10, 500, 0, 600), (501, 900, 600, 300)], "21": [(5, 50, 900, 100)]},
+    )
+    p = str(tmp_path / "x.vcf.idx")
+    write_tribble(p, idx)
+    back = read_tribble(p)
+    assert back.chroms == idx.chroms
+    assert back.properties == idx.properties
+    assert back.file_size == idx.file_size
+
+
+def test_tribble_idx_split_pruning(spark, fixtures_dir, tmp_path):
+    """Plain VCF + .idx: interval planning must prune byte splits (zero
+    for a miss region) while matching the brute-force filter exactly."""
+    import shutil
+
+    from disq_spark.formats.tribble import build_tribble_from_vcf, write_tribble
+    from disq_spark.functions.intervals import Interval, overlaps
+
+    src = os.path.join(fixtures_dir, "test.vcf")
+    vcf = str(tmp_path / "t.vcf")
+    shutil.copy(src, vcf)
+    write_tribble(vcf + ".idx", build_tribble_from_vcf(vcf, features_per_node=2))
+
+    iv = [Interval("20", 1, 20000)]
+    pruned, _ = read_vcf(spark, vcf, split_size=512, intervals=iv)
+    brute, _ = read_vcf(spark, src)
+    want = sorted((r.contig, r.start) for r in brute.filter(overlaps(iv)).collect())
+    got = sorted((r.contig, r.start) for r in pruned.collect())
+    assert got == want and got
+
+    # a miss region prunes every split at plan time
+    from disq_spark.formats.tribble import read_tribble, split_overlaps_intervals
+
+    tidx = read_tribble(vcf + ".idx")
+    size = os.path.getsize(vcf)
+    kept = [
+        (s, min(s + 512, size))
+        for s in range(0, size, 512)
+        if split_overlaps_intervals(tidx, s, min(s + 512, size), [("20", 900_000_000, 900_000_100)])
+    ]
+    assert kept == []
+    missing, _ = read_vcf(
+        spark, vcf, split_size=512, intervals=[Interval("20", 900_000_000, 900_000_100)]
+    )
+    assert missing.count() == 0
