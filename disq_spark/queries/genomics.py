@@ -168,3 +168,31 @@ ORDER BY contig
 ORACLE["genomics_mark_duplicates"] = """
 SELECT CAST(4917 AS BIGINT) AS total, CAST(956 AS BIGINT) AS flagged_dup
 """
+
+
+@_q("genomics_vcf_interval_query")
+def genomics_vcf_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.tbi-pruned interval traversal over the BGZF VCF fixture: splits
+    whose tabix blocks miss chr1:1M-2M are dropped at plan time, then
+    the residual overlap predicate is applied."""
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(
+        spark,
+        os.path.join(FIXTURES, "HiSeq.10000.vcf.bgz"),
+        split_size=64 * 1024,
+        intervals=[Interval("chr1", 1_000_000, 2_000_000)],
+    )
+    return df.agg(
+        F.count("*").alias("n_variants"),
+        F.min("start").alias("min_pos"),
+        F.max("start").alias("max_pos"),
+        F.round(F.avg("qual"), 2).alias("avg_qual"),
+    )
+
+
+ORACLE["genomics_vcf_interval_query"] = """
+SELECT CAST(1072 AS BIGINT) AS n_variants, CAST(1000580 AS BIGINT) AS min_pos,
+       CAST(1999411 AS BIGINT) AS max_pos, CAST(164.89 AS DOUBLE) AS avg_qual
+"""
