@@ -323,3 +323,72 @@ def _simhash_impl(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataF
         term = F.when(F.col(f"s_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return per_doc.select(F.col(id_col), sim.cast("int").alias("simhash"))
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (node, component) where component = min node id reachable.
+
+    The step a dedup pipeline needs AFTER pair generation: transitive
+    closure groups {A~B, B~C} into one cluster so exactly one
+    representative survives. Iterative min-label propagation expressed
+    as DataFrame joins (each round: label = min(own, neighbors'));
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow (dozens of docs, diameter a few hops), so a handful of
+    rounds. Each round is one shuffle join + one groupBy on the node
+    key; localCheckpoint cuts the growing lineage so round N+1 doesn't
+    replan rounds 1..N (the standard Spark iterative-algorithm shape —
+    cf. GraphX/GraphFrames connected components, which this replaces
+    without the package dependency).
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+                (F.col("n_comp") < F.col("comp")).alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except its cluster representative (the
+    min id per connected component); rows not in any pair survive."""
+    comps = duplicate_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -311,6 +311,53 @@ ORACLE["dedup_minhash_lsh"] = _minhash_oracle()
 
 
 # ---------------------------------------------------------------------------
+# dedup_clusters — transitive closure of the minhash near-dup pairs:
+# connected components (min-id label propagation) so each duplicate
+# CLUSTER keeps exactly one representative. Spark side iterates
+# DataFrame joins (operators/dedup.duplicate_components); the oracle is
+# a recursive CTE computing min reachable id — the declarative statement
+# of the same fixpoint.
+# ---------------------------------------------------------------------------
+@_q("dedup_clusters")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d,
+        "text",
+        "doc_id",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+        k=SHINGLE_K,
+        stride=SHINGLE_STRIDE,
+        max_df=_max_df(spark, sf_dir),
+    )
+    return DD.duplicate_components(pairs).orderBy("node")
+
+
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_oracle()}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, comp) AS (
+  SELECT a AS node, a AS comp FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.comp FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node, CAST(min(comp) AS BIGINT) AS comp FROM reach GROUP BY node ORDER BY node
+"""
+
+
+ORACLE["dedup_clusters"] = _clusters_oracle()
+
+
+# ---------------------------------------------------------------------------
 # dedup_ngram_jaccard — exact shingle-set Jaccard on candidate pairs
 # ---------------------------------------------------------------------------
 @_q("dedup_ngram_jaccard")

@@ -279,3 +279,21 @@ def test_ann_plans_are_equi_joins(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_duplicate_components_transitive(spark):
+    """{A~B, B~C} must land in one cluster (transitive closure), chains
+    deeper than one hop must converge, disjoint clusters stay apart."""
+    from disq_spark.operators.dedup import duplicate_components, keep_representatives
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 6)],
+        "id_a long, id_b long",
+    )
+    comps = {r.node: r.comp for r in duplicate_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(25)], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in keep_representatives(docs, pairs).collect())
+    # losers 2,3,4,11,21,22,6 dropped; reps + untouched docs survive
+    assert kept == sorted(set(range(25)) - {2, 3, 4, 11, 21, 22, 6})
