@@ -170,3 +170,53 @@ def extract_features(df: DataFrame, bins: int = 16) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "features"])
 
     return df.mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, rms double, peak double"
+)
+
+
+def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode audio payloads -> (sample_rate, n_samples, rms, peak).
+    STUB: real decode needs soundfile/ffmpeg which this environment
+    lacks; ``fake=True`` treats the payload bytes as centered 8-bit PCM
+    (md5-seeded sample rate) so the distributed plumbing — Arrow batch
+    shape, per-record aggregation, bounded memory — is real and tested.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires soundfile/ffmpeg (not in this environment); "
+            "call with fake=True to run the deterministic stub kernel"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                h = hashlib.md5(payload).digest()
+                rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+                # payload bytes as signed-centered PCM in [-1, 1)
+                samples = [(b - 128) / 128.0 for b in payload]
+                n = len(samples)
+                rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+                peak = max((abs(s) for s in samples), default=0.0)
+                # half-up rounding (floor(x*1e6+0.5)) so a SQL oracle can
+                # reproduce it exactly — Python round() is banker's
+                rows.append(
+                    (
+                        r["doc_id"],
+                        rate,
+                        n,
+                        math.floor(rms * 1e6 + 0.5) / 1e6,
+                        math.floor(peak * 1e6 + 0.5) / 1e6,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "rms", "peak"]
+            )
+
+    return df.mapInPandas(kernel, AUDIO_SCHEMA)

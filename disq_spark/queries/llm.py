@@ -786,6 +786,44 @@ ORACLE["multimodal_features"] = _features_oracle()
 
 
 # ---------------------------------------------------------------------------
+# multimodal_audio_stats — the audio leg of the multimodal surface: the
+# deterministic stub kernel (payload bytes as centered 8-bit PCM,
+# md5-seeded sample rate) through the real mapInPandas plumbing; the
+# oracle recomputes rms/peak/rate from code points + md5 hex in SQL.
+# ---------------------------------------------------------------------------
+@_q("multimodal_audio_stats")
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import attach_payload, decode_audio
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length("text") > 0)
+    )
+    return decode_audio(attach_payload(d), fake=True).orderBy("doc_id")
+
+
+ORACLE["multimodal_audio_stats"] = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+  FROM documents WHERE doc_id < 100 AND length(text) > 0
+), s AS (
+  SELECT doc_id, (ord(substring(text, i, 1)) - 128) / 128.0 AS v FROM pos
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         floor(sqrt(avg(v * v)) * 1e6 + 0.5) / 1e6 AS rms,
+         floor(max(abs(v)) * 1e6 + 0.5) / 1e6 AS peak
+  FROM s GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(CASE (CAST(concat('0x', substring(md5(d.text), 1, 2)) AS INTEGER) % 4)
+            WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+            ELSE 44100 END AS INT) AS sample_rate,
+       a.n_samples, a.rms, a.peak
+FROM agg a JOIN documents d USING (doc_id) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_frame_sample — the explode shape of video frame extraction:
 # one row per sampled frame index, purely relational on both sides
 # ---------------------------------------------------------------------------
