@@ -330,22 +330,56 @@ def duplicate_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (node, component) where component = min node id reachable.
 
     The step a dedup pipeline needs AFTER pair generation: transitive
     closure groups {A~B, B~C} into one cluster so exactly one
-    representative survives. Iterative min-label propagation expressed
-    as DataFrame joins (each round: label = min(own, neighbors'));
-    converges in O(component diameter) rounds — near-dup clusters are
-    shallow (dozens of docs, diameter a few hops), so a handful of
-    rounds. Each round is one shuffle join + one groupBy on the node
-    key; localCheckpoint cuts the growing lineage so round N+1 doesn't
-    replan rounds 1..N (the standard Spark iterative-algorithm shape —
-    cf. GraphX/GraphFrames connected components, which this replaces
-    without the package dependency).
+    representative survives.
+
+    Size-adaptive (the broadcast-join principle applied to graphs): a
+    pair graph under ``driver_threshold`` edges collects to the driver
+    and union-finds in milliseconds — near-dup pair sets are usually a
+    tiny fraction of the corpus, and spending N Spark rounds on a small
+    graph is pure scheduling overhead. Above the threshold: iterative
+    min-label propagation as DataFrame joins (each round: label =
+    min(own, neighbors')); converges in O(component diameter) rounds —
+    near-dup clusters are shallow, so a handful. Each round is one
+    shuffle join + one groupBy on the node key; localCheckpoint cuts
+    lineage so round N+1 doesn't replan rounds 1..N (the standard Spark
+    iterative-algorithm shape — cf. GraphX connected components, which
+    this replaces without the package dependency).
     """
+    spark = pairs.sparkSession
+    # one bounded materialization decides the path AND supplies the edges:
+    # <= threshold rows means we already hold the whole graph
+    probe = pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        edges = [(r[0], r[1]) for r in probe]
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id so the representative is deterministic
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = sorted((n, find(n)) for n in parent)
+        schema = pairs.select(
+            F.col(id_a).alias("node"), F.col(id_a).alias("comp")
+        ).schema
+        return spark.createDataFrame(rows, schema)
+
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -290,8 +290,16 @@ def test_duplicate_components_transitive(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 6)],
         "id_a long, id_b long",
     )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 5: 5, 6: 5}
+    # driver union-find path (small graph) and the iterative Spark path
+    # (forced via driver_threshold=0) must agree
     comps = {r.node: r.comp for r in duplicate_components(pairs).collect()}
-    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 5: 5, 6: 5}
+    assert comps == expected
+    comps_d = {
+        r.node: r.comp
+        for r in duplicate_components(pairs, driver_threshold=0).collect()
+    }
+    assert comps_d == expected
 
     docs = spark.createDataFrame([(i, f"d{i}") for i in range(25)], "doc_id long, text string")
     kept = sorted(r.doc_id for r in keep_representatives(docs, pairs).collect())
