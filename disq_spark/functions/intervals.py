@@ -84,3 +84,21 @@ def filter_intervals(
         uu = is_unplaced_unmapped()
         pred = uu if pred is None else (pred | uu)
     return df.filter(pred)
+
+
+def parse_intervals(spec: str) -> list[Interval]:
+    """'chr1:100-200,chrX:5-10' -> [Interval] (1-based closed, the
+    samtools region-string convention) — the option format the
+    registrable DataSources accept, since the Python DataSource API
+    carries strings, not objects."""
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        contig, _, rng = part.rpartition(":")
+        if not contig:
+            raise ValueError(f"bad interval {part!r} (want contig:start-end)")
+        lo, _, hi = rng.partition("-")
+        out.append(Interval(contig, int(lo), int(hi or lo)))
+    return out

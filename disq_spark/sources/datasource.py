@@ -65,6 +65,8 @@ class BamChunk(InputPartition):
     v_start: int
     v_end: int
     hosts: tuple = ()  # block-location hints (informational; see fs.block_locations)
+    intervals: tuple | None = None  # ((contig, start, end), ...) residual filter
+    unplaced_unmapped: bool = False
 
 
 class BamReader(DataSourceReader):
@@ -73,21 +75,43 @@ class BamReader(DataSourceReader):
         if not self.path:
             raise ValueError("format('bam') requires .load(path)")
         self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        # interval pushdown rides an option string (the Python DataSource
+        # API has no filter-pushdown hook): .bai partition pruning at
+        # plan time + an exact residual overlap filter in read()
+        spec = options.get("intervals")
+        if spec is not None:
+            from disq_spark.functions.intervals import parse_intervals
+
+            self.intervals = parse_intervals(spec)
+        else:
+            self.intervals = None
+        self.unplaced_unmapped = str(options.get("unplaced_unmapped", "false")).lower() == "true"
 
     def partitions(self) -> list[BamChunk]:
         from disq_spark.sources.bam_source import (
             BAM_EXTENSIONS,
+            _chunk_may_match,
             plan_bam_chunks,
             read_bam_header,
         )
         from disq_spark.sources.plan import resolve_paths
 
+        iv_spec = (
+            tuple((iv.contig, iv.start, iv.end) for iv in self.intervals)
+            if self.intervals is not None
+            else None
+        )
         parts: list[BamChunk] = []
         for p in resolve_paths(self.path, BAM_EXTENSIONS):
             _header, refs, first_voff = read_bam_header(p)
-            for vs, ve in plan_bam_chunks(p, self.split_size, refs, first_voff):
+            chunks = plan_bam_chunks(p, self.split_size, refs, first_voff)
+            if (self.intervals is not None or self.unplaced_unmapped) and _dfs.exists(p + ".bai"):
+                chunks = _chunk_may_match(
+                    p + ".bai", refs, chunks, self.intervals, self.unplaced_unmapped
+                )
+            for vs, ve in chunks:
                 hosts = tuple(_dfs.block_locations(p, vs >> 16, (ve >> 16) - (vs >> 16)))
-                parts.append(BamChunk(p, refs, vs, ve, hosts))
+                parts.append(BamChunk(p, refs, vs, ve, hosts, iv_spec, self.unplaced_unmapped))
         # zero-record file: still need >=1 partition for an empty scan
         return parts or [BamChunk("", [], 0, 0)]
 
@@ -97,8 +121,21 @@ class BamReader(DataSourceReader):
         from disq_spark.sources.bam_source import decode_chunk
 
         rows = decode_chunk(part.path, part.refs, part.v_start, part.v_end)
+        if part.intervals is None and not part.unplaced_unmapped:
+            yield from rows or []
+            return
+        # residual filter (columns: 1=flags, 2=contig, 3=start, 4=end)
         for row in rows or []:
-            yield row
+            contig, start, end = row[2], row[3], row[4]
+            if part.intervals is not None and contig is not None and start is not None:
+                if any(
+                    contig == c and start <= e and end >= s
+                    for c, s, e in part.intervals
+                ):
+                    yield row
+                    continue
+            if part.unplaced_unmapped and (row[1] & 4) != 0 and start is None:
+                yield row
 
 
 @dataclass
@@ -231,6 +268,7 @@ class VcfRange(InputPartition):
     samples: list
     mode: str
     hosts: tuple = ()
+    intervals: tuple | None = None  # ((contig, start, end), ...) residual filter
 
 
 class VcfReader(DataSourceReader):
@@ -240,6 +278,13 @@ class VcfReader(DataSourceReader):
             raise ValueError("format('vcf') requires .load(path)")
         self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
         self.mode = options.get("mode", "STRICT")
+        spec = options.get("intervals")
+        if spec is not None:
+            from disq_spark.functions.intervals import parse_intervals
+
+            self.intervals = parse_intervals(spec)
+        else:
+            self.intervals = None
 
     def partitions(self) -> list[VcfRange]:
         from disq_spark.sources.plan import resolve_paths
@@ -250,21 +295,36 @@ class VcfReader(DataSourceReader):
             read_header,
         )
 
+        iv_spec = (
+            tuple((iv.contig, iv.start, iv.end) for iv in self.intervals)
+            if self.intervals is not None
+            else None
+        )
         paths = resolve_paths(self.path, VCF_EXTENSIONS)
         samples = read_header(paths[0]).samples
         parts: list[VcfRange] = []
         for p in paths:
             kind = _compression(p)
             if kind == "bgzf":
-                for r in plan_ranges([p], self.split_size):
-                    hosts = tuple(_dfs.block_locations(r.path, r.start, r.end - r.start))
+                p_ranges = [(r.path, r.start, r.end) for r in plan_ranges([p], self.split_size)]
+                if iv_spec is not None and _dfs.exists(p + ".tbi"):
+                    from disq_spark.formats.tabix import read_tbi, split_overlaps_intervals
+
+                    idx = read_tbi(p + ".tbi")
+                    p_ranges = [
+                        r
+                        for r in p_ranges
+                        if split_overlaps_intervals(idx, r[1], r[2], list(iv_spec))
+                    ]
+                for rp, rs, re_ in p_ranges:
+                    hosts = tuple(_dfs.block_locations(rp, rs, re_ - rs))
                     parts.append(
-                        VcfRange(r.path, r.start, r.end, "bgzf", samples, self.mode, hosts)
+                        VcfRange(rp, rs, re_, "bgzf", samples, self.mode, hosts, iv_spec)
                     )
             else:
                 parts.append(
                     VcfRange(p, 0, _dfs.getsize(p), kind, samples, self.mode,
-                             tuple(_dfs.block_locations(p)))
+                             tuple(_dfs.block_locations(p)), iv_spec)
                 )
         return parts
 
@@ -284,6 +344,12 @@ class VcfReader(DataSourceReader):
             return
         pdf = parse_vcf_lines(pd.Series(lines, dtype="object"), part.samples, part.mode)
         for row in pdf.itertuples(index=False, name=None):
+            # residual overlap filter (columns: 0=contig, 1=start, 2=end)
+            if part.intervals is not None and not any(
+                row[0] == c and row[1] <= e and row[2] >= s
+                for c, s, e in part.intervals
+            ):
+                continue
             yield row
 
 

@@ -125,3 +125,64 @@ def test_vcf_datasource_plain_and_sql(spark, fixtures_dir):
         "SELECT count(*) AS n FROM ds_variants WHERE contig = '20'"
     ).first().n
     assert n == df.filter("contig = '20'").count()
+
+
+def test_bam_datasource_interval_option(spark, fixtures_dir, tmp_path):
+    """option('intervals', 'contig:lo-hi') must match read_bam(intervals=)
+    exactly: .bai partition pruning at plan time + the residual filter
+    inside read() (the DS API's stand-in for filter pushdown)."""
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.sources.bam_source import read_bam
+    from disq_spark.sources.datasource import BamReader
+
+    from disq_spark.sinks.bam import write_bam
+
+    fixture = os.path.join(fixtures_dir, "1-with-splitting-index.bam")
+    base, header = read_bam(spark, fixture)
+    src = str(tmp_path / "indexed.bam")
+    write_bam(base, header, src, write_sbi=True, write_bai=True)
+    assert os.path.exists(src + ".bai")
+
+    got = (
+        spark.read.format("bam")
+        .option("split_size", 200_000)
+        .option("intervals", "1:24800000-24900000")
+        .load(src)
+    )
+    want, _ = read_bam(
+        spark, src, split_size=200_000, intervals=[Interval("1", 24_800_000, 24_900_000)]
+    )
+    key = lambda df: sorted((r.name, r.flags, r.start) for r in df.collect())
+    assert key(got) == key(want) and got.count() > 0
+
+    # plan-time pruning engaged (fewer partitions than the full plan)
+    full = BamReader({"path": src, "split_size": "200000"}).partitions()
+    pruned = BamReader(
+        {"path": src, "split_size": "200000", "intervals": "1:24800000-24900000"}
+    ).partitions()
+    assert 0 < len(pruned) < len(full)
+
+
+def test_vcf_datasource_interval_option(spark, fixtures_dir):
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.sources.datasource import VcfReader
+    from disq_spark.sources.variants import read_vcf
+
+    src = os.path.join(fixtures_dir, "HiSeq.10000.vcf.bgz")
+    got = (
+        spark.read.format("vcf")
+        .option("split_size", 64 * 1024)
+        .option("intervals", "chr1:1000000-2000000")
+        .load(src)
+    )
+    want, _ = read_vcf(
+        spark, src, split_size=64 * 1024, intervals=[Interval("chr1", 1_000_000, 2_000_000)]
+    )
+    key = lambda df: sorted((r.contig, r.start, r.ref) for r in df.collect())
+    assert key(got) == key(want) and got.count() == 1072
+
+    full = VcfReader({"path": src, "split_size": str(64 * 1024)}).partitions()
+    pruned = VcfReader(
+        {"path": src, "split_size": str(64 * 1024), "intervals": "chr1:1000000-2000000"}
+    ).partitions()
+    assert 0 < len(pruned) < len(full)
