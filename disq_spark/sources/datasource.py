@@ -551,6 +551,7 @@ class CramContainers(InputPartition):
     reference_path: str | None
     missing_ref_as_n: bool
     hosts: tuple = ()
+    intervals: tuple | None = None  # ((contig, start, end), ...) residual filter
 
 
 class CramReader(DataSourceReader):
@@ -563,20 +564,34 @@ class CramReader(DataSourceReader):
         self.missing_ref_as_n = (
             options.get("missing_ref_as_n", "false").lower() == "true"
         )
+        spec = options.get("intervals")
+        if spec is not None:
+            from disq_spark.functions.intervals import parse_intervals
+
+            self.intervals = parse_intervals(spec)
+        else:
+            self.intervals = None
 
     def partitions(self) -> list[CramContainers]:
         from disq_spark.formats.cram_decode import read_cram_header
         from disq_spark.sources.cram_source import CRAM_EXTENSIONS, plan_cram
         from disq_spark.sources.plan import resolve_paths
 
+        iv_spec = (
+            tuple((iv.contig, iv.start, iv.end) for iv in self.intervals)
+            if self.intervals is not None
+            else None
+        )
         paths = resolve_paths(self.path, CRAM_EXTENSIONS)
         _text, refs = read_cram_header(paths[0])
         parts: list[CramContainers] = []
         for p in paths:
-            for _p, s, e in plan_cram(p, self.split_size):
+            # .crai container pruning when intervals given (plan_cram drops
+            # containers whose slice spans miss every interval)
+            for _p, s, e in plan_cram(p, self.split_size, intervals=self.intervals, refs=refs):
                 parts.append(
                     CramContainers(p, s, e, refs, self.reference, self.missing_ref_as_n,
-                                   tuple(_dfs.block_locations(p, s, e - s)))
+                                   tuple(_dfs.block_locations(p, s, e - s)), iv_spec)
                 )
         return parts or [CramContainers("", 0, 0, [], None, False)]
 
@@ -594,6 +609,13 @@ class CramReader(DataSourceReader):
             missing_ref_as_n=part.missing_ref_as_n,
         )
         for row in rows or []:
+            if part.intervals is not None:
+                contig, start, end = row[2], row[3], row[4]
+                if contig is None or start is None or not any(
+                    contig == c and start <= e and end >= s
+                    for c, s, e in part.intervals
+                ):
+                    continue
             yield row
 
 

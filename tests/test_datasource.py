@@ -186,3 +186,22 @@ def test_vcf_datasource_interval_option(spark, fixtures_dir):
         {"path": src, "split_size": str(64 * 1024), "intervals": "chr1:1000000-2000000"}
     ).partitions()
     assert 0 < len(pruned) < len(full)
+
+
+def test_cram_datasource_interval_option(spark, fixtures_dir):
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.sources.cram_source import read_cram
+
+    src = os.path.join(fixtures_dir, "valid.cram")
+    ref = os.path.join(fixtures_dir, "valid.fasta")
+    got = (
+        spark.read.format("cram")
+        .option("reference", ref)
+        .option("intervals", "chr7:1-150")
+        .load(src)
+    )
+    want, _ = read_cram(
+        spark, src, reference_path=ref, intervals=[Interval("chr7", 1, 150)]
+    )
+    key = lambda df: sorted((r.name, r.start) for r in df.collect())
+    assert key(got) == key(want) and got.count() > 0
