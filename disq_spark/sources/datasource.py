@@ -67,6 +67,7 @@ class BamChunk(InputPartition):
     hosts: tuple = ()  # block-location hints (informational; see fs.block_locations)
     intervals: tuple | None = None  # ((contig, start, end), ...) residual filter
     unplaced_unmapped: bool = False
+    columns: tuple | None = None  # projected column subset (READS_COLUMNS order)
 
 
 class BamReader(DataSourceReader):
@@ -86,6 +87,8 @@ class BamReader(DataSourceReader):
         else:
             self.intervals = None
         self.unplaced_unmapped = str(options.get("unplaced_unmapped", "false")).lower() == "true"
+        cols = options.get("columns")
+        self.columns = [c.strip() for c in cols.split(",")] if cols else None
 
     def partitions(self) -> list[BamChunk]:
         from disq_spark.sources.bam_source import (
@@ -111,18 +114,42 @@ class BamReader(DataSourceReader):
                 )
             for vs, ve in chunks:
                 hosts = tuple(_dfs.block_locations(p, vs >> 16, (ve >> 16) - (vs >> 16)))
-                parts.append(BamChunk(p, refs, vs, ve, hosts, iv_spec, self.unplaced_unmapped))
+                parts.append(
+                    BamChunk(
+                        p, refs, vs, ve, hosts, iv_spec, self.unplaced_unmapped, self.columns
+                    )
+                )
         # zero-record file: still need >=1 partition for an empty scan
         return parts or [BamChunk("", [], 0, 0)]
 
     def read(self, part: BamChunk) -> Iterator[tuple]:
         if not part.path:
             return
+        from disq_spark.schemas import READS_COLUMNS
         from disq_spark.sources.bam_source import decode_chunk
 
-        rows = decode_chunk(part.path, part.refs, part.v_start, part.v_end)
+        cols = list(part.columns) if part.columns else None
+        # column pruning pushed INTO the decoder: seq/qual/tags are most
+        # of the bytes and most of the decode time
+        w_seq = cols is None or "seq" in cols
+        w_qual = cols is None or "qual" in cols
+        w_tags = cols is None or "tags" in cols or "read_group" in (cols or [])
+        rows = decode_chunk(
+            part.path, part.refs, part.v_start, part.v_end,
+            with_seq=w_seq, with_qual=w_qual, with_tags=w_tags,
+        )
+        proj = (
+            [i for i, c in enumerate(READS_COLUMNS) if c in cols] if cols is not None else None
+        )
+
+        def emit(row):
+            if proj is None:
+                return row
+            return tuple(row[i] for i in proj)
+
         if part.intervals is None and not part.unplaced_unmapped:
-            yield from rows or []
+            for row in rows or []:
+                yield emit(row)
             return
         # residual filter (columns: 1=flags, 2=contig, 3=start, 4=end)
         for row in rows or []:
@@ -132,10 +159,10 @@ class BamReader(DataSourceReader):
                     contig == c and start <= e and end >= s
                     for c, s, e in part.intervals
                 ):
-                    yield row
+                    yield emit(row)
                     continue
             if part.unplaced_unmapped and (row[1] & 4) != 0 and start is None:
-                yield row
+                yield emit(row)
 
 
 @dataclass
@@ -250,6 +277,12 @@ class BamDataSource(DataSource):
     def schema(self):
         from disq_spark.schemas import READS_SCHEMA
 
+        cols = self.options.get("columns")
+        if cols:
+            from pyspark.sql.types import StructType
+
+            keep = [c.strip() for c in cols.split(",")]
+            return StructType([f for f in READS_SCHEMA.fields if f.name in keep])
         return READS_SCHEMA
 
     def reader(self, schema) -> BamReader:
@@ -471,6 +504,7 @@ class SamRange(InputPartition):
     end: int
     mode: str
     hosts: tuple = ()
+    intervals: tuple | None = None  # ((contig, start, end), ...) residual filter
 
 
 class SamReader(DataSourceReader):
@@ -484,6 +518,15 @@ class SamReader(DataSourceReader):
             raise ValueError("format('sam') requires .load(path)")
         self.split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
         self.mode = options.get("mode", "STRICT")
+        spec = options.get("intervals")
+        if spec is not None:
+            from disq_spark.functions.intervals import parse_intervals
+
+            self.intervals = tuple(
+                (iv.contig, iv.start, iv.end) for iv in parse_intervals(spec)
+            )
+        else:
+            self.intervals = None
 
     def partitions(self) -> list[SamRange]:
         from disq_spark.sources.plan import resolve_paths
@@ -495,7 +538,10 @@ class SamReader(DataSourceReader):
             for s in range(0, max(size, 1), self.split_size):
                 e = min(s + self.split_size, size)
                 parts.append(
-                    SamRange(p, s, e, self.mode, tuple(_dfs.block_locations(p, s, e - s)))
+                    SamRange(
+                        p, s, e, self.mode,
+                        tuple(_dfs.block_locations(p, s, e - s)), self.intervals,
+                    )
                 )
         return parts
 
@@ -523,6 +569,15 @@ class SamReader(DataSourceReader):
             return
         pdf = parse_sam_lines(pd.Series(lines, dtype="object"), part.mode)
         for row in pdf.itertuples(index=False, name=None):
+            # brute-force residual (SAM has no index; TraversalOverlap-
+            # Detector semantics): 2=contig, 3=start, 4=end
+            if part.intervals is not None:
+                contig, start, end = row[2], row[3], row[4]
+                if contig is None or start is None or not any(
+                    contig == c and start <= e and end >= s
+                    for c, s, e in part.intervals
+                ):
+                    continue
             yield row
 
 

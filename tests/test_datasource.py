@@ -205,3 +205,29 @@ def test_cram_datasource_interval_option(spark, fixtures_dir):
     )
     key = lambda df: sorted((r.name, r.start) for r in df.collect())
     assert key(got) == key(want) and got.count() > 0
+
+
+def test_bam_datasource_columns_option(spark, fixtures_dir):
+    """option('columns', ...) prunes the declared schema AND the decode
+    (seq/qual/tags skipped in the reader)."""
+    src = os.path.join(fixtures_dir, "1-with-splitting-index.bam")
+    df = (
+        spark.read.format("bam")
+        .option("columns", "flags,contig,start")
+        .load(src)
+    )
+    assert [f.name for f in df.schema.fields] == ["flags", "contig", "start"]
+    assert df.count() == 4917
+    full = spark.read.format("bam").load(src).select("flags", "contig", "start")
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_sam_datasource_interval_option(spark, fixtures_dir):
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.sources.reads import read_sam
+
+    src = os.path.join(fixtures_dir, "test.sam")
+    got = spark.read.format("sam").option("intervals", "chr7:1-100").load(src)
+    want, _ = read_sam(spark, src, intervals=[Interval("chr7", 1, 100)])
+    key = lambda df: sorted((r.name, r.start) for r in df.collect())
+    assert key(got) == key(want)
