@@ -183,10 +183,14 @@ def minhash_lsh_pairs(
     sig = sig.select(
         F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
     )
-    # sig feeds both sides of the self-join below; the signature pipeline
-    # is recomputed once per side. Measured cheaper than a cache barrier
-    # at sf0.1; at true scale persist() here is the knob — left to the
-    # caller, who knows the cluster's storage-memory budget.
+    # sig feeds both sides of the self-join below. Materialize it once:
+    # the signature table is 1 row/doc x (id + num_hashes*32 B) — tiny
+    # relative to the corpus — while its lineage (explode + hot-shingle
+    # count + agg) is the expensive part. Without the checkpoint each
+    # join side recomputes the whole pipeline, including the max_df
+    # hot-list job. (localCheckpoint, not cache: truncating lineage also
+    # halves the plan Catalyst must analyze/codegen.)
+    sig = sig.localCheckpoint(eager=False)
 
     band_keys = F.array(
         *[
@@ -245,6 +249,11 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sh = shingle_table(df, text_col, id_col, k, stride, max_df)
+    # sh feeds three consumers (both join sides + the size table); one
+    # materialization beats three recomputes of the explode + max_df
+    # pruning. At scale this writes ~the inverted index to executor-local
+    # storage — the standard trade for multi-consumer iterative shapes.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
