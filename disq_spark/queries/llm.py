@@ -68,16 +68,20 @@ def _oracle_shingles() -> str:
     )
 
 
-# shared CTE prefix: exploded shingles with the document-frequency cap
-def _oracle_sh_cte() -> str:
+# shared CTE prefix: exploded shingles with the document-frequency cap.
+# ``src`` parameterizes the corpus so composite pipelines (corpus_prep)
+# can run the same minhash over a filtered CTE instead of the raw table;
+# ``max_df_sql`` likewise so the cap is computed over that corpus.
+def _oracle_sh_cte(src: str = "documents", max_df_sql: str | None = None) -> str:
+    cap = max_df_sql or _MAX_DF_SQL
     return f"""
-sh0 AS (
-  SELECT doc_id, unnest({_oracle_shingles()}) AS shingle FROM documents
+sh0 AS MATERIALIZED (
+  SELECT doc_id, unnest({_oracle_shingles()}) AS shingle FROM {src}
 ),
 rare AS (
-  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_DF_SQL}
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {cap}
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)
 )"""
 
@@ -272,7 +276,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes(src: str = "documents", max_df_sql: str | None = None) -> str:
+    """CTE chain ``sh0, rare, sh, sig, buckets, cand, pairs`` computing
+    the thresholded minhash near-dup pairs of ``src`` — composable into
+    larger pipelines (corpus_prep) or wrapped standalone below."""
     rows_per_band = NUM_HASHES // BANDS
     mh_cols = ", ".join(
         f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(NUM_HASHES)
@@ -289,9 +296,8 @@ def _minhash_oracle() -> str:
     eq_sum = " + ".join(
         f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
     )
-    return f"""
-WITH {_oracle_sh_cte()},
-sig AS (
+    return f"""{_oracle_sh_cte(src, max_df_sql)},
+sig AS MATERIALIZED (
   SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
 ),
 buckets AS ({buckets}),
@@ -299,11 +305,18 @@ cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM buckets l JOIN buckets r
     ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-)
-SELECT c.id_a, c.id_b, round(({eq_sum}) / {float(NUM_HASHES)}, 4) AS est_jaccard
-FROM cand c JOIN sig a ON c.id_a = a.doc_id JOIN sig b ON c.id_b = b.doc_id
-WHERE round(({eq_sum}) / {float(NUM_HASHES)}, 4) >= {MINHASH_THRESHOLD}
-ORDER BY id_a, id_b
+),
+pairs AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, round(({eq_sum}) / {float(NUM_HASHES)}, 4) AS est_jaccard
+  FROM cand c JOIN sig a ON c.id_a = a.doc_id JOIN sig b ON c.id_b = b.doc_id
+  WHERE round(({eq_sum}) / {float(NUM_HASHES)}, 4) >= {MINHASH_THRESHOLD}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pair_ctes()}
+SELECT id_a, id_b, est_jaccard FROM pairs ORDER BY id_a, id_b
 """
 
 
@@ -847,3 +860,105 @@ SELECT doc_id,
 FROM documents WHERE doc_id < 100
 ORDER BY doc_id, frame_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep — the end-to-end training-corpus preparation pipeline:
+#   1. filter: predicted-English, quality >= 0.45, >= 10 tokens
+#   2. exact dedup: min-id representative per content fingerprint
+#   3. near-dup removal: minhash+LSH pairs -> connected components ->
+#      keep the min-id representative per cluster
+#   4. per-source corpus stats of what survives
+# The composite proves the operators compose: every stage is the library
+# call a real pipeline would make (functions/text.py, operators/dedup.py)
+# and the oracle is the same pipeline as one recursive-CTE SQL statement.
+# Scale shape: two corpus passes (filter+fingerprint, shingle), sketch-
+# sized shuffles elsewhere; the filtered corpus is checkpointed once and
+# reused by the minhash, the anti-join, and the final aggregate.
+# ---------------------------------------------------------------------------
+_CP_QUALITY = 0.45
+_CP_MIN_TOKENS = 10
+
+
+@_q("corpus_prep")
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    kept1 = d.filter(
+        (TX.lang_id(F.col("text")) == "en")
+        & (TX.quality_score(F.col("text")) >= _CP_QUALITY)
+        & (TX.token_count(F.col("text")) >= _CP_MIN_TOKENS)
+    )
+    reps = kept1.groupBy(TX.fingerprint(F.col("text")).alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept2 = kept1.join(reps.select("doc_id"), "doc_id", "semi").localCheckpoint(
+        eager=True
+    )
+    n2 = kept2.count()
+    max_df = max(MAX_DF_FLOOR, MAX_DF_FRACTION * n2)
+    pairs = DD.minhash_lsh_pairs(
+        kept2,
+        "text",
+        "doc_id",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+        k=SHINGLE_K,
+        stride=SHINGLE_STRIDE,
+        max_df=max_df,
+    )
+    final = DD.keep_representatives(kept2, pairs)
+    # deterministic avg quality: per-doc round to 1e-4 -> exact BIGINT sum
+    q_e4 = F.round(TX.quality_score(F.col("text")) * 10000, 0).cast("long")
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+            F.round(F.sum(q_e4) / (10000.0 * F.count("*")), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _corpus_prep_oracle() -> str:
+    max_df = f"greatest({MAX_DF_FLOOR}, {MAX_DF_FRACTION} * (SELECT count(*) FROM kept2))"
+    return f"""
+WITH RECURSIVE kept1 AS MATERIALIZED (
+  SELECT * FROM documents
+  WHERE {_lang_id_sql()} = 'en'
+    AND ({_QUALITY_SQL}) >= {_CP_QUALITY}
+    AND len({_TOKS}) >= {_CP_MIN_TOKENS}
+),
+reps AS (
+  SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY md5({_NORM})
+),
+kept2 AS MATERIALIZED (
+  SELECT kept1.* FROM kept1 WHERE doc_id IN (SELECT doc_id FROM reps)
+),
+{_minhash_pair_ctes("kept2", max_df)},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, comp) AS (
+  SELECT a AS node, a AS comp FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.comp FROM reach r JOIN edges e ON e.b = r.node
+),
+losers AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> min(comp)
+),
+final AS (
+  SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT node FROM losers)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+       round(sum(CAST(round(({_QUALITY_SQL}) * 10000, 0) AS BIGINT)) / (10000.0 * count(*)), 4) AS avg_quality
+FROM final GROUP BY source ORDER BY source
+"""
+
+
+ORACLE["corpus_prep"] = _corpus_prep_oracle()
