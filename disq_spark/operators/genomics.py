@@ -149,3 +149,113 @@ def pair_reads(df: DataFrame) -> DataFrame:
         ).alias("reads"),
         F.count("*").alias("n_reads"),
     )
+
+
+def coverage_bins(
+    df: DataFrame,
+    bin_size: int = 10_000,
+    contig: str = "contig",
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Binned read-depth: (contig, bin, bin_start, n_reads, mean_depth).
+
+    Each mapped read explodes to the fixed-width genome bins it overlaps
+    (span/bin_size + 1 rows — bounded, never per-base), then one
+    groupBy with map-side partial aggregation: n_reads = reads touching
+    the bin, mean_depth = sum of per-read overlap bases / bin_size.
+    The scale shape of samtools-depth: shuffle volume is reads x
+    bins-per-read, output is genome/bin_size rows.
+
+    Bin b covers 1-based positions [b*bin_size + 1, (b+1)*bin_size].
+    """
+    bs = bin_size
+    c, s, e = F.col(contig), F.col(start), F.col(end)
+    binned = (
+        df.filter(c.isNotNull() & s.isNotNull() & e.isNotNull())
+        .withColumn("bin", F.explode(F.sequence(((s - 1) / bs).cast("long"), ((e - 1) / bs).cast("long"))))
+    )
+    b = F.col("bin")
+    overlap = F.least(e, (b + 1) * bs) - F.greatest(s, b * bs + 1) + 1
+    return (
+        binned.groupBy(c.alias("contig"), b.alias("bin"))
+        .agg(
+            F.count("*").alias("n_reads"),
+            F.sum(overlap).alias("covered_bases"),
+        )
+        .select(
+            "contig",
+            "bin",
+            (F.col("bin") * bs + 1).alias("bin_start"),
+            "n_reads",
+            F.round(F.col("covered_bases") / float(bs), 4).alias("mean_depth"),
+        )
+    )
+
+
+def coverage_depth(
+    df: DataFrame,
+    contig: str = "contig",
+    start: str = "start",
+    end: str = "end",
+    chunk_size: int = 1 << 20,
+) -> DataFrame:
+    """Exact per-base depth as run-length segments:
+    (contig, pos, next_pos, depth) — depth holds for [pos, next_pos).
+
+    Difference-array + DISTRIBUTED prefix sum. The naive formulation
+    (one window per contig) serializes each chromosome onto a single
+    reducer — at 100 TB a whole-genome depth pass would run on ~24
+    tasks. Instead, the classic two-level scan:
+
+      1. events: +1 at read start, -1 past read end, pre-summed per
+         (contig, pos) — map-side partial agg.
+      2. within-chunk prefix sum: window over (contig, chunk) where
+         chunk = pos div chunk_size — parallelism = genome/chunk_size.
+      3. chunk metadata: per-chunk delta totals + first event position
+         (tiny: one row per chunk with events) — prefix-summed / lead'd
+         per contig, the only per-contig serial step, over
+         ~genome/chunk_size rows, then broadcast-joined back.
+      4. depth = within-chunk sum + exclusive chunk offset; next_pos =
+         lead within chunk, falling back to the next chunk's first
+         event at chunk boundaries.
+
+    Output rows = distinct event positions (2x reads worst case), run-
+    length encoded — including the depth-0 segments between covered
+    regions (next_pos NULL only at each contig's final event).
+    """
+    c, s, e = F.col(contig), F.col(start), F.col(end)
+    mapped = df.filter(c.isNotNull() & s.isNotNull() & e.isNotNull())
+    events = (
+        mapped.select(c.alias("contig"), s.alias("pos"), F.lit(1).alias("delta"))
+        .union(mapped.select(c.alias("contig"), (e + 1).alias("pos"), F.lit(-1).alias("delta")))
+        .groupBy("contig", "pos")
+        .agg(F.sum("delta").alias("delta"))
+        .withColumn("chunk", (F.col("pos") / chunk_size).cast("long"))
+    )
+    win = W.partitionBy("contig", "chunk").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    within = events.withColumn("within", F.sum("delta").over(win))
+    meta = events.groupBy("contig", "chunk").agg(
+        F.sum("delta").alias("chunk_total"), F.min("pos").alias("first_pos")
+    )
+    offw = W.partitionBy("contig").orderBy("chunk").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    leadw = W.partitionBy("contig").orderBy("chunk")
+    meta = meta.select(
+        "contig",
+        "chunk",
+        (F.sum("chunk_total").over(offw) - F.col("chunk_total")).alias("offset"),
+        F.lead("first_pos").over(leadw).alias("next_chunk_first"),
+    )
+    nextw = W.partitionBy("contig", "chunk").orderBy("pos")
+    return (
+        within.join(F.broadcast(meta), ["contig", "chunk"])
+        .withColumn("depth", (F.col("within") + F.col("offset")).cast("long"))
+        .withColumn(
+            "next_pos", F.coalesce(F.lead("pos").over(nextw), F.col("next_chunk_first"))
+        )
+        .select("contig", "pos", "next_pos", "depth")
+    )

@@ -196,3 +196,59 @@ ORACLE["genomics_vcf_interval_query"] = """
 SELECT CAST(1072 AS BIGINT) AS n_variants, CAST(1000580 AS BIGINT) AS min_pos,
        CAST(1999411 AS BIGINT) AS max_pos, CAST(164.89 AS DOUBLE) AS avg_qual
 """
+
+
+@_q("genomics_coverage")
+def genomics_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned read-depth over the BAM fixture (samtools-depth analog,
+    operators/genomics.coverage_bins): explode-to-bins + one partial-agg
+    groupBy — shuffle is reads x bins-per-read, output genome/bin rows."""
+    from disq_spark.operators.genomics import coverage_bins
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(
+        spark,
+        os.path.join(FIXTURES, "1-with-splitting-index.bam"),
+        split_size=200_000,
+    )
+    return coverage_bins(df, bin_size=100_000).orderBy("contig", "bin")
+
+
+ORACLE["genomics_coverage"] = """
+SELECT contig, CAST(bin AS BIGINT) AS bin, CAST(bin_start AS BIGINT) AS bin_start,
+       CAST(n_reads AS BIGINT) AS n_reads, CAST(mean_depth AS DOUBLE) AS mean_depth
+FROM (VALUES ('1', 247, 24700001, 427, 0.3131),
+             ('1', 248, 24800001, 1490, 1.0941),
+             ('1', 249, 24900001, 3000, 2.1904)) AS t(contig, bin, bin_start, n_reads, mean_depth)
+ORDER BY contig, bin
+"""
+
+
+@_q("genomics_depth_summary")
+def genomics_depth_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-base depth (run-length segments via the two-level
+    distributed prefix sum, operators/genomics.coverage_depth) reduced
+    to per-contig totals: peak depth, total aligned bases, covered
+    length — the whole-genome QC numbers a pipeline reports."""
+    from disq_spark.operators.genomics import coverage_depth
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(
+        spark,
+        os.path.join(FIXTURES, "1-with-splitting-index.bam"),
+        split_size=200_000,
+    )
+    seg = coverage_depth(df)
+    covered = seg.filter(F.col("next_pos").isNotNull() & (F.col("depth") > 0))
+    run = F.col("next_pos") - F.col("pos")
+    return covered.groupBy("contig").agg(
+        F.max("depth").alias("max_depth"),
+        F.sum(run * F.col("depth")).alias("aligned_bases"),
+        F.sum(run).alias("covered_len"),
+    ).orderBy("contig")
+
+
+ORACLE["genomics_depth_summary"] = """
+SELECT '1' AS contig, CAST(313 AS BIGINT) AS max_depth,
+       CAST(359757 AS BIGINT) AS aligned_bases, CAST(8568 AS BIGINT) AS covered_len
+"""

@@ -305,3 +305,68 @@ def test_duplicate_components_transitive(spark):
     kept = sorted(r.doc_id for r in keep_representatives(docs, pairs).collect())
     # losers 2,3,4,11,21,22,6 dropped; reps + untouched docs survive
     assert kept == sorted(set(range(25)) - {2, 3, 4, 11, 21, 22, 6})
+
+
+def test_coverage_depth_matches_bruteforce(spark, fixtures_dir):
+    """Run-length depth segments == per-base counting done in Python.
+    chunk_size tiny (4 kb) so chunk-boundary stitching is exercised."""
+    import os
+    from collections import Counter
+
+    from disq_spark.operators.genomics import coverage_depth
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _ = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    reads = df.filter(F.col("contig").isNotNull()).select("contig", "start", "end").collect()
+    depth = Counter()
+    for r in reads:
+        for p in range(r["start"], r["end"] + 1):
+            depth[(r["contig"], p)] += 1
+
+    segs = coverage_depth(df, chunk_size=4096).collect()
+    # every segment [pos, next_pos) must have constant brute-force depth
+    checked = 0
+    for s in segs:
+        hi = s["next_pos"] if s["next_pos"] is not None else s["pos"] + 1
+        for p in (s["pos"], hi - 1):
+            assert depth.get((s["contig"], p), 0) == s["depth"], (s, p)
+            checked += 1
+    assert checked > 100
+    # segments tile the covered genome: per-contig, next_pos chains are
+    # contiguous and only the final segment is open-ended
+    by_contig = {}
+    for s in segs:
+        by_contig.setdefault(s["contig"], []).append(s)
+    for contig, ss in by_contig.items():
+        ss.sort(key=lambda s: s["pos"])
+        for a, b in zip(ss, ss[1:]):
+            assert a["next_pos"] == b["pos"], (a, b)
+        assert ss[-1]["next_pos"] is None
+        assert ss[-1]["depth"] == 0  # all reads closed
+
+
+def test_coverage_bins_consistent_with_depth(spark, fixtures_dir):
+    """covered_bases per bin (mean_depth * bin_size) == integral of the
+    exact per-base depth over the bin."""
+    import os
+
+    from disq_spark.operators.genomics import coverage_bins, coverage_depth
+    from disq_spark.sources.bam_source import read_bam
+
+    bs = 10_000
+    df, _ = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    bins = {(r["contig"], r["bin"]): r for r in coverage_bins(df, bin_size=bs).collect()}
+    integral = {}
+    for s in coverage_depth(df).collect():
+        if s["next_pos"] is None or s["depth"] == 0:
+            continue
+        for p0 in range(s["pos"], s["next_pos"], bs):
+            b = (p0 - 1) // bs
+            lo, hi = max(s["pos"], b * bs + 1), min(s["next_pos"] - 1, (b + 1) * bs)
+            integral[(s["contig"], b)] = integral.get((s["contig"], b), 0) + s["depth"] * (
+                hi - lo + 1
+            )
+    assert integral, "fixture produced no coverage"
+    assert set(integral) == set(bins)
+    for key, total in integral.items():
+        assert round(bins[key]["mean_depth"] * bs) == total, (key, total, bins[key])
