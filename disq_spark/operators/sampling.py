@@ -1,0 +1,114 @@
+"""Deterministic sampling, sharding, and sequence packing — the
+reproducibility layer of a training-data pipeline.
+
+Spark's built-in ``df.sample`` draws from per-partition RNG streams: the
+selected set changes with partitioning, retries, and cluster size —
+unacceptable when a 100 TB corpus must be re-derivable bit-for-bit.
+Everything here keys off md5 of a stable row key instead:
+
+- ``hash_sample``:       keep a row iff its md5-derived uniform < rate.
+                         Partition-independent, repeatable, and a pure
+                         filter — no shuffle, pushed to the scan.
+- ``stratified_sample``: per-group rates via one CASE expression —
+                         still a pure filter.
+- ``assign_shards``:     shard = hash mod n — the output-layout step
+                         before a partitioned write; same key always
+                         lands in the same shard across reruns.
+- ``pack_sequences``:    the concat-then-chop model LLM pretraining
+                         uses: within each shard, documents are laid on
+                         a token tape in hash order and every ``budget``
+                         tokens starts a new pack. One window cumsum per
+                         shard — parallelism = shard count, so size
+                         n_shards to the cluster, not to taste.
+
+Determinism contract: md5-of-string hashing and integer cumsums, so
+every operator has an exact cross-engine SQL oracle (same generated
+fragments; see operators/sketches.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from disq_spark.operators.sketches import hex2int_sql
+
+#: 13 hex digits = 52 bits — exact in a double; u in [0, 1).
+_U_DIGITS = 13
+_U_SPACE = float(16**_U_DIGITS)
+
+
+def uniform_sql(key: str, seed: str = "") -> str:
+    """SQL fragment: deterministic uniform [0,1) from md5(seed || key).
+    Valid in both Spark SQL and DuckDB."""
+    h = f"substring(md5('{seed}' || {key}), 1, {_U_DIGITS})"
+    return f"({hex2int_sql(h, _U_DIGITS)} / {_U_SPACE!r})"
+
+
+def hash_sample(df: DataFrame, rate: float, key: str, seed: str = "") -> DataFrame:
+    """Keep ~rate of rows, selected by key hash — repeatable under any
+    partitioning, retry, or engine. A pure filter: no shuffle, no RNG
+    state, evaluated at scan time."""
+    return df.filter(F.expr(uniform_sql(key, seed)) < rate)
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], group_col: str, key: str, seed: str = ""
+) -> DataFrame:
+    """Per-group sampling rates (groups absent from ``rates`` are
+    dropped). One CASE expression — still a scan-time filter."""
+    cases = " ".join(
+        f"WHEN '{g}' THEN {r!r}" for g, r in sorted(rates.items())
+    )
+    rate_expr = f"(CASE {group_col} {cases} ELSE 0.0 END)"
+    return df.filter(F.expr(f"{uniform_sql(key, seed)} < {rate_expr}"))
+
+
+def shard_sql(key: str, n_shards: int, seed: str = "") -> str:
+    """SQL fragment: stable shard id in [0, n_shards) from the key hash."""
+    h = f"substring(md5('{seed}' || {key}), 1, 8)"
+    return f"({hex2int_sql(h, 8)} % {n_shards})"
+
+
+def assign_shards(df: DataFrame, n_shards: int, key: str, seed: str = "") -> DataFrame:
+    """Add a ``shard`` column: hash(key) mod n_shards. Follow with
+    ``.repartition(n_shards, "shard")`` / partitioned write for layout."""
+    return df.withColumn("shard", F.expr(shard_sql(key, n_shards, seed)).cast("int"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    key: str,
+    n_shards: int = 64,
+    seed: str = "",
+) -> DataFrame:
+    """Concat-then-chop sequence packing: within each shard, documents
+    are concatenated in hash-of-key order and the token tape is cut
+    every ``budget`` tokens. Adds:
+
+    - ``shard``:      which tape
+    - ``tape_offset``: token offset where this document starts
+    - ``pack_id``:     floor(tape_offset / budget) — the context window
+                       this document starts in
+
+    One window cumsum per shard; at scale parallelism == n_shards, so
+    pick n_shards >= cluster cores. The hash order is the global
+    shuffle LLM pretraining wants anyway — no extra pass to randomize.
+    """
+    out = assign_shards(df, n_shards, key, seed).withColumn(
+        "__ord", F.expr(f"substring(md5('{seed}' || {key}), 1, 16)")
+    )
+    win = (
+        W.partitionBy("shard")
+        .orderBy("__ord", key)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(win)
+    return (
+        out.withColumn("tape_offset", (cum - F.col(token_col)).cast("long"))
+        .withColumn("pack_id", (F.col("tape_offset") / budget).cast("long"))
+        .drop("__ord")
+    )

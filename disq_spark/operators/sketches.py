@@ -60,8 +60,11 @@ def hex2int_sql(hexpr: str, ndigits: int) -> str:
     ``hexpr`` should be a (cheap) column reference, not a recomputed
     expression — it is substituted once per digit.
     """
+    # multipliers as BIGINT literals: digit * 16^7 already overflows
+    # int32, which Spark's ANSI mode (4.x default) raises on
     terms = [
-        _HEXVAL.format(d=f"substring({hexpr}, {i + 1}, 1)") + f" * {16 ** (ndigits - 1 - i)}"
+        _HEXVAL.format(d=f"substring({hexpr}, {i + 1}, 1)")
+        + f" * CAST({16 ** (ndigits - 1 - i)} AS BIGINT)"
         for i in range(ndigits)
     ]
     return "(" + " + ".join(terms) + ")"

@@ -17,18 +17,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from disq_spark.queries import events, genomics, llm, relational, sketches
+from disq_spark.queries import events, genomics, llm, relational, sampling, sketches
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, events, llm, genomics, sketches):
+    for mod in (relational, events, llm, genomics, sketches, sampling):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (relational, events, llm, genomics, sketches):
+    for mod in (relational, events, llm, genomics, sketches, sampling):
         out.update(mod.ORACLE)
     return out

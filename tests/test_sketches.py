@@ -116,3 +116,68 @@ def test_bloom_no_false_negatives_and_prunes(spark, orders):
     kept = pruned.count()
     assert kept < total * 0.6, (kept, total)
     assert kept >= exact
+
+
+# ---------------------------------------------------------------------------
+# sampling / sharding / packing (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_partition_invariant(spark, orders):
+    """The selected set is identical under any partitioning — the
+    property Spark's RNG-based df.sample lacks."""
+    from disq_spark.operators import sampling as SP
+
+    a = sorted(r[0] for r in SP.hash_sample(orders, 0.2, "o_orderkey").select("o_orderkey").collect())
+    b = sorted(
+        r[0]
+        for r in SP.hash_sample(orders.repartition(13), 0.2, "o_orderkey")
+        .select("o_orderkey")
+        .collect()
+    )
+    assert a == b
+    n = orders.count()
+    assert 0.15 * n < len(a) < 0.25 * n  # rate lands near 20%
+
+
+def test_hash_sample_seed_decorrelates(spark, orders):
+    from disq_spark.operators import sampling as SP
+
+    a = set(r[0] for r in SP.hash_sample(orders, 0.2, "o_orderkey", seed="x").select("o_orderkey").collect())
+    b = set(r[0] for r in SP.hash_sample(orders, 0.2, "o_orderkey", seed="y").select("o_orderkey").collect())
+    n = orders.count()
+    overlap = len(a & b)
+    # independent 20% samples overlap ~4%; same-seed would be 100%
+    assert overlap < 0.1 * n
+
+
+def test_assign_shards_balanced_and_stable(spark, orders):
+    from disq_spark.operators import sampling as SP
+
+    s = SP.assign_shards(orders, 16, "o_orderkey")
+    counts = {r["shard"]: r["n"] for r in s.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(16))
+    n = orders.count()
+    for c in counts.values():
+        assert abs(c - n / 16) < n / 16 * 0.5  # within 50% of even
+
+
+def test_pack_sequences_invariants(spark):
+    """Offsets tile each shard's tape exactly: sorted offsets are the
+    prefix sums of token counts, and pack_id = offset div budget."""
+    from disq_spark.operators import sampling as SP
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = docs.withColumn("toks", F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("long"))
+    p = SP.pack_sequences(d, 128, "toks", "doc_id", n_shards=4).collect()
+    by_shard = {}
+    for r in p:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 4
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["tape_offset"])
+        cum = 0
+        for r in rows:
+            assert r["tape_offset"] == cum
+            assert r["pack_id"] == cum // 128
+            cum += r["toks"]
