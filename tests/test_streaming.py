@@ -102,3 +102,52 @@ def test_streaming_exact_dedup(spark, tmp_path):
     # exactly one row per distinct content, no fingerprint twice
     assert len(out) == n_distinct
     assert len({r.fingerprint for r in out}) == n_distinct
+
+
+def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
+    """HLL registers maintained over a stream == batch sketch of the same
+    rows (exact equality: both are the same deterministic arithmetic).
+    State is 2^p rows forever — the bounded-state streaming profile."""
+    from disq_spark.operators.sketches import hll_registers
+    from disq_spark.streaming.sketches import streaming_hll_registers
+
+    batch = load(spark, SF, "orders")
+    src = str(tmp_path / "hll_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        streaming_hll_registers(stream, "o_custkey", p=8)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT bucket, max_rho FROM hll_out").collect()))
+    want = sorted(map(tuple, hll_registers(batch, "o_custkey", p=8).collect()))
+    assert got == want
+
+
+def test_streaming_countmin_equals_batch_sketch(spark, tmp_path):
+    from disq_spark.operators.sketches import countmin_table
+    from disq_spark.streaming.sketches import streaming_countmin
+
+    batch = load(spark, SF, "orders").select(F.col("o_orderpriority").alias("v"))
+    src = str(tmp_path / "cm_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        streaming_countmin(stream, "v", depth=2, width=16)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cm_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT row, col, cnt FROM cm_out").collect()))
+    want = sorted(map(tuple, countmin_table(batch, "v", depth=2, width=16).collect()))
+    assert got == want
