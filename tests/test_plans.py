@@ -152,3 +152,64 @@ def test_max_df_prune_is_broadcast_anti_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     # the count side partial-aggregates before its exchange
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bloom_prune_is_pre_exchange_filter(spark):
+    """The Bloom test must sit in the scan stage (before any Exchange):
+    pruned rows never shuffle. Plan order: Scan ... Filter ... Exchange."""
+    from pyspark.sql import functions as F
+
+    from disq_spark.operators import sketches as SK
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bitmap = SK.bloom_bitmap(urgent, "o_orderkey", m_bits=4096, k=3)
+    joined = SK.bloom_prune(li, "l_orderkey", bitmap, m_bits=4096, k=3).join(
+        urgent.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    plan = simple_plan_of(joined)
+    # some Filter node must carry the md5 bit test (scan side, pre-join)
+    for line in plan.splitlines():
+        if "Filter" in line and "md5" in line:
+            break
+    else:
+        raise AssertionError("no Filter node carries the bloom bit test")
+
+
+def test_hash_sample_is_scan_time_filter(spark):
+    """hash_sample must be a Filter with no Exchange in the whole plan."""
+    from disq_spark.operators import sampling as SP
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = simple_plan_of(SP.hash_sample(d, 0.25, "doc_id"))
+    assert "Exchange" not in plan
+    assert "Filter" in plan and "md5" in plan
+
+
+def test_countmin_single_aggregate_shuffle(spark):
+    """Count-min build: exactly one exchange (the cell groupBy), with
+    map-side partial aggregation."""
+    from pyspark.sql import functions as F
+
+    from disq_spark.operators import sketches as SK
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("source").alias("v")
+    )
+    plan = simple_plan_of(SK.countmin_table(d, "v", depth=4, width=256))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_coverage_bins_single_aggregate_shuffle(spark):
+    """Binned coverage: explode + one partial-agg groupBy — one exchange."""
+    import os
+
+    from disq_spark.operators.genomics import coverage_bins
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _ = read_bam(spark, os.path.join("/root/reference/src/test/resources", "1.bam"))
+    plan = simple_plan_of(coverage_bins(df, bin_size=10_000))
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate explode" in plan or "Generate" in plan
