@@ -252,3 +252,75 @@ ORACLE["genomics_depth_summary"] = """
 SELECT '1' AS contig, CAST(313 AS BIGINT) AS max_depth,
        CAST(359757 AS BIGINT) AS aligned_bases, CAST(8568 AS BIGINT) AS covered_len
 """
+
+
+@_q("genomics_insert_size")
+def genomics_insert_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-size (template length) histogram — the library-QC metric
+    every alignment pipeline reports. Proper pairs only, leftmost mate
+    (tlen > 0) so each template counts once; 50 bp bins."""
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(
+        spark,
+        os.path.join(FIXTURES, "1-with-splitting-index.bam"),
+        split_size=200_000,
+        columns=["flags", "template_len"],
+    )
+    f = F.col("flags")
+    proper_left = ((f.bitwiseAND(2)) != 0) & (F.col("template_len") > 0)
+    return (
+        df.filter(proper_left)
+        .groupBy((F.col("template_len") / 50).cast("long").alias("bin50"))
+        .agg(F.count("*").alias("n_templates"))
+        .filter(F.col("n_templates") >= 10)
+        .orderBy("bin50")
+    )
+
+
+@_q("genomics_gc_mapq")
+def genomics_gc_mapq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-MAPQ-tier read counts with mean GC fraction of the read
+    sequence — the contamination/quality cross-check. GC is counted
+    with pure string expressions (codegen, no Python)."""
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(
+        spark,
+        os.path.join(FIXTURES, "1-with-splitting-index.bam"),
+        split_size=200_000,
+        columns=["flags", "mapq", "seq"],
+    )
+    mapped = df.filter((F.col("flags").bitwiseAND(4)) == 0)
+    gc = F.length(F.regexp_replace(F.col("seq"), "[ATN]", "")) / F.length("seq")
+    tier = (
+        F.when(F.col("mapq") >= 60, "Q60+")
+        .when(F.col("mapq") >= 30, "Q30-59")
+        .when(F.col("mapq") >= 1, "Q1-29")
+        .otherwise("Q0")
+    )
+    # per-read e4 rounding -> exact integer sum -> deterministic mean
+    gc_e4 = F.round(gc * 10000, 0).cast("long")
+    return (
+        mapped.groupBy(tier.alias("mapq_tier"))
+        .agg(
+            F.count("*").alias("n_reads"),
+            F.round(F.sum(gc_e4) / (10000.0 * F.count("*")), 4).alias("mean_gc"),
+        )
+        .orderBy("mapq_tier")
+    )
+
+
+ORACLE["genomics_insert_size"] = """
+SELECT CAST(bin50 AS BIGINT) AS bin50, CAST(n_templates AS BIGINT) AS n_templates
+FROM (VALUES (1, 186), (2, 769), (3, 737), (4, 370),
+             (5, 168), (6, 51), (7, 20)) AS t(bin50, n_templates)
+ORDER BY bin50
+"""
+
+ORACLE["genomics_gc_mapq"] = """
+SELECT mapq_tier, CAST(n_reads AS BIGINT) AS n_reads, CAST(mean_gc AS DOUBLE) AS mean_gc
+FROM (VALUES ('Q0', 1, 0.4211), ('Q1-29', 131, 0.45),
+             ('Q30-59', 75, 0.4311), ('Q60+', 4680, 0.4353)) AS t(mapq_tier, n_reads, mean_gc)
+ORDER BY mapq_tier
+"""
