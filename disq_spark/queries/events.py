@@ -283,3 +283,68 @@ SELECT from_type, to_type, count(*) AS n
 FROM seq WHERE from_type IS NOT NULL
 GROUP BY from_type, to_type ORDER BY from_type, to_type
 """
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts — weekly signup-free retention matrix: cohort = first
+# active ISO week; cell = distinct users of that cohort active k weeks
+# later. Two shuffles (distinct user-week activity, cohort groupBy) with
+# the cohort-size side broadcast back — the standard product-analytics
+# rollup at any scale.
+# ---------------------------------------------------------------------------
+@_q("retention_cohorts")
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count_distinct("user_id").alias("cohort_size")
+    )
+    cells = (
+        act.join(cohort, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") * 100.0 / F.col("cohort_size"), 2).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
+ORACLE["retention_cohorts"] = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY cohort_week
+),
+cells AS (
+  SELECT cohort_week,
+         CAST(datediff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+         CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active
+  FROM act JOIN cohort ON act.user_id = cohort.user_id
+  GROUP BY 1, 2
+)
+SELECT strftime(cells.cohort_week, '%Y-%m-%d') AS cohort, week_offset, n_active,
+       round(n_active * 100.0 / cohort_size, 2) AS retention_pct
+FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
+ORDER BY cohort, week_offset
+"""
