@@ -297,3 +297,74 @@ def bloom_prune(
         t = bit == 1
         pred = t if pred is None else (pred & t)
     return df.filter(pred)
+
+
+# ---------------------------------------------------------------------------
+# table profiling
+# ---------------------------------------------------------------------------
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    p: int = 8,
+    correct_small: bool = True,
+) -> DataFrame:
+    """Column profile: (column, n_rows, n_null, n_distinct_est, min_str,
+    max_str) — the first look at an unknown 100 TB table.
+
+    Two scans total, never one per column:
+      1. one wide aggregate row: count + per-column null count and
+         min/max (compared in native type, reported as string),
+      2. a ``stack`` melt to (column, value) feeding the grouped HLL —
+         per-column distinct estimates from one pass, shuffle =
+         #cols * 2^p register rows.
+
+    Values hash via their string form, so int/string/date/timestamp
+    columns match the DuckDB oracle exactly (float columns profile fine
+    but their string forms — and so the hash buckets — are
+    engine-specific). ``correct_small=True`` (default) applies HLL
+    linear counting so low-cardinality columns read right; gate queries
+    needing bit-exact oracles pass False (raw path) and stick to
+    columns with >= 2.5 * 2^p distinct values.
+    """
+    cols = cols or df.columns
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+    stats = df.agg(*aggs)
+    per_col = stats.select(
+        F.col("__n").alias("n_rows"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"__null_{c}").alias("n_null"),
+                        F.col(f"__min_{c}").alias("min_str"),
+                        F.col(f"__max_{c}").alias("max_str"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s"),
+    ).select("s.col_name", "n_rows", "s.n_null", "s.min_str", "s.max_str")
+
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    melted = df.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, value)"
+    ).filter(F.col("value").isNotNull())
+    est = hll_distinct(
+        melted, "value", p=p, group_cols=("col_name",), correct_small=correct_small
+    ).select("col_name", F.round("est_distinct", 4).alias("n_distinct_est"))
+
+    return per_col.join(est, "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.coalesce("n_distinct_est", F.lit(0.0)).alias("n_distinct_est"),
+        "min_str",
+        "max_str",
+    )

@@ -220,3 +220,68 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# profile_orders — one-look table profile (nulls / min-max / HLL distinct)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderdate")
+_PROFILE_P = 8
+
+
+@_q("profile_orders")
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in two scans regardless of column count: wide
+    null/min/max aggregate + stack-melt into one grouped HLL. Raw HLL
+    path (deterministic) — the profiled columns all exceed 2.5 * 2^p
+    distinct at sf0.01."""
+    o = load(spark, sf_dir, "orders")
+    return SK.profile_table(
+        o, list(_PROFILE_COLS), p=_PROFILE_P, correct_small=False
+    ).orderBy("col_name")
+
+
+def _profile_oracle() -> str:
+    p = _PROFILE_P
+    bd = p // 4
+    m = 1 << p
+    _, est_expr = SK.hll_estimate_sql(p, correct_small=False)
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM orders"
+        for c in _PROFILE_COLS
+    )
+    stats = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        f"CAST(min({c}) AS VARCHAR) AS min_str, CAST(max({c}) AS VARCHAR) AS max_str "
+        f"FROM orders"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH melted AS ({melt}),
+h AS (
+  SELECT col_name, md5('' || value) AS __h FROM melted WHERE value IS NOT NULL
+),
+reg AS (
+  SELECT col_name, {SK.hex2int_sql("__h", bd)} AS bucket,
+         max({SK.rho_sql(f"substring(__h, {bd + 1}, {SK.RHO_DIGITS})")}) AS max_rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT col_name, CAST({m} - count(*) AS BIGINT) AS __empty,
+         CAST(sum(cast(pow(2, {SK.RHO_MAX} - max_rho) as bigint)) AS BIGINT) AS __occ
+  FROM reg GROUP BY 1
+),
+est AS (
+  SELECT col_name, round({est_expr}, 4) AS n_distinct_est FROM agg
+),
+stats AS ({stats})
+SELECT stats.col_name, n_rows, n_null, coalesce(n_distinct_est, 0.0) AS n_distinct_est,
+       min_str, max_str
+FROM stats LEFT JOIN est ON stats.col_name = est.col_name
+ORDER BY stats.col_name
+"""
+
+
+ORACLE["profile_orders"] = _profile_oracle()

@@ -181,3 +181,25 @@ def test_pack_sequences_invariants(spark):
             assert r["tape_offset"] == cum
             assert r["pack_id"] == cum // 128
             cum += r["toks"]
+
+
+def test_profile_table_accuracy(spark, orders):
+    """Linear-counted profile reads right on both low- and
+    high-cardinality columns; null counts and min/max are exact."""
+    got = {
+        r["col_name"]: r
+        for r in SK.profile_table(
+            orders, ["o_orderkey", "o_orderpriority", "o_custkey"]
+        ).collect()
+    }
+    n = orders.count()
+    exact = {
+        c: orders.select(c).distinct().count()
+        for c in ("o_orderkey", "o_orderpriority", "o_custkey")
+    }
+    for c, r in got.items():
+        assert r["n_rows"] == n
+        assert r["n_null"] == 0
+        assert abs(r["n_distinct_est"] - exact[c]) / exact[c] < 0.15, (c, r)
+    assert got["o_orderpriority"]["min_str"] == "1-URGENT"
+    assert got["o_orderpriority"]["max_str"] == "5-LOW"
