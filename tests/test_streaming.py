@@ -151,3 +151,53 @@ def test_streaming_countmin_equals_batch_sketch(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT row, col, cnt FROM cm_out").collect()))
     want = sorted(map(tuple, countmin_table(batch, "v", depth=2, width=16).collect()))
     assert got == want
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream attribution join == the batch interval
+    join of the same rows (availableNow drains everything, so no rows
+    are watermark-dropped and equality is exact)."""
+    from disq_spark.streaming.joins import stream_interval_join
+
+    stream, batch = _event_stream(spark, tmp_path)
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch_s = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    q = (
+        stream_interval_join(clicks_s, purch_s, window="30 minutes")
+        .select("event_id", "user_id", "ts", "r_event_id", "r_ts", "r_value")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT event_id, r_event_id FROM ssj_out").collect())
+    )
+
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("ce"), F.col("user_id").alias("cu"), F.col("ts").alias("ct")
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pe"), F.col("user_id").alias("pu"), F.col("ts").alias("pt")
+    )
+    want = sorted(
+        map(
+            tuple,
+            c.join(
+                p,
+                (F.col("cu") == F.col("pu"))
+                & (F.col("pt") <= F.col("ct"))
+                & (F.col("pt") >= F.col("ct") - F.expr("INTERVAL 30 minutes")),
+            )
+            .select("ce", "pe")
+            .collect(),
+        )
+    )
+    assert len(want) > 0
+    assert got == want
