@@ -348,3 +348,34 @@ SELECT strftime(cells.cohort_week, '%Y-%m-%d') AS cohort, week_offset, n_active,
 FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
 ORDER BY cohort, week_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# rollup_cascade_day — day-grain continuous aggregate produced by the
+# minute -> hour -> day cascade (operators/rollup.py): one raw scan, the
+# coarser grains re-aggregate 60x/24x smaller inputs. The oracle states
+# the day grain directly — re-aggregation must be lossless for
+# sum/count/min/max.
+# ---------------------------------------------------------------------------
+@_q("rollup_cascade_day")
+def rollup_cascade_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.rollup import cascade_rollup
+
+    e = load(spark, sf_dir, "events")
+    day = cascade_rollup(e, ts="ts", keys=("event_type",), value="value")["day"]
+    return day.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+    ).orderBy("event_type", "day")
+
+
+ORACLE["rollup_cascade_day"] = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n, round(sum(value), 2) AS total,
+       round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
+FROM events GROUP BY 1, 2 ORDER BY event_type, day
+"""

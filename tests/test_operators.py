@@ -370,3 +370,33 @@ def test_coverage_bins_consistent_with_depth(spark, fixtures_dir):
     assert set(integral) == set(bins)
     for key, total in integral.items():
         assert round(bins[key]["mean_depth"] * bs) == total, (key, total, bins[key])
+
+
+def test_cascade_rollup_lossless_reaggregation(spark):
+    """Each cascaded grain == direct aggregation of raw at that grain:
+    exact for n/vmin/vmax, 1e-6-relative for the float sum (ordering)."""
+    from disq_spark.operators.rollup import cascade_rollup
+    from disq_spark.queries.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    levels = cascade_rollup(e, ts="ts", keys=("event_type",), value="value")
+    for grain in ("minute", "hour", "day"):
+        direct = {
+            (r["event_type"], r["bucket"]): r
+            for r in e.groupBy(
+                "event_type", F.date_trunc(grain, "ts").alias("bucket")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("total"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+            )
+            .collect()
+        }
+        got = {(r["event_type"], r["bucket"]): r for r in levels[grain].collect()}
+        assert set(got) == set(direct), grain
+        for k, r in got.items():
+            d = direct[k]
+            assert r["n"] == d["n"] and r["vmin"] == d["vmin"] and r["vmax"] == d["vmax"]
+            assert abs(r["total"] - d["total"]) <= 1e-6 * max(abs(d["total"]), 1.0)
