@@ -435,3 +435,117 @@ def keep_representatives(
         F.col("node").alias(id_col)
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_hashes: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an already-deduped corpus without
+    rescanning the corpus: ``seen_hashes`` is the running (content-hash)
+    table maintained across batches.
+
+    Returns (kept_rows, updated_seen_hashes). kept = new rows whose
+    normalized-content hash is neither in seen_hashes nor claimed by an
+    earlier (min id) row of the same batch. At 100 TB this is THE dedup
+    shape: the corpus is touched only through its hash index (one
+    anti-join), new data only once.
+    """
+    h = content_hash(F.col(text_col))
+    with_h = new_df.withColumn("__h", h)
+    if seen_hashes is not None:
+        fresh = with_h.join(seen_hashes, with_h["__h"] == seen_hashes["h"], "left_anti")
+    else:
+        fresh = with_h
+    reps = fresh.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    kept = fresh.join(reps.select(id_col), id_col, "semi").drop("__h")
+    new_hashes = reps.select(F.col("__h").alias("h"))
+    updated = (
+        seen_hashes.union(new_hashes) if seen_hashes is not None else new_hashes
+    )
+    return kept, updated
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    sig_store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    k: int = 8,
+    stride: int = 4,
+    max_df: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup pairs of a NEW batch against itself AND a stored
+    signature table (minhash_signatures output of everything seen),
+    without re-shingling the corpus.
+
+    Returns (pairs, updated_sig_store). Pairs have id_a < id_b where at
+    least one side is new. The bucket join touches only band-key
+    collisions — the corpus contributes its signature table (32B *
+    num_hashes per doc), never its text. This is how a daily ingest
+    dedups against a year of data.
+    """
+    new_sig = minhash_signatures(df=new_df, text_col=text_col, id_col=id_col,
+                                 num_hashes=num_hashes, k=k, stride=stride, max_df=max_df)
+    all_sig = new_sig.union(sig_store) if sig_store is not None else new_sig
+    new_ids = new_df.select(F.col(id_col))
+
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    arr = lambda s: s.select(
+        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
+    )
+    sig_n = arr(new_sig).localCheckpoint(eager=False)
+    sig_a = arr(all_sig).localCheckpoint(eager=False)
+
+    def buckets(sig):
+        band_keys = F.array(
+            *[
+                F.md5(F.concat_ws("|", *[F.col("mh")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]))
+                for b in range(bands)
+            ]
+        )
+        return sig.select(F.col(id_col), F.col("mh"), F.posexplode(band_keys).alias("band", "band_key"))
+
+    left = buckets(sig_n).select(
+        "band", "band_key", F.col(id_col).alias("id_a"), F.col("mh").alias("mh_a")
+    )
+    right = buckets(sig_a).select(
+        F.col("band").alias("band_r"), F.col("band_key").alias("band_key_r"),
+        F.col(id_col).alias("id_b"), F.col("mh").alias("mh_b"),
+    )
+    # new x all, deduped to id_a != id_b; normalize orientation afterwards
+    cand = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("band_key") == F.col("band_key_r"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a_n"),
+            F.greatest("id_a", "id_b").alias("id_b_n"),
+            F.col("mh_a"),
+            F.col("mh_b"),
+        )
+        .select(
+            F.col("id_a_n").alias("id_a"), F.col("id_b_n").alias("id_b"), "mh_a", "mh_b"
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    eq_sum = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        cand.withColumn("est_jaccard", F.round(eq_sum / F.lit(float(num_hashes)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return pairs, sig_a

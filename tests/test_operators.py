@@ -400,3 +400,53 @@ def test_cascade_rollup_lossless_reaggregation(spark):
             d = direct[k]
             assert r["n"] == d["n"] and r["vmin"] == d["vmin"] and r["vmax"] == d["vmax"]
             assert abs(r["total"] - d["total"]) <= 1e-6 * max(abs(d["total"]), 1.0)
+
+
+def test_incremental_exact_dedup_across_batches(spark):
+    from disq_spark.operators.dedup import exact_dedup, incremental_exact_dedup
+    from disq_spark.queries.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    k1, seen = incremental_exact_dedup(b1, None)
+    k2, seen = incremental_exact_dedup(b2, seen)
+    # two-batch survivors == one-shot dedup representatives (batch order
+    # respects min-id because ids are split monotonically)
+    got = sorted(
+        [r["doc_id"] for r in k1.select("doc_id").collect()]
+        + [r["doc_id"] for r in k2.select("doc_id").collect()]
+    )
+    want = sorted(r["doc_id"] for r in exact_dedup(docs).select("doc_id").collect())
+    assert got == want
+    assert seen.count() == len(want)
+
+
+def test_incremental_minhash_matches_full(spark):
+    """Incremental pairs (new batch vs signature store) == the full-batch
+    pairs restricted to those touching a new doc (max_df=None so
+    signatures are batch-independent)."""
+    from disq_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from disq_spark.queries.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    t = 0.25
+    full = minhash_lsh_pairs(docs, threshold=t)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = sorted(
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    )
+    store = minhash_signatures(old)
+    pairs, updated = incremental_minhash_pairs(new, store, threshold=t)
+    got = sorted((r["id_a"], r["id_b"], r["est_jaccard"]) for r in pairs.collect())
+    assert got == want
+    assert len(want) > 0
+    assert updated.count() == docs.count()
