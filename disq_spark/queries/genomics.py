@@ -324,3 +324,40 @@ FROM (VALUES ('Q0', 1, 0.4211), ('Q1-29', 131, 0.45),
              ('Q30-59', 75, 0.4311), ('Q60+', 4680, 0.4353)) AS t(mapq_tier, n_reads, mean_gc)
 ORDER BY mapq_tier
 """
+
+
+@_q("genomics_fastq_stats")
+def genomics_fastq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable FASTQ scan (beyond-reference format; repo fixture) ->
+    per-lane read stats: count, mean length, mean base quality — the
+    pre-alignment QC numbers. Small split size so the gate exercises the
+    record-start snap."""
+    from disq_spark.sources.fastq import read_fastq
+
+    df = read_fastq(spark, "/root/repo/fixtures/sample.fastq", split_size=8192)
+    # mean phred: per-read integer sum of (ord(q)-33) -> exact bigint
+    qsum = F.expr(
+        "aggregate(transform(split(qual, ''), c -> ascii(c) - 33), 0L, (a, x) -> a + x)"
+    )
+    lane = F.coalesce(
+        F.regexp_extract("comment", r"lane=(\d+)", 1), F.lit("unknown")
+    )
+    return (
+        df.groupBy(lane.alias("lane"))
+        .agg(
+            F.count("*").alias("n_reads"),
+            F.round(F.sum(F.length("seq")) / F.count("*"), 4).alias("mean_len"),
+            F.round(F.sum(qsum) / F.sum(F.length("seq")), 4).alias("mean_qual"),
+        )
+        .orderBy("lane")
+    )
+
+
+ORACLE["genomics_fastq_stats"] = """
+SELECT lane, CAST(n_reads AS BIGINT) AS n_reads,
+       CAST(mean_len AS DOUBLE) AS mean_len, CAST(mean_qual AS DOUBLE) AS mean_qual
+FROM (VALUES ('0', 125, 75.632, 19.8906),
+             ('2', 125, 80.288, 20.0052),
+             ('unknown', 250, 82.592, 20.0192)) AS t(lane, n_reads, mean_len, mean_qual)
+ORDER BY lane
+"""

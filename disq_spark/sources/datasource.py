@@ -690,10 +690,95 @@ class CramDataSource(DataSource):
         return CramReader(self.options)
 
 
+@dataclass
+class FastqRange(InputPartition):
+    path: str
+    start: int
+    end: int
+    hosts: tuple = ()
+
+    def preferredLocations(self):
+        return list(self.hosts)
+
+
+class FastqReader(DataSourceReader):
+    """Splittable FASTQ scan: boundaries snap forward to the next
+    chain-validated record start (formats/fastq.find_record_start), so
+    any split size reads each record exactly once. gzip inputs fall back
+    to one whole-file partition."""
+
+    def __init__(self, options):
+        self.split_size = int(options.get("split_size", 128 * 1024 * 1024))
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError('format("fastq") requires .load(path)')
+
+    def partitions(self):
+        from disq_spark.sources.fastq import FASTQ_EXTENSIONS, _snap
+        from disq_spark.sources.plan import resolve_paths
+
+        parts = []
+        for p in resolve_paths(self.path, FASTQ_EXTENSIONS):
+            size = _dfs.getsize(p)
+            if p.endswith(".gz"):
+                parts.append(FastqRange(p, 0, size, tuple(_dfs.block_locations(p, 0, size))))
+                continue
+            nsplits = max(1, (size + self.split_size - 1) // self.split_size)
+            raw = [i * self.split_size for i in range(nsplits)] + [size]
+            snapped = [_snap(p, b, size) for b in raw]
+            for s, e in zip(snapped, snapped[1:]):
+                if e > s:
+                    parts.append(FastqRange(p, s, e, tuple(_dfs.block_locations(p, s, e - s))))
+        return parts
+
+    def read(self, part: FastqRange):
+        import gzip as _gz
+
+        from disq_spark.formats import fastq as fq
+
+        if part.path.endswith(".gz"):
+            with _gz.open(_dfs.open_input(part.path), "rt", encoding="ascii") as f:
+                lines = f.read().splitlines()
+        else:
+            with _dfs.open_input(part.path) as f:
+                f.seek(part.start)
+                data = f.read(part.end - part.start)
+                while data and not data.endswith(b"\n"):
+                    more = f.read(1 << 16)
+                    if not more:
+                        break
+                    data += more
+            lines_b = data.split(b"\n")
+            if lines_b and lines_b[-1] == b"":
+                lines_b.pop()
+            lines = [x.decode("ascii") for x in lines_b]
+        if not lines:
+            return
+        cols = fq.parse_lines(lines)
+        yield from zip(cols["name"], cols["comment"], cols["seq"], cols["qual"])
+
+
+class FastqDataSource(DataSource):
+    """Splittable FASTQ text scan (beyond-reference format)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fastq"
+
+    def schema(self):
+        from disq_spark.sources.fastq import FASTQ_SCHEMA
+
+        return FASTQ_SCHEMA
+
+    def reader(self, schema) -> FastqReader:
+        return FastqReader(self.options)
+
+
 def register_datasources(spark) -> None:
-    """Register bam/sam/cram/vcf with a SparkSession: enables
+    """Register bam/sam/cram/vcf/fastq with a SparkSession: enables
     spark.read.format(...) and df.write.format("bam")."""
     spark.dataSource.register(BamDataSource)
     spark.dataSource.register(SamDataSource)
     spark.dataSource.register(CramDataSource)
     spark.dataSource.register(VcfDataSource)
+    spark.dataSource.register(FastqDataSource)

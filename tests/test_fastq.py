@@ -1,0 +1,116 @@
+"""FASTQ source/sink: split-matrix exactly-once, round trips, the
+'@'-leading quality-line ambiguity, gzip path."""
+
+from __future__ import annotations
+
+import gzip
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from disq_spark.formats import fastq as fq
+from disq_spark.sources.fastq import read_fastq, write_fastq
+
+
+def _mk_fastq(n: int, seed: int = 7, trailing_newline: bool = True) -> str:
+    """Deterministic records; every 3rd quality string STARTS with '@'
+    (the classic split-ambiguity), lengths vary 30-90."""
+    rng = random.Random(seed)
+    recs = []
+    for i in range(n):
+        ln = rng.randint(30, 90)
+        seq = "".join(rng.choice("ACGTN") for _ in range(ln))
+        q = "".join(chr(rng.randint(0x21, 0x49)) for _ in range(ln))
+        if i % 3 == 0:
+            q = "@" + q[1:]
+        comment = f"run={i % 5}" if i % 2 == 0 else None
+        recs.append(fq.format_record(f"read{i:05d}", comment, seq, q))
+    text = "\n".join(recs)
+    return text + "\n" if trailing_newline else text
+
+
+@pytest.fixture(scope="module")
+def fastq_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("fq") / "sample.fastq"
+    p.write_text(_mk_fastq(300))
+    return str(p)
+
+
+def test_split_matrix_exactly_once(spark, fastq_file):
+    """Any split size yields the same 300 records exactly once — the
+    boundary snap never duplicates or drops."""
+    want = sorted(
+        map(tuple, read_fastq(spark, fastq_file, split_size=1 << 30).collect())
+    )
+    assert len(want) == 300
+    for split in (500, 1024, 4096, 16384):
+        got = sorted(
+            map(tuple, read_fastq(spark, fastq_file, split_size=split).collect())
+        )
+        assert got == want, f"split={split}"
+
+
+def test_no_trailing_newline(spark, tmp_path):
+    p = tmp_path / "tail.fastq"
+    p.write_text(_mk_fastq(37, seed=11, trailing_newline=False))
+    got = read_fastq(spark, str(p), split_size=700).collect()
+    assert len(got) == 37
+
+
+def test_comment_parsing(spark, fastq_file):
+    rows = {r["name"]: r for r in read_fastq(spark, fastq_file).collect()}
+    assert rows["read00000"]["comment"] == "run=0"
+    assert rows["read00001"]["comment"] is None
+    assert len(rows["read00004"]["seq"]) == len(rows["read00004"]["qual"])
+
+
+def test_gzip_whole_file(spark, tmp_path, fastq_file):
+    gz = tmp_path / "sample.fastq.gz"
+    with open(fastq_file, "rb") as f_in, gzip.open(gz, "wb") as f_out:
+        f_out.write(f_in.read())
+    got = sorted(map(tuple, read_fastq(spark, str(gz)).collect()))
+    want = sorted(map(tuple, read_fastq(spark, fastq_file).collect()))
+    assert got == want
+
+
+def test_roundtrip_single_and_sharded(spark, tmp_path, fastq_file):
+    df = read_fastq(spark, fastq_file, split_size=2048)
+    out1 = str(tmp_path / "out.fastq")
+    write_fastq(df, out1)
+    back1 = sorted(map(tuple, read_fastq(spark, out1).collect()))
+    outs = str(tmp_path / "out_shards")
+    write_fastq(df.repartition(5), outs, single_file=False)
+    back2 = sorted(map(tuple, read_fastq(spark, outs).collect()))
+    want = sorted(map(tuple, df.collect()))
+    assert back1 == want
+    assert back2 == want
+
+
+def test_record_start_rejects_qual_line(spark):
+    """A quality line starting with '@' must not be taken for a header."""
+    text = _mk_fastq(12, seed=3).encode()
+    # offset of record 3's quality line (starts with '@' by construction)
+    lines = text.split(b"\n")
+    qual_line_idx = 3  # record 0's qual (i%3==0 -> '@'-led)
+    off = sum(len(l) + 1 for l in lines[:qual_line_idx])
+    assert lines[qual_line_idx].startswith(b"@")
+    assert not fq.check_record_start(text, off)
+    # while the true record starts validate
+    assert fq.check_record_start(text, 0)
+    off_r1 = sum(len(l) + 1 for l in lines[:4])
+    assert fq.check_record_start(text, off_r1)
+
+
+def test_fastq_datasource(spark, fastq_file):
+    from disq_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    df = (
+        spark.read.format("fastq")
+        .option("split_size", 2048)
+        .load(fastq_file)
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, read_fastq(spark, fastq_file).collect()))
+    assert got == want
