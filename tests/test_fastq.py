@@ -114,3 +114,41 @@ def test_fastq_datasource(spark, fastq_file):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, read_fastq(spark, fastq_file).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BED (sources/bed.py) — shares this module's text-format focus
+# ---------------------------------------------------------------------------
+
+
+def test_bed_reader_and_pushdown(spark, tmp_path, fixtures_dir):
+    import os
+
+    from disq_spark.sources.bam_source import read_bam
+    from disq_spark.sources.bed import bed_intervals, read_bed
+
+    bed = tmp_path / "targets.bed"
+    bed.write_text(
+        "track name=targets\n"
+        "# capture regions\n"
+        "1\t24800000\t24860000\tt1\n"
+        "1\t24850000\t24900000\tt2\n"   # overlaps t1 -> merged for pushdown
+        "2\t100\t200\tt3\n"
+    )
+    df = read_bed(spark, str(bed)).collect()
+    assert len(df) == 3
+    r = {x["name"]: x for x in df}
+    assert r["t1"]["start"] == 24800001 and r["t1"]["end"] == 24860000  # 1-based closed
+
+    ivs = bed_intervals(str(bed))
+    assert len(ivs) == 2  # t1+t2 merged
+    assert (ivs[0].contig, ivs[0].start, ivs[0].end) == ("1", 24800001, 24900000)
+
+    # pushdown into the BAM source == brute-force residual filter
+    bam = os.path.join(fixtures_dir, "1.bam")
+    got, _ = read_bam(spark, bam, intervals=[i for i in ivs if i.contig == "1"])
+    all_reads, _ = read_bam(spark, bam)
+    from disq_spark.functions.intervals import overlaps
+
+    want = all_reads.filter(overlaps([i for i in ivs if i.contig == "1"])).count()
+    assert got.count() == want > 0
