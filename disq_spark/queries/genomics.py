@@ -361,3 +361,47 @@ FROM (VALUES ('0', 125, 75.632, 19.8906),
              ('unknown', 250, 82.592, 20.0192)) AS t(lane, n_reads, mean_len, mean_qual)
 ORDER BY lane
 """
+
+
+@_q("genomics_allele_stats")
+def genomics_allele_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genotype-level VCF analytics: per genotype class (hom-ref / het /
+    hom-alt / other), site counts, mean depth (DP) and mean quality —
+    array/map extraction staying entirely in Column expressions (one
+    explode, one partial-agg groupBy)."""
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "HiSeq.10000.vcf.bgz"))
+    g = F.explode("genotypes").alias("g")
+    gt = F.col("g.gt")
+    gclass = (
+        F.when(gt.isin("0/0", "0|0"), "hom_ref")
+        .when(gt.isin("1/1", "1|1"), "hom_alt")
+        .when(gt.isin("0/1", "1/0", "0|1", "1|0"), "het")
+        .otherwise("other")
+    )
+    dp = F.col("g.attrs")["DP"].cast("long")
+    q_e2 = F.round(F.col("qual") * 100, 0).cast("long")  # exact int sum
+    return (
+        df.select("qual", g)
+        .select(gclass.alias("gt_class"), dp.alias("dp"), q_e2.alias("q_e2"))
+        .groupBy("gt_class")
+        .agg(
+            F.count("*").alias("n_sites"),
+            F.sum("dp").alias("total_depth"),
+            F.round(F.sum("dp") / F.count("*"), 2).alias("mean_depth"),
+            F.round(F.sum("q_e2") / (100.0 * F.count("*")), 2).alias("mean_qual"),
+        )
+        .orderBy("gt_class")
+    )
+
+
+ORACLE["genomics_allele_stats"] = """
+SELECT gt_class, CAST(n_sites AS BIGINT) AS n_sites,
+       CAST(total_depth AS BIGINT) AS total_depth,
+       CAST(mean_depth AS DOUBLE) AS mean_depth,
+       CAST(mean_qual AS DOUBLE) AS mean_qual
+FROM (VALUES ('het', 6073, 446062, 73.45, 211.29),
+             ('hom_alt', 2098, 116399, 55.48, 286.72)) AS t(gt_class, n_sites, total_depth, mean_depth, mean_qual)
+ORDER BY gt_class
+"""
