@@ -322,3 +322,57 @@ def signlsh_topk(
             F.round("score", round_to).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — the embedding-store size lever
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df, vec_col: str = "embedding", q_col: str = "q", scale_col: str = "scale"
+):
+    """Per-vector max-abs int8 quantization: scale = max|v| / 127,
+    q_i = floor(v_i/scale + 0.5) in [-127, 127].
+
+    4x smaller than float32 (16x vs float64) — at 100 TB the difference
+    between an embedding store that fits executor storage and one that
+    doesn't. Cosine is scale-invariant, so similarity search runs on the
+    int8 vectors DIRECTLY (integer dot products; see ``cosine_q``) — no
+    dequantize pass. floor(x + 0.5) instead of round() so the oracle is
+    rounding-convention-independent across engines. Zero vectors get
+    scale 0 and all-zero codes.
+    """
+    v = F.col(vec_col)
+    dv = F.transform(v, lambda x: x.cast("double"))
+    scale = F.aggregate(dv, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))) / F.lit(127.0)
+    qexpr = F.when(
+        F.col(scale_col) == 0.0,
+        F.transform(dv, lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(dv, lambda x: F.floor(x / F.col(scale_col) + 0.5).cast("int"))
+    )
+    return df.withColumn(scale_col, scale).withColumn(q_col, qexpr)
+
+
+def dequantize(q_col="q", scale_col="scale") -> F.Column:
+    """int8 codes + scale -> array<double> approximation of the input."""
+    return F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col))
+
+
+def cosine_q(qa, qb) -> F.Column:
+    """Cosine similarity straight from two int8 code arrays (the scales
+    cancel): dot(qa,qb) / (|qa| |qb|). All-integer dot product."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n = lambda v: F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+    )
+    return dot.cast("double") / (n(qa) * n(qb))

@@ -962,3 +962,67 @@ FROM final GROUP BY source ORDER BY source
 
 
 ORACLE["corpus_prep"] = _corpus_prep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize_stats — int8 max-abs quantization of the embedding
+# store: per label, mean scale and mean L1 reconstruction error (both
+# carried as per-vector e7-rounded integer sums so no float summation
+# order is exposed). floor(x+0.5) quantization keeps both engines on the
+# same rounding convention.
+# ---------------------------------------------------------------------------
+@_q("embedding_quantize_stats")
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.similarity import dequantize, quantize_embeddings
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    l1 = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            dequantize(),
+            lambda a, b: F.abs(a - b),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.size("embedding")
+    scale_e7 = F.round(F.col("scale") * 1e7, 0).cast("long")
+    l1_e7 = F.round(l1 * 1e7, 0).cast("long")
+    return (
+        q.select("label", scale_e7.alias("s7"), l1_e7.alias("e7"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum("s7") / (1e7 * F.count("*")), 6).alias("mean_scale"),
+            F.round(F.sum("e7") / (1e7 * F.count("*")), 6).alias("mean_l1_err"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE["embedding_quantize_stats"] = """
+WITH base AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+),
+scaled AS (
+  SELECT label, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM base
+),
+quant AS (
+  SELECT label, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale) END AS dq
+  FROM scaled
+),
+per_vec AS (
+  SELECT label,
+         CAST(round(scale * 1e7, 0) AS BIGINT) AS s7,
+         CAST(round((list_sum(list_transform(list_zip(v, dq), p -> abs(p[1] - p[2]))) / len(v)) * 1e7, 0) AS BIGINT) AS e7
+  FROM quant
+)
+SELECT label, count(*) AS n_vecs,
+       round(sum(s7) / (1e7 * count(*)), 6) AS mean_scale,
+       round(sum(e7) / (1e7 * count(*)), 6) AS mean_l1_err
+FROM per_vec GROUP BY label ORDER BY label
+"""

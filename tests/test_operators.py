@@ -450,3 +450,53 @@ def test_incremental_minhash_matches_full(spark):
     assert got == want
     assert len(want) > 0
     assert updated.count() == docs.count()
+
+
+def test_int8_quantization_roundtrip_and_ranking(spark):
+    """Reconstruction error <= scale/2 per element; top-k cosine ranking
+    on int8 codes matches the float ranking with high overlap."""
+    from disq_spark.operators.similarity import (
+        cosine,
+        cosine_q,
+        dequantize,
+        quantize_embeddings,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings(e)
+    chk = q.select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    dequantize(),
+                    lambda a, b: F.abs(a - b),
+                ),
+                F.lit(0.0),
+                lambda a, x: F.greatest(a, x),
+            )
+            - F.col("scale") * 0.5
+        ).alias("worst_excess")
+    ).collect()[0]
+    assert chk["worst_excess"] <= 1e-9
+
+    # ranking overlap: per query vector, top-10 by exact cosine vs int8 cosine
+    qv = q.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("q").alias("qq"),
+    )
+    joined = qv.crossJoin(q.filter(F.col("vec_id") >= 3)).select(
+        "qid",
+        "vec_id",
+        cosine(F.col("qe"), F.col("embedding")).alias("cf"),
+        cosine_q(F.col("qq"), F.col("q")).alias("cq"),
+    )
+    rows = joined.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        topf = {r["vec_id"] for r in sorted(rs, key=lambda r: -r["cf"])[:10]}
+        topq = {r["vec_id"] for r in sorted(rs, key=lambda r: -r["cq"])[:10]}
+        assert len(topf & topq) >= 8, (qid, topf, topq)
