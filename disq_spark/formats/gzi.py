@@ -123,3 +123,34 @@ def open_reference(path: str):
     from disq_spark.formats.cram_decode import FastaReference
 
     return FastaReference(path)
+
+
+class IndexedPlainFasta:
+    """Random-access over an UNCOMPRESSED fasta + .fai: the .fai line
+    arithmetic gives exact byte offsets, so a slice is one seek + one
+    bounded read — never a whole-contig load (FastaReference's whole-
+    file dict is fine for CRAM's small test refs, wrong for a 3 GB
+    genome read by hundreds of window tasks)."""
+
+    def __init__(self, fasta: str, fai_path: str | None = None):
+        self.path = fasta
+        self.fai = read_fai(fai_path or fasta + ".fai")
+
+    def get(self, contig: str, start1: int, end1: int) -> str:
+        e = self.fai[contig]
+        start0, end0 = start1 - 1, min(end1, e.length)
+        u_from = e.offset + (start0 // e.line_bases) * e.line_bytes + (start0 % e.line_bases)
+        last0 = end0 - 1
+        u_to = e.offset + (last0 // e.line_bases) * e.line_bytes + (last0 % e.line_bases) + 1
+        with fs.open_input(self.path) as f:
+            f.seek(u_from)
+            raw = f.read(u_to - u_from)
+        return raw.replace(b"\n", b"").replace(b"\r", b"").decode("ascii").upper()
+
+
+def open_indexed_reference(path: str):
+    """Window-scan reference dispatch: .fai-seek for plain files,
+    .gzi+.fai block lookup for bgzip — both O(slice) per access."""
+    if path.endswith(".gz"):
+        return IndexedBgzfFasta(path)
+    return IndexedPlainFasta(path)

@@ -405,3 +405,35 @@ FROM (VALUES ('het', 6073, 446062, 73.45, 211.29),
              ('hom_alt', 2098, 116399, 55.48, 286.72)) AS t(gt_class, n_sites, total_depth, mean_depth, mean_qual)
 ORDER BY gt_class
 """
+
+
+@_q("genomics_reference_profile")
+def genomics_reference_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-genome windowed analytics (repo fixture): per contig,
+    GC fraction and N fraction from the distributed FASTA window scan —
+    planning reads only the .fai, each task seeks its window."""
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    w = read_fasta_windows(spark, "/root/repo/fixtures/ref.fa", window=5000)
+    gc = F.length(F.regexp_replace("seq", "[ATN]", ""))
+    nn = F.length(F.regexp_replace("seq", "[^N]", ""))
+    return (
+        w.groupBy("contig")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.length("seq")).alias("n_bases"),
+            F.round(F.sum(gc) / F.sum(F.length("seq")), 4).alias("gc_frac"),
+            F.round(F.sum(nn) / F.sum(F.length("seq")), 4).alias("n_frac"),
+        )
+        .orderBy("contig")
+    )
+
+
+ORACLE["genomics_reference_profile"] = """
+SELECT contig, CAST(n_windows AS BIGINT) AS n_windows, CAST(n_bases AS BIGINT) AS n_bases,
+       CAST(gc_frac AS DOUBLE) AS gc_frac, CAST(n_frac AS DOUBLE) AS n_frac
+FROM (VALUES ('chrA', 6, 30000, 0.4012, 0.0017),
+             ('chrB', 5, 21000, 0.4034, 0.0024),
+             ('chrM', 1, 1200, 0.3767, 0.0417)) AS t(contig, n_windows, n_bases, gc_frac, n_frac)
+ORDER BY contig
+"""

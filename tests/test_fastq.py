@@ -152,3 +152,65 @@ def test_bed_reader_and_pushdown(spark, tmp_path, fixtures_dir):
 
     want = all_reads.filter(overlaps([i for i in ivs if i.contig == "1"])).count()
     assert got.count() == want > 0
+
+
+# ---------------------------------------------------------------------------
+# FASTA window scan (sources/fasta.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fasta_windows_tile_exactly(spark):
+    from disq_spark.formats.gzi import read_fai
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    path = "/root/repo/fixtures/ref.fa"
+    fai = read_fai(path + ".fai")
+    rows = read_fasta_windows(spark, path, window=7000).collect()
+    by_contig = {}
+    for r in rows:
+        by_contig.setdefault(r["contig"], []).append(r)
+    assert set(by_contig) == set(fai)
+    for name, rs in by_contig.items():
+        rs.sort(key=lambda r: r["start"])
+        # windows tile [1, length] with no gaps and correct seq lengths
+        assert rs[0]["start"] == 1
+        for a, b in zip(rs, rs[1:]):
+            assert b["start"] == a["end"] + 1
+        assert rs[-1]["end"] == fai[name].length
+        full = "".join(r["seq"] for r in rs)
+        assert len(full) == fai[name].length
+    # reassembled == direct single-window read
+    whole = {
+        r["contig"]: r["seq"]
+        for r in read_fasta_windows(spark, path, window=1 << 30).collect()
+    }
+    for name, rs in by_contig.items():
+        assert "".join(r["seq"] for r in rs) == whole[name]
+    assert whole["chrA"][100:150] == "N" * 50  # planted N run survives
+
+
+def test_fasta_windows_overlap_for_kmers(spark):
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    path = "/root/repo/fixtures/ref.fa"
+    k = 5
+    rows = read_fasta_windows(spark, path, window=7000, overlap=k - 1).collect()
+    whole = {
+        r["contig"]: r["seq"]
+        for r in read_fasta_windows(spark, path, window=1 << 30).collect()
+    }
+    # every k-mer counted exactly once across windows (body-start ownership)
+    from collections import Counter
+
+    got = Counter()
+    for r in rows:
+        body = r["end"] - r["start"] + 1
+        for i in range(body):
+            km = r["seq"][i : i + k]
+            if len(km) == k:
+                got[km] += 1
+    want = Counter()
+    for seq in whole.values():
+        for i in range(len(seq) - k + 1):
+            want[seq[i : i + k]] += 1
+    assert got == want
