@@ -437,3 +437,38 @@ FROM (VALUES ('chrA', 6, 30000, 0.4012, 0.0017),
              ('chrM', 1, 1200, 0.3767, 0.0417)) AS t(contig, n_windows, n_bases, gc_frac, n_frac)
 ORDER BY contig
 """
+
+
+@_q("genomics_kmer_spectrum")
+def genomics_kmer_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-mer spectrum over the reference windows: overlap =
+    k-1 gives every boundary-spanning k-mer exactly one owner, so one
+    explode + one partial-agg groupBy counts the whole genome. Top 10
+    5-mers (no N)."""
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    k = 5
+    w = read_fasta_windows(spark, "/root/repo/fixtures/ref.fa", window=5000, overlap=k - 1)
+    kmers = w.select(
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(1, cast(end - start + 1 as int)), "
+                f"i -> substring(seq, i, {k})), s -> length(s) = {k} AND NOT contains(s, 'N'))"
+            )
+        ).alias("kmer")
+    )
+    return (
+        kmers.groupBy("kmer")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "kmer")
+        .limit(10)
+    )
+
+
+ORACLE["genomics_kmer_spectrum"] = """
+SELECT kmer, CAST(n AS BIGINT) AS n
+FROM (VALUES ('TTATA', 158), ('TTAAT', 144), ('ATTAT', 143), ('AAAAA', 135),
+             ('TAAAT', 134), ('TTTTA', 129), ('AAATT', 127), ('TATAA', 126),
+             ('AAAAT', 125), ('TTTAA', 123)) AS t(kmer, n)
+ORDER BY n DESC, kmer
+"""
