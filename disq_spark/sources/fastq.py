@@ -194,3 +194,28 @@ def write_fastq(df: DataFrame, path: str, single_file: bool | None = None) -> No
     if single_file:
         merge.concat_parts(path, merge.list_parts(parts_dir))
         merge.cleanup(parts_dir)
+
+
+def pair_fastq(r1: DataFrame, r2: DataFrame) -> DataFrame:
+    """Join R1/R2 mate files into fragments:
+    (name, comment, seq_1, qual_1, seq_2, qual_2).
+
+    Mate names must match after stripping an optional /1 /2 suffix (both
+    Illumina conventions: suffixed names, or identical names with the
+    mate encoded in the comment). Inner join — orphan reads drop; one
+    hash shuffle on the fragment name, which is exactly the co-location
+    an aligner feeding step wants anyway.
+    """
+    strip = lambda c: F.regexp_replace(c, "/[12]$", "")
+    a = r1.select(
+        strip(F.col("name")).alias("name"),
+        F.col("comment"),
+        F.col("seq").alias("seq_1"),
+        F.col("qual").alias("qual_1"),
+    )
+    b = r2.select(
+        strip(F.col("name")).alias("name"),
+        F.col("seq").alias("seq_2"),
+        F.col("qual").alias("qual_2"),
+    )
+    return a.join(b, "name")

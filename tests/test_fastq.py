@@ -214,3 +214,21 @@ def test_fasta_windows_overlap_for_kmers(spark):
         for i in range(len(seq) - k + 1):
             want[seq[i : i + k]] += 1
     assert got == want
+
+
+def test_pair_fastq(spark, tmp_path):
+    from disq_spark.sources.fastq import pair_fastq
+
+    r1 = tmp_path / "r1.fastq"
+    r2 = tmp_path / "r2.fastq"
+    r1.write_text(
+        "@frag1/1 lane=1\nACGT\n+\nIIII\n@frag2/1\nGGCC\n+\nJJJJ\n@orphan/1\nAAAA\n+\nKKKK\n"
+    )
+    r2.write_text("@frag1/2 lane=1\nTTTT\n+\nIIII\n@frag2/2\nCCAA\n+\nJJJJ\n")
+    pairs = pair_fastq(
+        read_fastq(spark, str(r1)), read_fastq(spark, str(r2))
+    ).collect()
+    got = {r["name"]: r for r in pairs}
+    assert set(got) == {"frag1", "frag2"}  # orphan dropped
+    assert got["frag1"]["seq_1"] == "ACGT" and got["frag1"]["seq_2"] == "TTTT"
+    assert got["frag2"]["qual_2"] == "JJJJ"
