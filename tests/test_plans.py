@@ -71,10 +71,10 @@ def test_no_query_degenerates_to_cartesian(spark):
     """Gate-wide guard: no registered relational/llm/events query may
     plan a CartesianProduct, and BroadcastNestedLoopJoin is allowed only
     for deliberate scalar-threshold cross joins (1-row build side)."""
-    from disq_spark.queries import events, llm, relational
+    from disq_spark.queries import events, llm, relational, sampling, sketches
 
     offenders = []
-    for mod in (relational, events, llm):
+    for mod in (relational, events, llm, sketches, sampling):
         for name, fn in mod.QUERIES.items():
             try:
                 plan = simple_plan_of(fn(spark, SF))
