@@ -57,3 +57,23 @@ def test_pushdown_reaches_parquet_scan(spark, fixtures_dir, tmp_path):
     narrow = spark.read.parquet(out).select("contig", "start")
     nplan = narrow._jdf.queryExecution().executedPlan().toString()
     assert "seq" not in nplan.split("ReadSchema")[-1][:400]
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Many tiny part files -> ~one target-sized file, same rows; the
+    original survives a no-op call untouched."""
+    from disq_spark.sinks.compact import compact_parquet
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 10_000).repartition(40).write.parquet(p)
+    before = spark.read.parquet(p)
+    want = before.count()
+    stats = compact_parquet(spark, p, target_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < 8
+    after = spark.read.parquet(p)
+    assert after.count() == want
+    assert sorted(r[0] for r in after.collect()) == list(range(10_000))
+    # second call: already coarse -> no-op
+    stats2 = compact_parquet(spark, p, target_bytes=64 * 1024 * 1024)
+    assert stats2["files_after"] == stats2["files_before"]
