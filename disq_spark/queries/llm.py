@@ -1026,3 +1026,94 @@ SELECT label, count(*) AS n_vecs,
        round(sum(e7) / (1e7 * count(*)), 6) AS mean_l1_err
 FROM per_vec GROUP BY label ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# text_pii_scan — regex PII surface scan per source: email / URL / long
+# digit runs (phone/ID-shaped). Patterns restricted to a dialect Java
+# and RE2-ish engines agree on (no backrefs, no lookaround). Pure
+# regexp_count expressions — scan-speed at any corpus size.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_URL = "https?://[^ ]+"
+_PII_DIGITS = "[0-9]{7,}"
+
+
+@_q("text_pii_scan")
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = TX.normalize(F.col("text"))
+    email = F.regexp_count(t, F.lit(_PII_EMAIL))
+    url = F.regexp_count(t, F.lit(_PII_URL))
+    digits = F.regexp_count(t, F.lit(_PII_DIGITS))
+    return (
+        d.select("source", email.alias("e"), url.alias("u"), digits.alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("e").alias("n_emails"),
+            F.sum("u").alias("n_urls"),
+            F.sum("g").alias("n_digit_runs"),
+            F.sum(((F.col("e") + F.col("u") + F.col("g")) > 0).cast("long")).alias(
+                "n_docs_flagged"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_pii_scan"] = f"""
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all({_NORM}, '{_PII_EMAIL}')) AS e,
+         len(regexp_extract_all({_NORM}, 'https?://[^ ]+')) AS u,
+         len(regexp_extract_all({_NORM}, '[0-9]{{7,}}')) AS g
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(u) AS BIGINT) AS n_urls,
+       CAST(sum(g) AS BIGINT) AS n_digit_runs,
+       CAST(sum(CASE WHEN e + u + g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_decontamination — benchmark-probe containment: which documents
+# contain any of a probe set of eval-set phrases (substring on
+# normalized text; the production version uses the n-gram tables above —
+# this is the exact-phrase first pass every decontamination run starts
+# with). One scan, probe set as plan literals.
+# ---------------------------------------------------------------------------
+_PROBES = ("the quick brown", "lorem ipsum dolor", "paris is the capital")
+
+
+@_q("text_decontamination")
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = TX.normalize(F.col("text"))
+    hit = None
+    for p in _PROBES:
+        c = F.contains(t, F.lit(p))
+        hit = c if hit is None else (hit | c)
+    return (
+        d.select("source", hit.cast("long").alias("hit"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("hit").alias("n_contaminated"),
+            F.round(F.sum("hit") * 100.0 / F.count("*"), 2).alias("pct"),
+        )
+        .orderBy("source")
+    )
+
+
+_PROBE_SQL = " OR ".join(f"contains({_NORM}, '{p}')" for p in _PROBES)
+
+ORACLE["text_decontamination"] = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN {_PROBE_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(sum(CASE WHEN {_PROBE_SQL} THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct
+FROM documents GROUP BY source ORDER BY source
+"""
