@@ -549,3 +549,68 @@ def incremental_minhash_pairs(
         .select("id_a", "id_b", "est_jaccard")
     )
     return pairs, sig_a
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the code into ``bands`` equal bit-slices;
+    any pair within hamming distance < bands must agree exactly on at
+    least one slice, so candidates come from equi-joins on (band,
+    slice-value) — never all-pairs — and the exact popcount filter runs
+    only on collisions. Same candidate-generation economics as MinHash
+    LSH, but over the 2-byte code instead of a shingle signature
+    (requires max_hamming < bands for completeness).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    assert bits % bands == 0
+    assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
+    slice_bits = bits // bands
+    sim = simhash(df, text_col, id_col, bits)  # (id, simhash)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * slice_bits)
+                .bitwiseAND((1 << slice_bits) - 1)
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(slices).alias("s")
+    ).select(id_col, "simhash", F.col("s.band").alias("band"), F.col("s.key").alias("key"))
+    left = buckets.select(
+        "band", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")
+    )
+    right = buckets.select(
+        F.col("band").alias("band_r"),
+        F.col("key").alias("key_r"),
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("h_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("key") == F.col("key_r"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1117,3 +1117,40 @@ SELECT source, count(*) AS n_docs,
        round(sum(CASE WHEN {_PROBE_SQL} THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash_pairs — hamming-banded near-dup pairs over the 16-bit
+# SimHash codes. The Spark side generates candidates via pigeonhole
+# band equi-joins (complete for hamming < bands); the oracle states the
+# result as the all-pairs popcount — equality IS the completeness proof
+# run at every gate.
+# ---------------------------------------------------------------------------
+@_q("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.simhash_pairs(d, bands=2, max_hamming=1).orderBy("id_a", "id_b")
+
+
+def _simhash_all_docs_cte(bits: int = 16) -> str:
+    hex_chars = (bits + 3) // 4
+    terms = DD._simhash_bit_terms(bits)
+    sums = ", ".join(f"sum({t}) AS s_{j}" for j, t in enumerate(terms))
+    total = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return f"""
+toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+th AS (SELECT doc_id, substring(md5(tok), 1, {hex_chars}) AS th FROM toks),
+s AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+codes AS (SELECT doc_id, cast({total} AS int) AS simhash FROM s)"""
+
+
+ORACLE["dedup_simhash_pairs"] = f"""
+WITH {_simhash_all_docs_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+ORDER BY id_a, id_b
+"""

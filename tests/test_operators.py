@@ -500,3 +500,26 @@ def test_int8_quantization_roundtrip_and_ranking(spark):
         topf = {r["vec_id"] for r in sorted(rs, key=lambda r: -r["cf"])[:10]}
         topq = {r["vec_id"] for r in sorted(rs, key=lambda r: -r["cq"])[:10]}
         assert len(topf & topq) >= 8, (qid, topf, topq)
+
+
+def test_simhash_pairs_matches_bruteforce(spark):
+    """Banded candidate generation finds EVERY pair within max_hamming
+    (pigeonhole guarantee) — checked against the all-pairs popcount."""
+    from disq_spark.operators.dedup import simhash, simhash_pairs
+    from disq_spark.queries.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    )
+    codes = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(codes)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(codes[a] ^ codes[b]).count("1")
+            if h <= 3:
+                want.append((a, b, h))
+    assert got == sorted(want)
+    assert len(want) > 0
