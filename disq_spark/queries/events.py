@@ -379,3 +379,59 @@ SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
 FROM events GROUP BY 1, 2 ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# event_spike_detection — monitoring-style anomaly pass: hourly counts
+# per event type, flagged when count > 2x the trailing-24h mean. The
+# comparison is kept in exact integers (n * slots > 2 * trailing_sum)
+# instead of a float z-score, so the flag set is engine-deterministic;
+# one shuffle for the hourly rollup, one window pass per type.
+# ---------------------------------------------------------------------------
+@_q("event_spike_detection")
+def event_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    trail_sum = F.sum("n").over(w)
+    trail_cnt = F.count("n").over(w)
+    flagged = (
+        hourly.withColumn("t_sum", trail_sum)
+        .withColumn("t_cnt", trail_cnt)
+        .filter(
+            (F.col("t_cnt") >= 12)
+            & (F.col("n") * F.col("t_cnt") > 2 * F.col("t_sum"))
+        )
+    )
+    return flagged.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        "n",
+        F.round(F.col("t_sum") / F.col("t_cnt"), 2).alias("trailing_mean"),
+    ).orderBy("event_type", "hour")
+
+
+ORACLE["event_spike_detection"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, hour, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS t_sum,
+         count(n) OVER (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS t_cnt
+  FROM hourly
+)
+SELECT event_type, strftime(hour, '%Y-%m-%d %H:00') AS hour, CAST(n AS BIGINT) AS n,
+       round(t_sum * 1.0 / t_cnt, 2) AS trailing_mean
+FROM t WHERE t_cnt >= 12 AND n * t_cnt > 2 * t_sum
+ORDER BY event_type, hour
+"""
