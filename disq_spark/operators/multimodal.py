@@ -1,13 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched mapInPandas stages.
 
-The container has no decode libraries (PIL/ffmpeg/soundfile), so the
-decode kernels are STUBS: ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder
-(md5-seeded dimensions/features) exercises the full Spark-side pipeline
-— schema, batch shapes, partitioning — which is the part that has to be
-right at 100 TB. Swap ``_fake_decode`` for a real PIL/ffmpeg call and
-nothing else changes.
+Decode support is two-tier:
+
+- REAL kernels, no external libraries: PPM (P6) / PGM (P5) and
+  uncompressed 24-bit BMP images via numpy; PCM WAV audio via the
+  stdlib ``wave`` module; byte-histogram features for anything. These
+  run the actual pixels/samples through the distributed pipeline.
+- FAKE kernels (``fake=True``) for formats whose codecs this container
+  lacks (JPEG/PNG/MP3/video need PIL/ffmpeg): a deterministic md5-
+  seeded decoder exercises the full Spark-side pipeline — schema, batch
+  shapes, partitioning — which is the part that has to be right at
+  100 TB. Swap in a real PIL/ffmpeg call and nothing else changes.
 
 Design for scale:
 - payloads stay in BinaryType columns (Tungsten off-heap, Arrow
@@ -57,20 +61,32 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode payloads -> (width, height, features). STUB: real decode
-    needs PIL/libjpeg which this environment lacks; ``fake=True`` runs
-    the deterministic fake kernel through the real distributed plumbing."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/pillow (not in this environment); "
-            "call with fake=True to run the deterministic stub kernel"
-        )
+    """Decode payloads -> (width, height, features).
+
+    REAL for PPM/PGM/uncompressed-BMP payloads (numpy, no external
+    libraries; features = mean RGB + 5-bin luminance histogram).
+    ``fake=True`` instead runs the deterministic md5 kernel on every
+    payload (for undecodable formats / plumbing tests); without it an
+    undecodable payload raises NotImplementedError naming the formats
+    that would need PIL."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                w, h, feats = _fake_decode(bytes(r["payload"]))
+                b = bytes(r["payload"])
+                if fake:
+                    w, h, feats = _fake_decode(b)
+                else:
+                    dec = try_decode_image(b)
+                    if dec is None:
+                        raise NotImplementedError(
+                            "payload is not PPM/PGM/BMP; JPEG/PNG need "
+                            "PIL (not in this environment) — use fake=True "
+                            "for the deterministic stub kernel"
+                        )
+                    w, h, img = dec
+                    feats = _image_features(img)
                 rows.append((r["doc_id"], w, h, r["n_bytes"], feats))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "n_bytes", "features"]
@@ -111,22 +127,38 @@ def resize_image(
     Rounding is floor(x + 0.5) — not Python's round() — so an external
     SQL oracle can reproduce it exactly (banker's rounding can't be
     spelled portably).
+
+    REAL for PPM/PGM/BMP payloads: nearest-neighbor resample via numpy
+    index gather, re-encoded as binary P6 — actual pixels through the
+    binary-in/binary-out path. ``fake=True``: md5-digest stand-in
+    payload with the same fit arithmetic.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires PIL/pillow (not in this environment); "
-            "call with fake=True to run the deterministic stub kernel"
-        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                w, h, _ = _fake_decode(b)
+                if fake:
+                    w, h, _ = _fake_decode(b)
+                else:
+                    dec = try_decode_image(b)
+                    if dec is None:
+                        raise NotImplementedError(
+                            "payload is not PPM/PGM/BMP — use fake=True"
+                        )
+                    w, h, img = dec
                 scale = min(target_w / w, target_h / h)
                 rw, rh = int(w * scale + 0.5), int(h * scale + 0.5)
-                rows.append((doc_id, w, h, rw, rh, hashlib.md5(b).digest()))
+                if fake:
+                    out_payload = hashlib.md5(b).digest()
+                else:
+                    ys = np.minimum((np.arange(rh) / scale).astype(int), h - 1)
+                    xs = np.minimum((np.arange(rw) / scale).astype(int), w - 1)
+                    out_payload = encode_ppm(np.ascontiguousarray(img[ys][:, xs]))
+                rows.append((doc_id, w, h, rw, rh, out_payload))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -179,16 +211,12 @@ AUDIO_SCHEMA = (
 
 def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode audio payloads -> (sample_rate, n_samples, rms, peak).
-    STUB: real decode needs soundfile/ffmpeg which this environment
-    lacks; ``fake=True`` treats the payload bytes as centered 8-bit PCM
-    (md5-seeded sample rate) so the distributed plumbing — Arrow batch
-    shape, per-record aggregation, bounded memory — is real and tested.
+
+    REAL for PCM WAV (8/16-bit) via the stdlib ``wave`` module — no
+    ffmpeg needed. ``fake=True`` treats the payload bytes as centered
+    8-bit PCM with an md5-seeded sample rate (plumbing tests /
+    non-WAV formats, which would need ffmpeg/soundfile).
     """
-    if not fake:
-        raise NotImplementedError(
-            "audio decode requires soundfile/ffmpeg (not in this environment); "
-            "call with fake=True to run the deterministic stub kernel"
-        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -197,10 +225,19 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
-                h = hashlib.md5(payload).digest()
-                rate = (8000, 16000, 22050, 44100)[h[0] % 4]
-                # payload bytes as signed-centered PCM in [-1, 1)
-                samples = [(b - 128) / 128.0 for b in payload]
+                if fake:
+                    h = hashlib.md5(payload).digest()
+                    rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+                    # payload bytes as signed-centered PCM in [-1, 1)
+                    samples = [(b - 128) / 128.0 for b in payload]
+                else:
+                    dec = decode_wav(payload)
+                    if dec is None:
+                        raise NotImplementedError(
+                            "payload is not PCM WAV — use fake=True"
+                        )
+                    rate, samples = dec
+                    samples = samples.tolist()
                 n = len(samples)
                 rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
                 peak = max((abs(s) for s in samples), default=0.0)
@@ -220,3 +257,120 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real decoders: PPM/PGM + uncompressed BMP (numpy), PCM WAV (stdlib)
+# ---------------------------------------------------------------------------
+
+
+def _decode_ppm(b: bytes):
+    """P6 (RGB) / P5 (gray) binary netpbm -> (w, h, HxWx3 uint8) or None."""
+    import numpy as np
+
+    if not (b.startswith(b"P6") or b.startswith(b"P5")):
+        return None
+    # header: magic, whitespace-separated width height maxval, 1 ws byte
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3 and i < len(b):
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment to EOL
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(b[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in toks)
+    if maxval > 255:
+        return None
+    ch = 3 if b.startswith(b"P6") else 1
+    need = w * h * ch
+    raw = np.frombuffer(b, dtype=np.uint8, count=need, offset=i)
+    img = raw.reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return w, h, img
+
+
+def _decode_bmp(b: bytes):
+    """Uncompressed 24-bit bottom-up BMP -> (w, h, HxWx3 uint8) or None."""
+    import struct
+
+    import numpy as np
+
+    if not b.startswith(b"BM") or len(b) < 54:
+        return None
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    raw = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1]  # BGR -> RGB
+
+
+def try_decode_image(b: bytes):
+    """(w, h, HxWx3 uint8) for the formats decodable without external
+    libraries, else None."""
+    return _decode_ppm(b) or _decode_bmp(b)
+
+
+def _image_features(img) -> list[float]:
+    """8 deterministic floats: mean R,G,B + 5-bin luminance histogram
+    (fractions), everything half-up rounded at 1e-6."""
+    import numpy as np
+
+    r6 = lambda x: int(float(x) * 1e6 + 0.5) / 1e6
+    means = img.reshape(-1, 3).mean(axis=0) / 255.0
+    luma = img.mean(axis=2).ravel()
+    hist = np.bincount(np.minimum(luma / 51.2, 4.999).astype(int), minlength=5)
+    n = luma.size
+    return [r6(means[0]), r6(means[1]), r6(means[2])] + [r6(c / n) for c in hist]
+
+
+def encode_ppm(img) -> bytes:
+    """HxWx3 uint8 -> binary P6."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_wav(b: bytes):
+    """PCM WAV (8/16-bit) -> (sample_rate, float samples in [-1,1)) or
+    None, via the stdlib wave module (no ffmpeg needed)."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    if not b.startswith(b"RIFF"):
+        return None
+    try:
+        with wave.open(_io.BytesIO(b)) as wf:
+            rate = wf.getframerate()
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        return None
+    return rate, samples
