@@ -1154,3 +1154,66 @@ FROM codes a JOIN codes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal_real_decode — the REAL image decoder in the gate: each
+# ASCII-only document's first 768 bytes become a valid 16x16 P6 PPM
+# (bytes ARE the pixels), decode_image parses actual pixels, and the
+# oracle recomputes the channel means from the same bytes with ascii().
+# ASCII-only filter keeps byte positions == character positions in both
+# engines.
+# ---------------------------------------------------------------------------
+_PPM_HEADER = "P6\n16 16\n255\n"
+_PPM_BYTES = 768  # 16 * 16 * 3
+
+
+@_q("multimodal_real_decode")
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import decode_image
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").rlike("^[ -~]+$")
+    )
+    padded = F.rpad(F.substring("text", 1, _PPM_BYTES), _PPM_BYTES, " ")
+    media = d.select(
+        "doc_id",
+        F.lit("image/x-ppm").alias("media_type"),
+        F.concat(F.lit(_PPM_HEADER).cast("binary"), padded.cast("binary")).alias(
+            "payload"
+        ),
+        F.lit(len(_PPM_HEADER) + _PPM_BYTES).cast("long").alias("n_bytes"),
+        F.lit("").alias("content_md5"),
+    )
+    feats = decode_image(media)  # REAL path: parses the P6 pixels
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        # features are float32; round the double cast back onto the 1e-6
+        # grid the kernel quantized to (float32 keeps ~7 sig digits)
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("r_mean"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("g_mean"),
+        F.round(F.element_at("features", 3).cast("double"), 6).alias("b_mean"),
+    ).orderBy("doc_id")
+
+
+def _chan_mean_sql(offset: int) -> str:
+    # mean of bytes at positions offset, offset+3, ... (1-based), /255,
+    # half-up 1e-6 — exactly _image_features' arithmetic
+    vals = f"[ascii(substring(p, {offset} + 3 * i, 1)) for i in generate_series(0, 255)]"
+    return f"floor((list_sum({vals}) / 256.0 / 255.0) * 1e6 + 0.5) / 1e6"
+
+
+ORACLE["multimodal_real_decode"] = f"""
+WITH base AS (
+  SELECT doc_id, rpad(substring(text, 1, {_PPM_BYTES}), {_PPM_BYTES}, ' ') AS p
+  FROM documents
+  WHERE doc_id < 100 AND regexp_full_match(text, '[ -~]+')
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       {_chan_mean_sql(1)} AS r_mean,
+       {_chan_mean_sql(2)} AS g_mean,
+       {_chan_mean_sql(3)} AS b_mean
+FROM base ORDER BY doc_id
+"""
