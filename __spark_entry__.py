@@ -19,10 +19,16 @@ from disq_spark.queries import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from disq_spark.queries.relational import q3_shipping_priority
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return q3_shipping_priority(spark, "/root/testdata/sf0.001")
+    corpus_prep is the end-to-end training-corpus pipeline (language +
+    quality filter -> exact dedup -> minhash near-dup clusters ->
+    representative keep -> per-source stats) — every operator family in
+    one plan.
+    """
+    from disq_spark.queries.llm import QUERIES
+
+    return QUERIES["corpus_prep"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
