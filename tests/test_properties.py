@@ -272,3 +272,61 @@ def test_bai_merge_equals_serial(case):
     assert [max(v, 0) for v in ms.linear] == [max(v, 0) for v in ss.linear]
     assert (ms.n_mapped, ms.n_unmapped) == (ss.n_mapped, ss.n_unmapped)
     assert ms.ref_beg == ss.ref_beg and ms.ref_end == ss.ref_end
+
+
+# ---------------------------------------------------------------------------
+# FASTQ record-start guesser (formats/fastq.py)
+# ---------------------------------------------------------------------------
+
+_name_st = st.text(
+    alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E, exclude_characters=" "),
+    min_size=1,
+    max_size=12,
+)
+_seq_st = st.text(alphabet="ACGTN", min_size=1, max_size=60)
+
+
+@st.composite
+def _fastq_records(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    recs = []
+    for _ in range(n):
+        name = draw(_name_st)
+        seq = draw(_seq_st)
+        # quality free over '!'..'~' — includes '@'-led ambiguity cases
+        qual = draw(
+            st.text(
+                alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+                min_size=len(seq),
+                max_size=len(seq),
+            )
+        )
+        recs.append(f"@{name}\n{seq}\n+\n{qual}")
+    return "\n".join(recs) + "\n"
+
+
+@settings(max_examples=60, deadline=None)
+@given(_fastq_records(), st.integers(min_value=0, max_value=400))
+def test_fastq_guesser_lands_on_true_record_start(text, cut):
+    """From ANY byte offset, find_record_start returns a true record
+    boundary (an offset in the set of real record starts) — never a
+    quality line, never mid-record. May skip forward past ambiguous
+    prefixes, but what it picks must be genuine."""
+    from disq_spark.formats import fastq as fq
+
+    data = text.encode()
+    # ground truth: offsets where each record begins
+    true_starts = []
+    off = 0
+    for i, line in enumerate(data.split(b"\n")[:-1]):
+        if i % 4 == 0:
+            true_starts.append(off)
+        off += len(line) + 1
+    cut = min(cut, len(data) - 1)
+    window = data[cut:]
+    found = fq.find_record_start(window, at_eof=True)
+    if found is not None:
+        assert cut + found in true_starts, (cut, found, text[:120])
+    else:
+        # None is acceptable only if no true start lies at/after the cut
+        assert all(s < cut for s in true_starts), (cut, text[:120])
