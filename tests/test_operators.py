@@ -609,3 +609,35 @@ def test_real_wav_decode(spark):
     f = samples.astype(np.float64) / 32768.0
     assert abs(r["rms"] - math.sqrt(float((f * f).mean()))) < 1e-5
     assert abs(r["peak"] - float(np.abs(f).max())) < 1e-5
+
+
+def test_minhash_bounded_under_boilerplate_skew(spark):
+    """Pathological corpus: every doc shares an identical boilerplate
+    prefix (the hot-shingle case that makes naive LSH quadratic). With
+    the df-cap, candidate pairs stay bounded by the distinct tails, and
+    the shared boilerplate alone creates no pairs."""
+    import random
+
+    from disq_spark.operators.dedup import minhash_lsh_pairs, shingle_table
+
+    rng = random.Random(9)
+    boiler = "subscribe to our newsletter terms of service apply all rights reserved "
+    rows = []
+    for i in range(400):
+        tail = " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+            for _ in range(30)
+        )
+        rows.append((i, boiler * 3 + tail))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = shingle_table(docs, max_df=40.0)
+    # every boilerplate shingle occurs in all 400 docs -> all capped away;
+    # what survives occurs in <= 40 docs by construction of the cap
+    counts = capped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert counts <= 40
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.9, max_df=40.0)
+    n_pairs = pairs.count()
+    # identical boilerplate alone must not explode into ~400^2/2 pairs
+    assert n_pairs < 2000, n_pairs
