@@ -259,3 +259,40 @@ def coverage_depth(
         )
         .select("contig", "pos", "next_pos", "depth")
     )
+
+
+def callable_loci(
+    depth_segments: DataFrame,
+    min_depth: int = 4,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Merge run-length depth segments (coverage_depth output) into
+    maximal 'callable' intervals where min_depth <= depth (<= max_depth):
+    (contig, start, end, span) — the GATK CallableLoci analog.
+
+    Gap-and-islands with one window pass per contig: a new island starts
+    wherever the previous qualifying segment doesn't touch this one
+    (prev_end != start); island id = running count of starts; one
+    groupBy merges each island. Segments are 2x reads rows at worst, so
+    the window input is event-sized, not base-sized.
+    """
+    q = depth_segments.filter(
+        F.col("next_pos").isNotNull() & (F.col("depth") >= min_depth)
+    )
+    if max_depth is not None:
+        q = q.filter(F.col("depth") <= max_depth)
+    w = W.partitionBy("contig").orderBy("pos")
+    islands = q.withColumn(
+        "new_island",
+        (F.coalesce(F.lag("next_pos").over(w), F.lit(-1)) != F.col("pos")).cast("long"),
+    ).withColumn("island", F.sum("new_island").over(w))
+    return (
+        islands.groupBy("contig", "island")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("next_pos") - 1).alias("end"),
+        )
+        .select(
+            "contig", "start", "end", (F.col("end") - F.col("start") + 1).alias("span")
+        )
+    )

@@ -641,3 +641,42 @@ def test_minhash_bounded_under_boilerplate_skew(spark):
     n_pairs = pairs.count()
     # identical boilerplate alone must not explode into ~400^2/2 pairs
     assert n_pairs < 2000, n_pairs
+
+
+def test_callable_loci_matches_bruteforce(spark, fixtures_dir):
+    """Merged callable intervals == per-base threshold scan done in
+    Python over the exact depth map."""
+    import os
+    from collections import Counter
+
+    from disq_spark.operators.genomics import callable_loci, coverage_depth
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _ = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    segs = coverage_depth(df)
+    got = sorted(
+        (r["contig"], r["start"], r["end"], r["span"])
+        for r in callable_loci(segs, min_depth=4).collect()
+    )
+    depth = Counter()
+    for r in df.filter(F.col("contig").isNotNull()).select("contig", "start", "end").collect():
+        for p in range(r["start"], r["end"] + 1):
+            depth[(r["contig"], p)] += 1
+    # brute force: maximal runs of depth >= 4
+    want = []
+    by_contig = {}
+    for (c, p), d in depth.items():
+        if d >= 4:
+            by_contig.setdefault(c, []).append(p)
+    for c, ps in by_contig.items():
+        ps.sort()
+        run_start = ps[0]
+        prev = ps[0]
+        for p in ps[1:]:
+            if p != prev + 1:
+                want.append((c, run_start, prev, prev - run_start + 1))
+                run_start = p
+            prev = p
+        want.append((c, run_start, prev, prev - run_start + 1))
+    assert got == sorted(want)
+    assert len(got) > 0
