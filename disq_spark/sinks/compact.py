@@ -61,3 +61,47 @@ def compact_parquet(
         "files_after": len(_parquet_parts(path)),
         "bytes": total,
     }
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates,
+    key: str,
+    delete_col: str | None = None,
+) -> dict:
+    """MERGE-INTO semantics for a plain Parquet dataset: rows in
+    ``updates`` replace same-``key`` rows, new keys append, and (when
+    ``delete_col`` names a boolean column) delete-marked keys drop.
+
+    Plan shape: one LEFT ANTI join of the base against the (broadcast
+    when small) update key set + union — the base is never shuffled on
+    its own account. Same write-to-temp + atomic swap as compaction, so
+    failures leave the original dataset intact and readers never see a
+    partial merge. The incremental-pipeline companion to
+    dedup.incremental_*: the daily batch lands with one pass over the
+    base.
+    """
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(path)
+    if delete_col is not None:
+        deletes = updates.filter(F.col(delete_col)).select(key)
+        upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
+    else:
+        deletes = None
+        upserts = updates
+    touched = upserts.select(key)
+    if deletes is not None:
+        touched = touched.union(deletes)
+    kept = base.join(F.broadcast(touched), key, "left_anti")
+    merged = kept.unionByName(upserts)
+
+    tmp = path.rstrip("/") + ".upsert.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    bak = path.rstrip("/") + ".upsert.old"
+    _dfs.rename(path, bak)
+    _dfs.rename(tmp, path)
+    _dfs.rmtree(bak)
+    return {"rows_after": n_after}

@@ -77,3 +77,26 @@ def test_compact_parquet(spark, tmp_path):
     # second call: already coarse -> no-op
     stats2 = compact_parquet(spark, p, target_bytes=64 * 1024 * 1024)
     assert stats2["files_after"] == stats2["files_before"]
+
+
+def test_upsert_parquet(spark, tmp_path):
+    """Update-in-place, append, and delete semantics; atomic swap."""
+    from pyspark.sql import functions as F
+
+    from disq_spark.sinks.compact import upsert_parquet
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, val string"
+    ).write.parquet(p)
+    updates = spark.createDataFrame(
+        [(5, "NEW5", False), (100, "NEW100", False), (7, None, True)],
+        "id long, val string, deleted boolean",
+    )
+    stats = upsert_parquet(spark, p, updates, key="id", delete_col="deleted")
+    after = {r["id"]: r["val"] for r in spark.read.parquet(p).collect()}
+    assert stats["rows_after"] == 100  # 100 - 1 delete + 1 insert
+    assert after[5] == "NEW5"
+    assert after[100] == "NEW100"
+    assert 7 not in after
+    assert after[6] == "v6"  # untouched rows survive
