@@ -435,3 +435,66 @@ SELECT event_type, strftime(hour, '%Y-%m-%d %H:00') AS hour, CAST(n AS BIGINT) A
 FROM t WHERE t_cnt >= 12 AND n * t_cnt > 2 * t_sum
 ORDER BY event_type, hour
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel_conversion — windowed conversion: of each day's first-time
+# signups, how many purchase within 7 days. First-signup via min(ts) per
+# user; conversion via the earliest qualifying purchase (one join +
+# integer comparisons — the exists-within-window shape).
+# ---------------------------------------------------------------------------
+@_q("funnel_conversion")
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchase = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signup.join(purchase, "user_id", "left")
+        .withColumn(
+            "converted",
+            (
+                F.col("p_ts").isNotNull()
+                & (F.col("p_ts") >= F.col("signup_ts"))
+                & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+            ).cast("long"),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.max("converted").alias("converted"))
+    )
+    return (
+        conv.groupBy(F.date_format("signup_ts", "yyyy-MM-dd").alias("signup_day"))
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.sum("converted").alias("n_converted"),
+            F.round(F.sum("converted") * 100.0 / F.count("*"), 2).alias("conv_pct"),
+        )
+        .orderBy("signup_day")
+    )
+
+
+ORACLE["funnel_conversion"] = """
+WITH signup AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT s.user_id, s.signup_ts,
+         max(CASE WHEN p.ts IS NOT NULL AND p.ts >= s.signup_ts
+                   AND p.ts <= s.signup_ts + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS converted
+  FROM signup s
+  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ON s.user_id = p.user_id
+  GROUP BY s.user_id, s.signup_ts
+)
+SELECT strftime(signup_ts, '%Y-%m-%d') AS signup_day,
+       count(*) AS n_signups,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(sum(converted) * 100.0 / count(*), 2) AS conv_pct
+FROM conv GROUP BY 1 ORDER BY 1
+"""
