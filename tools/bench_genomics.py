@@ -84,6 +84,20 @@ def main() -> None:
     nc = cdf.count()
     t_cram = time.time() - t0
 
+    # FASTQ: write a sizable file from the reads, then timed scan
+    from disq_spark.sources.fastq import read_fastq, write_fastq
+
+    fq_df = big.filter(F.col("seq").isNotNull() & F.col("qual").isNotNull()).select(
+        F.col("name"), F.lit(None).cast("string").alias("comment"), "seq", "qual"
+    )
+    fq_path = os.path.join(tmp, "big.fastq")
+    write_fastq(fq_df, fq_path)
+    nf_expect = fq_df.count()
+    t0 = time.time()
+    nf = read_fastq(spark, fq_path, split_size=4 * 1024 * 1024).count()
+    t_fastq = time.time() - t0
+    assert nf == nf_expect, (nf, nf_expect)
+
     print(
         json.dumps(
             {
@@ -99,6 +113,9 @@ def main() -> None:
                 "vcf_s": round(t_vcf, 2),
                 "cram_records": nc,
                 "cram_s": round(t_cram, 2),
+                "fastq_records": nf,
+                "fastq_s": round(t_fastq, 2),
+                "fastq_rec_per_s": int(nf / t_fastq),
             }
         )
     )
