@@ -36,7 +36,48 @@ HEADLINE = [
 ]
 
 
+def _median(xs):
+    s = sorted(xs)
+    return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+
 def main() -> None:
+    """Median-of-3 cold protocol: a single cold run on this VM shows
+    ±20% run-to-run variance on identical plans, so the headline number
+    is the per-query MEDIAN across N (default 3) fresh-JVM cold runs —
+    each child process is a brand-new Spark session, so every sample is
+    a true cold measurement. Warm (JIT-steady-state) times come from a
+    second pass inside the first child only."""
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") or runs <= 1:
+        return child_main()
+
+    import subprocess
+
+    samples = []
+    for i in range(runs):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+        if i > 0:
+            env["SPARK_GRAFT_BENCH_SKIP_WARM"] = "1"  # warm pass only needed once
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        samples.append(json.loads(line))
+        print(f"# cold run {i + 1}/{runs}: {samples[-1]['value']}s", file=sys.stderr)
+
+    med_q = {
+        name: round(_median([s["queries"][name] for s in samples]), 3)
+        for name in HEADLINE
+    }
+    result = dict(samples[0])
+    result["queries"] = med_q
+    result["value"] = round(sum(med_q.values()), 3)
+    result["cold_run_totals"] = [s["value"] for s in samples]
+    print(json.dumps(result))
+
+
+def child_main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from disq_spark.queries import all_queries
     from disq_spark.session import get_session
@@ -65,6 +106,20 @@ def main() -> None:
     # shingle pipeline alone), which amortizes to zero at scale.
     warm: dict[str, float] = {}
     warm_total = 0.0
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_WARM"):
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": times,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                }
+            )
+        )
+        return
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()

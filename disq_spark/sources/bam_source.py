@@ -446,6 +446,7 @@ def build_sbi(
     parallel; the driver merges the sorted offset runs and writes
     ``path + '.sbi'``. Subsequent reads plan from the index (no guessing).
     """
+    import numpy as _np
     import pandas as pd_  # local alias to avoid shadowing
 
     header, refs, first_voff = read_bam_header(path)
@@ -457,20 +458,33 @@ def build_sbi(
         "path string, v_start long, v_end long",
     )
     refs_b = refs
+    gran = granularity
 
     def scan(batches):
+        # One OUTPUT ROW PER CHUNK, not per record: each task subsamples
+        # its own offsets at `granularity` (phase restarting per chunk —
+        # the same semantics the write-side per-part fragment merge
+        # produces, sinks/bam.py) and ships them as one packed int64
+        # blob. Driver traffic is O(#records/granularity * 8 bytes),
+        # never one Row object per record.
         for pdf in batches:
             for _, r in pdf.iterrows():
                 voffs = scan_record_voffs(r["path"], refs_b, int(r["v_start"]), int(r["v_end"]))
-                yield pd_.DataFrame({"voff": voffs, "chunk": [int(r["v_start"])] * len(voffs)})
+                packed = _np.asarray(voffs[::gran], dtype="<i8").tobytes()
+                yield pd_.DataFrame(
+                    {"chunk": [int(r["v_start"])], "n": [len(voffs)], "packed": [packed]}
+                )
 
-    rows = plan_df.mapInPandas(scan, "voff long, chunk long").collect()
-    voffs = sorted(r.voff for r in rows)
+    rows = plan_df.mapInPandas(scan, "chunk long, n long, packed binary").collect()
+    rows.sort(key=lambda r: r.chunk)  # chunks are disjoint & ordered -> no global sort of offsets
+    total = sum(r.n for r in rows)
+    offsets: list[int] = []
+    for r in rows:
+        offsets.extend(_np.frombuffer(r.packed, dtype="<i8").tolist())
     size = _dfs.getsize(path)
-    offsets = voffs[::granularity]
     offsets.append(size << 16)
     idx = sbimod.SbiIndex(
-        file_length=size, total_records=len(voffs), granularity=granularity, offsets=offsets
+        file_length=size, total_records=total, granularity=granularity, offsets=offsets
     )
     sbimod.write_sbi(path + ".sbi", idx)
     return path + ".sbi"
