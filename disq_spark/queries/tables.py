@@ -22,15 +22,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(name)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-        # natively; read nanos as long and floor-convert to microseconds
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+        # drops and TIMESTAMP(MICROS) in others. Spark cannot read NANOS
+        # natively: read nanos as long and floor-convert to microseconds
         # (integer `div`, never double division — 1.7e18 ns overflows a
-        # double mantissa).
+        # double mantissa). MICROS arrives as a timestamp type already.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        t = df.schema["ts"].dataType
+        if isinstance(t, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(t, TimestampNTZType):
+            # MICROS without isAdjustedToUTC infers as TIMESTAMP_NTZ, which
+            # watermarks and unix_* reject; session tz is UTC so this cast
+            # is an identity on instants.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
