@@ -569,6 +569,123 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 # ---------------------------------------------------------------------------
+# text_bm25_search — full-corpus BM25 (Okapi, Lucene idf) for a fixed
+# query-term set; relevance filtering / quality-targeted selection
+# primitive. Oracle generated from the same (terms, k1, b) parameters.
+# ---------------------------------------------------------------------------
+BM25_TERMS = ("join", "spark", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@_q("text_bm25_search")
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.ranking import bm25
+
+    d = load(spark, sf_dir, "documents")
+    return bm25(d, BM25_TERMS, k1=BM25_K1, b=BM25_B)
+
+
+def _bm25_oracle(terms, k1: float, b: float) -> str:
+    in_list = ", ".join(repr(t) for t in sorted(set(terms)))
+    return f"""
+WITH base AS (
+  SELECT doc_id, len({_TOKS}) AS dl, {_TOKS} AS toks FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, tok, cast(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+  WHERE tok IN ({in_list})
+  GROUP BY doc_id, dl, tok
+),
+dft AS (SELECT tok, cast(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))
+           AS term_score
+  FROM tf JOIN dft USING (tok), stats
+)
+SELECT doc_id, count(*) AS n_matched_terms, round(sum(term_score), 4) AS score
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE["text_bm25_search"] = _bm25_oracle(BM25_TERMS, BM25_K1, BM25_B)
+
+
+# ---------------------------------------------------------------------------
+# embedding_kmeans — distributed Lloyd's k-means over the embedding column
+# (cluster-based curation / data-mixing primitive). Oracle is the same
+# iteration unrolled as DuckDB CTEs from the same (k, iters, rounding)
+# parameters, so the two formulations cannot drift.
+# ---------------------------------------------------------------------------
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_ROUND = 6
+
+
+@_q("embedding_kmeans")
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.clustering import kmeans_summary
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_summary(e, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _kmeans_oracle(k: int, iters: int, r: int) -> str:
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [
+        "vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS c\n"
+        f"  FROM (SELECT id, v FROM vecs ORDER BY id LIMIT {k}))",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"a{t} AS (\n"
+            f"  SELECT id, cid, v FROM (\n"
+            f"    SELECT vecs.id, c{t}.cid, vecs.v,\n"
+            f"           row_number() OVER (PARTITION BY vecs.id\n"
+            f"             ORDER BY {dist('vecs.v', f'c{t}.c')}, c{t}.cid) AS rn\n"
+            f"    FROM vecs, c{t}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"u{t} AS (SELECT cid, unnest(generate_series(1, len(v))) AS pos,\n"
+            f"  unnest(v) AS x FROM a{t})"
+        )
+        parts.append(
+            f"c{t + 1} AS (\n"
+            f"  SELECT cid, list(x ORDER BY pos) AS c FROM (\n"
+            f"    SELECT cid, pos, round(avg(x), {r}) AS x\n"
+            f"    FROM u{t} GROUP BY cid, pos) GROUP BY cid)"
+        )
+    parts.append(
+        f"afin AS (\n"
+        f"  SELECT id, cid, dist FROM (\n"
+        f"    SELECT vecs.id, c{iters}.cid,\n"
+        f"           {dist('vecs.v', f'c{iters}.c')} AS dist,\n"
+        f"           row_number() OVER (PARTITION BY vecs.id\n"
+        f"             ORDER BY {dist('vecs.v', f'c{iters}.c')}, c{iters}.cid) AS rn\n"
+        f"    FROM vecs, c{iters}) WHERE rn = 1)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT cast(cid AS int) AS cid, count(*) AS n_members,\n"
+        "       round(avg(dist), 4) AS inertia\n"
+        "FROM afin GROUP BY cid ORDER BY cid"
+    )
+
+
+ORACLE["embedding_kmeans"] = _kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_ROUND)
+
+
+# ---------------------------------------------------------------------------
 # multimodal_meta — opaque binary payload metadata (decode is stubbed; the
 # Spark-side plumbing — schema, batching — is real, see operators/multimodal)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,79 @@
+"""BM25 ranking + k-means clustering operator tests (sf0.001 + inline)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from disq_spark.operators.clustering import kmeans, kmeans_summary
+from disq_spark.operators.ranking import bm25
+from disq_spark.queries.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bm25_monotone_in_tf(spark):
+    """More occurrences of a query term -> strictly higher score
+    (equal doc length via padding with a non-query filler token)."""
+    rows = [
+        (1, "apple pad pad pad pad pad"),
+        (2, "apple apple pad pad pad pad"),
+        (3, "apple apple apple pad pad pad"),
+        (4, "pad pad pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25(df, ["apple"]).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 matches nothing
+    assert got[1] < got[2] < got[3]
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    """A term appearing in 1 of N docs carries more idf than one in all."""
+    rows = [(i, "common pad pad") for i in range(1, 10)] + [(10, "common rare pad")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25(df, ["common", "rare"]).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[10].n_matched_terms == 2
+    assert by_id[10].score > max(by_id[i].score for i in range(1, 10))
+
+
+def test_bm25_corpus_runs_and_is_deterministic(spark):
+    d = load(spark, SF, "documents")
+    a = bm25(d, ["join", "spark", "window"]).collect()
+    b = bm25(d, ["join", "spark", "window"]).collect()
+    assert a == b and len(a) > 0
+    assert all(r.score > 0 for r in a)
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    e = load(spark, SF, "embeddings")
+    n = e.count()
+    a = kmeans(e, k=4, iters=2)
+    assert a.count() == n
+    assert a.select("id").distinct().count() == n
+    assert a.agg(F.max("cid")).first()[0] <= 3
+    assert a.filter(F.col("dist") < 0).count() == 0
+
+
+def test_kmeans_inertia_improves_over_iterations(spark):
+    e = load(spark, SF, "embeddings")
+
+    def total_inertia(iters):
+        s = kmeans_summary(e, k=4, iters=iters)
+        return (
+            s.agg(F.sum(F.col("inertia") * F.col("n_members"))).first()[0]
+        )
+
+    assert total_inertia(3) <= total_inertia(1) + 1e-6
+
+
+def test_kmeans_sample_init(spark):
+    e = load(spark, SF, "embeddings")
+    s = kmeans_summary(e, k=4, iters=1)
+    a = kmeans(e, k=4, iters=1, init="sample", seed=7)
+    assert a.count() == e.count()
+    assert s.agg(F.sum("n_members")).first()[0] == e.count()
+
+
+def test_kmeans_rejects_unknown_init(spark):
+    e = load(spark, SF, "embeddings")
+    with pytest.raises(ValueError):
+        kmeans(e, k=2, iters=1, init="bogus")
