@@ -112,3 +112,54 @@ def pack_sequences(
         .withColumn("pack_id", (F.col("tape_offset") / budget).cast("long"))
         .drop("__ord")
     )
+
+
+def sampled_rank_threshold(
+    df: DataFrame,
+    value_col: str,
+    pct: float,
+    key: str,
+    sample_rate: float = 0.2,
+    seed: str = "",
+) -> DataFrame:
+    """1-row DataFrame: the ``pct``-quantile *threshold* of ``value_col``,
+    estimated from a deterministic hash-sample.
+
+    This is the scale-correct way to cut a 100 TB corpus at "top 20% by
+    quality": an exact global percentile needs every value on one
+    reducer, while the hash-sample (scan-time filter, no shuffle) bounds
+    the sort to sample_rate * n rows and stays bit-reproducible across
+    partitionings and engines. The threshold is rank-based (the
+    ceil(pct * n)-th smallest sample value — an actual data value, no
+    interpolation), because interpolated quantiles differ between
+    engines in final-ulp float arithmetic.
+    """
+    s = df.select(
+        F.col(value_col).alias("__v"), F.col(key).alias("__k")
+    )
+    s = s.filter(F.expr(uniform_sql("__k", seed)) < sample_rate)
+    w = W.orderBy("__v", "__k")
+    ranked = (
+        s.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(W.partitionBy()))
+    )
+    return ranked.filter(
+        F.col("__rn") == F.ceil(F.lit(pct) * F.col("__n")).cast("long")
+    ).select(F.col("__v").alias("threshold"))
+
+
+def percentile_filter(
+    df: DataFrame,
+    value_col: str,
+    pct: float,
+    key: str,
+    sample_rate: float = 0.2,
+    seed: str = "",
+) -> DataFrame:
+    """Keep rows whose ``value_col`` >= the sampled ``pct``-quantile
+    threshold (top ``1-pct`` fraction). One scan over the corpus with
+    the 1-row threshold broadcast — no global sort anywhere."""
+    thr = sampled_rank_threshold(df, value_col, pct, key, sample_rate, seed)
+    return df.crossJoin(F.broadcast(thr)).filter(
+        F.col(value_col) >= F.col("threshold")
+    )

@@ -569,6 +569,96 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 # ---------------------------------------------------------------------------
+# quality_percentile_filter — keep the top quality quintile, threshold
+# estimated from a deterministic hash-sample (scan-time filter; no
+# global sort of the corpus). Rank-based threshold = an actual sample
+# value, so both engines cut at the identical double.
+# ---------------------------------------------------------------------------
+QPF_PCT = 0.8
+QPF_RATE = 0.2
+
+
+@_q("quality_percentile_filter")
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.sampling import percentile_filter
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    kept = percentile_filter(d, "quality", QPF_PCT, "doc_id", QPF_RATE)
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.max("threshold"), 4).alias("threshold"),
+    )
+
+
+def _qpf_oracle(pct: float, rate: float) -> str:
+    from disq_spark.operators.sampling import uniform_sql
+
+    return f"""
+WITH q AS (SELECT doc_id, ({_QUALITY_SQL}) AS quality FROM documents),
+s AS (SELECT quality, doc_id FROM q WHERE {uniform_sql("doc_id")} < {rate}),
+r AS (SELECT quality, row_number() OVER (ORDER BY quality, doc_id) AS rn,
+             count(*) OVER () AS n FROM s),
+t AS (SELECT quality AS thr FROM r WHERE rn = cast(ceil({pct} * n) AS bigint))
+SELECT count(*) AS n_kept, round(avg(quality), 4) AS avg_quality,
+       round(max(thr), 4) AS threshold
+FROM q, t WHERE quality >= thr
+"""
+
+
+ORACLE["quality_percentile_filter"] = _qpf_oracle(QPF_PCT, QPF_RATE)
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixing_weights — per-source token shares and the uniform-target
+# mixing weight (weight > 1 = upsample, < 1 = downsample): the data-mixing
+# step before stratified_sample draws the final blend.
+# ---------------------------------------------------------------------------
+@_q("corpus_mixing_weights")
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select("source", TX.token_count(F.col("text")).alias("tk"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("tk").alias("tokens"))
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("total_tokens"), 6).alias("share"),
+            F.round(
+                (F.lit(1.0) / F.col("n_sources"))
+                / (F.col("tokens") / F.col("total_tokens")),
+                4,
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["corpus_mixing_weights"] = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs, cast(sum(len({_TOKS})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT cast(sum(tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources FROM per)
+SELECT source, n_docs, tokens,
+       round(tokens / total_tokens, 6) AS share,
+       round((1.0 / n_sources) / (tokens / total_tokens), 4) AS weight
+FROM per, tot ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_bm25_search — full-corpus BM25 (Okapi, Lucene idf) for a fixed
 # query-term set; relevance filtering / quality-targeted selection
 # primitive. Oracle generated from the same (terms, k1, b) parameters.

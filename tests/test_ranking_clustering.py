@@ -77,3 +77,32 @@ def test_kmeans_rejects_unknown_init(spark):
     e = load(spark, SF, "embeddings")
     with pytest.raises(ValueError):
         kmeans(e, k=2, iters=1, init="bogus")
+
+
+def test_percentile_filter_keeps_top_fraction(spark):
+    from disq_spark.operators.sampling import percentile_filter
+
+    rows = [(i, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    kept = percentile_filter(df, "v", 0.8, "id", sample_rate=0.5)
+    n = kept.count()
+    # sampled threshold: top ~20%, tolerance for sampling error
+    assert 120 <= n <= 280
+    # every kept value above every dropped value's threshold
+    thr = kept.agg(F.min("threshold")).first()[0]
+    assert kept.filter(F.col("v") < thr).count() == 0
+    # deterministic re-run
+    assert kept.count() == percentile_filter(
+        df, "v", 0.8, "id", sample_rate=0.5
+    ).count()
+
+
+def test_mixing_weights_shares_sum_to_one(spark):
+    from disq_spark.queries.llm import corpus_mixing_weights
+
+    out = corpus_mixing_weights(spark, SF).collect()
+    assert len(out) > 1
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-3
+    # weights inversely proportional to share: biggest share has smallest weight
+    by_share = sorted(out, key=lambda r: r.share)
+    assert by_share[0].weight >= by_share[-1].weight
