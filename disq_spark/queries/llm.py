@@ -569,6 +569,71 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 # ---------------------------------------------------------------------------
+# text_repetition_stats — Gopher-style repetition signals: distinct-token
+# ratio and the share of the most frequent bigram. High top-bigram share /
+# low distinct ratio marks boilerplate and degenerate generations.
+# One explode + one (doc_id, bigram) partial-agg groupBy — scan-bound.
+# ---------------------------------------------------------------------------
+@_q("text_repetition_stats")
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    bg = base.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    bgc = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot"))
+    )
+    return (
+        base.join(bgc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.round(
+                F.when(F.size("toks") == 0, F.lit(1.0)).otherwise(
+                    F.size(F.array_distinct("toks")) * F.lit(1.0) / F.size("toks")
+                ),
+                4,
+            ).alias("distinct_ratio"),
+            F.round(
+                F.coalesce(F.col("top_c") * F.lit(1.0) / F.col("tot"), F.lit(0.0)), 4
+            ).alias("top_bigram_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["text_repetition_stats"] = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM base WHERE len(toks) >= 2
+),
+bgc AS (
+  SELECT doc_id, max(c) AS top_c, cast(sum(c) AS BIGINT) AS tot
+  FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, len(toks) AS n_tokens,
+       round(CASE WHEN len(toks) = 0 THEN 1.0
+             ELSE len(list_distinct(toks)) * 1.0 / len(toks) END, 4) AS distinct_ratio,
+       round(coalesce(top_c * 1.0 / tot, 0.0), 4) AS top_bigram_share
+FROM base b LEFT JOIN bgc USING (doc_id) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # quality_percentile_filter — keep the top quality quintile, threshold
 # estimated from a deterministic hash-sample (scan-time filter; no
 # global sort of the corpus). Rank-based threshold = an actual sample

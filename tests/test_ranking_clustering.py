@@ -106,3 +106,23 @@ def test_mixing_weights_shares_sum_to_one(spark):
     # weights inversely proportional to share: biggest share has smallest weight
     by_share = sorted(out, key=lambda r: r.share)
     assert by_share[0].weight >= by_share[-1].weight
+
+
+def test_repetition_stats_edges(spark, tmp_path, monkeypatch):
+    """Degenerate docs: empty, single-token, all-identical tokens."""
+    from disq_spark.queries import llm as L
+
+    rows = [
+        (1, ""),
+        (2, "word"),
+        (3, "spam spam spam spam"),
+        (4, "a b c d e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    monkeypatch.setattr(L, "load", lambda s, sf, name: df)
+    out = {r.doc_id: r for r in L.text_repetition_stats(spark, "ignored").collect()}
+    assert out[1].n_tokens == 0 and out[1].distinct_ratio == 1.0
+    assert out[2].top_bigram_share == 0.0
+    assert out[3].distinct_ratio == 0.25 and out[3].top_bigram_share == 1.0
+    assert out[4].distinct_ratio == 1.0 and out[4].top_bigram_share == 0.25
