@@ -1278,3 +1278,54 @@ FROM flagged JOIN supplier ON l_suppkey = s_suppkey
 WHERE has_r = 1 AND n_r_supps = 1 AND n_supps > 1
 GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# zorder_stats — Morton-key layout fingerprint over (l_partkey, l_suppkey):
+# per z-bucket row counts + key ranges. Exact integer quantization +
+# bit interleave, so the oracle replays the identical arithmetic
+# (operators/zorder.py generates both engines' fragments).
+# ---------------------------------------------------------------------------
+ZORDER_BITS = 8
+ZORDER_BUCKET_SHIFT = 12
+
+
+@_q("zorder_stats")
+def zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.zorder import z_value
+
+    li = load(spark, sf_dir, "lineitem")
+    z = z_value(li, ["l_partkey", "l_suppkey"], ZORDER_BITS)
+    return (
+        z.groupBy(
+            F.shiftright("__z", ZORDER_BUCKET_SHIFT).alias("z_bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("__z").alias("z_min"),
+            F.max("__z").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _zorder_oracle() -> str:
+    from disq_spark.operators.zorder import interleave_sql, quantize_sql
+
+    qp = quantize_sql("l_partkey", "mn_p", "mx_p", ZORDER_BITS, "//")
+    qs = quantize_sql("l_suppkey", "mn_s", "mx_s", ZORDER_BITS, "//")
+    z = interleave_sql([qp, qs], ZORDER_BITS)
+    return f"""
+WITH s AS (
+  SELECT min(l_partkey) AS mn_p, max(l_partkey) AS mx_p,
+         min(l_suppkey) AS mn_s, max(l_suppkey) AS mx_s
+  FROM lineitem
+),
+z AS (SELECT cast({z} AS BIGINT) AS zv FROM lineitem, s)
+SELECT zv >> {ZORDER_BUCKET_SHIFT} AS z_bucket, count(*) AS n,
+       min(zv) AS z_min, max(zv) AS z_max
+FROM z GROUP BY z_bucket ORDER BY z_bucket
+"""
+
+
+ORACLE["zorder_stats"] = _zorder_oracle()
