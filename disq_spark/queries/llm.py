@@ -569,6 +569,47 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 # ---------------------------------------------------------------------------
+# text_unigram_nll — perplexity-style quality scoring with a corpus-fit
+# unigram LM: pass 1 aggregates token frequencies (one partial-agg
+# shuffle on token), pass 2 joins log-probs back onto doc tokens and
+# averages per doc. The canonical cheap stand-in for model-based
+# perplexity filtering; at 100 TB the vocab table is ~millions of rows
+# (broadcastable) and everything else is scan + one (doc, token) agg.
+# ---------------------------------------------------------------------------
+@_q("text_unigram_nll")
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (-F.log(F.col("c") * F.lit(1.0) / F.col("total"))).alias("nll")
+    )
+    per_tok = toks.join(F.broadcast(lp), "tok")
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["text_unigram_nll"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT cast(sum(c) AS BIGINT) AS total FROM vocab),
+lp AS (SELECT tok, -ln(c * 1.0 / total) AS nll FROM vocab, tot)
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 4) AS avg_nll
+FROM toks JOIN lp USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_repetition_stats — Gopher-style repetition signals: distinct-token
 # ratio and the share of the most frequent bigram. High top-bigram share /
 # low distinct ratio marks boilerplate and degenerate generations.

@@ -126,3 +126,21 @@ def test_repetition_stats_edges(spark, tmp_path, monkeypatch):
     assert out[2].top_bigram_share == 0.0
     assert out[3].distinct_ratio == 0.25 and out[3].top_bigram_share == 1.0
     assert out[4].distinct_ratio == 1.0 and out[4].top_bigram_share == 0.25
+
+
+def test_unigram_nll_orders_rare_docs_higher(spark, monkeypatch):
+    """Docs made of rare tokens carry higher mean NLL than docs of
+    common tokens; empty docs drop out."""
+    from disq_spark.queries import llm as L
+
+    rows = (
+        [(i, "common common common") for i in range(1, 20)]
+        + [(20, "zyzzyva qwerty")]
+        + [(21, "")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(L, "load", lambda s, sf, name: df)
+    out = {r.doc_id: r for r in L.text_unigram_nll(spark, "x").collect()}
+    assert 21 not in out  # empty doc has no tokens
+    assert out[20].avg_nll > out[1].avg_nll
+    assert out[1].n_tokens == 3
