@@ -213,3 +213,57 @@ def test_coverage_bins_single_aggregate_shuffle(spark):
     plan = simple_plan_of(coverage_bins(df, bin_size=10_000))
     assert plan.count("Exchange") == 1, plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_bm25_broadcasts_dimension_sides(spark):
+    """BM25: term-df and corpus-stats sides must broadcast (they are k
+    rows / 1 row); the only hash exchange keys on (doc_id, ...) term
+    occurrences. A shuffled stats join would exchange the corpus."""
+    from disq_spark.operators.ranking import bm25
+    from disq_spark.queries.tables import load
+
+    d = load(spark, SF, "documents")
+    plan = simple_plan_of(bm25(d, ["join", "spark", "window"]))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """k-means assignment: the centroid table must broadcast into the
+    corpus scan (a shuffled join would exchange all vectors every
+    iteration); the argmin groupBy partial-aggregates map-side."""
+    from disq_spark.operators.clustering import kmeans
+    from disq_spark.queries.tables import load
+
+    e = load(spark, SF, "embeddings")
+    plan = simple_plan_of(kmeans(e, k=4, iters=1))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_zorder_single_range_exchange(spark):
+    """zorder_cluster: exactly one rangepartitioning exchange (the
+    re-layout itself) plus the scalar stats broadcast — nothing else."""
+    from disq_spark.operators.zorder import zorder_cluster
+    from disq_spark.queries.tables import load
+
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    plan = simple_plan_of(zorder_cluster(li, ["l_partkey", "l_suppkey"]))
+    assert plan.count("rangepartitioning") == 1
+    assert "hashpartitioning" not in plan
+
+
+def test_percentile_filter_sorts_only_the_sample(spark):
+    """percentile_filter: the global window sort must apply to the
+    hash-sampled side only — the corpus side joins the 1-row threshold
+    via broadcast, never sorts."""
+    from disq_spark.operators.sampling import percentile_filter
+    from disq_spark.queries.tables import load
+
+    d = load(spark, SF, "documents").select("doc_id", "n_chars")
+    plan = simple_plan_of(percentile_filter(d, "n_chars", 0.8, "doc_id"))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the single-partition sort exists (sample side)…
+    assert "SinglePartition" in plan or "Window" in plan
+    # …and the md5 sample filter gates it
+    assert "md5" in plan
