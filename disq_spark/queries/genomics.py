@@ -472,3 +472,32 @@ FROM (VALUES ('TTATA', 158), ('TTAAT', 144), ('ATTAT', 143), ('AAAAA', 135),
              ('AAAAT', 125), ('TTTAA', 123)) AS t(kmer, n)
 ORDER BY n DESC, kmer
 """
+
+
+@_q("genomics_idxstats")
+def genomics_idxstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """samtools-idxstats analog, O(index size): write the fixture through
+    the single-file sink (which builds the .bai during the write), then
+    answer per-contig read counts from the index metadata pseudo-bins
+    alone — zero data-scan tasks. Also a sink+index round-trip: wrong
+    .bai metadata or a broken merge shows up as a wrong count here."""
+    import tempfile
+
+    from disq_spark.sinks.bam import write_bam
+    from disq_spark.sources.bam_source import bam_idxstats, read_bam
+
+    src = os.path.join(FIXTURES, "1-with-splitting-index.bam")
+    df, header = read_bam(spark, src, split_size=200_000)
+    out = os.path.join(tempfile.mkdtemp(prefix="idxstats_"), "indexed.bam")
+    write_bam(df, header, out, write_bai=True)
+    stats = bam_idxstats(spark, out)
+    return (
+        stats.filter((F.col("n_mapped") > 0) | (F.col("n_unmapped") > 0))
+        .orderBy("contig")
+    )
+
+
+ORACLE["genomics_idxstats"] = """
+SELECT '1' AS contig, CAST(249250621 AS BIGINT) AS length,
+       CAST(4887 AS BIGINT) AS n_mapped, CAST(30 AS BIGINT) AS n_unmapped
+"""

@@ -699,3 +699,32 @@ def check_record_guesser(
                     yield pd_.DataFrame(bad, columns=["voff", "kind"])
 
     return plan_df.mapInPandas(scan, "voff long, kind string")
+
+
+def bam_idxstats(spark: SparkSession, path: str) -> DataFrame:
+    """samtools-idxstats analog: per-contig (contig, length, n_mapped,
+    n_unmapped) plus a ``*`` row for no-coordinate reads — read entirely
+    from the ``.bai`` metadata pseudo-bins (BAI pseudo-bin 37450 +
+    n_no_coor), never touching the data file. O(index size) on the
+    driver: the 100 TB answer to "how many reads per contig" is a few
+    KB of index reads, zero cluster tasks.
+
+    No reference analog (disq exposes no stats surface); the BAI
+    metadata layout is the public hts-specs SAM/BAI convention.
+    """
+    from disq_spark.formats.bai import read_bai
+
+    _header, seqs, _ = read_bam_header(path)
+    idx = read_bai(path + ".bai")
+    if len(idx.refs) != len(seqs):
+        raise ValueError(
+            f"index has {len(idx.refs)} refs, header has {len(seqs)}"
+        )
+    rows = [
+        (name, length, r.n_mapped, r.n_unmapped)
+        for (name, length), r in zip(seqs, idx.refs)
+    ]
+    rows.append(("*", 0, 0, idx.n_no_coor or 0))
+    return spark.createDataFrame(
+        rows, "contig string, length long, n_mapped long, n_unmapped long"
+    )

@@ -169,3 +169,37 @@ def test_pruning_actually_drops_partitions(spark, fixtures_dir, tmp_path):
     # nothing survives for an absent contig
     none_kept = _chunk_may_match(out + ".bai", refs2, chunks, [Interval("zz", 1, 2)], False)
     assert none_kept == []
+
+
+def test_idxstats_matches_full_scan(spark, fixtures_dir, tmp_path):
+    """O(index) idxstats == O(data) groupBy over the decoded records."""
+    from disq_spark.sources.bam_source import bam_idxstats
+
+    src = os.path.join(fixtures_dir, "1-with-splitting-index.bam")
+    df, header = read_bam(spark, src, split_size=200_000)
+    out = str(tmp_path / "indexed.bam")
+    write_bam(df, header, out, write_bai=True)
+
+    got = {r.contig: r for r in bam_idxstats(spark, out).collect()}
+
+    from pyspark.sql import functions as F
+
+    scan = (
+        df.withColumn("c", F.coalesce(F.col("contig"), F.lit("*")))
+        .groupBy("c")
+        .agg(
+            F.sum((F.col("flags").bitwiseAND(4) == 0).cast("long")).alias("m"),
+            F.sum((F.col("flags").bitwiseAND(4) != 0).cast("long")).alias("u"),
+        )
+        .collect()
+    )
+    lengths = dict(header.sequences)
+    for r in scan:
+        if r.c == "*":
+            assert got["*"].n_unmapped == r.u
+        else:
+            assert got[r.c].n_mapped == r.m
+            assert got[r.c].n_unmapped == r.u
+            assert got[r.c].length == lengths[r.c]
+    # contigs with no reads still appear, zeroed
+    assert len(got) == len(lengths) + 1
