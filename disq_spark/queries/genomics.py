@@ -501,3 +501,37 @@ ORACLE["genomics_idxstats"] = """
 SELECT '1' AS contig, CAST(249250621 AS BIGINT) AS length,
        CAST(4887 AS BIGINT) AS n_mapped, CAST(30 AS BIGINT) AS n_unmapped
 """
+
+
+@_q("genomics_titv")
+def genomics_titv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition/transversion ratio — the standard VCF QC metric (a
+    well-called human dataset sits near 2.0-2.1; random noise at 0.5).
+    Pure Column expressions over biallelic SNVs from the splittable
+    BGZF scan; one scalar aggregate."""
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(
+        spark, os.path.join(FIXTURES, "HiSeq.10000.vcf.bgz"), split_size=64 * 1024
+    )
+    snv = df.filter(
+        (F.length("ref") == 1)
+        & (F.size("alts") == 1)
+        & (F.length(F.element_at("alts", 1)) == 1)
+    ).select(
+        F.concat(F.col("ref"), F.element_at("alts", 1)).alias("pair")
+    )
+    is_ti = F.col("pair").isin("AG", "GA", "CT", "TC")
+    return snv.agg(
+        F.sum(is_ti.cast("long")).alias("n_ti"),
+        F.sum((~is_ti).cast("long")).alias("n_tv"),
+        F.round(
+            F.sum(is_ti.cast("long")) * 1.0 / F.sum((~is_ti).cast("long")), 4
+        ).alias("titv"),
+    )
+
+
+ORACLE["genomics_titv"] = """
+SELECT CAST(5574 AS BIGINT) AS n_ti, CAST(2597 AS BIGINT) AS n_tv,
+       CAST(2.1463 AS DOUBLE) AS titv
+"""
