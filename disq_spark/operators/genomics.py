@@ -296,3 +296,16 @@ def callable_loci(
             "contig", "start", "end", (F.col("end") - F.col("start") + 1).alias("span")
         )
     )
+
+
+def downsample_reads(df: DataFrame, fraction: float, seed: str = "") -> DataFrame:
+    """samtools ``view -s`` analog: keep ~``fraction`` of templates,
+    selected by a hash of the read *name* — both mates of a pair and all
+    secondary/supplementary records of a template are kept or dropped
+    together, under any partitioning, retry, or engine (the property
+    per-record RNG sampling cannot give). A pure scan-time filter: no
+    shuffle, no state.
+    """
+    from disq_spark.operators.sampling import uniform_sql
+
+    return df.filter(F.expr(uniform_sql("name", seed)) < fraction)

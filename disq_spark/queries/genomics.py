@@ -535,3 +535,25 @@ ORACLE["genomics_titv"] = """
 SELECT CAST(5574 AS BIGINT) AS n_ti, CAST(2597 AS BIGINT) AS n_tv,
        CAST(2.1463 AS DOUBLE) AS titv
 """
+
+
+@_q("genomics_downsample")
+def genomics_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-atomic deterministic downsampling (samtools view -s
+    analog): hash-of-name filter keeps mate pairs together under any
+    partitioning; the exact kept-set is reproducible, hence the golden
+    literal."""
+    from disq_spark.operators.genomics import downsample_reads
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    kept = downsample_reads(df, 0.25)
+    return kept.agg(
+        F.count("*").alias("n_reads"),
+        F.countDistinct("name").alias("n_templates"),
+    )
+
+
+ORACLE["genomics_downsample"] = """
+SELECT CAST(1282 AS BIGINT) AS n_reads, CAST(704 AS BIGINT) AS n_templates
+"""

@@ -680,3 +680,23 @@ def test_callable_loci_matches_bruteforce(spark, fixtures_dir):
         want.append((c, run_start, prev, prev - run_start + 1))
     assert got == sorted(want)
     assert len(got) > 0
+
+
+def test_downsample_reads_is_template_atomic(spark, fixtures_dir):
+    from disq_spark.operators.genomics import downsample_reads
+
+    src = os.path.join(fixtures_dir, "1.bam")
+    df, _h = read_bam(spark, src)
+    kept = downsample_reads(df, 0.3)
+    n_total, n_kept = df.count(), kept.count()
+    assert 0.2 < n_kept / n_total < 0.4
+    # template atomicity: every kept name keeps ALL its records
+    full = df.groupBy("name").count().withColumnRenamed("count", "n_all")
+    sub = kept.groupBy("name").count().withColumnRenamed("count", "n_kept")
+    joined = sub.join(full, "name")
+    assert joined.filter(F.col("n_kept") != F.col("n_all")).count() == 0
+    # partitioning-invariant: same selected set after a repartition
+    re_kept = downsample_reads(df.repartition(13), 0.3)
+    assert sorted(r.name for r in kept.select("name").distinct().collect()) == sorted(
+        r.name for r in re_kept.select("name").distinct().collect()
+    )
