@@ -569,6 +569,45 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 # ---------------------------------------------------------------------------
+# doc_chunking_stats — fixed-size overlapping chunking (embedding / RAG
+# preprocessing): per-corpus chunk counts and sizes. Exact integer
+# window arithmetic; oracle replays it.
+# ---------------------------------------------------------------------------
+CHUNK_SIZE = 200
+CHUNK_OVERLAP = 40
+
+
+@_q("doc_chunking_stats")
+def doc_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.chunking import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    c = chunk_documents(d, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+    return c.agg(
+        F.count("*").alias("total_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(F.avg(F.length("chunk_text")), 4).alias("avg_chunk_len"),
+        F.max("chunk_index").alias("max_chunk_index"),
+    )
+
+
+_CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+ORACLE["doc_chunking_stats"] = f"""
+WITH c AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+           greatest(0, (length(text) - {CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}))) AS chunk_index,
+         text
+  FROM documents
+)
+SELECT count(*) AS total_chunks, count(DISTINCT doc_id) AS n_docs,
+       round(avg(length(substring(text, chunk_index * {_CHUNK_STRIDE} + 1, {CHUNK_SIZE}))), 4) AS avg_chunk_len,
+       cast(max(chunk_index) AS BIGINT) AS max_chunk_index
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_unigram_nll — perplexity-style quality scoring with a corpus-fit
 # unigram LM: pass 1 aggregates token frequencies (one partial-agg
 # shuffle on token), pass 2 joins log-probs back onto doc tokens and

@@ -144,3 +144,30 @@ def test_unigram_nll_orders_rare_docs_higher(spark, monkeypatch):
     assert 21 not in out  # empty doc has no tokens
     assert out[20].avg_nll > out[1].avg_nll
     assert out[1].n_tokens == 3
+
+
+def test_chunk_documents_windows(spark):
+    from disq_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a" * 100), (2, "b" * 512), (3, "c" * 513), (4, "d" * 1200), (5, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, size=512, overlap=64).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert {k: len(v) for k, v in by_doc.items()} == {1: 1, 2: 1, 3: 2, 4: 3, 5: 1}
+    # overlap: consecutive chunks share `overlap` chars
+    c4 = sorted(by_doc[4], key=lambda r: r.chunk_index)
+    assert c4[0].chunk_text[-64:] == c4[1].chunk_text[:64]
+    # full reconstruction: stride-concatenation reproduces the text
+    rebuilt = c4[0].chunk_text + "".join(c.chunk_text[64:] for c in c4[1:])
+    assert rebuilt == "d" * 1200
+    # stable ids
+    assert [c.chunk_id for c in c4] == ["4:0", "4:1", "4:2"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=100, overlap=100)
