@@ -66,11 +66,24 @@ def check_record_start(data: bytes, off: int, at_eof: bool = False) -> bool:
     return True
 
 
-def find_record_start(data: bytes, at_eof: bool = False) -> int | None:
+def find_record_start(
+    data: bytes, at_eof: bool = False, bol: bool = False
+) -> int | None:
     """First offset in ``data`` that starts a FASTQ record (chain-
-    validated). Candidates are line starts whose first byte is '@'."""
+    validated). Candidates are LINE starts whose first byte is '@':
+    offset 0 is a candidate only when ``bol`` asserts the window begins
+    at a line boundary (file offset 0); otherwise scanning starts after
+    the first newline. Without this, an '@' mid-name-line whose suffix
+    happens to parse as a valid chain (e.g. name ``00@0`` before
+    ``\\nA\\n+\\n0``) is accepted and a split snap lands mid-record —
+    found by hypothesis, tests/test_properties.py."""
     pos = 0
     n = len(data)
+    if not bol:
+        nl = data.find(b"\n")
+        if nl == -1:
+            return None
+        pos = nl + 1
     while pos < n:
         if data[pos : pos + 1] == b"@" and check_record_start(data, pos, at_eof):
             return pos

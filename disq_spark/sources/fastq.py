@@ -53,18 +53,19 @@ def _snap(path: str, pos: int, size: int) -> int:
     """First record-start offset >= pos (file offset), or ``size``."""
     if pos == 0:
         return 0
+    # read from pos-1 so the newline (or not) preceding pos is visible:
+    # candidates are then offsets >= pos that provably begin a line —
+    # an '@' at pos with a non-newline byte before it is mid-line and
+    # must not snap (its suffix can still chain-validate; see
+    # find_record_start docstring).
     with _dfs.open_input(path) as f:
-        f.seek(pos)
-        window = f.read(_SNAP_WINDOW)
-    at_eof = pos + len(window) >= size
-    # pos may fall mid-line: candidates begin at the next line start,
-    # which find_record_start naturally enforces unless pos itself
-    # starts with '@' and validates — accept that case too (a previous
-    # record's newline immediately precedes pos or pos == a line start).
+        f.seek(pos - 1)
+        window = f.read(_SNAP_WINDOW + 1)
+    at_eof = pos - 1 + len(window) >= size
     off = fq.find_record_start(window, at_eof)
     if off is None:
         return size
-    return pos + off
+    return pos - 1 + off
 
 
 def read_fastq(

@@ -323,10 +323,15 @@ def test_fastq_guesser_lands_on_true_record_start(text, cut):
             true_starts.append(off)
         off += len(line) + 1
     cut = min(cut, len(data) - 1)
-    window = data[cut:]
-    found = fq.find_record_start(window, at_eof=True)
+    # model the _snap caller contract: a cut inside the file reads from
+    # cut-1 so line-start candidacy is provable; cut 0 is a line start
+    base = max(cut - 1, 0)
+    window = data[base:]
+    found = fq.find_record_start(window, at_eof=True, bol=(cut == 0))
     if found is not None:
-        assert cut + found in true_starts, (cut, found, text[:120])
+        s = base + found
+        assert s in true_starts, (cut, s, text[:120])
+        assert s >= cut, (cut, s, text[:120])
     else:
         # None is acceptable only if no true start lies at/after the cut
         assert all(s < cut for s in true_starts), (cut, text[:120])
