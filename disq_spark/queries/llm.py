@@ -624,7 +624,10 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = vocab.crossJoin(F.broadcast(total)).select(
         "tok", (-F.log(F.col("c") * F.lit(1.0) / F.col("total"))).alias("nll")
     )
-    per_tok = toks.join(F.broadcast(lp), "tok")
+    # no broadcast hint on the vocab join: at corpus scale the distinct
+    # vocabulary can exceed the broadcast threshold, and AQE already
+    # broadcasts it when it is small (as at gate SF)
+    per_tok = toks.join(lp, "tok")
     return (
         per_tok.groupBy("doc_id")
         .agg(
