@@ -498,3 +498,50 @@ SELECT strftime(signup_ts, '%Y-%m-%d') AS signup_day,
        round(sum(converted) * 100.0 / count(*), 2) AS conv_pct
 FROM conv GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_hourly_counts — Structured Streaming under the full hash
+# gate: a bounded parquet stream driven to completion (availableNow +
+# complete output mode + memory sink) must equal the batch aggregation,
+# so the streaming engine's answer is oracle-checked like any batch
+# query. At scale the same plan runs unbounded with a watermark; the
+# bounded-equals-batch identity is the correctness contract tested here
+# (pytest covers the watermarked append-mode variants).
+# ---------------------------------------------------------------------------
+@_q("streaming_hourly_counts")
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    batch = load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_gate_src_")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = stream.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_gate_hourly")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return (
+        spark.table("stream_gate_hourly")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE["streaming_hourly_counts"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
