@@ -569,6 +569,46 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 # ---------------------------------------------------------------------------
+# text_entropy — character-level Shannon entropy per document: the
+# low-entropy detector for repetitive/degenerate text (compression-ratio
+# proxy that stays in pure SQL). One explode + one (doc, char) partial
+# aggregation; empty documents drop out.
+# ---------------------------------------------------------------------------
+@_q("text_entropy")
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.length("text").alias("len"), F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "len", "ch").agg(F.count("*").alias("c"))
+    p = F.col("c") * 1.0 / F.col("len")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            F.count("*").alias("n_distinct_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["text_entropy"] = """
+WITH chars AS (
+  SELECT doc_id, length(text) AS len, unnest(string_split(text, '')) AS ch
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, len, ch, count(*) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, len, ch
+)
+SELECT doc_id,
+       round(-sum((c * 1.0 / len) * ln(c * 1.0 / len)), 4) AS entropy,
+       count(*) AS n_distinct_chars
+FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # doc_chunking_stats — fixed-size overlapping chunking (embedding / RAG
 # preprocessing): per-corpus chunk counts and sizes. Exact integer
 # window arithmetic; oracle replays it.

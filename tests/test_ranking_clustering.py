@@ -171,3 +171,22 @@ def test_chunk_documents_windows(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, size=100, overlap=100)
+
+
+def test_entropy_orders_degenerate_text_lower(spark, monkeypatch):
+    from disq_spark.queries import llm as L
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaa"),          # zero entropy
+        (2, "abababababababab"),          # 1 bit
+        (3, "the quick brown fox jumps"),  # natural text
+        (4, ""),                           # drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(L, "load", lambda s, sf, name: df)
+    out = {r.doc_id: r for r in L.text_entropy(spark, "x").collect()}
+    assert 4 not in out
+    assert out[1].entropy == 0.0 and out[1].n_distinct_chars == 1
+    assert out[1].entropy < out[2].entropy < out[3].entropy
+    import math
+    assert abs(out[2].entropy - math.log(2)) < 1e-3
