@@ -774,11 +774,125 @@ class FastqDataSource(DataSource):
         return FastqReader(self.options)
 
 
+@dataclass
+class FastaWindow(InputPartition):
+    path: str
+    contig: str
+    start: int
+    end: int
+
+
+class FastaReader(DataSourceReader):
+    """Reference-genome window scan: planning reads only the .fai; each
+    task random-accesses its window (plain .fai arithmetic or bgzip
+    .gzi block lookup) — O(window) I/O, nothing loads a whole contig."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError('format("fasta") requires .load(path)')
+        self.window = int(options.get("window", 1_000_000))
+        self.overlap = int(options.get("overlap", 0))
+
+    def partitions(self):
+        from disq_spark.formats.gzi import read_fai
+
+        fai = read_fai(self.path + ".fai")
+        parts = []
+        for name, e in fai.items():
+            s = 1
+            while s <= e.length:
+                parts.append(
+                    FastaWindow(self.path, name, s, min(s + self.window - 1, e.length))
+                )
+                s += self.window
+        return parts
+
+    def read(self, part: FastaWindow):
+        from disq_spark.formats.gzi import open_indexed_reference
+
+        ref = open_indexed_reference(part.path)
+        seq = ref.get(
+            part.contig,
+            part.start,
+            min(part.end + self.overlap, ref.fai[part.contig].length),
+        )
+        yield (part.contig, part.start, part.end, seq)
+
+
+class FastaDataSource(DataSource):
+    """Windowed reference FASTA scan (beyond-reference format).
+
+    Options: window (bases per row, default 1e6), overlap (extra bases
+    appended to seq for boundary-spanning k-mer ownership)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fasta"
+
+    def schema(self):
+        from disq_spark.sources.fasta import FASTA_WINDOW_SCHEMA
+
+        return FASTA_WINDOW_SCHEMA
+
+    def reader(self, schema) -> FastaReader:
+        return FastaReader(self.options)
+
+
+@dataclass
+class BedFile(InputPartition):
+    path: str
+
+
+class BedReader(DataSourceReader):
+    """BED region lists -> 1-based closed intervals (conversion happens
+    here, once). One partition per file — region lists are metadata-
+    sized; use sources/bed.read_bed (spark.read.text) for giant BEDs."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError('format("bed") requires .load(path)')
+
+    def partitions(self):
+        from disq_spark.sources.plan import resolve_paths
+
+        return [BedFile(p) for p in resolve_paths(self.path, (".bed",))]
+
+    def read(self, part: BedFile):
+        import io as _io
+
+        from disq_spark.sources.bed import _SKIP_PREFIXES
+
+        with _io.TextIOWrapper(_dfs.open_input(part.path), encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line.strip() or line.startswith(_SKIP_PREFIXES):
+                    continue
+                t = line.split("\t")
+                name = t[3] if len(t) > 3 else None
+                yield (t[0], int(t[1]) + 1, int(t[2]), name)
+
+
+class BedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "bed"
+
+    def schema(self):
+        return "contig string, start long, end long, name string"
+
+    def reader(self, schema) -> BedReader:
+        return BedReader(self.options)
+
+
 def register_datasources(spark) -> None:
-    """Register bam/sam/cram/vcf/fastq with a SparkSession: enables
+    """Register bam/sam/cram/vcf/fastq/fasta/bed with a SparkSession: enables
     spark.read.format(...) and df.write.format("bam")."""
     spark.dataSource.register(BamDataSource)
     spark.dataSource.register(SamDataSource)
     spark.dataSource.register(CramDataSource)
     spark.dataSource.register(VcfDataSource)
     spark.dataSource.register(FastqDataSource)
+    spark.dataSource.register(FastaDataSource)
+    spark.dataSource.register(BedDataSource)

@@ -231,3 +231,33 @@ def test_sam_datasource_interval_option(spark, fixtures_dir):
     want, _ = read_sam(spark, src, intervals=[Interval("chr7", 1, 100)])
     key = lambda df: sorted((r.name, r.start) for r in df.collect())
     assert key(got) == key(want)
+
+
+def test_fasta_datasource_matches_functional(spark):
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    register_datasources(spark)
+    path = "/root/repo/fixtures/ref.fa"
+    via_fmt = (
+        spark.read.format("fasta")
+        .option("window", 7000)
+        .load(path)
+        .orderBy("contig", "start")
+        .collect()
+    )
+    direct = read_fasta_windows(spark, path, window=7000).orderBy("contig", "start").collect()
+    assert via_fmt == direct and len(via_fmt) > 1
+
+
+def test_bed_datasource_matches_functional(spark, tmp_path):
+    from disq_spark.sources.bed import read_bed
+
+    register_datasources(spark)
+    bed = tmp_path / "t.bed"
+    bed.write_text(
+        "track name=x\n# c\nchr1\t0\t100\tr1\nchr1\t150\t300\nchr2\t5\t10\tr3\n"
+    )
+    via_fmt = spark.read.format("bed").load(str(bed)).orderBy("contig", "start").collect()
+    direct = read_bed(spark, str(bed)).orderBy("contig", "start").collect()
+    assert via_fmt == direct and len(via_fmt) == 3
+    assert via_fmt[0].start == 1 and via_fmt[0].end == 100
