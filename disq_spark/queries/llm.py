@@ -1612,3 +1612,50 @@ SELECT doc_id, 16 AS width, 16 AS height,
        {_chan_mean_sql(3)} AS b_mean
 FROM base ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_gate — the applyInPandasWithState exact-dedup operator
+# under the full hash gate: a bounded document stream deduplicated with
+# keyed state must emit exactly one row per distinct fingerprint, so the
+# emitted fingerprint set (order-insensitive) equals the batch DISTINCT
+# — oracle-checkable even though "which copy arrived first" is not
+# deterministic under parallel file reads.
+# ---------------------------------------------------------------------------
+@_q("streaming_dedup_gate")
+def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from disq_spark.streaming.dedup import streaming_exact_dedup
+
+    batch = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_gate_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    out = spark.table("stream_gate_dedup")
+    return out.agg(
+        F.count("*").alias("n_emitted"),
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("fingerprint")))).alias(
+            "fingerprint_set_md5"
+        ),
+    )
+
+
+ORACLE["streaming_dedup_gate"] = f"""
+WITH fp AS (SELECT DISTINCT md5({_NORM}) AS f FROM documents)
+SELECT cast(count(*) AS BIGINT) AS n_emitted,
+       cast(count(*) AS BIGINT) AS n_fingerprints,
+       md5(string_agg(f, '' ORDER BY f)) AS fingerprint_set_md5
+FROM fp
+"""
