@@ -545,3 +545,58 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*) AS n
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_hll_gate — streaming sketch maintenance under the full hash
+# gate: the register table a bounded stream accumulates (complete mode)
+# must be BIT-IDENTICAL to the batch registers, which the oracle
+# recomputes in SQL (md5-deterministic rho/bucket arithmetic). Register
+# equality is the mergeable-state contract every incremental/distributed
+# HLL deployment relies on.
+# ---------------------------------------------------------------------------
+_SHLL_P = 8
+
+
+@_q("streaming_hll_gate")
+def streaming_hll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from disq_spark.streaming.sketches import streaming_hll_registers
+
+    batch = load(spark, sf_dir, "events").select("event_type", "user_id")
+    src = tempfile.mkdtemp(prefix="stream_hll_src_")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    # one stateful aggregation only (groupBy bucket / max rho) — a second
+    # chained merge agg trips Spark's multiple-stateful-operator check
+    regs = streaming_hll_registers(stream, "user_id", p=_SHLL_P)
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_gate_hll")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return (
+        spark.table("stream_gate_hll")
+        .select(F.col("bucket").cast("long"), F.col("max_rho").cast("long"))
+        .orderBy("bucket")
+    )
+
+
+def _streaming_hll_oracle() -> str:
+    from disq_spark.operators import sketches as SK
+
+    bd = _SHLL_P // 4
+    return f"""
+WITH h AS (SELECT md5('' || user_id) AS __h FROM events)
+SELECT cast({SK.hex2int_sql("__h", bd)} AS BIGINT) AS bucket,
+       cast(max({SK.rho_sql(f"substring(__h, {bd + 1}, {SK.RHO_DIGITS})")}) AS BIGINT) AS max_rho
+FROM h GROUP BY bucket ORDER BY bucket
+"""
+
+
+ORACLE["streaming_hll_gate"] = _streaming_hll_oracle()
