@@ -1659,3 +1659,40 @@ SELECT cast(count(*) AS BIGINT) AS n_emitted,
        md5(string_agg(f, '' ORDER BY f)) AS fingerprint_set_md5
 FROM fp
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_gate — incremental exact dedup under the hash gate:
+# a NEW batch deduped against the running hash index of everything seen
+# (one anti-join; the corpus is never rescanned). The oracle replays the
+# split: hashes of the old half exclude, min-id wins within the new half.
+# ---------------------------------------------------------------------------
+INCR_SPLIT = 250  # docs with doc_id < INCR_SPLIT are "already ingested"
+
+
+@_q("dedup_incremental_gate")
+def dedup_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < INCR_SPLIT)
+    new = d.filter(F.col("doc_id") >= INCR_SPLIT)
+    seen = old.select(DD.content_hash(F.col("text")).alias("h")).distinct()
+    kept, updated = DD.incremental_exact_dedup(new, seen)
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_kept_id"),
+        F.max("doc_id").alias("max_kept_id"),
+    ).crossJoin(
+        F.broadcast(updated.agg(F.count("*").alias("n_index_hashes")))
+    )
+
+
+ORACLE["dedup_incremental_gate"] = f"""
+WITH oldh AS (SELECT DISTINCT sha256({_NORM}) AS h FROM documents WHERE doc_id < {INCR_SPLIT}),
+newd AS (SELECT doc_id, sha256({_NORM}) AS h FROM documents WHERE doc_id >= {INCR_SPLIT}),
+fresh AS (SELECT * FROM newd WHERE h NOT IN (SELECT h FROM oldh)),
+reps AS (SELECT h, min(doc_id) AS doc_id FROM fresh GROUP BY h)
+SELECT (SELECT count(*) FROM reps) AS n_kept,
+       (SELECT min(doc_id) FROM reps) AS min_kept_id,
+       (SELECT max(doc_id) FROM reps) AS max_kept_id,
+       (SELECT count(*) FROM oldh) + (SELECT count(DISTINCT h) FROM fresh) AS n_index_hashes
+"""
