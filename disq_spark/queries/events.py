@@ -520,6 +520,8 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(F.count("*").alias("n"))
+    if spark.catalog.tableExists("stream_gate_hourly"):
+        spark.catalog.dropTempView("stream_gate_hourly")  # re-run safety
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -571,6 +573,8 @@ def streaming_hll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one stateful aggregation only (groupBy bucket / max rho) — a second
     # chained merge agg trips Spark's multiple-stateful-operator check
     regs = streaming_hll_registers(stream, "user_id", p=_SHLL_P)
+    if spark.catalog.tableExists("stream_gate_hll"):
+        spark.catalog.dropTempView("stream_gate_hll")  # re-run safety
     q = (
         regs.writeStream.outputMode("complete")
         .format("memory")

@@ -1632,6 +1632,8 @@ def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="stream_dedup_src_")
     batch.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(src)
+    if spark.catalog.tableExists("stream_gate_dedup"):
+        spark.catalog.dropTempView("stream_gate_dedup")  # re-run safety
     q = (
         streaming_exact_dedup(stream)
         .writeStream.outputMode("append")
