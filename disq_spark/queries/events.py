@@ -604,3 +604,63 @@ FROM h GROUP BY bucket ORDER BY bucket
 
 
 ORACLE["streaming_hll_gate"] = _streaming_hll_oracle()
+
+
+# ---------------------------------------------------------------------------
+# streaming_countmin_gate — streaming count-min cells under the full hash
+# gate: complete-mode cell counts from a bounded stream are integer-exact
+# and must equal the SQL-recomputed batch cells.
+# ---------------------------------------------------------------------------
+_SCM_DEPTH = 4
+_SCM_WIDTH = 256
+
+
+@_q("streaming_countmin_gate")
+def streaming_countmin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from disq_spark.streaming.sketches import streaming_countmin
+
+    batch = load(spark, sf_dir, "events").select("event_type")
+    src = tempfile.mkdtemp(prefix="stream_cm_src_")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    cells = streaming_countmin(stream, "event_type", depth=_SCM_DEPTH, width=_SCM_WIDTH)
+    if spark.catalog.tableExists("stream_gate_cm"):
+        spark.catalog.dropTempView("stream_gate_cm")  # re-run safety
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_gate_cm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return (
+        spark.table("stream_gate_cm")
+        .select(
+            F.col("row").cast("long"), F.col("col").cast("long"), F.col("cnt")
+        )
+        .orderBy("row", "col")
+    )
+
+
+def _streaming_cm_oracle() -> str:
+    from disq_spark.operators import sketches as SK
+
+    wd = len(f"{_SCM_WIDTH - 1:x}")
+    selects = []
+    for r in range(_SCM_DEPTH):
+        h = "md5('" + str(r) + ":' || event_type)"
+        selects.append(
+            f"SELECT {r} AS row, cast({SK.hex2int_sql(h, wd)} AS BIGINT) AS col FROM events"
+        )
+    rows = " UNION ALL ".join(selects)
+    return f"""
+WITH cells AS ({rows})
+SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col ORDER BY row, col
+"""
+
+
+ORACLE["streaming_countmin_gate"] = _streaming_cm_oracle()
