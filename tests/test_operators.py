@@ -700,3 +700,40 @@ def test_downsample_reads_is_template_atomic(spark, fixtures_dir):
     assert sorted(r.name for r in kept.select("name").distinct().collect()) == sorted(
         r.name for r in re_kept.select("name").distinct().collect()
     )
+
+
+def test_events_loader_handles_all_ts_schemas(spark, tmp_path):
+    """events.ts has shipped as TIMESTAMP(NANOS), MICROS (tz), and
+    NTZ-inferred MICROS across driver data drops; load() must normalize
+    every variant to TimestampType with identical instants."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from disq_spark.queries import tables as TB
+
+    base = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    ts = [base + datetime.timedelta(minutes=i) for i in range(3)]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([7, 7, 8], pa.int64()),
+        "event_type": pa.array(["a", "b", "a"]),
+        "value": pa.array([0.1, 0.2, 0.3], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    variants = {
+        "nanos": pa.timestamp("ns"),
+        "micros_utc": pa.timestamp("us", tz="UTC"),
+        "micros_ntz": pa.timestamp("us"),
+    }
+    got = {}
+    for name, typ in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        t = pa.table({**cols, "ts": pa.array(ts, typ)})
+        pq.write_table(t, str(d / "events.parquet"))
+        df = TB.load(spark, str(d), "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp", name
+        got[name] = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
+    assert got["nanos"] == got["micros_utc"] == got["micros_ntz"] == ts
