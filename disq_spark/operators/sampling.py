@@ -143,9 +143,20 @@ def sampled_rank_threshold(
         s.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count("*").over(W.partitionBy()))
     )
-    return ranked.filter(
-        F.col("__rn") == F.ceil(F.lit(pct) * F.col("__n")).cast("long")
+    # greatest(1, ...) makes pct=0 select the sample minimum instead of
+    # matching no row; the -inf union makes an EMPTY sample yield a
+    # keep-everything threshold rather than silently deleting the corpus
+    # (a 1-row sentinel the max() ignores whenever a real row exists).
+    thr = ranked.filter(
+        F.col("__rn")
+        == F.greatest(F.lit(1), F.ceil(F.lit(pct) * F.col("__n"))).cast("long")
     ).select(F.col("__v").alias("threshold"))
+    sentinel = (
+        df.sparkSession.range(1).select(F.lit(float("-inf")).alias("threshold"))
+    )
+    return thr.unionByName(sentinel).agg(
+        F.max("threshold").alias("threshold")
+    )
 
 
 def percentile_filter(

@@ -511,12 +511,9 @@ FROM conv GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 @_q("streaming_hourly_counts")
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from disq_spark.queries._stream_util import bounded_stream, run_to_completion
 
-    batch = load(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="stream_gate_src_")
-    batch.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
+    stream = bounded_stream(spark, sf_dir, "events", ["ts", "event_type"])
     agg = stream.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(F.count("*").alias("n"))
@@ -529,8 +526,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    q.stop()
+    run_to_completion(q, "streaming_hourly_counts")
     return (
         spark.table("stream_gate_hourly")
         .select(
@@ -562,14 +558,10 @@ _SHLL_P = 8
 
 @_q("streaming_hll_gate")
 def streaming_hll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from disq_spark.queries._stream_util import bounded_stream, run_to_completion
     from disq_spark.streaming.sketches import streaming_hll_registers
 
-    batch = load(spark, sf_dir, "events").select("event_type", "user_id")
-    src = tempfile.mkdtemp(prefix="stream_hll_src_")
-    batch.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
+    stream = bounded_stream(spark, sf_dir, "events", ["user_id"])
     # one stateful aggregation only (groupBy bucket / max rho) — a second
     # chained merge agg trips Spark's multiple-stateful-operator check
     regs = streaming_hll_registers(stream, "user_id", p=_SHLL_P)
@@ -582,8 +574,7 @@ def streaming_hll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    q.stop()
+    run_to_completion(q, "streaming_hll_gate")
     return (
         spark.table("stream_gate_hll")
         .select(F.col("bucket").cast("long"), F.col("max_rho").cast("long"))
@@ -617,14 +608,10 @@ _SCM_WIDTH = 256
 
 @_q("streaming_countmin_gate")
 def streaming_countmin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from disq_spark.queries._stream_util import bounded_stream, run_to_completion
     from disq_spark.streaming.sketches import streaming_countmin
 
-    batch = load(spark, sf_dir, "events").select("event_type")
-    src = tempfile.mkdtemp(prefix="stream_cm_src_")
-    batch.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
+    stream = bounded_stream(spark, sf_dir, "events", ["event_type"])
     cells = streaming_countmin(stream, "event_type", depth=_SCM_DEPTH, width=_SCM_WIDTH)
     if spark.catalog.tableExists("stream_gate_cm"):
         spark.catalog.dropTempView("stream_gate_cm")  # re-run safety
@@ -635,8 +622,7 @@ def streaming_countmin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    q.stop()
+    run_to_completion(q, "streaming_countmin_gate")
     return (
         spark.table("stream_gate_cm")
         .select(

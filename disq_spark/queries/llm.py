@@ -789,7 +789,8 @@ WITH q AS (SELECT doc_id, ({_QUALITY_SQL}) AS quality FROM documents),
 s AS (SELECT quality, doc_id FROM q WHERE {uniform_sql("doc_id")} < {rate}),
 r AS (SELECT quality, row_number() OVER (ORDER BY quality, doc_id) AS rn,
              count(*) OVER () AS n FROM s),
-t AS (SELECT quality AS thr FROM r WHERE rn = cast(ceil({pct} * n) AS bigint))
+t AS (SELECT quality AS thr FROM r
+      WHERE rn = greatest(1, cast(ceil({pct} * n) AS bigint)))
 SELECT count(*) AS n_kept, round(avg(quality), 4) AS avg_quality,
        round(max(thr), 4) AS threshold
 FROM q, t WHERE quality >= thr
@@ -909,7 +910,9 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from disq_spark.operators.clustering import kmeans_summary
 
     e = load(spark, sf_dir, "embeddings")
-    return kmeans_summary(e, k=KMEANS_K, iters=KMEANS_ITERS)
+    return kmeans_summary(
+        e, k=KMEANS_K, iters=KMEANS_ITERS, round_centroids=KMEANS_ROUND
+    )
 
 
 def _kmeans_oracle(k: int, iters: int, r: int) -> str:
@@ -1624,14 +1627,10 @@ FROM base ORDER BY doc_id
 # ---------------------------------------------------------------------------
 @_q("streaming_dedup_gate")
 def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from disq_spark.queries._stream_util import bounded_stream, run_to_completion
     from disq_spark.streaming.dedup import streaming_exact_dedup
 
-    batch = load(spark, sf_dir, "documents").select("doc_id", "text")
-    src = tempfile.mkdtemp(prefix="stream_dedup_src_")
-    batch.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
+    stream = bounded_stream(spark, sf_dir, "documents", ["doc_id", "text"])
     if spark.catalog.tableExists("stream_gate_dedup"):
         spark.catalog.dropTempView("stream_gate_dedup")  # re-run safety
     q = (
@@ -1642,8 +1641,7 @@ def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    q.stop()
+    run_to_completion(q, "streaming_dedup_gate")
     out = spark.table("stream_gate_dedup")
     return out.agg(
         F.count("*").alias("n_emitted"),

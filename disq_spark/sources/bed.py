@@ -45,15 +45,25 @@ def read_bed(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def parse_bed_line(line: str) -> tuple[str, int, int, str | None] | None:
+    """One BED line -> (contig, start_1, end_1, name) in 1-based closed
+    coordinates, or None for blank/comment/track lines. The single
+    line-level parse shared by ``bed_intervals`` and the ``bed``
+    DataSource so coordinate conversion cannot drift between them."""
+    line = line.rstrip("\n")
+    if not line.strip() or line.startswith(_SKIP_PREFIXES):
+        return None
+    t = line.split("\t")
+    return t[0], int(t[1]) + 1, int(t[2]), (t[3] if len(t) > 3 else None)
+
+
 def bed_intervals(path: str, merge: bool = True) -> list[Interval]:
     """Driver-side BED read -> merged list[Interval] (1-based closed),
     ready for the ``intervals=`` pushdown of every genomics source."""
     out: list[Interval] = []
     with io.TextIOWrapper(_dfs.open_input(path), encoding="utf-8") as f:
         for line in f:
-            line = line.rstrip("\n")
-            if not line.strip() or line.startswith(_SKIP_PREFIXES):
-                continue
-            fields = line.split("\t")
-            out.append(Interval(fields[0], int(fields[1]) + 1, int(fields[2])))
+            parsed = parse_bed_line(line)
+            if parsed is not None:
+                out.append(Interval(parsed[0], parsed[1], parsed[2]))
     return merge_intervals(out) if merge else out

@@ -862,16 +862,13 @@ class BedReader(DataSourceReader):
     def read(self, part: BedFile):
         import io as _io
 
-        from disq_spark.sources.bed import _SKIP_PREFIXES
+        from disq_spark.sources.bed import parse_bed_line
 
         with _io.TextIOWrapper(_dfs.open_input(part.path), encoding="utf-8") as f:
             for line in f:
-                line = line.rstrip("\n")
-                if not line.strip() or line.startswith(_SKIP_PREFIXES):
-                    continue
-                t = line.split("\t")
-                name = t[3] if len(t) > 3 else None
-                yield (t[0], int(t[1]) + 1, int(t[2]), name)
+                parsed = parse_bed_line(line)
+                if parsed is not None:
+                    yield parsed
 
 
 class BedDataSource(DataSource):

@@ -228,17 +228,18 @@ def test_bm25_broadcasts_dimension_sides(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark):
-    """k-means assignment: the centroid table must broadcast into the
-    corpus scan (a shuffled join would exchange all vectors every
-    iteration); the argmin groupBy partial-aggregates map-side."""
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """k-means assignment must be a pure projection: centroids are plan
+    literals folded row-locally, so the returned (id, cid, dist) plan
+    has NO exchange and NO join of any kind — the only per-iteration
+    shuffle is the (cid, pos) centroid-update groupBy, O(k*dim) rows."""
     from disq_spark.operators.clustering import kmeans
     from disq_spark.queries.tables import load
 
     e = load(spark, SF, "embeddings")
     plan = simple_plan_of(kmeans(e, k=4, iters=1))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "partial_min" in plan or "partial" in plan.lower()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 def test_zorder_single_range_exchange(spark):

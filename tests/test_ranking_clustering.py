@@ -62,7 +62,9 @@ def test_kmeans_inertia_improves_over_iterations(spark):
             s.agg(F.sum(F.col("inertia") * F.col("n_members"))).first()[0]
         )
 
-    assert total_inertia(3) <= total_inertia(1) + 1e-6
+    # tolerance above the operator's own rounding noise (inertia rounds
+    # to 4 decimals, centroids to 6, summed over n_members weights)
+    assert total_inertia(3) <= total_inertia(1) + 1e-2
 
 
 def test_kmeans_sample_init(spark):
@@ -190,3 +192,17 @@ def test_entropy_orders_degenerate_text_lower(spark, monkeypatch):
     assert out[1].entropy < out[2].entropy < out[3].entropy
     import math
     assert abs(out[2].entropy - math.log(2)) < 1e-3
+
+
+def test_percentile_filter_degenerate_params_keep_data(spark):
+    """pct=0 keeps ~everything (threshold = sample min); an empty sample
+    keeps EVERYTHING (-inf fallback) instead of silently deleting."""
+    from disq_spark.operators.sampling import percentile_filter
+
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    # pct=0 -> threshold = sample MINIMUM: keeps everything at/above it
+    # (deterministic md5 sample; values below the sampled min drop)
+    assert percentile_filter(df, "v", 0.0, "id", sample_rate=0.5).count() >= 90
+    # sample_rate so small nothing is sampled -> keep all
+    assert percentile_filter(df, "v", 0.8, "id", sample_rate=1e-12).count() == 100
