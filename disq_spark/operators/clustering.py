@@ -94,10 +94,19 @@ def kmeans(
         if init == "first_ids":
             seed_rows = vecs.orderBy("id").limit(k).collect()
         elif init == "sample":
+            # truly seeded AND partition-independent: Bernoulli-sample
+            # via a seeded hash of id (``.sample()`` is seeded *per
+            # partition*, so its row set changes under repartitioning),
+            # then order by the same hash before limit — a bare
+            # ``.limit(k)`` would pick whichever rows the scan
+            # schedules first
             frac = min(1.0, (k * 20) / max(df.count(), 1))
-            seed_rows = vecs.sample(fraction=frac, seed=seed).limit(k).collect()
+            by_hash = F.xxhash64(F.col("id"), F.lit(seed))
+            bucket = F.pmod(by_hash, F.lit(1_000_000))
+            cand = vecs.filter(bucket < int(frac * 1_000_000))
+            seed_rows = cand.orderBy(by_hash, "id").limit(k).collect()
             if len(seed_rows) < k:
-                seed_rows = vecs.limit(k).collect()
+                seed_rows = vecs.orderBy(by_hash, "id").limit(k).collect()
         else:
             raise ValueError(f"unknown init {init!r}")
 

@@ -166,11 +166,24 @@ def percentile_filter(
     key: str,
     sample_rate: float = 0.2,
     seed: str = "",
+    threshold_col: str | None = None,
 ) -> DataFrame:
     """Keep rows whose ``value_col`` >= the sampled ``pct``-quantile
     threshold (top ``1-pct`` fraction). One scan over the corpus with
-    the 1-row threshold broadcast — no global sort anywhere."""
+    the 1-row threshold broadcast — no global sort anywhere.
+
+    The join uses a collision-safe internal name, so ``df`` may itself
+    carry a ``threshold`` column. Pass ``threshold_col`` to keep the
+    applied threshold as a column of that name in the output (it must
+    not collide with an existing column); by default it is dropped."""
     thr = sampled_rank_threshold(df, value_col, pct, key, sample_rate, seed)
-    return df.crossJoin(F.broadcast(thr)).filter(
-        F.col(value_col) >= F.col("threshold")
-    )
+    out = df.crossJoin(
+        F.broadcast(thr.select(F.col("threshold").alias("__disq_thr")))
+    ).filter(F.col(value_col) >= F.col("__disq_thr"))
+    if threshold_col is not None:
+        if threshold_col in df.columns:
+            raise ValueError(
+                f"threshold_col {threshold_col!r} collides with an input column"
+            )
+        return out.withColumnRenamed("__disq_thr", threshold_col)
+    return out.drop("__disq_thr")

@@ -31,7 +31,14 @@ DEFAULT_BITS = 8
 
 def quantize_sql(col: str, mn: str, mx: str, bits: int, div: str) -> str:
     """Integer rank-scaling of ``col`` onto [0, 2^bits): exact integer
-    arithmetic, identical in Spark SQL (div='div') and DuckDB (div='//')."""
+    arithmetic, identical in Spark SQL (div='div') and DuckDB (div='//').
+
+    Supported input range: ``(mx - mn) * (2^bits - 1)`` must fit in a
+    signed 64-bit integer, i.e. range <= 2^63 / (2^bits - 1) (~3.6e16 at
+    the default 8 bits). Beyond that Spark (ANSI off) silently wraps
+    while DuckDB raises — ``z_value`` guards this with a runtime
+    ``assert_true`` on the computed column ranges so the wrap can never
+    happen silently."""
     levels = (1 << bits) - 1
     return f"((({col}) - ({mn})) * {levels}) {div} greatest(({mx}) - ({mn}), 1)"
 
@@ -66,7 +73,30 @@ def z_value(
     qexprs = [
         quantize_sql(c, f"__mn_{c}", f"__mx_{c}", bits, "div") for c in cols
     ]
-    out = out.withColumn("__z", F.expr(interleave_sql(qexprs, bits)).cast("long"))
+    # overflow guard: (mx - mn) * (2^bits - 1) must fit in int64 or the
+    # multiply in quantize_sql wraps silently (ANSI off). assert_true is
+    # NULL when the check passes, so coalescing the checks into the __z
+    # sum is a no-op arithmetically but keeps them from being pruned;
+    # double cast so the guard's own subtraction can't overflow.
+    safe_range = float((1 << 62) // ((1 << bits) - 1))
+    checks = [
+        F.assert_true(
+            (
+                F.col(f"__mx_{c}").cast("double")
+                - F.col(f"__mn_{c}").cast("double")
+            )
+            <= F.lit(safe_range),
+            F.lit(
+                f"z_value: range of column {c!r} too wide for exact "
+                f"{bits}-bit quantization (would overflow int64)"
+            ),
+        ).cast("long")
+        for c in cols
+    ]
+    zcol = F.expr(interleave_sql(qexprs, bits)).cast("long") + F.coalesce(
+        *checks, F.lit(0).cast("long")
+    )
+    out = out.withColumn("__z", zcol)
     return out.drop(*[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
 
 

@@ -481,23 +481,26 @@ def genomics_idxstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer per-contig read counts from the index metadata pseudo-bins
     alone — zero data-scan tasks. Also a sink+index round-trip: wrong
     .bai metadata or a broken merge shows up as a wrong count here."""
-    import hashlib
     import tempfile
 
+    from disq_spark.cacheutil import cache_key, ensure_cached_dir
     from disq_spark.sinks.bam import write_bam
     from disq_spark.sources.bam_source import bam_idxstats, read_bam
 
     src = os.path.join(FIXTURES, "1-with-splitting-index.bam")
-    # cache the re-encoded copy per fixture identity: repeated gate runs
-    # reuse it instead of re-writing a BAM each time
+    # cache the re-encoded copy per (fixture identity, code version):
+    # repeated gate runs reuse it, but any disq_spark code change
+    # invalidates it so the write/.bai round-trip is re-exercised
     st = os.stat(src)
-    key = hashlib.md5(f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"idxstats_{key}", "indexed.bam")
-    if not (os.path.exists(out) and os.path.exists(out + ".bai")):
-        os.makedirs(os.path.dirname(out), exist_ok=True)
+    key = cache_key(src, st.st_mtime_ns, st.st_size)
+    cache = os.path.join(tempfile.gettempdir(), f"idxstats_{key}")
+
+    def _build(tmp: str) -> None:
         df, header = read_bam(spark, src, split_size=200_000)
-        write_bam(df, header, out, write_bai=True)
-    stats = bam_idxstats(spark, out)
+        write_bam(df, header, os.path.join(tmp, "indexed.bam"), write_bai=True)
+
+    ensure_cached_dir(cache, _build)
+    stats = bam_idxstats(spark, os.path.join(cache, "indexed.bam"))
     return (
         stats.filter((F.col("n_mapped") > 0) | (F.col("n_unmapped") > 0))
         .orderBy("contig")

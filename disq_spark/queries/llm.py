@@ -773,7 +773,9 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", TX.quality_score(F.col("text")).alias("quality")
     )
-    kept = percentile_filter(d, "quality", QPF_PCT, "doc_id", QPF_RATE)
+    kept = percentile_filter(
+        d, "quality", QPF_PCT, "doc_id", QPF_RATE, threshold_col="threshold"
+    )
     return kept.agg(
         F.count("*").alias("n_kept"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
@@ -789,8 +791,10 @@ WITH q AS (SELECT doc_id, ({_QUALITY_SQL}) AS quality FROM documents),
 s AS (SELECT quality, doc_id FROM q WHERE {uniform_sql("doc_id")} < {rate}),
 r AS (SELECT quality, row_number() OVER (ORDER BY quality, doc_id) AS rn,
              count(*) OVER () AS n FROM s),
-t AS (SELECT quality AS thr FROM r
-      WHERE rn = greatest(1, cast(ceil({pct} * n) AS bigint)))
+t AS (SELECT max(thr) AS thr FROM (
+      SELECT quality AS thr FROM r
+      WHERE rn = greatest(1, cast(ceil({pct} * n) AS bigint))
+      UNION ALL SELECT CAST('-infinity' AS DOUBLE)))
 SELECT count(*) AS n_kept, round(avg(quality), 4) AS avg_quality,
        round(max(thr), 4) AS threshold
 FROM q, t WHERE quality >= thr

@@ -75,6 +75,19 @@ def test_kmeans_sample_init(spark):
     assert s.agg(F.sum("n_members")).first()[0] == e.count()
 
 
+def test_kmeans_sample_init_reproducible(spark):
+    """init='sample' is genuinely seeded: identical assignments across
+    runs and across input partitionings (seed rows chosen by seeded
+    hash order, not scan order)."""
+    e = load(spark, SF, "embeddings")
+    a = sorted(kmeans(e, k=4, iters=1, init="sample", seed=7).collect())
+    b = sorted(kmeans(e, k=4, iters=1, init="sample", seed=7).collect())
+    c = sorted(
+        kmeans(e.repartition(7), k=4, iters=1, init="sample", seed=7).collect()
+    )
+    assert a == b == c
+
+
 def test_kmeans_rejects_unknown_init(spark):
     e = load(spark, SF, "embeddings")
     with pytest.raises(ValueError):
@@ -86,13 +99,26 @@ def test_percentile_filter_keeps_top_fraction(spark):
 
     rows = [(i, float(i)) for i in range(1000)]
     df = spark.createDataFrame(rows, "id long, v double")
-    kept = percentile_filter(df, "v", 0.8, "id", sample_rate=0.5)
+    kept = percentile_filter(
+        df, "v", 0.8, "id", sample_rate=0.5, threshold_col="threshold"
+    )
     n = kept.count()
     # sampled threshold: top ~20%, tolerance for sampling error
     assert 120 <= n <= 280
     # every kept value above every dropped value's threshold
     thr = kept.agg(F.min("threshold")).first()[0]
     assert kept.filter(F.col("v") < thr).count() == 0
+    # default: threshold column dropped; input 'threshold' col tolerated
+    plain = percentile_filter(df, "v", 0.8, "id", sample_rate=0.5)
+    assert plain.columns == ["id", "v"]
+    clash = df.withColumn("threshold", F.lit(0.0))
+    assert (
+        percentile_filter(clash, "v", 0.8, "id", sample_rate=0.5).count() == n
+    )
+    with pytest.raises(ValueError):
+        percentile_filter(
+            clash, "v", 0.8, "id", sample_rate=0.5, threshold_col="threshold"
+        )
     # deterministic re-run
     assert kept.count() == percentile_filter(
         df, "v", 0.8, "id", sample_rate=0.5

@@ -35,6 +35,30 @@ def test_z_value_matches_manual_interleave(spark):
         assert r["__z"] == want
 
 
+def test_z_value_rejects_overflowing_range(spark):
+    """A column range wide enough that (range * 255) wraps int64 must
+    raise, not silently produce wrapped z-values (DuckDB would raise on
+    the same SQL, so a silent wrap is also a cross-engine divergence)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import (
+        ArithmeticException,
+        SparkRuntimeException,
+    )
+
+    wide = spark.createDataFrame(
+        [(0, 0), (1 << 62, 1)], "x long, y long"
+    )
+    # ANSI on: the multiply itself raises ArithmeticException; ANSI off:
+    # the z_value assert_true guard raises SparkRuntimeException. Either
+    # way the wrap can never be silent.
+    with pytest.raises((ArithmeticException, SparkRuntimeException, Py4JJavaError)):
+        z_value(wide, ["x", "y"], 8).collect()
+    # in-range data still works with the guard in place
+    ok = spark.createDataFrame([(0, 0), (100, 7)], "x long, y long")
+    assert z_value(ok, ["x", "y"], 8).count() == 2
+
+
 def _row_groups_matching(path, p_lo, p_hi, s_lo, s_hi):
     """Row groups whose min/max stats intersect the box (what a reader
     must scan); fewer = better layout."""
