@@ -41,13 +41,14 @@ from disq_spark.sources.bam_source import build_sbi, read_bam
 from disq_spark.sources.datasource import register_datasources
 from disq_spark.sources.cram_source import read_cram
 from disq_spark.sources.reads import read_sam
-from disq_spark.sources.variants import read_vcf
+from disq_spark.sources.variants import build_tbi, read_vcf
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Interval",
     "build_sbi",
+    "build_tbi",
     "filter_intervals",
     "get_session",
     "materialize_reads",

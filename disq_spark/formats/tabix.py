@@ -30,13 +30,22 @@ from disq_spark.formats import bgzf
 from disq_spark import fs
 
 
+#: tabix metadata pseudo-bin id (one past the largest real bin, 37448)
+PSEUDO_BIN = 37450
+
+
 @dataclass
 class TabixIndex:
     names: list[str]
-    # per ref: {bin: [(cnk_beg_voff, cnk_end_voff), ...]}
+    # per ref: {bin: [(cnk_beg_voff, cnk_end_voff), ...]}; dict insertion
+    # order = first-record order (feeds the khash-compatible bin layout)
     bins: list[dict[int, list[tuple[int, int]]]]
     # per ref: linear index of 16kb-window start virtual offsets
     linear: list[list[int]]
+    # per ref: (beg_voff, end_voff, n_mapped, n_unmapped) metadata
+    # pseudo-bin payload, or None when unknown (legacy indexes)
+    stats: list[tuple[int, int, int, int] | None] | None = None
+    n_no_coor: int = 0
 
     def ref_id(self, contig: str) -> int:
         try:
@@ -67,10 +76,12 @@ def read_tbi(path: str, fragment: bool = False) -> TabixIndex:
     off = 36 + l_nm
     bins_all = []
     linear_all = []
+    stats_all: list[tuple[int, int, int, int] | None] = []
     for _ in range(n_ref):
         n_bin = struct.unpack_from("<i", data, off)[0]
         off += 4
         bins: dict[int, list[tuple[int, int]]] = {}
+        stats: tuple[int, int, int, int] | None = None
         for _ in range(n_bin):
             b = struct.unpack_from("<I", data, off)[0]
             n_chunk = struct.unpack_from("<i", data, off + 4)[0]
@@ -80,7 +91,11 @@ def read_tbi(path: str, fragment: bool = False) -> TabixIndex:
                 cb, ce = struct.unpack_from("<QQ", data, off)
                 chunks.append((cb, ce))
                 off += 16
-            bins[b] = chunks
+            if b == PSEUDO_BIN and len(chunks) == 2:
+                # metadata pseudo-bin: (beg,end) voffs + (n_mapped, n_unmapped)
+                stats = (chunks[0][0], chunks[0][1], chunks[1][0], chunks[1][1])
+            else:
+                bins[b] = chunks
         n_intv = struct.unpack_from("<i", data, off)[0]
         off += 4
         linear = list(struct.unpack_from(f"<{n_intv}Q", data, off))
@@ -89,7 +104,9 @@ def read_tbi(path: str, fragment: bool = False) -> TabixIndex:
         off += 8 * n_intv
         bins_all.append(bins)
         linear_all.append(linear)
-    return TabixIndex(names, bins_all, linear_all)
+        stats_all.append(stats)
+    n_no_coor = struct.unpack_from("<Q", data, off)[0] if off + 8 <= len(data) else 0
+    return TabixIndex(names, bins_all, linear_all, stats_all, n_no_coor)
 
 
 def chunks_for_interval(idx: TabixIndex, contig: str, start: int, end: int) -> list[tuple[int, int]]:
@@ -124,6 +141,7 @@ class TbiBuilder:
         self._rid: dict[str, int] = {}
         self.bins: list[dict[int, list[tuple[int, int]]]] = []
         self.linear: list[list[int]] = []
+        self.stats: list[tuple[int, int, int, int] | None] = []
 
     def add(self, contig: str, start1: int, end1: int, v_start: int, v_end: int) -> None:
         rid = self._rid.get(contig)
@@ -133,6 +151,13 @@ class TbiBuilder:
             self.names.append(contig)
             self.bins.append({})
             self.linear.append([])
+            self.stats.append(None)
+        st = self.stats[rid]
+        self.stats[rid] = (
+            (v_start, v_end, 1, 0)
+            if st is None
+            else (min(st[0], v_start), max(st[1], v_end), st[2] + 1, st[3])
+        )
         beg0, end0 = start1 - 1, max(end1, start1)
         b = _reg2bin(beg0, end0)
         chunks = self.bins[rid].setdefault(b, [])
@@ -150,7 +175,7 @@ class TbiBuilder:
 
     def build(self) -> TabixIndex:
         # -1 = uncovered window (in-memory convention; see bai.RefIndex)
-        return TabixIndex(list(self.names), self.bins, self.linear)
+        return TabixIndex(list(self.names), self.bins, self.linear, list(self.stats))
 
 
 def _reg2bin(beg: int, end: int) -> int:
@@ -169,13 +194,85 @@ def _reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+def _khash_layout_order(keys: list[int]) -> list[int]:
+    """Bucket-iteration order of htslib's ``khash`` (int keys) after
+    inserting ``keys`` in order — the order the C ``tabix`` tool emits
+    bins in. Replicates khash.h exactly: hash(k)=k, quadratic probing
+    ``i = (i + ++step) & mask``, growth to the next power of two (min 4)
+    at load factor 0.77, and the in-place kick-out rehash that walks old
+    buckets in slot order. Verified byte-for-byte against the
+    tabix-built ``HiSeq.10000.vcf.bgz.tbi`` reference fixture."""
+    n_buckets = 0
+    ks: list[int] = []
+    flags: list[int] = []  # 0=empty, 1=occupied, 2=vacated-during-rehash
+    size = 0
+
+    def resize(req: int) -> None:
+        nonlocal n_buckets, ks, flags
+        new_n = max(req - 1, 1)
+        for s in (1, 2, 4, 8, 16):
+            new_n |= new_n >> s
+        new_n += 1
+        if new_n < 4:
+            new_n = 4
+        if size >= int(new_n * 0.77 + 0.5):
+            return
+        mask = new_n - 1
+        new_flags = [0] * new_n
+        if new_n > n_buckets:
+            ks.extend([0] * (new_n - n_buckets))
+        old_n = n_buckets
+        for j in range(old_n):
+            if flags[j] != 1:
+                continue
+            key = ks[j]
+            flags[j] = 2
+            while True:  # kick-out chain
+                i = key & mask
+                step = 0
+                while new_flags[i] == 1:
+                    step += 1
+                    i = (i + step) & mask
+                new_flags[i] = 1
+                if i < old_n and flags[i] == 1:
+                    ks[i], key = key, ks[i]
+                    flags[i] = 2
+                else:
+                    ks[i] = key
+                    break
+        flags[:] = new_flags
+        n_buckets = new_n
+
+    for key in keys:
+        if size >= int(n_buckets * 0.77 + 0.5):
+            resize(n_buckets + 1)
+        mask = n_buckets - 1
+        i = key & mask
+        step = 0
+        while flags[i] == 1 and ks[i] != key:
+            step += 1
+            i = (i + step) & mask
+        if flags[i] != 1:
+            ks[i] = key
+            flags[i] = 1
+            size += 1
+    return [ks[i] for i in range(n_buckets) if flags[i] == 1]
+
+
 def write_tbi(path: str, idx: TabixIndex, fragment: bool = False) -> None:
     """Serialize with the VCF preset header (format=2, seq/beg cols 1/2,
     end=0 i.e. derived, meta '#', skip 0); body BGZF-compressed.
 
+    Final indexes replicate the C ``tabix`` tool byte-for-byte (asserted
+    vs the htsjdk-shipped fixture in tests/test_tabix.py): bins emit in
+    khash bucket order with the metadata pseudo-bin inserted last,
+    uncovered linear windows fill forward from the previous window
+    (hts_idx_finish convention), and the trailing u64 records the
+    no-coordinate count.
+
     ``fragment=True`` = hidden per-part intermediate: linear stored
     biased (v+1, 0 = absent) because part-relative voff 0 is a real
-    offset. Final indexes store absent as 0 (spec convention)."""
+    offset, and absent windows stay absent for the merge's min logic."""
     body = bytearray()
     body += b"TBI\x01"
     names_blob = b"".join(n.encode("utf-8") + b"\x00" for n in idx.names)
@@ -185,19 +282,32 @@ def write_tbi(path: str, idx: TabixIndex, fragment: bool = False) -> None:
     body += struct.pack("<i", len(names_blob))
     body += names_blob
     for rid in range(len(idx.names)):
-        bins = sorted(idx.bins[rid].items())
-        body += struct.pack("<i", len(bins))
-        for b, chunks in bins:
+        rbins = dict(idx.bins[rid])
+        st = idx.stats[rid] if idx.stats else None
+        if st is not None:
+            # pseudo-bin registers last (tabix adds it at ref finish)
+            rbins[PSEUDO_BIN] = [(st[0], st[1]), (st[2], st[3])]
+        order = (
+            sorted(rbins)
+            if fragment
+            else _khash_layout_order(list(rbins))
+        )
+        body += struct.pack("<i", len(order))
+        for b in order:
+            chunks = rbins[b]
             body += struct.pack("<Ii", b, len(chunks))
             for cb, ce in chunks:
                 body += struct.pack("<QQ", cb, ce)
         if fragment:
             lin = [v + 1 if v >= 0 else 0 for v in idx.linear[rid]]
         else:
-            lin = [max(v, 0) for v in idx.linear[rid]]
+            lin = []
+            for v in idx.linear[rid]:
+                lin.append(v if v >= 0 else (lin[-1] if lin else 0))
         body += struct.pack("<i", len(lin))
         if lin:
             body += struct.pack(f"<{len(lin)}Q", *lin)
+    body += struct.pack("<Q", idx.n_no_coor)
     with fs.open_output(path) as f:
         f.write(bgzf.compress_all(bytes(body), terminate=True))
 
@@ -214,7 +324,9 @@ def merge_tbi(parts: list[TabixIndex], part_lengths: list[int], base_offset: int
     sorted VCF, where it equals header contig order)."""
     out = TbiBuilder()
     shift = base_offset
+    n_no_coor = 0
     for idx, plen in zip(parts, part_lengths):
+        n_no_coor += idx.n_no_coor
         for rid, name in enumerate(idx.names):
             orid = out._rid.get(name)
             if orid is None:
@@ -223,6 +335,21 @@ def merge_tbi(parts: list[TabixIndex], part_lengths: list[int], base_offset: int
                 out.names.append(name)
                 out.bins.append({})
                 out.linear.append([])
+                out.stats.append(None)
+            pst = idx.stats[rid] if idx.stats else None
+            if pst is not None:
+                sb, se = _shift(pst[0], shift), _shift(pst[1], shift)
+                ost = out.stats[orid]
+                out.stats[orid] = (
+                    (sb, se, pst[2], pst[3])
+                    if ost is None
+                    else (
+                        min(ost[0], sb),
+                        max(ost[1], se),
+                        ost[2] + pst[2],
+                        ost[3] + pst[3],
+                    )
+                )
             for b, chunks in idx.bins[rid].items():
                 dst = out.bins[orid].setdefault(b, [])
                 for cb, ce in chunks:
@@ -241,7 +368,9 @@ def merge_tbi(parts: list[TabixIndex], part_lengths: list[int], base_offset: int
                 if olin[w] < 0 or vo < olin[w]:
                     olin[w] = vo
         shift += plen
-    return out.build()
+    merged = out.build()
+    merged.n_no_coor = n_no_coor
+    return merged
 
 
 def patch_dangling_end(idx: TabixIndex, dangling_voff: int, safe_voff: int) -> None:
@@ -251,6 +380,10 @@ def patch_dangling_end(idx: TabixIndex, dangling_voff: int, safe_voff: int) -> N
             for i, (cb, ce) in enumerate(chunks):
                 if ce == dangling_voff:
                     chunks[i] = (cb, safe_voff)
+    if idx.stats:
+        for rid, st in enumerate(idx.stats):
+            if st is not None and st[1] == dangling_voff:
+                idx.stats[rid] = (st[0], safe_voff, st[2], st[3])
 
 
 def split_overlaps_intervals(

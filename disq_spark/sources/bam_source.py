@@ -482,7 +482,14 @@ def build_sbi(
     for r in rows:
         offsets.extend(_np.frombuffer(r.packed, dtype="<i8").tolist())
     size = _dfs.getsize(path)
-    offsets.append(size << 16)
+    # end-of-data sentinel: htsjdk's SBIIndexWriter records the virtual
+    # position BEFORE the 28-byte BGZF EOF terminator (verified
+    # byte-for-byte against 1-with-splitting-index.bam.sbi)
+    with _dfs.open_input(path) as f:
+        f.seek(size - len(bgzf.EOF_BLOCK))
+        has_eof = f.read(len(bgzf.EOF_BLOCK)) == bgzf.EOF_BLOCK
+    end_of_data = size - len(bgzf.EOF_BLOCK) if has_eof else size
+    offsets.append(end_of_data << 16)
     idx = sbimod.SbiIndex(
         file_length=size, total_records=total, granularity=granularity, offsets=offsets
     )

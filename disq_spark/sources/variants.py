@@ -205,6 +205,133 @@ def _range_lines(path: str, start: int, end: int) -> list[str]:
     return out
 
 
+def _range_records_voff(
+    path: str, start: int, end: int
+) -> Iterator[tuple[str, int, int]]:
+    """Yield ``(line, v_start, v_end)`` for lines owned by the
+    block-aligned compressed split ``[start, end)``.
+
+    Ownership is identical to ``_range_lines``; additionally each line
+    carries its tabix virtual offsets. ``v_end`` is the virtual offset
+    of the byte after the line's newline, normalized to
+    ``next_block << 16 | 0`` at block boundaries (the htslib ``tell()``
+    convention after a full-block read — required for byte-parity with
+    htsjdk/tabix-built indexes)."""
+    import bisect
+
+    bounds_u: list[int] = []  # uncompressed start of each block
+    bounds_c: list[tuple[int, int]] = []  # (c_pos, c_size) per block
+    data = bytearray()
+    with _dfs.open_input(path) as f:
+        for blk in bgzf.scan_blocks(path, start, end):
+            bounds_u.append(len(data))
+            bounds_c.append((blk.pos, blk.c_size))
+            data += bgzf.decompress_block(f, blk.pos)
+        u_in_range = len(data)
+        if u_in_range == 0:
+            return
+        # extend past the split end until the last owned line's newline
+        # (or the claimed next line's, when we end exactly on a boundary)
+        for blk in bgzf.scan_blocks(path, bounds_c[-1][0] + bounds_c[-1][1]):
+            if data[u_in_range:].find(b"\n") >= 0:
+                break
+            bounds_u.append(len(data))
+            bounds_c.append((blk.pos, blk.c_size))
+            data += bgzf.decompress_block(f, blk.pos)
+
+    def voff(u: int) -> int:
+        # a position at a block boundary maps to the FIRST block starting
+        # there (offset 0) — including an empty/EOF block, whose position
+        # is the end-of-data voff htslib reports
+        i = bisect.bisect_left(bounds_u, u)
+        if i < len(bounds_u) and bounds_u[i] == u:
+            return bounds_c[i][0] << 16
+        i -= 1
+        if u >= len(data) and i == len(bounds_u) - 1:
+            # past everything decompressed: end of the last block
+            return (bounds_c[i][0] + bounds_c[i][1]) << 16
+        return bounds_c[i][0] << 16 | (u - bounds_u[i])
+
+    s = 0
+    if start > 0:
+        nl = data.find(b"\n")
+        if nl < 0:
+            return
+        s = nl + 1  # first partial line belongs to the previous split
+    while s < len(data):
+        owns = s < u_in_range or (s == u_in_range and data[s - 1 : s] == b"\n")
+        if not owns:
+            return
+        nl = data.find(b"\n", s)
+        raw_end = (nl + 1) if nl >= 0 else len(data)
+        line = data[s : nl if nl >= 0 else len(data)].decode("utf-8")
+        yield line, voff(s), voff(raw_end)
+        if s >= u_in_range:
+            return  # the one claimed tail line
+        s = raw_end
+
+
+def build_tbi(
+    spark: SparkSession, path: str, split_size: int = DEFAULT_SPLIT_SIZE
+) -> str:
+    """Distributed .tbi construction for an existing BGZF VCF — the
+    ``tabix -p vcf`` analog as one Spark job (read-side counterpart of
+    the build-during-write index in sinks/variants.py, mirroring the
+    reference's build-index-for-existing-file surface,
+    BamRecordGuesserChecker.java:82-95 shape). Block-aligned splits scan
+    their owned lines with file-absolute virtual offsets in parallel;
+    the driver merges the per-split fragments in file order and writes
+    ``path + '.tbi'``. Byte-parity with the htsjdk-built fixture index
+    is asserted in tests/test_tabix.py."""
+    import pickle
+
+    from disq_spark.formats import tabix as tbimod
+
+    ranges = [(r.path, r.start, r.end) for r in plan_ranges([path], split_size)]
+    plan_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(ranges, max(len(ranges), 1)),
+        "path string, start long, end long",
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                b = tbimod.TbiBuilder()
+                for line, vs, ve in _range_records_voff(
+                    row["path"], int(row["start"]), int(row["end"])
+                ):
+                    if line.startswith("#") or not line:
+                        continue
+                    fl = line.split("\t", 8)
+                    contig, pos, ref = fl[0], int(fl[1]), fl[3]
+                    end_pos = pos + len(ref) - 1
+                    if len(fl) > 7 and "END=" in fl[7]:
+                        for kv in fl[7].split(";"):
+                            if kv.startswith("END="):
+                                end_pos = int(kv[4:])
+                                break
+                    b.add(contig, pos, end_pos, vs, ve)
+                yield pd.DataFrame(
+                    {
+                        "start": [int(row["start"])],
+                        "frag": [
+                            pickle.dumps((b.names, b.bins, b.linear, b.stats))
+                        ],
+                    }
+                )
+
+    rows = plan_df.mapInPandas(scan, "start long, frag binary").collect()
+    rows.sort(key=lambda r: r.start)
+    parts = []
+    for r in rows:
+        names, bins, linear, stats = pickle.loads(r.frag)
+        parts.append(tbimod.TabixIndex(names, bins, linear, stats))
+    # offsets are already file-absolute: merge with zero shift
+    merged = tbimod.merge_tbi(parts, [0] * len(parts), base_offset=0)
+    tbimod.write_tbi(path + ".tbi", merged)
+    return path + ".tbi"
+
+
 def _read_until_newline(path: str, from_pos: int) -> str:
     """Decompress blocks from ``from_pos`` until a newline appears."""
     buf = b""

@@ -163,6 +163,16 @@ def test_build_sbi_matches_fixture_index(spark, fixtures_dir, tmp_path):
     assert ours.total_records == truth.total_records == N_RECORDS
     assert ours.offsets[:-1] == truth.offsets[:-1]
 
+    # the whole written index is BYTE-IDENTICAL to the htsjdk fixture
+    # (HtsjdkReadsRddTest.testWriteSBIIndex assertArrayEquals bar):
+    # header fields, zeroed md5/uuid, every offset, and the end-of-data
+    # sentinel that excludes the BGZF EOF terminator
+    with open(out, "rb") as f:
+        mine = f.read()
+    with open(src + ".sbi", "rb") as f:
+        want = f.read()
+    assert mine == want
+
     # and reads now plan from the index
     df, _ = read_bam(spark, bam, split_size=100_000)
     assert df.count() == N_RECORDS
