@@ -187,6 +187,7 @@ def decode_batch(
     with_seq: bool = True,
     with_qual: bool = True,
     with_tags: bool = True,
+    raw_tags: bool = False,
 ) -> dict:
     """Vectorized decode of many records -> column dict (READS_COLUMNS).
 
@@ -297,6 +298,9 @@ def decode_batch(
     # tags: per-record scalar loop. (A vectorized wavefront parse was
     # measured SLOWER here: per-tag Python string + dict creation is the
     # floor, and numpy string ops cost more than int.from_bytes slicing.)
+    # raw_tags sidesteps that floor entirely: one bytes slice per record
+    # (the scale path — parse on demand via parse_tags(), copy verbatim
+    # on write).
     tags_col: list = [None] * n
     rg_col: list = [None] * n
     if with_tags:
@@ -306,13 +310,19 @@ def decode_batch(
         )
         tag_start_l = tag_start.tolist()
         tag_end_l = (base + block_size).tolist()
-        for i in range(n):
-            t = _decode_tags(data, tag_start_l[i], tag_end_l[i])
-            if t:
-                tags_col[i] = t
-                rg = t.get("RG")
-                if rg is not None:
-                    rg_col[i] = rg.split(":", 1)[1]
+        if raw_tags:
+            for i in range(n):
+                ts, te = tag_start_l[i], tag_end_l[i]
+                if te > ts:
+                    tags_col[i] = data[ts:te]
+        else:
+            for i in range(n):
+                t = _decode_tags(data, tag_start_l[i], tag_end_l[i])
+                if t:
+                    tags_col[i] = t
+                    rg = t.get("RG")
+                    if rg is not None:
+                        rg_col[i] = rg.split(":", 1)[1]
 
     refnames = [r[0] for r in refs]
     ref_id_l = ref_id.tolist()
@@ -538,7 +548,13 @@ def encode_record(row: dict, ref_index: dict[str, int]) -> bytes:
         seq_packed = b""
     qual_b = qual.encode("latin-1").translate(_ASCII_TO_QUAL) if qual else b"\xff" * l_seq
 
-    tags_b = _encode_tags(row["tags"] or {})
+    tags = row["tags"]
+    if isinstance(tags, (bytes, bytearray)):
+        # raw-tags row (read_bam(tags="raw")): aux bytes pass through
+        # verbatim — bit-exact round-trip, zero re-encode cost
+        tags_b = bytes(tags)
+    else:
+        tags_b = _encode_tags(tags or {})
 
     # bin: reg2bin over [pos, pos+ref_len) — SAM spec §5.3
     endp = pos + max(ref_len, 1)

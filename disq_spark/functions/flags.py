@@ -37,6 +37,36 @@ def with_flag_columns(df: DataFrame, flags_col: str = "flags") -> DataFrame:
     return df
 
 
+def parse_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
+    """Decode a raw-tags reads DataFrame (``read_bam(tags="raw")``) back
+    to the standard map form: ``tags`` becomes map<tag, "TYPE:value">
+    and ``read_group`` fills from the RG tag.
+
+    This is the deferred half of the lazy-tags scan: the scan ships the
+    undecoded aux byte span (near-zero cost), and only queries that
+    actually inspect tags pay the parse — batched per Arrow chunk here,
+    never row-at-a-time Python in the Spark row path."""
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from disq_spark.formats.bam import _decode_tags
+
+    def _parse_impl(s: "pd.Series") -> "pd.Series":
+        return s.map(
+            lambda b: _decode_tags(b, 0, len(b)) or None if b is not None else None
+        )
+
+    _parse_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _parse = pandas_udf(T.MapType(T.StringType(), T.StringType()))(_parse_impl)
+
+    out = df.withColumn(tags_col, _parse(F.col(tags_col)))
+    rg = F.col(tags_col).getItem("RG")
+    return out.withColumn(
+        "read_group", F.when(rg.isNotNull(), F.substring(rg, 3, 2**24))
+    )
+
+
 def typed_tag(tag: str, type_char: str | None = None):
     """Typed access to a SAM auxiliary tag stored as "T:value" in the
     ``tags`` map (htsjdk getAttribute parity as a Column projection).

@@ -52,6 +52,17 @@ READS_SCHEMA = T.StructType(
     ]
 )
 
+#: ``read_bam(tags="raw")`` variant: aux tags ride as the undecoded BAM
+#: byte span (one slice per record at scan time — the 100 TB path).
+#: ``functions.flags.parse_tags`` converts back to the map form on
+#: demand; the BAM sink copies raw tags verbatim (bit-exact round-trip).
+READS_SCHEMA_RAW_TAGS = T.StructType(
+    [
+        f if f.name != "tags" else T.StructField("tags", T.BinaryType(), True)
+        for f in READS_SCHEMA.fields
+    ]
+)
+
 GENOTYPE_SCHEMA = T.StructType(
     [
         T.StructField("sample", T.StringType(), False),

@@ -34,7 +34,7 @@ from disq_spark.formats import bam as bamcodec
 from disq_spark.formats import bgzf
 from disq_spark.formats import sbi as sbimod
 from disq_spark.headers import SamHeader
-from disq_spark.schemas import READS_COLUMNS, READS_SCHEMA
+from disq_spark.schemas import READS_COLUMNS, READS_SCHEMA, READS_SCHEMA_RAW_TAGS
 from disq_spark.sources.plan import DEFAULT_SPLIT_SIZE, resolve_paths
 
 BAM_EXTENSIONS = (".bam",)
@@ -315,6 +315,7 @@ def decode_chunk_cols(
     with_seq: bool = True,
     with_qual: bool = True,
     with_tags: bool = True,
+    raw_tags: bool = False,
 ):
     """Column-dict variant of decode_chunk: a cheap offsets walk (one
     struct.unpack per record) followed by the numpy batch decoder — the
@@ -354,7 +355,13 @@ def decode_chunk_cols(
             if not buf.extend(1 << 22):
                 break
     return bamcodec.decode_batch(
-        buf.data, rec_offs, refs, with_seq=with_seq, with_qual=with_qual, with_tags=with_tags
+        buf.data,
+        rec_offs,
+        refs,
+        with_seq=with_seq,
+        with_qual=with_qual,
+        with_tags=with_tags,
+        raw_tags=raw_tags,
     )
 
 
@@ -505,6 +512,7 @@ def read_bam(
     traverse_unplaced_unmapped: bool = False,
     pair_atomic: bool = False,
     columns: list[str] | None = None,
+    tags: str = "parsed",
 ) -> tuple[DataFrame, SamHeader]:
     """Load BAM (file, dir, or glob) as a reads DataFrame + header.
 
@@ -512,6 +520,14 @@ def read_bam(
     seq/qual/tags are most of the bytes; omitting them from this list
     skips their decode entirely (the columns still exist, as NULLs).
     The schema stays READS_SCHEMA either way.
+
+    ``tags="raw"``: aux tags ride as the undecoded BAM byte span
+    (BinaryType ``tags`` column, ``read_group`` NULL) — one slice per
+    record instead of per-tag Python string/dict assembly, the 100 TB
+    scan shape. ``functions.flags.parse_tags`` restores the map form on
+    demand; ``write_bam`` copies raw tags verbatim (bit-exact, faster
+    writes too). Default ``"parsed"`` keeps the map<tag, "TYPE:value">
+    schema.
 
     ``intervals``/``traverse_unplaced_unmapped`` mirror the reference's
     HtsjdkReadsTraversalParameters surface: a residual Column predicate
@@ -524,8 +540,17 @@ def read_bam(
     boundaries so a read name's records never split across partitions —
     the guarantee the reference lists as unimplemented (README.md:39).
     """
+    if tags not in ("parsed", "raw"):
+        raise ValueError(f"tags must be 'parsed' or 'raw', got {tags!r}")
     df, header = _read_bam_all(
-        spark, path, split_size, intervals, traverse_unplaced_unmapped, pair_atomic, columns
+        spark,
+        path,
+        split_size,
+        intervals,
+        traverse_unplaced_unmapped,
+        pair_atomic,
+        columns,
+        raw_tags=(tags == "raw"),
     )
     if intervals is not None or traverse_unplaced_unmapped:
         from disq_spark.functions.intervals import filter_intervals
@@ -574,9 +599,11 @@ def _read_bam_all(
     traverse_unplaced_unmapped: bool = False,
     pair_atomic: bool = False,
     columns: list[str] | None = None,
+    raw_tags: bool = False,
 ) -> tuple[DataFrame, SamHeader]:
     paths = resolve_paths(path, BAM_EXTENSIONS)
     header, refs, first_voff = read_bam_header(paths[0])
+    schema = READS_SCHEMA_RAW_TAGS if raw_tags else READS_SCHEMA
 
     plan: list[tuple[str, int, int]] = []
     for p in paths:
@@ -592,7 +619,7 @@ def _read_bam_all(
             plan.append((p, v_start, v_end))
 
     if not plan:
-        return spark.createDataFrame([], READS_SCHEMA), header
+        return spark.createDataFrame([], schema), header
 
     # one plan row per partition, partition index == plan index: parallelize
     # slices preserve order (repartition would round-robin arbitrarily,
@@ -614,11 +641,12 @@ def _read_bam_all(
                 cols = decode_chunk_cols(
                     r["path"], refs_b, int(r["v_start"]), int(r["v_end"]),
                     with_seq=w_seq, with_qual=w_qual, with_tags=w_tags,
+                    raw_tags=raw_tags,
                 )
                 if cols and cols["flags"]:
                     yield pd.DataFrame(cols, columns=READS_COLUMNS)
 
-    return plan_df.mapInPandas(decode, READS_SCHEMA), header
+    return plan_df.mapInPandas(decode, schema), header
 
 
 def check_record_guesser(

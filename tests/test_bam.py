@@ -178,6 +178,28 @@ def test_build_sbi_matches_fixture_index(spark, fixtures_dir, tmp_path):
     assert df.count() == N_RECORDS
 
 
+def test_raw_tags_mode_equivalent_and_roundtrips(spark, fixtures_dir, tmp_path):
+    """``tags="raw"`` (the lazy-tags 100 TB scan shape): parse_tags on
+    the raw byte spans reproduces the parsed-mode rows exactly, and the
+    sink's verbatim-copy write path round-trips bit-equivalently."""
+    from disq_spark.functions.flags import parse_tags
+    from disq_spark.sinks.bam import write_bam
+
+    src = os.path.join(fixtures_dir, "1.bam")
+    parsed, header = read_bam(spark, src, split_size=200_000)
+    raw, _ = read_bam(spark, src, split_size=200_000, tags="raw")
+    assert dict(raw.dtypes)["tags"] == "binary"
+
+    a = sorted(map(str, parsed.collect()))
+    b = sorted(map(str, parse_tags(raw).collect()))
+    assert a == b
+
+    out = str(tmp_path / "rt.bam")
+    write_bam(raw, header, out, write_sbi=False, write_bai=False)
+    back, _ = read_bam(spark, out, split_size=200_000)
+    assert sorted(map(str, back.collect())) == a
+
+
 def test_typed_tag_projection(spark, fixtures_dir):
     """SAM aux tags as typed Columns (htsjdk getAttribute parity)."""
     from disq_spark.functions.flags import typed_tag

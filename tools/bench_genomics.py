@@ -55,6 +55,14 @@ def main() -> None:
     t_read = time.time() - t0
     assert n2 == n, (n2, n)
 
+    # raw-tags scan (lazy aux decode — the scale path): tags carried as
+    # undecoded byte spans, full rows otherwise
+    t0 = time.time()
+    df_raw, _ = read_bam(spark, out, split_size=1024 * 1024, tags="raw")
+    n3 = df_raw.count()
+    t_read_raw = time.time() - t0
+    assert n3 == n, (n3, n)
+
     # narrow aggregation over the decoded frame (the common analytic shape)
     t0 = time.time()
     df2.groupBy("contig").agg(F.count("*"), F.avg("mapq")).collect()
@@ -107,6 +115,8 @@ def main() -> None:
                 "write_rec_per_s": int(n / t_write),
                 "read_s": round(t_read, 2),
                 "read_rec_per_s": int(n / t_read),
+                "read_raw_tags_s": round(t_read_raw, 2),
+                "read_raw_tags_rec_per_s": int(n / t_read_raw),
                 "agg_s": round(t_agg, 2),
                 "n_base": n_base,
                 "vcf_records": nv,
