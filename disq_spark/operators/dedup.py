@@ -283,14 +283,17 @@ _HEXVAL = "(instr('0123456789abcdef', {d}) - 1)"
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """Per-doc SimHash over whitespace tokens.
 
     Token hash = first bits/4 hex chars of md5(token); bit j of the
     simhash is 1 iff sum over distinct tokens of (+1 if bit j set else -1)
     is > 0. Pure SQL arithmetic (hex-digit lookup via strpos) so the
-    DuckDB oracle is expression-identical. Output: (id, simhash:int).
+    DuckDB oracle is expression-identical. Output: (id, simhash:long);
+    at the full 64 bits, bit 63 lands on the sign bit via two's
+    complement (adding -2^63), keeping every intermediate inside int64
+    in both engines. bits <= 64.
     """
     return _simhash_impl(df, text_col, id_col, bits)
 
@@ -307,7 +310,14 @@ def _simhash_bit_terms(bits: int) -> list[str]:
     return terms
 
 
+def _simhash_weight(j: int) -> int:
+    """Two's-complement weight of bit j in a signed 64-bit code."""
+    return -(1 << 63) if j == 63 else (1 << j)
+
+
 def _simhash_impl(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     hex_chars = (bits + 3) // 4
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
@@ -329,9 +339,11 @@ def _simhash_impl(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataF
     per_doc = toks.groupBy(id_col).agg(*bit_aggs)
     sim = None
     for j in range(bits):
-        term = F.when(F.col(f"s_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(_simhash_weight(j))).otherwise(
+            F.lit(0)
+        )
         sim = term if sim is None else sim + term
-    return per_doc.select(F.col(id_col), sim.cast("int").alias("simhash"))
+    return per_doc.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
 def duplicate_components(
@@ -555,7 +567,7 @@ def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
@@ -566,8 +578,16 @@ def simhash_pairs(
     least one slice, so candidates come from equi-joins on (band,
     slice-value) — never all-pairs — and the exact popcount filter runs
     only on collisions. Same candidate-generation economics as MinHash
-    LSH, but over the 2-byte code instead of a shingle signature
+    LSH, but over the 8-byte code instead of a shingle signature
     (requires max_hamming < bands for completeness).
+
+    Scale note: bucket population per band is ~n / 2^(bits/bands), so
+    WIDE slices are what keep random (non-duplicate) codes from
+    colliding — the 64/4 default gives 16-bit slices (65,536 buckets per
+    band); bands=8 supports hamming up to 7 but drops to 8-bit slices
+    (256 buckets), quadratic-ish at corpus scale. Slice extraction uses
+    shiftrightunsigned so bit 63 (the sign bit of the long code) slices
+    correctly.
 
     Output: (id_a, id_b, hamming) with id_a < id_b.
     """
@@ -579,7 +599,7 @@ def simhash_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * slice_bits)
+                F.shiftrightunsigned(F.col("simhash"), b * slice_bits)
                 .bitwiseAND((1 << slice_bits) - 1)
                 .alias("key"),
             )

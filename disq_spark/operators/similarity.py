@@ -117,17 +117,37 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    prefilter_bits: int | None = None,
 ) -> DataFrame:
     """Coarse quantization: assign each vector to its ``nprobe`` nearest
     centroids by cosine. Centroids are a small DataFrame (cid, cvec) —
     broadcast, so assignment is one scan with no shuffle. Output:
-    (id, bucket, probe_rank)."""
+    (id, bucket, probe_rank).
+
+    ``prefilter_bits``: score only centroids sharing the vector's
+    ``sign_bucket`` (the same axis-sign LSH used elsewhere, applied to
+    the centroids too) — the broadcast nested-loop over all k centroids
+    becomes a broadcast HASH join on the bucket key, dropping assignment
+    cost from O(n*k) dot products to O(n*k/2^bits) expected. Vectors
+    whose bucket holds no centroid fall back to full scoring, so every
+    vector always gets assigned. Deterministic and expressed in the
+    DuckDB oracle verbatim (gate ``ann_ivf_topk``)."""
     from pyspark.sql import Window as W2
 
     c = centroids.select(F.col("cid"), F.col("cvec"))
-    scored = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        F.broadcast(c)
-    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if prefilter_bits is None:
+        scored = vecs.join(F.broadcast(c))
+    else:
+        cb = c.withColumn("cb", sign_bucket(F.col("cvec"), prefilter_bits))
+        # tiny driver collect: <= 2^bits distinct centroid buckets
+        covered = [r["cb"] for r in cb.select("cb").distinct().collect()]
+        vb = vecs.withColumn("vb", sign_bucket(F.col("v"), prefilter_bits))
+        matched = vb.filter(F.col("vb").isin(covered)).join(
+            F.broadcast(cb), F.col("vb") == F.col("cb")
+        )
+        uncovered = vb.filter(~F.col("vb").isin(covered)).join(F.broadcast(cb))
+        scored = matched.unionByName(uncovered).drop("vb", "cb")
     w = W2.partitionBy("id").orderBy(F.desc(cosine(F.col("v"), F.col("cvec"))), F.asc("cid"))
     return (
         scored.withColumn("probe_rank", F.row_number().over(w))
@@ -145,6 +165,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    prefilter_bits: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: the index-structure scale path next to
     sign-LSH. Deterministic coarse quantizer: ``n_centroids`` (default
@@ -168,12 +189,12 @@ def ivf_topk(
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
-    corpus_b = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
-        F.col("id").alias("neighbor_id"), "bucket"
-    )
-    query_b = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
-        F.col("id").alias("query_id"), "bucket"
-    )
+    corpus_b = ivf_assign(
+        corpus, cents, id_col, vec_col, nprobe=1, prefilter_bits=prefilter_bits
+    ).select(F.col("id").alias("neighbor_id"), "bucket")
+    query_b = ivf_assign(
+        queries, cents, id_col, vec_col, nprobe=nprobe, prefilter_bits=prefilter_bits
+    ).select(F.col("id").alias("query_id"), "bucket")
     c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     cand = (

@@ -404,19 +404,29 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
-# dedup_simhash — 16-bit simhash per doc (first 50 docs for output size)
+# dedup_simhash — 64-bit simhash per doc (first 50 docs for output size).
+# Bit 63 rides the sign bit via two's complement (+(-2^63)), so every
+# intermediate stays inside int64 in both engines.
 # ---------------------------------------------------------------------------
 @_q("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return DD.simhash(d, "text", "doc_id", bits=16).orderBy("doc_id")
+    return DD.simhash(d, "text", "doc_id", bits=64).orderBy("doc_id")
 
 
-def _simhash_oracle(bits: int = 16) -> str:
+def _simhash_total_sql(bits: int) -> str:
+    parts = []
+    for j in range(bits):
+        w = DD._simhash_weight(j)
+        lit = "(-9223372036854775807 - 1)" if w < 0 else str(w)
+        parts.append(f"(CASE WHEN s_{j} > 0 THEN {lit} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def _simhash_oracle(bits: int = 64) -> str:
     hex_chars = (bits + 3) // 4
     terms = DD._simhash_bit_terms(bits)
     sums = ", ".join(f"sum({t}) AS s_{j}" for j, t in enumerate(terms))
-    total = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
@@ -424,7 +434,8 @@ WITH toks AS (
 ),
 th AS (SELECT doc_id, substring(md5(tok), 1, {hex_chars}) AS th FROM toks),
 s AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
-SELECT doc_id, cast({total} AS int) AS simhash FROM s ORDER BY doc_id
+SELECT doc_id, cast({_simhash_total_sql(bits)} AS bigint) AS simhash
+FROM s ORDER BY doc_id
 """
 
 
@@ -1038,6 +1049,7 @@ ORACLE["multimodal_decode"] = _multimodal_oracle()
 # ---------------------------------------------------------------------------
 IVF_K = 5
 IVF_NPROBE = 2
+IVF_PREFILTER_BITS = 3
 
 
 @_q("ann_ivf_topk")
@@ -1045,10 +1057,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     # n_centroids=None -> ceil(sqrt(n)) hash-sampled centroids: the gate
-    # exercises the scale configuration, not a fixed-8 toy quantizer
-    return SIM.ivf_topk(e, q, k=IVF_K, n_centroids=None, nprobe=IVF_NPROBE).orderBy(
-        "query_id", "rank"
-    )
+    # exercises the scale configuration, not a fixed-8 toy quantizer.
+    # prefilter_bits: centroid assignment probes only same-sign-bucket
+    # centroids (O(n*k/2^b) instead of O(n*k)), with full-scan fallback
+    # for uncovered buckets — the oracle replicates the restriction.
+    return SIM.ivf_topk(
+        e,
+        q,
+        k=IVF_K,
+        n_centroids=None,
+        nprobe=IVF_NPROBE,
+        prefilter_bits=IVF_PREFILTER_BITS,
+    ).orderBy("query_id", "rank")
 
 
 def _ivf_oracle() -> str:
@@ -1062,9 +1082,23 @@ def _ivf_oracle() -> str:
         " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
         " * sqrt(list_sum(list_transform(nv, x -> x * x))))"
     )
+    b = IVF_PREFILTER_BITS
+    vbucket = _bucket_sql("embedding", b)
+    cbucket = (
+        "("
+        + " + ".join(
+            f"(CASE WHEN cvec[{i + 1}] >= 0.0 THEN {2 ** i} ELSE 0 END)"
+            for i in range(b)
+        )
+        + ")"
+    )
+    # sign-bucket prefilter: probe same-bucket centroids; a vector whose
+    # bucket holds no centroid scores every centroid (fallback)
+    probe_cond = "(e.vb = c.cb OR e.vb NOT IN (SELECT cb FROM cents))"
     return f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec, {cbucket} AS cb
+  FROM embeddings
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
 ),
@@ -1072,8 +1106,10 @@ corpus_assign AS (
   SELECT id, cid AS bucket FROM (
     SELECT e.vec_id AS id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {cos.replace('v[', 'v[').replace('cv[', 'cv[')} DESC, c.cid) AS rn
-    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e, (SELECT cid, cvec AS cv FROM cents) c
+                              ORDER BY {cos} DESC, c.cid) AS rn
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v, {vbucket} AS vb FROM embeddings) e,
+         (SELECT cid, cvec AS cv, cb FROM cents) c
+    WHERE {probe_cond}
   ) WHERE rn = 1
 ),
 query_assign AS (
@@ -1081,8 +1117,10 @@ query_assign AS (
     SELECT e.vec_id AS id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {cos} DESC, c.cid) AS rn
-    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5) e,
-         (SELECT cid, cvec AS cv FROM cents) c
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v, {vbucket} AS vb
+          FROM embeddings WHERE vec_id < 5) e,
+         (SELECT cid, cvec AS cv, cb FROM cents) c
+    WHERE {probe_cond}
   ) WHERE rn <= {IVF_NPROBE}
 ),
 cand AS (
@@ -1522,30 +1560,34 @@ FROM documents GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
-# dedup_simhash_pairs — hamming-banded near-dup pairs over the 16-bit
-# SimHash codes. The Spark side generates candidates via pigeonhole
-# band equi-joins (complete for hamming < bands); the oracle states the
-# result as the all-pairs popcount — equality IS the completeness proof
-# run at every gate.
+# dedup_simhash_pairs — hamming-banded near-dup pairs over the 64-bit
+# SimHash codes (bands=8 -> 8-bit slices, complete for hamming < 8).
+# The Spark side generates candidates via pigeonhole band equi-joins;
+# the oracle states the result as the all-pairs popcount — equality IS
+# the completeness proof run at every gate.
 # ---------------------------------------------------------------------------
+_SHP_MAX_HAMMING = 3
+
+
 @_q("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return DD.simhash_pairs(d, bands=2, max_hamming=1).orderBy("id_a", "id_b")
+    return DD.simhash_pairs(
+        d, bits=64, bands=8, max_hamming=_SHP_MAX_HAMMING
+    ).orderBy("id_a", "id_b")
 
 
-def _simhash_all_docs_cte(bits: int = 16) -> str:
+def _simhash_all_docs_cte(bits: int = 64) -> str:
     hex_chars = (bits + 3) // 4
     terms = DD._simhash_bit_terms(bits)
     sums = ", ".join(f"sum({t}) AS s_{j}" for j, t in enumerate(terms))
-    total = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
     return f"""
 toks AS (
   SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
 ),
 th AS (SELECT doc_id, substring(md5(tok), 1, {hex_chars}) AS th FROM toks),
 s AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
-codes AS (SELECT doc_id, cast({total} AS int) AS simhash FROM s)"""
+codes AS (SELECT doc_id, cast({_simhash_total_sql(bits)} AS bigint) AS simhash FROM s)"""
 
 
 ORACLE["dedup_simhash_pairs"] = f"""
@@ -1553,7 +1595,7 @@ WITH {_simhash_all_docs_cte()}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM codes a JOIN codes b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SHP_MAX_HAMMING}
 ORDER BY id_a, id_b
 """
 

@@ -253,6 +253,23 @@ def test_ann_planted_recall(spark):
 
     assert recall(SIM.signlsh_topk(e, pert, k=5, n_bits=None, n_families=4)) >= 0.9
     assert recall(SIM.ivf_topk(e, pert, k=5, n_centroids=None, nprobe=4)) >= 0.9
+    # sign-bucket assignment prefilter (O(n*k/2^b) probes): a few points
+    # of recall buy the 2^b assignment-cost reduction — vectors near a
+    # sign boundary can be routed to a same-bucket-but-worse centroid
+    # (documented tradeoff; measured 0.84 on this planted set)
+    assert (
+        recall(SIM.ivf_topk(e, pert, k=5, n_centroids=None, nprobe=4, prefilter_bits=3))
+        >= 0.8
+    )
+    # fallback correctness: EVERY vector gets an assignment even with an
+    # aggressive prefilter that leaves many buckets centroid-less
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    assigned = SIM.ivf_assign(e, cents, nprobe=1, prefilter_bits=8)
+    assert assigned.count() == e.count()
 
 
 def test_ann_bucket_scaling():
@@ -641,6 +658,62 @@ def test_minhash_bounded_under_boilerplate_skew(spark):
     n_pairs = pairs.count()
     # identical boilerplate alone must not explode into ~400^2/2 pairs
     assert n_pairs < 2000, n_pairs
+
+
+def test_simhash64_buckets_bounded_on_skewed_corpus(spark):
+    """64-bit codes with the default 16-bit band slices keep DISTINCT
+    documents out of each other's buckets even when the corpus shares
+    heavy boilerplate: candidate count stays near the true-duplicate
+    count instead of going quadratic, and no (band, key) bucket holds a
+    constant fraction of the corpus (the 16-bit-code failure mode —
+    256-value slices collide constantly)."""
+    import random
+
+    from disq_spark.operators.dedup import simhash, simhash_pairs
+
+    rng = random.Random(11)
+    boiler = "subscribe to our newsletter terms of service apply all rights reserved "
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(300):
+        tail = " ".join(rng.choice(vocab) for _ in range(40))
+        rows.append((i, boiler * 3 + tail))
+    # 20 genuine near-dup clones of doc 0
+    base_tail = rows[0][1]
+    for i in range(300, 320):
+        rows.append((i, base_tail))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # bucket population: with 64/4 banding every (band, key) bucket is
+    # the clone family or tiny hash noise — never a corpus-wide bucket
+    codes = simhash(docs, bits=64)
+    slice_bits = 16
+    buckets = codes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * slice_bits)
+                        .bitwiseAND((1 << slice_bits) - 1)
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("s"),
+    )
+    max_bucket = (
+        buckets.groupBy("s.band", "s.key").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket <= 30, max_bucket  # clone family + hash noise only
+
+    # candidate economics: pairs ~ clone-family pairs, not ~300^2/2
+    pairs = simhash_pairs(docs, bits=64, bands=4, max_hamming=3)
+    n = pairs.count()
+    assert n >= 21 * 20 // 2  # the clone family is all found
+    assert n < 1500, n  # and boilerplate alone doesn't explode
 
 
 def test_callable_loci_matches_bruteforce(spark, fixtures_dir):
