@@ -42,21 +42,42 @@ def content_hash(col) -> F.Column:
     return F.sha2(normalize(col), 256)
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_rows: bool = False,
+) -> DataFrame:
     """Keep the min-id representative per identical (normalized) text.
 
-    Returns one row per distinct text with only (id_col, n_copies) — the
-    groupBy projects the other columns away; rejoin on id_col to recover
-    the surviving documents. One hash-shuffle on the 64-hex-char digest;
-    map-side partial agg keeps shuffle volume ~= distinct count.
+    Default: one row per distinct text with only (id_col, n_copies) —
+    the groupBy projects the other columns away. One hash-shuffle on the
+    64-hex-char digest; map-side partial agg keeps shuffle volume
+    ~= distinct count.
+
+    ``keep_rows=True``: the common "give me the surviving documents"
+    call as ONE operator — ``min_by(struct(all columns), id)`` carries
+    the representative's full row through the same single shuffle
+    (no groupBy-then-rejoin second scan/shuffle), plus ``n_copies``.
     """
     h = content_hash(F.col(text_col))
-    return (
+    if not keep_rows:
+        return (
+            df.withColumn("__h", h)
+            .groupBy("__h")
+            .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+            .drop("__h")
+        )
+    cols = df.columns
+    kept = (
         df.withColumn("__h", h)
         .groupBy("__h")
-        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
-        .drop("__h")
+        .agg(
+            F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"),
+            F.count("*").alias("n_copies"),
+        )
     )
+    return kept.select(*[F.col(f"__row.{c}").alias(c) for c in cols], "n_copies")
 
 
 def shingle_table(

@@ -98,6 +98,43 @@ def genomics_vcf_by_contig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("genomics_vcf_typed_info")
+def genomics_vcf_typed_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed ##INFO/##FORMAT projection over the CEUTrio gVCF — the
+    header-declared-cast surface (functions/vcf_typed.py) under the
+    oracle, not just unit tests. Exercises: scalar Integer/Float with
+    missing values (DP, MQ, BaseQRankSum), Number=A arrays (MLEAC
+    Integer / MLEAF Float, first element), Flag (DS), the gVCF END
+    field, and Number=G FORMAT arrays (PL) plus scalar MIN_DP through
+    explode_genotypes. Golden literal computed by an independent
+    plain-text parse of the fixture."""
+    from disq_spark.functions.vcf_typed import explode_genotypes, with_typed_info
+    from disq_spark.sources.variants import read_vcf
+
+    df, header = read_vcf(
+        spark,
+        os.path.join(FIXTURES, "CEUTrio.20.21.gatk3.4.g.vcf.bgz"),
+        split_size=256 * 1024,
+    )
+    ti = with_typed_info(df, header)
+    info_agg = ti.groupBy("contig").agg(
+        F.count("*").alias("n"),
+        F.sum("info_DP").alias("sum_dp"),
+        F.round(F.avg("info_MQ"), 4).alias("avg_mq"),
+        F.sum(F.col("info_BaseQRankSum").isNotNull().cast("long")).alias("n_bq"),
+        F.sum(F.element_at("info_MLEAC", 1)).alias("sum_mleac1"),
+        F.round(F.sum(F.element_at("info_MLEAF", 1)), 4).alias("sum_mleaf1"),
+        F.sum(F.col("info_DS").cast("long")).alias("n_ds"),
+        F.sum(F.col("info_END").isNotNull().cast("long")).alias("n_end"),
+    )
+    g = explode_genotypes(df, header)
+    g_agg = g.groupBy("contig").agg(
+        F.sum(F.element_at("fmt_PL", 1)).alias("sum_pl1"),
+        F.sum("fmt_MIN_DP").alias("sum_min_dp"),
+    )
+    return info_agg.join(g_agg, "contig").orderBy("contig")
+
+
 @_q("genomics_cram_decode")
 def genomics_cram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRAM 3.0 + rANS decode of the real-world GATK fixture."""
@@ -155,6 +192,21 @@ ORDER BY bucket
 ORACLE["genomics_vcf_by_contig"] = """
 SELECT 'chr1' AS contig, CAST(8171 AS BIGINT) AS n_variants,
        CAST(0 AS BIGINT) AS n_multi_base, CAST(230.66 AS DOUBLE) AS avg_qual
+"""
+
+ORACLE["genomics_vcf_typed_info"] = """
+SELECT * FROM (VALUES
+  ('20', CAST(3450 AS BIGINT), CAST(35016 AS BIGINT), CAST(57.4718 AS DOUBLE),
+   CAST(387 AS BIGINT), CAST(605 AS BIGINT), CAST(302.5 AS DOUBLE),
+   CAST(0 AS BIGINT), CAST(2938 AS BIGINT), CAST(726458 AS BIGINT),
+   CAST(121271 AS BIGINT)),
+  ('21', CAST(16460 AS BIGINT), CAST(60603 AS BIGINT), CAST(29.6012 AS DOUBLE),
+   CAST(755 AS BIGINT), CAST(735 AS BIGINT), CAST(367.5 AS DOUBLE),
+   CAST(0 AS BIGINT), CAST(15642 AS BIGINT), CAST(322330 AS BIGINT),
+   CAST(322523 AS BIGINT))
+) AS t(contig, n, sum_dp, avg_mq, n_bq, sum_mleac1, sum_mleaf1, n_ds, n_end,
+       sum_pl1, sum_min_dp)
+ORDER BY contig
 """
 
 ORACLE["genomics_cram_decode"] = """

@@ -258,6 +258,33 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# dedup_exact_keep_rows — the "give me the surviving documents" call as
+# one operator: min_by(struct) carries the representative's full row
+# through the single hash shuffle (no groupBy-then-rejoin second pass)
+# ---------------------------------------------------------------------------
+@_q("dedup_exact_keep_rows")
+def dedup_exact_keep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    kept = DD.exact_dedup(d, "text", "doc_id", keep_rows=True)
+    return (
+        kept.filter(F.col("doc_id") < 40)
+        .select("doc_id", "source", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["dedup_exact_keep_rows"] = f"""
+WITH h AS (SELECT doc_id, source, sha256({_NORM}) AS h FROM documents),
+g AS (SELECT doc_id, source,
+             min(doc_id) OVER (PARTITION BY h) AS mn,
+             count(*) OVER (PARTITION BY h) AS n_copies
+      FROM h)
+SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies
+FROM g WHERE doc_id = mn AND doc_id < 40 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_minhash_lsh — MinHash+LSH near-dup pairs
 # ---------------------------------------------------------------------------
 @_q("dedup_minhash_lsh")

@@ -423,6 +423,21 @@ def test_cascade_rollup_lossless_reaggregation(spark):
             assert abs(r["total"] - d["total"]) <= 1e-6 * max(abs(d["total"]), 1.0)
 
 
+def test_exact_dedup_keep_rows_equals_rejoin(spark):
+    """keep_rows=True (one shuffle, min_by struct) returns exactly the
+    rows the groupBy+rejoin two-pass form would."""
+    from disq_spark.operators.dedup import exact_dedup
+    from disq_spark.queries.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    one_pass = exact_dedup(docs, keep_rows=True)
+    assert set(one_pass.columns) == set(docs.columns) | {"n_copies"}
+    two_pass = exact_dedup(docs).join(docs, "doc_id").select(*one_pass.columns)
+    assert sorted(map(str, one_pass.collect())) == sorted(
+        map(str, two_pass.collect())
+    )
+
+
 def test_incremental_exact_dedup_across_batches(spark):
     from disq_spark.operators.dedup import exact_dedup, incremental_exact_dedup
     from disq_spark.queries.tables import load
