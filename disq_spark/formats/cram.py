@@ -81,6 +81,7 @@ class CramContainer:
     span: int
     n_records: int
     header_len: int
+    landmarks: tuple = ()  # slice-start offsets within the container data
 
     @property
     def end(self) -> int:
@@ -113,8 +114,10 @@ def parse_container_header(data: bytes, off: int, major: int) -> CramContainer:
     _bases, p = read_ltf8(data, p)
     _n_blocks, p = read_itf8(data, p)
     n_landmarks, p = read_itf8(data, p)
+    landmarks = []
     for _ in range(n_landmarks):
-        _lm, p = read_itf8(data, p)
+        lm, p = read_itf8(data, p)
+        landmarks.append(lm)
     if major >= 3:
         p += 4  # crc32
     return CramContainer(
@@ -125,6 +128,7 @@ def parse_container_header(data: bytes, off: int, major: int) -> CramContainer:
         span=span,
         n_records=n_records,
         header_len=p - off,
+        landmarks=tuple(landmarks),
     )
 
 

@@ -141,3 +141,59 @@ def read_cram(
 
         df = filter_intervals(df, intervals, traverse_unplaced_unmapped)
     return df, header
+
+
+def build_crai(path: str, out: str | None = None) -> str:
+    """Build a ``.crai`` index for an existing CRAM file.
+
+    The analog of ``samtools index`` / htslib ``cram_index()`` for a
+    file written without one, and the read-side complement of the
+    sink's build-during-write index (``sinks/cram.py``); the reference
+    only ever *consumes* ``.crai`` (``CramSource.java:146-160``) and
+    delegates creation to htsjdk.  One entry per slice:
+    ``(seq_id, start, span, container_offset, slice_offset, slice_size)``
+    where ``slice_offset`` is the container-header landmark and
+    ``slice_size`` runs to the next landmark (or the container end).
+    seq_id/start/span are taken from the slice header itself, so
+    multi-slice and multi-ref (-2) containers index correctly.
+
+    Driver-side by construction: only container headers and slice
+    header blocks are parsed — no record decode, no reference needed.
+    Output is gzip text, the same envelope htslib/htsjdk write
+    (gzip *stream* bytes can differ across deflate implementations;
+    the decompressed index content is byte-identical — asserted
+    against the shipped ``valid.cram.crai`` fixture in
+    ``tests/test_cram.py``).
+    """
+    import gzip
+
+    from disq_spark.formats.cram import parse_file_definition, scan_containers
+    from disq_spark.formats.cram_decode import SLICE_HEADER, parse_slice_header, read_block
+
+    with _dfs.open_input(path) as f:
+        data = f.read()
+    major, _minor, _off = parse_file_definition(data)
+
+    entries: list[tuple[int, int, int, int, int, int]] = []
+    for c in scan_containers(path):
+        if c.n_records <= 0:  # SAM-header container or EOF sentinel
+            continue
+        base = c.offset + c.header_len
+        bounds = list(c.landmarks) + [c.length]
+        for i, s_off in enumerate(c.landmarks):
+            blk = read_block(data, base + s_off, major)
+            if blk.ctype != SLICE_HEADER:
+                raise ValueError(
+                    f"landmark {s_off} in container @{c.offset} does not "
+                    f"point at a slice header (ctype={blk.ctype})"
+                )
+            sl = parse_slice_header(blk.data, major)
+            entries.append(
+                (sl.ref_id, sl.start, sl.span, c.offset, s_off, bounds[i + 1] - s_off)
+            )
+
+    out = out or path + ".crai"
+    with gzip.open(_dfs.open_output(out), "wt") as f:
+        for e in entries:
+            f.write("\t".join(str(x) for x in e) + "\n")
+    return out

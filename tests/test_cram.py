@@ -261,3 +261,25 @@ def test_crai_interval_partition_pruning(spark, fixtures_dir):
     )
     got = sorted((r.name, r.start) for r in pruned.collect())
     assert got == want and got
+
+
+def test_build_crai_matches_fixture_index(fixtures_dir, tmp_path):
+    """Indexing an existing CRAM reproduces the htsjdk-shipped
+    ``valid.cram.crai`` exactly (decompressed content byte-identical;
+    the gzip envelope itself is deflate-implementation-defined)."""
+    import gzip
+
+    from disq_spark.sources.cram_source import build_crai
+
+    src = os.path.join(fixtures_dir, "valid.cram")
+    out = build_crai(src, out=str(tmp_path / "built.crai"))
+    with gzip.open(out, "rb") as f:
+        mine = f.read()
+    with gzip.open(src + ".crai", "rb") as f:
+        want = f.read()
+    assert mine == want
+
+    # and the built index round-trips through our own reader/planner
+    entries = read_crai(out)
+    offsets = {c.offset for c in scan_containers(src) if c.n_records > 0}
+    assert {e[3] for e in entries} == offsets

@@ -5,7 +5,16 @@ DuckDB at sf0.01, compares row count, column names, and
 order-insensitive values (columns sorted by name, rows sorted, floats
 compared exactly after each side's own rounding).
 
-Usage: python tools/check_correctness.py [--sf DIR] [query ...]
+Usage: python tools/check_correctness.py [--sf DIR] [--rel-tol X] [query ...]
+
+``--rel-tol`` (default 0 = byte-exact, the driver-gate behavior) admits
+a relative tolerance on float cells.  Needed only for large-SF replica
+runs: a SUM over 6M doubles accumulates in partition order, so Spark
+and DuckDB legitimately disagree in the last couple of ulps (~1e-11
+relative on ~1e9 totals) — under the default exact comparison that
+reads as a failure even though both engines are correct.  1e-9 is tight
+enough that every real bug class seen so far (wrong rows, wrong
+grouping, wrong arithmetic) still fails loudly.
 """
 
 from __future__ import annotations
@@ -47,9 +56,39 @@ def df_to_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def cells_close(a, b, rel_tol: float) -> bool:
+    """Exact equality, except normalized float reprs within rel_tol."""
+    if a == b:
+        return True
+    if rel_tol <= 0:
+        return False
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            cells_close(x, y, rel_tol) for x, y in zip(a, b)
+        )
+    if isinstance(a, str) and isinstance(b, str):
+        try:
+            fa, fb = float(a), float(b)
+        except ValueError:
+            return False
+        return math.isclose(fa, fb, rel_tol=rel_tol, abs_tol=rel_tol)
+    return False
+
+
+def rows_close(s_norm, o_norm, rel_tol: float) -> bool:
+    if rel_tol <= 0:
+        return s_norm == o_norm
+    return len(s_norm) == len(o_norm) and all(
+        cells_close(a, b, rel_tol)
+        for ra, rb in zip(s_norm, o_norm)
+        for a, b in zip(ra, rb)
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--rel-tol", type=float, default=0.0)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -106,7 +145,7 @@ def main():
         elif len(s_norm) != len(o_norm):
             print(f"FAIL {name}: rowcount spark={len(s_norm)} oracle={len(o_norm)}")
             ok = False
-        elif s_norm != o_norm:
+        elif not rows_close(s_norm, o_norm, args.rel_tol):
             diffs = [(a, b) for a, b in zip(s_norm, o_norm) if a != b][:5]
             print(f"FAIL {name}: value mismatch; first diffs:")
             for a, b in diffs:
