@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from disq_spark.functions.text import normalize
+from disq_spark.functions.text import normalize, tokens
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows per band = num_hashes // bands
@@ -654,4 +654,54 @@ def simhash_pairs(
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def substring_dup_rate(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-substring rate per document.
+
+    Distributed approximation of suffix-array substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    every word ``n``-gram *position* in a document is marked duplicated
+    iff the same n-gram also occurs in at least one other document; the
+    document's rate is the duplicated share of its n-gram positions.
+    Within-document repeats do NOT count (a doc repeating its own phrase
+    is repetition, not cross-corpus duplication — ``text_repetition``
+    measures that). Documents with fewer than ``n`` tokens emit no row.
+
+    Returns (id_col, n_grams, dup_rate).
+
+    Plan shape / scale: one posexplode (no shuffle); one
+    map-side-combinable groupBy(gram) whose cross-document test is
+    ``min(id) != max(id)`` — deliberately NOT count(distinct id), so a
+    boilerplate gram seen 10^9 times combines to two longs instead of a
+    distinct sketch; one equi-join back on gram (AQE skew-join handles
+    hot grams); one groupBy(id). Never all-pairs, no driver collect.
+    """
+    toks = tokens(F.col(text_col))
+    npos = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) would produce a DESCENDING [1, 0] in Spark — gate
+    # short docs to an explicit empty array instead.
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(positions, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ).alias("gram"),
+    )
+    flag = grams.groupBy("gram").agg((F.min(id_col) != F.max(id_col)).alias("is_dup"))
+    return (
+        grams.join(flag, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.avg(F.col("is_dup").cast("double")).alias("dup_rate"),
+        )
     )

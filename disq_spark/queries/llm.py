@@ -1769,3 +1769,49 @@ SELECT (SELECT count(*) FROM reps) AS n_kept,
        (SELECT max(doc_id) FROM reps) AS max_kept_id,
        (SELECT count(*) FROM oldh) + (SELECT count(DISTINCT h) FROM fresh) AS n_index_hashes
 """
+
+
+# ---------------------------------------------------------------------------
+# text_substring_dup_rate — cross-document duplicated-substring share
+# (distributed approximation of Lee et al. suffix-array substring dedup;
+# positional word n-grams, cross-doc test = min(doc)!=max(doc) per gram)
+# ---------------------------------------------------------------------------
+SUBDUP_N = 5
+
+
+@_q("text_substring_dup_rate")
+def text_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_doc = DD.substring_dup_rate(d, n=SUBDUP_N)
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dup_rate"), 4).alias("avg_dup_rate"),
+            F.sum((F.col("dup_rate") >= 0.5).cast("long")).alias("n_heavy_dup"),
+            F.sum("n_grams").alias("total_grams"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_substring_dup_rate"] = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + {SUBDUP_N - 1}), ' ') AS gram
+  FROM t, unnest(generate_series(1, len(toks) - {SUBDUP_N - 1})) AS u(i)
+  WHERE len(toks) >= {SUBDUP_N}
+),
+gf AS (SELECT gram, (min(doc_id) <> max(doc_id)) AS is_dup FROM g GROUP BY gram),
+per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         avg(CASE WHEN gf.is_dup THEN 1.0 ELSE 0.0 END) AS dup_rate
+  FROM g JOIN gf USING (gram) GROUP BY g.doc_id
+)
+SELECT d.source, count(*) AS n_docs, round(avg(per.dup_rate), 4) AS avg_dup_rate,
+       CAST(sum(CASE WHEN per.dup_rate >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_dup,
+       CAST(sum(per.n_grams) AS BIGINT) AS total_grams
+FROM per JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""

@@ -825,3 +825,22 @@ def test_events_loader_handles_all_ts_schemas(spark, tmp_path):
         assert df.schema["ts"].dataType.typeName() == "timestamp", name
         got[name] = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
     assert got["nanos"] == got["micros_utc"] == got["micros_ntz"] == ts
+
+
+def test_substring_dup_rate_hand_computed(spark):
+    from disq_spark.operators.dedup import substring_dup_rate
+
+    # doc 1 and 2 share the 3-gram "b c d"; doc 3 repeats its OWN
+    # phrase (within-doc repeat, must not count); doc 4 is too short.
+    rows = [
+        (1, "a b c d e"),        # grams: "a b c","b c d","c d e" -> 1/3 dup
+        (2, "x b c d y"),        # grams: "x b c","b c d","c d y" -> 1/3 dup
+        (3, "p q r p q r p q"),  # "p q r" twice but only in doc 3 -> 0 dup
+        (4, "u v"),              # < n tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_grams"], round(r["dup_rate"], 6))
+        for r in substring_dup_rate(df, n=3).collect()
+    }
+    assert got == {1: (3, round(1 / 3, 6)), 2: (3, round(1 / 3, 6)), 3: (6, 0.0)}
