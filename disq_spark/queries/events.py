@@ -546,6 +546,79 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 
 
 # ---------------------------------------------------------------------------
+# streaming_sessionize_gate — session_window (gap-based streaming
+# sessionization) under the full hash gate. The engine's native session
+# merge semantics are: windows [ts, ts+gap) merge while they OVERLAP, so
+# a gap of exactly `gap` starts a NEW session (strict <). The oracle
+# replays that with lag+cumsum in exact MICROsecond arithmetic (event
+# timestamps carry micros; flooring to seconds would misclassify
+# near-boundary gaps). Duration = last-first+gap, per session_window's
+# [first, last+gap) definition — all integer math, hash-exact.
+# ---------------------------------------------------------------------------
+_SESS_GAP_MIN = 30
+
+
+@_q("streaming_sessionize_gate")
+def streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.queries._stream_util import bounded_stream, run_to_completion
+
+    stream = bounded_stream(spark, sf_dir, "events", ["event_id", "ts", "user_id"])
+    sess = stream.groupBy(
+        F.session_window("ts", f"{_SESS_GAP_MIN} minutes"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    if spark.catalog.tableExists("stream_gate_sessions"):
+        spark.catalog.dropTempView("stream_gate_sessions")  # re-run safety
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_gate_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, "streaming_sessionize_gate")
+    dur_us = F.unix_micros(F.col("session_window.end")) - F.unix_micros(
+        F.col("session_window.start")
+    )
+    return (
+        spark.table("stream_gate_sessions")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max(dur_us).alias("max_session_us"),
+            F.sum(dur_us).alias("total_session_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["streaming_sessionize_gate"] = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= {_SESS_GAP_MIN * 60 * 1000000} THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sid AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS s
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, s, count(*) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) + {_SESS_GAP_MIN * 60 * 1000000} AS dur_us
+  FROM sid GROUP BY user_id, s
+)
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(max(dur_us) AS BIGINT) AS max_session_us,
+       CAST(sum(dur_us) AS BIGINT) AS total_session_us
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming_hll_gate — streaming sketch maintenance under the full hash
 # gate: the register table a bounded stream accumulates (complete mode)
 # must be BIT-IDENTICAL to the batch registers, which the oracle
