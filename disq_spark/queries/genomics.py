@@ -249,6 +249,56 @@ SELECT CAST(1072 AS BIGINT) AS n_variants, CAST(1000580 AS BIGINT) AS min_pos,
        CAST(1999411 AS BIGINT) AS max_pos, CAST(164.89 AS DOUBLE) AS avg_qual
 """
 
+# r_mid equals the genomics_vcf_interval_query literals (1072 / 164.89):
+# the two queries cover the same chr1:1M-2M span through different code
+# paths (tbi-pruned traversal vs BED interval join), a deliberate
+# cross-check. r_empty / r_nocontig correctly produce no rows.
+ORACLE["genomics_bed_annotate"] = """
+SELECT * FROM (VALUES
+  ('r_body', CAST(35 AS BIGINT), CAST(8.1 AS DOUBLE),
+   CAST(117436 AS BIGINT), CAST(404035 AS BIGINT)),
+  ('r_head', CAST(89 AS BIGINT), CAST(41.79 AS DOUBLE),
+   CAST(109 AS BIGINT), CAST(98173 AS BIGINT)),
+  ('r_mid', CAST(1072 AS BIGINT), CAST(164.89 AS DOUBLE),
+   CAST(1000580 AS BIGINT), CAST(1999411 AS BIGINT)),
+  ('r_tiny', CAST(1 AS BIGINT), CAST(219.18 AS DOUBLE),
+   CAST(3000177 AS BIGINT), CAST(3000177 AS BIGINT))
+) AS t(region, n_variants, avg_qual, min_pos, max_pos)
+ORDER BY region
+"""
+
+
+@_q("genomics_bed_annotate")
+def genomics_bed_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VCF x BED region annotation: per-region variant count/qual via the
+    binned overlap join (operators/genomics.interval_join — equi-join on
+    (contig, bin) + residual predicate + anchor-bin dedup; never a
+    cartesian range join). Regions with no overlap (r_empty beyond the
+    last variant, r_nocontig on an absent contig) must NOT appear.
+    Golden truth computed by an independent gzip+text parse of the
+    fixture (1-based closed overlap, end = POS + len(ref) - 1)."""
+    from disq_spark.operators.genomics import interval_join
+    from disq_spark.sources.bed import read_bed
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(
+        spark,
+        os.path.join(FIXTURES, "HiSeq.10000.vcf.bgz"),
+        split_size=128 * 1024,
+    )
+    bed = read_bed(spark, "/root/repo/fixtures/hiseq_regions.bed")
+    j = interval_join(df.select("contig", "start", "end", "qual"), bed, right_prefix="r_")
+    return (
+        j.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.round(F.avg("qual"), 2).alias("avg_qual"),
+            F.min("start").alias("min_pos"),
+            F.max("start").alias("max_pos"),
+        )
+        .orderBy("region")
+    )
+
 
 @_q("genomics_coverage")
 def genomics_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
