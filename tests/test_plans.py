@@ -268,3 +268,18 @@ def test_percentile_filter_sorts_only_the_sample(spark):
     assert "SinglePartition" in plan or "Window" in plan
     # …and the md5 sample filter gates it
     assert "md5" in plan
+
+
+def test_substring_dup_rate_no_distinct_aggregate(spark):
+    """The cross-document test is min(id)!=max(id), chosen so a hot
+    boilerplate gram combines map-side to two longs. A count(distinct)
+    would appear as an expanded two-round aggregate; lock that out, and
+    require partial aggregation under the gram exchange."""
+    from disq_spark.operators.dedup import substring_dup_rate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = simple_plan_of(substring_dup_rate(docs))
+    assert "distinct" not in plan.lower(), plan
+    assert "Expand" not in plan, plan  # distinct-agg rewrite marker
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
