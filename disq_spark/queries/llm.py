@@ -50,14 +50,24 @@ JACCARD_THRESHOLD = 0.15
 # true near-dups clear the threshold more easily).
 MAX_DF_FRACTION = 0.01
 MAX_DF_FLOOR = 20.0
+# Absolute ceiling on shingle document frequency. Without it max_df grows
+# linearly with corpus size and the inverted-index candidate join is
+# O(sum df^2) = O((0.01 n)^2 per hot shingle) — measured 18x wall at 10x
+# data (sf0.1 -> sf1). A shingle shared by >100 documents carries no
+# near-dup signal, so the cap costs nothing in recall and makes candidate
+# generation O(n * CAP) — linear — at any corpus size.
+MAX_DF_CAP = 100.0
 
 
 def _max_df(spark: SparkSession, sf_dir: str) -> float:
     n = load(spark, sf_dir, "documents").count()
-    return max(MAX_DF_FLOOR, MAX_DF_FRACTION * n)
+    return min(max(MAX_DF_FLOOR, MAX_DF_FRACTION * n), MAX_DF_CAP)
 
 
-_MAX_DF_SQL = f"greatest({MAX_DF_FLOOR}, {MAX_DF_FRACTION} * (SELECT count(*) FROM documents))"
+_MAX_DF_SQL = (
+    f"least(greatest({MAX_DF_FLOOR}, {MAX_DF_FRACTION} * (SELECT count(*) FROM documents)), "
+    f"{MAX_DF_CAP})"
+)
 
 
 def _oracle_shingles() -> str:
@@ -551,13 +561,20 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 # ann_signlsh_topk so the oracle replicates the bucketing exactly)
 # ---------------------------------------------------------------------------
 EMB_DEDUP_THRESHOLD = 0.3
+# bits auto-scale with corpus size so expected bucket population stays
+# ~EMB_DEDUP_TARGET (pairs per vector bounded -> LINEAR total candidate
+# count at any corpus size; the previous pinned n_bits=6 made the
+# within-bucket self-join quadratic across SFs — measured 58x wall at
+# 10x data). The oracle computes the SAME formula in SQL from count(*).
+EMB_DEDUP_TARGET = 32
 
 
 @_q("dedup_embedding_cosine")
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    bits = SIM.scale_n_bits(e.count(), target_bucket_size=EMB_DEDUP_TARGET)
     return SIM.embedding_neardup_pairs(
-        e, threshold=EMB_DEDUP_THRESHOLD, n_bits=6
+        e, threshold=EMB_DEDUP_THRESHOLD, n_bits=bits
     ).orderBy("id_a", "id_b")
 
 
@@ -565,15 +582,26 @@ _DOT_AB = "list_sum(list_transform(generate_series(1, len(av)), i -> av[i] * bv[
 _NORM_A = "sqrt(list_sum(list_transform(av, x -> x * x)))"
 _NORM_B = "sqrt(list_sum(list_transform(bv, x -> x * x)))"
 
+# variable-width sign bucket: same bit order as _bucket_sql / sign_bucket
+# (bit i-1 = sign of dim i), width read from the bits CTE.
+_VBUCKET = (
+    "CAST(list_sum([CASE WHEN {vec}[i] >= 0.0 THEN CAST(pow(2, i - 1) AS BIGINT) "
+    "ELSE 0 END for i in generate_series(1, (SELECT b FROM bits))]) AS BIGINT)"
+)
+
 ORACLE["dedup_embedding_cosine"] = f"""
-WITH a AS (
+WITH bits AS (
+  SELECT greatest(4, least(24, CAST(ceil(log2(greatest(count(*) / {EMB_DEDUP_TARGET}.0, 1.0))) AS INT))) AS b
+  FROM embeddings
+),
+a AS (
   SELECT vec_id AS id_a, embedding::DOUBLE[] AS av,
-         {_bucket_sql('embedding')} AS bucket
+         {_VBUCKET.format(vec='embedding')} AS bucket
   FROM embeddings
 ),
 b AS (
   SELECT vec_id AS id_b, embedding::DOUBLE[] AS bv,
-         {_bucket_sql('embedding')} AS bucket
+         {_VBUCKET.format(vec='embedding')} AS bucket
   FROM embeddings
 ),
 scored AS (
@@ -1362,7 +1390,7 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     n2 = kept2.count()
-    max_df = max(MAX_DF_FLOOR, MAX_DF_FRACTION * n2)
+    max_df = min(max(MAX_DF_FLOOR, MAX_DF_FRACTION * n2), MAX_DF_CAP)
     pairs = DD.minhash_lsh_pairs(
         kept2,
         "text",
@@ -1389,7 +1417,10 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_prep_oracle() -> str:
-    max_df = f"greatest({MAX_DF_FLOOR}, {MAX_DF_FRACTION} * (SELECT count(*) FROM kept2))"
+    max_df = (
+        f"least(greatest({MAX_DF_FLOOR}, {MAX_DF_FRACTION} * (SELECT count(*) FROM kept2)), "
+        f"{MAX_DF_CAP})"
+    )
     return f"""
 WITH RECURSIVE kept1 AS MATERIALIZED (
   SELECT * FROM documents

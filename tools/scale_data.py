@@ -100,15 +100,23 @@ def main() -> int:
         )
         print(f"{name}: copied verbatim")
 
+    # c_name/s_name are key-derived ('Supplier#%09d'): regenerate them
+    # from the strided key. Verbatim copies collide across replicas and
+    # make group-by-key vs group-by-name diverge (surfaced as a false
+    # q21 engine mismatch at sf1 — a data artifact, not a plan bug).
     write_union(
         "customer",
         lambda i: f"""SELECT c_custkey + {i * strides['custkey']} AS c_custkey,
-            c_name, c_nationkey, c_acctbal, c_mktsegment FROM {tbl('customer')}""",
+            'Customer#' || lpad(CAST(c_custkey + {i * strides['custkey']} AS VARCHAR), 9, '0')
+              AS c_name,
+            c_nationkey, c_acctbal, c_mktsegment FROM {tbl('customer')}""",
     )
     write_union(
         "supplier",
         lambda i: f"""SELECT s_suppkey + {i * strides['suppkey']} AS s_suppkey,
-            s_name, s_nationkey, s_acctbal FROM {tbl('supplier')}""",
+            'Supplier#' || lpad(CAST(s_suppkey + {i * strides['suppkey']} AS VARCHAR), 9, '0')
+              AS s_name,
+            s_nationkey, s_acctbal FROM {tbl('supplier')}""",
     )
     write_union(
         "part",
