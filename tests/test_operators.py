@@ -844,3 +844,24 @@ def test_substring_dup_rate_hand_computed(spark):
         for r in substring_dup_rate(df, n=3).collect()
     }
     assert got == {1: (3, round(1 / 3, 6)), 2: (3, round(1 / 3, 6)), 3: (6, 0.0)}
+
+
+def test_scale_n_bits_matches_sql_formula():
+    """The dedup_embedding_cosine oracle recomputes the LSH bit width in
+    SQL; the two formulas must agree exactly, including at the power-of-
+    two boundaries where ceil(log2(x)) lands on an integer and at the
+    [4, 24] clamps."""
+    import duckdb
+
+    from disq_spark.operators.similarity import scale_n_bits
+    from disq_spark.queries.llm import EMB_DEDUP_TARGET
+
+    t = EMB_DEDUP_TARGET
+    ns = [0, 1, t, t + 1, 16 * t - 1, 16 * t, 16 * t + 1, 1024 * t, 10**9]
+    con = duckdb.connect()
+    for n in ns:
+        py = scale_n_bits(n, target_bucket_size=t)
+        sql = con.execute(
+            f"SELECT greatest(4, least(24, CAST(ceil(log2(greatest({n} / {t}.0, 1.0))) AS INT)))"
+        ).fetchone()[0]
+        assert py == sql, (n, py, sql)
