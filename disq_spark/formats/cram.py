@@ -132,13 +132,16 @@ def parse_container_header(data: bytes, off: int, major: int) -> CramContainer:
     )
 
 
-def scan_containers(path: str) -> list[CramContainer]:
+def scan_containers(path: str, data: bytes | None = None) -> list[CramContainer]:
     """Walk every container header (CramSource.java:162-174 semantics).
 
     Driver-side: reads only the ~30-byte headers, seeking over content.
+    ``data``: pass already-read file bytes to avoid a second full read
+    (build_crai holds the bytes for slice-header parsing anyway).
     """
-    with fs.open_input(path) as f:
-        data = f.read()  # fixtures are small; real impl would seek
+    if data is None:
+        with fs.open_input(path) as f:
+            data = f.read()  # fixtures are small; real impl would seek
     major, _minor, off = parse_file_definition(data)
     out: list[CramContainer] = []
     while off < len(data):

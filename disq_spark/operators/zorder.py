@@ -33,9 +33,10 @@ def quantize_sql(col: str, mn: str, mx: str, bits: int, div: str) -> str:
     """Integer rank-scaling of ``col`` onto [0, 2^bits): exact integer
     arithmetic, identical in Spark SQL (div='div') and DuckDB (div='//').
 
-    Supported input range: ``(mx - mn) * (2^bits - 1)`` must fit in a
-    signed 64-bit integer, i.e. range <= 2^63 / (2^bits - 1) (~3.6e16 at
-    the default 8 bits). Beyond that Spark (ANSI off) silently wraps
+    Supported input range: ``z_value`` enforces range <= 2^62 / (2^bits
+    - 1) (~1.8e16 at the default 8 bits) — one bit under the int64 limit
+    as headroom for the min/max aggregates feeding the guard. Beyond the
+    int64 limit Spark (ANSI off) silently wraps
     while DuckDB raises — ``z_value`` guards this with a runtime
     ``assert_true`` on the computed column ranges so the wrap can never
     happen silently."""

@@ -286,7 +286,8 @@ def genomics_bed_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(FIXTURES, "HiSeq.10000.vcf.bgz"),
         split_size=128 * 1024,
     )
-    bed = read_bed(spark, "/root/repo/fixtures/hiseq_regions.bed")
+    repo_fixtures = os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
+    bed = read_bed(spark, os.path.join(repo_fixtures, "hiseq_regions.bed"))
     j = interval_join(df.select("contig", "start", "end", "qual"), bed, right_prefix="r_")
     return (
         j.groupBy(F.col("r_name").alias("region"))

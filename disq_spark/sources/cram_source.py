@@ -175,7 +175,7 @@ def build_crai(path: str, out: str | None = None) -> str:
     major, _minor, _off = parse_file_definition(data)
 
     entries: list[tuple[int, int, int, int, int, int]] = []
-    for c in scan_containers(path):
+    for c in scan_containers(path, data):
         if c.n_records <= 0:  # SAM-header container or EOF sentinel
             continue
         base = c.offset + c.header_len
@@ -193,7 +193,10 @@ def build_crai(path: str, out: str | None = None) -> str:
             )
 
     out = out or path + ".crai"
-    with gzip.open(_dfs.open_output(out), "wt") as f:
-        for e in entries:
-            f.write("\t".join(str(x) for x in e) + "\n")
+    # GzipFile never closes a caller-supplied fileobj; close the raw
+    # stream explicitly (fsspec/memory sinks publish bytes on close).
+    with _dfs.open_output(out) as raw:
+        with gzip.GzipFile(fileobj=raw, mode="wb") as gz:
+            for e in entries:
+                gz.write(("\t".join(str(x) for x in e) + "\n").encode("ascii"))
     return out

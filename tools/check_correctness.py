@@ -47,12 +47,25 @@ def normalize_cell(v):
     return v
 
 
-def df_to_rows(cols, rows):
+def _sort_cell_key(x, rel_tol: float):
+    """Cell -> sort key. With a tolerance active, floats sort by a COARSE
+    6-significant-digit rendering: two engines' sub-tolerance last-ulp
+    jitter must not place near-tied rows in different orders, or the
+    positional zip in rows_close compares mismatched rows."""
+    if rel_tol > 0 and isinstance(x, str):
+        try:
+            return f"{float(x):.6g}"
+        except ValueError:
+            pass
+    return str(x)
+
+
+def df_to_rows(cols, rows, rel_tol: float = 0.0):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(normalize_cell(r[i]) for i in order))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
+    out.sort(key=lambda t: tuple(_sort_cell_key(x, rel_tol) for x in t))
     return [cols[i] for i in order], out
 
 
@@ -136,8 +149,8 @@ def main():
             n_fail += 1
             continue
 
-        sc, s_norm = df_to_rows(scols, srows)
-        oc, o_norm = df_to_rows(ocols, orows)
+        sc, s_norm = df_to_rows(scols, srows, args.rel_tol)
+        oc, o_norm = df_to_rows(ocols, orows, args.rel_tol)
         ok = True
         if sc != oc:
             print(f"FAIL {name}: column mismatch spark={sc} oracle={oc}")

@@ -16,7 +16,8 @@ plan shape constant under replication:
   exact duplicate of its 9 siblings, collapsing the corpus into giant
   duplicate clusters (quadratic within-cluster pair growth is then a
   *data* artifact, not a plan property).  Each replica instead applies
-  a per-replica vowel permutation via ``translate`` — length (and so
+  a per-replica vowel+consonant permutation via ``translate`` (25
+  distinct mappings, so no two replicas coincide) — length (and so
   ``n_chars``) is preserved, intra-replica duplicate structure is
   preserved exactly, and cross-replica shingle overlap drops to ~0 so
   the near-dup rate stays at the source corpus's rate.
@@ -39,12 +40,22 @@ import argparse
 import os
 
 VOWELS = "aeiou"
+CONSONANTS = "rstln"
 
 
-def vowel_cycle(i: int) -> str:
-    """Per-replica vowel rotation target, identity for replica 0."""
-    k = i % len(VOWELS)
-    return VOWELS[k:] + VOWELS[:k]
+def text_cycle(i: int) -> tuple[str, str]:
+    """Per-replica letter permutation (translate src, dst), identity for
+    replica 0. Composes a vowel rotation (period 5) with an independent
+    consonant rotation (period 5) -> 25 distinct permutations, so with
+    any --factor <= 25 no two replicas share a mapping. (A vowel
+    rotation alone has period 5: replicas i and i+5 would carry
+    byte-identical texts, doubling every exact-duplicate cluster.)"""
+    kv = i % len(VOWELS)
+    kc = (i // len(VOWELS)) % len(CONSONANTS)
+    return (
+        VOWELS + CONSONANTS,
+        VOWELS[kv:] + VOWELS[:kv] + CONSONANTS[kc:] + CONSONANTS[:kc],
+    )
 
 
 def main() -> int:
@@ -147,7 +158,7 @@ def main() -> int:
     write_union(
         "documents",
         lambda i: f"""SELECT doc_id + {i * strides['doc_id']} AS doc_id,
-            translate(text, '{VOWELS}', '{vowel_cycle(i)}') AS text,
+            translate(text, '{text_cycle(i)[0]}', '{text_cycle(i)[1]}') AS text,
             lang, source, n_chars FROM {tbl('documents')}""",
     )
 
