@@ -619,6 +619,62 @@ FROM sess GROUP BY user_id ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# streaming_interval_join_gate — watermarked stream-stream attribution
+# join under the full hash gate: purchases joined to views by the same
+# user within the 30 minutes BEFORE the purchase. Inner stream-stream
+# joins emit matches as both sides arrive (the watermark only bounds
+# state), so draining bounded streams must produce exactly the batch
+# join — the oracle recomputes it in exact microsecond arithmetic.
+# ---------------------------------------------------------------------------
+_SJ_WINDOW_MIN = 30
+
+
+@_q("streaming_interval_join_gate")
+def streaming_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.queries._stream_util import bounded_stream, run_to_completion
+    from disq_spark.streaming.joins import stream_interval_join
+
+    ev = bounded_stream(spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    views = ev.filter(F.col("event_type") == "view").drop("event_type")
+    joined = stream_interval_join(
+        purchases, views, window=f"{_SJ_WINDOW_MIN} minutes", watermark="1 hour"
+    )
+    if spark.catalog.tableExists("stream_gate_ivjoin"):
+        spark.catalog.dropTempView("stream_gate_ivjoin")  # re-run safety
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_gate_ivjoin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, "streaming_interval_join_gate")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))
+    return spark.table("stream_gate_ivjoin").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_buyers"),
+        F.countDistinct("event_id").alias("n_purchases_matched"),
+        F.sum(gap_us).alias("sum_gap_us"),
+        F.max(gap_us).alias("max_gap_us"),
+    )
+
+
+ORACLE["streaming_interval_join_gate"] = f"""
+SELECT count(*) AS n_pairs,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_buyers,
+       CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases_matched,
+       CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS sum_gap_us,
+       CAST(max(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS max_gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND epoch_us(v.ts) <= epoch_us(p.ts)
+ AND epoch_us(v.ts) >= epoch_us(p.ts) - {_SJ_WINDOW_MIN * 60 * 1000000}
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming_hll_gate — streaming sketch maintenance under the full hash
 # gate: the register table a bounded stream accumulates (complete mode)
 # must be BIT-IDENTICAL to the batch registers, which the oracle
