@@ -152,6 +152,43 @@ def genomics_cram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("genomics_cram_interval_query")
+def genomics_cram_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval traversal over the index-less CRAM: container/slice
+    headers prune the plan (slice-span overlap, CramSource.java:119-143
+    semantics), residual overlap predicate filters rows. Three regions:
+    a mid-slice window, a left prefix, and a whole-contig span whose
+    totals must reproduce genomics_cram_decode's contig-21 literals —
+    the cross-path consistency check (pruned==brute-force is
+    property-tested in tests/test_cram.py; the decode totals are pinned
+    by the genomics_cram_decode golden)."""
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.sources.cram_source import read_cram
+
+    p = os.path.join(FIXTURES, "CEUTrio.HiSeq.WGS.b37.NA12878.20.21.10m-10m100.cram")
+    regions = [
+        ("mid_20", Interval("20", 9_999_950, 10_000_050)),
+        ("head_20", Interval("20", 1, 9_999_949)),
+        ("all_21", Interval("21", 10_000_000, 10_000_199)),
+    ]
+    parts = []
+    for name, iv in regions:
+        df, _h = read_cram(spark, p, intervals=[iv], missing_ref_as_n=True)
+        parts.append(
+            df.agg(
+                F.lit(name).alias("region"),
+                F.count("*").alias("n_reads"),
+                F.min("start").alias("min_pos"),
+                F.max("end").alias("max_pos"),
+                F.sum(F.length("cigar")).alias("cigar_chars"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("region")
+
+
 @_q("genomics_mark_duplicates")
 def genomics_mark_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mark_duplicates over the BAM fixture: count newly flagged."""
@@ -215,6 +252,20 @@ SELECT contig, CAST(n_reads AS BIGINT) AS n_reads,
 FROM (VALUES ('20', 208, 9999902, 10000197),
              ('21', 446, 9999901, 10000199)) AS t(contig, n_reads, min_pos, max_pos)
 ORDER BY contig
+"""
+
+# all_21 row == genomics_cram_decode's contig-21 literals (446 reads,
+# 9999901-10000199) through the interval path — cross-path consistency.
+ORACLE["genomics_cram_interval_query"] = """
+SELECT * FROM (VALUES
+  ('all_21', CAST(446 AS BIGINT), CAST(9999901 AS BIGINT),
+   CAST(10000199 AS BIGINT), CAST(1847 AS BIGINT)),
+  ('head_20', CAST(56 AS BIGINT), CAST(9999902 AS BIGINT),
+   CAST(10000047 AS BIGINT), CAST(443 AS BIGINT)),
+  ('mid_20', CAST(169 AS BIGINT), CAST(9999902 AS BIGINT),
+   CAST(10000150 AS BIGINT), CAST(1118 AS BIGINT))
+) AS t(region, n_reads, min_pos, max_pos, cigar_chars)
+ORDER BY region
 """
 
 ORACLE["genomics_mark_duplicates"] = """
