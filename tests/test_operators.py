@@ -865,3 +865,23 @@ def test_scale_n_bits_matches_sql_formula():
             f"SELECT greatest(4, least(24, CAST(ceil(log2(greatest({n} / {t}.0, 1.0))) AS INT)))"
         ).fetchone()[0]
         assert py == sql, (n, py, sql)
+
+
+def test_substring_dup_rate_bounded_under_boilerplate_skew(spark):
+    """Pathological corpus: every doc shares one universal 5-gram.
+    The cross-doc test is min(id)!=max(id), so the hot gram combines to
+    two longs and the join-back stays one row per gram POSITION — the
+    result must still be exact: every doc's boilerplate positions are
+    duplicated, its unique tail positions are not."""
+    from disq_spark.operators.dedup import substring_dup_rate
+
+    boiler = "terms of service apply here"  # 5 tokens -> one 5-gram
+    rows = [(i, f"{boiler} unique{i} tail{i} words{i} only{i} here{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    got = substring_dup_rate(df, n=5).collect()
+    assert len(got) == 400
+    # 10 tokens -> 6 gram positions; position 1 (the boilerplate gram)
+    # is shared corpus-wide, the 5 suffix grams contain unique{i}
+    for r in got:
+        assert r["n_grams"] == 6
+        assert abs(r["dup_rate"] - 1 / 6) < 1e-12
