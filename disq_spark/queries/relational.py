@@ -416,6 +416,35 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
+# grouping_sets_agg — the general GROUPING SETS form (rollup/cube are its
+# special cases): two independent single-column groupings plus the grand
+# total in ONE pass (Spark expands to a union-free Expand node — one scan,
+# one shuffle, vs three scans if written as a UNION ALL of group-bys).
+# ---------------------------------------------------------------------------
+@_q("grouping_sets_agg")
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+ORACLE["grouping_sets_agg"] = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
 # pivot_status — conditional pivot (manual, engine-portable)
 # ---------------------------------------------------------------------------
 @_q("pivot_status")
