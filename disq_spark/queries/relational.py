@@ -416,6 +416,57 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
+# window_nav_funcs — navigation/distribution window functions in one
+# pass: lag/lead (prev/next order totalprice), ntile quartiles, and
+# cume_dist over each customer's order history. One shuffle on custkey;
+# the ntile groupBy on top is a cheap 4-key partial agg. Ties broken by
+# orderkey so both engines order identically.
+# ---------------------------------------------------------------------------
+@_q("window_nav_funcs")
+def window_nav_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    per = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        per.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.coalesce(F.col("prev_price"), F.lit(0.0))), 2).alias("sum_prev"),
+            F.round(F.sum(F.coalesce(F.col("next_price"), F.lit(0.0))), 2).alias("sum_next"),
+            F.round(F.sum("cd"), 4).alias("sum_cume_dist"),
+        )
+        .orderBy("quartile")
+    )
+
+
+ORACLE["window_nav_funcs"] = """
+WITH per AS (
+  SELECT o_custkey, o_totalprice,
+         lag(o_totalprice) OVER w AS prev_price,
+         lead(o_totalprice) OVER w AS next_price,
+         ntile(4) OVER w AS quartile,
+         cume_dist() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT quartile, count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price,
+       round(sum(coalesce(prev_price, 0.0)), 2) AS sum_prev,
+       round(sum(coalesce(next_price, 0.0)), 2) AS sum_next,
+       round(sum(cd), 4) AS sum_cume_dist
+FROM per GROUP BY quartile ORDER BY quartile
+"""
+
+
+# ---------------------------------------------------------------------------
 # grouping_sets_agg — the general GROUPING SETS form (rollup/cube are its
 # special cases): two independent single-column groupings plus the grand
 # total in ONE pass (Spark expands to a union-free Expand node — one scan,
