@@ -416,6 +416,62 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
+# date_spine_gap_fill — time-series completeness: a generated calendar
+# spine (sequence/explode over the data's own min..max day) left-joined
+# to sparse daily revenue, zero-filling silent days. The spine is a
+# 1-row aggregate exploded to #days rows — broadcast-join shape, no
+# shuffle of the fact side beyond its own daily partial agg.
+# ---------------------------------------------------------------------------
+SPINE_MIN_VALUE = 100.0
+
+
+@_q("date_spine_gap_fill")
+def date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.queries.tables import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > SPINE_MIN_VALUE))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    spine = (
+        e.agg(F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    filled = spine.join(F.broadcast(daily), "day", "left").select(
+        "day", F.coalesce(F.col("rev"), F.lit(0.0)).alias("rev")
+    )
+    return filled.agg(
+        F.count("*").alias("n_days"),
+        F.sum((F.col("rev") == 0.0).cast("long")).alias("n_zero_days"),
+        F.round(F.sum("rev"), 2).alias("total_rev"),
+        F.round(F.avg("rev"), 4).alias("avg_daily_rev"),
+    )
+
+
+ORACLE["date_spine_gap_fill"] = f"""
+WITH daily AS (
+  SELECT ts::DATE AS day, sum(value) AS rev FROM events
+  WHERE event_type = 'purchase' AND value > {SPINE_MIN_VALUE}
+  GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(min(ts)::DATE, max(ts)::DATE, INTERVAL 1 DAY))::DATE AS day
+  FROM events
+),
+filled AS (
+  SELECT s.day, coalesce(d.rev, 0.0) AS rev FROM spine s LEFT JOIN daily d USING (day)
+)
+SELECT count(*) AS n_days,
+       CAST(sum(CASE WHEN rev = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_days,
+       round(sum(rev), 2) AS total_rev,
+       round(avg(rev), 4) AS avg_daily_rev
+FROM filled
+"""
+
+
+# ---------------------------------------------------------------------------
 # window_nav_funcs — navigation/distribution window functions in one
 # pass: lag/lead (prev/next order totalprice), ntile quartiles, and
 # cume_dist over each customer's order history. One shuffle on custkey;
