@@ -705,3 +705,43 @@ def substring_dup_rate(
             F.avg(F.col("is_dup").cast("double")).alias("dup_rate"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ratio: float = 0.25,
+    candidate_threshold: float = 0.1,
+    k: int = 8,
+    stride: int = 4,
+    max_df: float | None = None,
+) -> DataFrame:
+    """Edit-distance verification tier: Levenshtein over normalized text,
+    computed ONLY on shingle-candidate pairs (never all-pairs — the
+    O(len^2) DP per pair is affordable exactly because candidate
+    generation is the bounded inverted-index join). The standard fuzzy
+    second stage after minhash/Jaccard: sketches propose, an exact
+    string metric disposes.
+
+    Keeps pairs with lev / max(len_a, len_b) <= max_ratio.
+    Output: (id_a, id_b, lev, ratio) with id_a < id_b.
+    """
+    cand = ngram_jaccard_pairs(
+        df, text_col, id_col, threshold=candidate_threshold, k=k, stride=stride, max_df=max_df
+    ).select("id_a", "id_b")
+    norm = df.select(F.col(id_col), normalize(F.col(text_col)).alias("__nt"))
+    a = norm.select(F.col(id_col).alias("id_a"), F.col("__nt").alias("t_a"))
+    b = norm.select(F.col(id_col).alias("id_b"), F.col("__nt").alias("t_b"))
+    lev = F.levenshtein(F.col("t_a"), F.col("t_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("lev", lev)
+        .withColumn(
+            "ratio",
+            F.round(F.col("lev") / F.greatest(F.length("t_a"), F.length("t_b")), 4),
+        )
+        .filter(F.col("ratio") <= max_ratio)
+        .select("id_a", "id_b", "lev", "ratio")
+    )

@@ -1846,3 +1846,50 @@ SELECT d.source, count(*) AS n_docs, round(avg(per.dup_rate), 4) AS avg_dup_rate
 FROM per JOIN documents d USING (doc_id)
 GROUP BY d.source ORDER BY d.source
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup_edit_distance — the fuzzy VERIFICATION tier: Levenshtein over
+# normalized text, computed only on shingle-candidate pairs (sketches
+# propose, exact string metric disposes). Both engines implement the
+# same classic DP metric, so lev/ratio are hash-exact.
+# ---------------------------------------------------------------------------
+EDIT_MAX_RATIO = 0.6
+EDIT_CAND_THRESHOLD = 0.1
+
+
+@_q("dedup_edit_distance")
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.edit_distance_pairs(
+        d,
+        max_ratio=EDIT_MAX_RATIO,
+        candidate_threshold=EDIT_CAND_THRESHOLD,
+        k=SHINGLE_K,
+        stride=SHINGLE_STRIDE,
+        max_df=_max_df(spark, sf_dir),
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE["dedup_edit_distance"] = f"""
+WITH {_oracle_sh_cte()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) >= {EDIT_CAND_THRESHOLD}
+),
+norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+scored AS (
+  SELECT id_a, id_b, levenshtein(na.nt, nb.nt) AS lev,
+         round(levenshtein(na.nt, nb.nt) * 1.0 / greatest(length(na.nt), length(nb.nt)), 4) AS ratio
+  FROM cand JOIN norm na ON id_a = na.doc_id JOIN norm nb ON id_b = nb.doc_id
+)
+SELECT id_a, id_b, lev, ratio FROM scored
+WHERE ratio <= {EDIT_MAX_RATIO} ORDER BY id_a, id_b
+"""
