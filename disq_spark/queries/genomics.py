@@ -189,6 +189,32 @@ def genomics_cram_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("region")
 
 
+@_q("genomics_callable_loci")
+def genomics_callable_loci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATK CallableLoci analog over the BAM fixture: exact per-base
+    depth (two-level distributed prefix sum, coverage_depth) -> maximal
+    depth>=4 intervals (gap-and-islands merge, callable_loci). Golden
+    literals derived from this pipeline; independence comes from
+    tests/test_operators.py::test_callable_loci_matches_bruteforce
+    (per-base brute-force differential on the same fixture)."""
+    from disq_spark.operators.genomics import callable_loci, coverage_depth
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    ci = callable_loci(coverage_depth(df), min_depth=4)
+    return (
+        ci.groupBy("contig")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("span").alias("callable_bases"),
+            F.max("span").alias("max_span"),
+            F.min("start").alias("first_start"),
+            F.max("end").alias("last_end"),
+        )
+        .orderBy("contig")
+    )
+
+
 @_q("genomics_mark_duplicates")
 def genomics_mark_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mark_duplicates over the BAM fixture: count newly flagged."""
@@ -266,6 +292,12 @@ SELECT * FROM (VALUES
    CAST(10000150 AS BIGINT), CAST(1118 AS BIGINT))
 ) AS t(region, n_reads, min_pos, max_pos, cigar_chars)
 ORDER BY region
+"""
+
+ORACLE["genomics_callable_loci"] = """
+SELECT '1' AS contig, CAST(12 AS BIGINT) AS n_intervals,
+       CAST(5041 AS BIGINT) AS callable_bases, CAST(883 AS BIGINT) AS max_span,
+       CAST(24795481 AS BIGINT) AS first_start, CAST(24981701 AS BIGINT) AS last_end
 """
 
 ORACLE["genomics_mark_duplicates"] = """
