@@ -21,6 +21,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -412,6 +414,66 @@ SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# bucketed_join_check — the co-located fact-fact join under the gate:
+# both facts written bucketed on the join key, the join re-planned as a
+# ZERO-EXCHANGE sort-merge join (asserted at runtime — a regression that
+# reintroduces the shuffle fails the gate, not just a pytest), and the
+# result hash-checked against the plain SQL join.
+# ---------------------------------------------------------------------------
+@_q("bucketed_join_check")
+def bucketed_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.bucketing import co_located_join, write_bucketed
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    # re-run/crash safety: drop catalog entries AND any orphaned
+    # warehouse location a previously-failed run left behind
+    import shutil
+
+    for t in ("gate_li_bucketed", "gate_or_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"), t)
+        shutil.rmtree(loc.removeprefix("file:"), ignore_errors=True)
+    write_bucketed(l, "gate_li_bucketed", "l_orderkey", n_buckets=8)
+    write_bucketed(o, "gate_or_bucketed", "l_orderkey", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the fact-fact (non-broadcast) shape the layout exists for
+        # — at gate SF the orders side would otherwise broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = co_located_join(spark, "gate_li_bucketed", "gate_or_bucketed", "l_orderkey")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "simple")
+        if "Exchange" in plan or "SortMergeJoin" not in plan:
+            raise AssertionError(f"bucketed join is not an exchange-free SMJ:\n{plan}")
+        agg = (
+            j.groupBy(F.month("o_orderdate").alias("order_month"))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            )
+            .orderBy("order_month")
+        )
+        # execute while the conf is pinned (the caller collects lazily,
+        # after the finally restores it)
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+ORACLE["bucketed_join_check"] = """
+SELECT month(o.o_orderdate) AS order_month, count(*) AS n,
+       round(sum(l.l_quantity), 2) AS sum_qty,
+       round(sum(l.l_extendedprice), 2) AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY order_month
 """
 
 
