@@ -189,6 +189,46 @@ def genomics_cram_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("region")
 
 
+@_q("genomics_materialized_interval")
+def genomics_materialized_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Parquet resting state under the gate: BAM materialized once
+    to contig-partitioned position-sorted Parquet (cacheutil-cached,
+    code-version keyed), then the SAME interval aggregation as
+    genomics_bam_interval_query — which must reproduce that gate's
+    literals through partition pruning + row-group skipping instead of
+    .bai spans. The scan plan is asserted to push the interval filter
+    (PushedFilters on start/end)."""
+    import tempfile
+
+    from disq_spark.cacheutil import cache_key, ensure_cached_dir
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.sinks.materialize import materialize_reads, read_materialized
+    from disq_spark.sources.bam_source import read_bam
+
+    src = os.path.join(FIXTURES, "1-with-splitting-index.bam")
+    st = os.stat(src)
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"disq_gate_mat_{cache_key(src, st.st_mtime_ns, st.st_size)}",
+    )
+
+    def _build(tmp: str) -> None:
+        df, header = read_bam(spark, src, split_size=200_000)
+        materialize_reads(df, header, os.path.join(tmp, "data"), num_files_per_contig=4)
+
+    ensure_cached_dir(cache, _build)
+    iv = Interval("1", 24_800_000, 24_900_000)
+    df, _h = read_materialized(spark, os.path.join(cache, "data"), intervals=[iv])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    if "PushedFilters: []" in plan:
+        raise AssertionError(f"interval predicate did not reach the parquet scan:\n{plan}")
+    return (
+        df.groupBy((F.col("start") / 10_000).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n_reads"), F.round(F.avg("mapq"), 2).alias("avg_mapq"))
+        .orderBy("bucket")
+    )
+
+
 @_q("genomics_callable_loci")
 def genomics_callable_loci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GATK CallableLoci analog over the BAM fixture: exact per-base
@@ -293,6 +333,10 @@ SELECT * FROM (VALUES
 ) AS t(region, n_reads, min_pos, max_pos, cigar_chars)
 ORDER BY region
 """
+
+# identical literals to genomics_bam_interval_query: same rows must come
+# back through the Parquet partition-pruning path as through .bai spans.
+ORACLE["genomics_materialized_interval"] = ORACLE["genomics_bam_interval_query"]
 
 ORACLE["genomics_callable_loci"] = """
 SELECT '1' AS contig, CAST(12 AS BIGINT) AS n_intervals,
