@@ -1,6 +1,6 @@
 """Deduplication operators for LLM training-data pipelines.
 
-Four tiers, all pure DataFrame transforms (no Python UDFs — everything
+Six tiers, all pure DataFrame transforms (no Python UDFs — everything
 stays in whole-stage codegen):
 
 - exact_dedup:        sha256 content hash -> groupBy. One shuffle on the
@@ -12,8 +12,15 @@ stays in whole-stage codegen):
                       explode + one groupBy (single shuffle).
 - ngram_jaccard_pairs: exact Jaccard on shared-shingle candidate pairs
                       (inverted-index join; pairs sharing >=1 shingle).
-- simhash:            16-bit SimHash via md5-derived bit planes; near-dup
-                      candidates = equal simhash (or banded halves).
+- simhash:            64-bit SimHash via md5-derived bit planes; near-dup
+                      candidates = equal simhash (or hamming-banded
+                      slices, pigeonhole-complete — simhash_pairs).
+- substring_dup_rate: positional word n-grams; per-doc share of
+                      positions whose gram occurs in another document
+                      (suffix-array substring-dedup approximation).
+- edit_distance_pairs: Levenshtein verification tier computed only on
+                      shingle-candidate pairs (sketches propose, the
+                      exact string metric disposes).
 
 Determinism contract: all hashing is md5-of-string (identical in any
 engine), so every operator here has an exact ANSI-SQL oracle. MinHash
