@@ -23,6 +23,11 @@ QUERIES = {}
 ORACLE: dict[str, str] = {}
 
 FIXTURES = "/root/reference/src/test/resources"
+# repo-local fixtures, derived from the module location so a checkout
+# anywhere on disk resolves them
+REPO_FIXTURES = os.path.normpath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
+)
 
 
 def _q(name):
@@ -220,8 +225,14 @@ def genomics_materialized_interval(spark: SparkSession, sf_dir: str) -> DataFram
     iv = Interval("1", 24_800_000, 24_900_000)
     df, _h = read_materialized(spark, os.path.join(cache, "data"), intervals=[iv])
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-    if "PushedFilters: []" in plan:
-        raise AssertionError(f"interval predicate did not reach the parquet scan:\n{plan}")
+    # require the actual interval BOUNDS in PushedFilters — a plan that
+    # pushes only IsNotNull would pass a mere non-empty check while the
+    # row-group-skipping range predicates run post-scan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    if not pushed or not any("24900000" in ln and "24800000" in ln for ln in pushed):
+        raise AssertionError(
+            f"interval bounds did not reach the parquet scan: {pushed}\n{plan}"
+        )
     return (
         df.groupBy((F.col("start") / 10_000).cast("long").alias("bucket"))
         .agg(F.count("*").alias("n_reads"), F.round(F.avg("mapq"), 2).alias("avg_mapq"))
@@ -413,8 +424,7 @@ def genomics_bed_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(FIXTURES, "HiSeq.10000.vcf.bgz"),
         split_size=128 * 1024,
     )
-    repo_fixtures = os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
-    bed = read_bed(spark, os.path.join(repo_fixtures, "hiseq_regions.bed"))
+    bed = read_bed(spark, os.path.join(REPO_FIXTURES, "hiseq_regions.bed"))
     j = interval_join(df.select("contig", "start", "end", "qual"), bed, right_prefix="r_")
     return (
         j.groupBy(F.col("r_name").alias("region"))
@@ -564,7 +574,7 @@ def genomics_fastq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     record-start snap."""
     from disq_spark.sources.fastq import read_fastq
 
-    df = read_fastq(spark, "/root/repo/fixtures/sample.fastq", split_size=8192)
+    df = read_fastq(spark, os.path.join(REPO_FIXTURES, "sample.fastq"), split_size=8192)
     # mean phred: per-read integer sum of (ord(q)-33) -> exact bigint
     qsum = F.expr(
         "aggregate(transform(split(qual, ''), c -> ascii(c) - 33), 0L, (a, x) -> a + x)"
@@ -644,7 +654,7 @@ def genomics_reference_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning reads only the .fai, each task seeks its window."""
     from disq_spark.sources.fasta import read_fasta_windows
 
-    w = read_fasta_windows(spark, "/root/repo/fixtures/ref.fa", window=5000)
+    w = read_fasta_windows(spark, os.path.join(REPO_FIXTURES, "ref.fa"), window=5000)
     gc = F.length(F.regexp_replace("seq", "[ATN]", ""))
     nn = F.length(F.regexp_replace("seq", "[^N]", ""))
     return (
@@ -678,7 +688,7 @@ def genomics_kmer_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from disq_spark.sources.fasta import read_fasta_windows
 
     k = 5
-    w = read_fasta_windows(spark, "/root/repo/fixtures/ref.fa", window=5000, overlap=k - 1)
+    w = read_fasta_windows(spark, os.path.join(REPO_FIXTURES, "ref.fa"), window=5000, overlap=k - 1)
     kmers = w.select(
         F.explode(
             F.expr(

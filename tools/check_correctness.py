@@ -48,16 +48,19 @@ def normalize_cell(v):
 
 
 def _sort_cell_key(x, rel_tol: float):
-    """Cell -> sort key. With a tolerance active, floats sort by a COARSE
-    6-significant-digit rendering: two engines' sub-tolerance last-ulp
-    jitter must not place near-tied rows in different orders, or the
-    positional zip in rows_close compares mismatched rows."""
+    """Cell -> sort key. With a tolerance active, floats sort primarily
+    by a COARSE 6-significant-digit rendering — two engines' sub-
+    tolerance last-ulp jitter must not place near-tied rows in different
+    orders, or the positional zip in rows_close compares mismatched rows
+    — with the exact repr as a deterministic tiebreaker (rows equal at
+    6 sig digits but differing beyond tolerance would otherwise sort in
+    engine-native order)."""
     if rel_tol > 0 and isinstance(x, str):
         try:
-            return f"{float(x):.6g}"
+            return (f"{float(x):.6g}", str(x))
         except ValueError:
             pass
-    return str(x)
+    return (str(x), "")
 
 
 def df_to_rows(cols, rows, rel_tol: float = 0.0):

@@ -50,6 +50,12 @@ def text_cycle(i: int) -> tuple[str, str]:
     any --factor <= 25 no two replicas share a mapping. (A vowel
     rotation alone has period 5: replicas i and i+5 would carry
     byte-identical texts, doubling every exact-duplicate cluster.)"""
+    if i >= len(VOWELS) * len(CONSONANTS):
+        raise ValueError(
+            f"--factor > {len(VOWELS) * len(CONSONANTS)} would repeat letter "
+            "permutations and reintroduce byte-identical replica texts "
+            "(see SCALE.md corpus note); extend the permutation family first"
+        )
     kv = i % len(VOWELS)
     kc = (i // len(VOWELS)) % len(CONSONANTS)
     return (
