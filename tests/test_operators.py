@@ -885,3 +885,79 @@ def test_substring_dup_rate_bounded_under_boilerplate_skew(spark):
     for r in got:
         assert r["n_grams"] == 6
         assert abs(r["dup_rate"] - 1 / 6) < 1e-12
+
+
+def test_substring_dup_rate_matches_bruteforce(spark):
+    """Randomized differential: the distributed gram/min-max formulation
+    must equal a direct per-document computation over the same corpus."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    n = 3
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+        for i in range(60)
+    ]
+
+    def grams(text):
+        toks = text.split() if text.strip() else []
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    owners = {}
+    for i, t in docs:
+        for g in set(grams(t)):
+            owners.setdefault(g, set()).add(i)
+    expect = {}
+    for i, t in docs:
+        gs = grams(t)
+        if gs:
+            dup = sum(1 for g in gs if len(owners[g]) > 1)
+            expect[i] = (len(gs), round(dup / len(gs), 9))
+
+    from disq_spark.operators.dedup import substring_dup_rate
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(6)
+    got = {
+        r["doc_id"]: (r["n_grams"], round(r["dup_rate"], 9))
+        for r in substring_dup_rate(df, n=n).collect()
+    }
+    assert got == expect
+
+
+def test_edit_distance_pairs_matches_bruteforce_dp(spark):
+    """The Spark-side levenshtein on candidate pairs must equal a plain
+    Python DP on the same normalized texts, and candidate generation must
+    not drop any qualifying pair that shares a shingle."""
+    from disq_spark.operators.dedup import edit_distance_pairs
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumped over the lazy dog"),   # 2 edits
+        (2, "the quick brown fox jumps over the lazy cat"),    # 3 edits
+        (3, "completely different content with no overlap"),
+        (4, "The  Quick Brown   fox jumps over the lazy dog"), # normalizes to doc 0
+    ]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    import re
+
+    norm = {i: re.sub(r"\s+", " ", t.lower()).strip() for i, t in docs}
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["lev"]
+        for r in edit_distance_pairs(df, max_ratio=0.5, candidate_threshold=0.05, k=4, stride=2).collect()
+    }
+    for (a, b), d in got.items():
+        assert d == lev(norm[a], norm[b]), (a, b)
+    assert (0, 1) in got and got[(0, 1)] == 2
+    assert (0, 4) in got and got[(0, 4)] == 0
+    assert not any(3 in p for p in got)
