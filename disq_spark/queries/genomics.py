@@ -194,6 +194,33 @@ def genomics_cram_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("region")
 
 
+@_q("genomics_sharded_bam_read")
+def genomics_sharded_bam_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-of-shards read (the reference's sharded fixture,
+    HtsjdkReadsRddTest testReadBamsInDirectory analog): part files are
+    resolved in lexicographic order, share one header, and scan as one
+    dataset — including the unplaced-unmapped tail (contig NULL)."""
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(
+        spark,
+        os.path.join(
+            FIXTURES, "HiSeq.1mb.1RG.2k_lines.alternate.recalibrated.DIQ.sharded.bam"
+        ),
+    )
+    return (
+        df.groupBy(F.coalesce(F.col("contig"), F.lit("*")).alias("contig"))
+        .agg(
+            F.count("*").alias("n_reads"),
+            F.sum(((F.col("flags").bitwiseAND(4)) == 0).cast("long")).alias("mapped"),
+            F.min("start").alias("min_pos"),
+            F.max("end").alias("max_pos"),
+            F.round(F.avg("mapq"), 2).alias("avg_mapq"),
+        )
+        .orderBy("contig")
+    )
+
+
 @_q("genomics_materialized_interval")
 def genomics_materialized_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Parquet resting state under the gate: BAM materialized once
@@ -348,6 +375,16 @@ ORDER BY region
 # identical literals to genomics_bam_interval_query: same rows must come
 # back through the Parquet partition-pruning path as through .bai spans.
 ORACLE["genomics_materialized_interval"] = ORACLE["genomics_bam_interval_query"]
+
+ORACLE["genomics_sharded_bam_read"] = """
+SELECT * FROM (VALUES
+  ('*', CAST(24 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('chr1', CAST(1650 AS BIGINT), CAST(1650 AS BIGINT), CAST(10069921 AS BIGINT),
+   CAST(10100092 AS BIGINT), CAST(56.05 AS DOUBLE))
+) AS t(contig, n_reads, mapped, min_pos, max_pos, avg_mapq)
+ORDER BY contig
+"""
 
 ORACLE["genomics_callable_loci"] = """
 SELECT '1' AS contig, CAST(12 AS BIGINT) AS n_intervals,
