@@ -232,3 +232,26 @@ def test_pair_fastq(spark, tmp_path):
     assert set(got) == {"frag1", "frag2"}  # orphan dropped
     assert got["frag1"]["seq_1"] == "ACGT" and got["frag1"]["seq_2"] == "TTTT"
     assert got["frag2"]["qual_2"] == "JJJJ"
+
+
+def test_real_htslib_gzi_parses(fixtures_dir):
+    """Parse the htslib-produced .gzi shipped with the reference (for the
+    excluded human_g1k fasta.gz): offsets must be strictly increasing in
+    both coordinates and plausibly block-sized — validates the .gzi
+    reader against a real external producer, not just our own writer."""
+    import os
+
+    from disq_spark.formats.gzi import read_gzi
+
+    gzi = read_gzi(
+        os.path.join(fixtures_dir, "human_g1k_v37.20.21.fasta.gz.gzi")
+    )
+    n = len(gzi.comp_offsets)
+    assert n == len(gzi.uncomp_offsets) and n > 100
+    assert all(a < b for a, b in zip(gzi.comp_offsets, gzi.comp_offsets[1:]))
+    assert all(a < b for a, b in zip(gzi.uncomp_offsets, gzi.uncomp_offsets[1:]))
+    # BGZF uncompressed payloads are capped at 65536 per block
+    deltas = [
+        b - a for a, b in zip(gzi.uncomp_offsets, gzi.uncomp_offsets[1:])
+    ]
+    assert all(0 < d <= 65536 for d in deltas)

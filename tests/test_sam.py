@@ -91,3 +91,22 @@ def test_mapped_only_rejected(spark, fixtures_dir):
 
     with pytest.raises(ValueError):
         filter_intervals(df, None, traverse_unplaced_unmapped=False)
+
+
+def test_small_sam_fixture(spark, fixtures_dir):
+    """The reference's small.sam: quoted CL header fields with tabs must
+    survive, 20 records, PG chain p2->p1, tag round-trip."""
+    import os
+
+    from disq_spark.sources.reads import read_sam
+
+    df, header = read_sam(spark, os.path.join(fixtures_dir, "small.sam"))
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(r["contig"] in ("1", "2") for r in rows)
+    by_name = {r["name"]: r for r in rows}
+    r0 = by_name["simread:1:26472783:false"]
+    assert r0["flags"] == 16 and r0["start"] == 26472784  # 1-based POS
+    assert r0["tags"]["NM"] == "i:0" and r0["tags"]["AS"] == "i:75"
+    assert 'CL:"myProg 123"' in header.text
+    assert "PP:p1" in header.text
