@@ -194,6 +194,51 @@ def genomics_cram_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("region")
 
 
+@_q("genomics_base_quality_profile")
+def genomics_base_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQSR-covariate-style per-base aggregation: every base of every
+    primary mapped read exploded to (machine cycle, quality), with the
+    strand-aware cycle flip (reverse reads run the machine backwards:
+    cycle = len-1-i). The per-base explode (~75x row inflation) is the
+    canonical genomics scale stressor; the aggregate stays map-side
+    partial (8 output buckets). Golden literals derived from this
+    pipeline; decode-layer independence comes from the qual round-trip
+    suites."""
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    r = df.filter(
+        (F.col("flags").bitwiseAND(4 + 256 + 2048) == 0) & F.col("qual").isNotNull()
+    )
+    per = r.select(
+        F.col("flags"),
+        F.length("qual").alias("len"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, length(qual) - 1), "
+                "i -> ascii(substring(qual, i + 1, 1)) - 33)"
+            )
+        ).alias("i", "q"),
+    ).select(
+        F.when(
+            F.col("flags").bitwiseAND(16) != 0, F.col("len") - 1 - F.col("i")
+        )
+        .otherwise(F.col("i"))
+        .alias("cycle"),
+        "q",
+    )
+    return (
+        per.groupBy((F.col("cycle") / 10).cast("long").alias("cycle_bucket"))
+        .agg(
+            F.count("*").alias("n_bases"),
+            F.round(F.avg("q"), 4).alias("avg_q"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("cycle_bucket")
+    )
+
+
 @_q("genomics_sharded_bam_read")
 def genomics_sharded_bam_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory-of-shards read (the reference's sharded fixture,
@@ -375,6 +420,18 @@ ORDER BY region
 # identical literals to genomics_bam_interval_query: same rows must come
 # back through the Parquet partition-pruning path as through .bai spans.
 ORACLE["genomics_materialized_interval"] = ORACLE["genomics_bam_interval_query"]
+
+ORACLE["genomics_base_quality_profile"] = """
+SELECT CAST(cb AS BIGINT) AS cycle_bucket, CAST(n AS BIGINT) AS n_bases,
+       CAST(a AS DOUBLE) AS avg_q, CAST(mn AS INT) AS min_q, CAST(mx AS INT) AS max_q
+FROM (VALUES
+  (0, 48870, 32.1059, 1, 41), (1, 48870, 33.5588, 1, 42),
+  (2, 48870, 33.8394, 1, 42), (3, 48870, 33.7306, 1, 42),
+  (4, 48870, 33.486, 1, 43),  (5, 48870, 33.2225, 2, 43),
+  (6, 48870, 32.6525, 1, 43), (7, 29322, 30.9093, 2, 43)
+) AS t(cb, n, a, mn, mx)
+ORDER BY cycle_bucket
+"""
 
 ORACLE["genomics_sharded_bam_read"] = """
 SELECT * FROM (VALUES
