@@ -194,6 +194,41 @@ def genomics_cram_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("region")
 
 
+@_q("genomics_cram_write_roundtrip")
+def genomics_cram_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAM WRITE path under the driver gate (it was pytest-only):
+    decode valid.cram, write it back as a distributed single-file CRAM
+    (+ merged .crai) into a per-run tempdir, re-read with our reader,
+    and aggregate — the literals are the fixture's ground truth, so a
+    regression anywhere in encode -> concat -> index-merge -> re-decode
+    fails the hash gate."""
+    import tempfile
+
+    from disq_spark.sinks.cram import write_cram
+    from disq_spark.sources.cram_source import read_cram
+
+    fasta = os.path.join(FIXTURES, "valid.fasta")
+    df, header = read_cram(
+        spark, os.path.join(FIXTURES, "valid.cram"), reference_path=fasta
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="disq_gate_cramw_"), "out.cram")
+    write_cram(df.repartition(3), header, out, reference_path=fasta)
+    if not os.path.exists(out + ".crai"):
+        raise AssertionError("merged .crai missing after single-file CRAM write")
+    back, _h = read_cram(spark, out, reference_path=fasta)
+    return back.groupBy("contig").agg(
+        F.count("*").alias("n_reads"),
+        F.min("start").alias("min_pos"),
+        F.max("end").alias("max_pos"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.sort_array(F.collect_list(F.concat_ws("|", "name", "cigar", "seq"))),
+            )
+        ).alias("content_md5"),
+    ).orderBy("contig")
+
+
 @_q("genomics_base_quality_profile")
 def genomics_base_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BQSR-covariate-style per-base aggregation: every base of every
@@ -420,6 +455,16 @@ ORDER BY region
 # identical literals to genomics_bam_interval_query: same rows must come
 # back through the Parquet partition-pruning path as through .bai spans.
 ORACLE["genomics_materialized_interval"] = ORACLE["genomics_bam_interval_query"]
+
+ORACLE["genomics_cram_write_roundtrip"] = """
+SELECT * FROM (VALUES
+  (CAST(NULL AS VARCHAR), CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), 'bd23b6b4b1905accce1a1f448c38c69d'),
+  ('chr7', CAST(7 AS BIGINT), CAST(1 AS BIGINT), CAST(402 AS BIGINT),
+   'fb227fc960978598d88a36953b8cfbee')
+) AS t(contig, n_reads, min_pos, max_pos, content_md5)
+ORDER BY contig NULLS FIRST
+"""
 
 ORACLE["genomics_base_quality_profile"] = """
 SELECT CAST(cb AS BIGINT) AS cycle_bucket, CAST(n AS BIGINT) AS n_bases,

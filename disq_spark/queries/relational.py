@@ -418,6 +418,65 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
+# parquet_upsert_check — MERGE-INTO semantics under the gate: updates
+# replace same-key rows, inserts append, delete-marked keys drop, all in
+# one anti-join + union pass with an atomic directory swap. The oracle
+# restates the merge declaratively over the same base table.
+# ---------------------------------------------------------------------------
+@_q("parquet_upsert_check")
+def parquet_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from disq_spark.sinks.compact import upsert_parquet
+
+    o = load(spark, sf_dir, "orders")
+    base_dir = os.path.join(tempfile.mkdtemp(prefix="disq_gate_upsert_"), "orders")
+    o.write.parquet(base_dir)
+    upd = (
+        o.filter(F.col("o_orderkey") < 100)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .withColumn("__del", F.lit(False))
+    )
+    dels = o.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 150)).withColumn(
+        "__del", F.lit(True)
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") < 50)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("__del", F.lit(False))
+    )
+    upsert_parquet(
+        spark,
+        base_dir,
+        upd.unionByName(dels).unionByName(ins),
+        key="o_orderkey",
+        delete_col="__del",
+    )
+    after = spark.read.parquet(base_dir)
+    return after.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum((F.col("o_orderkey") >= 10_000_000).cast("long")).alias("n_inserted"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+ORACLE["parquet_upsert_check"] = """
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 150
+  UNION ALL
+  SELECT o_orderkey, round(o_totalprice * 2, 2) FROM orders WHERE o_orderkey < 100
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey < 50
+)
+SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price,
+       CAST(sum(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM merged
+"""
+
+
+# ---------------------------------------------------------------------------
 # bucketed_join_check — the co-located fact-fact join under the gate:
 # both facts written bucketed on the join key, the join re-planned as a
 # ZERO-EXCHANGE sort-merge join (asserted at runtime — a regression that
