@@ -142,9 +142,26 @@ class TbiBuilder:
         self.bins: list[dict[int, list[tuple[int, int]]]] = []
         self.linear: list[list[int]] = []
         self.stats: list[tuple[int, int, int, int] | None] = []
+        self._last: tuple[int, int] | None = None  # (rid, start1)
 
     def add(self, contig: str, start1: int, end1: int, v_start: int, v_end: int) -> None:
         rid = self._rid.get(contig)
+        # tabix semantics require coordinate-sorted input; indexing
+        # unsorted records would SILENTLY produce an index whose linear/
+        # bin structure prunes regions that do contain data (htsjdk's
+        # TabixIndexCreator throws "features out of order" here too)
+        if self._last is not None:
+            lrid, lstart = self._last
+            if rid == lrid and start1 < lstart:
+                raise ValueError(
+                    f"tabix build requires coordinate-sorted input: "
+                    f"{contig}:{start1} after {contig}:{lstart}"
+                )
+            if rid is not None and rid != lrid:
+                raise ValueError(
+                    f"tabix build requires contig-grouped input: {contig} "
+                    f"reappears after {self.names[lrid]}"
+                )
         if rid is None:
             rid = len(self.names)
             self._rid[contig] = rid
@@ -172,6 +189,7 @@ class TbiBuilder:
         for w in range(w_beg, w_end + 1):
             if lin[w] < 0 or v_start < lin[w]:
                 lin[w] = v_start
+        self._last = (rid, start1)
 
     def build(self) -> TabixIndex:
         # -1 = uncovered window (in-memory convention; see bai.RefIndex)

@@ -194,6 +194,40 @@ def genomics_cram_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("region")
 
 
+@_q("genomics_vcf_write_roundtrip")
+def genomics_vcf_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VCF WRITE path under the gate: read test.vcf, write a single-file
+    BGZF VCF with a distributed .tbi into a per-run tempdir, then
+    re-read through the FRESH index with an interval (20:1M-2M must
+    .tbi-prune then keep exactly the 3 tail variants). Write, BGZF
+    merge, .tbi build/merge, and indexed read all under the hash gate."""
+    import tempfile
+
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.sinks.variants import write_vcf
+    from disq_spark.sources.variants import read_vcf
+
+    df, header = read_vcf(spark, os.path.join(FIXTURES, "test.vcf"))
+    out = os.path.join(tempfile.mkdtemp(prefix="disq_gate_vcfw_"), "out.vcf.bgz")
+    # tabix requires coordinate-sorted input (the builder now REFUSES
+    # unsorted records — a hash repartition here used to produce a
+    # silently-corrupt index); range partitioning keeps global order
+    # across the two parts
+    two_parts = df.repartitionByRange(2, "contig", "start").sortWithinPartitions(
+        "contig", "start"
+    )
+    write_vcf(two_parts, header, out, write_tbi=True)
+    if not os.path.exists(out + ".tbi"):
+        raise AssertionError(".tbi missing after single-file VCF write")
+    back, _h = read_vcf(spark, out, intervals=[Interval("20", 1_000_000, 2_000_000)])
+    return back.agg(
+        F.count("*").alias("n_variants"),
+        F.min("start").alias("min_pos"),
+        F.max("start").alias("max_pos"),
+        F.round(F.sum("qual"), 2).alias("sum_qual"),
+    )
+
+
 @_q("genomics_cram_write_roundtrip")
 def genomics_cram_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRAM WRITE path under the driver gate (it was pytest-only):
@@ -455,6 +489,11 @@ ORDER BY region
 # identical literals to genomics_bam_interval_query: same rows must come
 # back through the Parquet partition-pruning path as through .bai spans.
 ORACLE["genomics_materialized_interval"] = ORACLE["genomics_bam_interval_query"]
+
+ORACLE["genomics_vcf_write_roundtrip"] = """
+SELECT CAST(3 AS BIGINT) AS n_variants, CAST(1110696 AS BIGINT) AS min_pos,
+       CAST(1234567 AS BIGINT) AS max_pos, CAST(164.0 AS DOUBLE) AS sum_qual
+"""
 
 ORACLE["genomics_cram_write_roundtrip"] = """
 SELECT * FROM (VALUES

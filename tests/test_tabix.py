@@ -189,3 +189,23 @@ def test_written_tbi_prunes_correctly(spark, fixtures_dir, tmp_path):
     got = sorted(map(tuple, pruned.select("contig", "start", "ref").collect()))
     assert got == expect and len(got) > 0
     assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+
+
+def test_tbi_build_refuses_unsorted_input():
+    """Indexing unsorted records would produce a silently-corrupt index
+    (regions pruned that DO contain data); the builder must refuse,
+    matching htsjdk TabixIndexCreator's features-out-of-order error."""
+    import pytest
+
+    from disq_spark.formats.tabix import TbiBuilder
+
+    b = TbiBuilder()
+    b.add("20", 1000, 1010, 0, 100)
+    with pytest.raises(ValueError, match="coordinate-sorted"):
+        b.add("20", 500, 510, 100, 200)
+
+    b2 = TbiBuilder()
+    b2.add("20", 1000, 1010, 0, 100)
+    b2.add("21", 50, 60, 100, 200)
+    with pytest.raises(ValueError, match="contig-grouped"):
+        b2.add("20", 2000, 2010, 200, 300)
