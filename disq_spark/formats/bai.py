@@ -85,6 +85,7 @@ class BaiBuilder:
     def __init__(self, n_ref: int):
         self.refs = [RefIndex() for _ in range(n_ref)]
         self.n_no_coor = 0
+        self._last: tuple[int, int] | None = None  # (ref_id, pos0)
 
     def add(
         self,
@@ -101,6 +102,15 @@ class BaiBuilder:
         if ref_id < 0 or pos0 < 0:
             self.n_no_coor += 1
             return
+        # a header can CLAIM coordinate sort while the rows are not;
+        # indexing them would silently corrupt linear/chunk structure
+        # (htsjdk BAMIndexer raises "Alignment record out of order")
+        if self._last is not None and (ref_id, pos0) < self._last:
+            raise ValueError(
+                f".bai build requires coordinate-sorted records: "
+                f"ref {ref_id}:{pos0} after ref {self._last[0]}:{self._last[1]}"
+            )
+        self._last = (ref_id, pos0)
         r = self.refs[ref_id]
         if is_mapped:
             r.n_mapped += 1

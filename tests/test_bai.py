@@ -203,3 +203,22 @@ def test_idxstats_matches_full_scan(spark, fixtures_dir, tmp_path):
             assert got[r.c].length == lengths[r.c]
     # contigs with no reads still appear, zeroed
     assert len(got) == len(lengths) + 1
+
+
+def test_bai_build_refuses_unsorted_records():
+    """A header can claim coordinate sort while rows are not; the
+    builder must refuse rather than silently corrupt the index
+    (htsjdk BAMIndexer's record-out-of-order error)."""
+    import pytest
+
+    from disq_spark.formats.bai import BaiBuilder
+
+    b = BaiBuilder(2)
+    b.add(0, 1000, 1100, 4681, 0, 100, True)
+    with pytest.raises(ValueError, match="coordinate-sorted"):
+        b.add(0, 500, 600, 4681, 100, 200, True)
+
+    b2 = BaiBuilder(2)
+    b2.add(1, 1000, 1100, 4681, 0, 100, True)
+    with pytest.raises(ValueError, match="coordinate-sorted"):
+        b2.add(0, 2000, 2100, 4681, 100, 200, True)
