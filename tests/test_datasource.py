@@ -74,11 +74,26 @@ def test_bam_datasource_write_single_file(spark, fixtures_dir, tmp_path):
     from disq_spark.formats.sbi import read_sbi
     from disq_spark.sources.bam_source import read_bam
 
+    import pytest
+
     src = os.path.join(fixtures_dir, "1.bam")
     reads = spark.read.format("bam").load(src)
     out = str(tmp_path / "out.bam")
+    # a hash repartition breaks coordinate order; the header claims
+    # coordinate sort, so the .bai build must REFUSE (it used to emit a
+    # silently-corrupt index here)
+    with pytest.raises(Exception, match="coordinate-sorted"):
+        (
+            reads.repartition(4)
+            .write.format("bam")
+            .option("header_path", src)
+            .mode("overwrite")
+            .save(str(tmp_path / "bad.bam"))
+        )
+    # range partitioning preserves global coordinate order across parts
     (
-        reads.repartition(4)
+        reads.repartitionByRange(4, "contig", "start")
+        .sortWithinPartitions("contig", "start")
         .write.format("bam")
         .option("header_path", src)
         .mode("overwrite")
