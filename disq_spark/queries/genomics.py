@@ -194,6 +194,32 @@ def genomics_cram_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("region")
 
 
+@_q("genomics_guesser_diagnostic")
+def genomics_guesser_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The record-start-guesser diagnostic scan under the gate
+    (BamRecordGuesserChecker analog): every true record start must be
+    accepted and every probed non-start rejected — the guesser must be
+    EXACT on the fixture, i.e. zero FALSE_POSITIVE / FALSE_NEGATIVE
+    disagreements, plus the record count the walk covered."""
+    from disq_spark.sources.bam_source import check_record_guesser, read_bam
+
+    path = os.path.join(FIXTURES, "1.bam")
+    diag = check_record_guesser(spark, path, split_size=200_000)
+    df, _h = read_bam(spark, path, columns=["flags"])
+    return (
+        diag.agg(
+            F.count("*").alias("n_disagreements"),
+            F.coalesce(
+                F.sum((F.col("kind") == "FALSE_POSITIVE").cast("long")), F.lit(0)
+            ).alias("n_false_pos"),
+            F.coalesce(
+                F.sum((F.col("kind") == "FALSE_NEGATIVE").cast("long")), F.lit(0)
+            ).alias("n_false_neg"),
+        )
+        .crossJoin(F.broadcast(df.agg(F.count("*").alias("n_records"))))
+    )
+
+
 @_q("genomics_vcf_write_roundtrip")
 def genomics_vcf_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VCF WRITE path under the gate: read test.vcf, write a single-file
@@ -489,6 +515,11 @@ ORDER BY region
 # identical literals to genomics_bam_interval_query: same rows must come
 # back through the Parquet partition-pruning path as through .bai spans.
 ORACLE["genomics_materialized_interval"] = ORACLE["genomics_bam_interval_query"]
+
+ORACLE["genomics_guesser_diagnostic"] = """
+SELECT CAST(0 AS BIGINT) AS n_disagreements, CAST(0 AS BIGINT) AS n_false_pos,
+       CAST(0 AS BIGINT) AS n_false_neg, CAST(4917 AS BIGINT) AS n_records
+"""
 
 ORACLE["genomics_vcf_write_roundtrip"] = """
 SELECT CAST(3 AS BIGINT) AS n_variants, CAST(1110696 AS BIGINT) AS min_pos,
