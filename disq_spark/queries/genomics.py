@@ -272,7 +272,18 @@ def genomics_cram_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, os.path.join(FIXTURES, "valid.cram"), reference_path=fasta
     )
     out = os.path.join(tempfile.mkdtemp(prefix="disq_gate_cramw_"), "out.cram")
-    write_cram(df.repartition(3), header, out, reference_path=fasta)
+    # valid.cram's header claims SO:coordinate — a hash repartition here
+    # would scramble container order under a coordinate-claiming header
+    # (the CRAM analog of the corruption the .bai/.tbi builders now
+    # refuse); keep the sequence-dictionary order across the 3 parts
+    from disq_spark.operators.genomics import coordinate_sort
+
+    write_cram(
+        coordinate_sort(df, header, num_partitions=3),
+        header,
+        out,
+        reference_path=fasta,
+    )
     if not os.path.exists(out + ".crai"):
         raise AssertionError("merged .crai missing after single-file CRAM write")
     back, _h = read_cram(spark, out, reference_path=fasta)

@@ -432,6 +432,10 @@ def parquet_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     base_dir = os.path.join(tempfile.mkdtemp(prefix="disq_gate_upsert_"), "orders")
     o.write.parquet(base_dir)
+    # insert keys must live ABOVE the base key domain at ANY scale
+    # factor (a fixed +10M offset collides with real orderkeys from
+    # sf~1.67 up); derive from the base's own max, oracle does the same
+    ins_base = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
     upd = (
         o.filter(F.col("o_orderkey") < 100)
         .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
@@ -442,7 +446,7 @@ def parquet_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ins = (
         o.filter(F.col("o_orderkey") < 50)
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(ins_base))
         .withColumn("__del", F.lit(False))
     )
     upsert_parquet(
@@ -456,21 +460,22 @@ def parquet_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return after.agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        F.sum((F.col("o_orderkey") >= 10_000_000).cast("long")).alias("n_inserted"),
+        F.sum((F.col("o_orderkey") >= ins_base).cast("long")).alias("n_inserted"),
         F.max("o_orderkey").alias("max_key"),
     )
 
 
 ORACLE["parquet_upsert_check"] = """
-WITH merged AS (
+WITH ib AS (SELECT max(o_orderkey) + 1 AS k FROM orders),
+merged AS (
   SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 150
   UNION ALL
   SELECT o_orderkey, round(o_totalprice * 2, 2) FROM orders WHERE o_orderkey < 100
   UNION ALL
-  SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey < 50
+  SELECT o_orderkey + (SELECT k FROM ib), o_totalprice FROM orders WHERE o_orderkey < 50
 )
 SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price,
-       CAST(sum(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+       CAST(sum(CASE WHEN o_orderkey >= (SELECT k FROM ib) THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
        CAST(max(o_orderkey) AS BIGINT) AS max_key
 FROM merged
 """

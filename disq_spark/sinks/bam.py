@@ -77,6 +77,12 @@ def encode_part(
     n = 0
     offsets: list[int] = []
     bai = baimod.BaiBuilder(len(ref_index)) if with_bai else None
+    # first/last coordinate key of this part: the builder guard proves
+    # WITHIN-part order; these let the driver-side merge prove order
+    # ACROSS parts (per-part-sorted but globally-interleaved input would
+    # otherwise still produce a silently-corrupt merged .bai)
+    first_key: tuple[int, int] | None = None
+    last_key: tuple[int, int] | None = None
     with _dfs.open_output(tmp) as f:
         w = bgzf.BgzfWriter(f, terminate=False)
         for row in rows:
@@ -101,6 +107,9 @@ def encode_part(
                         w.virtual_offset,
                         int(row["flags"]) & FLAG_UNMAPPED == 0,
                     )
+                    last_key = (ref_index[contig], pos0)
+                    if first_key is None:
+                        first_key = last_key
         dangling = w.virtual_offset  # last record's end, pre-final-flush
         w.close()
     base = os.path.basename(part_path)
@@ -116,6 +125,12 @@ def encode_part(
             if dangling & 0xFFFF:
                 baimod.patch_dangling_end(built, dangling, w.compressed_len << 16)
             baimod.write_bai(os.path.join(parts_dir, f".{base}.bai"), built, fragment=True)
+            import json as _json
+
+            with _dfs.open_output(os.path.join(parts_dir, f".{base}.order")) as f:
+                f.write(
+                    _json.dumps({"first": first_key, "last": last_key}).encode("ascii")
+                )
     else:
         _dfs.remove(tmp)
     return n
@@ -158,6 +173,34 @@ def _write_single(
                     with_sbi, with_bai)
 
 
+def _check_cross_part_order(parts_dir: str, part_paths: list[str]) -> None:
+    """Per-part builders prove WITHIN-part coordinate order; this proves
+    it ACROSS parts before the .bai merge: each part's first key must be
+    >= the previous part's last key (per-part-sorted but globally-
+    interleaved input — e.g. a hash repartition of sorted data — would
+    otherwise still produce a silently-corrupt merged index)."""
+    import json as _json
+
+    prev_last: tuple[int, int] | None = None
+    prev_part = None
+    for pp in part_paths:
+        opath = os.path.join(parts_dir, "." + os.path.basename(pp) + ".order")
+        if not _dfs.exists(opath):
+            continue  # older fragments without sidecars: nothing to prove
+        with _dfs.open_input(opath) as f:
+            meta = _json.loads(f.read().decode("ascii"))
+        first, last = meta.get("first"), meta.get("last")
+        if first is None:
+            continue  # part had no coordinate records
+        if prev_last is not None and tuple(first) < tuple(prev_last):
+            raise ValueError(
+                f".bai merge requires globally coordinate-sorted parts: "
+                f"{os.path.basename(pp)} starts at ref {first[0]}:{first[1]} "
+                f"before {prev_part} ended at ref {prev_last[0]}:{prev_last[1]}"
+            )
+        prev_last, prev_part = last, os.path.basename(pp)
+
+
 def finalize_single(
     path: str,
     parts_dir: str,
@@ -194,6 +237,7 @@ def finalize_single(
         merged.file_length = _dfs.getsize(path)
         sbimod.write_sbi(path + ".sbi", merged)
     if with_bai:
+        _check_cross_part_order(parts_dir, part_paths)
         part_bais = [
             baimod.read_bai(os.path.join(parts_dir, "." + os.path.basename(pp) + ".bai"), fragment=True)
             for pp in part_paths

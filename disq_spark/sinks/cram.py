@@ -153,16 +153,35 @@ def _write_single(
     if with_crai:
         entries = []
         shift = lengths[0]
+        last_key = None  # (rid, start) of the previous mapped slice
+        last_part = None
         for pp, plen in zip(part_paths, lengths[1:]):
             frag = os.path.join(parts_dir, "." + os.path.basename(pp) + ".crai")
             with io.TextIOWrapper(_dfs.open_input(frag)) as cf:
                 for line in cf:
                     rid, start, span, c_off, s_off, s_size = (int(x) for x in line.split("\t"))
+                    # slice entries carry genomic coordinates, so global
+                    # order is checkable directly at merge time (the
+                    # .bai/.tbi sidecar analog); unmapped rid<0 sorts
+                    # last and is skipped
+                    if rid >= 0:
+                        if last_key is not None and (rid, start) < last_key:
+                            raise ValueError(
+                                f".crai merge requires globally coordinate-"
+                                f"sorted parts: {os.path.basename(pp)} has "
+                                f"slice ref {rid}:{start} after {last_part} "
+                                f"ended at ref {last_key[0]}:{last_key[1]}"
+                            )
+                        last_key = (rid, start)
+                        last_part = os.path.basename(pp)
                     entries.append((rid, start, span, c_off + shift, s_off, s_size))
             shift += plen
-        with gzip.open(_dfs.open_output(path + ".crai"), "wt") as f:
-            for e in entries:
-                f.write("\t".join(str(x) for x in e) + "\n")
+        # GzipFile never closes a caller-supplied fileobj; close the raw
+        # stream explicitly (fsspec/memory sinks publish bytes on close)
+        with _dfs.open_output(path + ".crai") as raw:
+            with gzip.GzipFile(fileobj=raw, mode="wb") as gz:
+                for e in entries:
+                    gz.write(("\t".join(str(x) for x in e) + "\n").encode("ascii"))
     merge.cleanup(parts_dir)
 
 

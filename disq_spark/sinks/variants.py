@@ -80,6 +80,11 @@ def encode_vcf_part(
     tmp = part_path + ".tmp"
     tbi = tbimod.TbiBuilder() if with_tbi else None
     dangling = 0
+    # first/last (contig, pos) of the part: the builder guard proves
+    # within-part order, the driver merge uses these to prove it across
+    # parts (see _check_cross_part_order)
+    first_key = None
+    last_key = None
     with _dfs.open_output(tmp) as f:
         sink = bgzf.BgzfWriter(f, terminate=False) if compress else f
         for pdf in batches:
@@ -97,6 +102,9 @@ def encode_vcf_part(
                     v_start = sink.virtual_offset
                     sink.write(line.encode("utf-8") + b"\n")
                     tbi.add(contig, int(start), int(end), v_start, sink.virtual_offset)
+                    last_key = (contig, int(start))
+                    if first_key is None:
+                        first_key = last_key
             n += len(pdf)
         if compress:
             dangling = sink.virtual_offset
@@ -111,6 +119,12 @@ def encode_vcf_part(
             tbimod.write_tbi(
                 os.path.join(parts_dir, f".{base}.tbi"), built, fragment=True
             )
+            import json as _json
+
+            with _dfs.open_output(os.path.join(parts_dir, f".{base}.order")) as f:
+                f.write(
+                    _json.dumps({"first": first_key, "last": last_key}).encode("utf-8")
+                )
     else:
         _dfs.remove(tmp)
     return n
@@ -138,6 +152,7 @@ def finalize_single(
         with _dfs.open_append(path) as f:
             f.write(bgzf.EOF_BLOCK)
     if with_tbi:
+        _check_cross_part_order(parts_dir, part_paths)
         part_idx = [
             tbimod.read_tbi(os.path.join(parts_dir, "." + os.path.basename(pp) + ".tbi"), fragment=True)
             for pp in part_paths
@@ -145,6 +160,48 @@ def finalize_single(
         merged = tbimod.merge_tbi(part_idx, lengths[1:], base_offset=lengths[0])
         tbimod.write_tbi(path + ".tbi", merged)
     merge.cleanup(parts_dir)
+
+
+def _check_cross_part_order(parts_dir: str, part_paths: list[str]) -> None:
+    """Prove coordinate order ACROSS parts before the .tbi merge (the
+    per-part builder guard only proves within-part order): each part's
+    first (contig, pos) must continue the previous part's last — same
+    contig at an equal-or-later position, or a contig not seen in any
+    earlier part."""
+    import json as _json
+
+    done: set[str] = set()
+    cur: str | None = None
+    cur_last = -1
+    prev_part = None
+    for pp in part_paths:
+        opath = os.path.join(parts_dir, "." + os.path.basename(pp) + ".order")
+        if not _dfs.exists(opath):
+            continue
+        with _dfs.open_input(opath) as f:
+            meta = _json.loads(f.read().decode("utf-8"))
+        first, last = meta.get("first"), meta.get("last")
+        if first is None:
+            continue
+        fc, fp = first
+        lc, lp = last
+        if cur is not None and fc == cur:
+            if fp < cur_last:
+                raise ValueError(
+                    f".tbi merge requires globally coordinate-sorted parts: "
+                    f"{os.path.basename(pp)} starts at {fc}:{fp} before "
+                    f"{prev_part} ended at {cur}:{cur_last}"
+                )
+        elif fc in done:
+            raise ValueError(
+                f".tbi merge requires contig-grouped parts: {fc} in "
+                f"{os.path.basename(pp)} reappears after an earlier part"
+            )
+        elif cur is not None:
+            done.add(cur)
+        if lc != fc:
+            done.add(fc)
+        cur, cur_last, prev_part = lc, lp, os.path.basename(pp)
 
 
 def _write_single(df: DataFrame, header: VcfHeader, path: str, with_tbi: bool = False) -> None:

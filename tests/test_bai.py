@@ -222,3 +222,20 @@ def test_bai_build_refuses_unsorted_records():
     b2.add(1, 1000, 1100, 4681, 0, 100, True)
     with pytest.raises(ValueError, match="coordinate-sorted"):
         b2.add(0, 2000, 2100, 4681, 100, 200, True)
+
+
+def test_bai_merge_refuses_globally_interleaved_parts(spark, fixtures_dir, tmp_path):
+    """Per-part-sorted but globally-interleaved parts (each part
+    internally ordered, ranges overlapping across parts) must be refused
+    at merge time — within-part guards alone cannot see this."""
+    import pytest
+
+    from disq_spark.sinks.bam import write_bam
+    from disq_spark.sources.bam_source import read_bam
+
+    df, header = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    # 4 hash partitions, each sorted within itself: every part spans
+    # nearly the whole coordinate range -> interleaved globally
+    bad = df.repartition(4).sortWithinPartitions("contig", "start")
+    with pytest.raises(Exception, match="globally coordinate-sorted"):
+        write_bam(bad, header, str(tmp_path / "bad.bam"), write_bai=True)

@@ -90,10 +90,15 @@ def test_bam_datasource_write_single_file(spark, fixtures_dir, tmp_path):
             .mode("overwrite")
             .save(str(tmp_path / "bad.bam"))
         )
-    # range partitioning preserves global coordinate order across parts
+    # the legal recipe is coordinate_sort (sequence-dictionary contig
+    # RANK, not the contig string — lexicographic contig order would put
+    # "10" before "2" and trip the guard on multi-contig files)
+    from disq_spark.operators.genomics import coordinate_sort
+    from disq_spark.sources.bam_source import read_bam as _rb
+
+    _, hdr = _rb(spark, src)
     (
-        reads.repartitionByRange(4, "contig", "start")
-        .sortWithinPartitions("contig", "start")
+        coordinate_sort(reads, hdr, num_partitions=4)
         .write.format("bam")
         .option("header_path", src)
         .mode("overwrite")

@@ -94,8 +94,9 @@ def test_mapped_only_rejected(spark, fixtures_dir):
 
 
 def test_small_sam_fixture(spark, fixtures_dir):
-    """The reference's small.sam: quoted CL header fields with tabs must
-    survive, 20 records, PG chain p2->p1, tag round-trip."""
+    """The reference's small.sam: quoted CL header fields (spaces inside
+    the quotes) must survive, 20 records, PG chain p2->p1, tag
+    round-trip."""
     import os
 
     from disq_spark.sources.reads import read_sam

@@ -209,3 +209,19 @@ def test_tbi_build_refuses_unsorted_input():
     b2.add("21", 50, 60, 100, 200)
     with pytest.raises(ValueError, match="contig-grouped"):
         b2.add("20", 2000, 2010, 200, 300)
+
+
+def test_tbi_merge_refuses_globally_interleaved_parts(spark, fixtures_dir, tmp_path):
+    """Per-part-sorted but globally-interleaved VCF parts must be
+    refused at merge time (cross-part analog of the builder guard)."""
+    import os
+
+    import pytest
+
+    from disq_spark.sinks.variants import write_vcf
+    from disq_spark.sources.variants import read_vcf
+
+    df, header = read_vcf(spark, os.path.join(fixtures_dir, "HiSeq.10000.vcf.bgz"))
+    bad = df.repartition(3).sortWithinPartitions("contig", "start")
+    with pytest.raises(Exception, match="globally coordinate-sorted"):
+        write_vcf(bad, header, str(tmp_path / "bad.vcf.bgz"), write_tbi=True)
