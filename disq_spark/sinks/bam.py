@@ -80,9 +80,14 @@ def encode_part(
     # first/last coordinate key of this part: the builder guard proves
     # WITHIN-part order; these let the driver-side merge prove order
     # ACROSS parts (per-part-sorted but globally-interleaved input would
-    # otherwise still produce a silently-corrupt merged .bai)
+    # otherwise still produce a silently-corrupt merged .bai).
+    # unplaced_seen: BAM coordinate sort puts unplaced reads LAST — a
+    # placed record after an unplaced one is refused here, and the flag
+    # rides the sidecar so the merge can refuse placed parts after an
+    # unplaced tail.
     first_key: tuple[int, int] | None = None
     last_key: tuple[int, int] | None = None
+    unplaced_seen = False
     with _dfs.open_output(tmp) as f:
         w = bgzf.BgzfWriter(f, terminate=False)
         for row in rows:
@@ -95,7 +100,14 @@ def encode_part(
                 contig, start = row["contig"], row["start"]
                 if contig is None or start is None or pd.isna(start):
                     bai.add(-1, -1, -1, 0, v_start, w.virtual_offset, False)
+                    unplaced_seen = True
                 else:
+                    if unplaced_seen:
+                        raise ValueError(
+                            ".bai build requires coordinate-sorted records: "
+                            "placed record after unplaced reads (unplaced "
+                            "must sort last)"
+                        )
                     pos0 = int(start) - 1
                     end0 = int(row["end"]) if row["end"] is not None and not pd.isna(row["end"]) else pos0 + 1
                     bai.add(
@@ -125,12 +137,11 @@ def encode_part(
             if dangling & 0xFFFF:
                 baimod.patch_dangling_end(built, dangling, w.compressed_len << 16)
             baimod.write_bai(os.path.join(parts_dir, f".{base}.bai"), built, fragment=True)
-            import json as _json
-
-            with _dfs.open_output(os.path.join(parts_dir, f".{base}.order")) as f:
-                f.write(
-                    _json.dumps({"first": first_key, "last": last_key}).encode("ascii")
-                )
+            merge.write_order_sidecar(
+                parts_dir,
+                base,
+                {"first": first_key, "last": last_key, "unplaced": unplaced_seen},
+            )
     else:
         _dfs.remove(tmp)
     return n
@@ -175,30 +186,36 @@ def _write_single(
 
 def _check_cross_part_order(parts_dir: str, part_paths: list[str]) -> None:
     """Per-part builders prove WITHIN-part coordinate order; this proves
-    it ACROSS parts before the .bai merge: each part's first key must be
-    >= the previous part's last key (per-part-sorted but globally-
-    interleaved input — e.g. a hash repartition of sorted data — would
-    otherwise still produce a silently-corrupt merged index)."""
-    import json as _json
-
+    it ACROSS parts before the .bai merge: each part's first placed key
+    must be >= the previous part's last placed key, and no placed part
+    may follow a part containing unplaced reads (unplaced sort last).
+    Per-part-sorted but globally-interleaved input — e.g. a hash
+    repartition of sorted data — would otherwise still produce a
+    silently-corrupt merged index."""
     prev_last: tuple[int, int] | None = None
     prev_part = None
+    unplaced_part = None
     for pp in part_paths:
-        opath = os.path.join(parts_dir, "." + os.path.basename(pp) + ".order")
-        if not _dfs.exists(opath):
+        base = os.path.basename(pp)
+        meta = merge.read_order_sidecar(parts_dir, base)
+        if meta is None:
             continue  # older fragments without sidecars: nothing to prove
-        with _dfs.open_input(opath) as f:
-            meta = _json.loads(f.read().decode("ascii"))
         first, last = meta.get("first"), meta.get("last")
-        if first is None:
-            continue  # part had no coordinate records
-        if prev_last is not None and tuple(first) < tuple(prev_last):
-            raise ValueError(
-                f".bai merge requires globally coordinate-sorted parts: "
-                f"{os.path.basename(pp)} starts at ref {first[0]}:{first[1]} "
-                f"before {prev_part} ended at ref {prev_last[0]}:{prev_last[1]}"
-            )
-        prev_last, prev_part = last, os.path.basename(pp)
+        if first is not None:
+            if unplaced_part is not None:
+                raise ValueError(
+                    f".bai merge requires unplaced reads last: {base} has "
+                    f"placed records after unplaced reads in {unplaced_part}"
+                )
+            if prev_last is not None and tuple(first) < tuple(prev_last):
+                raise ValueError(
+                    f".bai merge requires globally coordinate-sorted parts: "
+                    f"{base} starts at ref {first[0]}:{first[1]} "
+                    f"before {prev_part} ended at ref {prev_last[0]}:{prev_last[1]}"
+                )
+            prev_last, prev_part = last, base
+        if meta.get("unplaced"):
+            unplaced_part = base
 
 
 def finalize_single(

@@ -81,8 +81,13 @@ def write_cram(
         _write_sharded(df, header, ref_index, path, reference_path)
 
 
-def _encode_partition_containers(batches, ref_index, reference_path):
-    """Yields (container_bytes, crai_entries_with_relative_offsets)."""
+def _encode_partition_containers(batches, ref_index, reference_path, require_sorted=False):
+    """Yields (container_bytes, crai_entries_with_relative_offsets).
+
+    ``require_sorted``: refuse records out of coordinate order (placed by
+    (ref rank, pos), unplaced last) — the per-RECORD guard the .bai/.tbi
+    builders have natively; crai entries alone carry only per-slice
+    min/max spans, which cannot prove record order after the fact."""
     ref = open_reference(reference_path) if reference_path else None
 
     def get_ref(contig, s1, e1):
@@ -90,9 +95,30 @@ def _encode_partition_containers(batches, ref_index, reference_path):
             raise ValueError("CRAM write of mapped sequences requires reference_path")
         return ref.get(contig, s1, e1)
 
+    last_key = None
+
+    def _checked(pdf):
+        nonlocal last_key
+        for t in _row_tuples(pdf):
+            if require_sorted:
+                contig, start = t[2], t[3]
+                key = (
+                    (1, 0, 0)
+                    if contig is None or start is None
+                    else (0, ref_index[contig], start)
+                )
+                if last_key is not None and key < last_key:
+                    raise ValueError(
+                        "CRAM write with a coordinate sort-order header "
+                        "requires coordinate-sorted records: "
+                        f"{contig}:{start} out of order"
+                    )
+                last_key = key
+            yield t
+
     pending: list[tuple] = []
     for pdf in batches:
-        pending.extend(_row_tuples(pdf))
+        pending.extend(_checked(pdf))
         while len(pending) >= RECORDS_PER_CONTAINER:
             chunk, pending = pending[:RECORDS_PER_CONTAINER], pending[RECORDS_PER_CONTAINER:]
             yield CE.encode_container(chunk, ref_index, get_ref)
@@ -110,6 +136,9 @@ def _write_single(
 ) -> None:
     parts_dir = path + ".parts"
     _dfs.makedirs(parts_dir)
+    # .crai is only trustworthy over coordinate order; when the header
+    # claims it, refuse records that violate it (the .bai/.tbi analog)
+    require_sorted = with_crai and header.sort_order == "coordinate"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -121,7 +150,9 @@ def _write_single(
         crai_rows = []
         offset = 0
         with _dfs.open_output(tmp) as f:
-            for container, crai in _encode_partition_containers(batches, ref_index, reference_path):
+            for container, crai in _encode_partition_containers(
+                batches, ref_index, reference_path, require_sorted=require_sorted
+            ):
                 f.write(container)
                 for (rid, start, span, _c0, s_off, s_size) in crai:
                     crai_rows.append((rid, start, span, offset, s_off, s_size))

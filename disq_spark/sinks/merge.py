@@ -86,3 +86,25 @@ def prepare_overwrite(path: str, index_exts: tuple[str, ...] = ()) -> None:
     for ext in index_exts:
         if _dfs.exists(path + ext):
             _dfs.remove(path + ext)
+
+
+def write_order_sidecar(parts_dir: str, part_base: str, meta: dict) -> None:
+    """Persist per-part ordering metadata (first/last coordinate keys,
+    contig sequence, unplaced flag) next to the part's hidden index
+    fragment, for the driver-side cross-part order validation."""
+    import json
+
+    with _dfs.open_output(os.path.join(parts_dir, f".{part_base}.order")) as f:
+        f.write(json.dumps(meta).encode("utf-8"))
+
+
+def read_order_sidecar(parts_dir: str, part_base: str) -> dict | None:
+    """Counterpart of write_order_sidecar; None when absent (older
+    fragments carry nothing to prove)."""
+    import json
+
+    path = os.path.join(parts_dir, f".{part_base}.order")
+    if not _dfs.exists(path):
+        return None
+    with _dfs.open_input(path) as f:
+        return json.loads(f.read().decode("utf-8"))

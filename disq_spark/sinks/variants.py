@@ -119,12 +119,14 @@ def encode_vcf_part(
             tbimod.write_tbi(
                 os.path.join(parts_dir, f".{base}.tbi"), built, fragment=True
             )
-            import json as _json
-
-            with _dfs.open_output(os.path.join(parts_dir, f".{base}.order")) as f:
-                f.write(
-                    _json.dumps({"first": first_key, "last": last_key}).encode("utf-8")
-                )
+            # contigs = the part's FULL contig sequence in order (the
+            # builder registers them by first appearance) — first/last
+            # alone would hide interior contigs from the cross-part check
+            merge.write_order_sidecar(
+                parts_dir,
+                base,
+                {"first": first_key, "last": last_key, "contigs": built.names},
+            )
     else:
         _dfs.remove(tmp)
     return n
@@ -164,44 +166,47 @@ def finalize_single(
 
 def _check_cross_part_order(parts_dir: str, part_paths: list[str]) -> None:
     """Prove coordinate order ACROSS parts before the .tbi merge (the
-    per-part builder guard only proves within-part order): each part's
-    first (contig, pos) must continue the previous part's last — same
-    contig at an equal-or-later position, or a contig not seen in any
-    earlier part."""
-    import json as _json
-
+    per-part builder guard only proves within-part order). Each part's
+    sidecar carries its FULL ordered contig sequence: a part's first
+    contig must either continue the previous part's last contig at an
+    equal-or-later position or be brand new, and every other contig in
+    the sequence must be brand new (any contig finished in an earlier
+    part — including interior ones — reappearing means the concatenation
+    interleaves contigs)."""
     done: set[str] = set()
     cur: str | None = None
     cur_last = -1
     prev_part = None
     for pp in part_paths:
-        opath = os.path.join(parts_dir, "." + os.path.basename(pp) + ".order")
-        if not _dfs.exists(opath):
+        base = os.path.basename(pp)
+        meta = merge.read_order_sidecar(parts_dir, base)
+        if meta is None:
             continue
-        with _dfs.open_input(opath) as f:
-            meta = _json.loads(f.read().decode("utf-8"))
         first, last = meta.get("first"), meta.get("last")
         if first is None:
             continue
         fc, fp = first
         lc, lp = last
-        if cur is not None and fc == cur:
-            if fp < cur_last:
+        contigs = meta.get("contigs") or ([fc] if fc == lc else [fc, lc])
+        for i, c in enumerate(contigs):
+            if i == 0 and cur is not None and c == cur:
+                if fp < cur_last:
+                    raise ValueError(
+                        f".tbi merge requires globally coordinate-sorted "
+                        f"parts: {base} starts at {fc}:{fp} before "
+                        f"{prev_part} ended at {cur}:{cur_last}"
+                    )
+                continue  # legal continuation of the open contig
+            if c in done or c == cur:
                 raise ValueError(
-                    f".tbi merge requires globally coordinate-sorted parts: "
-                    f"{os.path.basename(pp)} starts at {fc}:{fp} before "
-                    f"{prev_part} ended at {cur}:{cur_last}"
+                    f".tbi merge requires contig-grouped parts: {c} in "
+                    f"{base} reappears after an earlier part"
                 )
-        elif fc in done:
-            raise ValueError(
-                f".tbi merge requires contig-grouped parts: {fc} in "
-                f"{os.path.basename(pp)} reappears after an earlier part"
-            )
-        elif cur is not None:
+        # everything before this part's last contig is now finished
+        if cur is not None and cur != contigs[0]:
             done.add(cur)
-        if lc != fc:
-            done.add(fc)
-        cur, cur_last, prev_part = lc, lp, os.path.basename(pp)
+        done.update(contigs[:-1])
+        cur, cur_last, prev_part = lc, lp, base
 
 
 def _write_single(df: DataFrame, header: VcfHeader, path: str, with_tbi: bool = False) -> None:

@@ -160,10 +160,19 @@ def test_cram_write_roundtrip_single_file(spark, fixtures_dir, tmp_path):
     with our own reader — value-identical records (CramSink analog)."""
     from disq_spark.sinks.cram import write_cram
 
+    import pytest
+
+    from disq_spark.operators.genomics import coordinate_sort
+
     fasta = os.path.join(fixtures_dir, "valid.fasta")
     df, header = read_cram(spark, os.path.join(fixtures_dir, "valid.cram"), reference_path=fasta)
     out = str(tmp_path / "out.cram")
-    write_cram(df.repartition(3), header, out, reference_path=fasta)
+    # hash repartition scrambles order under the SO:coordinate header:
+    # the per-record guard must refuse (it used to silently write a
+    # .crai over out-of-order containers)
+    with pytest.raises(Exception, match="coordinate-sorted records"):
+        write_cram(df.repartition(3), header, str(tmp_path / "bad.cram"), reference_path=fasta)
+    write_cram(coordinate_sort(df, header, num_partitions=3), header, out, reference_path=fasta)
     assert os.path.exists(out) and os.path.exists(out + ".crai")
 
     back, header2 = read_cram(spark, out, reference_path=fasta)

@@ -225,3 +225,42 @@ def test_tbi_merge_refuses_globally_interleaved_parts(spark, fixtures_dir, tmp_p
     bad = df.repartition(3).sortWithinPartitions("contig", "start")
     with pytest.raises(Exception, match="globally coordinate-sorted"):
         write_vcf(bad, header, str(tmp_path / "bad.vcf.bgz"), write_tbi=True)
+
+
+def test_tbi_cross_part_check_sees_interior_contigs(tmp_path):
+    """The two holes from review: (1) a later part revisiting a contig
+    INTERIOR to an earlier part, (2) a part whose own LAST contig
+    revisits an earlier one — both must be refused; a legal continuation
+    must pass."""
+    import pytest
+
+    from disq_spark.sinks import merge
+    from disq_spark.sinks.variants import _check_cross_part_order
+
+    d = str(tmp_path)
+
+    def sidecar(base, contigs, first, last):
+        merge.write_order_sidecar(d, base, {"contigs": contigs, "first": first, "last": last})
+        return base
+
+    # hole 1: chr2 is interior to part0, revisited by part1
+    p0 = sidecar("part-00000", ["chr1", "chr2", "chr3"], ["chr1", 100], ["chr3", 50])
+    p1 = sidecar("part-00001", ["chr2"], ["chr2", 10], ["chr2", 99])
+    with pytest.raises(ValueError, match="contig-grouped"):
+        _check_cross_part_order(d, [p0, p1])
+
+    # hole 2: part1's LAST contig revisits part0's first
+    p0 = sidecar("part-00010", ["chr1", "chr2"], ["chr1", 5], ["chr2", 9])
+    p1 = sidecar("part-00011", ["chr2", "chr1"], ["chr2", 20], ["chr1", 3])
+    with pytest.raises(ValueError, match="contig-grouped"):
+        _check_cross_part_order(d, [p0, p1])
+
+    # legal: same-contig continuation then a fresh contig
+    p0 = sidecar("part-00020", ["chr1"], ["chr1", 5], ["chr1", 50])
+    p1 = sidecar("part-00021", ["chr1", "chr2"], ["chr1", 50], ["chr2", 10])
+    _check_cross_part_order(d, [p0, p1])
+
+    # position regression on the open contig
+    p1 = sidecar("part-00022", ["chr1"], ["chr1", 40], ["chr1", 90])
+    with pytest.raises(ValueError, match="coordinate-sorted"):
+        _check_cross_part_order(d, [p0, p1])
