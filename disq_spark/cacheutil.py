@@ -56,6 +56,41 @@ def cache_key(*parts: object) -> str:
     return hashlib.md5(raw.encode()).hexdigest()[:12]
 
 
+def gate_scratch_dir(name: str) -> str:
+    """Per-process scratch directory for WRITE-path gates (the ones that
+    must re-run their write every invocation, unlike ensure_cached_dir's
+    build-once artifacts).
+
+    The gate's returned DataFrame is lazy — the driver collects it after
+    the gate function returns — so the scratch files must outlive the
+    function; cleanup happens at interpreter exit instead. Dirs are
+    pid-suffixed (concurrent gate processes never collide) and leftovers
+    from dead processes (kill -9) are swept on the next call, so disk
+    use is bounded at one scratch set per LIVE process rather than
+    accumulating one per historical run."""
+    import atexit
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "disq_gate_scratch")
+    os.makedirs(root, exist_ok=True)
+    for d in os.listdir(root):
+        pid_s = d.rsplit(".", 1)[-1]
+        if pid_s.isdigit() and int(pid_s) != os.getpid():
+            try:
+                os.kill(int(pid_s), 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            except PermissionError:
+                pass
+    path = os.path.join(root, f"{name}.{os.getpid()}")
+    # same gate re-run within one process (or a pid-reuse leftover):
+    # start clean; duplicate atexit registrations are harmless no-ops
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def ensure_cached_dir(final_dir: str, build: Callable[[str], None]) -> str:
     """Return ``final_dir``, building it via ``build(tmp_dir)`` if absent.
 

@@ -68,6 +68,41 @@ def write_sbi(path: str, index: SbiIndex) -> None:
         f.write(struct.pack(f"<{len(index.offsets)}q", *index.offsets))
 
 
+def write_sbi_stream(
+    path: str,
+    file_length: int,
+    total_records: int,
+    granularity: int,
+    num_offsets: int,
+    blob_paths: list[str],
+    tail_offset: int,
+    buf_size: int = 8 * 1024 * 1024,
+) -> None:
+    """Write an .sbi by STREAMING pre-packed little-endian int64 offset
+    blobs from fragment files, never materializing the offset array.
+
+    This is the driver-memory-bounded path for index construction over
+    very large inputs (10^12 records at granularity 1 would be ~8 TB of
+    offsets — nothing any single heap should hold): tasks write their
+    packed offsets as fragment files, the driver concatenates them here
+    in chunk order and appends the end-of-data sentinel. Driver peak
+    memory is O(buf_size), independent of record count.
+    """
+    with fs.open_output(path) as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<q", file_length))
+        f.write(b"\x00" * 32)  # md5 + uuid (optional integrity fields)
+        f.write(struct.pack("<qqq", total_records, granularity, num_offsets))
+        for bp in blob_paths:
+            with fs.open_input(bp) as src:
+                while True:
+                    chunk = src.read(buf_size)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+        f.write(struct.pack("<q", tail_offset))
+
+
 def merge_sbi(
     parts: list[SbiIndex],
     part_lengths: list[int],

@@ -227,14 +227,13 @@ def genomics_vcf_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-read through the FRESH index with an interval (20:1M-2M must
     .tbi-prune then keep exactly the 3 tail variants). Write, BGZF
     merge, .tbi build/merge, and indexed read all under the hash gate."""
-    import tempfile
-
+    from disq_spark.cacheutil import gate_scratch_dir
     from disq_spark.functions.intervals import Interval
     from disq_spark.sinks.variants import write_vcf
     from disq_spark.sources.variants import read_vcf
 
     df, header = read_vcf(spark, os.path.join(FIXTURES, "test.vcf"))
-    out = os.path.join(tempfile.mkdtemp(prefix="disq_gate_vcfw_"), "out.vcf.bgz")
+    out = os.path.join(gate_scratch_dir("vcfw"), "out.vcf.bgz")
     # tabix requires coordinate-sorted input (the builder now REFUSES
     # unsorted records — a hash repartition here used to produce a
     # silently-corrupt index); range partitioning keeps global order
@@ -262,8 +261,7 @@ def genomics_cram_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     and aggregate — the literals are the fixture's ground truth, so a
     regression anywhere in encode -> concat -> index-merge -> re-decode
     fails the hash gate."""
-    import tempfile
-
+    from disq_spark.cacheutil import gate_scratch_dir
     from disq_spark.sinks.cram import write_cram
     from disq_spark.sources.cram_source import read_cram
 
@@ -271,7 +269,7 @@ def genomics_cram_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     df, header = read_cram(
         spark, os.path.join(FIXTURES, "valid.cram"), reference_path=fasta
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="disq_gate_cramw_"), "out.cram")
+    out = os.path.join(gate_scratch_dir("cramw"), "out.cram")
     # valid.cram's header claims SO:coordinate — a hash repartition here
     # would scramble container order under a coordinate-claiming header
     # (the CRAM analog of the corruption the .bai/.tbi builders now

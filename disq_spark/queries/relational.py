@@ -425,12 +425,11 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 # ---------------------------------------------------------------------------
 @_q("parquet_upsert_check")
 def parquet_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from disq_spark.cacheutil import gate_scratch_dir
     from disq_spark.sinks.compact import upsert_parquet
 
     o = load(spark, sf_dir, "orders")
-    base_dir = os.path.join(tempfile.mkdtemp(prefix="disq_gate_upsert_"), "orders")
+    base_dir = os.path.join(gate_scratch_dir("upsert"), "orders")
     o.write.parquet(base_dir)
     # insert keys must live ABOVE the base key domain at ANY scale
     # factor (a fixed +10M offset collides with real orderkeys from

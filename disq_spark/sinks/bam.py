@@ -154,13 +154,10 @@ def _encode_partition(
     granularity: int,
     with_bai: bool,
 ):
-    from pyspark import TaskContext
-
-    pid = TaskContext.get().partitionId()
-    part_path = os.path.join(parts_dir, f"part-{pid:05d}")
+    part_path = merge.attempt_part_path(parts_dir)
     rows = (row for pdf in batches for row in pdf.to_dict("records"))
     n = encode_part(rows, part_path, ref_index, granularity, with_bai)
-    yield pd.DataFrame({"part": [part_path], "n": [n]})
+    yield pd.DataFrame({"part": [part_path if n else ""], "n": [n]})
 
 
 def _write_single(
@@ -179,8 +176,8 @@ def _write_single(
     def run(batches):
         yield from _encode_partition(batches, parts_dir, ref_index, granularity, with_bai)
 
-    df.mapInPandas(run, "part string, n long").collect()
-    finalize_single(path, parts_dir, header, refs, merge.list_parts(parts_dir),
+    rows = df.mapInPandas(run, "part string, n long").collect()
+    finalize_single(path, parts_dir, header, refs, merge.collected_parts(rows),
                     with_sbi, with_bai)
 
 
@@ -199,7 +196,14 @@ def _check_cross_part_order(parts_dir: str, part_paths: list[str]) -> None:
         base = os.path.basename(pp)
         meta = merge.read_order_sidecar(parts_dir, base)
         if meta is None:
-            continue  # older fragments without sidecars: nothing to prove
+            # encode_part always writes the .bai fragment and the .order
+            # sidecar together; a part in the finalize set without its
+            # sidecar can only be a partially-failed or foreign file —
+            # exactly when the merged index would be least trustworthy
+            raise ValueError(
+                f".bai merge: part {base} has no .order sidecar — "
+                "refusing to merge an unverifiable part"
+            )
         first, last = meta.get("first"), meta.get("last")
         if first is not None:
             if unplaced_part is not None:
@@ -228,39 +232,51 @@ def finalize_single(
     with_bai: bool,
 ) -> None:
     """Driver-side single-file commit: compressed header, concat in part
-    order, BGZF terminator, offset-shifted index merge (BamSink.java:96-137)."""
-    header_block = bgzf.compress_all(
-        bamcodec.encode_bam_header(header.text, refs), terminate=False
-    )
-    header_path = os.path.join(parts_dir, "_header")
-    with _dfs.open_output(header_path) as f:
-        f.write(header_block)
-    lengths = merge.concat_parts(path, [header_path] + part_paths)
-    data_len = sum(lengths)
-    with _dfs.open_append(path) as f:
-        f.write(bgzf.EOF_BLOCK)
+    order, BGZF terminator, offset-shifted index merge (BamSink.java:96-137).
 
-    if with_sbi:
-        part_indexes = []
-        for pp in part_paths:
-            sbi_path = os.path.join(parts_dir, "." + os.path.basename(pp) + ".sbi")
-            part_indexes.append(sbimod.read_sbi(sbi_path))
-        merged = sbimod.merge_sbi(
-            part_indexes,
-            lengths[1:],  # part lengths, in concat order
-            final_voff=data_len << 16,
-            base_offset=lengths[0],  # header block length
+    Order validation runs BEFORE any target byte is written, and any
+    failure removes both the partial target and the parts dir — a failed
+    write leaves nothing behind."""
+    try:
+        if with_bai:
+            _check_cross_part_order(parts_dir, part_paths)
+        header_block = bgzf.compress_all(
+            bamcodec.encode_bam_header(header.text, refs), terminate=False
         )
-        merged.file_length = _dfs.getsize(path)
-        sbimod.write_sbi(path + ".sbi", merged)
-    if with_bai:
-        _check_cross_part_order(parts_dir, part_paths)
-        part_bais = [
-            baimod.read_bai(os.path.join(parts_dir, "." + os.path.basename(pp) + ".bai"), fragment=True)
-            for pp in part_paths
-        ]
-        merged_bai = baimod.merge_bai(part_bais, lengths[1:], base_offset=lengths[0])
-        baimod.write_bai(path + ".bai", merged_bai)
+        header_path = os.path.join(parts_dir, "_header")
+        with _dfs.open_output(header_path) as f:
+            f.write(header_block)
+        lengths = merge.concat_parts(path, [header_path] + part_paths)
+        data_len = sum(lengths)
+        with _dfs.open_append(path) as f:
+            f.write(bgzf.EOF_BLOCK)
+
+        if with_sbi:
+            part_indexes = []
+            for pp in part_paths:
+                sbi_path = os.path.join(parts_dir, "." + os.path.basename(pp) + ".sbi")
+                part_indexes.append(sbimod.read_sbi(sbi_path))
+            merged = sbimod.merge_sbi(
+                part_indexes,
+                lengths[1:],  # part lengths, in concat order
+                final_voff=data_len << 16,
+                base_offset=lengths[0],  # header block length
+            )
+            merged.file_length = _dfs.getsize(path)
+            sbimod.write_sbi(path + ".sbi", merged)
+        if with_bai:
+            part_bais = [
+                baimod.read_bai(os.path.join(parts_dir, "." + os.path.basename(pp) + ".bai"), fragment=True)
+                for pp in part_paths
+            ]
+            merged_bai = baimod.merge_bai(part_bais, lengths[1:], base_offset=lengths[0])
+            baimod.write_bai(path + ".bai", merged_bai)
+    except Exception:
+        for leftover in (path, path + ".sbi", path + ".bai"):
+            if _dfs.exists(leftover):
+                _dfs.remove(leftover)
+        merge.cleanup(parts_dir)
+        raise
     merge.cleanup(parts_dir)
 
 
@@ -276,8 +292,12 @@ def _write_sharded(
 
         pid = TaskContext.get().partitionId()
         part_path = os.path.join(path, f"part-{pid:05d}.bam")
+        # stage attempt-unique, publish by rename: concurrent speculative
+        # attempts each write a complete private file; whichever renames
+        # last wins with identical content (deterministic input)
+        tmp = merge.attempt_part_path(path, suffix=".bam.tmp")
         n = 0
-        with _dfs.open_output(part_path) as f:
+        with _dfs.open_output(tmp) as f:
             f.write(header_block)
             w = bgzf.BgzfWriter(f, terminate=True)
             for pdf in batches:
@@ -285,6 +305,7 @@ def _write_sharded(
                     w.write(bamcodec.encode_record(row, ref_index))
                     n += 1
             w.close()
+        _dfs.rename(tmp, part_path)
         yield pd.DataFrame({"part": [part_path], "n": [n]})
 
     df.mapInPandas(write_partition, "part string, n long").collect()

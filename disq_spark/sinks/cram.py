@@ -136,15 +136,16 @@ def _write_single(
 ) -> None:
     parts_dir = path + ".parts"
     _dfs.makedirs(parts_dir)
-    # .crai is only trustworthy over coordinate order; when the header
-    # claims it, refuse records that violate it (the .bai/.tbi analog)
-    require_sorted = with_crai and header.sort_order == "coordinate"
+    # .crai is a coordinate index: only trustworthy — and only emitted —
+    # over coordinate-sorted output (htsjdk writes CRAM indexes only for
+    # coordinate sort order). A queryname/unsorted header with the
+    # default write_crai=True writes the CRAM without an index instead of
+    # failing mid-finalize.
+    with_crai = with_crai and header.sort_order == "coordinate"
+    require_sorted = with_crai
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        part_path = os.path.join(parts_dir, f"part-{pid:05d}")
+        part_path = merge.attempt_part_path(parts_dir)
         tmp = part_path + ".tmp"
         n = 0
         crai_rows = []
@@ -160,59 +161,75 @@ def _write_single(
                 n += 1
         if offset > 0:
             _dfs.rename(tmp, part_path)
-            with io.TextIOWrapper(_dfs.open_output(os.path.join(parts_dir, f".part-{pid:05d}.crai"))) as cf:
+            base = os.path.basename(part_path)
+            with io.TextIOWrapper(_dfs.open_output(os.path.join(parts_dir, f".{base}.crai"))) as cf:
                 for r in crai_rows:
                     cf.write("\t".join(str(x) for x in r) + "\n")
         else:
             _dfs.remove(tmp)
-        yield pd.DataFrame({"part": [part_path], "n": [n]})
+        yield pd.DataFrame({"part": [part_path if offset else ""], "n": [n]})
 
-    df.mapInPandas(run, "part string, n long").collect()
+    rows = df.mapInPandas(run, "part string, n long").collect()
+    part_paths = merge.collected_parts(rows)
 
-    header_bytes = CE.file_definition() + CE.encode_file_header(
-        header.text if header.text.endswith("\n") else header.text + "\n"
-    )
-    header_path = os.path.join(parts_dir, "_header")
-    with _dfs.open_output(header_path) as f:
-        f.write(header_bytes)
+    try:
+        lengths = [_dfs.getsize(pp) for pp in part_paths]
+        entries = None
+        if with_crai:
+            # validate cross-part order from the fragments BEFORE any
+            # target byte is written (slice entries carry genomic
+            # coordinates, so order is checkable directly; unmapped
+            # rid<0 sorts last and is skipped). Offsets get their final
+            # header shift after the header is encoded below.
+            entries = []
+            shift = 0
+            last_key = None  # (rid, start) of the previous mapped slice
+            last_part = None
+            for pp, plen in zip(part_paths, lengths):
+                frag = os.path.join(parts_dir, "." + os.path.basename(pp) + ".crai")
+                with io.TextIOWrapper(_dfs.open_input(frag)) as cf:
+                    for line in cf:
+                        rid, start, span, c_off, s_off, s_size = (int(x) for x in line.split("\t"))
+                        if rid >= 0:
+                            if last_key is not None and (rid, start) < last_key:
+                                raise ValueError(
+                                    f".crai merge requires globally coordinate-"
+                                    f"sorted parts: {os.path.basename(pp)} has "
+                                    f"slice ref {rid}:{start} after {last_part} "
+                                    f"ended at ref {last_key[0]}:{last_key[1]}"
+                                )
+                            last_key = (rid, start)
+                            last_part = os.path.basename(pp)
+                        entries.append((rid, start, span, c_off + shift, s_off, s_size))
+                shift += plen
 
-    part_paths = merge.list_parts(parts_dir)
-    lengths = merge.concat_parts(path, [header_path] + part_paths)
-    with _dfs.open_append(path) as f:
-        f.write(CE.EOF_V3)
+        header_bytes = CE.file_definition() + CE.encode_file_header(
+            header.text if header.text.endswith("\n") else header.text + "\n"
+        )
+        header_path = os.path.join(parts_dir, "_header")
+        with _dfs.open_output(header_path) as f:
+            f.write(header_bytes)
 
-    if with_crai:
-        entries = []
-        shift = lengths[0]
-        last_key = None  # (rid, start) of the previous mapped slice
-        last_part = None
-        for pp, plen in zip(part_paths, lengths[1:]):
-            frag = os.path.join(parts_dir, "." + os.path.basename(pp) + ".crai")
-            with io.TextIOWrapper(_dfs.open_input(frag)) as cf:
-                for line in cf:
-                    rid, start, span, c_off, s_off, s_size = (int(x) for x in line.split("\t"))
-                    # slice entries carry genomic coordinates, so global
-                    # order is checkable directly at merge time (the
-                    # .bai/.tbi sidecar analog); unmapped rid<0 sorts
-                    # last and is skipped
-                    if rid >= 0:
-                        if last_key is not None and (rid, start) < last_key:
-                            raise ValueError(
-                                f".crai merge requires globally coordinate-"
-                                f"sorted parts: {os.path.basename(pp)} has "
-                                f"slice ref {rid}:{start} after {last_part} "
-                                f"ended at ref {last_key[0]}:{last_key[1]}"
-                            )
-                        last_key = (rid, start)
-                        last_part = os.path.basename(pp)
-                    entries.append((rid, start, span, c_off + shift, s_off, s_size))
-            shift += plen
-        # GzipFile never closes a caller-supplied fileobj; close the raw
-        # stream explicitly (fsspec/memory sinks publish bytes on close)
-        with _dfs.open_output(path + ".crai") as raw:
-            with gzip.GzipFile(fileobj=raw, mode="wb") as gz:
-                for e in entries:
-                    gz.write(("\t".join(str(x) for x in e) + "\n").encode("ascii"))
+        merge.concat_parts(path, [header_path] + part_paths)
+        with _dfs.open_append(path) as f:
+            f.write(CE.EOF_V3)
+
+        if with_crai:
+            head_len = len(header_bytes)
+            # GzipFile never closes a caller-supplied fileobj; close the
+            # raw stream explicitly (fsspec/memory sinks publish on close)
+            with _dfs.open_output(path + ".crai") as raw:
+                with gzip.GzipFile(fileobj=raw, mode="wb") as gz:
+                    for (rid, start, span, c_off, s_off, s_size) in entries:
+                        gz.write(
+                            ("\t".join(str(x) for x in (rid, start, span, c_off + head_len, s_off, s_size)) + "\n").encode("ascii")
+                        )
+    except Exception:
+        for leftover in (path, path + ".crai"):
+            if _dfs.exists(leftover):
+                _dfs.remove(leftover)
+        merge.cleanup(parts_dir)
+        raise
     merge.cleanup(parts_dir)
 
 
@@ -233,8 +250,10 @@ def _write_sharded(
 
         pid = TaskContext.get().partitionId()
         part_path = os.path.join(path, f"part-{pid:05d}.cram")
+        # attempt-unique stage + rename publish (speculation-safe)
+        tmp = merge.attempt_part_path(path, suffix=".cram.tmp")
         n = 0
-        with _dfs.open_output(part_path) as f:
+        with _dfs.open_output(tmp) as f:
             f.write(header_bytes)
             for container, _crai in _encode_partition_containers(
                 batches, ref_index, reference_path
@@ -242,6 +261,7 @@ def _write_sharded(
                 f.write(container)
                 n += 1
             f.write(CE.EOF_V3)
+        _dfs.rename(tmp, part_path)
         yield pd.DataFrame({"part": [part_path], "n": [n]})
 
     df.mapInPandas(run, "part string, n long").collect()

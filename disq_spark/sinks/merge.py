@@ -27,6 +27,34 @@ from disq_spark import fs as _dfs
 HADOOP_CONCAT_SCHEMES = ("hdfs", "webhdfs", "viewfs")
 
 
+def attempt_part_path(parts_dir: str, prefix: str = "part", suffix: str = "") -> str:
+    """Attempt-unique staging name: ``{prefix}-{pid:05d}-{uuid8}{suffix}``.
+
+    The uuid suffix is the retry/speculation guard (the Hadoop
+    OutputCommitter guarantee the reference gets from
+    saveAsNewAPIHadoopFile, BamSink.java:82-94): two live attempts of one
+    task stage to DIFFERENT paths, so neither can interleave the other's
+    writes. The zero-padded pid prefix keeps lexicographic sort ==
+    partition order, so the driver can finalize from the sorted collected
+    names. Same scheme as the DataSource writer (sources/datasource.py).
+    """
+    import uuid
+
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else 0
+    return os.path.join(parts_dir, f"{prefix}-{pid:05d}-{uuid.uuid4().hex[:8]}{suffix}")
+
+
+def collected_parts(rows) -> list[str]:
+    """Finalize-set from the rows ``mapInPandas(...).collect()`` returned:
+    only the attempts the scheduler reported as successful, only non-empty
+    parts, in partition order. Never a directory listing — a listing would
+    include losing speculative attempts and stale impostors."""
+    return sorted(r.part for r in rows if r.n > 0 and r.part)
+
+
 def list_parts(parts_dir: str) -> list[str]:
     paths = [
         p

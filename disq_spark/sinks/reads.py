@@ -38,10 +38,7 @@ def _write_single(df: DataFrame, header: SamHeader, path: str) -> None:
     _dfs.makedirs(parts_dir)
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        part_path = os.path.join(parts_dir, f"part-{pid:05d}")
+        part_path = merge.attempt_part_path(parts_dir)
         tmp = part_path + ".tmp"
         n = 0
         with io.TextIOWrapper(_dfs.open_output(tmp), encoding="utf-8") as f:
@@ -56,14 +53,14 @@ def _write_single(df: DataFrame, header: SamHeader, path: str) -> None:
             _dfs.rename(tmp, part_path)
         else:
             _dfs.remove(tmp)
-        yield pd.DataFrame({"part": [part_path], "n": [n]})
+        yield pd.DataFrame({"part": [part_path if n else ""], "n": [n]})
 
-    df.mapInPandas(write_partition, "part string, n long").collect()
+    rows = df.mapInPandas(write_partition, "part string, n long").collect()
 
     header_path = os.path.join(parts_dir, "_header")
     with io.TextIOWrapper(_dfs.open_output(header_path), encoding="utf-8") as f:
         f.write(header.text)
-    merge.concat_parts(path, [header_path] + merge.list_parts(parts_dir))
+    merge.concat_parts(path, [header_path] + merge.collected_parts(rows))
     merge.cleanup(parts_dir)
 
 
@@ -76,8 +73,10 @@ def _write_sharded(df: DataFrame, header: SamHeader, path: str) -> None:
 
         pid = TaskContext.get().partitionId()
         part_path = os.path.join(path, f"part-{pid:05d}.sam")
+        # attempt-unique stage + rename publish (speculation-safe)
+        tmp = merge.attempt_part_path(path, suffix=".sam.tmp")
         n = 0
-        with io.TextIOWrapper(_dfs.open_output(part_path), encoding="utf-8") as f:
+        with io.TextIOWrapper(_dfs.open_output(tmp), encoding="utf-8") as f:
             f.write(header_text)
             for pdf in batches:
                 if len(pdf) == 0:
@@ -86,6 +85,7 @@ def _write_sharded(df: DataFrame, header: SamHeader, path: str) -> None:
                     f.write(line)
                     f.write("\n")
                 n += len(pdf)
+        _dfs.rename(tmp, part_path)
         yield pd.DataFrame({"part": [part_path], "n": [n]})
 
     df.mapInPandas(write_partition, "part string, n long").collect()

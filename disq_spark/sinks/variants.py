@@ -141,26 +141,37 @@ def finalize_single(
     with_tbi: bool,
 ) -> None:
     """Driver-side single-file commit: header file + concat in part order
-    + one BGZF terminator + offset-shifted .tbi merge (VcfSink.java:87-127)."""
+    + one BGZF terminator + offset-shifted .tbi merge (VcfSink.java:87-127).
+
+    Order validation runs BEFORE any target byte is written; any failure
+    removes the partial target and the parts dir."""
     from disq_spark.formats import tabix as tbimod
 
-    header_path = os.path.join(parts_dir, "_header")
-    header_bytes = header.text.encode("utf-8")
-    with _dfs.open_output(header_path) as f:
-        f.write(bgzf.compress_all(header_bytes, terminate=False) if compress else header_bytes)
+    try:
+        if with_tbi:
+            _check_cross_part_order(parts_dir, part_paths)
+        header_path = os.path.join(parts_dir, "_header")
+        header_bytes = header.text.encode("utf-8")
+        with _dfs.open_output(header_path) as f:
+            f.write(bgzf.compress_all(header_bytes, terminate=False) if compress else header_bytes)
 
-    lengths = merge.concat_parts(path, [header_path] + part_paths)
-    if compress:
-        with _dfs.open_append(path) as f:
-            f.write(bgzf.EOF_BLOCK)
-    if with_tbi:
-        _check_cross_part_order(parts_dir, part_paths)
-        part_idx = [
-            tbimod.read_tbi(os.path.join(parts_dir, "." + os.path.basename(pp) + ".tbi"), fragment=True)
-            for pp in part_paths
-        ]
-        merged = tbimod.merge_tbi(part_idx, lengths[1:], base_offset=lengths[0])
-        tbimod.write_tbi(path + ".tbi", merged)
+        lengths = merge.concat_parts(path, [header_path] + part_paths)
+        if compress:
+            with _dfs.open_append(path) as f:
+                f.write(bgzf.EOF_BLOCK)
+        if with_tbi:
+            part_idx = [
+                tbimod.read_tbi(os.path.join(parts_dir, "." + os.path.basename(pp) + ".tbi"), fragment=True)
+                for pp in part_paths
+            ]
+            merged = tbimod.merge_tbi(part_idx, lengths[1:], base_offset=lengths[0])
+            tbimod.write_tbi(path + ".tbi", merged)
+    except Exception:
+        for leftover in (path, path + ".tbi"):
+            if _dfs.exists(leftover):
+                _dfs.remove(leftover)
+        merge.cleanup(parts_dir)
+        raise
     merge.cleanup(parts_dir)
 
 
@@ -181,7 +192,12 @@ def _check_cross_part_order(parts_dir: str, part_paths: list[str]) -> None:
         base = os.path.basename(pp)
         meta = merge.read_order_sidecar(parts_dir, base)
         if meta is None:
-            continue
+            # encode_vcf_part writes the .tbi fragment and the sidecar
+            # together; a finalize-set part without one is unverifiable
+            raise ValueError(
+                f".tbi merge: part {base} has no .order sidecar — "
+                "refusing to merge an unverifiable part"
+            )
         first, last = meta.get("first"), meta.get("last")
         if first is None:
             continue
@@ -216,15 +232,12 @@ def _write_single(df: DataFrame, header: VcfHeader, path: str, with_tbi: bool = 
     samples = header.samples
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        part_path = os.path.join(parts_dir, f"part-{pid:05d}")
+        part_path = merge.attempt_part_path(parts_dir)
         n = encode_vcf_part(batches, part_path, samples, compress, with_tbi)
-        yield pd.DataFrame({"part": [part_path], "n": [n]})
+        yield pd.DataFrame({"part": [part_path if n else ""], "n": [n]})
 
-    df.mapInPandas(write_partition, "part string, n long").collect()
-    finalize_single(path, parts_dir, header, merge.list_parts(parts_dir), compress, with_tbi)
+    rows = df.mapInPandas(write_partition, "part string, n long").collect()
+    finalize_single(path, parts_dir, header, merge.collected_parts(rows), compress, with_tbi)
 
 
 def _write_sharded(df: DataFrame, header: VcfHeader, path: str) -> None:
@@ -238,8 +251,10 @@ def _write_sharded(df: DataFrame, header: VcfHeader, path: str) -> None:
 
         pid = TaskContext.get().partitionId()
         part_path = os.path.join(path, f"part-{pid:05d}{ext}")
+        # attempt-unique stage + rename publish (speculation-safe)
+        tmp = merge.attempt_part_path(path, suffix=ext + ".tmp")
         n = 0
-        with io.TextIOWrapper(_dfs.open_output(part_path), encoding="utf-8") as f:
+        with io.TextIOWrapper(_dfs.open_output(tmp), encoding="utf-8") as f:
             f.write(header_text)
             for pdf in batches:
                 if len(pdf) == 0:
@@ -248,6 +263,7 @@ def _write_sharded(df: DataFrame, header: VcfHeader, path: str) -> None:
                     f.write(line)
                     f.write("\n")
                 n += len(pdf)
+        _dfs.rename(tmp, part_path)
         yield pd.DataFrame({"part": [part_path], "n": [n]})
 
     df.mapInPandas(write_partition, "part string, n long").collect()

@@ -450,11 +450,17 @@ def build_sbi(
     """Distributed .sbi construction for an existing (index-less) BAM —
     the BamRecordGuesserChecker.getSBIIndex pattern (:82-95) done as one
     Spark job: guesser-planned chunks scan their record starts in
-    parallel; the driver merges the sorted offset runs and writes
-    ``path + '.sbi'``. Subsequent reads plan from the index (no guessing).
+    parallel and write them as packed-int64 FRAGMENT FILES task-side;
+    the driver streams the fragments into ``path + '.sbi'`` in chunk
+    order. Driver peak memory is O(#chunks + io buffer) — independent of
+    record count (10^12 records at granularity 1 is terabytes of
+    offsets; no single heap should ever hold them). Subsequent reads
+    plan from the index (no guessing).
     """
     import numpy as _np
     import pandas as pd_  # local alias to avoid shadowing
+
+    from disq_spark.sinks import merge as _merge
 
     header, refs, first_voff = read_bam_header(path)
     chunks = plan_bam_chunks(path, split_size, refs, first_voff)
@@ -466,41 +472,60 @@ def build_sbi(
     )
     refs_b = refs
     gran = granularity
+    parts_dir = path + ".sbi.parts"
+    _dfs.makedirs(parts_dir)
 
     def scan(batches):
         # One OUTPUT ROW PER CHUNK, not per record: each task subsamples
         # its own offsets at `granularity` (phase restarting per chunk —
         # the same semantics the write-side per-part fragment merge
-        # produces, sinks/bam.py) and ships them as one packed int64
-        # blob. Driver traffic is O(#records/granularity * 8 bytes),
-        # never one Row object per record.
+        # produces, sinks/bam.py) and writes them to an attempt-unique
+        # fragment file (speculation/retry-safe). Driver traffic is one
+        # row per chunk; the offset bytes stay on the filesystem.
         for pdf in batches:
             for _, r in pdf.iterrows():
                 voffs = scan_record_voffs(r["path"], refs_b, int(r["v_start"]), int(r["v_end"]))
                 packed = _np.asarray(voffs[::gran], dtype="<i8").tobytes()
+                frag = ""
+                if packed:
+                    frag = _merge.attempt_part_path(parts_dir, prefix="frag")
+                    with _dfs.open_output(frag) as f:
+                        f.write(packed)
                 yield pd_.DataFrame(
-                    {"chunk": [int(r["v_start"])], "n": [len(voffs)], "packed": [packed]}
+                    {
+                        "chunk": [int(r["v_start"])],
+                        "n": [len(voffs)],
+                        "frag": [frag],
+                        "n_offsets": [len(packed) // 8],
+                    }
                 )
 
-    rows = plan_df.mapInPandas(scan, "chunk long, n long, packed binary").collect()
-    rows.sort(key=lambda r: r.chunk)  # chunks are disjoint & ordered -> no global sort of offsets
-    total = sum(r.n for r in rows)
-    offsets: list[int] = []
-    for r in rows:
-        offsets.extend(_np.frombuffer(r.packed, dtype="<i8").tolist())
-    size = _dfs.getsize(path)
-    # end-of-data sentinel: htsjdk's SBIIndexWriter records the virtual
-    # position BEFORE the 28-byte BGZF EOF terminator (verified
-    # byte-for-byte against 1-with-splitting-index.bam.sbi)
-    with _dfs.open_input(path) as f:
-        f.seek(size - len(bgzf.EOF_BLOCK))
-        has_eof = f.read(len(bgzf.EOF_BLOCK)) == bgzf.EOF_BLOCK
-    end_of_data = size - len(bgzf.EOF_BLOCK) if has_eof else size
-    offsets.append(end_of_data << 16)
-    idx = sbimod.SbiIndex(
-        file_length=size, total_records=total, granularity=granularity, offsets=offsets
-    )
-    sbimod.write_sbi(path + ".sbi", idx)
+    try:
+        rows = plan_df.mapInPandas(
+            scan, "chunk long, n long, frag string, n_offsets long"
+        ).collect()
+        rows.sort(key=lambda r: r.chunk)  # chunks are disjoint & ordered -> no global sort
+        total = sum(r.n for r in rows)
+        num_offsets = sum(r.n_offsets for r in rows) + 1  # + end sentinel
+        size = _dfs.getsize(path)
+        # end-of-data sentinel: htsjdk's SBIIndexWriter records the virtual
+        # position BEFORE the 28-byte BGZF EOF terminator (verified
+        # byte-for-byte against 1-with-splitting-index.bam.sbi)
+        with _dfs.open_input(path) as f:
+            f.seek(size - len(bgzf.EOF_BLOCK))
+            has_eof = f.read(len(bgzf.EOF_BLOCK)) == bgzf.EOF_BLOCK
+        end_of_data = size - len(bgzf.EOF_BLOCK) if has_eof else size
+        sbimod.write_sbi_stream(
+            path + ".sbi",
+            file_length=size,
+            total_records=total,
+            granularity=granularity,
+            num_offsets=num_offsets,
+            blob_paths=[r.frag for r in rows if r.frag],
+            tail_offset=end_of_data << 16,
+        )
+    finally:
+        _dfs.rmtree(parts_dir)
     return path + ".sbi"
 
 

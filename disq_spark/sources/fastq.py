@@ -173,10 +173,15 @@ def write_fastq(df: DataFrame, path: str, single_file: bool | None = None) -> No
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        out_dir = parts_dir if single_file else path
-        suffix = "" if single_file else ".fastq"
-        part_path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
-        tmp = part_path + ".tmp"
+        # attempt-unique staging (speculation/retry-safe): single-file
+        # parts keep the unique name (finalize uses the collected names);
+        # sharded parts publish by rename onto the canonical pid name
+        if single_file:
+            part_path = merge.attempt_part_path(parts_dir)
+            tmp = part_path + ".tmp"
+        else:
+            part_path = os.path.join(path, f"part-{pid:05d}.fastq")
+            tmp = merge.attempt_part_path(path, suffix=".fastq.tmp")
         n = 0
         with io.TextIOWrapper(_dfs.open_output(tmp), encoding="ascii") as f:
             for pdf in batches:
@@ -190,11 +195,11 @@ def write_fastq(df: DataFrame, path: str, single_file: bool | None = None) -> No
             _dfs.rename(tmp, part_path)
         else:
             _dfs.remove(tmp)
-        yield pd.DataFrame({"part": [part_path], "n": [n]})
+        yield pd.DataFrame({"part": [part_path if (n or not single_file) else ""], "n": [n]})
 
-    df.mapInPandas(write_partition, "part string, n long").collect()
+    rows = df.mapInPandas(write_partition, "part string, n long").collect()
     if single_file:
-        merge.concat_parts(path, merge.list_parts(parts_dir))
+        merge.concat_parts(path, merge.collected_parts(rows))
         merge.cleanup(parts_dir)
 
 

@@ -94,11 +94,34 @@ def cells_close(a, b, rel_tol: float) -> bool:
 def rows_close(s_norm, o_norm, rel_tol: float) -> bool:
     if rel_tol <= 0:
         return s_norm == o_norm
-    return len(s_norm) == len(o_norm) and all(
-        cells_close(a, b, rel_tol)
-        for ra, rb in zip(s_norm, o_norm)
-        for a, b in zip(ra, rb)
-    )
+    if len(s_norm) != len(o_norm):
+        return False
+    # fast path: positional pairing on the shared sort order
+    mismatched = [
+        i
+        for i, (ra, rb) in enumerate(zip(s_norm, o_norm))
+        if not cells_close(ra, rb, rel_tol)
+    ]
+    if not mismatched:
+        return True
+    # Sub-tolerance values straddling a coarse-sort-key rounding boundary
+    # can place near-tied rows at different positions in the two engines'
+    # sorted outputs; the positional zip then compares mismatched rows.
+    # Rows that did pair positionally stay paired; the leftovers re-pair
+    # greedily against the freed oracle rows (windowed — sort-order
+    # jitter from rounding-boundary straddle is always local).
+    WINDOW = 64
+    pool = list(mismatched)
+    for i in mismatched:
+        found = None
+        for j in pool:
+            if abs(i - j) <= WINDOW and cells_close(s_norm[i], o_norm[j], rel_tol):
+                found = j
+                break
+        if found is None:
+            return False
+        pool.remove(found)
+    return True
 
 
 def main():
