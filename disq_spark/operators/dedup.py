@@ -664,6 +664,53 @@ def simhash_pairs(
     )
 
 
+def _word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id_col, gram): every positional word ``n``-gram of each text —
+    one explode, no shuffle. Documents with fewer than ``n`` tokens emit
+    no row. Shared by substring_dup_rate and ngram_contamination."""
+    toks = tokens(F.col(text_col))
+    npos = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) would produce a DESCENDING [1, 0] in Spark — gate
+    # short docs to an explicit empty array instead.
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(positions, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ).alias("gram"),
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark n-gram decontamination — the industry-standard 13-gram
+    overlap test (GPT-3 appendix C; PaLM/Llama train-test overlap): flag
+    every corpus document sharing at least one word ``n``-gram with any
+    benchmark text. Returns (id_col, n_hits), one row per contaminated
+    document, ``n_hits`` = number of DISTINCT shared n-grams.
+
+    Scale shape: per-side DISTINCT grams first (bounds each document's
+    contribution by its length, collapses boilerplate), then one
+    equi-join bucketed by gram — never all-pairs, no driver collect.
+    Benchmark gram sets are typically millions of rows (eval suites are
+    small next to a corpus), so AQE broadcasts that side; a hot gram on
+    the corpus side is handled by AQE skew splitting. Reuses the
+    positional-gram machinery of substring_dup_rate (Lee et al.).
+    """
+    c = _word_ngrams(df, n, text_col, id_col).distinct()
+    b = _word_ngrams(bench, n, bench_text_col, bench_id_col).select("gram").distinct()
+    return c.join(b, "gram").groupBy(id_col).agg(F.count("*").alias("n_hits"))
+
+
 def substring_dup_rate(
     df: DataFrame,
     n: int = 5,
@@ -690,19 +737,7 @@ def substring_dup_rate(
     distinct sketch; one equi-join back on gram (AQE skew-join handles
     hot grams); one groupBy(id). Never all-pairs, no driver collect.
     """
-    toks = tokens(F.col(text_col))
-    npos = F.size(toks) - F.lit(n - 1)
-    # sequence(1, 0) would produce a DESCENDING [1, 0] in Spark — gate
-    # short docs to an explicit empty array instead.
-    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(positions, lambda i: F.array_join(F.slice(toks, i, n), " "))
-        ).alias("gram"),
-    )
+    grams = _word_ngrams(df, n, text_col, id_col)
     flag = grams.groupBy("gram").agg((F.min(id_col) != F.max(id_col)).alias("is_dup"))
     return (
         grams.join(flag, "gram")

@@ -325,10 +325,125 @@ def _decode_bmp(b: bytes):
     return w, h, rows[:, :, ::-1]  # BGR -> RGB
 
 
+def _png_unfilter(arr, channels: int):
+    """Reverse PNG per-row byte filters (RFC 2083 §6). ``arr`` is
+    (h, 1+stride) uint8 with the filter byte leading each row. Rows are
+    inherently sequential (Up/Average/Paeth read the reconstructed row
+    above) but each common case is vectorized across the row: None/Up
+    are pure array ops and Sub is a per-lane cumulative sum mod 256;
+    only Average/Paeth fall back to a per-byte loop."""
+    import numpy as np
+
+    h = arr.shape[0]
+    stride = arr.shape[1] - 1
+    bpp = channels
+    out = np.zeros((h, stride), np.uint8)
+    zeros = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else zeros
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: prefix sum over each intra-pixel byte lane
+            rec = np.cumsum(row.reshape(-1, bpp), axis=0).ravel()
+        elif f == 2:  # Up
+            rec = row + prev
+        elif f == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - bpp] & 0xFF if x >= bpp else 0
+                rec[x] += (left + prev[x]) >> 1
+        elif f == 4:  # Paeth
+            rec = row.copy()
+            prev_rec = out[y - 1] if y else None
+            for x in range(stride):
+                a = rec[x - bpp] & 0xFF if x >= bpp else 0
+                b_ = int(prev[x])
+                c = int(prev_rec[x - bpp]) if (x >= bpp and y) else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                rec[x] += pred
+        else:
+            return None
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out
+
+
+def _decode_png(b: bytes):
+    """8-bit non-interlaced PNG (gray / RGB / palette / gray+alpha /
+    RGBA) -> (w, h, HxWx3 uint8) or None — PNG is just zlib over
+    per-row byte filters (RFC 2083), decodable with numpy + stdlib
+    zlib, no PIL. Alpha is dropped (features are computed over RGB).
+    16-bit depth and Adam7 interlace return None (rare in web corpora)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or channels is None:
+        return None
+    if w == 0 or h == 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
+    out = _png_unfilter(arr, channels)
+    if out is None:
+        return None
+    px = out.reshape(h, w, channels)
+    if ctype == 0:
+        img = np.repeat(px, 3, axis=2)
+    elif ctype == 2:
+        img = px
+    elif ctype == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(px.max()) >= pal.shape[0]:
+            return None
+        img = pal[px[:, :, 0]]
+    elif ctype == 4:
+        img = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # 6: RGBA
+        img = px[:, :, :3]
+    return w, h, np.ascontiguousarray(img)
+
+
 def try_decode_image(b: bytes):
     """(w, h, HxWx3 uint8) for the formats decodable without external
-    libraries, else None."""
-    return _decode_ppm(b) or _decode_bmp(b)
+    libraries (PPM/PGM, uncompressed 24-bit BMP, 8-bit non-interlaced
+    PNG), else None."""
+    return _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
 
 
 def _image_features(img) -> list[float]:
@@ -348,6 +463,61 @@ def encode_ppm(img) -> bytes:
     """HxWx3 uint8 -> binary P6."""
     h, w = img.shape[0], img.shape[1]
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def encode_png(img, filters=None) -> bytes:
+    """HxWx3 uint8 -> 8-bit RGB PNG (zlib + forward row filters).
+
+    ``filters``: optional per-row filter types 0-4, cycled over rows
+    (default all 0) — lets tests and gates synthesize payloads that
+    exercise every unfilter path without PIL in the container."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    lines = []
+    prev = np.zeros(w * 3, np.int32)
+    z3 = np.zeros(3, np.int32)
+    for y in range(h):
+        f = int(filters[y % len(filters)]) if filters else 0
+        row = img[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([z3, row[:-3]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - ((left + prev) >> 1)
+        elif f == 4:
+            ul = np.concatenate([z3, prev[:-3]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = row - pred
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(b: bytes):

@@ -385,23 +385,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicate_components(pairs).orderBy("node")
 
 
+def _label_prop_stmts(edges_table: str, prefix: str, rounds: int = 24) -> tuple[list[str], str, str]:
+    """Min-label propagation with pointer jumping over ``edges_table``
+    (undirected: both (a,b) and (b,a) present), unrolled as temp-table
+    rounds. Returns (statements, final_label_table, unconverged_predicate).
+
+    A recursive-CTE reachability closure materializes every
+    (node, reaching-label) pair — O(cluster_size^2) rows with a global
+    UNION dedup per iteration — which ground for 45+ minutes at sf1.
+    Each round here is linear in |edges|: a node takes the min of its
+    own label, its neighbors' labels, and its LABEL'S label (pointer
+    jump), so convergence needs only O(log diameter) rounds; 24 covers
+    any component with diameter < 2^24. Callers use the unconverged
+    predicate to emit a poison row if the rounds were ever insufficient,
+    failing the gate loudly instead of passing on a stale labeling."""
+    stmts = [
+        f"""CREATE OR REPLACE TEMP TABLE {prefix}_lbl_0 AS
+SELECT DISTINCT a AS node, a AS comp FROM {edges_table};"""
+    ]
+    for r in range(rounds):
+        prev, cur = f"{prefix}_lbl_{r % 2}", f"{prefix}_lbl_{(r + 1) % 2}"
+        stmts.append(
+            f"""CREATE OR REPLACE TEMP TABLE {cur} AS
+SELECT node, min(comp) AS comp FROM (
+  SELECT node, comp FROM {prev}
+  UNION ALL
+  SELECT e.a AS node, l.comp FROM {edges_table} e JOIN {prev} l ON l.node = e.b
+  UNION ALL
+  SELECT l.node, p.comp FROM {prev} l JOIN {prev} p ON p.node = l.comp
+) GROUP BY node;"""
+        )
+    last = f"{prefix}_lbl_{rounds % 2}"
+    unconverged = (
+        f"EXISTS (SELECT 1 FROM {last} l JOIN {last} p "
+        f"ON p.node = l.comp AND p.comp < l.comp)"
+    )
+    return stmts, last, unconverged
+
+
 def _clusters_oracle() -> str:
-    return f"""
-WITH RECURSIVE pairs AS (
-{_minhash_oracle()}
-),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b AS a, id_a AS b FROM pairs
-),
-reach(node, comp) AS (
-  SELECT a AS node, a AS comp FROM (SELECT DISTINCT a FROM edges)
-  UNION
-  SELECT e.a, r.comp FROM reach r JOIN edges e ON e.b = r.node
-)
-SELECT node, CAST(min(comp) AS BIGINT) AS comp FROM reach GROUP BY node ORDER BY node
-"""
+    """Connected components as iterative label propagation (DuckDB
+    executes the statement list and returns the last SELECT)."""
+    edges = f"""CREATE OR REPLACE TEMP TABLE __dc_edges AS
+WITH {_minhash_pair_ctes()}
+SELECT id_a AS a, id_b AS b FROM pairs
+UNION
+SELECT id_b AS a, id_a AS b FROM pairs;"""
+    prop, last, unconverged = _label_prop_stmts("__dc_edges", "__dc")
+    final = f"""SELECT node, CAST(comp AS BIGINT) AS comp FROM {last}
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE {unconverged}
+ORDER BY node;"""
+    return "\n".join([edges] + prop + [final])
 
 
 ORACLE["dedup_clusters"] = _clusters_oracle()
@@ -1418,11 +1453,11 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corpus_prep_oracle() -> str:
     max_df = (
-        f"least(greatest({MAX_DF_FLOOR}, {MAX_DF_FRACTION} * (SELECT count(*) FROM kept2)), "
+        f"least(greatest({MAX_DF_FLOOR}, {MAX_DF_FRACTION} * (SELECT count(*) FROM __cp_kept2)), "
         f"{MAX_DF_CAP})"
     )
-    return f"""
-WITH RECURSIVE kept1 AS MATERIALIZED (
+    kept2 = f"""CREATE OR REPLACE TEMP TABLE __cp_kept2 AS
+WITH kept1 AS MATERIALIZED (
   SELECT * FROM documents
   WHERE {_lang_id_sql()} = 'en'
     AND ({_QUALITY_SQL}) >= {_CP_QUALITY}
@@ -1430,33 +1465,29 @@ WITH RECURSIVE kept1 AS MATERIALIZED (
 ),
 reps AS (
   SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY md5({_NORM})
-),
-kept2 AS MATERIALIZED (
-  SELECT kept1.* FROM kept1 WHERE doc_id IN (SELECT doc_id FROM reps)
-),
-{_minhash_pair_ctes("kept2", max_df)},
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b AS a, id_a AS b FROM pairs
-),
-reach(node, comp) AS (
-  SELECT a AS node, a AS comp FROM (SELECT DISTINCT a FROM edges)
-  UNION
-  SELECT e.a, r.comp FROM reach r JOIN edges e ON e.b = r.node
-),
-losers AS (
-  SELECT node FROM reach GROUP BY node HAVING node <> min(comp)
+)
+SELECT kept1.* FROM kept1 WHERE doc_id IN (SELECT doc_id FROM reps);"""
+    edges = f"""CREATE OR REPLACE TEMP TABLE __cp_edges AS
+WITH {_minhash_pair_ctes("__cp_kept2", max_df)}
+SELECT id_a AS a, id_b AS b FROM pairs
+UNION
+SELECT id_b AS a, id_a AS b FROM pairs;"""
+    prop, last, unconverged = _label_prop_stmts("__cp_edges", "__cp")
+    final = f"""WITH losers AS (
+  SELECT node FROM {last} WHERE node <> comp
 ),
 final AS (
-  SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT node FROM losers)
+  SELECT * FROM __cp_kept2 WHERE doc_id NOT IN (SELECT node FROM losers)
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
        round(sum(CAST(round(({_QUALITY_SQL}) * 10000, 0) AS BIGINT)) / (10000.0 * count(*)), 4) AS avg_quality
-FROM final GROUP BY source ORDER BY source
-"""
+FROM final GROUP BY source
+UNION ALL
+SELECT '__UNCONVERGED__', -1, -1, -1 WHERE {unconverged}
+ORDER BY source;"""
+    return "\n".join([kept2, edges] + prop + [final])
 
 
 ORACLE["corpus_prep"] = _corpus_prep_oracle()
@@ -1618,6 +1649,76 @@ FROM documents GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# text_decontamination_ngram — the industry-standard 13-gram overlap
+# test (GPT-3 appendix C): a document is contaminated when it shares at
+# least one word 13-gram with any benchmark text. The benchmark set is
+# derived deterministically from the corpus itself (tokens 5..44 of
+# every 29th document — modelling eval questions quoted from web text
+# that is also in the training corpus), so the gate exercises the real
+# shape: the excerpted source doc AND its near-duplicates must flag.
+# Candidate generation is bucketed by gram — never all-pairs.
+# ---------------------------------------------------------------------------
+DECON_N = 13
+_DECON_MOD = 29
+_DECON_SKIP = 4   # excerpt starts at token 5 (1-based)
+_DECON_LEN = 40   # excerpt length in tokens
+
+
+@_q("text_decontamination_ngram")
+def text_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    bench = d.filter(
+        (F.col("doc_id") % _DECON_MOD == 0)
+        & (F.size(toks) >= _DECON_SKIP + _DECON_LEN)
+    ).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, _DECON_SKIP + 1, _DECON_LEN), " ").alias("text"),
+    )
+    hits = DD.ngram_contamination(d, bench, n=DECON_N)
+    # left join leaves n_hits NULL for clean docs; an all-NULL sum is
+    # NULL in Spark, so flag through coalesce
+    flagged = F.coalesce((F.col("n_hits") > 0).cast("long"), F.lit(0))
+    return (
+        d.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(flagged).alias("n_contaminated"),
+            F.sum(F.coalesce(F.col("n_hits"), F.lit(0))).alias("n_gram_hits"),
+            F.round(F.sum(flagged) * 100.0 / F.count("*"), 2).alias("pct"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_decontamination_ngram"] = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+bench AS (
+  SELECT doc_id AS bench_id, list_slice(toks, {_DECON_SKIP + 1}, {_DECON_SKIP + _DECON_LEN}) AS btoks
+  FROM t WHERE doc_id % {_DECON_MOD} = 0 AND len(toks) >= {_DECON_SKIP + _DECON_LEN}
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(list_slice(btoks, i, i + {DECON_N - 1}), ' ') AS gram
+  FROM bench, unnest(generate_series(1, len(btoks) - {DECON_N - 1})) AS u(i)
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ') AS gram
+  FROM t, unnest(generate_series(1, len(toks) - {DECON_N - 1})) AS u(i)
+  WHERE len(toks) >= {DECON_N}
+),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM g JOIN bgrams USING (gram) GROUP BY doc_id)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(sum(h.n_hits), 0) AS BIGINT) AS n_gram_hits,
+       round(sum(CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct
+FROM documents d LEFT JOIN hits h USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_simhash_pairs — hamming-banded near-dup pairs over the 64-bit
 # SimHash codes (bands=8 -> 8-bit slices, complete for hamming < 8).
 # The Spark side generates candidates via pigeonhole band equi-joins;
@@ -1708,6 +1809,69 @@ def _chan_mean_sql(offset: int) -> str:
 
 
 ORACLE["multimodal_real_decode"] = f"""
+WITH base AS (
+  SELECT doc_id, rpad(substring(text, 1, {_PPM_BYTES}), {_PPM_BYTES}, ' ') AS p
+  FROM documents
+  WHERE doc_id < 100 AND regexp_full_match(text, '[ -~]+')
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       {_chan_mean_sql(1)} AS r_mean,
+       {_chan_mean_sql(2)} AS g_mean,
+       {_chan_mean_sql(3)} AS b_mean
+FROM base ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal_png_decode — the REAL PNG decoder (zlib + row filters, no
+# PIL) in the gate: each ASCII-only document's first 768 bytes become
+# the pixels of a 16x16 RGB PNG encoded task-side with the filter type
+# CYCLING 0,1,2,3,4 across rows — so every unfilter path (None/Sub/Up/
+# Average/Paeth) executes on every payload — and decode_image recovers
+# the original pixels. The oracle recomputes the channel means straight
+# from the text with ascii(): the zlib+filter round-trip must be
+# pixel-exact for the hash to match.
+# ---------------------------------------------------------------------------
+@_q("multimodal_png_decode")
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import MEDIA_SCHEMA, decode_image, encode_png
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").rlike("^[ -~]+$")
+    )
+    padded = F.rpad(F.substring("text", 1, _PPM_BYTES), _PPM_BYTES, " ")
+    base = d.select("doc_id", padded.cast("binary").alias("px"))
+
+    def to_png(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+                img = np.frombuffer(bytes(px), np.uint8).reshape(16, 16, 3)
+                payload = encode_png(img, filters=[0, 1, 2, 3, 4])
+                rows.append(
+                    (doc_id, "image/png", payload, len(payload), "")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "payload", "n_bytes", "content_md5"],
+            )
+
+    media = base.mapInPandas(to_png, MEDIA_SCHEMA)
+    feats = decode_image(media)  # REAL path: zlib inflate + unfilter
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("r_mean"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("g_mean"),
+        F.round(F.element_at("features", 3).cast("double"), 6).alias("b_mean"),
+    ).orderBy("doc_id")
+
+
+ORACLE["multimodal_png_decode"] = f"""
 WITH base AS (
   SELECT doc_id, rpad(substring(text, 1, {_PPM_BYTES}), {_PPM_BYTES}, ' ') AS p
   FROM documents

@@ -961,3 +961,92 @@ def test_edit_distance_pairs_matches_bruteforce_dp(spark):
     assert (0, 1) in got and got[(0, 1)] == 2
     assert (0, 4) in got and got[(0, 4)] == 0
     assert not any(3 in p for p in got)
+
+
+def test_png_decode_all_filters_and_color_types():
+    """The numpy PNG decoder (zlib + RFC 2083 row filters) must be
+    pixel-exact for every filter type and 8-bit color type."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from disq_spark.operators.multimodal import _decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    for filters in (None, [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        w, h, back = _decode_png(encode_png(img, filters))
+        assert (w, h) == (17, 23) and np.array_equal(back, img), filters
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    def mk(ctype, channels, extra=b""):
+        w, h = 5, 4
+        hi = 4 if ctype == 3 else 256
+        px = rng.integers(0, hi, (h, w, channels), dtype=np.uint8)
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return px, (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + extra
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    px, png = mk(0, 1)  # grayscale
+    assert np.array_equal(_decode_png(png)[2], np.repeat(px, 3, axis=2))
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    px, png = mk(3, 1, chunk(b"PLTE", pal.tobytes()))  # palette
+    assert np.array_equal(_decode_png(png)[2], pal[px[:, :, 0]])
+    px, png = mk(4, 2)  # gray + alpha
+    assert np.array_equal(_decode_png(png)[2], np.repeat(px[:, :, :1], 3, axis=2))
+    px, png = mk(6, 4)  # RGBA
+    assert np.array_equal(_decode_png(png)[2], px[:, :, :3])
+
+
+def test_png_decode_rejects_unsupported():
+    """16-bit depth, interlace, truncation, and junk must return None
+    (decode_image then raises its honest NotImplementedError), never a
+    wrong image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from disq_spark.operators.multimodal import _decode_png, encode_png
+
+    assert _decode_png(b"not a png") is None
+    img = np.zeros((4, 4, 3), np.uint8)
+    good = encode_png(img)
+    assert _decode_png(good[:30]) is None  # truncated
+    # patch IHDR depth to 16 / interlace to 1 (offsets inside IHDR data)
+    for off, val in ((8 + 8 + 8, 16), (8 + 8 + 12, 1)):
+        bad = bytearray(good)
+        bad[off] = val
+        assert _decode_png(bytes(bad)) is None
+
+
+def test_png_through_decode_image(spark):
+    """PNG payloads flow through the distributed decode_image kernel —
+    the same mapInPandas path as PPM/BMP — with exact features."""
+    import numpy as np
+
+    from disq_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)]
+    rows = [
+        (i, "image/png", encode_png(im, filters=[4, 3]), 0, "")
+        for i, im in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary, n_bytes long, content_md5 string"
+    )
+    got = {r.doc_id: r for r in decode_image(df).collect()}
+    for i, im in enumerate(imgs):
+        assert (got[i].width, got[i].height) == (8, 8)
+        want_r = int(im.reshape(-1, 3)[:, 0].mean() / 255.0 * 1e6 + 0.5) / 1e6
+        assert abs(got[i].features[0] - want_r) < 1e-6

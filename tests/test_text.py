@@ -82,3 +82,28 @@ def test_bpe_tokens_parity(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_ngram_contamination_exact(spark):
+    """13-gram overlap flags exactly the docs sharing a full n-gram with
+    a benchmark text; n_hits counts DISTINCT shared grams."""
+    from disq_spark.operators.dedup import ngram_contamination
+
+    words = [f"w{i}" for i in range(30)]
+    contaminated = " ".join(words)                    # contains the probe
+    shifted = " ".join(words[5:25])                   # also contains it
+    clean = " ".join(f"x{i}" for i in range(30))      # disjoint vocabulary
+    short_hit = " ".join(words[8:20])                 # only 12 tokens: can't hold a 13-gram
+    df = spark.createDataFrame(
+        [(1, contaminated), (2, clean), (3, shifted), (4, short_hit)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(words[6:19]))],  # one exact 13-gram probe
+        "bench_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in ngram_contamination(df, bench, n=13).collect()
+    }
+    assert got == {1: 1, 3: 1}
