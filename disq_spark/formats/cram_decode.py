@@ -2,9 +2,9 @@
 
 Decodes CRAM 2.1/3.0 containers written with the common codec set —
 EXTERNAL(1), HUFFMAN(3), BYTE_ARRAY_LEN(4), BYTE_ARRAY_STOP(5), BETA(6),
-GAMMA(9) — with gzip/raw block compression. rANS-compressed blocks
-(method 4, CRAM 3.0) raise cleanly; htsjdk's default v2.1 output (the
-reference's CRAM test fixtures) decodes fully.
+GAMMA(9) — with raw/gzip/bzip2/lzma/rANS-4x8 block compression (rANS
+order-0 and order-1 decode via formats/rans.py); htsjdk's default v2.1
+output (the reference's CRAM test fixtures) decodes fully.
 
 Containers are self-contained (each carries its own compression header),
 which is what makes the reference's container-aligned splits work

@@ -4,9 +4,11 @@ Spec-conformant but deliberately simple encoding choices (legal CRAM is
 a large space; we pick the corner that is easy to verify):
 - one multi-reference slice per container (slice ref_id = -2, RI series
   per record), so no grouping by contig is required before writing;
-- every data series EXTERNAL (own block, ITF8/bytes), gzip-compressed:
-  no core bitstream on write — readers (ours, htsjdk, pysam) accept any
-  declared encoding;
+- every data series EXTERNAL (own block, ITF8/bytes): no core bitstream
+  on write — readers (ours, htsjdk, pysam) accept any declared encoding.
+  Bases/quals (BA/QS) take the smaller of gzip and rans4x8 order-0
+  (formats/rans.compress — htsjdk also writes these rANS), the numeric/
+  name series stay gzip (LZ matches beat order-0 entropy coding there);
 - absolute alignment positions (AP delta = 0);
 - features computed against the reference FASTA from (cigar, seq):
   X substitutions via the canonical substitution matrix, I/S/D/N/H/P
@@ -102,15 +104,37 @@ class Series:
 
 
 def _block(method: int, ctype: int, cid: int, payload: bytes) -> bytes:
-    """Serialize one v3 block (with CRC32)."""
+    """Serialize one v3 block (with CRC32). method: 0 raw, 1 gzip,
+    4 rans4x8 order-0."""
     if method == 1:
         comp = zlib.compressobj(6, zlib.DEFLATED, 15 + 16)
         data = comp.compress(payload) + comp.flush()
+    elif method == 4:
+        from disq_spark.formats import rans
+
+        data = rans.compress(payload)
     else:
         data = payload
     head = bytes([method, ctype]) + write_itf8(cid) + write_itf8(len(data)) + write_itf8(len(payload))
     body = head + data
     return body + struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
+
+
+# series whose payloads are raw per-base bytes — the shape rANS order-0
+# models well (htsjdk writes these rANS-compressed); everything else
+# (ITF8-packed numbers, names) tends to favor gzip's LZ matches
+_RANS_SERIES = ("BA", "QS")
+
+
+def _best_block(ctype: int, cid: int, payload: bytes, try_rans: bool) -> bytes:
+    """gzip block, or the smaller of gzip/rans4x8-o0 for byte series —
+    per-block pick-smaller mirrors htsjdk's per-series method choice
+    while guaranteeing the written file never exceeds the gzip baseline."""
+    gz = _block(1, ctype, cid, payload)
+    if not try_rans or not payload:
+        return gz
+    rn = _block(4, ctype, cid, payload)
+    return rn if len(rn) < len(gz) else gz
 
 
 def _sub_code(ref_base: str, alt_base: str, sm: bytes = SM_DEFAULT) -> int:
@@ -348,7 +372,9 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int], get_ref) -> t
     content_ids = []
     for key, series in s.items():
         if series.buf:
-            ext_blocks.append(_block(1, 4, CID[key], bytes(series.buf)))
+            ext_blocks.append(
+                _best_block(4, CID[key], bytes(series.buf), key in _RANS_SERIES)
+            )
             content_ids.append(CID[key])
     for tk, (ls, vs) in tag_data.items():
         lc, vc = tag_cids[tk]

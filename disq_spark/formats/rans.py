@@ -1,9 +1,11 @@
-"""rANS 4x8 entropy decoder (CRAM 3.0 block compression method 4).
+"""rANS 4x8 entropy codec (CRAM 3.0 block compression method 4).
 
-Implements the CRAM specification's rans4x8 codec (order-0 and order-1),
-the default block compressor of htsjdk-written CRAM 3.0 — four
-interleaved 32-bit rANS states, 12-bit normalized frequencies, RLE'd
-frequency tables. Decode only (we do not write CRAM).
+Implements the CRAM specification's rans4x8 codec — four interleaved
+32-bit rANS states, 12-bit normalized frequencies, RLE'd frequency
+tables. Decode handles order-0 and order-1 (everything htsjdk writes);
+encode emits order-0 (``compress``), used by the CRAM writer for the
+bulk byte series, closing the write-side codec-parity gap with
+htsjdk-written files.
 
 Layout of a compressed stream:
   order:u8, compressed_size:u32le, uncompressed_size:u32le,
@@ -131,6 +133,98 @@ def _uncompress_o0(c: _Cursor, out_sz: int) -> bytes:
         st = F[s] * (st >> TF_SHIFT) + m - C[s]
         states[j] = _renorm(st, c)
     return bytes(out)
+
+
+def _normalize_freqs(data: bytes) -> list[int]:
+    """Symbol counts scaled to sum exactly TOTFREQ (4096), every present
+    symbol >= 1 (a present symbol with frequency 0 would be undecodable)."""
+    counts = [0] * 256
+    for b in data:
+        counts[b] += 1
+    total = len(data)
+    F = [0] * 256
+    assigned = 0
+    for s in range(256):
+        if counts[s]:
+            F[s] = max(1, (counts[s] * TOTFREQ) // total)
+            assigned += F[s]
+    diff = TOTFREQ - assigned
+    # settle the residual on the most frequent symbols (never below 1)
+    order = sorted((s for s in range(256) if F[s]), key=lambda s: -F[s])
+    i = 0
+    while diff != 0:
+        s = order[i % len(order)]
+        if diff > 0:
+            F[s] += 1
+            diff -= 1
+        elif F[s] > 1:
+            step = min(F[s] - 1, -diff)
+            F[s] -= step
+            diff += step
+        i += 1
+    return F
+
+
+def _write_freq(f: int) -> bytes:
+    """Inverse of _read_freq: 1 byte below 128, else high-bit 2-byte."""
+    if f < 128:
+        return bytes([f])
+    return bytes([0x80 | (f >> 8), f & 0xFF])
+
+
+def _write_freq_table(F: list[int]) -> bytes:
+    """Inverse of _read_freq_table: maximal runs of consecutive present
+    symbols are RLE'd (the parser REQUIRES the RLE form whenever the next
+    present symbol is last+1), terminated by a 0 symbol byte."""
+    out = bytearray()
+    present = [s for s in range(256) if F[s]]
+    i = 0
+    while i < len(present):
+        j = i
+        while j + 1 < len(present) and present[j + 1] == present[j] + 1:
+            j += 1
+        run = present[i : j + 1]
+        out.append(run[0])
+        out += _write_freq(F[run[0]])
+        if len(run) > 1:
+            out.append(run[1])  # == run[0]+1 -> parser reads an RLE count
+            out.append(len(run) - 2)
+            for s in run[1:]:
+                out += _write_freq(F[s])
+        i = j + 1
+    out.append(0)
+    return bytes(out)
+
+
+def compress(data: bytes) -> bytes:
+    """Encode one order-0 rans4x8 stream (including the 9-byte header) —
+    the inverse of ``uncompress``. Symbols are pushed in REVERSE order
+    (rANS is a stack) into 4 states keyed by position & 3, renormalizing
+    into one shared byte stream that is reversed at the end so the
+    decoder meets the bytes in pop order; the 4 final states are written
+    first as the decoder's initial states."""
+    if not data:
+        return struct.pack("<BII", 0, 0, 0)
+    F = _normalize_freqs(data)
+    C = [0] * 257
+    for s in range(256):
+        C[s + 1] = C[s] + F[s]
+    table = _write_freq_table(F)
+    states = [RANS_L, RANS_L, RANS_L, RANS_L]
+    out = bytearray()
+    renorm_base = RANS_L >> TF_SHIFT << 8
+    for i in range(len(data) - 1, -1, -1):
+        s = data[i]
+        j = i & 3
+        x = states[j]
+        f = F[s]
+        x_max = renorm_base * f
+        while x >= x_max:
+            out.append(x & 0xFF)
+            x >>= 8
+        states[j] = ((x // f) << TF_SHIFT) + (x % f) + C[s]
+    payload = table + struct.pack("<4I", *states) + bytes(reversed(out))
+    return struct.pack("<BII", 0, len(payload), len(data)) + payload
 
 
 def _uncompress_o1(c: _Cursor, out_sz: int) -> bytes:

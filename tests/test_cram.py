@@ -292,3 +292,119 @@ def test_build_crai_matches_fixture_index(fixtures_dir, tmp_path):
     entries = read_crai(out)
     offsets = {c.offset for c in scan_containers(src) if c.n_records > 0}
     assert {e[3] for e in entries} == offsets
+
+
+def test_rans_compress_roundtrip_and_fixture_parity(fixtures_dir):
+    """The order-0 rans4x8 ENCODER: synthetic round-trips across shapes,
+    plus parity on real data — every rANS block payload in the GATK
+    CRAM 3.0 fixture (decoded by our decoder, i.e. fixture-derived
+    ground truth) re-compresses with our encoder and decodes back
+    byte-identical."""
+    import random
+
+    from disq_spark.formats import rans
+    from disq_spark.formats.cram import scan_containers
+    from disq_spark.formats.cram_decode import read_block
+
+    rng = random.Random(3)
+    cases = [
+        b"", b"A", b"AAAA" * 100, bytes(range(256)) * 20,
+        bytes(rng.randrange(256) for _ in range(10000)),
+        bytes(rng.choice(b"ACGT") for _ in range(50000)),
+        bytes(min(255, max(0, int(rng.gauss(30, 5)))) for _ in range(50000)),
+    ]
+    for d in cases:
+        assert rans.uncompress(rans.compress(d)) == d
+
+    from disq_spark.formats.cram import parse_file_definition
+
+    p = os.path.join(
+        fixtures_dir, "CEUTrio.HiSeq.WGS.b37.NA12878.20.21.10m-10m100.cram"
+    )
+    data = open(p, "rb").read()
+    major, _minor, _hdr = parse_file_definition(data)
+    n_rans = 0
+    for c in scan_containers(p, data):
+        if c.is_eof:
+            continue
+        off = c.offset + c.header_len
+        while off < c.end:
+            blk = read_block(data, off, major=major)
+            if blk.method == 4:  # fixture-written rANS block
+                n_rans += 1
+                assert rans.uncompress(rans.compress(blk.data)) == blk.data
+            off = blk.end
+    assert n_rans > 0  # htsjdk really writes rANS blocks here
+
+
+def test_cram_write_rans_smaller_than_gzip(spark, fixtures_dir, tmp_path):
+    """The pick-smaller BA/QS strategy must produce a file strictly
+    smaller than the gzip-only baseline on real reads (the codec-parity
+    storage gap this closes), while staying decodable by our reader."""
+    import random
+
+    from disq_spark.formats import cram_encode as CE
+    from disq_spark.schemas import READS_SCHEMA
+    from disq_spark.sinks.cram import write_cram
+    from disq_spark.sources.cram_source import read_cram
+
+    # realistic-scale unmapped reads (seq/qual ride the BA/QS series
+    # verbatim, no reference FASTA needed); tiny fixtures never reach
+    # the corpus sizes where entropy coding wins
+    rng = random.Random(11)
+    rows = [
+        {
+            "name": f"r{i}", "flags": 4, "contig": None, "start": None,
+            "end": None, "mapq": None, "cigar": None, "mate_contig": None,
+            "mate_start": None, "template_len": 0,
+            "seq": "".join(rng.choice("ACGT") for _ in range(100)),
+            "qual": "".join(chr(33 + max(0, min(40, int(rng.gauss(30, 5))))) for _ in range(100)),
+            "tags": None, "read_group": None,
+        }
+        for i in range(2000)
+    ]
+    header_text = "@HD\tVN:1.6\tSO:unsorted\n@SQ\tSN:c1\tLN:1000\n"
+    from disq_spark.headers import SamHeader
+
+    header = SamHeader(text=header_text)
+    df = spark.createDataFrame(rows, READS_SCHEMA).coalesce(1)
+
+    out = str(tmp_path / "rans.cram")
+    write_cram(df, header, out, write_crai=False)
+
+    # block-level audit of the written file: the bulk series actually
+    # chose rANS, and each rANS block strictly beats its gzip encoding
+    # (pick-smaller makes the whole file < the gzip-only baseline by
+    # exactly the sum of these per-block savings)
+    import zlib
+
+    from disq_spark.formats.cram import parse_file_definition, scan_containers
+    from disq_spark.formats.cram_decode import read_block
+
+    data = open(out, "rb").read()
+    major, _minor, _hdr = parse_file_definition(data)
+    n_rans = 0
+    saved = 0
+    for c in scan_containers(out, data):
+        if c.is_eof:
+            continue
+        off = c.offset + c.header_len
+        while off < c.end:
+            blk = read_block(data, off, major=major)
+            if blk.method == 4:
+                n_rans += 1
+                from disq_spark.formats import rans
+
+                comp = zlib.compressobj(6, zlib.DEFLATED, 15 + 16)
+                gz_len = len(comp.compress(blk.data) + comp.flush())
+                rans_len = len(rans.compress(blk.data))
+                assert rans_len < gz_len, (rans_len, gz_len)
+                saved += gz_len - rans_len
+            off = blk.end
+    assert n_rans > 0 and saved > 0, "no series chose rANS"
+
+    back, _ = read_cram(spark, out)
+    assert back.count() == 2000
+    got = {r.name: r for r in back.collect()}
+    for r in rows[:50]:
+        assert got[r["name"]].seq == r["seq"] and got[r["name"]].qual == r["qual"]
