@@ -283,3 +283,17 @@ def test_substring_dup_rate_no_distinct_aggregate(spark):
     assert "Expand" not in plan, plan  # distinct-agg rewrite marker
     assert plan.count("HashAggregate") >= 2, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_contamination_no_cartesian_single_gram_join(spark):
+    """Benchmark decontamination must stay an equi-join bucketed by gram
+    (one hash exchange per side + the aggregates), never a cartesian/
+    broadcast-nested-loop degeneration — at corpus scale an all-pairs
+    plan here is instant death."""
+    from disq_spark.queries.llm import QUERIES
+
+    plan = simple_plan_of(QUERIES["text_decontamination_ngram"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the gram join itself (hash or broadcast-hash on the gram key)
+    assert "Join" in plan

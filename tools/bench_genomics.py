@@ -1,9 +1,14 @@
-"""Genomics I/O throughput: replicate the reference fixture to ~200k
-records, write a single-file BAM (with .sbi/.bai), read it back across
-many partitions. Prints one JSON line with records/sec. Not part of the
+"""Genomics I/O throughput: replicate the reference fixture (4.9k reads)
+by a factor, write a single-file BAM (with .sbi/.bai), read it back
+across many partitions, flagstat it, and run a 3-region index-pruned
+interval query. Prints one JSON line with records/sec. Not part of the
 driver's bench.py contract — numbers recorded in BASELINE.md.
 
 Usage: python tools/bench_genomics.py [replication_factor]
+  factor 40   (default) ~200k records / ~25 MB — the quick regression point
+  factor 2100 ~10.3M records / ~2.2 GB — the RealWorldFilesIT-scale point
+    (README.md:223-248 analog); any super-linear planner/merge path shows
+    up as per-record cost divergence vs the factor-40 run.
 """
 
 from __future__ import annotations
@@ -32,14 +37,107 @@ def main() -> None:
     base = base.cache()
     n_base = base.count()
 
-    big = None
-    for i in range(factor):
-        part = base.withColumn("name", F.concat(F.col("name"), F.lit(f"_{i}")))
-        big = part if big is None else big.unionByName(part)
-    big = big.repartition(32).cache()
-    n = big.count()
+    # one crossJoin with a range, not a factor-way union: the union plan
+    # grows linearly with factor (2000-way union = minutes of planning);
+    # the join replicates with a 2-operator plan at any factor. Each
+    # replica SHIFTS its coordinates by 150 kb (wrapping inside the
+    # contig) so the big file covers a genuinely larger genome span —
+    # coordinate-sorting bare duplicates would place identical records
+    # adjacent, letting BGZF compress the file to nothing and collapsing
+    # read parallelism (a 10M-record file must look like 10M reads, not
+    # like one read 10M times).
+    from disq_spark.operators.genomics import coordinate_sort
 
+    SHIFT = 150_000
+    # 1399 * 150kb = 210 Mb < LN(contig 1) = 249 Mb. Deliberately coprime
+    # to the 4 seq-variants and 2 qual-variants below: replicas that wrap
+    # onto the SAME coordinate slot (rep, rep+WRAP, ...) then carry
+    # DIFFERENT byte variants — a 4-divisible wrap re-aligns the variant
+    # cycle and the coordinate sort puts byte-identical records adjacent,
+    # which BGZF deletes (measured: 56 B/record vs the true ~119)
+    WRAP = 1_399
+    rep = spark.range(factor).select(F.col("id").alias("__rep"))
+    shift = (F.col("__rep") % WRAP) * SHIFT
+    placed = F.col("start").isNotNull()
+    # decorrelate replica BYTES too (BAM stores seq/qual verbatim, so
+    # reverse/complement variants are legal): byte-identical replicas
+    # within one BGZF window compress to nothing, and a "2 GB" file
+    # that inflates from 200 MB of unique bytes benchmarks the codec,
+    # not the I/O path
+    # per-replica ALPHABET PERMUTATIONS (translate) change the byte
+    # values themselves — reversal/rotation variants fall to LZ matching
+    # (a rotated copy is two long matches; measured: the file stopped
+    # growing past ~4 wrap layers), but differently-substituted copies
+    # share no literal runs. 4 reverse/complement shapes x 8 base perms
+    # x 16 qual perms, all cycle lengths coprime-ish to the wrap, so
+    # slot-adjacent replicas always differ in bytes.
+    import random as _rnd
+
+    _r = _rnd.Random(5)
+    QA = "".join(chr(c) for c in range(33, 74))  # visible qual alphabet
+    qual_perms = []
+    for _ in range(16):
+        p = list(QA)
+        _r.shuffle(p)
+        qual_perms.append("".join(p))
+    seq_perms = []
+    for _ in range(8):
+        p = list("ACGT")
+        _r.shuffle(p)
+        seq_perms.append("".join(p))
+
+    variant = F.col("__rep") % 4
+    seq0 = F.col("seq")
+    comp = F.translate(seq0, "ACGT", "TGCA")
+    seq_var = (
+        F.when(seq0.isNull(), seq0)
+        .when(variant == 1, F.reverse(seq0))
+        .when(variant == 2, comp)
+        .when(variant == 3, F.reverse(comp))
+        .otherwise(seq0)
+    )
+    sp = F.col("__rep") % 8
+    seq_v = F.when(seq0.isNull(), seq0)
+    for k in range(8):
+        seq_v = seq_v.when(sp == k, F.translate(F.col("__seq_var"), "ACGT", seq_perms[k]))
+    seq_v = seq_v.otherwise(F.col("__seq_var"))
+    qp = F.col("__rep") % 16
+    qual_v = F.when(F.col("qual").isNull(), F.col("qual"))
+    for k in range(16):
+        qual_v = qual_v.when(qp == k, F.translate(F.col("qual"), QA, qual_perms[k]))
+    qual_v = qual_v.otherwise(F.col("qual"))
+    big = (
+        base.crossJoin(rep)
+        .withColumn("name", F.concat(F.col("name"), F.lit("_"), F.col("__rep")))
+        .withColumn("start", F.when(placed, F.col("start") + shift).otherwise(F.col("start")))
+        .withColumn("end", F.when(placed, F.col("end") + shift).otherwise(F.col("end")))
+        .withColumn(
+            "mate_start",
+            F.when(F.col("mate_start").isNotNull(), F.col("mate_start") + shift).otherwise(
+                F.col("mate_start")
+            ),
+        )
+        .withColumn("__seq_var", seq_var)
+        .withColumn("seq", seq_v)
+        .withColumn("qual", qual_v)
+        .drop("__rep", "__seq_var")
+    )
+    # Materialize to temp parquet rather than cache/checkpoint: at the
+    # multi-GB point the replicated frame must not live in the block
+    # manager (disk-backed scan keeps the timed write's input memory
+    # bounded, like a real pipeline reading staged data).
     tmp = tempfile.mkdtemp()
+    staged = os.path.join(tmp, "staged.parquet")
+    big.write.parquet(staged)
+    staged_df = spark.read.parquet(staged)
+    big = staged_df
+    n = big.count()
+    # single-file .bai write requires global coordinate order (the
+    # builders refuse interleaved parts). A parquet read-back does not
+    # guarantee partition order (splits are bin-packed by size), so the
+    # range-partition sort runs INSIDE the timed write — which is the
+    # true cost of a single-file indexed write from staged data anyway.
+    big = coordinate_sort(big, header, num_partitions=32)
     # warm the Python worker pool (first mapInPandas pays worker spawn)
     write_bam(base, header, os.path.join(tmp, "warmup.bam"), write_sbi=False, write_bai=False)
 
@@ -54,6 +152,39 @@ def main() -> None:
     n2 = df2.count()
     t_read = time.time() - t0
     assert n2 == n, (n2, n)
+
+    # flagstat over the written file: column-pruned scan (flags only)
+    t0 = time.time()
+    fdf, _ = read_bam(spark, out, split_size=1024 * 1024, columns=["flags"])
+    f = F.col("flags")
+    fdf.agg(
+        F.count("*").alias("total"),
+        F.sum(((f.bitwiseAND(4)) == 0).cast("long")).alias("mapped"),
+        F.sum(((f.bitwiseAND(1)) != 0).cast("long")).alias("paired"),
+        F.sum(((f.bitwiseAND(1024)) != 0).cast("long")).alias("duplicates"),
+    ).collect()
+    t_flagstat = time.time() - t0
+
+    # driver-side .bai parse cost (pure-Python; scales with bin count —
+    # a planner input, so it gates every interval query's latency)
+    from disq_spark.formats import bai as baimod
+
+    t0 = time.time()
+    baimod.read_bai(out + ".bai")
+    t_bai_parse = time.time() - t0
+
+    # 3-region interval query through the freshly merged .bai
+    from disq_spark.functions.intervals import Interval
+
+    regions = [
+        Interval("1", 24_800_000, 24_820_000),
+        Interval("1", 24_850_000, 24_860_000),
+        Interval("1", 24_890_000, 24_900_000),
+    ]
+    t0 = time.time()
+    idf, _ = read_bam(spark, out, split_size=1024 * 1024, intervals=regions)
+    n_interval = idf.count()
+    t_interval = time.time() - t0
 
     # raw-tags scan (lazy aux decode — the scale path): tags carried as
     # undecoded byte spans, full rows otherwise
@@ -95,7 +226,7 @@ def main() -> None:
     # FASTQ: write a sizable file from the reads, then timed scan
     from disq_spark.sources.fastq import read_fastq, write_fastq
 
-    fq_df = big.filter(F.col("seq").isNotNull() & F.col("qual").isNotNull()).select(
+    fq_df = staged_df.filter(F.col("seq").isNotNull() & F.col("qual").isNotNull()).select(
         F.col("name"), F.lit(None).cast("string").alias("comment"), "seq", "qual"
     )
     fq_path = os.path.join(tmp, "big.fastq")
@@ -118,6 +249,11 @@ def main() -> None:
                 "read_raw_tags_s": round(t_read_raw, 2),
                 "read_raw_tags_rec_per_s": int(n / t_read_raw),
                 "agg_s": round(t_agg, 2),
+                "flagstat_s": round(t_flagstat, 2),
+                "flagstat_rec_per_s": int(n / t_flagstat),
+                "interval_3region_s": round(t_interval, 2),
+                "interval_records": n_interval,
+                "bai_parse_s": round(t_bai_parse, 2),
                 "n_base": n_base,
                 "vcf_records": nv,
                 "vcf_s": round(t_vcf, 2),
@@ -129,6 +265,10 @@ def main() -> None:
             }
         )
     )
+    if not os.environ.get("BENCH_GENOMICS_KEEP"):
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
