@@ -37,7 +37,7 @@ from disq_spark.sinks.cram import write_cram
 from disq_spark.sinks.materialize import materialize_reads, materialize_variants, read_materialized
 from disq_spark.sinks.reads import write_sam
 from disq_spark.sinks.variants import write_vcf
-from disq_spark.sources.bam_source import build_sbi, read_bam
+from disq_spark.sources.bam_source import build_bai, build_sbi, read_bam
 from disq_spark.sources.cram_source import build_crai
 from disq_spark.sources.datasource import register_datasources
 from disq_spark.sources.cram_source import read_cram
@@ -49,6 +49,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Interval",
     "build_crai",
+    "build_bai",
     "build_sbi",
     "build_tbi",
     "filter_intervals",

@@ -529,6 +529,122 @@ def build_sbi(
     return path + ".sbi"
 
 
+def build_bai(
+    spark: SparkSession, path: str, split_size: int = DEFAULT_SPLIT_SIZE
+) -> str:
+    """Distributed .bai construction for an existing coordinate-sorted
+    (index-less) BAM — the read-side counterpart of the write-path
+    builder (sinks/bam.py) and the .bai sibling of ``build_sbi``. The
+    reference only builds .sbi for existing files
+    (BamRecordGuesserChecker.java:82-95) and defers .bai to htsjdk's
+    single-threaded BAMIndexer; here each planned chunk builds its
+    fragment in parallel and the driver merges with zero offset shift
+    (record voffs are already absolute). Byte-identical to the index the
+    single-file write path would have produced for the same records
+    (differential-tested), so interval planners can't tell the
+    difference. Writes ``path + '.bai'`` and returns it.
+    """
+    import pandas as pd_
+
+    from disq_spark.formats import bai as baimod
+    from disq_spark.formats.bam import _reg2bin
+    from disq_spark.schemas import FLAG_UNMAPPED
+    from disq_spark.sinks import merge as _merge
+    from disq_spark.sinks.bam import _check_cross_part_order
+
+    header, refs, first_voff = read_bam_header(path)
+    if header.sort_order != "coordinate":
+        raise ValueError("build_bai requires a coordinate-sorted BAM header")
+    chunks = plan_bam_chunks(path, split_size, refs, first_voff)
+    size = _dfs.getsize(path)
+    with _dfs.open_input(path) as f:
+        f.seek(size - len(bgzf.EOF_BLOCK))
+        has_eof = f.read(len(bgzf.EOF_BLOCK)) == bgzf.EOF_BLOCK
+    end_of_data_voff = (size - len(bgzf.EOF_BLOCK) if has_eof else size) << 16
+
+    parts_dir = path + ".bai.parts"
+    _dfs.makedirs(parts_dir)
+    ref_index = {name: i for i, (name, _l) in enumerate(refs)}
+    n_ref = len(refs)
+    refs_b = refs
+
+    plan_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(path, i, vs, ve) for i, (vs, ve) in enumerate(chunks)],
+            max(len(chunks), 1),
+        ),
+        "path string, idx long, v_start long, v_end long",
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                p, idx = r["path"], int(r["idx"])
+                vs, ve = int(r["v_start"]), int(r["v_end"])
+                # write-side parity: the file's final end voff is the
+                # end-of-data position (pre-EOF-block), like the write
+                # path's dangling-end patch target
+                ve_eff = min(ve, end_of_data_voff)
+                voffs = scan_record_voffs(p, refs_b, vs, ve)
+                n = len(voffs)
+                base = ""
+                if n:
+                    cols = decode_chunk_cols(
+                        p, refs_b, vs, ve,
+                        with_seq=False, with_qual=False, with_tags=False,
+                    )
+                    b = baimod.BaiBuilder(n_ref)
+                    ends_v = voffs[1:] + [ve_eff]
+                    first_key = last_key = None
+                    unplaced = False
+                    for i in range(n):
+                        contig, start = cols["contig"][i], cols["start"][i]
+                        if contig is None or start is None or pd_.isna(start):
+                            b.add(-1, -1, -1, 0, voffs[i], ends_v[i], False)
+                            unplaced = True
+                        else:
+                            if unplaced:
+                                raise ValueError(
+                                    "build_bai requires coordinate-sorted "
+                                    "records: placed record after unplaced"
+                                )
+                            pos0 = int(start) - 1
+                            e = cols["end"][i]
+                            end0 = int(e) if e is not None and not pd_.isna(e) else pos0 + 1
+                            b.add(
+                                ref_index[contig], pos0, end0,
+                                _reg2bin(pos0, max(end0, pos0 + 1)),
+                                voffs[i], ends_v[i],
+                                int(cols["flags"][i]) & FLAG_UNMAPPED == 0,
+                            )
+                            last_key = (ref_index[contig], pos0)
+                            if first_key is None:
+                                first_key = last_key
+                    base = f"part-{idx:05d}-{vs:x}"
+                    baimod.write_bai(
+                        os.path.join(parts_dir, f".{base}.bai"), b.build(), fragment=True
+                    )
+                    _merge.write_order_sidecar(
+                        parts_dir, base,
+                        {"first": first_key, "last": last_key, "unplaced": unplaced},
+                    )
+                yield pd_.DataFrame({"part": [base], "n": [n]})
+
+    try:
+        rows = plan_df.mapInPandas(scan, "part string, n long").collect()
+        bases = sorted(r.part for r in rows if r.part)
+        _check_cross_part_order(parts_dir, bases)
+        frags = [
+            baimod.read_bai(os.path.join(parts_dir, f".{b}.bai"), fragment=True)
+            for b in bases
+        ]
+        merged = baimod.merge_bai(frags, [0] * len(frags), base_offset=0)
+        baimod.write_bai(path + ".bai", merged)
+    finally:
+        _dfs.rmtree(parts_dir)
+    return path + ".bai"
+
+
 def read_bam(
     spark: SparkSession,
     path: str,

@@ -355,3 +355,37 @@ def test_check_record_guesser_exact_on_fixture(spark, fixtures_dir):
         split_size=512 * 1024,
     ).collect()
     assert bad == [], bad[:10]
+
+
+def test_build_bai_matches_write_side_index(spark, fixtures_dir, tmp_path):
+    """Read-side distributed .bai construction (build_bai) must produce
+    byte-identical output to the index the single-file WRITE path built
+    for the same records — chunk fragmentation differs (read chunks vs
+    write parts), so equality proves the fragment merge is exact."""
+    from disq_spark.sources.bam_source import build_bai, read_bam
+
+    src = os.path.join(fixtures_dir, "1-with-splitting-index.bam")
+    df, header = read_bam(spark, src, split_size=200_000)
+    out = str(tmp_path / "sorted.bam")
+    # fixture is coordinate-sorted; keep one partition so the write-side
+    # .bai sees the same global order the file has
+    write_bam(df.coalesce(1), header, out, write_bai=True, sbi_granularity=1)
+    write_side = open(out + ".bai", "rb").read()
+    os.remove(out + ".bai")
+
+    built = build_bai(spark, out, split_size=100_000)
+    read_side = open(built, "rb").read()
+    assert read_side == write_side
+    assert not os.path.exists(out + ".bai.parts")
+
+
+def test_build_bai_refuses_unsorted_header(spark, fixtures_dir, tmp_path):
+    from disq_spark.sources.bam_source import build_bai, read_bam
+
+    src = os.path.join(fixtures_dir, "1-with-splitting-index.bam")
+    df, header = read_bam(spark, src)
+    out = str(tmp_path / "uns.bam")
+    header2 = type(header)(text=header.text.replace("SO:coordinate", "SO:queryname"))
+    write_bam(df.coalesce(1), header2, out, write_bai=False)
+    with pytest.raises(ValueError, match="coordinate-sorted"):
+        build_bai(spark, out)
