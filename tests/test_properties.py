@@ -335,3 +335,52 @@ def test_fastq_guesser_lands_on_true_record_start(text, cut):
     else:
         # None is acceptable only if no true start lies at/after the cut
         assert all(s < cut for s in true_starts), (cut, text[:120])
+
+
+# --------------------------------------------------------------------------
+# rANS 4x8 order-0: compress -> uncompress identity for any byte string
+# (uniform, skewed, tiny, single-symbol — the encoder's frequency
+# normalization and table RLE must hold everywhere)
+# --------------------------------------------------------------------------
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=50_000))
+def test_rans_compress_roundtrip_property(data):
+    from disq_spark.formats import rans
+
+    assert rans.uncompress(rans.compress(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.binary(min_size=1, max_size=8),  # tiny alphabet -> heavy skew
+    st.integers(min_value=1, max_value=20_000),
+)
+def test_rans_skewed_alphabet_roundtrip(alphabet, n):
+    import random
+
+    from disq_spark.formats import rans
+
+    rng = random.Random(n)
+    data = bytes(alphabet[rng.randrange(len(alphabet))] for _ in range(n))
+    assert rans.uncompress(rans.compress(data)) == data
+
+
+# --------------------------------------------------------------------------
+# PNG: encode (any per-row filter mix) -> decode is pixel-exact
+# --------------------------------------------------------------------------
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, filters, seed):
+    import numpy as np
+
+    from disq_spark.operators.multimodal import _decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    got_w, got_h, back = _decode_png(encode_png(img, filters))
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(back, img)
