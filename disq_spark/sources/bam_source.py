@@ -638,7 +638,12 @@ def build_bai(
             baimod.read_bai(os.path.join(parts_dir, f".{b}.bai"), fragment=True)
             for b in bases
         ]
-        merged = baimod.merge_bai(frags, [0] * len(frags), base_offset=0)
+        if frags:
+            merged = baimod.merge_bai(frags, [0] * len(frags), base_offset=0)
+        else:
+            # zero-record BAM: a legal index still carries one empty
+            # entry per reference sequence
+            merged = baimod.BaiBuilder(n_ref).build()
         baimod.write_bai(path + ".bai", merged)
     finally:
         _dfs.rmtree(parts_dir)

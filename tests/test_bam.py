@@ -389,3 +389,19 @@ def test_build_bai_refuses_unsorted_header(spark, fixtures_dir, tmp_path):
     write_bam(df.coalesce(1), header2, out, write_bai=False)
     with pytest.raises(ValueError, match="coordinate-sorted"):
         build_bai(spark, out)
+
+
+def test_build_bai_empty_bam(spark, tmp_path):
+    """A zero-record BAM still gets a legal index: one empty entry per
+    reference sequence, not a zero-ref file."""
+    from disq_spark.formats import bai as baimod
+    from disq_spark.headers import SamHeader
+    from disq_spark.schemas import READS_SCHEMA
+    from disq_spark.sources.bam_source import build_bai
+
+    out = str(tmp_path / "empty.bam")
+    header = SamHeader(text="@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:c1\tLN:100000\n")
+    write_bam(spark.createDataFrame([], READS_SCHEMA), header, out,
+              write_bai=False, write_sbi=True)
+    idx = baimod.read_bai(build_bai(spark, out))
+    assert len(idx.refs) == 1
