@@ -525,6 +525,53 @@ ORDER BY region
 # back through the Parquet partition-pruning path as through .bai spans.
 ORACLE["genomics_materialized_interval"] = ORACLE["genomics_bam_interval_query"]
 
+
+@_q("genomics_built_bai_interval_query")
+def genomics_built_bai_interval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side distributed .bai construction (build_bai) under the
+    gate: copy the .bai-less fixture into a cached dir, build its index
+    in parallel, and run the SAME interval aggregate as
+    genomics_bam_interval_query — now through .bai chunk pruning. The
+    oracle is that gate's literals verbatim: the index-pruned traversal
+    must be indistinguishable from the brute-force residual path, so an
+    index that wrongly excludes a chunk (fragment build, merge, or
+    pruning bug) loses rows and fails the hash."""
+    import shutil
+    import tempfile
+
+    from disq_spark.cacheutil import cache_key, ensure_cached_dir
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.sources.bam_source import build_bai, read_bam
+
+    src = os.path.join(FIXTURES, "1-with-splitting-index.bam")
+    st = os.stat(src)
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"disq_gate_bai_{cache_key(src, st.st_mtime_ns, st.st_size)}",
+    )
+
+    def _build(tmp: str) -> None:
+        shutil.copy(src, os.path.join(tmp, "data.bam"))
+        shutil.copy(src + ".sbi", os.path.join(tmp, "data.bam.sbi"))
+        build_bai(spark, os.path.join(tmp, "data.bam"), split_size=200_000)
+
+    ensure_cached_dir(cache, _build)
+    bam = os.path.join(cache, "data.bam")
+    if not os.path.exists(bam + ".bai"):
+        raise AssertionError("build_bai produced no .bai")
+    df, _h = read_bam(
+        spark, bam, split_size=200_000,
+        intervals=[Interval("1", 24_800_000, 24_900_000)],
+    )
+    return (
+        df.groupBy((F.col("start") / 10_000).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n_reads"), F.round(F.avg("mapq"), 2).alias("avg_mapq"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE["genomics_built_bai_interval_query"] = ORACLE["genomics_bam_interval_query"]
+
 ORACLE["genomics_guesser_diagnostic"] = """
 SELECT CAST(0 AS BIGINT) AS n_disagreements, CAST(0 AS BIGINT) AS n_false_pos,
        CAST(0 AS BIGINT) AS n_false_neg, CAST(4917 AS BIGINT) AS n_records
