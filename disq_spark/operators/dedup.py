@@ -24,9 +24,13 @@ stays in whole-stage codegen):
 
 Determinism contract: all hashing is md5-of-string (identical in any
 engine), so every operator here has an exact ANSI-SQL oracle. MinHash
-min() is taken over md5 hex strings — lexicographic min of the hex
-encoding equals numeric min of the 128-bit hash, no integer conversion
-needed.
+uses ONE md5 per shingle (its first 15 hex chars as a 60-bit int) fed
+through a fixed universal-hash family ((a_i*h + b_i) mod 2^31-1) — the
+classic Carter-Wegman construction — so the per-shingle cost is one
+digest + num_hashes integer multiply-adds instead of num_hashes
+digests, and signature state is 8 B/component instead of a 32-char
+string. Any SQL engine reproduces the base hash via
+CAST('0x' || substr(md5(s),1,15) AS BIGINT).
 
 Scale notes: the only O(n^2) danger is hot shingles/buckets (boilerplate
 text). ``max_df`` caps shingle document frequency — the standard
@@ -42,6 +46,40 @@ from disq_spark.functions.text import normalize, tokens
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows per band = num_hashes // bands
+
+# Universal-hash modulus for minhash components: 2^31-1 (Mersenne prime).
+# Keeps a*h+b < 2^62 — inside signed int64 in Spark AND DuckDB, so the
+# oracle arithmetic is bit-identical with no overflow in either engine.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients for the minhash family
+    h_i(x) = (a_i * x + b_i) mod MINHASH_PRIME, a_i != 0.
+
+    Derived from md5 of a fixed label so Spark code and generated SQL
+    oracles embed the exact same literals."""
+    import hashlib
+
+    params = []
+    for i in range(num_hashes):
+        a = (
+            int(hashlib.md5(f"disq-mh-a-{i}".encode()).hexdigest()[:8], 16)
+            % (MINHASH_PRIME - 1)
+            + 1
+        )
+        b = int(hashlib.md5(f"disq-mh-b-{i}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def minhash_base_hash(col) -> F.Column:
+    """60-bit integer base hash of a shingle: first 15 hex chars of md5,
+    reduced mod MINHASH_PRIME. SQL equivalent:
+    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % F.lit(MINHASH_PRIME)
+    )
 
 
 def content_hash(col) -> F.Column:
@@ -164,15 +202,21 @@ def minhash_signatures(
     stride: int = 4,
     max_df: float | None = None,
 ) -> DataFrame:
-    """One row per doc: id + mh_0..mh_{n-1} (md5-hex minhash components).
+    """One row per doc: id + mh_0..mh_{n-1} (int64 minhash components).
 
-    Single explode + single groupBy; the i-th hash family is
-    md5(i || ':' || shingle).
+    Single explode + single groupBy. One md5 per shingle (60-bit base
+    hash) fans out to num_hashes components via the Carter-Wegman family
+    (a_i*h + b_i) mod 2^31-1 — integer multiply-adds in codegen instead
+    of num_hashes separate digests, and 8 B of agg state per component
+    instead of a 32-char hex string. At 100 TB the signature table
+    shrinks 4x and the digest work per shingle drops num_hashes-fold.
     """
     sh = shingle_table(df, text_col, id_col, k, stride, max_df)
+    sh = sh.select(F.col(id_col), minhash_base_hash(F.col("shingle")).alias("__h"))
+    P = F.lit(MINHASH_PRIME)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -202,8 +246,8 @@ def minhash_lsh_pairs(
     join-back to the signature table. One aggregate shuffle for
     signatures, one shuffle for the bucket join, one for pair distinct.
     At 100 TB the carried signature widens bucket rows by
-    num_hashes x 32 B — still far cheaper than two extra hash joins
-    against a table of every document.
+    num_hashes x 8 B (int64 components) — still far cheaper than two
+    extra hash joins against a table of every document.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands

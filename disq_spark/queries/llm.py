@@ -318,13 +318,16 @@ def _minhash_pair_ctes(src: str = "documents", max_df_sql: str | None = None) ->
     the thresholded minhash near-dup pairs of ``src`` — composable into
     larger pipelines (corpus_prep) or wrapped standalone below."""
     rows_per_band = NUM_HASHES // BANDS
+    P = DD.MINHASH_PRIME
     mh_cols = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(NUM_HASHES)
+        f"min(({a} * h + {b}) % {P}) AS mh_{i}"
+        for i, (a, b) in enumerate(DD.minhash_params(NUM_HASHES))
     )
     band_selects = []
     for b in range(BANDS):
         parts = " || '|' || ".join(
-            f"mh_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            f"CAST(mh_{i} AS VARCHAR)"
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
         )
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({parts}) AS band_key FROM sig"
@@ -334,8 +337,11 @@ def _minhash_pair_ctes(src: str = "documents", max_df_sql: str | None = None) ->
         f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
     )
     return f"""{_oracle_sh_cte(src, max_df_sql)},
+shh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {P} AS h FROM sh
+),
 sig AS MATERIALIZED (
-  SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
+  SELECT doc_id, {mh_cols} FROM shh GROUP BY doc_id
 ),
 buckets AS ({buckets}),
 cand AS (
