@@ -73,13 +73,24 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
+def gram_hash(col) -> F.Column:
+    """60-bit integer fingerprint of a gram/shingle: first 15 hex chars
+    of md5 as an int64. SQL equivalent:
+    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT).
+
+    Hashing before a shuffle cuts the exchanged key from tens of bytes
+    (a 13-word gram is ~80 B) to 8 B; at 2^60 key space the collision
+    expectation is ~n^2/2^61 — at 10^12 distinct grams that's a ~4e-7
+    relative error, the standard fingerprinting trade (Rabin/datasketch
+    do the same)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_base_hash(col) -> F.Column:
     """60-bit integer base hash of a shingle: first 15 hex chars of md5,
     reduced mod MINHASH_PRIME. SQL equivalent:
     CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % F.lit(MINHASH_PRIME)
-    )
+    return gram_hash(col) % F.lit(MINHASH_PRIME)
 
 
 def content_hash(col) -> F.Column:
@@ -744,15 +755,24 @@ def ngram_contamination(
 
     Scale shape: per-side DISTINCT grams first (bounds each document's
     contribution by its length, collapses boilerplate), then one
-    equi-join bucketed by gram — never all-pairs, no driver collect.
+    equi-join bucketed by the 8-byte gram fingerprint (``gram_hash``) —
+    never all-pairs, no driver collect.
     Benchmark gram sets are typically millions of rows (eval suites are
     small next to a corpus), so AQE broadcasts that side; a hot gram on
     the corpus side is handled by AQE skew splitting. Reuses the
     positional-gram machinery of substring_dup_rate (Lee et al.).
     """
-    c = _word_ngrams(df, n, text_col, id_col).distinct()
-    b = _word_ngrams(bench, n, bench_text_col, bench_id_col).select("gram").distinct()
-    return c.join(b, "gram").groupBy(id_col).agg(F.count("*").alias("n_hits"))
+    c = (
+        _word_ngrams(df, n, text_col, id_col)
+        .select(F.col(id_col), gram_hash(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    b = (
+        _word_ngrams(bench, n, bench_text_col, bench_id_col)
+        .select(gram_hash(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    return c.join(b, "gh").groupBy(id_col).agg(F.count("*").alias("n_hits"))
 
 
 def substring_dup_rate(
@@ -774,17 +794,20 @@ def substring_dup_rate(
 
     Returns (id_col, n_grams, dup_rate).
 
-    Plan shape / scale: one posexplode (no shuffle); one
-    map-side-combinable groupBy(gram) whose cross-document test is
+    Plan shape / scale: one posexplode (no shuffle); grams shuffle as
+    8-byte int64 fingerprints (``gram_hash``), not strings; one
+    map-side-combinable groupBy whose cross-document test is
     ``min(id) != max(id)`` — deliberately NOT count(distinct id), so a
     boilerplate gram seen 10^9 times combines to two longs instead of a
     distinct sketch; one equi-join back on gram (AQE skew-join handles
     hot grams); one groupBy(id). Never all-pairs, no driver collect.
     """
-    grams = _word_ngrams(df, n, text_col, id_col)
-    flag = grams.groupBy("gram").agg((F.min(id_col) != F.max(id_col)).alias("is_dup"))
+    grams = _word_ngrams(df, n, text_col, id_col).select(
+        F.col(id_col), gram_hash(F.col("gram")).alias("gh")
+    )
+    flag = grams.groupBy("gh").agg((F.min(id_col) != F.max(id_col)).alias("is_dup"))
     return (
-        grams.join(flag, "gram")
+        grams.join(flag, "gh")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),

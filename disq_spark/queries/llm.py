@@ -1705,15 +1705,15 @@ bench AS (
   FROM t WHERE doc_id % {_DECON_MOD} = 0 AND len(toks) >= {_DECON_SKIP + _DECON_LEN}
 ),
 bgrams AS (
-  SELECT DISTINCT array_to_string(list_slice(btoks, i, i + {DECON_N - 1}), ' ') AS gram
+  SELECT DISTINCT CAST(('0x' || substr(md5(array_to_string(list_slice(btoks, i, i + {DECON_N - 1}), ' ')), 1, 15)) AS BIGINT) AS gh
   FROM bench, unnest(generate_series(1, len(btoks) - {DECON_N - 1})) AS u(i)
 ),
 g AS (
-  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ') AS gram
+  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ')), 1, 15)) AS BIGINT) AS gh
   FROM t, unnest(generate_series(1, len(toks) - {DECON_N - 1})) AS u(i)
   WHERE len(toks) >= {DECON_N}
 ),
-hits AS (SELECT doc_id, count(*) AS n_hits FROM g JOIN bgrams USING (gram) GROUP BY doc_id)
+hits AS (SELECT doc_id, count(*) AS n_hits FROM g JOIN bgrams USING (gh) GROUP BY doc_id)
 SELECT d.source,
        count(*) AS n_docs,
        CAST(sum(CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
@@ -2000,15 +2000,15 @@ def text_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["text_substring_dup_rate"] = f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 g AS (
-  SELECT doc_id, array_to_string(list_slice(toks, i, i + {SUBDUP_N - 1}), ' ') AS gram
+  SELECT doc_id, CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {SUBDUP_N - 1}), ' ')), 1, 15)) AS BIGINT) AS gh
   FROM t, unnest(generate_series(1, len(toks) - {SUBDUP_N - 1})) AS u(i)
   WHERE len(toks) >= {SUBDUP_N}
 ),
-gf AS (SELECT gram, (min(doc_id) <> max(doc_id)) AS is_dup FROM g GROUP BY gram),
+gf AS (SELECT gh, (min(doc_id) <> max(doc_id)) AS is_dup FROM g GROUP BY gh),
 per AS (
   SELECT g.doc_id, count(*) AS n_grams,
          avg(CASE WHEN gf.is_dup THEN 1.0 ELSE 0.0 END) AS dup_rate
-  FROM g JOIN gf USING (gram) GROUP BY g.doc_id
+  FROM g JOIN gf USING (gh) GROUP BY g.doc_id
 )
 SELECT d.source, count(*) AS n_docs, round(avg(per.dup_rate), 4) AS avg_dup_rate,
        CAST(sum(CASE WHEN per.dup_rate >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_dup,
