@@ -309,3 +309,157 @@ def downsample_reads(df: DataFrame, fraction: float, seed: str = "") -> DataFram
     from disq_spark.operators.sampling import uniform_sql
 
     return df.filter(F.expr(uniform_sql("name", seed)) < fraction)
+
+
+# samtools mpileup's default exclusion mask (UNMAP|SECONDARY|QCFAIL|DUP).
+PILEUP_EXCLUDE_FLAGS = 0x4 | 0x100 | 0x200 | 0x400
+
+_PILEUP_EVENT_T = "array<struct<pos:bigint,base:string,bq:int,kind:string>>"
+
+# CIGAR -> per-op struct(op, len, ro, qo) where ro/qo are the REFERENCE
+# and QUERY offsets consumed by all preceding ops (per SAMv1 §1.4.6:
+# M/=/X consume both, D/N reference only, I/S query only, H/P neither).
+_CIGAR_OPS_SQL = """
+aggregate(
+  transform(regexp_extract_all(cigar, '([0-9]+)[MIDNSHP=X]', 0),
+            s -> struct(cast(substring(s, 1, length(s) - 1) as int) as len,
+                        substring(s, -1, 1) as op)),
+  struct(cast(0 as bigint) as ro, cast(0 as bigint) as qo,
+         cast(array() as array<struct<op:string,len:int,ro:bigint,qo:bigint>>) as out),
+  (acc, x) -> struct(
+      acc.ro + (case when x.op in ('M', '=', 'X', 'D', 'N') then x.len else 0 end) as ro,
+      acc.qo + (case when x.op in ('M', '=', 'X', 'I', 'S') then x.len else 0 end) as qo,
+      concat(acc.out, array(struct(x.op as op, x.len as len, acc.ro as ro, acc.qo as qo))) as out),
+  acc -> acc.out
+)
+"""
+
+# Per-op -> per-position events. Aligned ops emit one struct per base
+# (1-based pos on the reference, the read base, its phred score);
+# deletions emit '*' rows that COUNT toward depth (mpileup semantics);
+# insertions emit one event anchored to the base on their left; N (ref
+# skip), S/H/P emit nothing.
+_PILEUP_EVENTS_SQL = f"""
+flatten(transform({_CIGAR_OPS_SQL}, o ->
+  case
+    when o.op in ('M', '=', 'X') then
+      transform(sequence(1, o.len), i -> struct(
+        start + o.ro + i - 1 as pos,
+        upper(substring(seq, cast(o.qo as int) + i, 1)) as base,
+        case when qual is null or qual = '*' then 2147483647
+             else ascii(substring(qual, cast(o.qo as int) + i, 1)) - 33 end as bq,
+        'b' as kind))
+    when o.op = 'D' then
+      transform(sequence(1, o.len), i -> struct(
+        start + o.ro + i - 1 as pos, '*' as base, 2147483647 as bq, 'd' as kind))
+    when o.op = 'I' then
+      array(struct(start + o.ro - 1 as pos, '+' as base, 2147483647 as bq, 'i' as kind))
+    else cast(array() as {_PILEUP_EVENT_T})
+  end))
+"""
+
+
+def pileup(
+    df: DataFrame,
+    min_mapq: int = 0,
+    min_base_quality: int = 0,
+    exclude_flags: int = PILEUP_EXCLUDE_FLAGS,
+) -> DataFrame:
+    """samtools-mpileup analog: per-reference-position base counts.
+
+    Output: (contig, pos, depth, n_a, n_c, n_g, n_t, n_n, n_del, n_ins),
+    one row per covered position. ``depth`` = aligned bases passing the
+    base-quality floor + deleted positions (mpileup counts '*' toward
+    depth); ``n_ins`` = insertion events anchored to this position (the
+    base left of the inserted sequence, mpileup's '+N' anchor).
+
+    Plan shape: the CIGAR walk is a per-row higher-order aggregate —
+    parse ops, prefix-sum reference/query offsets, emit one event struct
+    per aligned base — so the entire explode is shuffle-free and stays
+    in the JVM; the ONLY shuffle is the final groupBy(contig, pos),
+    map-side combinable (a 30x-covered position arrives at the reducer
+    as ~#map-partitions partial rows, not 30). Per-base fan-out
+    multiplies rows by read length — inherent to pileup — but rows are
+    16-byte structs pre-aggregated before the exchange.
+
+    Reference parity: the per-op consumption table follows SAMv1
+    §1.4.6 exactly (BamSource.java carries htsjdk records; this is the
+    analysis the reference leaves to downstream tools).
+    """
+    r = df.filter(
+        F.col("contig").isNotNull()
+        & F.col("start").isNotNull()
+        & (F.col("flags").bitwiseAND(F.lit(exclude_flags)) == 0)
+        & (F.coalesce(F.col("mapq"), F.lit(0)) >= min_mapq)
+        & F.col("cigar").isNotNull()
+        & (F.col("cigar") != "*")
+        & F.col("seq").isNotNull()
+    ).select("contig", "start", "cigar", "seq", "qual")
+    ev = r.select(
+        F.col("contig"), F.explode(F.expr(_PILEUP_EVENTS_SQL)).alias("e")
+    ).select("contig", "e.pos", "e.base", "e.bq", "e.kind")
+    ev = ev.filter((F.col("kind") != "b") | (F.col("bq") >= min_base_quality))
+    k, b = F.col("kind"), F.col("base")
+    return (
+        ev.groupBy("contig", "pos")
+        .agg(
+            F.sum((k != "i").cast("long")).alias("depth"),
+            F.sum((b == "A").cast("long")).alias("n_a"),
+            F.sum((b == "C").cast("long")).alias("n_c"),
+            F.sum((b == "G").cast("long")).alias("n_g"),
+            F.sum((b == "T").cast("long")).alias("n_t"),
+            F.sum(((k == "b") & (b == "N")).cast("long")).alias("n_n"),
+            F.sum((k == "d").cast("long")).alias("n_del"),
+            F.sum((k == "i").cast("long")).alias("n_ins"),
+        )
+    )
+
+
+def pileup_mismatch(pile: DataFrame, ref_windows: DataFrame) -> DataFrame:
+    """Join a ``pileup`` result against reference bases from
+    ``read_fasta_windows`` output: adds (ref_base, n_ref, n_mismatch).
+
+    The reference side explodes each window into (contig, pos, ref_base)
+    rows — shuffle-free fan-out, ~genome-size rows distributed across
+    window tasks — and the join is a plain equi-join on (contig, pos)
+    that AQE plans against the (much larger) pileup side. n_mismatch
+    counts aligned bases (deletions/insertions excluded) that differ
+    from the reference base; positions whose reference base is not
+    A/C/G/T (N gaps) report NULL n_ref/n_mismatch.
+    """
+    refb = ref_windows.select(
+        F.col("contig"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(seq)), i -> "
+                "struct(start + i - 1 as pos, upper(substring(seq, i, 1)) as ref_base))"
+            )
+        ).alias("r"),
+    ).select("contig", "r.pos", "r.ref_base")
+    p = pile.join(refb, ["contig", "pos"])
+    rb = F.col("ref_base")
+    n_ref = (
+        F.when(rb == "A", F.col("n_a"))
+        .when(rb == "C", F.col("n_c"))
+        .when(rb == "G", F.col("n_g"))
+        .when(rb == "T", F.col("n_t"))
+        .otherwise(F.lit(None))
+    )
+    aligned = F.col("depth") - F.col("n_del")
+    return p.select(
+        "contig",
+        "pos",
+        "ref_base",
+        "depth",
+        "n_a",
+        "n_c",
+        "n_g",
+        "n_t",
+        "n_n",
+        "n_del",
+        "n_ins",
+        n_ref.alias("n_ref"),
+        F.when(n_ref.isNull(), F.lit(None))
+        .otherwise(aligned - n_ref)
+        .alias("n_mismatch"),
+    )

@@ -1072,3 +1072,86 @@ def genomics_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["genomics_downsample"] = """
 SELECT CAST(1282 AS BIGINT) AS n_reads, CAST(704 AS BIGINT) AS n_templates
 """
+
+
+@_q("genomics_pileup")
+def genomics_pileup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed mpileup (per-position base counts from a pure-SQL
+    CIGAR walk — no Python in the row path) over the 4917-read fixture,
+    rolled up to 5 kb buckets. Golden literals were generated by an
+    independent serial Python walk (the same implementation that the
+    differential test tests/test_operators.py::
+    test_pileup_matches_serial_walk checks position-by-position)."""
+    from disq_spark.operators.genomics import pileup
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"), split_size=200_000)
+    p = pileup(df, min_base_quality=13)
+    return (
+        p.groupBy("contig", (F.col("pos") / 5000).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_positions"),
+            F.sum("depth").alias("sum_depth"),
+            F.max("depth").alias("max_depth"),
+            F.sum("n_del").alias("n_del"),
+            F.sum("n_ins").alias("n_ins"),
+        )
+        .orderBy("contig", "bucket")
+    )
+
+
+ORACLE["genomics_pileup"] = """
+SELECT contig, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_positions AS BIGINT) AS n_positions,
+       CAST(sum_depth AS BIGINT) AS sum_depth,
+       CAST(max_depth AS BIGINT) AS max_depth,
+       CAST(n_del AS BIGINT) AS n_del, CAST(n_ins AS BIGINT) AS n_ins
+FROM (VALUES
+  ('1', 4959, 378, 24136, 223, 1, 0),
+  ('1', 4960, 333, 377, 2, 0, 0),
+  ('1', 4961, 88, 152, 2, 0, 0),
+  ('1', 4962, 490, 538, 2, 0, 0),
+  ('1', 4963, 76, 76, 1, 0, 0),
+  ('1', 4965, 330, 389, 2, 2, 0),
+  ('1', 4966, 303, 303, 1, 0, 0),
+  ('1', 4967, 304, 304, 1, 0, 0),
+  ('1', 4968, 692, 36286, 163, 2, 0),
+  ('1', 4971, 1369, 40334, 114, 7, 3),
+  ('1', 4972, 371, 7986, 56, 2, 0),
+  ('1', 4994, 476, 19174, 151, 0, 0),
+  ('1', 4995, 2673, 92835, 244, 13, 4),
+  ('1', 4996, 612, 57514, 203, 0, 0)
+) AS t(contig, bucket, n_positions, sum_depth, max_depth, n_del, n_ins)
+ORDER BY contig, bucket
+"""
+
+
+@_q("genomics_pileup_mismatch")
+def genomics_pileup_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-aware pileup: CRAM decode (reference-based), FASTA
+    window source exploded to per-base reference rows, equi-join on
+    (contig, pos), mismatch = aligned non-reference bases. Totals were
+    recomputed serially (independent walk + .fai random access)."""
+    from disq_spark.operators.genomics import pileup, pileup_mismatch
+    from disq_spark.sources.cram_source import read_cram
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    fasta = os.path.join(FIXTURES, "valid.fasta")
+    df, _h = read_cram(spark, os.path.join(FIXTURES, "valid.cram"), reference_path=fasta)
+    m = pileup_mismatch(pileup(df), read_fasta_windows(spark, fasta, window=1000))
+    return m.groupBy("contig").agg(
+        F.count("*").alias("n_positions"),
+        F.sum("depth").alias("sum_depth"),
+        F.max("depth").alias("max_depth"),
+        F.sum("n_mismatch").alias("n_mismatch"),
+        F.sum("n_del").alias("n_del"),
+        F.sum("n_ins").alias("n_ins"),
+    ).orderBy("contig")
+
+
+ORACLE["genomics_pileup_mismatch"] = """
+SELECT 'chr7' AS contig, CAST(222 AS BIGINT) AS n_positions,
+       CAST(602 AS BIGINT) AS sum_depth, CAST(4 AS BIGINT) AS max_depth,
+       CAST(366 AS BIGINT) AS n_mismatch, CAST(1 AS BIGINT) AS n_del,
+       CAST(1 AS BIGINT) AS n_ins
+"""

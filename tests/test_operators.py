@@ -1050,3 +1050,129 @@ def test_png_through_decode_image(spark):
         assert (got[i].width, got[i].height) == (8, 8)
         want_r = int(im.reshape(-1, 3)[:, 0].mean() / 255.0 * 1e6 + 0.5) / 1e6
         assert abs(got[i].features[0] - want_r) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# pileup — distributed mpileup vs an independent serial CIGAR walk
+# ---------------------------------------------------------------------------
+def _serial_pileup(rows, min_base_quality=0, exclude=0x4 | 0x100 | 0x200 | 0x400):
+    """Independent per-read Python walk (regex parse, explicit offsets)."""
+    import re
+    from collections import defaultdict
+
+    counts = defaultdict(lambda: [0] * 8)  # depth, a, c, g, t, n, del, ins
+    for r in rows:
+        if (
+            r["contig"] is None
+            or r["start"] is None
+            or (r["flags"] & exclude)
+            or r["cigar"] in (None, "*")
+            or r["seq"] is None
+        ):
+            continue
+        ref, qry = int(r["start"]), 0
+        for ln, op in re.findall(r"(\d+)([MIDNSHP=X])", r["cigar"]):
+            ln = int(ln)
+            if op in "M=X":
+                for i in range(ln):
+                    q = r["qual"]
+                    bq = (
+                        2147483647
+                        if q is None or q == "*"
+                        else ord(q[qry + i]) - 33
+                    )
+                    if bq < min_base_quality:
+                        continue
+                    c = counts[(r["contig"], ref + i)]
+                    c[0] += 1
+                    b = r["seq"][qry + i].upper()
+                    idx = {"A": 1, "C": 2, "G": 3, "T": 4, "N": 5}.get(b)
+                    if idx:
+                        c[idx] += 1
+                ref += ln
+                qry += ln
+            elif op == "D":
+                for i in range(ln):
+                    c = counts[(r["contig"], ref + i)]
+                    c[0] += 1
+                    c[6] += 1
+                ref += ln
+            elif op == "N":
+                ref += ln
+            elif op == "I":
+                counts[(r["contig"], ref - 1)][7] += 1
+                qry += ln
+            elif op == "S":
+                qry += ln
+    return {
+        k: tuple(v)
+        for k, v in counts.items()
+        if v[0] > 0 or v[7] > 0  # drop pure-anchor rows never emitted? keep all
+    }
+
+
+def test_pileup_matches_serial_walk(spark, fixtures_dir):
+    import os
+
+    from disq_spark.operators.genomics import pileup
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"), split_size=200_000)
+    got = {
+        (r["contig"], r["pos"]): (
+            r["depth"], r["n_a"], r["n_c"], r["n_g"], r["n_t"],
+            r["n_n"], r["n_del"], r["n_ins"],
+        )
+        for r in pileup(df, min_base_quality=10).collect()
+    }
+    want = _serial_pileup(
+        [r.asDict() for r in df.collect()], min_base_quality=10
+    )
+    assert got == want
+    assert len(got) > 1000  # the fixture genuinely covers many positions
+
+
+def test_pileup_deletion_and_insertion_anchoring(spark):
+    from disq_spark.operators.genomics import pileup
+
+    rows = [
+        # 4M2D3M: bases at 100-103, dels at 104-105, bases at 106-108
+        ("r1", 0, "c", 100, 108, 60, "4M2D3M", "AAAACCC", "IIIIIII"),
+        # 2M3I2M: insertion anchored at pos 201 (base left of the insert)
+        ("r2", 0, "c", 200, 203, 60, "2M3I2M", "GGTTTAA", "IIIIIII"),
+        # leading soft clip consumes query only
+        ("r3", 0, "c", 300, 301, 60, "2S2M", "NNGG", "IIII"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "name string, flags int, contig string, start long, end long, "
+        "mapq int, cigar string, seq string, qual string",
+    )
+    got = {(r["pos"]): r.asDict() for r in pileup(df).collect()}
+    assert got[104]["n_del"] == 1 and got[104]["depth"] == 1
+    assert got[105]["n_del"] == 1
+    assert got[106]["n_c"] == 1  # post-deletion bases resume at query offset 4
+    assert got[201]["n_ins"] == 1 and got[201]["n_g"] == 1
+    assert got[202]["n_a"] == 1 and got[202]["n_ins"] == 0
+    assert got[300]["n_g"] == 1  # soft clip skipped: first aligned base is seq[2]
+    assert 301 in got and 302 not in got
+
+
+def test_pileup_mismatch_against_synthetic_reference(spark):
+    from disq_spark.operators.genomics import pileup, pileup_mismatch
+
+    reads = spark.createDataFrame(
+        [("r1", 0, "c", 1, 4, 60, "4M", "ACGT", "IIII"),
+         ("r2", 0, "c", 2, 5, 60, "4M", "CGTA", "IIII")],
+        "name string, flags int, contig string, start long, end long, "
+        "mapq int, cigar string, seq string, qual string",
+    )
+    # reference: AAAAN over positions 1-5 (window rows as read_fasta_windows emits)
+    ref = spark.createDataFrame(
+        [("c", 1, 5, "AAAAN")], "contig string, start long, end long, seq string"
+    )
+    got = {r["pos"]: r.asDict() for r in pileup_mismatch(pileup(reads), ref).collect()}
+    assert got[1]["ref_base"] == "A" and got[1]["n_mismatch"] == 0  # A matches
+    assert got[2]["n_mismatch"] == 2  # C and C, both != A
+    assert got[4]["n_mismatch"] == 2  # T and T
+    assert got[5]["ref_base"] == "N" and got[5]["n_mismatch"] is None  # non-ACGT ref
