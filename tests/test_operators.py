@@ -1176,3 +1176,72 @@ def test_pileup_mismatch_against_synthetic_reference(spark):
     assert got[2]["n_mismatch"] == 2  # C and C, both != A
     assert got[4]["n_mismatch"] == 2  # T and T
     assert got[5]["ref_base"] == "N" and got[5]["n_mismatch"] is None  # non-ACGT ref
+
+
+def test_pileup_randomized_differential(spark):
+    """400 seeded random records over every CIGAR op (M I D N S H P = X),
+    '*'/short-phred quals, and excluded flags: the SQL walk must agree
+    with the independent serial walk position-for-position."""
+    import random
+
+    from disq_spark.operators.genomics import pileup
+
+    rng = random.Random(20260814)
+    inner_ops = "MIDN=XP"
+    rows = []
+    for i in range(400):
+        if rng.random() < 0.03:
+            rows.append((f"r{i}", 0, "c1", 50, 50, 60, "*", "ACGT", "IIII"))
+            continue
+        if rng.random() < 0.03:
+            rows.append((f"r{i}", 4, None, None, None, 0, None, "ACGT", None))
+            continue
+        ops = []
+        if rng.random() < 0.15:
+            ops.append((rng.randint(1, 4), "H"))
+        if rng.random() < 0.3:
+            ops.append((rng.randint(1, 6), "S"))
+        for _ in range(rng.randint(1, 6)):
+            op = rng.choice(inner_ops if rng.random() < 0.5 else "MM=X")
+            ops.append((rng.randint(1, 5), op))
+        if rng.random() < 0.3:
+            ops.append((rng.randint(1, 6), "S"))
+        if rng.random() < 0.15:
+            ops.append((rng.randint(1, 4), "H"))
+        qlen = sum(ln for ln, op in ops if op in "MIS=X")
+        seq = "".join(rng.choice("ACGTN") for _ in range(qlen))
+        qual = (
+            "*"
+            if rng.random() < 0.1
+            else "".join(chr(33 + rng.randint(0, 41)) for _ in range(qlen))
+        )
+        flags = rng.choice([0, 0, 0, 16, 83, 99, 147, 163, 1024, 256, 512])
+        contig = rng.choice(["c1", "c2"])
+        start = rng.randint(1, 300)
+        cigar = "".join(f"{ln}{op}" for ln, op in ops)
+        rows.append((f"r{i}", flags, contig, start, start + qlen, 60, cigar, seq, qual))
+
+    df = spark.createDataFrame(
+        rows,
+        "name string, flags int, contig string, start long, end long, "
+        "mapq int, cigar string, seq string, qual string",
+    ).repartition(8)
+    got = {
+        (r["contig"], r["pos"]): (
+            r["depth"], r["n_a"], r["n_c"], r["n_g"], r["n_t"],
+            r["n_n"], r["n_del"], r["n_ins"],
+        )
+        for r in pileup(df, min_base_quality=7).collect()
+    }
+    want = _serial_pileup(
+        [
+            dict(zip(
+                ["name", "flags", "contig", "start", "end", "mapq", "cigar", "seq", "qual"],
+                r,
+            ))
+            for r in rows
+        ],
+        min_base_quality=7,
+    )
+    assert got == want
+    assert len(got) > 300
