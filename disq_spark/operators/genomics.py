@@ -415,6 +415,62 @@ def pileup(
     )
 
 
+def call_snvs(
+    mismatch: DataFrame,
+    min_depth: int = 3,
+    min_alt_count: int = 2,
+    min_alt_frac: float = 0.25,
+) -> DataFrame:
+    """Naive SNV caller over a ``pileup_mismatch`` result: one row per
+    position whose most-frequent non-reference base clears the depth /
+    count / fraction floors.
+
+    Output: (contig, pos, ref_base, alt_base, depth, alt_count,
+    alt_frac). ``alt_base`` is the argmax non-reference base among
+    A/C/G/T (ties broken alphabetically — deterministic); ``alt_frac``
+    = alt_count / aligned depth (deletions excluded from the
+    denominator, as in bcftools' AD-based AF). Positions with a
+    non-ACGT reference base (N gaps) are never called.
+
+    Plan shape: pure column expressions over the already-aggregated
+    per-position table — ``array_max`` over a 4-struct literal array,
+    no shuffle beyond what ``pileup`` already did. This is a QC-grade
+    caller (no genotype likelihoods), the mpileup→"candidate sites"
+    step a 100 TB joint-calling pipeline runs first.
+    """
+    rb = F.col("ref_base")
+    # array_max compares struct fields in order: count first, then the
+    # ASCII-complemented base — max of the complement is the
+    # alphabetically FIRST base, giving deterministic tie-breaks. The
+    # reference base's count is forced to -1 so it can never win.
+    alts = F.array(
+        *[
+            F.struct(
+                F.when(rb == b, F.lit(-1)).otherwise(F.col(f"n_{b.lower()}")).alias("c"),
+                F.lit(chr(255 - ord(b))).alias("inv"),
+                F.lit(b).alias("base"),
+            )
+            for b in "ACGT"
+        ]
+    )
+    best = F.array_max(alts)
+    aligned = (F.col("depth") - F.col("n_del")).cast("double")
+    out = (
+        mismatch.filter(rb.isin("A", "C", "G", "T") & (F.col("depth") >= min_depth))
+        .withColumn("alt_base", best["base"])
+        .withColumn("alt_count", best["c"])
+        .filter(
+            (F.col("alt_count") >= min_alt_count)
+            & (F.col("alt_count") >= F.lit(min_alt_frac) * aligned)
+        )
+        .withColumn("alt_frac", F.round(F.col("alt_count") / aligned, 4))
+    )
+    return out.select(
+        "contig", "pos", "ref_base", "alt_base", "depth",
+        F.col("alt_count").cast("long").alias("alt_count"), "alt_frac",
+    )
+
+
 def pileup_mismatch(pile: DataFrame, ref_windows: DataFrame) -> DataFrame:
     """Join a ``pileup`` result against reference bases from
     ``read_fasta_windows`` output: adds (ref_base, n_ref, n_mismatch).

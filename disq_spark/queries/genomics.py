@@ -1155,3 +1155,76 @@ SELECT 'chr7' AS contig, CAST(222 AS BIGINT) AS n_positions,
        CAST(366 AS BIGINT) AS n_mismatch, CAST(1 AS BIGINT) AS n_del,
        CAST(1 AS BIGINT) AS n_ins
 """
+
+
+@_q("genomics_call_snvs")
+def genomics_call_snvs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive SNV candidate caller (mpileup -> candidate-sites step) over
+    the CRAM fixture: CIGAR-walk pileup, reference join, argmax
+    non-reference base with depth/count/fraction floors. Golden rows
+    were recomputed by an independent serial walk (regex CIGAR parse,
+    direct FASTA text read, plain-Python argmax) — only the CRAM decode
+    is shared with the Spark path, and that is gated separately."""
+    from disq_spark.operators.genomics import call_snvs, pileup, pileup_mismatch
+    from disq_spark.sources.cram_source import read_cram
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    fasta = os.path.join(FIXTURES, "valid.fasta")
+    df, _h = read_cram(spark, os.path.join(FIXTURES, "valid.cram"), reference_path=fasta)
+    m = pileup_mismatch(pileup(df), read_fasta_windows(spark, fasta, window=1000))
+    return call_snvs(m, min_depth=2, min_alt_count=2, min_alt_frac=0.25).orderBy(
+        "contig", "pos"
+    )
+
+
+ORACLE["genomics_call_snvs"] = """
+SELECT contig, CAST(pos AS BIGINT) AS pos, ref_base, alt_base,
+       CAST(depth AS BIGINT) AS depth, CAST(alt_count AS BIGINT) AS alt_count,
+       CAST(alt_frac AS DOUBLE) AS alt_frac
+FROM (VALUES
+  ('chr7', 10, 'G', 'C', 2, 2, 1.0),
+  ('chr7', 22, 'T', 'A', 4, 2, 0.5),
+  ('chr7', 23, 'T', 'A', 4, 2, 0.5),
+  ('chr7', 38, 'C', 'T', 4, 2, 0.5),
+  ('chr7', 44, 'G', 'T', 4, 2, 0.5),
+  ('chr7', 47, 'A', 'G', 4, 2, 0.5),
+  ('chr7', 50, 'G', 'T', 4, 2, 0.5),
+  ('chr7', 55, 'C', 'T', 4, 2, 0.5),
+  ('chr7', 64, 'C', 'G', 4, 2, 0.5),
+  ('chr7', 74, 'G', 'T', 4, 2, 0.5),
+  ('chr7', 75, 'A', 'C', 4, 2, 0.5),
+  ('chr7', 96, 'C', 'T', 4, 2, 0.5),
+  ('chr7', 97, 'C', 'T', 4, 2, 0.5),
+  ('chr7', 99, 'G', 'A', 4, 2, 0.5),
+  ('chr7', 104, 'G', 'C', 2, 2, 1.0),
+  ('chr7', 107, 'G', 'A', 2, 2, 1.0),
+  ('chr7', 109, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 303, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 304, 'A', 'G', 2, 2, 1.0),
+  ('chr7', 307, 'C', 'G', 2, 2, 1.0),
+  ('chr7', 308, 'G', 'C', 2, 2, 1.0),
+  ('chr7', 309, 'G', 'A', 2, 2, 1.0),
+  ('chr7', 310, 'C', 'T', 2, 2, 1.0),
+  ('chr7', 311, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 317, 'A', 'T', 2, 2, 1.0),
+  ('chr7', 321, 'C', 'T', 2, 2, 1.0),
+  ('chr7', 327, 'G', 'A', 2, 2, 1.0),
+  ('chr7', 329, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 333, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 334, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 337, 'T', 'C', 2, 2, 1.0),
+  ('chr7', 339, 'C', 'G', 2, 2, 1.0),
+  ('chr7', 340, 'C', 'A', 2, 2, 1.0),
+  ('chr7', 343, 'C', 'G', 2, 2, 1.0),
+  ('chr7', 347, 'T', 'G', 2, 2, 1.0),
+  ('chr7', 351, 'C', 'G', 2, 2, 1.0),
+  ('chr7', 365, 'G', 'T', 2, 2, 1.0),
+  ('chr7', 374, 'G', 'T', 2, 2, 1.0),
+  ('chr7', 384, 'G', 'C', 2, 2, 1.0),
+  ('chr7', 385, 'T', 'G', 2, 2, 1.0),
+  ('chr7', 390, 'C', 'G', 2, 2, 1.0),
+  ('chr7', 397, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 398, 'G', 'A', 2, 2, 1.0)
+) AS t(contig, pos, ref_base, alt_base, depth, alt_count, alt_frac)
+ORDER BY contig, pos
+"""

@@ -1245,3 +1245,79 @@ def test_pileup_randomized_differential(spark):
     )
     assert got == want
     assert len(got) > 300
+
+
+def test_call_snvs_thresholds_and_tiebreak(spark):
+    from disq_spark.operators.genomics import call_snvs
+
+    cols = (
+        "contig string, pos long, ref_base string, depth long, n_a long, "
+        "n_c long, n_g long, n_t long, n_n long, n_del long, n_ins long"
+    )
+    rows = [
+        # clear call: ref A, 6x C over depth 10 -> alt_frac 0.6
+        ("c", 1, "A", 10, 4, 6, 0, 0, 0, 0, 0),
+        # tie between C and G (3 each, ref A): alphabetical-first -> C
+        ("c", 2, "A", 9, 3, 3, 3, 0, 0, 0, 0),
+        # ref base is the majority; alt T has only 1 < min_alt_count
+        ("c", 3, "G", 5, 0, 0, 4, 1, 0, 0, 0),
+        # below min_depth
+        ("c", 4, "A", 2, 0, 2, 0, 0, 0, 0, 0),
+        # alt_count 2 but frac 2/8 = 0.25 < 0.3 floor
+        ("c", 5, "T", 8, 2, 0, 0, 6, 0, 0, 0),
+        # deletions excluded from the denominator: 3 alt / (9-3) = 0.5
+        ("c", 6, "C", 9, 3, 3, 0, 0, 0, 3, 0),
+        # non-ACGT reference: never called
+        ("c", 7, "N", 10, 0, 10, 0, 0, 0, 0, 0),
+        # the reference base itself can never be the alt even at 100%
+        ("c", 8, "T", 6, 0, 0, 0, 6, 0, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, cols)
+    got = {
+        r["pos"]: (r["ref_base"], r["alt_base"], r["alt_count"], r["alt_frac"])
+        for r in call_snvs(df, min_depth=3, min_alt_count=2, min_alt_frac=0.3).collect()
+    }
+    assert got == {
+        1: ("A", "C", 6, 0.6),
+        2: ("A", "C", 3, 0.3333),
+        6: ("C", "A", 3, 0.5),
+    }
+
+
+def test_call_snvs_differential_on_fixture(spark, fixtures_dir):
+    """call_snvs over the real BAM fixture vs a plain-Python argmax over
+    the serial pileup walk, with a synthetic all-A reference."""
+    import os
+
+    from disq_spark.operators.genomics import call_snvs, pileup, pileup_mismatch
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    pile = pileup(df, min_base_quality=10)
+    # synthetic reference: all 'A' over the covered range, as window rows
+    hi = pile.agg(F.max("pos")).collect()[0][0]
+    ref = spark.createDataFrame(
+        [("1", s, min(s + 999, hi), "A" * (min(s + 999, hi) - s + 1))
+         for s in range(1, hi + 1, 1000)],
+        "contig string, start long, end long, seq string",
+    )
+    got = {
+        (r["contig"], r["pos"]): (r["alt_base"], r["depth"], r["alt_count"], r["alt_frac"])
+        for r in call_snvs(
+            pileup_mismatch(pile, ref), min_depth=3, min_alt_count=2, min_alt_frac=0.25
+        ).collect()
+    }
+    want = {}
+    serial = _serial_pileup([r.asDict() for r in df.collect()], min_base_quality=10)
+    for (contig, pos), c in serial.items():
+        depth, na, nc, ng, nt, nn, ndel, nins = c
+        if depth < 3:
+            continue
+        cand = [(n, b) for b, n in zip("ACGT", (na, nc, ng, nt)) if b != "A"]
+        alt_count, alt_base = max(cand, key=lambda t: (t[0], -ord(t[1])))
+        aligned = depth - ndel
+        if alt_count < 2 or alt_count < 0.25 * aligned:
+            continue
+        want[(contig, pos)] = (alt_base, depth, alt_count, round(alt_count / aligned, 4))
+    assert got == want
+    assert len(got) > 100
