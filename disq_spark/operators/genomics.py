@@ -103,6 +103,12 @@ def mark_duplicates(df: DataFrame) -> DataFrame:
     sum of phred qualities >= 15 (Picard's DUPLICATE_SCORING default
     approximated column-side); secondary/supplementary/unmapped records
     are passed through unexamined, like Picard.
+
+    Exempt records sort LAST inside the ranking window: an unmapped read
+    (which carries its mate's coordinates in SAM) or a secondary
+    alignment landing on a primary's key must not occupy a rank and
+    inflate the primary's row_number — Picard never considers them when
+    picking the representative. Their own flag is untouched either way.
     """
     exempt = (
         (F.col("flags").bitwiseAND(FLAG_UNMAPPED) != 0)
@@ -121,7 +127,7 @@ def mark_duplicates(df: DataFrame) -> DataFrame:
     )
     strand = F.col("flags").bitwiseAND(FLAG_REVERSE)
     w = W.partitionBy("contig", "start", strand, "mate_contig", "mate_start").orderBy(
-        F.desc("__score"), F.asc("name")
+        F.asc(exempt.cast("int")), F.desc("__score"), F.asc("name")
     )
     scored = df.withColumn("__score", qual_score).withColumn(
         "__rn", F.when(exempt, F.lit(1)).otherwise(F.row_number().over(w))

@@ -621,7 +621,7 @@ SELECT '1' AS contig, CAST(12 AS BIGINT) AS n_intervals,
 """
 
 ORACLE["genomics_mark_duplicates"] = """
-SELECT CAST(4917 AS BIGINT) AS total, CAST(956 AS BIGINT) AS flagged_dup
+SELECT CAST(4917 AS BIGINT) AS total, CAST(954 AS BIGINT) AS flagged_dup
 """
 
 

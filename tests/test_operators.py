@@ -87,6 +87,27 @@ def test_mark_duplicates(spark):
     assert out["r4"] & 0x400 == 0  # reverse strand = different key
 
 
+def test_mark_duplicates_exempt_rows_never_rank(spark):
+    """A secondary alignment (or unmapped read carrying mate coords)
+    sharing a primary's position key must not occupy a rank: the sole
+    primary at the key stays unflagged, like Picard."""
+    from disq_spark.schemas import READS_SCHEMA
+
+    rows = [
+        # secondary with TOP score at the same key as the primary
+        ("s1", 0x100, "c1", 100, 150, 60, "50M", None, None, 0, "A" * 50, "I" * 50, None, None),
+        ("p1", 0, "c1", 100, 150, 60, "50M", None, None, 0, "A" * 50, "5" * 50, None, None),
+        # unmapped read whose (contig,start) mirror its mate's key
+        ("u1", 0x4, "c1", 200, 250, 0, None, None, None, 0, "A" * 50, "I" * 50, None, None),
+        ("p2", 0, "c1", 200, 250, 60, "50M", None, None, 0, "A" * 50, "5" * 50, None, None),
+    ]
+    df = spark.createDataFrame(rows, READS_SCHEMA)
+    out = {r.name: r.flags for r in mark_duplicates(df).collect()}
+    assert out["p1"] & 0x400 == 0  # alone among rankable rows at its key
+    assert out["p2"] & 0x400 == 0
+    assert out["s1"] & 0x400 == 0 and out["u1"] & 0x400 == 0  # passed through
+
+
 def test_pair_reads_atomicity(spark, fixtures_dir):
     df, _ = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
     pairs = pair_reads(df)
