@@ -199,6 +199,24 @@ def main() -> None:
     df2.groupBy("contig").agg(F.count("*"), F.avg("mapq")).collect()
     t_agg = time.time() - t0
 
+    # pileup: per-base fan-out (~records x read-length events) with
+    # map-side combine into per-position counts — the heaviest derived
+    # analysis; any super-linearity in the SQL CIGAR walk shows up here
+    from disq_spark.operators.genomics import mark_duplicates, pileup
+
+    t0 = time.time()
+    pile = pileup(df2, min_base_quality=13).agg(
+        F.count("*").alias("n_pos"), F.sum("depth").alias("sum_depth")
+    ).collect()[0]
+    t_pileup = time.time() - t0
+
+    # mark_duplicates: one window shuffle on the position key
+    t0 = time.time()
+    n_dup = (
+        mark_duplicates(df2).filter(F.col("flags").bitwiseAND(1024) != 0).count()
+    )
+    t_markdup = time.time() - t0
+
     # VCF path: splittable BGZF scan of the 10k-variant fixture
     from disq_spark.sources.variants import read_vcf
 
@@ -249,6 +267,13 @@ def main() -> None:
                 "read_raw_tags_s": round(t_read_raw, 2),
                 "read_raw_tags_rec_per_s": int(n / t_read_raw),
                 "agg_s": round(t_agg, 2),
+                "pileup_s": round(t_pileup, 2),
+                "pileup_positions": int(pile["n_pos"]),
+                "pileup_sum_depth": int(pile["sum_depth"]),
+                "pileup_rec_per_s": int(n / t_pileup),
+                "markdup_s": round(t_markdup, 2),
+                "markdup_flagged": int(n_dup),
+                "markdup_rec_per_s": int(n / t_markdup),
                 "flagstat_s": round(t_flagstat, 2),
                 "flagstat_rec_per_s": int(n / t_flagstat),
                 "interval_3region_s": round(t_interval, 2),
