@@ -343,8 +343,11 @@ aggregate(
 # Per-op -> per-position events. Aligned ops emit one struct per base
 # (1-based pos on the reference, the read base, its phred score);
 # deletions emit '*' rows that COUNT toward depth (mpileup semantics);
-# insertions emit one event anchored to the base on their left; N (ref
-# skip), S/H/P emit nothing.
+# insertions emit one event anchored to the base on their left — but
+# ONLY when a left anchor exists (o.ro > 0): a leading insertion (no
+# preceding reference-consuming op) would land on start-1, a position
+# the read does not cover, and samtools mpileup drops insertions with
+# no preceding aligned base. N (ref skip), S/H/P emit nothing.
 _PILEUP_EVENTS_SQL = f"""
 flatten(transform({_CIGAR_OPS_SQL}, o ->
   case
@@ -358,9 +361,29 @@ flatten(transform({_CIGAR_OPS_SQL}, o ->
     when o.op = 'D' then
       transform(sequence(1, o.len), i -> struct(
         start + o.ro + i - 1 as pos, '*' as base, 2147483647 as bq, 'd' as kind))
-    when o.op = 'I' then
+    when o.op = 'I' and o.ro > 0 then
       array(struct(start + o.ro - 1 as pos, '+' as base, 2147483647 as bq, 'i' as kind))
     else cast(array() as {_PILEUP_EVENT_T})
+  end))
+"""
+
+# Indel-run events: ONE struct per I/D op (not per base), mpileup's
+# '+N<seq>' / '-N' notation anchored to the base on the left of the run.
+# Leading (unanchored, o.ro = 0) runs are dropped like in the base
+# pileup. The fan-out here is tiny — most reads have zero indel ops —
+# so pileup_indels costs a scan + small groupBy, independent of the
+# per-base explode.
+_INDEL_EVENTS_SQL = f"""
+flatten(transform({_CIGAR_OPS_SQL}, o ->
+  case
+    when o.op = 'I' and o.ro > 0 then
+      array(struct(start + o.ro - 1 as pos,
+                   concat('+', cast(o.len as string),
+                          upper(substring(seq, cast(o.qo as int) + 1, o.len))) as indel))
+    when o.op = 'D' and o.ro > 0 then
+      array(struct(start + o.ro - 1 as pos,
+                   concat('-', cast(o.len as string)) as indel))
+    else cast(array() as array<struct<pos:bigint,indel:string>>)
   end))
 """
 
@@ -418,6 +441,83 @@ def pileup(
             F.sum((k == "d").cast("long")).alias("n_del"),
             F.sum((k == "i").cast("long")).alias("n_ins"),
         )
+    )
+
+
+def pileup_indels(
+    df: DataFrame,
+    min_mapq: int = 0,
+    exclude_flags: int = PILEUP_EXCLUDE_FLAGS,
+) -> DataFrame:
+    """mpileup-style indel observations: one row per distinct indel
+    allele per anchor position.
+
+    Output: (contig, pos, indel, count) where ``indel`` is mpileup's
+    notation — ``+N<bases>`` for an insertion of N bases (the inserted
+    sequence, uppercased) or ``-N`` for an N-base deletion — anchored
+    at the aligned base to the LEFT of the run (mpileup's anchor).
+    Unanchored leading runs (first reference-consuming op) are dropped,
+    matching samtools. The deleted reference sequence is not included
+    in ``-N`` (it requires the reference; join ``read_fasta_windows``
+    downstream if needed).
+
+    Plan shape: the same shuffle-free higher-order CIGAR walk as
+    ``pileup`` but emitting ONE event per I/D op instead of one per
+    base — most reads contribute zero rows, so the exchange feeding the
+    final map-side-combinable groupBy is tiny regardless of coverage.
+    """
+    r = df.filter(
+        F.col("contig").isNotNull()
+        & F.col("start").isNotNull()
+        & (F.col("flags").bitwiseAND(F.lit(exclude_flags)) == 0)
+        & (F.coalesce(F.col("mapq"), F.lit(0)) >= min_mapq)
+        & F.col("cigar").isNotNull()
+        & (F.col("cigar") != "*")
+        & F.col("seq").isNotNull()
+        & F.col("cigar").rlike("[ID]")
+    ).select("contig", "start", "cigar", "seq")
+    ev = r.select(
+        F.col("contig"), F.explode(F.expr(_INDEL_EVENTS_SQL)).alias("e")
+    ).select("contig", "e.pos", "e.indel")
+    return ev.groupBy("contig", "pos", "indel").agg(F.count("*").alias("count"))
+
+
+def call_indels(
+    indels: DataFrame,
+    pile: DataFrame,
+    min_depth: int = 3,
+    min_count: int = 2,
+    min_frac: float = 0.25,
+) -> DataFrame:
+    """Naive indel candidate caller: positions where one indel allele
+    clears the depth / count / fraction floors — the indel sibling of
+    ``call_snvs``, taking ``pileup_indels`` output plus the matching
+    ``pileup`` for the per-position depth denominator.
+
+    Output: (contig, pos, indel, depth, indel_count, indel_frac); the
+    argmax indel allele per anchor position (ties broken by allele
+    string — deterministic). The join is an equi-join on (contig, pos)
+    with the small indel side driving, so cost scales with indel
+    positions, not covered positions.
+    """
+    best = (
+        indels.groupBy("contig", "pos")
+        .agg(F.max(F.struct(F.col("count").alias("c"), F.col("indel"))).alias("m"))
+        .select("contig", "pos", F.col("m.indel").alias("indel"), F.col("m.c").alias("indel_count"))
+    )
+    aligned = (F.col("depth") - F.col("n_del")).cast("double")
+    out = (
+        best.join(pile.select("contig", "pos", "depth", "n_del"), ["contig", "pos"])
+        .filter(
+            (F.col("depth") >= min_depth)
+            & (F.col("indel_count") >= min_count)
+            & (F.col("indel_count") >= F.lit(min_frac) * aligned)
+        )
+        .withColumn("indel_frac", F.round(F.col("indel_count") / aligned, 4))
+    )
+    return out.select(
+        "contig", "pos", "indel", "depth",
+        F.col("indel_count").cast("long").alias("indel_count"), "indel_frac",
     )
 
 

@@ -1228,3 +1228,69 @@ FROM (VALUES
 ) AS t(contig, pos, ref_base, alt_base, depth, alt_count, alt_frac)
 ORDER BY contig, pos
 """
+
+
+@_q("genomics_pileup_indels")
+def genomics_pileup_indels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mpileup-style indel observations (+N<seq> / -N, anchored to the
+    aligned base left of the run) over the 4917-read fixture. Golden
+    literals were generated by an independent serial CIGAR walk (regex
+    parse, explicit offsets) over the same fixture; the Spark path is a
+    shuffle-free higher-order-function walk emitting one event per I/D
+    op (operators/genomics.py _INDEL_EVENTS_SQL)."""
+    from disq_spark.operators.genomics import pileup_indels
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"), split_size=200_000)
+    return pileup_indels(df).orderBy("contig", "pos", "indel")
+
+
+ORACLE["genomics_pileup_indels"] = """
+SELECT contig, CAST(pos AS BIGINT) AS pos, indel, CAST(count AS BIGINT) AS count
+FROM (VALUES
+  ('1', 24795815, '-1', 1),
+  ('1', 24828757, '-2', 1),
+  ('1', 24840789, '-1', 1),
+  ('1', 24841007, '-1', 1),
+  ('1', 24857657, '+1T', 2),
+  ('1', 24857657, '-1', 5),
+  ('1', 24857657, '-2', 1),
+  ('1', 24859606, '+1C', 1),
+  ('1', 24861641, '-2', 1),
+  ('1', 24975409, '-2', 1),
+  ('1', 24978892, '+1A', 2),
+  ('1', 24978892, '-1', 5),
+  ('1', 24978892, '-2', 2),
+  ('1', 24978908, '-1', 2),
+  ('1', 24978983, '+1A', 2)
+) AS t(contig, pos, indel, count)
+ORDER BY contig, pos, indel
+"""
+
+
+@_q("genomics_call_indels")
+def genomics_call_indels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indel candidate caller (the +N/-N sibling of call_snvs): argmax
+    indel allele per anchor position joined against the pileup depth,
+    with depth/count/fraction floors. Golden rows recomputed serially
+    (independent walk computing anchor depth and allele counts)."""
+    from disq_spark.operators.genomics import call_indels, pileup, pileup_indels
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"), split_size=200_000)
+    return call_indels(
+        pileup_indels(df), pileup(df), min_depth=2, min_count=2, min_frac=0.03
+    ).orderBy("contig", "pos")
+
+
+ORACLE["genomics_call_indels"] = """
+SELECT contig, CAST(pos AS BIGINT) AS pos, indel, CAST(depth AS BIGINT) AS depth,
+       CAST(indel_count AS BIGINT) AS indel_count, CAST(indel_frac AS DOUBLE) AS indel_frac
+FROM (VALUES
+  ('1', 24857657, '-1', 43, 5, 0.1163),
+  ('1', 24978892, '-1', 23, 5, 0.2174),
+  ('1', 24978908, '-1', 41, 2, 0.0488),
+  ('1', 24978983, '+1A', 55, 2, 0.0364)
+) AS t(contig, pos, indel, depth, indel_count, indel_frac)
+ORDER BY contig, pos
+"""

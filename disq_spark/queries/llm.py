@@ -422,9 +422,17 @@ SELECT node, min(comp) AS comp FROM (
 ) GROUP BY node;"""
         )
     last = f"{prefix}_lbl_{rounds % 2}"
+    # Fixpoint needs BOTH terms: pointer stability (no node whose label's
+    # label is smaller) AND edge agreement (no edge whose endpoints hold
+    # different root labels — both sides can individually satisfy
+    # comp(comp)=comp while still disagreeing, which pointer stability
+    # alone would miss and silently emit a wrong labeling).
     unconverged = (
-        f"EXISTS (SELECT 1 FROM {last} l JOIN {last} p "
-        f"ON p.node = l.comp AND p.comp < l.comp)"
+        f"(EXISTS (SELECT 1 FROM {last} l JOIN {last} p "
+        f"ON p.node = l.comp AND p.comp < l.comp) "
+        f"OR EXISTS (SELECT 1 FROM {edges_table} e "
+        f"JOIN {last} la ON la.node = e.a "
+        f"JOIN {last} lb ON lb.node = e.b WHERE la.comp <> lb.comp))"
     )
     return stmts, last, unconverged
 

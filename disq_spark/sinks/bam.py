@@ -54,10 +54,13 @@ def write_bam(
         # (BamSink.java:78-80)
         write_bai = header.sort_order == "coordinate"
     refs = header.sequences
-    merge.prepare_overwrite(path, (".sbi", ".bai"))
     if single_file:
+        # the pre-existing target is deleted inside finalize_single, AFTER
+        # cross-part order validation passes — a rejected overwrite leaves
+        # yesterday's file and indexes untouched
         _write_single(df, header, refs, path, write_sbi, write_bai, sbi_granularity)
     else:
+        merge.prepare_overwrite(path, (".sbi", ".bai"))
         _write_sharded(df, header, refs, path)
 
 
@@ -234,18 +237,24 @@ def finalize_single(
     """Driver-side single-file commit: compressed header, concat in part
     order, BGZF terminator, offset-shifted index merge (BamSink.java:96-137).
 
-    Order validation runs BEFORE any target byte is written, and any
-    failure removes both the partial target and the parts dir — a failed
-    write leaves nothing behind."""
+    Order validation runs BEFORE any target byte is written, and a
+    failure removes ONLY outputs this invocation created — a validation
+    rejection of an overwrite leaves the pre-existing target (and its
+    indexes) untouched."""
+    created: list[str] = []
     try:
         if with_bai:
             _check_cross_part_order(parts_dir, part_paths)
+        # validation passed: NOW it is safe to clear a pre-existing target
+        # and its (possibly stale) index sidecars
+        merge.prepare_overwrite(path, (".sbi", ".bai"))
         header_block = bgzf.compress_all(
             bamcodec.encode_bam_header(header.text, refs), terminate=False
         )
         header_path = os.path.join(parts_dir, "_header")
         with _dfs.open_output(header_path) as f:
             f.write(header_block)
+        created.append(path)
         lengths = merge.concat_parts(path, [header_path] + part_paths)
         data_len = sum(lengths)
         with _dfs.open_append(path) as f:
@@ -263,6 +272,7 @@ def finalize_single(
                 base_offset=lengths[0],  # header block length
             )
             merged.file_length = _dfs.getsize(path)
+            created.append(path + ".sbi")
             sbimod.write_sbi(path + ".sbi", merged)
         if with_bai:
             part_bais = [
@@ -270,9 +280,10 @@ def finalize_single(
                 for pp in part_paths
             ]
             merged_bai = baimod.merge_bai(part_bais, lengths[1:], base_offset=lengths[0])
+            created.append(path + ".bai")
             baimod.write_bai(path + ".bai", merged_bai)
     except Exception:
-        for leftover in (path, path + ".sbi", path + ".bai"):
+        for leftover in created:
             if _dfs.exists(leftover):
                 _dfs.remove(leftover)
         merge.cleanup(parts_dir)

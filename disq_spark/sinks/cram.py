@@ -74,10 +74,12 @@ def write_cram(
         single_file = path.endswith(".cram")
     refs = header.sequences
     ref_index = {name: i for i, (name, _l) in enumerate(refs)}
-    merge.prepare_overwrite(path, (".crai",))
     if single_file:
+        # pre-existing target is deleted during finalize AFTER the
+        # cross-part order validation passes
         _write_single(df, header, ref_index, path, reference_path, write_crai)
     else:
+        merge.prepare_overwrite(path, (".crai",))
         _write_sharded(df, header, ref_index, path, reference_path)
 
 
@@ -172,6 +174,7 @@ def _write_single(
     rows = df.mapInPandas(run, "part string, n long").collect()
     part_paths = merge.collected_parts(rows)
 
+    created: list[str] = []
     try:
         lengths = [_dfs.getsize(pp) for pp in part_paths]
         entries = None
@@ -210,11 +213,15 @@ def _write_single(
         with _dfs.open_output(header_path) as f:
             f.write(header_bytes)
 
+        # validation passed: NOW clear a pre-existing target + stale index
+        merge.prepare_overwrite(path, (".crai",))
+        created.append(path)
         merge.concat_parts(path, [header_path] + part_paths)
         with _dfs.open_append(path) as f:
             f.write(CE.EOF_V3)
 
         if with_crai:
+            created.append(path + ".crai")
             head_len = len(header_bytes)
             # GzipFile never closes a caller-supplied fileobj; close the
             # raw stream explicitly (fsspec/memory sinks publish on close)
@@ -225,7 +232,10 @@ def _write_single(
                             ("\t".join(str(x) for x in (rid, start, span, c_off + head_len, s_off, s_size)) + "\n").encode("ascii")
                         )
     except Exception:
-        for leftover in (path, path + ".crai"):
+        # remove ONLY outputs this invocation created: a cross-part order
+        # rejection before concat must leave any pre-existing target file
+        # (and its index) untouched
+        for leftover in created:
             if _dfs.exists(leftover):
                 _dfs.remove(leftover)
         merge.cleanup(parts_dir)

@@ -55,10 +55,12 @@ def write_vcf(
         single_file = path.endswith((".vcf", ".vcf.gz", ".vcf.bgz"))
     if write_tbi and not (_is_bgzf_target(path) and single_file):
         raise ValueError("write_tbi requires a single-file BGZF target")
-    merge.prepare_overwrite(path, (".tbi",))
     if single_file:
+        # pre-existing target is deleted in finalize_single AFTER the
+        # cross-part order validation passes
         _write_single(df, header, path, write_tbi)
     else:
+        merge.prepare_overwrite(path, (".tbi",))
         _write_sharded(df, header, path)
 
 
@@ -143,18 +145,23 @@ def finalize_single(
     """Driver-side single-file commit: header file + concat in part order
     + one BGZF terminator + offset-shifted .tbi merge (VcfSink.java:87-127).
 
-    Order validation runs BEFORE any target byte is written; any failure
-    removes the partial target and the parts dir."""
+    Order validation runs BEFORE any target byte is written; a failure
+    removes ONLY outputs this invocation created, so a validation
+    rejection of an overwrite leaves the pre-existing target intact."""
     from disq_spark.formats import tabix as tbimod
 
+    created: list[str] = []
     try:
         if with_tbi:
             _check_cross_part_order(parts_dir, part_paths)
+        # validation passed: NOW clear a pre-existing target + stale index
+        merge.prepare_overwrite(path, (".tbi",))
         header_path = os.path.join(parts_dir, "_header")
         header_bytes = header.text.encode("utf-8")
         with _dfs.open_output(header_path) as f:
             f.write(bgzf.compress_all(header_bytes, terminate=False) if compress else header_bytes)
 
+        created.append(path)
         lengths = merge.concat_parts(path, [header_path] + part_paths)
         if compress:
             with _dfs.open_append(path) as f:
@@ -165,9 +172,10 @@ def finalize_single(
                 for pp in part_paths
             ]
             merged = tbimod.merge_tbi(part_idx, lengths[1:], base_offset=lengths[0])
+            created.append(path + ".tbi")
             tbimod.write_tbi(path + ".tbi", merged)
     except Exception:
-        for leftover in (path, path + ".tbi"):
+        for leftover in created:
             if _dfs.exists(leftover):
                 _dfs.remove(leftover)
         merge.cleanup(parts_dir)

@@ -620,7 +620,16 @@ def build_bai(
                             last_key = (ref_index[contig], pos0)
                             if first_key is None:
                                 first_key = last_key
-                    base = f"part-{idx:05d}-{vs:x}"
+                    # attempt-unique base (uuid8): a speculative/zombie
+                    # retry of this chunk stages to a DIFFERENT name, so
+                    # it can never re-truncate a fragment the driver is
+                    # reading during merge; the driver merges only the
+                    # bases reported by collected (winning) tasks. The
+                    # zero-padded idx prefix keeps lexicographic sort ==
+                    # chunk order. Same scheme as build_sbi / the sinks.
+                    import uuid as _uuid
+
+                    base = f"part-{idx:05d}-{_uuid.uuid4().hex[:8]}"
                     baimod.write_bai(
                         os.path.join(parts_dir, f".{base}.bai"), b.build(), fragment=True
                     )

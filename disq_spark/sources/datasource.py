@@ -219,9 +219,8 @@ class BamWriter(DataSourceWriter):
         )
         if _dfs.exists(self.path) and not overwrite:
             raise ValueError(f"path exists (use mode('overwrite')): {self.path}")
-        from disq_spark.sinks.merge import prepare_overwrite
-
-        prepare_overwrite(self.path, (".sbi", ".bai"))
+        # overwrite deletion is deferred to finalize_single (post-validation)
+        # so a rejected commit leaves a pre-existing target untouched
         self.parts_dir = self.path + ".parts"
         _dfs.makedirs(self.parts_dir)
 
@@ -427,9 +426,7 @@ class VcfWriter(DataSourceWriter):
             raise ValueError("write_tbi requires a BGZF target (.gz/.bgz)")
         if _dfs.exists(self.path) and not overwrite:
             raise ValueError(f"path exists (use mode('overwrite')): {self.path}")
-        from disq_spark.sinks.merge import prepare_overwrite
-
-        prepare_overwrite(self.path, (".tbi",))
+        # overwrite deletion is deferred to finalize_single (post-validation)
         self.parts_dir = self.path + ".parts"
         _dfs.makedirs(self.parts_dir)
 

@@ -1121,7 +1121,9 @@ def _serial_pileup(rows, min_base_quality=0, exclude=0x4 | 0x100 | 0x200 | 0x400
             elif op == "N":
                 ref += ln
             elif op == "I":
-                counts[(r["contig"], ref - 1)][7] += 1
+                # mpileup drops insertions with no preceding aligned base
+                if ref > int(r["start"]):
+                    counts[(r["contig"], ref - 1)][7] += 1
                 qry += ln
             elif op == "S":
                 qry += ln
@@ -1177,6 +1179,105 @@ def test_pileup_deletion_and_insertion_anchoring(spark):
     assert got[202]["n_a"] == 1 and got[202]["n_ins"] == 0
     assert got[300]["n_g"] == 1  # soft clip skipped: first aligned base is seq[2]
     assert 301 in got and 302 not in got
+
+
+def test_pileup_leading_insertion_suppressed(spark):
+    """A leading insertion (no preceding reference-consuming op) has no
+    left anchor: mpileup drops it, and so do we — pos start-1 must not
+    appear, and n_ins must be 0 everywhere for these reads."""
+    from disq_spark.operators.genomics import pileup, pileup_indels
+
+    rows = [
+        # insertion is the very first op
+        ("r1", 0, "c", 100, 101, 60, "3I2M", "TTTGG", "IIIII"),
+        # soft clip consumes query only -> the insertion is still leading
+        ("r2", 0, "c", 200, 201, 60, "2S3I2M", "NNAAACC", "IIIIIII"),  # aligned bases: CC
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "name string, flags int, contig string, start long, end long, "
+        "mapq int, cigar string, seq string, qual string",
+    )
+    got = {r["pos"]: r.asDict() for r in pileup(df).collect()}
+    assert 99 not in got and 199 not in got
+    assert all(v["n_ins"] == 0 for v in got.values())
+    assert got[100]["n_g"] == 1 and got[200]["n_c"] == 1
+    assert pileup_indels(df).count() == 0
+
+
+def test_pileup_indels_basic(spark):
+    from disq_spark.operators.genomics import call_indels, pileup, pileup_indels
+
+    rows = [
+        # insertion of TT anchored at 101 (base left of the insert)
+        ("r1", 0, "c", 100, 103, 60, "2M2I2M", "GGttAA", "IIIIII"),
+        ("r2", 0, "c", 100, 103, 60, "2M2I2M", "GGTTAA", "IIIIII"),
+        # 3-base deletion anchored at 201
+        ("r3", 0, "c", 200, 206, 60, "2M3D2M", "CCGG", "IIII"),
+        # no indel
+        ("r4", 0, "c", 100, 103, 60, "4M", "GGAA", "IIII"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "name string, flags int, contig string, start long, end long, "
+        "mapq int, cigar string, seq string, qual string",
+    )
+    got = {(r["pos"], r["indel"]): r["count"] for r in pileup_indels(df).collect()}
+    # inserted sequence is uppercased; both reads land on one allele row
+    assert got == {(101, "+2TT"): 2, (201, "-3"): 1}
+
+    called = call_indels(
+        pileup_indels(df), pileup(df), min_depth=2, min_count=2, min_frac=0.25
+    ).collect()
+    assert len(called) == 1
+    c = called[0].asDict()
+    # depth at 101 = r1,r2,r4 aligned bases = 3; frac = 2/3
+    assert c["pos"] == 101 and c["indel"] == "+2TT" and c["depth"] == 3
+    assert c["indel_count"] == 2 and abs(c["indel_frac"] - round(2 / 3, 4)) < 1e-9
+
+
+def test_pileup_indels_matches_serial_walk(spark, fixtures_dir):
+    """Differential: the one-event-per-I/D-op SQL walk vs an independent
+    serial walk over the full 1.bam fixture."""
+    import os
+    import re
+    from collections import Counter
+
+    from disq_spark.operators.genomics import pileup_indels
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"), split_size=200_000)
+    got = {
+        (r["contig"], r["pos"], r["indel"]): r["count"]
+        for r in pileup_indels(df).collect()
+    }
+    want: Counter = Counter()
+    for r in df.collect():
+        if (
+            r["contig"] is None or r["start"] is None
+            or (r["flags"] & (0x4 | 0x100 | 0x200 | 0x400))
+            or r["cigar"] in (None, "*") or r["seq"] is None
+        ):
+            continue
+        ref, q = int(r["start"]), 0
+        for ln, op in re.findall(r"(\d+)([MIDNSHP=X])", r["cigar"]):
+            ln = int(ln)
+            if op in "M=X":
+                ref += ln
+                q += ln
+            elif op == "D":
+                if ref > int(r["start"]):
+                    want[(r["contig"], ref - 1, f"-{ln}")] += 1
+                ref += ln
+            elif op == "N":
+                ref += ln
+            elif op == "I":
+                if ref > int(r["start"]):
+                    want[(r["contig"], ref - 1, "+%d%s" % (ln, r["seq"][q:q + ln].upper()))] += 1
+                q += ln
+            elif op == "S":
+                q += ln
+    assert got == dict(want) and len(got) == 15
 
 
 def test_pileup_mismatch_against_synthetic_reference(spark):

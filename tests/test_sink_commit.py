@@ -209,3 +209,36 @@ def test_cram_unsorted_header_skips_crai(spark, tmp_path):
     back, _ = read_cram(spark, out)
     assert back.count() == 10
     assert not os.path.exists(out + ".parts")
+
+
+def test_rejected_overwrite_preserves_existing_target(spark, tmp_path):
+    """A write_bam over an EXISTING good BAM whose new parts fail the
+    cross-part order validation must leave yesterday's file and its
+    indexes byte-for-byte untouched (the failure happens before the old
+    target is deleted), and must clean up its parts dir."""
+    from disq_spark.headers import SamHeader
+    from disq_spark.schemas import READS_SCHEMA
+    from disq_spark.sinks.bam import write_bam
+
+    out = str(tmp_path / "keep.bam")
+    header = SamHeader(text=HEADER_TEXT)
+    good = [_mk_row(i, 0) for i in range(20)]
+    df = spark.createDataFrame(good, READS_SCHEMA).coalesce(1)
+    write_bam(df, header, out)  # coordinate header -> .sbi + .bai
+    want = {p: open(p, "rb").read() for p in (out, out + ".sbi", out + ".bai")}
+
+    # per-part-sorted but globally-interleaved input: each partition is
+    # internally ordered, so the task-side builder guard passes and the
+    # failure surfaces at the driver's cross-part check
+    bad = [_mk_row(i, p) for p in (5, 0) for i in range(10)]
+    bad_df = (
+        spark.createDataFrame(bad, READS_SCHEMA)
+        .repartition(2, "start")
+        .sortWithinPartitions("start")
+    )
+    with pytest.raises(ValueError):
+        write_bam(bad_df, header, out)
+
+    for p, content in want.items():
+        assert os.path.exists(p) and open(p, "rb").read() == content
+    assert not os.path.exists(out + ".parts")
