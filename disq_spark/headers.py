@@ -63,6 +63,22 @@ class SamHeader:
     def contig_index(self) -> dict[str, int]:
         return {name: i for i, (name, _len) in enumerate(self.sequences)}
 
+    def libraries(self) -> dict[str, str]:
+        """@RG ID -> LB map (Picard's duplicate-detection unit: many
+        lanes/read groups of one library dedup as a single pool)."""
+        out: dict[str, str] = {}
+        for ln in self.lines:
+            if ln.startswith("@RG"):
+                rid = lb = None
+                for f in ln.split("\t")[1:]:
+                    if f.startswith("ID:"):
+                        rid = f[3:]
+                    elif f.startswith("LB:"):
+                        lb = f[3:]
+                if rid is not None:
+                    out[rid] = lb if lb is not None else "Unknown Library"
+        return out
+
 
 @dataclass
 class VcfHeader:

@@ -13,9 +13,11 @@ capability upgrades over disq-bio/disq, which only does I/O):
   sortWithinPartitions — a total order with no single-reducer
   bottleneck ("This library does not do any sorting" README.md:148 —
   we do).
-- mark_duplicates: simplified Picard semantics — group fragments by
-  (library?, contig, start, strand, mate position), keep the highest
-  base-quality-sum record, flag the rest 0x400.
+- mark_duplicates: Picard MarkDuplicates semantics — per-library
+  template keys built from each end's UNCLIPPED 5' coordinate + strand,
+  pair-vs-pair competition on both ends, fragment demotion against
+  pairs, best template by summed base-quality score, losers flagged
+  0x400 on every record.
 - pair_reads: queryname pair atomicity via a name shuffle — the
   reference documents this as an unimplemented goal (README.md:39,162-166).
 """
@@ -96,19 +98,68 @@ def coordinate_sort(df: DataFrame, header: SamHeader, num_partitions: int | None
     )
 
 
-def mark_duplicates(df: DataFrame) -> DataFrame:
-    """Flag duplicate fragments (bit 0x400) keeping the best per position.
+def _clip_len(pattern: str):
+    """Length of a leading/trailing soft/hard clip run matched by
+    ``pattern`` against the cigar column (0 when absent)."""
+    v = F.regexp_extract(F.col("cigar"), pattern, 1)
+    return F.when(v == "", F.lit(0)).otherwise(v.cast("long"))
 
-    Key: (contig, start, orientation, mate_contig, mate_start); score:
-    sum of phred qualities >= 15 (Picard's DUPLICATE_SCORING default
-    approximated column-side); secondary/supplementary/unmapped records
-    are passed through unexamined, like Picard.
 
-    Exempt records sort LAST inside the ranking window: an unmapped read
-    (which carries its mate's coordinates in SAM) or a secondary
-    alignment landing on a primary's key must not occupy a rank and
-    inflate the primary's row_number — Picard never considers them when
-    picking the representative. Their own flag is untouched either way.
+def _lead_clip():
+    """Leading soft+hard clip length. The unclipped 5' coordinate
+    (htsjdk SAMRecord.getUnclippedStart/End) is Picard MarkDuplicates'
+    duplicate-key position: leading clips REWIND the start for a forward
+    read; trailing clips EXTEND the end for a reverse read. Aligners
+    routinely clip duplicate reads differently (adapter trim,
+    low-quality tails), so keying on POS alone silently misses
+    real-world duplicates. Built lazily — Column construction needs an
+    active session."""
+    return _clip_len(r"^(\d+)H") + _clip_len(r"^(?:\d+H)?(\d+)S")
+
+
+def _tail_clip():
+    return _clip_len(r"(\d+)S(?:\d+H)?$") + _clip_len(r"(\d+)H$")
+
+
+def mark_duplicates(df: DataFrame, header: SamHeader | None = None) -> DataFrame:
+    """Flag duplicate templates (bit 0x400), Picard MarkDuplicates
+    semantics, keeping the best-scoring template per duplicate key.
+
+    Keys are built from each end's UNCLIPPED 5' coordinate and strand —
+    forward: ``start - leading soft/hard clip``; reverse: ``end +
+    trailing soft/hard clip`` (htsjdk getUnclippedStart/End) — so
+    duplicates whose alignments differ only in clipping still collide.
+    Duplicates are detected per LIBRARY (Picard's unit): pass ``header``
+    to resolve each record's RG tag to its @RG LB field — a
+    multi-lane library (many RG ids, one LB) then dedups as one pool;
+    records without a resolvable library pool together ("Unknown
+    Library", like Picard). Without ``header``, everything is one pool.
+    Per library:
+
+    - a template with two mapped primary ends competes on the ordered
+      PAIR of (contig, unclipped-5', strand) end keys; the best template
+      (sum of both ends' base-quality scores, Picard's
+      SUM_OF_BASE_QUALITIES: phred >= 15 summed) survives, every record
+      of each losing template is flagged;
+    - a single-end template (unpaired, or mate unmapped) competes on its
+      one end key against other single-end templates — and is flagged
+      unconditionally when ANY pair shares that end key (Picard demotes
+      fragments against pairs regardless of score);
+    - unmapped / secondary / supplementary records pass through with
+      flags untouched (classic Picard skips them).
+
+    Ties break by ascending name (deterministic under any partitioning;
+    Picard uses file order, which a distributed input does not have).
+
+    Plan shape: one groupBy(name) to assemble template ends, two
+    row_number windows (pair key / fragment end key), one join of
+    fragments against distinct pair end keys, and one join of verdicts
+    back to records on (read_group, name). All shuffles are keyed —
+    nothing driver-side, no per-row Python — and each window partition
+    holds only the templates sharing one duplicate key (tiny), so skew
+    is bounded by real duplicate depth. Reference: the disq README
+    defers duplicate marking to downstream Picard; this is that step,
+    expressed distributed.
     """
     exempt = (
         (F.col("flags").bitwiseAND(FLAG_UNMAPPED) != 0)
@@ -125,20 +176,80 @@ def mark_duplicates(df: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    strand = F.col("flags").bitwiseAND(FLAG_REVERSE)
-    w = W.partitionBy("contig", "start", strand, "mate_contig", "mate_start").orderBy(
-        F.asc(exempt.cast("int")), F.desc("__score"), F.asc("name")
+    strand = (F.col("flags").bitwiseAND(FLAG_REVERSE) != 0).cast("int")
+    uc5 = F.when(
+        strand == 1, F.col("end") + _tail_clip()
+    ).otherwise(F.col("start") - _lead_clip())
+    # library pool: RG id -> @RG LB via the header (broadcast literal
+    # map); a 20-lane library dedups as ONE pool, like Picard. No header
+    # (or no @RG lines) -> single pool.
+    libmap = header.libraries() if header is not None else {}
+    if libmap and "read_group" in df.columns:
+        m = F.create_map(*[F.lit(x) for kv in libmap.items() for x in kv])
+        rg = F.coalesce(m[F.col("read_group")], F.lit("Unknown Library"))
+    else:
+        rg = F.lit("")
+
+    prim = (
+        df.filter(~exempt)
+        .select(
+            rg.alias("__rg"),
+            "name",
+            F.struct(
+                F.col("contig").alias("contig"),
+                uc5.alias("uc5"),
+                strand.alias("strand"),
+            ).alias("__e"),
+            qual_score.alias("__s"),
+        )
     )
-    scored = df.withColumn("__score", qual_score).withColumn(
-        "__rn", F.when(exempt, F.lit(1)).otherwise(F.row_number().over(w))
+    tmpl = prim.groupBy("__rg", "name").agg(
+        F.sort_array(F.collect_list("__e")).alias("__ends"),
+        F.sum("__s").alias("__score"),
+        F.count("*").alias("__n"),
     )
-    return scored.withColumn(
-        "flags",
-        F.when(
-            ~exempt & (F.col("__rn") > 1),
-            F.col("flags").bitwiseOR(FLAG_DUPLICATE),
-        ).otherwise(F.col("flags")),
-    ).drop("__score", "__rn")
+    end_str = lambda e: F.concat_ws(":", e["contig"], e["uc5"].cast("string"), e["strand"].cast("string"))  # noqa: E731
+    ends_key = F.array_join(F.transform("__ends", end_str), "|")
+
+    pairs = tmpl.filter(F.col("__n") >= 2).withColumn("__k", ends_key)
+    wp = W.partitionBy("__rg", "__k").orderBy(F.desc("__score"), F.asc("name"))
+    pair_verdict = pairs.select(
+        "__rg", "name", (F.row_number().over(wp) > 1).alias("__dup")
+    )
+
+    frags = tmpl.filter(F.col("__n") == 1).withColumn(
+        "__k", end_str(F.col("__ends")[0])
+    )
+    wf = W.partitionBy("__rg", "__k").orderBy(F.desc("__score"), F.asc("name"))
+    pair_end_keys = (
+        pairs.select("__rg", F.explode("__ends").alias("__pe"))
+        .select("__rg", end_str(F.col("__pe")).alias("__k"))
+        .distinct()
+        .withColumn("__paired_here", F.lit(True))
+    )
+    frag_verdict = (
+        frags.withColumn("__rn", F.row_number().over(wf))
+        .join(pair_end_keys, ["__rg", "__k"], "left")
+        .select(
+            "__rg",
+            "name",
+            (F.coalesce(F.col("__paired_here"), F.lit(False)) | (F.col("__rn") > 1)).alias("__dup"),
+        )
+    )
+
+    verdicts = pair_verdict.unionByName(frag_verdict)
+    out = df.withColumn("__rg", rg).join(verdicts, ["__rg", "name"], "left")
+    return (
+        out.withColumn(
+            "flags",
+            F.when(
+                ~exempt & F.coalesce(F.col("__dup"), F.lit(False)),
+                F.col("flags").bitwiseOR(FLAG_DUPLICATE),
+            ).otherwise(F.col("flags")),
+        )
+        .drop("__rg", "__dup")
+        .select(*df.columns)
+    )
 
 
 def pair_reads(df: DataFrame) -> DataFrame:

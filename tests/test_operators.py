@@ -108,6 +108,189 @@ def test_mark_duplicates_exempt_rows_never_rank(spark):
     assert out["s1"] & 0x400 == 0 and out["u1"] & 0x400 == 0  # passed through
 
 
+def test_mark_duplicates_unclipped_coordinate_key(spark):
+    """Picard keys on the UNCLIPPED 5' coordinate: duplicates whose
+    alignments differ only by soft/hard clipping must still collide."""
+    from disq_spark.schemas import READS_SCHEMA
+
+    rows = [
+        # forward originals at unclipped start 100
+        ("f1", 0, "c1", 100, 149, 60, "50M", None, None, 0, "A" * 50, "I" * 50, None, None),
+        # 5 bases soft-clipped off the front: POS moved to 105, but
+        # unclipped start is still 105-5=100 -> same key, lower score
+        ("f2", 0, "c1", 105, 149, 60, "5S45M", None, None, 0, "A" * 50, "5" * 50, None, None),
+        # hard+soft clipped front: 105-(2+3)=100 -> same key again
+        ("f3", 0, "c1", 105, 149, 60, "2H3S45M", None, None, 0, "A" * 48, "#" * 48, None, None),
+        # reverse-strand originals: unclipped END is the 5' coordinate
+        ("r1", 16, "c1", 200, 249, 60, "50M", None, None, 0, "A" * 50, "I" * 50, None, None),
+        # trailing clip: end 244 + 5 = 249 -> same reverse key
+        ("r2", 16, "c1", 200, 244, 60, "45M5S", None, None, 0, "A" * 50, "5" * 50, None, None),
+        # same span but FORWARD -> different key (orientation matters)
+        ("r3", 0, "c1", 200, 249, 60, "50M", None, None, 0, "A" * 50, "I" * 50, None, None),
+    ]
+    df = spark.createDataFrame(rows, READS_SCHEMA)
+    out = {r.name: r.flags for r in mark_duplicates(df).collect()}
+    assert out["f1"] & 0x400 == 0          # best score survives
+    assert out["f2"] & 0x400 != 0          # soft-clipped duplicate caught
+    assert out["f3"] & 0x400 != 0          # hard+soft-clipped duplicate caught
+    assert out["r1"] & 0x400 == 0
+    assert out["r2"] & 0x400 != 0          # trailing-clip reverse duplicate caught
+    assert out["r3"] & 0x400 == 0          # strand distinguishes
+
+
+def test_mark_duplicates_pair_semantics(spark):
+    """Templates compete as PAIRS on both ends' keys; every record of a
+    losing template is flagged; a single-end template colliding with a
+    pair's end is demoted unconditionally (Picard fragment-vs-pair)."""
+    from disq_spark.schemas import READS_SCHEMA
+
+    def pair(name, s1, e1, s2, e2, q, c1="50M", c2="50M"):
+        # proper pair: read1 forward at s1, read2 reverse at s2
+        return [
+            (name, 0x1 | 0x40, "c1", s1, e1, 60, c1, "c1", s2, 0, "A" * 50, q * 50, None, None),
+            (name, 0x1 | 0x80 | 0x10, "c1", s2, e2, 60, c2, "c1", s1, 0, "A" * 50, q * 50, None, None),
+        ]
+
+    rows = (
+        pair("t1", 100, 149, 300, 349, "I")           # best pair
+        + pair("t2", 100, 149, 300, 349, "5")          # duplicate pair, lower score
+        # same left end, DIFFERENT right end -> not a duplicate pair
+        + pair("t3", 100, 149, 400, 449, "I")
+        # clipped duplicate of t1: read1 5S45M at 105 (unclipped 100),
+        # read2 45M5S ending 344 (unclipped 349)
+        + pair("t4", 105, 149, 300, 344, "#", c1="5S45M", c2="45M5S")
+        # fragment colliding with t1's left end key -> demoted even with top score
+        + [("g1", 0, "c1", 100, 149, 60, "50M", None, None, 0, "A" * 50, "I" * 50, None, None)]
+        # fragment at its own key -> survives
+        + [("g2", 0, "c1", 500, 549, 60, "50M", None, None, 0, "A" * 50, "I" * 50, None, None)]
+    )
+    df = spark.createDataFrame(rows, READS_SCHEMA)
+    out = {}
+    for r in mark_duplicates(df).collect():
+        out.setdefault(r.name, []).append(r.flags)
+    assert all(f & 0x400 == 0 for f in out["t1"])  # winner pair untouched
+    assert all(f & 0x400 != 0 for f in out["t2"])  # BOTH records flagged
+    assert all(f & 0x400 == 0 for f in out["t3"])  # right end differs
+    assert all(f & 0x400 != 0 for f in out["t4"])  # clip-shifted dup pair caught
+    assert out["g1"][0] & 0x400 != 0               # fragment demoted by pair
+    assert out["g2"][0] & 0x400 == 0
+
+
+def test_mark_duplicates_library_pooling(spark):
+    """Many read groups of ONE library (LB) dedup as a single pool;
+    different libraries never collide (Picard's per-library unit)."""
+    from disq_spark.headers import SamHeader
+    from disq_spark.schemas import READS_SCHEMA
+
+    header = SamHeader(
+        text="@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:c1\tLN:100000\n"
+        "@RG\tID:lane1\tLB:libA\n@RG\tID:lane2\tLB:libA\n@RG\tID:lane3\tLB:libB\n"
+    )
+    rows = [
+        ("a1", 0, "c1", 100, 149, 60, "50M", None, None, 0, "A" * 50, "I" * 50, None, "lane1"),
+        # same key, different LANE but same LIBRARY -> duplicate
+        ("a2", 0, "c1", 100, 149, 60, "50M", None, None, 0, "A" * 50, "5" * 50, None, "lane2"),
+        # same key but different LIBRARY -> no collision
+        ("b1", 0, "c1", 100, 149, 60, "50M", None, None, 0, "A" * 50, "#" * 50, None, "lane3"),
+    ]
+    df = spark.createDataFrame(rows, READS_SCHEMA)
+    out = {r.name: r.flags for r in mark_duplicates(df, header=header).collect()}
+    assert out["a1"] & 0x400 == 0
+    assert out["a2"] & 0x400 != 0  # cross-lane, same-library duplicate caught
+    assert out["b1"] & 0x400 == 0  # other library untouched
+
+
+def test_mark_duplicates_matches_serial_picard(spark, fixtures_dir):
+    """Differential vs an independent serial Picard-style implementation
+    over the full 1.bam fixture (20 read groups -> one LB pool). Also
+    sanity-checks fidelity against the file's own Picard-marked flags:
+    the overwhelming majority of pre-flagged templates must be re-found
+    (residue = slice truncation: mates outside the fixture window)."""
+    import os
+    import re
+    from collections import defaultdict
+
+    from disq_spark.operators.genomics import mark_duplicates
+    from disq_spark.sources.bam_source import read_bam
+
+    df, header = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    rows = [r.asDict() for r in df.collect()]
+    libmap = header.libraries()
+
+    def clips(cg):
+        lead = tail = 0
+        m = re.match(r"^(\d+)H", cg)
+        lead += int(m.group(1)) if m else 0
+        m = re.match(r"^(?:\d+H)?(\d+)S", cg)
+        lead += int(m.group(1)) if m else 0
+        m = re.search(r"(\d+)S(?:\d+H)?$", cg)
+        tail += int(m.group(1)) if m else 0
+        m = re.search(r"(\d+)H$", cg)
+        tail += int(m.group(1)) if m else 0
+        return lead, tail
+
+    def score(q):
+        if q is None or q == "*":
+            return 0
+        return sum(v for v in (ord(c) - 33 for c in q) if v >= 15)
+
+    tmpl = defaultdict(list)
+    for r in rows:
+        if r["flags"] & (0x4 | 0x100 | 0x800):
+            continue
+        lib = libmap.get(r["read_group"], "Unknown Library")
+        lead, tail = clips(r["cigar"])
+        s = 1 if r["flags"] & 0x10 else 0
+        uc5 = r["end"] + tail if s else r["start"] - lead
+        tmpl[(lib, r["name"])].append(((r["contig"], uc5, s), score(r["qual"])))
+    pairs, frags = {}, {}
+    for k, ends in tmpl.items():
+        ekeys = sorted(e for e, _ in ends)
+        sc = sum(s for _, s in ends)
+        if len(ends) >= 2:
+            pairs[k] = (tuple(ekeys), sc)
+        else:
+            frags[k] = (ekeys[0], sc)
+    dup = set()
+    bykey = defaultdict(list)
+    for (lib, name), (k, sc) in pairs.items():
+        bykey[(lib, k)].append((-sc, name))
+    for (lib, k), lst in bykey.items():
+        lst.sort()
+        dup.update((lib, n) for _, n in lst[1:])
+    pek = {(lib, e) for (lib, _), (k, _) in pairs.items() for e in k}
+    fbykey = defaultdict(list)
+    for (lib, name), (e, sc) in frags.items():
+        fbykey[(lib, e)].append((-sc, name))
+    for (lib, e), lst in fbykey.items():
+        lst.sort()
+        losers = lst if (lib, e) in pek else lst[1:]
+        dup.update((lib, n) for _, n in losers)
+
+    marked = {
+        (r["name"], r["flags"] & ~0x400): r["flags"] & 0x400 != 0
+        for r in mark_duplicates(df, header=header).collect()
+        if not r["flags"] & (0x4 | 0x100 | 0x800)
+    }
+    mismatches = 0
+    pre_templates, refound = set(), set()
+    for r in rows:
+        if r["flags"] & (0x4 | 0x100 | 0x800):
+            continue
+        lib = libmap.get(r["read_group"], "Unknown Library")
+        want = (lib, r["name"]) in dup or bool(r["flags"] & 0x400)
+        got = marked[(r["name"], r["flags"] & ~0x400)]
+        if want != got:
+            mismatches += 1
+        if r["flags"] & 0x400:
+            pre_templates.add((lib, r["name"]))
+            if (lib, r["name"]) in dup:
+                refound.add((lib, r["name"]))
+    assert mismatches == 0
+    # fidelity vs the file's own Picard marking
+    assert len(refound) / len(pre_templates) > 0.97
+
+
 def test_pair_reads_atomicity(spark, fixtures_dir):
     df, _ = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
     pairs = pair_reads(df)
