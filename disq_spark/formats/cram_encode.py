@@ -103,16 +103,17 @@ class Series:
         self.buf.append(stop)
 
 
-def _block(method: int, ctype: int, cid: int, payload: bytes) -> bytes:
+def _block(method: int, ctype: int, cid: int, payload: bytes, rans_order: int = 0) -> bytes:
     """Serialize one v3 block (with CRC32). method: 0 raw, 1 gzip,
-    4 rans4x8 order-0."""
+    4 rans4x8 (order 0 or 1 per ``rans_order`` — the order byte lives
+    inside the stream, the block method byte is 4 for both)."""
     if method == 1:
         comp = zlib.compressobj(6, zlib.DEFLATED, 15 + 16)
         data = comp.compress(payload) + comp.flush()
     elif method == 4:
         from disq_spark.formats import rans
 
-        data = rans.compress(payload)
+        data = rans.compress_o1(payload) if rans_order else rans.compress(payload)
     else:
         data = payload
     head = bytes([method, ctype]) + write_itf8(cid) + write_itf8(len(data)) + write_itf8(len(payload))
@@ -127,14 +128,18 @@ _RANS_SERIES = ("BA", "QS")
 
 
 def _best_block(ctype: int, cid: int, payload: bytes, try_rans: bool) -> bytes:
-    """gzip block, or the smaller of gzip/rans4x8-o0 for byte series —
-    per-block pick-smaller mirrors htsjdk's per-series method choice
-    while guaranteeing the written file never exceeds the gzip baseline."""
+    """gzip block, or the smallest of gzip/rans4x8-o0/rans4x8-o1 for byte
+    series (htsjdk writes quality series order-1; per-block pick-smaller
+    mirrors its per-series method choice while guaranteeing the written
+    file never exceeds the gzip baseline)."""
     gz = _block(1, ctype, cid, payload)
     if not try_rans or not payload:
         return gz
-    rn = _block(4, ctype, cid, payload)
-    return rn if len(rn) < len(gz) else gz
+    best = min(
+        (_block(4, ctype, cid, payload), _block(4, ctype, cid, payload, rans_order=1)),
+        key=len,
+    )
+    return best if len(best) < len(gz) else gz
 
 
 def _sub_code(ref_base: str, alt_base: str, sm: bytes = SM_DEFAULT) -> int:

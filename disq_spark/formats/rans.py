@@ -3,9 +3,10 @@
 Implements the CRAM specification's rans4x8 codec — four interleaved
 32-bit rANS states, 12-bit normalized frequencies, RLE'd frequency
 tables. Decode handles order-0 and order-1 (everything htsjdk writes);
-encode emits order-0 (``compress``), used by the CRAM writer for the
-bulk byte series, closing the write-side codec-parity gap with
-htsjdk-written files.
+encode emits order-0 (``compress``) and order-1 (``compress_o1``,
+context = previous byte per quarter — what htsjdk writes for quality
+series), used by the CRAM writer for the bulk byte series, closing the
+write-side codec-parity gap with htsjdk-written files.
 
 Layout of a compressed stream:
   order:u8, compressed_size:u32le, uncompressed_size:u32le,
@@ -141,7 +142,10 @@ def _normalize_freqs(data: bytes) -> list[int]:
     counts = [0] * 256
     for b in data:
         counts[b] += 1
-    total = len(data)
+    return _normalize_counts(counts, len(data))
+
+
+def _normalize_counts(counts: list[int], total: int) -> list[int]:
     F = [0] * 256
     assigned = 0
     for s in range(256):
@@ -254,3 +258,94 @@ def _uncompress_o1(c: _Cursor, out_sz: int) -> bytes:
         states[3] = _renorm(st, c)
         ctxs[3] = s
     return bytes(out)
+
+
+def _write_freq_table_o1(tables: dict[int, bytes]) -> bytes:
+    """Inverse of _read_freq_table_o1: present contexts ascending, maximal
+    consecutive runs RLE'd (ctx byte, table, next-ctx byte, run count, then
+    the run's remaining tables back-to-back), terminated by a 0 context."""
+    out = bytearray()
+    present = sorted(tables)
+    i = 0
+    while i < len(present):
+        j = i
+        while j + 1 < len(present) and present[j + 1] == present[j] + 1:
+            j += 1
+        run = present[i : j + 1]
+        out.append(run[0])
+        out += tables[run[0]]
+        if len(run) > 1:
+            out.append(run[1])  # == run[0]+1 -> parser reads an RLE count
+            out.append(len(run) - 2)
+            for ctx in run[1:]:
+                out += tables[ctx]
+        i = j + 1
+    out.append(0)
+    return bytes(out)
+
+
+def compress_o1(data: bytes) -> bytes:
+    """Encode one order-1 rans4x8 stream (including the 9-byte header) —
+    the inverse of the order-1 branch of ``uncompress``.
+
+    The buffer is split into 4 quarters of q = len >> 2 bytes (state j
+    owns quarter j; the len % 4 tail rides state 3); each byte's context
+    is its predecessor within the quarter chain, with context 0 for the
+    first byte of every quarter. Per-context frequency tables are
+    normalized to 4096 independently. Symbols are pushed in exact reverse
+    of the decoder's pop order: tail last-to-first on state 3, then
+    i = q-1..0 with j = 3..0, renormalizing into one shared byte stream
+    reversed at the end.
+    """
+    n = len(data)
+    if n == 0:
+        return struct.pack("<BII", 1, 0, 0)
+    q = n >> 2
+    # context of byte i: 0 at each quarter start (i == j*q for j<4), else
+    # data[i-1]; the tail (i >= 4q) continues quarter 3's chain.
+    counts: dict[int, list[int]] = {}
+    totals: dict[int, int] = {}
+
+    def _bump(ctx: int, sym: int) -> None:
+        row = counts.get(ctx)
+        if row is None:
+            row = counts[ctx] = [0] * 256
+            totals[ctx] = 0
+        row[sym] += 1
+        totals[ctx] += 1
+
+    starts = {j * q for j in range(4)} if q else {0}
+    for i in range(n):
+        _bump(0 if i in starts else data[i - 1], data[i])
+    F: dict[int, list[int]] = {}
+    C: dict[int, list[int]] = {}
+    tables: dict[int, bytes] = {}
+    for ctx, row in counts.items():
+        f = _normalize_counts(row, totals[ctx])
+        cum = [0] * 257
+        for s in range(256):
+            cum[s + 1] = cum[s] + f[s]
+        F[ctx] = f
+        C[ctx] = cum
+        tables[ctx] = _write_freq_table(f)
+    states = [RANS_L, RANS_L, RANS_L, RANS_L]
+    out = bytearray()
+    renorm_base = RANS_L >> TF_SHIFT << 8
+
+    def _push(j: int, ctx: int, s: int) -> None:
+        x = states[j]
+        f = F[ctx][s]
+        x_max = renorm_base * f
+        while x >= x_max:
+            out.append(x & 0xFF)
+            x >>= 8
+        states[j] = ((x // f) << TF_SHIFT) + (x % f) + C[ctx][s]
+
+    for i in range(n - 1, 4 * q - 1, -1):  # tail, reverse, state 3
+        _push(3, 0 if i in starts else data[i - 1], data[i])
+    for i in range(q - 1, -1, -1):
+        for j in (3, 2, 1, 0):
+            p = j * q + i
+            _push(j, 0 if i == 0 else data[p - 1], data[p])
+    payload = _write_freq_table_o1(tables) + struct.pack("<4I", *states) + bytes(reversed(out))
+    return struct.pack("<BII", 1, len(payload), n) + payload

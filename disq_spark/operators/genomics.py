@@ -736,3 +736,57 @@ def pileup_mismatch(pile: DataFrame, ref_windows: DataFrame) -> DataFrame:
         .otherwise(aligned - n_ref)
         .alias("n_mismatch"),
     )
+
+
+def snvs_to_variants(snvs: DataFrame) -> DataFrame:
+    """Shape ``call_snvs`` candidates as VARIANTS_SCHEMA rows so they can
+    flow straight into ``sinks.variants.write_vcf`` — the read-source →
+    variant-sink bridge (BAM/CRAM in, candidate VCF + .tbi out) that the
+    reference's RDD layers keep separate (HtsjdkReadsRdd / 
+    HtsjdkVariantsRdd have no cross-conversion).
+
+    Column mapping: POS = pos, REF = ref_base, ALT = [alt_base],
+    FILTER = PASS ([]), INFO carries DP (raw depth), AD (alt read
+    count) and AF (alt fraction, bcftools-style aligned-depth
+    denominator). QUAL is left null ('.') — candidates have no
+    likelihood model. Pure column expressions, no shuffle.
+    """
+    from disq_spark.schemas import VARIANTS_SCHEMA
+
+    return snvs.select(
+        F.col("contig"),
+        F.col("pos").cast("long").alias("start"),
+        F.col("pos").cast("long").alias("end"),
+        F.lit(None).cast("array<string>").alias("ids"),
+        F.col("ref_base").alias("ref"),
+        F.array(F.col("alt_base")).alias("alts"),
+        F.lit(None).cast("double").alias("qual"),
+        F.array().cast("array<string>").alias("filters"),  # PASS
+        F.map_from_arrays(
+            F.array(F.lit("DP"), F.lit("AD"), F.lit("AF")),
+            F.array(
+                F.col("depth").cast("string"),
+                F.col("alt_count").cast("string"),
+                F.col("alt_frac").cast("string"),
+            ),
+        ).alias("info"),
+        F.lit(None).cast(VARIANTS_SCHEMA["genotypes"].dataType).alias("genotypes"),
+    )
+
+
+def candidate_vcf_header(refs: list | None = None) -> "VcfHeader":
+    """Minimal VCFv4.2 header for ``snvs_to_variants`` output: INFO
+    declarations for DP/AD/AF plus ##contig lines from ``refs``
+    ((name, length) pairs, e.g. a BAM/CRAM header's sequence dict)."""
+    from disq_spark.headers import VcfHeader
+
+    lines = [
+        "##fileformat=VCFv4.2",
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Raw read depth">',
+        '##INFO=<ID=AD,Number=1,Type=Integer,Description="Alt-supporting read count">',
+        '##INFO=<ID=AF,Number=1,Type=Float,Description="Alt fraction over aligned depth">',
+    ]
+    for name, length in refs or []:
+        lines.append(f"##contig=<ID={name},length={length}>")
+    lines.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+    return VcfHeader.from_lines([ln + "\n" for ln in lines])

@@ -1301,3 +1301,87 @@ FROM (VALUES
 ) AS t(contig, pos, indel, depth, indel_count, indel_frac)
 ORDER BY contig, pos
 """
+
+
+@_q("genomics_snv_vcf_pipeline")
+def genomics_snv_vcf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end variant pipeline under one gate: CRAM read → pileup →
+    reference-mismatch join → call_snvs → snvs_to_variants → single-file
+    BGZF VCF write with a distributed .tbi → .tbi-pruned interval
+    re-read through our VCF source. This is the first query exercising a
+    read SOURCE and a variant SINK in one plan — the integration the
+    reference's separate HtsjdkReadsRdd/HtsjdkVariantsRdd APIs cannot
+    express. Golden rows are the chr7:100-350 slice of the
+    genomics_call_snvs ground truth (independent serial-walk literals)."""
+    from disq_spark.cacheutil import gate_scratch_dir
+    from disq_spark.functions.intervals import Interval
+    from disq_spark.operators.genomics import (
+        call_snvs,
+        candidate_vcf_header,
+        pileup,
+        pileup_mismatch,
+        snvs_to_variants,
+    )
+    from disq_spark.sinks.variants import write_vcf
+    from disq_spark.sources.cram_source import read_cram
+    from disq_spark.sources.fasta import read_fasta_windows
+    from disq_spark.sources.variants import read_vcf
+
+    fasta = os.path.join(FIXTURES, "valid.fasta")
+    df, header = read_cram(
+        spark, os.path.join(FIXTURES, "valid.cram"), reference_path=fasta
+    )
+    m = pileup_mismatch(pileup(df), read_fasta_windows(spark, fasta, window=1000))
+    snvs = call_snvs(m, min_depth=2, min_alt_count=2, min_alt_frac=0.25)
+    # tabix needs coordinate order across parts: range-partition on the
+    # same key the .tbi bins on
+    variants = (
+        snvs_to_variants(snvs)
+        .repartitionByRange(2, "contig", "start")
+        .sortWithinPartitions("contig", "start")
+    )
+    out = os.path.join(gate_scratch_dir("snvvcf"), "candidates.vcf.bgz")
+    write_vcf(variants, candidate_vcf_header(header.sequences), out, write_tbi=True)
+    if not os.path.exists(out + ".tbi"):
+        raise AssertionError(".tbi missing after candidate VCF write")
+    back, _h = read_vcf(spark, out, intervals=[Interval("chr7", 100, 350)])
+    return back.select(
+        "contig",
+        F.col("start").alias("pos"),
+        F.col("ref").alias("ref_base"),
+        F.col("alts")[0].alias("alt_base"),
+        F.col("info")["DP"].cast("long").alias("depth"),
+        F.col("info")["AD"].cast("long").alias("alt_count"),
+        F.col("info")["AF"].cast("double").alias("alt_frac"),
+    ).orderBy("contig", "pos")
+
+
+ORACLE["genomics_snv_vcf_pipeline"] = """
+SELECT contig, CAST(pos AS BIGINT) AS pos, ref_base, alt_base,
+       CAST(depth AS BIGINT) AS depth, CAST(alt_count AS BIGINT) AS alt_count,
+       CAST(alt_frac AS DOUBLE) AS alt_frac
+FROM (VALUES
+  ('chr7', 104, 'G', 'C', 2, 2, 1.0),
+  ('chr7', 107, 'G', 'A', 2, 2, 1.0),
+  ('chr7', 109, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 303, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 304, 'A', 'G', 2, 2, 1.0),
+  ('chr7', 307, 'C', 'G', 2, 2, 1.0),
+  ('chr7', 308, 'G', 'C', 2, 2, 1.0),
+  ('chr7', 309, 'G', 'A', 2, 2, 1.0),
+  ('chr7', 310, 'C', 'T', 2, 2, 1.0),
+  ('chr7', 311, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 317, 'A', 'T', 2, 2, 1.0),
+  ('chr7', 321, 'C', 'T', 2, 2, 1.0),
+  ('chr7', 327, 'G', 'A', 2, 2, 1.0),
+  ('chr7', 329, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 333, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 334, 'A', 'C', 2, 2, 1.0),
+  ('chr7', 337, 'T', 'C', 2, 2, 1.0),
+  ('chr7', 339, 'C', 'G', 2, 2, 1.0),
+  ('chr7', 340, 'C', 'A', 2, 2, 1.0),
+  ('chr7', 343, 'C', 'G', 2, 2, 1.0),
+  ('chr7', 347, 'T', 'G', 2, 2, 1.0)
+) AS t(contig, pos, ref_base, alt_base, depth, alt_count, alt_frac)
+ORDER BY contig, pos
+"""

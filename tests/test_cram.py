@@ -323,7 +323,10 @@ def test_rans_compress_roundtrip_and_fixture_parity(fixtures_dir):
     )
     data = open(p, "rb").read()
     major, _minor, _hdr = parse_file_definition(data)
+    from disq_spark.formats.cram_decode import read_itf8
+
     n_rans = 0
+    sizes = {0: [0, 0], 1: [0, 0]}  # order -> [htsjdk bytes, our bytes]
     for c in scan_containers(p, data):
         if c.is_eof:
             continue
@@ -333,8 +336,22 @@ def test_rans_compress_roundtrip_and_fixture_parity(fixtures_dir):
             if blk.method == 4:  # fixture-written rANS block
                 n_rans += 1
                 assert rans.uncompress(rans.compress(blk.data)) == blk.data
+                # re-encode with htsjdk's own order choice: size parity
+                q = off + 2
+                _, q = read_itf8(data, q)
+                csize, q = read_itf8(data, q)
+                _, q = read_itf8(data, q)
+                order = data[q]
+                ours = rans.compress_o1(blk.data) if order == 1 else rans.compress(blk.data)
+                assert rans.uncompress(ours) == blk.data
+                sizes[order][0] += csize
+                sizes[order][1] += len(ours)
             off = blk.end
     assert n_rans > 0  # htsjdk really writes rANS blocks here
+    assert sizes[1][0] > 0  # htsjdk writes order-1 (quality series) here
+    for order, (hts, ours) in sizes.items():
+        if hts:  # within 2% of htsjdk's bytes for the same order choice
+            assert ours <= hts * 1.02, (order, ours, hts)
 
 
 def test_cram_write_rans_smaller_than_gzip(spark, fixtures_dir, tmp_path):
@@ -397,7 +414,7 @@ def test_cram_write_rans_smaller_than_gzip(spark, fixtures_dir, tmp_path):
 
                 comp = zlib.compressobj(6, zlib.DEFLATED, 15 + 16)
                 gz_len = len(comp.compress(blk.data) + comp.flush())
-                rans_len = len(rans.compress(blk.data))
+                rans_len = min(len(rans.compress(blk.data)), len(rans.compress_o1(blk.data)))
                 assert rans_len < gz_len, (rans_len, gz_len)
                 saved += gz_len - rans_len
             off = blk.end
@@ -408,3 +425,69 @@ def test_cram_write_rans_smaller_than_gzip(spark, fixtures_dir, tmp_path):
     got = {r.name: r for r in back.collect()}
     for r in rows[:50]:
         assert got[r["name"]].seq == r["seq"] and got[r["name"]].qual == r["qual"]
+
+
+def test_cram_write_quality_series_picks_order1(spark, tmp_path):
+    """Context-correlated quality strings (a bounded random walk — the
+    real-world shape) must make the QS series land on rans4x8 ORDER-1,
+    beating both gzip and order-0 (htsjdk also writes quality order-1);
+    the file stays decodable by our reader with values intact."""
+    import random
+    import zlib
+
+    from disq_spark.formats import rans
+    from disq_spark.formats.cram import parse_file_definition, scan_containers
+    from disq_spark.formats.cram_decode import read_block, read_itf8
+    from disq_spark.headers import SamHeader
+    from disq_spark.schemas import READS_SCHEMA
+    from disq_spark.sinks.cram import write_cram
+    from disq_spark.sources.cram_source import read_cram
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(3000):
+        v, q = 30, []
+        for _ in range(100):
+            v = max(2, min(40, v + rng.choice((-2, -1, 0, 0, 0, 1, 2))))
+            q.append(chr(33 + v))
+        rows.append(
+            {
+                "name": f"r{i}", "flags": 4, "contig": None, "start": None,
+                "end": None, "mapq": None, "cigar": None, "mate_contig": None,
+                "mate_start": None, "template_len": 0,
+                "seq": "".join(rng.choice("ACGT") for _ in range(100)),
+                "qual": "".join(q), "tags": None, "read_group": None,
+            }
+        )
+    header = SamHeader(text="@HD\tVN:1.6\tSO:unsorted\n@SQ\tSN:c1\tLN:1000\n")
+    df = spark.createDataFrame(rows, READS_SCHEMA).coalesce(1)
+    out = str(tmp_path / "o1.cram")
+    write_cram(df, header, out, write_crai=False)
+
+    data = open(out, "rb").read()
+    major, _minor, _hdr = parse_file_definition(data)
+    n_o1 = 0
+    for c in scan_containers(out, data):
+        if c.is_eof:
+            continue
+        off = c.offset + c.header_len
+        while off < c.end:
+            blk = read_block(data, off, major=major)
+            if blk.method == 4:
+                q2 = off + 2
+                _, q2 = read_itf8(data, q2)
+                csize, q2 = read_itf8(data, q2)
+                _, q2 = read_itf8(data, q2)
+                if data[q2] == 1:  # order byte inside the stream
+                    n_o1 += 1
+                    comp = zlib.compressobj(6, zlib.DEFLATED, 15 + 16)
+                    gz_len = len(comp.compress(blk.data) + comp.flush())
+                    assert csize < gz_len and csize < len(rans.compress(blk.data))
+            off = blk.end
+    assert n_o1 > 0, "no block chose rans order-1"
+
+    back, _ = read_cram(spark, out)
+    got = {r.name: r.qual for r in back.collect()}
+    assert len(got) == 3000
+    for r in rows[:50]:
+        assert got[r["name"]] == r["qual"]

@@ -1626,3 +1626,28 @@ def test_call_snvs_differential_on_fixture(spark, fixtures_dir):
         want[(contig, pos)] = (alt_base, depth, alt_count, round(alt_count / aligned, 4))
     assert got == want
     assert len(got) > 100
+
+
+def test_snvs_to_variants_schema_and_values(spark):
+    """snvs_to_variants output must be exactly VARIANTS_SCHEMA-shaped
+    (so it flows into write_vcf unchanged): POS/REF/ALT mapped, PASS
+    filters, DP/AD/AF info strings."""
+    from disq_spark.operators.genomics import candidate_vcf_header, snvs_to_variants
+    from disq_spark.schemas import VARIANTS_SCHEMA
+
+    snvs = spark.createDataFrame(
+        [("chr1", 42, "A", "T", 10, 4, 0.4)],
+        "contig string, pos long, ref_base string, alt_base string, "
+        "depth long, alt_count long, alt_frac double",
+    )
+    v = snvs_to_variants(snvs)
+    assert [f.name for f in v.schema.fields] == [f.name for f in VARIANTS_SCHEMA.fields]
+    row = v.collect()[0]
+    assert (row.contig, row.start, row.end, row.ref, row.alts) == ("chr1", 42, 42, "A", ["T"])
+    assert row.filters == [] and row.qual is None and row.genotypes is None
+    assert row.info == {"DP": "10", "AD": "4", "AF": "0.4"}
+
+    hdr = candidate_vcf_header([("chr1", 1000)])
+    assert "##contig=<ID=chr1,length=1000>" in hdr.text
+    assert hdr.text.rstrip().endswith("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+    assert hdr.samples == []

@@ -365,6 +365,38 @@ def test_rans_skewed_alphabet_roundtrip(alphabet, n):
     assert rans.uncompress(rans.compress(data)) == data
 
 
+# order-1: contexts are per-quarter predecessor chains with a len%4 tail on
+# state 3 — tiny inputs (q=0), single-context, and Markov-ish data must all
+# survive encode -> decode
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=50_000))
+def test_rans_o1_compress_roundtrip_property(data):
+    from disq_spark.formats import rans
+
+    assert rans.uncompress(rans.compress_o1(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.binary(min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=20_000),
+)
+def test_rans_o1_markov_roundtrip(alphabet, n):
+    """Context-correlated data (each byte biased toward repeating its
+    predecessor — the quality-string shape order-1 models)."""
+    import random
+
+    from disq_spark.formats import rans
+
+    rng = random.Random(n)
+    out = bytearray([alphabet[0]])
+    for _ in range(n - 1):
+        out.append(out[-1] if rng.random() < 0.8 else alphabet[rng.randrange(len(alphabet))])
+    data = bytes(out)
+    enc = rans.compress_o1(data)
+    assert rans.uncompress(enc) == data
+
+
 # --------------------------------------------------------------------------
 # PNG: encode (any per-row filter mix) -> decode is pixel-exact
 # --------------------------------------------------------------------------
