@@ -9,6 +9,16 @@ Usage: python tools/bench_genomics.py [replication_factor]
   factor 2100 ~10.3M records / ~2.2 GB — the RealWorldFilesIT-scale point
     (README.md:223-248 analog); any super-linear planner/merge path shows
     up as per-record cost divergence vs the factor-40 run.
+
+       python tools/bench_genomics.py --hotspot [replication_factor]
+  Skew hardening probe: pileup + coverage_depth on two frames of EQUAL
+  record count — uniform (each replica shifted 150 kb apart) vs a
+  pathological hotspot (every replica stacked on the SAME coordinates —
+  amplicon-shaped data, per-position depth = factor x base depth).
+  Because both operators partial-aggregate map-side, a position's rows
+  at the reducer are bounded by #map-partitions regardless of depth, so
+  the hotspot wall must stay ~flat vs uniform. Prints one JSON line
+  with both walls and the ratio.
 """
 
 from __future__ import annotations
@@ -30,8 +40,94 @@ from disq_spark.sources.bam_source import read_bam  # noqa: E402
 FIXTURE = "/root/reference/src/test/resources/1-with-splitting-index.bam"
 
 
+def hotspot_main(factor: int) -> None:
+    """Pileup/coverage skew probe (no file I/O — this measures the
+    operators, not the codecs). Uniform and hotspot frames carry the
+    same records; only the coordinate layout differs."""
+    spark = get_session("bench_genomics_hotspot")
+    from disq_spark.operators.genomics import coverage_depth, pileup
+
+    base, header = read_bam(spark, FIXTURE, split_size=200_000)
+    base = base.filter(F.col("start").isNotNull()).cache()
+    n_base = base.count()
+    rep = spark.range(factor).select(F.col("id").alias("__rep"))
+
+    def replicate(shift_col):
+        return (
+            base.crossJoin(rep)
+            .withColumn("name", F.concat(F.col("name"), F.lit("_"), F.col("__rep")))
+            .withColumn("start", F.col("start") + shift_col)
+            .withColumn("end", F.col("end") + shift_col)
+            .drop("__rep")
+            .repartition(32)
+        )
+
+    SHIFT = 150_000
+    uniform = replicate((F.col("__rep") % 1399) * SHIFT).cache()
+    # hotspot: zero shift — every replica lands on the exact coordinates
+    # of the base reads, so per-position depth is factor x base depth
+    # (the amplicon shape); same record count, same event count.
+    hot = replicate(F.lit(0)).cache()
+    n_u, n_h = uniform.count(), hot.count()
+    assert n_u == n_h == n_base * factor
+
+    def time_pileup(df):
+        t0 = time.time()
+        row = (
+            pileup(df, min_base_quality=13)
+            .agg(
+                F.count("*").alias("n_pos"),
+                F.sum("depth").alias("sum_depth"),
+                F.max("depth").alias("max_depth"),
+            )
+            .collect()[0]
+        )
+        return time.time() - t0, row
+
+    def time_coverage(df):
+        t0 = time.time()
+        row = (
+            coverage_depth(df)
+            .agg(F.count("*").alias("n_seg"), F.max("depth").alias("max_depth"))
+            .collect()[0]
+        )
+        return time.time() - t0, row
+
+    # warm both cached frames + the Python worker pool before timing
+    uniform.limit(1).collect()
+    hot.limit(1).collect()
+    tu_p, ru_p = time_pileup(uniform)
+    th_p, rh_p = time_pileup(hot)
+    tu_c, ru_c = time_coverage(uniform)
+    th_c, rh_c = time_coverage(hot)
+    print(
+        json.dumps(
+            {
+                "records": n_u,
+                "pileup_uniform_s": round(tu_p, 2),
+                "pileup_hotspot_s": round(th_p, 2),
+                "pileup_hotspot_ratio": round(th_p / tu_p, 2),
+                "pileup_uniform_positions": int(ru_p["n_pos"]),
+                "pileup_hotspot_positions": int(rh_p["n_pos"]),
+                "pileup_uniform_max_depth": int(ru_p["max_depth"]),
+                "pileup_hotspot_max_depth": int(rh_p["max_depth"]),
+                "coverage_uniform_s": round(tu_c, 2),
+                "coverage_hotspot_s": round(th_c, 2),
+                "coverage_hotspot_ratio": round(th_c / tu_c, 2),
+                "coverage_uniform_segments": int(ru_c["n_seg"]),
+                "coverage_hotspot_segments": int(rh_c["n_seg"]),
+                "coverage_hotspot_max_depth": int(rh_c["max_depth"]),
+            }
+        )
+    )
+
+
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    args = [a for a in sys.argv[1:] if a != "--hotspot"]
+    if "--hotspot" in sys.argv[1:]:
+        hotspot_main(int(args[0]) if args else 40)
+        return
+    factor = int(args[0]) if args else 40
     spark = get_session("bench_genomics")
     base, header = read_bam(spark, FIXTURE, split_size=200_000)
     base = base.cache()

@@ -41,26 +41,34 @@ import os
 
 VOWELS = "aeiou"
 CONSONANTS = "rstln"
+CONSONANTS2 = "dcmph"
 
 
 def text_cycle(i: int) -> tuple[str, str]:
     """Per-replica letter permutation (translate src, dst), identity for
-    replica 0. Composes a vowel rotation (period 5) with an independent
-    consonant rotation (period 5) -> 25 distinct permutations, so with
-    any --factor <= 25 no two replicas share a mapping. (A vowel
+    replica 0. Composes a vowel rotation (period 5) with two independent
+    consonant rotations (period 5 each) -> 125 distinct permutations, so
+    with any --factor <= 125 no two replicas share a mapping. (A vowel
     rotation alone has period 5: replicas i and i+5 would carry
     byte-identical texts, doubling every exact-duplicate cluster.)"""
-    if i >= len(VOWELS) * len(CONSONANTS):
+    limit = len(VOWELS) * len(CONSONANTS) * len(CONSONANTS2)
+    if i >= limit:
         raise ValueError(
-            f"--factor > {len(VOWELS) * len(CONSONANTS)} would repeat letter "
+            f"--factor > {limit} would repeat letter "
             "permutations and reintroduce byte-identical replica texts "
             "(see SCALE.md corpus note); extend the permutation family first"
         )
     kv = i % len(VOWELS)
     kc = (i // len(VOWELS)) % len(CONSONANTS)
+    kd = (i // (len(VOWELS) * len(CONSONANTS))) % len(CONSONANTS2)
     return (
-        VOWELS + CONSONANTS,
-        VOWELS[kv:] + VOWELS[:kv] + CONSONANTS[kc:] + CONSONANTS[:kc],
+        VOWELS + CONSONANTS + CONSONANTS2,
+        VOWELS[kv:]
+        + VOWELS[:kv]
+        + CONSONANTS[kc:]
+        + CONSONANTS[:kc]
+        + CONSONANTS2[kd:]
+        + CONSONANTS2[:kd],
     )
 
 
