@@ -121,6 +121,72 @@ def _tail_clip():
     return _clip_len(r"(\d+)S(?:\d+H)?$") + _clip_len(r"(\d+)H$")
 
 
+def _end_str(e):
+    return F.concat_ws(
+        ":", e["contig"], e["uc5"].cast("string"), e["strand"].cast("string")
+    )
+
+
+def _template_table(df: DataFrame, header: SamHeader | None):
+    """One row per primary template per library pool: (__rg library,
+    name, __ends sorted unclipped-5' end structs, __score
+    SUM_OF_BASE_QUALITIES, __n mapped primary ends, __rgid the records'
+    RG tag). Shared by ``mark_duplicates`` and ``duplication_metrics``
+    so both see identical duplicate keys. Returns (tmpl, exempt_predicate,
+    library_column)."""
+    exempt = (
+        (F.col("flags").bitwiseAND(FLAG_UNMAPPED) != 0)
+        | (F.col("flags").bitwiseAND(FLAG_SECONDARY) != 0)
+        | (F.col("flags").bitwiseAND(FLAG_SUPPLEMENTARY) != 0)
+    )
+    qual_score = F.when(F.col("qual").isNull(), F.lit(0)).otherwise(
+        F.aggregate(
+            F.transform(
+                F.split(F.col("qual"), ""),
+                lambda c: F.when(F.ascii(c) - 33 >= 15, F.ascii(c) - 33).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+    )
+    strand = (F.col("flags").bitwiseAND(FLAG_REVERSE) != 0).cast("int")
+    uc5 = F.when(
+        strand == 1, F.col("end") + _tail_clip()
+    ).otherwise(F.col("start") - _lead_clip())
+    # library pool: RG id -> @RG LB via the header (broadcast literal
+    # map); a 20-lane library dedups as ONE pool, like Picard. No header
+    # (or no @RG lines) -> single pool.
+    libmap = header.libraries() if header is not None else {}
+    if libmap and "read_group" in df.columns:
+        m = F.create_map(*[F.lit(x) for kv in libmap.items() for x in kv])
+        rg = F.coalesce(m[F.col("read_group")], F.lit("Unknown Library"))
+    else:
+        rg = F.lit("")
+    rgid = F.col("read_group") if "read_group" in df.columns else F.lit(None).cast("string")
+
+    prim = (
+        df.filter(~exempt)
+        .select(
+            rg.alias("__rg"),
+            "name",
+            F.struct(
+                F.col("contig").alias("contig"),
+                uc5.alias("uc5"),
+                strand.alias("strand"),
+            ).alias("__e"),
+            qual_score.alias("__s"),
+            rgid.alias("__rgid"),
+        )
+    )
+    tmpl = prim.groupBy("__rg", "name").agg(
+        F.sort_array(F.collect_list("__e")).alias("__ends"),
+        F.sum("__s").alias("__score"),
+        F.count("*").alias("__n"),
+        F.min("__rgid").alias("__rgid"),
+    )
+    return tmpl, exempt, rg
+
+
 def mark_duplicates(df: DataFrame, header: SamHeader | None = None) -> DataFrame:
     """Flag duplicate templates (bit 0x400), Picard MarkDuplicates
     semantics, keeping the best-scoring template per duplicate key.
@@ -161,54 +227,8 @@ def mark_duplicates(df: DataFrame, header: SamHeader | None = None) -> DataFrame
     defers duplicate marking to downstream Picard; this is that step,
     expressed distributed.
     """
-    exempt = (
-        (F.col("flags").bitwiseAND(FLAG_UNMAPPED) != 0)
-        | (F.col("flags").bitwiseAND(FLAG_SECONDARY) != 0)
-        | (F.col("flags").bitwiseAND(FLAG_SUPPLEMENTARY) != 0)
-    )
-    qual_score = F.when(F.col("qual").isNull(), F.lit(0)).otherwise(
-        F.aggregate(
-            F.transform(
-                F.split(F.col("qual"), ""),
-                lambda c: F.when(F.ascii(c) - 33 >= 15, F.ascii(c) - 33).otherwise(F.lit(0)),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-    )
-    strand = (F.col("flags").bitwiseAND(FLAG_REVERSE) != 0).cast("int")
-    uc5 = F.when(
-        strand == 1, F.col("end") + _tail_clip()
-    ).otherwise(F.col("start") - _lead_clip())
-    # library pool: RG id -> @RG LB via the header (broadcast literal
-    # map); a 20-lane library dedups as ONE pool, like Picard. No header
-    # (or no @RG lines) -> single pool.
-    libmap = header.libraries() if header is not None else {}
-    if libmap and "read_group" in df.columns:
-        m = F.create_map(*[F.lit(x) for kv in libmap.items() for x in kv])
-        rg = F.coalesce(m[F.col("read_group")], F.lit("Unknown Library"))
-    else:
-        rg = F.lit("")
-
-    prim = (
-        df.filter(~exempt)
-        .select(
-            rg.alias("__rg"),
-            "name",
-            F.struct(
-                F.col("contig").alias("contig"),
-                uc5.alias("uc5"),
-                strand.alias("strand"),
-            ).alias("__e"),
-            qual_score.alias("__s"),
-        )
-    )
-    tmpl = prim.groupBy("__rg", "name").agg(
-        F.sort_array(F.collect_list("__e")).alias("__ends"),
-        F.sum("__s").alias("__score"),
-        F.count("*").alias("__n"),
-    )
-    end_str = lambda e: F.concat_ws(":", e["contig"], e["uc5"].cast("string"), e["strand"].cast("string"))  # noqa: E731
+    tmpl, exempt, rg = _template_table(df, header)
+    end_str = _end_str
     ends_key = F.array_join(F.transform("__ends", end_str), "|")
 
     pairs = tmpl.filter(F.col("__n") >= 2).withColumn("__k", ends_key)
@@ -249,6 +269,214 @@ def mark_duplicates(df: DataFrame, header: SamHeader | None = None) -> DataFrame
         )
         .drop("__rg", "__dup")
         .select(*df.columns)
+    )
+
+
+def _estimate_library_size(read_pairs: int, unique_read_pairs: int):
+    """Lander-Waterman library-size estimate, Picard
+    DuplicationMetrics.estimateLibrarySize semantics: solve
+    uniquePairs = X * (1 - exp(-readPairs/X)) by 40-step bisection on
+    the multiplier m in [1, M], f(x) = c/x - 1 + exp(-n/x)."""
+    import math
+
+    n, c = float(read_pairs), float(unique_read_pairs)
+    if read_pairs <= 0 or read_pairs - unique_read_pairs <= 0 or c >= n:
+        return None
+
+    def f(x):
+        return c / x - 1.0 + math.exp(-n / x)
+
+    m, M = 1.0, 100.0
+    if f(m * c) < 0:
+        return None
+    while f(M * c) > 0:
+        M *= 10.0
+    for _ in range(40):
+        r = (m + M) / 2.0
+        u = f(r * c)
+        if u == 0:
+            m = M = r
+            break
+        if u > 0:
+            m = r
+        else:
+            M = r
+    return int(c * (m + M) / 2.0)
+
+
+def duplication_metrics(
+    df: DataFrame,
+    header: SamHeader | None = None,
+    optical_pixel_distance: int = 100,
+) -> DataFrame:
+    """Per-library duplication metrics, Picard DuplicationMetrics
+    semantics — including OPTICAL duplicate separation, the part of
+    MarkDuplicates that distinguishes PCR duplication (library
+    complexity) from flow-cell artifacts.
+
+    Output per library: (library, unpaired_reads_examined,
+    read_pairs_examined, secondary_or_supplementary_rds, unmapped_reads,
+    unpaired_read_duplicates, read_pair_duplicates,
+    read_pair_optical_duplicates, percent_duplication,
+    estimated_library_size).
+
+    - Duplicate keys/verdicts are byte-identical to ``mark_duplicates``
+      (shared ``_template_table``: unclipped-5' + strand end keys,
+      SUM_OF_BASE_QUALITIES best, fragments demoted against pairs).
+    - Optical: physical location parsed from the read name (Picard's
+      default READ_NAME_REGEX — 5- or 7-field colon names, last three
+      numeric fields = tile:x:y); within each pair duplicate SET, two
+      templates are optically linked when they share read group and
+      tile and |dx| <= ``optical_pixel_distance`` and |dy| <= it; each
+      proximity cluster of k >= 2 contributes k-1 optical duplicates
+      (union-find, like OpticalDuplicateFinder).
+    - percent_duplication = (unpaired_dups + 2*pair_dups) /
+      (unpaired_examined + 2*pairs_examined); estimated_library_size =
+      Lander-Waterman bisection on (pairs - optical, pairs - pair_dups).
+
+    Plan shape: the same keyed shuffles as ``mark_duplicates`` plus one
+    ``applyInPandas`` over (library, duplicate-key) groups for the
+    union-find — each group is ONE duplicate set (size = real duplicate
+    depth, bounded like Picard's in-memory sets), so the O(set²)
+    comparison never sees more than a hotspot's reads. The final
+    library-size bisection runs as a Python UDF over the per-LIBRARY
+    aggregate (#libraries rows, not data-scale).
+    """
+    tmpl, exempt, rg = _template_table(df, header)
+    ends_key = F.array_join(F.transform("__ends", _end_str), "|")
+
+    pairs = tmpl.filter(F.col("__n") >= 2).withColumn("__k", ends_key)
+    wp = W.partitionBy("__rg", "__k").orderBy(F.desc("__score"), F.asc("name"))
+    pairs_v = pairs.withColumn("__dup", F.row_number().over(wp) > 1)
+
+    frags = tmpl.filter(F.col("__n") == 1).withColumn("__k", _end_str(F.col("__ends")[0]))
+    wf = W.partitionBy("__rg", "__k").orderBy(F.desc("__score"), F.asc("name"))
+    pair_end_keys = (
+        pairs.select("__rg", F.explode("__ends").alias("__pe"))
+        .select("__rg", _end_str(F.col("__pe")).alias("__k"))
+        .distinct()
+        .withColumn("__paired_here", F.lit(True))
+    )
+    frags_v = (
+        frags.withColumn("__rn", F.row_number().over(wf))
+        .join(pair_end_keys, ["__rg", "__k"], "left")
+        .withColumn(
+            "__dup",
+            F.coalesce(F.col("__paired_here"), F.lit(False)) | (F.col("__rn") > 1),
+        )
+    )
+
+    # physical location from the name: 5- or 7-field colon-separated,
+    # last three fields numeric -> tile, x, y (Picard READ_NAME_REGEX
+    # default). Non-conforming names simply carry no location.
+    parts = F.split(F.col("name"), ":")
+    nf = F.size(parts)
+    num = lambda i: F.element_at(parts, i).try_cast("int")  # noqa: E731
+    has_loc = (
+        ((nf == 5) | (nf == 7))
+        & num(-3).isNotNull()
+        & num(-2).isNotNull()
+        & num(-1).isNotNull()
+    )
+    d = int(optical_pixel_distance)
+
+    def _optical_in_set(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        lib = pdf["__rg"].iloc[0]
+        if n < 2:
+            return pd.DataFrame({"__rg": [lib], "optical": [0]})
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        rgv = pdf["__rgid"].fillna("").tolist()
+        tv = pdf["tile"].tolist()
+        xv = pdf["x"].tolist()
+        yv = pdf["y"].tolist()
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (
+                    rgv[i] == rgv[j]
+                    and tv[i] == tv[j]
+                    and abs(xv[i] - xv[j]) <= d
+                    and abs(yv[i] - yv[j]) <= d
+                ):
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[ra] = rb
+        sizes: dict[int, int] = {}
+        for i in range(n):
+            r = find(i)
+            sizes[r] = sizes.get(r, 0) + 1
+        optical = sum(k - 1 for k in sizes.values() if k >= 2)
+        return pd.DataFrame({"__rg": [lib], "optical": [optical]})
+
+    optical = (
+        pairs.filter(has_loc)
+        .select(
+            "__rg", "__k", "__rgid", num(-3).alias("tile"), num(-2).alias("x"), num(-1).alias("y")
+        )
+        .groupBy("__rg", "__k")
+        .applyInPandas(_optical_in_set, "__rg string, optical long")
+        .groupBy("__rg")
+        .agg(F.sum("optical").alias("read_pair_optical_duplicates"))
+    )
+
+    pair_stats = pairs_v.groupBy("__rg").agg(
+        F.count("*").alias("read_pairs_examined"),
+        F.sum(F.col("__dup").cast("long")).alias("read_pair_duplicates"),
+    )
+    frag_stats = frags_v.groupBy("__rg").agg(
+        F.count("*").alias("unpaired_reads_examined"),
+        F.sum(F.col("__dup").cast("long")).alias("unpaired_read_duplicates"),
+    )
+    unmapped = (F.col("flags").bitwiseAND(FLAG_UNMAPPED) != 0) & (
+        (F.col("flags").bitwiseAND(FLAG_SECONDARY) == 0)
+        & (F.col("flags").bitwiseAND(FLAG_SUPPLEMENTARY) == 0)
+    )
+    secsup = (F.col("flags").bitwiseAND(FLAG_SECONDARY) != 0) | (
+        F.col("flags").bitwiseAND(FLAG_SUPPLEMENTARY) != 0
+    )
+    other_stats = (
+        df.withColumn("__rg", rg)
+        .groupBy("__rg")
+        .agg(
+            F.sum(unmapped.cast("long")).alias("unmapped_reads"),
+            F.sum(secsup.cast("long")).alias("secondary_or_supplementary_rds"),
+        )
+    )
+
+    els = F.udf(_estimate_library_size, "long")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    examined = z("unpaired_reads_examined") + 2 * z("read_pairs_examined")
+    dups = z("unpaired_read_duplicates") + 2 * z("read_pair_duplicates")
+    return (
+        other_stats.join(pair_stats, "__rg", "left")
+        .join(frag_stats, "__rg", "left")
+        .join(optical, "__rg", "left")
+        .select(
+            F.col("__rg").alias("library"),
+            z("unpaired_reads_examined").alias("unpaired_reads_examined"),
+            z("read_pairs_examined").alias("read_pairs_examined"),
+            z("secondary_or_supplementary_rds").alias("secondary_or_supplementary_rds"),
+            z("unmapped_reads").alias("unmapped_reads"),
+            z("unpaired_read_duplicates").alias("unpaired_read_duplicates"),
+            z("read_pair_duplicates").alias("read_pair_duplicates"),
+            z("read_pair_optical_duplicates").alias("read_pair_optical_duplicates"),
+            F.when(examined > 0, F.round(dups / examined, 6))
+            .otherwise(F.lit(0.0))
+            .alias("percent_duplication"),
+            els(
+                z("read_pairs_examined") - z("read_pair_optical_duplicates"),
+                z("read_pairs_examined") - z("read_pair_duplicates"),
+            ).alias("estimated_library_size"),
+        )
     )
 
 

@@ -1385,3 +1385,41 @@ FROM (VALUES
 ) AS t(contig, pos, ref_base, alt_base, depth, alt_count, alt_frac)
 ORDER BY contig, pos
 """
+
+
+@_q("genomics_duplication_metrics")
+def genomics_duplication_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Picard DuplicationMetrics analog over 1.bam: per-library pair/
+    fragment duplicate counts, OPTICAL duplicates (name-parsed tile:x:y
+    union-find within duplicate sets), percent duplication, and the
+    Lander-Waterman estimated library size. Golden row verified by an
+    independent serial implementation (tests/test_operators.py::
+    test_duplication_metrics_matches_serial_picard)."""
+    from disq_spark.operators.genomics import duplication_metrics
+    from disq_spark.sources.bam_source import read_bam
+
+    df, header = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    return duplication_metrics(df, header=header, optical_pixel_distance=100).orderBy(
+        "library"
+    )
+
+
+ORACLE["genomics_duplication_metrics"] = """
+SELECT library,
+       CAST(unpaired_reads_examined AS BIGINT) AS unpaired_reads_examined,
+       CAST(read_pairs_examined AS BIGINT) AS read_pairs_examined,
+       CAST(secondary_or_supplementary_rds AS BIGINT) AS secondary_or_supplementary_rds,
+       CAST(unmapped_reads AS BIGINT) AS unmapped_reads,
+       CAST(unpaired_read_duplicates AS BIGINT) AS unpaired_read_duplicates,
+       CAST(read_pair_duplicates AS BIGINT) AS read_pair_duplicates,
+       CAST(read_pair_optical_duplicates AS BIGINT) AS read_pair_optical_duplicates,
+       CAST(percent_duplication AS DOUBLE) AS percent_duplication,
+       CAST(estimated_library_size AS BIGINT) AS estimated_library_size
+FROM (VALUES
+  ('Pond-139157', 501, 2193, 0, 30, 297, 389, 1, 0.219971, 5437)
+) AS t(library, unpaired_reads_examined, read_pairs_examined,
+       secondary_or_supplementary_rds, unmapped_reads, unpaired_read_duplicates,
+       read_pair_duplicates, read_pair_optical_duplicates, percent_duplication,
+       estimated_library_size)
+ORDER BY library
+"""

@@ -1651,3 +1651,220 @@ def test_snvs_to_variants_schema_and_values(spark):
     assert "##contig=<ID=chr1,length=1000>" in hdr.text
     assert hdr.text.rstrip().endswith("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
     assert hdr.samples == []
+
+
+def test_duplication_metrics_matches_serial_picard(spark, fixtures_dir):
+    """duplication_metrics differential vs an independent serial
+    implementation over 1.bam: same template/duplicate-key logic as the
+    serial mark_duplicates mirror, plus name-parsed tile:x:y union-find
+    optical clustering and a fresh Lander-Waterman bisection."""
+    import math
+    import os
+    import re
+    from collections import defaultdict
+
+    from disq_spark.operators.genomics import duplication_metrics
+    from disq_spark.sources.bam_source import read_bam
+
+    DIST = 100
+    df, header = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    rows = [r.asDict() for r in df.collect()]
+    libmap = header.libraries()
+
+    def clips(cg):
+        lead = tail = 0
+        m = re.match(r"^(\d+)H", cg)
+        lead += int(m.group(1)) if m else 0
+        m = re.match(r"^(?:\d+H)?(\d+)S", cg)
+        lead += int(m.group(1)) if m else 0
+        m = re.search(r"(\d+)S(?:\d+H)?$", cg)
+        tail += int(m.group(1)) if m else 0
+        m = re.search(r"(\d+)H$", cg)
+        tail += int(m.group(1)) if m else 0
+        return lead, tail
+
+    def score(q):
+        if q is None or q == "*":
+            return 0
+        return sum(v for v in (ord(c) - 33 for c in q) if v >= 15)
+
+    def loc(name):
+        parts = name.split(":")
+        if len(parts) not in (5, 7):
+            return None
+        try:
+            return tuple(int(v) for v in parts[-3:])
+        except ValueError:
+            return None
+
+    tmpl = defaultdict(list)
+    trg = {}
+    unmapped = defaultdict(int)
+    secsup = defaultdict(int)
+    for r in rows:
+        lib = libmap.get(r["read_group"], "Unknown Library")
+        if r["flags"] & (0x100 | 0x800):
+            secsup[lib] += 1
+            continue
+        if r["flags"] & 0x4:
+            unmapped[lib] += 1
+            continue
+        lead, tail = clips(r["cigar"])
+        s = 1 if r["flags"] & 0x10 else 0
+        uc5 = r["end"] + tail if s else r["start"] - lead
+        key = (lib, r["name"])
+        tmpl[key].append(((r["contig"], uc5, s), score(r["qual"])))
+        trg[key] = min(trg.get(key, r["read_group"]), r["read_group"])
+    pairs, frags = {}, {}
+    for k, ends in tmpl.items():
+        ekeys = sorted(e for e, _ in ends)
+        sc = sum(s for _, s in ends)
+        if len(ends) >= 2:
+            pairs[k] = (tuple(ekeys), sc)
+        else:
+            frags[k] = (ekeys[0], sc)
+    # pair verdicts + duplicate sets
+    bykey = defaultdict(list)
+    for (lib, name), (k, sc) in pairs.items():
+        bykey[(lib, k)].append((-sc, name))
+    pair_dup = defaultdict(int)
+    pairs_examined = defaultdict(int)
+    for (lib, name) in pairs:
+        pairs_examined[lib] += 1
+    for (lib, k), lst in bykey.items():
+        lst.sort()
+        pair_dup[lib] += len(lst) - 1
+    # optical: union-find inside each duplicate SET
+    optical = defaultdict(int)
+    for (lib, k), lst in bykey.items():
+        members = []
+        for _, name in lst:
+            pl = loc(name)
+            if pl is not None:
+                members.append((trg[(lib, name)], pl))
+        n = len(members)
+        if n < 2:
+            continue
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                (rg1, (t1, x1, y1)), (rg2, (t2, x2, y2)) = members[i], members[j]
+                if rg1 == rg2 and t1 == t2 and abs(x1 - x2) <= DIST and abs(y1 - y2) <= DIST:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[ra] = rb
+        sizes = defaultdict(int)
+        for i in range(n):
+            sizes[find(i)] += 1
+        optical[lib] += sum(v - 1 for v in sizes.values() if v >= 2)
+    # fragment verdicts
+    pek = {(lib, e) for (lib, _), (k, _) in pairs.items() for e in k}
+    fbykey = defaultdict(list)
+    frag_examined = defaultdict(int)
+    for (lib, name), (e, sc) in frags.items():
+        fbykey[(lib, e)].append((-sc, name))
+        frag_examined[lib] += 1
+    frag_dup = defaultdict(int)
+    for (lib, e), lst in fbykey.items():
+        lst.sort()
+        frag_dup[lib] += len(lst) if (lib, e) in pek else len(lst) - 1
+
+    def els(read_pairs, unique_pairs):
+        n, c = float(read_pairs), float(unique_pairs)
+        if read_pairs <= 0 or read_pairs == unique_pairs or c >= n:
+            return None
+        f = lambda x: c / x - 1.0 + math.exp(-n / x)  # noqa: E731
+        m, M = 1.0, 100.0
+        while f(M * c) > 0:
+            M *= 10
+        for _ in range(40):
+            r = (m + M) / 2
+            if f(r * c) > 0:
+                m = r
+            else:
+                M = r
+        return int(c * (m + M) / 2)
+
+    got = {
+        r.library: r.asDict()
+        for r in duplication_metrics(df, header=header, optical_pixel_distance=DIST).collect()
+    }
+    libs = set(pairs_examined) | set(frag_examined) | set(unmapped) | set(secsup)
+    assert set(got) == libs
+    for lib in libs:
+        g = got[lib]
+        assert g["read_pairs_examined"] == pairs_examined[lib]
+        assert g["unpaired_reads_examined"] == frag_examined[lib]
+        assert g["read_pair_duplicates"] == pair_dup[lib]
+        assert g["unpaired_read_duplicates"] == frag_dup[lib]
+        assert g["read_pair_optical_duplicates"] == optical[lib], lib
+        assert g["unmapped_reads"] == unmapped[lib]
+        assert g["secondary_or_supplementary_rds"] == secsup[lib]
+        want_pct = round(
+            (frag_dup[lib] + 2 * pair_dup[lib]) / (frag_examined[lib] + 2 * pairs_examined[lib]), 6
+        )
+        assert abs(g["percent_duplication"] - want_pct) < 1e-9
+        assert g["estimated_library_size"] == els(
+            pairs_examined[lib] - optical[lib], pairs_examined[lib] - pair_dup[lib]
+        )
+    # the fixture really exercises the optical path
+    assert sum(optical.values()) >= 1
+
+
+def test_duplication_metrics_optical_edges(spark):
+    """Synthetic optical clustering edge cases: distance boundary
+    (inclusive), different tile / read group never link, transitive
+    chains collapse to one cluster (k members -> k-1 optical)."""
+    from disq_spark.headers import SamHeader
+    from disq_spark.operators.genomics import duplication_metrics
+
+    header = SamHeader(
+        text="@HD\tVN:1.6\n@SQ\tSN:c1\tLN:100000\n@RG\tID:rg1\tLB:L1\n@RG\tID:rg2\tLB:L1\n"
+    )
+
+    def pair(name, rg="rg1", start=1000, q="IIII"):
+        # a proper pair: both ends mapped at fixed coordinates
+        return [
+            {"name": name, "flags": 99, "contig": "c1", "start": start, "end": start + 3,
+             "mapq": 60, "cigar": "4M", "mate_contig": "c1", "mate_start": start + 50,
+             "template_len": 54, "seq": "ACGT", "qual": q, "tags": None, "read_group": rg},
+            {"name": name, "flags": 147, "contig": "c1", "start": start + 50,
+             "end": start + 53, "mapq": 60, "cigar": "4M", "mate_contig": "c1",
+             "mate_start": start, "template_len": -54, "seq": "ACGT", "qual": q,
+             "tags": None, "read_group": rg},
+        ]
+
+    rows = []
+    # chain: A-B within 100, B-C within 100, A-C NOT -> one cluster of 3 -> 2 optical
+    rows += pair("M:1:7:1000:1000", q="JJJJ")  # best (highest qual)
+    rows += pair("M:1:7:1090:1000")
+    rows += pair("M:1:7:1180:1000")
+    # exactly at the boundary (|dx| == 100) links; 101 does not
+    rows += pair("M:1:8:5000:5000")
+    rows += pair("M:1:8:5100:5000")  # links (inclusive)
+    rows += pair("M:1:9:7000:7000")
+    rows += pair("M:1:9:7101:7000")  # too far: no link
+    # same coords, different tile -> no link
+    rows += pair("M:1:10:8000:8000")
+    rows += pair("M:1:11:8000:8000")
+    # same coords + tile, different read group (same library) -> no link
+    rows += pair("M:1:12:9000:9000", rg="rg1")
+    rows += pair("M:1:12:9001:9000", rg="rg2")
+
+    from disq_spark.schemas import READS_SCHEMA
+
+    df = spark.createDataFrame(rows, READS_SCHEMA)
+    m = duplication_metrics(df, header=header, optical_pixel_distance=100).collect()
+    assert len(m) == 1 and m[0].library == "L1"
+    # duplicate sets: all 11 pairs share one position key -> 10 dups
+    assert m[0].read_pairs_examined == 11
+    assert m[0].read_pair_duplicates == 10
+    # optical: chain contributes 2, boundary pair 1, everything else 0
+    assert m[0].read_pair_optical_duplicates == 3
