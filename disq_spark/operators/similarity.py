@@ -465,3 +465,61 @@ def cosine_q(qa, qb) -> F.Column:
         ).cast("double")
     )
     return dot.cast("double") / (n(qa) * n(qb))
+
+
+def semantic_dedup_pairs(
+    df: "DataFrame",
+    threshold: float = 0.95,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "first_ids",
+    round_centroids: int = 6,
+) -> "DataFrame":
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    k-means cluster the embeddings, then compute EXACT pairwise cosine
+    only within each cluster — cluster-scoped candidate generation makes
+    the all-pairs comparison tractable at corpus scale.
+
+    Output: (id_a, id_b, cid, score) with id_a < id_b and
+    score = round(cosine, 4) >= threshold. Pairs that straddle two
+    clusters are missed by design (the SemDeDup trade: recall bounded by
+    clustering quality, cost bounded by sum of cluster_size^2).
+
+    Scale shape: the k-means rounds are broadcast-centroid projections
+    (see ``clustering.kmeans``); the pair join shuffles once on cid and
+    emits ~n^2/k pairs for balanced clusters — at 100 TB you grow k with
+    n (k ~ n / target_cluster_size, like ``scale_n_bits`` does for the
+    LSH variant) so per-cluster work stays constant. Norms are computed
+    per-vector before the join (``cosine_with_norms``), not per-pair.
+    """
+    from disq_spark.operators.clustering import kmeans
+
+    assign = kmeans(
+        df,
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        init=init,
+        round_centroids=round_centroids,
+    ).select("id", "cid")
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    t = assign.join(vecs, "id")
+    a = t.select(F.col("cid"), F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = t.select(F.col("cid"), F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "score",
+            F.round(cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4),
+        )
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "cid", "score")
+    )

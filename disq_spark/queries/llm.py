@@ -1034,7 +1034,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int, iters: int, r: int) -> str:
+def _kmeans_cte_parts(k: int, iters: int, r: int) -> list:
     def dist(a: str, b: str) -> str:
         return (
             f"list_sum(list_transform(generate_series(1, len({a})), "
@@ -1074,6 +1074,11 @@ def _kmeans_oracle(k: int, iters: int, r: int) -> str:
         f"             ORDER BY {dist('vecs.v', f'c{iters}.c')}, c{iters}.cid) AS rn\n"
         f"    FROM vecs, c{iters}) WHERE rn = 1)"
     )
+    return parts
+
+
+def _kmeans_oracle(k: int, iters: int, r: int) -> str:
+    parts = _kmeans_cte_parts(k, iters, r)
     return (
         "WITH " + ",\n".join(parts) + "\n"
         "SELECT cast(cid AS int) AS cid, count(*) AS n_members,\n"
@@ -1083,6 +1088,53 @@ def _kmeans_oracle(k: int, iters: int, r: int) -> str:
 
 
 ORACLE["embedding_kmeans"] = _kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_ROUND)
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic — SemDeDup (Abbas et al. 2023): k-means cluster the
+# embeddings, exact pairwise cosine ONLY within each cluster. The oracle
+# extends the unrolled-kmeans CTE (same k/iters/rounding, so assignments
+# cannot drift) with the within-cluster self-join.
+# ---------------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.35
+
+
+@_q("dedup_semantic")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators import similarity as SIM2
+
+    e = load(spark, sf_dir, "embeddings")
+    return SIM2.semantic_dedup_pairs(
+        e,
+        threshold=SEMDEDUP_THRESHOLD,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        round_centroids=KMEANS_ROUND,
+    ).orderBy("id_a", "id_b")
+
+
+def _semantic_oracle() -> str:
+    parts = _kmeans_cte_parts(KMEANS_K, KMEANS_ITERS, KMEANS_ROUND)
+    parts.append(
+        "t AS (SELECT afin.id, afin.cid, vecs.v,\n"
+        "  sqrt(list_sum(list_transform(vecs.v, x -> x * x))) AS nrm\n"
+        "  FROM afin JOIN vecs ON afin.id = vecs.id)"
+    )
+    cos = (
+        "list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))"
+        " / (a.nrm * b.nrm)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT a.id AS id_a, b.id AS id_b, CAST(a.cid AS INT) AS cid,\n"
+        f"       round({cos}, 4) AS score\n"
+        "FROM t a JOIN t b ON a.cid = b.cid AND a.id < b.id\n"
+        f"WHERE round({cos}, 4) >= {SEMDEDUP_THRESHOLD}\n"
+        "ORDER BY id_a, id_b"
+    )
+
+
+ORACLE["dedup_semantic"] = _semantic_oracle()
 
 
 # ---------------------------------------------------------------------------

