@@ -966,6 +966,181 @@ def pileup_mismatch(pile: DataFrame, ref_windows: DataFrame) -> DataFrame:
     )
 
 
+# Aligned-base events carrying the QUERY index as well as the reference
+# position — what BQSR needs that the pileup events don't: covariates
+# (machine cycle, dinucleotide context) are functions of the base's
+# position within the READ, while the mismatch bit is a function of its
+# position on the REFERENCE. qi is 0-based; only M/=/X bases emit.
+_BQSR_EVENTS_SQL = f"""
+flatten(transform({_CIGAR_OPS_SQL}, o ->
+  case when o.op in ('M', '=', 'X') then
+    transform(sequence(1, o.len), i -> struct(
+      start + o.ro + i - 1 as pos,
+      cast(o.qo + i - 1 as int) as qi,
+      upper(substring(seq, cast(o.qo as int) + i, 1)) as base,
+      ascii(substring(qual, cast(o.qo as int) + i, 1)) - 33 as q))
+  else cast(array() as array<struct<pos:bigint,qi:int,base:string,q:int>>)
+  end))
+"""
+
+_COMPLEMENT_SQL = "translate({0}, 'ACGTN', 'TGCAN')"
+
+
+def bqsr_table(
+    df: DataFrame,
+    ref_windows: DataFrame,
+    exclude_flags: int = PILEUP_EXCLUDE_FLAGS,
+    min_reported_q: int = 3,
+) -> DataFrame:
+    """GATK-BaseRecalibrator-style covariate table: for every aligned
+    base of every usable read, bucket by (read group, reported quality,
+    covariate) and measure the EMPIRICAL error rate against the
+    reference — the table a recalibration pass applies back to quality
+    strings.
+
+    Covariates per GATK's standard set:
+    - ``q``      — the (read_group, reported_q) marginal (RecalTable1);
+      ``covariate_value`` is ''.
+    - ``cycle``  — 1-based machine cycle, strand-flipped for reverse
+      reads (the sequencer ran them backwards) and NEGATED for
+      second-of-pair reads (GATK's cycle covariate convention).
+    - ``context``— the preceding+current dinucleotide in MACHINE order:
+      reverse-strand reads are complemented and the "preceding" base is
+      the one at query index qi+1. Cycle-1 bases (no predecessor) and
+      contexts containing N are dropped from this covariate only.
+
+    A base is an *error* iff it differs from the reference base at its
+    aligned position; bases aligned to non-ACGT reference (assembly N
+    gaps) or that are themselves N are excluded entirely (no truth
+    signal). ``empirical_q`` = -10*log10((errors+1)/(obs+2)) — the
+    Yates-smoothed phred GATK reports.
+
+    Plan shape: the per-base explode is the shuffle-free higher-order
+    CIGAR walk shared with ``pileup``; the reference join is an
+    equi-join on (contig, pos) that AQE broadcasts for bounded
+    references; the final groupBy is map-side combinable with tiny
+    cardinality (RGs x ~40 Q values x (16 contexts + 2x read length
+    cycles)). Nothing here is driver-side; reads flow once.
+
+    Reference parity: the reference library carries htsjdk records for
+    downstream GATK (README.md "use with GATK"); this implements the
+    BaseRecalibrator aggregation itself as a distributed plan.
+    """
+    r = df.filter(
+        F.col("contig").isNotNull()
+        & F.col("start").isNotNull()
+        & (F.col("flags").bitwiseAND(F.lit(exclude_flags)) == 0)
+        & F.col("cigar").isNotNull()
+        & (F.col("cigar") != "*")
+        & F.col("seq").isNotNull()
+        & F.col("qual").isNotNull()
+        & (F.col("qual") != "*")
+    ).select(
+        F.coalesce(F.col("read_group"), F.lit("default")).alias("read_group"),
+        "contig",
+        "start",
+        "flags",
+        "cigar",
+        "seq",
+        "qual",
+        F.length("seq").alias("len"),
+    )
+    ev = r.select(
+        "read_group",
+        "contig",
+        "flags",
+        "len",
+        "seq",
+        F.explode(F.expr(_BQSR_EVENTS_SQL)).alias("e"),
+    ).select(
+        "read_group",
+        "contig",
+        "flags",
+        "len",
+        "seq",
+        "e.pos",
+        "e.qi",
+        "e.base",
+        "e.q",
+    )
+    rev = F.col("flags").bitwiseAND(16) != 0
+    second = F.col("flags").bitwiseAND(128) != 0
+    cycle0 = F.when(rev, F.col("len") - F.col("qi")).otherwise(F.col("qi") + 1)
+    cycle = F.when(second, -cycle0).otherwise(cycle0)
+    cur_mach = F.when(
+        rev, F.expr(_COMPLEMENT_SQL.format("base"))
+    ).otherwise(F.col("base"))
+    prev_raw = F.when(
+        rev, F.expr("upper(substring(seq, qi + 2, 1))")
+    ).otherwise(F.expr("upper(substring(seq, qi, 1))"))
+    prev_mach = F.when(rev, F.expr(_COMPLEMENT_SQL.format("upper(substring(seq, qi + 2, 1))"))).otherwise(
+        F.expr("upper(substring(seq, qi, 1))")
+    )
+    context = F.when(
+        (cycle0 == 1) | ~prev_raw.isin("A", "C", "G", "T"), F.lit(None)
+    ).otherwise(F.concat(prev_mach, cur_mach))
+    ev = ev.select(
+        "read_group",
+        "contig",
+        "pos",
+        "base",
+        "q",
+        cycle.cast("int").alias("cycle"),
+        context.alias("context"),
+    ).filter((F.col("q") >= min_reported_q) & F.col("base").isin("A", "C", "G", "T"))
+
+    refb = ref_windows.select(
+        F.col("contig"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(seq)), i -> "
+                "struct(start + i - 1 as pos, upper(substring(seq, i, 1)) as ref_base))"
+            )
+        ).alias("r"),
+    ).select("contig", "r.pos", "r.ref_base")
+    j = ev.join(refb, ["contig", "pos"]).filter(
+        F.col("ref_base").isin("A", "C", "G", "T")
+    )
+    err = (F.col("base") != F.col("ref_base")).cast("long")
+    j = j.select(
+        "read_group",
+        "q",
+        err.alias("err"),
+        F.col("cycle").cast("string").alias("cycle"),
+        "context",
+    )
+    levels = j.select(
+        "read_group",
+        "q",
+        "err",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.struct(F.lit("q").alias("covariate_name"), F.lit("").alias("covariate_value")),
+                    F.struct(F.lit("cycle").alias("covariate_name"), F.col("cycle").alias("covariate_value")),
+                    F.when(
+                        F.col("context").isNotNull(),
+                        F.struct(F.lit("context").alias("covariate_name"), F.col("context").alias("covariate_value")),
+                    ),
+                )
+            )
+        ).alias("c"),
+    )
+    emp = -10.0 * F.log10(
+        (F.col("n_mismatches") + 1) / (F.col("n_observations") + 2)
+    )
+    return (
+        levels.groupBy(
+            "read_group", "q", "c.covariate_name", "c.covariate_value"
+        )
+        .agg(
+            F.count("*").alias("n_observations"),
+            F.sum("err").alias("n_mismatches"),
+        )
+        .withColumn("empirical_q", F.round(emp, 4))
+    )
+
+
 def snvs_to_variants(snvs: DataFrame) -> DataFrame:
     """Shape ``call_snvs`` candidates as VARIANTS_SCHEMA rows so they can
     flow straight into ``sinks.variants.write_vcf`` — the read-source →

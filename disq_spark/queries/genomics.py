@@ -1423,3 +1423,99 @@ FROM (VALUES
        estimated_library_size)
 ORDER BY library
 """
+
+
+@_q("genomics_bqsr_table")
+def genomics_bqsr_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATK-BaseRecalibrator-style covariate table over the CRAM fixture:
+    per-aligned-base (read group, reported Q, cycle, dinucleotide
+    context) observation/mismatch counts vs the reference, rolled up to
+    a compact shape (contexts exact, cycles in signed 25-cycle buckets,
+    reported-Q marginals per Q). Golden rows derived from an independent
+    serial walk (tests/test_operators.py::
+    test_bqsr_table_matches_serial_walk pins the full 496-row table)."""
+    from disq_spark.operators.genomics import bqsr_table
+    from disq_spark.sources.cram_source import read_cram
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    fasta = os.path.join(FIXTURES, "valid.fasta")
+    df, _h = read_cram(spark, os.path.join(FIXTURES, "valid.cram"), reference_path=fasta)
+    t = bqsr_table(df, read_fasta_windows(spark, fasta, window=1000))
+    cyc = F.col("covariate_value").cast("int")
+    cv = (
+        F.when(F.col("covariate_name") == "q", F.col("q").cast("string"))
+        .when(
+            F.col("covariate_name") == "cycle",
+            F.concat(
+                F.when(cyc < 0, F.lit("-")).otherwise(F.lit("+")),
+                ((F.abs(cyc) - 1) / 25).cast("long").cast("string"),
+            ),
+        )
+        .otherwise(F.col("covariate_value"))
+    )
+    emp = -10.0 * F.log10((F.col("n_mismatches") + 1) / (F.col("n_observations") + 2))
+    return (
+        t.withColumn("covariate_value", cv)
+        .groupBy("read_group", "covariate_name", "covariate_value")
+        .agg(
+            F.sum("n_observations").alias("n_observations"),
+            F.sum("n_mismatches").alias("n_mismatches"),
+        )
+        .withColumn("empirical_q", F.round(emp, 4))
+        .orderBy("read_group", "covariate_name", "covariate_value")
+    )
+
+
+ORACLE["genomics_bqsr_table"] = """
+SELECT read_group, covariate_name, covariate_value,
+       CAST(n_observations AS BIGINT) AS n_observations,
+       CAST(n_mismatches AS BIGINT) AS n_mismatches,
+       CAST(empirical_q AS DOUBLE) AS empirical_q
+FROM (VALUES
+  ('default', 'context', 'AA', 36, 12, 4.6584),
+  ('default', 'context', 'AC', 22, 13, 2.3408),
+  ('default', 'context', 'AG', 30, 18, 2.264),
+  ('default', 'context', 'AT', 30, 18, 2.264),
+  ('default', 'context', 'CA', 36, 19, 2.7875),
+  ('default', 'context', 'CC', 20, 13, 1.9629),
+  ('default', 'context', 'CG', 37, 23, 2.1085),
+  ('default', 'context', 'CT', 22, 11, 3.0103),
+  ('default', 'context', 'GA', 39, 17, 3.5751),
+  ('default', 'context', 'GC', 35, 18, 2.8945),
+  ('default', 'context', 'GG', 33, 12, 4.3012),
+  ('default', 'context', 'GT', 24, 15, 2.1085),
+  ('default', 'context', 'TA', 12, 11, 0.6695),
+  ('default', 'context', 'TC', 36, 24, 1.8184),
+  ('default', 'context', 'TG', 26, 14, 2.7107),
+  ('default', 'context', 'TT', 35, 23, 1.8799),
+  ('default', 'cycle', '+0', 67, 19, 5.3782),
+  ('default', 'cycle', '+1', 50, 21, 3.7358),
+  ('default', 'cycle', '+2', 58, 11, 6.9897),
+  ('default', 'cycle', '+3', 69, 22, 4.8953),
+  ('default', 'cycle', '+4', 2, 0, 6.0206),
+  ('default', 'cycle', '-0', 63, 41, 1.8966),
+  ('default', 'cycle', '-1', 64, 56, 0.6367),
+  ('default', 'cycle', '-2', 72, 57, 1.058),
+  ('default', 'cycle', '-3', 71, 55, 1.1513),
+  ('default', 'cycle', '-4', 3, 2, 2.2185),
+  ('default', 'q', '10', 25, 18, 1.5261),
+  ('default', 'q', '11', 20, 8, 3.8818),
+  ('default', 'q', '12', 30, 18, 2.264),
+  ('default', 'q', '13', 42, 19, 3.4242),
+  ('default', 'q', '14', 74, 42, 2.4735),
+  ('default', 'q', '15', 16, 8, 3.0103),
+  ('default', 'q', '16', 18, 14, 1.2494),
+  ('default', 'q', '17', 21, 9, 3.6173),
+  ('default', 'q', '18', 21, 12, 2.4778),
+  ('default', 'q', '19', 10, 4, 3.8021),
+  ('default', 'q', '20', 20, 14, 1.6633),
+  ('default', 'q', '21', 32, 17, 2.7621),
+  ('default', 'q', '23', 8, 5, 2.2185),
+  ('default', 'q', '5', 56, 29, 2.8631),
+  ('default', 'q', '6', 28, 20, 1.549),
+  ('default', 'q', '8', 60, 30, 3.0103),
+  ('default', 'q', '9', 38, 17, 3.4679)
+) AS t(read_group, covariate_name, covariate_value, n_observations, n_mismatches,
+       empirical_q)
+ORDER BY read_group, covariate_name, covariate_value
+"""

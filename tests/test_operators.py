@@ -1898,3 +1898,134 @@ def test_semantic_dedup_pairs_cluster_scoped(spark):
     assert all(r.id_a < r.id_b for r in pairs)
     # threshold filters: nothing below 0.9 sneaks through
     assert all(r.score >= 0.9 for r in pairs)
+
+
+def _serial_bqsr(recs, ref, min_reported_q=3):
+    """Independent serial BQSR walk: regex CIGAR parse, dict reference,
+    plain-Python covariates. Shares nothing with the Spark plan."""
+    import math
+    import re as _re
+    from collections import defaultdict
+
+    COMP = str.maketrans("ACGTN", "TGCAN")
+    EXCL = 0x4 | 0x100 | 0x200 | 0x400
+    acc = defaultdict(lambda: [0, 0])
+    for d in recs:
+        if d["contig"] is None or d["start"] is None or d["flags"] & EXCL:
+            continue
+        cig, seq, q = d["cigar"], d["seq"], d["qual"]
+        if not cig or cig == "*" or not seq or not q or q == "*":
+            continue
+        rg = d.get("read_group") or "default"
+        L = len(seq)
+        rev = bool(d["flags"] & 16)
+        second = bool(d["flags"] & 128)
+        ro = qo = 0
+        for m in _re.finditer(r"(\d+)([MIDNSHP=X])", cig):
+            n, op = int(m.group(1)), m.group(2)
+            if op in "M=X":
+                for i in range(n):
+                    pos, qi = d["start"] + ro + i, qo + i
+                    base, qv = seq[qi].upper(), ord(q[qi]) - 33
+                    if qv < min_reported_q or base not in "ACGT":
+                        continue
+                    refbase = ref[d["contig"]][pos - 1].upper()
+                    if refbase not in "ACGT":
+                        continue
+                    cycle0 = (L - qi) if rev else (qi + 1)
+                    cycle = -cycle0 if second else cycle0
+                    if rev:
+                        prev_raw = seq[qi + 1].upper() if qi + 1 < L else None
+                        prev = prev_raw.translate(COMP) if prev_raw else None
+                        cur = base.translate(COMP)
+                    else:
+                        prev_raw = seq[qi - 1].upper() if qi > 0 else None
+                        prev = prev_raw
+                        cur = base
+                    err = 1 if base != refbase else 0
+                    keys = [("q", ""), ("cycle", str(cycle))]
+                    if cycle0 != 1 and prev_raw in ("A", "C", "G", "T"):
+                        keys.append(("context", prev + cur))
+                    for cn, cv in keys:
+                        a = acc[(rg, qv, cn, cv)]
+                        a[0] += 1
+                        a[1] += err
+            if op in "M=XDN":
+                ro += n
+            if op in "M=XIS":
+                qo += n
+    return {
+        k: (n, mm, round(-10 * math.log10((mm + 1) / (n + 2)), 4))
+        for k, (n, mm) in acc.items()
+    }
+
+
+def test_bqsr_table_matches_serial_walk(spark, fixtures_dir):
+    import os
+
+    from disq_spark.operators.genomics import bqsr_table
+    from disq_spark.sources.cram_source import read_cram
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    fasta = os.path.join(fixtures_dir, "valid.fasta")
+    df, _h = read_cram(spark, os.path.join(fixtures_dir, "valid.cram"), reference_path=fasta)
+    got = {
+        (r.read_group, r.q, r.covariate_name, r.covariate_value): (
+            r.n_observations, r.n_mismatches, r.empirical_q,
+        )
+        for r in bqsr_table(df, read_fasta_windows(spark, fasta, window=1000)).collect()
+    }
+    ref = {}
+    name, buf = None, []
+    for line in open(fasta):
+        line = line.strip()
+        if line.startswith(">"):
+            if name:
+                ref[name] = "".join(buf)
+            name, buf = line[1:].split()[0], []
+        else:
+            buf.append(line)
+    if name:
+        ref[name] = "".join(buf)
+    want = _serial_bqsr([r.asDict() for r in df.collect()], ref)
+    assert got == want
+    assert len(got) > 400  # 8 reads x 101bp genuinely populate the table
+
+
+def test_bqsr_table_covariate_semantics(spark):
+    """Strand/pair covariate conventions on a hand-built alignment:
+    reverse reads flip cycle and complement context; second-of-pair
+    negates cycle; mismatches counted against the reference."""
+    from disq_spark.operators.genomics import bqsr_table
+
+    # ref: pos 1..8 = ACGTACGT
+    ref_w = spark.createDataFrame(
+        [("c", 1, "ACGTACGT")], "contig string, start long, seq string"
+    )
+    reads = spark.createDataFrame(
+        [
+            # forward read, first of pair: bases ACGG at pos 1-4 (G@4 is a mismatch vs T)
+            ("f1", 0x40 | 0x1, "c", 1, 4, 60, "4M", "ACGG", "IIII", None),
+            # reverse read, second of pair at pos 5-8: ACGT matches ref exactly
+            ("r1", 0x10 | 0x80 | 0x1, "c", 5, 8, 60, "4M", "ACGT", "IIII", None),
+        ],
+        "name string, flags int, contig string, start long, end long, mapq int, "
+        "cigar string, seq string, qual string, read_group string",
+    )
+    rows = bqsr_table(reads, ref_w).collect()
+    t = {(r.q, r.covariate_name, r.covariate_value): (r.n_observations, r.n_mismatches) for r in rows}
+    # forward first-of-pair: cycles 1..4 positive; mismatch only at cycle 4
+    # (the reverse mate's cycles are all negated, so "1" is fwd-only)
+    assert t[(40, "cycle", "1")] == (1, 0)
+    assert t[(40, "cycle", "4")][1] >= 1
+    # second-of-pair reverse read: machine cycle 1 is the LAST base (T@8),
+    # negated -> "-1"; all its bases match the reference
+    assert t[(40, "cycle", "-1")] == (1, 0)
+    assert t[(40, "cycle", "-4")] == (1, 0)
+    # context of fwd read at cycle 2 is "AC"; mismatch base G@4 has context "GG"
+    assert t[(40, "context", "AC")][0] >= 1
+    assert t[(40, "context", "GG")] == (1, 1)
+    # reverse-strand context: machine order is revcomp(ACGT) = ACGT; cycle 2
+    # current base = comp(G)=C preceded by comp(T)=A -> "AC"
+    # q-marginal totals: 8 bases, 1 mismatch
+    assert t[(40, "q", "")] == (8, 1)
