@@ -1141,6 +1141,101 @@ def bqsr_table(
     )
 
 
+def apply_bqsr(df: DataFrame, table_rows: list, max_q: int = 93) -> DataFrame:
+    """GATK-ApplyBQSR analog: rewrite every read's quality string using a
+    ``bqsr_table`` result. Per base::
+
+        recal = emp(RG, Q) + [emp(RG, Q, cycle) - emp(RG, Q)]
+                           + [emp(RG, Q, context) - emp(RG, Q)]
+
+    (GATK's delta composition), rounded and clamped to [2, max_q].
+    Bases whose (RG, Q) was never observed in the table — or whole
+    reads with no usable qual — pass through unchanged; a missing
+    cycle/context level contributes a zero delta.
+
+    ``table_rows`` is the *collected* covariate table (list of Rows or
+    dicts) — small by construction: its cardinality is bounded by
+    RGs x ~40 reported Qs x (2 x read-length cycles + 16 contexts),
+    independent of data volume. It is embedded in the plan as three
+    literal map columns, so the per-base lookup runs inside the same
+    shuffle-free higher-order ``transform`` that computes cycle and
+    context: no explode, no join, no Python in the row path, and the
+    read's qual string is rebuilt in place (``array_join`` of
+    ``char``s). For extreme RG counts (1000s), recalibrate per RG
+    batch or pre-filter ``table_rows`` to the RGs present in ``df`` —
+    the plan carries the map literally.
+    """
+    emp_q: dict = {}
+    emp_cyc: dict = {}
+    emp_ctx: dict = {}
+    for r in table_rows:
+        d = r if isinstance(r, dict) else r.asDict()
+        key = f"{d['read_group']}\x01{d['q']}"
+        if d["covariate_name"] == "q":
+            emp_q[key] = float(d["empirical_q"])
+        elif d["covariate_name"] == "cycle":
+            emp_cyc[f"{key}\x01{d['covariate_value']}"] = float(d["empirical_q"])
+        elif d["covariate_name"] == "context":
+            emp_ctx[f"{key}\x01{d['covariate_value']}"] = float(d["empirical_q"])
+
+    def _map_lit(m: dict) -> F.Column:
+        if not m:
+            return F.create_map().cast("map<string,double>")
+        pairs = []
+        for k, v in m.items():
+            pairs.append(F.lit(k))
+            pairs.append(F.lit(v))
+        return F.create_map(*pairs)
+
+    mq, mc, mx = _map_lit(emp_q), _map_lit(emp_cyc), _map_lit(emp_ctx)
+    rg = "coalesce(read_group, 'default')"
+    rev = "(flags & 16) != 0"
+    second = "(flags & 128) != 0"
+    # per-index expressions, i is the 0-based query index
+    q_i = "(ascii(substring(qual, i + 1, 1)) - 33)"
+    cycle0 = f"(case when {rev} then length(seq) - i else i + 1 end)"
+    cycle = f"(case when {second} then -{cycle0} else {cycle0} end)"
+    cur = "upper(substring(seq, i + 1, 1))"
+    prev_raw = (
+        f"(case when {rev} then upper(substring(seq, i + 2, 1)) "
+        "else case when i > 0 then upper(substring(seq, i, 1)) else '' end end)"
+    )
+    ctx = (
+        f"(case when {cycle0} = 1 or {prev_raw} not in ('A','C','G','T') then null "
+        f"when {rev} then concat(translate({prev_raw}, 'ACGTN', 'TGCAN'), "
+        f"translate({cur}, 'ACGTN', 'TGCAN')) "
+        f"else concat({prev_raw}, {cur}) end)"
+    )
+    kq = f"concat({rg}, '\x01', cast({q_i} as string))"
+    base_emp = f"try_element_at(__mq, {kq})"
+    d_cyc = (
+        f"coalesce(try_element_at(__mc, concat({kq}, '\x01', cast({cycle} as string))) "
+        f"- {base_emp}, cast(0 as double))"
+    )
+    d_ctx = (
+        f"coalesce(try_element_at(__mx, concat({kq}, '\x01', {ctx})) "
+        f"- {base_emp}, cast(0 as double))"
+    )
+    recal = (
+        f"cast(round({base_emp} + {d_cyc} + {d_ctx}) as int)"
+    )
+    newq = (
+        f"(case when {base_emp} is null then substring(qual, i + 1, 1) "
+        f"else char(greatest(2, least({max_q}, {recal})) + 33) end)"
+    )
+    expr = (
+        "case when qual is null or qual = '*' or seq is null then qual else "
+        f"array_join(transform(sequence(0, length(qual) - 1), i -> {newq}), '') end"
+    )
+    return (
+        df.withColumn("__mq", mq)
+        .withColumn("__mc", mc)
+        .withColumn("__mx", mx)
+        .withColumn("qual", F.expr(expr))
+        .drop("__mq", "__mc", "__mx")
+    )
+
+
 def snvs_to_variants(snvs: DataFrame) -> DataFrame:
     """Shape ``call_snvs`` candidates as VARIANTS_SCHEMA rows so they can
     flow straight into ``sinks.variants.write_vcf`` — the read-source →

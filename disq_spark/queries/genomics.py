@@ -1519,3 +1519,141 @@ FROM (VALUES
        empirical_q)
 ORDER BY read_group, covariate_name, covariate_value
 """
+
+
+@_q("genomics_genotype_concordance")
+def genomics_genotype_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bcftools-gtcheck-style sample-pair genotype concordance over the
+    3-sample spec-example fixture: NA00001 (truth) against NA00002 and
+    NA00003, sites matched on (contig, POS, REF), genotypes compared as
+    resolved allele multisets (so 1|2 == 2|1, and phasing is ignored).
+    Golden rows hand-derived from the 5 fixture records (VCFv4 spec
+    example); the operator's state machine is differentially tested in
+    tests/test_operators.py::test_genotype_concordance_*."""
+    from disq_spark.operators.variant_qc import genotype_concordance
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "test.vcf"))
+    out = None
+    for other in ("NA00002", "NA00003"):
+        c = genotype_concordance(df, df, "NA00001", other).withColumn(
+            "pair", F.lit(f"NA00001:{other}")
+        )
+        out = c if out is None else out.unionByName(c)
+    return out.select(
+        "pair", "truth_state", "eval_state", "n_sites", "n_gt_match"
+    ).orderBy("pair", "truth_state", "eval_state")
+
+
+ORACLE["genomics_genotype_concordance"] = """
+SELECT pair, truth_state, eval_state,
+       CAST(n_sites AS BIGINT) AS n_sites,
+       CAST(n_gt_match AS BIGINT) AS n_gt_match
+FROM (VALUES
+  ('NA00001:NA00002', 'HET', 'HET', 2, 1),
+  ('NA00001:NA00002', 'HOM_REF', 'HET', 2, 0),
+  ('NA00001:NA00002', 'HOM_REF', 'HOM_REF', 1, 1),
+  ('NA00001:NA00003', 'HET', 'HOM_VAR', 2, 0),
+  ('NA00001:NA00003', 'HOM_REF', 'HOM_REF', 2, 2),
+  ('NA00001:NA00003', 'HOM_REF', 'HOM_VAR', 1, 0)
+) AS t(pair, truth_state, eval_state, n_sites, n_gt_match)
+ORDER BY pair, truth_state, eval_state
+"""
+
+@_q("genomics_normalize_variants")
+def genomics_normalize_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bcftools-norm analog (`bcftools norm -m-any` + parsimony trim,
+    no reference-guided left-align) over the VCFv4 spec-example
+    fixture: the multiallelic A->G,T site splits into two rows with
+    Number=A INFO (AF) sliced per-alt and GTs remapped to biallelic
+    0/1 space; the microsat GTC->G,GTCT splits and the GTCT alt trims
+    its shared GTC prefix to POS+2 C->CT. Golden rows hand-derived
+    from the 5 fixture records; the operators are differentially
+    tested in tests/test_operators.py::test_split_multiallelics /
+    test_trim_variants_parsimony / test_normalize_matches_serial_on_gvcf."""
+    from disq_spark.operators.variant_qc import split_multiallelics, trim_variants
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "test.vcf"))
+    norm = trim_variants(split_multiallelics(df))
+    return norm.select(
+        "contig",
+        "start",
+        "end",
+        "ref",
+        F.array_join("alts", ",").alias("alt"),
+        F.expr("try_element_at(info, 'AF')").alias("af"),
+        F.array_join(
+            F.expr(
+                "transform(genotypes, g -> concat(g.sample, ':', coalesce(g.gt, '.')))"
+            ),
+            ";",
+        ).alias("gts"),
+    ).orderBy("contig", "start", "ref", "alt")
+
+
+ORACLE["genomics_normalize_variants"] = """
+SELECT contig, CAST(start AS BIGINT) AS start, CAST("end" AS BIGINT) AS "end",
+       ref, alt, af, gts
+FROM (VALUES
+  ('20', 14370, 14370, 'G', 'A', '0.5', 'NA00001:0|0;NA00002:1|0;NA00003:1/1'),
+  ('20', 17330, 17330, 'T', 'A', '0.017', 'NA00001:0|0;NA00002:0|1;NA00003:0/0'),
+  ('20', 1110696, 1110696, 'A', 'G', '0.333', 'NA00001:1/0;NA00002:0/1;NA00003:0/0'),
+  ('20', 1110696, 1110696, 'A', 'T', '0.667', 'NA00001:0/1;NA00002:1/0;NA00003:1/1'),
+  ('20', 1230237, 1230237, 'T', NULL, NULL, 'NA00001:0|0;NA00002:0|0;NA00003:0/0'),
+  ('20', 1234567, 1234569, 'GTC', 'G', NULL, 'NA00001:0/1;NA00002:0/0;NA00003:1/1'),
+  ('20', 1234569, 1234569, 'C', 'CT', NULL, 'NA00001:0/0;NA00002:0/1;NA00003:0/0')
+) AS t(contig, start, "end", ref, alt, af, gts)
+ORDER BY contig, start, ref, alt
+"""
+
+
+@_q("genomics_apply_bqsr")
+def genomics_apply_bqsr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BQSR: build the covariate table from the fixture CRAM
+    (bqsr_table), then rewrite every read's quality string with GATK's
+    delta composition (apply_bqsr). Output summarizes each of the 8
+    reads as (name, flags, mean recalibrated Q, md5 of the new qual
+    string). Golden rows pinned from a run whose per-base values are
+    independently cross-checked by the serial recalibrator in
+    tests/test_operators.py::test_apply_bqsr_matches_serial."""
+    from disq_spark.operators.genomics import apply_bqsr, bqsr_table
+    from disq_spark.sources.cram_source import read_cram
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    fasta = os.path.join(FIXTURES, "valid.fasta")
+    df, _h = read_cram(spark, os.path.join(FIXTURES, "valid.cram"), reference_path=fasta)
+    table = bqsr_table(df, read_fasta_windows(spark, fasta, window=1000)).collect()
+    return (
+        apply_bqsr(df, table)
+        .select(
+            "name",
+            "flags",
+            F.round(
+                F.expr(
+                    "aggregate(transform(sequence(1, length(qual)), "
+                    "i -> ascii(substring(qual, i, 1)) - 33), 0L, (a, x) -> a + x) "
+                    "/ length(qual)"
+                ),
+                4,
+            ).alias("mean_q"),
+            F.md5(F.col("qual")).alias("qual_md5"),
+        )
+        .orderBy("name", "flags")
+    )
+
+
+ORACLE["genomics_apply_bqsr"] = """
+SELECT name, CAST(flags AS INT) AS flags, CAST(mean_q AS DOUBLE) AS mean_q, qual_md5
+FROM (VALUES
+  ('both_reads_align_clip_adapter', 107, 2.8515, '909c16e4092d9c5481295c038949e72b'),
+  ('both_reads_align_clip_adapter', 147, 3.4356, '4cb00554954a8303a71cf1a99131e3e4'),
+  ('both_reads_align_clip_marked', 171, 3.0, 'd9b19ac4712ec1c8e4facd0b14c60e19'),
+  ('both_reads_align_clip_marked', 1107, 6.1683, 'bc139ddd8f227abccb1df64eaa44106c'),
+  ('both_reads_present_only_first_aligns', 121, 6.1683, 'bc139ddd8f227abccb1df64eaa44106c'),
+  ('both_reads_present_only_first_aligns', 173, 3.0, 'd9b19ac4712ec1c8e4facd0b14c60e19'),
+  ('read_2_too_many_gaps', 83, 6.1683, 'bc139ddd8f227abccb1df64eaa44106c'),
+  ('read_2_too_many_gaps', 171, 3.0, 'd9b19ac4712ec1c8e4facd0b14c60e19')
+) AS t(name, flags, mean_q, qual_md5)
+ORDER BY name, flags
+"""

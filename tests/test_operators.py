@@ -2029,3 +2029,286 @@ def test_bqsr_table_covariate_semantics(spark):
     # current base = comp(G)=C preceded by comp(T)=A -> "AC"
     # q-marginal totals: 8 bases, 1 mismatch
     assert t[(40, "q", "")] == (8, 1)
+
+
+def test_apply_bqsr_matches_serial(spark, fixtures_dir):
+    """ApplyBQSR delta composition cross-checked base-by-base by an
+    independent serial recalibration over the fixture reads."""
+    import math
+    import os
+
+    from disq_spark.operators.genomics import apply_bqsr, bqsr_table
+    from disq_spark.sources.cram_source import read_cram
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    fasta = os.path.join(fixtures_dir, "valid.fasta")
+    df, _h = read_cram(spark, os.path.join(fixtures_dir, "valid.cram"), reference_path=fasta)
+    table = bqsr_table(df, read_fasta_windows(spark, fasta, window=1000)).collect()
+    # key by (name, flags): paired mates share a QNAME
+    got = {(r.name, r.flags): r.qual for r in apply_bqsr(df, table).collect()}
+
+    emp_q, emp_cyc, emp_ctx = {}, {}, {}
+    for r in table:
+        k = (r.read_group, r.q)
+        if r.covariate_name == "q":
+            emp_q[k] = r.empirical_q
+        elif r.covariate_name == "cycle":
+            emp_cyc[k + (r.covariate_value,)] = r.empirical_q
+        else:
+            emp_ctx[k + (r.covariate_value,)] = r.empirical_q
+
+    COMP = str.maketrans("ACGTN", "TGCAN")
+    changed = 0
+    for rec in df.collect():
+        d = rec.asDict()
+        seq, qual = d["seq"], d["qual"]
+        rg = d.get("read_group") or "default"
+        L = len(seq)
+        rev = bool(d["flags"] & 16)
+        second = bool(d["flags"] & 128)
+        out = []
+        for i, ch in enumerate(qual):
+            q = ord(ch) - 33
+            if (rg, q) not in emp_q:
+                out.append(ch)
+                continue
+            base_emp = emp_q[(rg, q)]
+            cycle0 = (L - i) if rev else (i + 1)
+            cycle = -cycle0 if second else cycle0
+            if rev:
+                prev_raw = seq[i + 1].upper() if i + 1 < L else ""
+            else:
+                prev_raw = seq[i - 1].upper() if i > 0 else ""
+            ctx = None
+            if cycle0 != 1 and prev_raw in "ACGT" and prev_raw:
+                if rev:
+                    ctx = prev_raw.translate(COMP) + seq[i].upper().translate(COMP)
+                else:
+                    ctx = prev_raw + seq[i].upper()
+            d_cyc = emp_cyc.get((rg, q, str(cycle)), base_emp) - base_emp
+            d_ctx = emp_ctx.get((rg, q, ctx), base_emp) - base_emp if ctx else 0.0
+            # mimic SQL round() (half away from zero) then clamp
+            v = base_emp + d_cyc + d_ctx
+            r_v = int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+            out.append(chr(max(2, min(93, r_v)) + 33))
+        want = "".join(out)
+        if want != qual:
+            changed += 1
+        assert got[(d["name"], d["flags"])] == want, d["name"]
+    assert changed >= 4  # recalibration genuinely rewrote quals
+
+
+def test_apply_bqsr_passthrough_without_table_entry(spark):
+    from disq_spark.operators.genomics import apply_bqsr
+
+    reads = spark.createDataFrame(
+        [("r1", 0, "c", 1, 4, 60, "4M", "ACGT", "IIII", None)],
+        "name string, flags int, contig string, start long, end long, mapq int, "
+        "cigar string, seq string, qual string, read_group string",
+    )
+    out = apply_bqsr(reads, []).collect()
+    assert out[0].qual == "IIII"
+
+
+def _vc_rows(spark, rows):
+    """rows: (contig, start, ref, alts, [(sample, gt), ...])"""
+    from disq_spark.schemas import VARIANTS_SCHEMA
+
+    data = []
+    for contig, start, ref, alts, gts in rows:
+        data.append(
+            (
+                contig, start, start + len(ref) - 1, None, ref, alts, None, [],
+                {},
+                [{"sample": s, "gt": g, "attrs": {}} for s, g in gts],
+            )
+        )
+    return spark.createDataFrame(data, VARIANTS_SCHEMA)
+
+
+def test_genotype_concordance_states_and_allele_matching(spark):
+    from disq_spark.operators.variant_qc import genotype_concordance
+
+    truth = _vc_rows(spark, [
+        ("1", 100, "A", ["G"], [("S", "0/0")]),          # HOM_REF both
+        ("1", 200, "C", ["T"], [("S", "0/1")]),          # HET, eval spells it 1|0 w/ reordered alts
+        ("1", 300, "G", ["A"], [("S", "1/1")]),          # HOM_VAR vs eval HET
+        ("1", 400, "T", ["C"], [("S", "0/1")]),          # truth-only site
+        ("1", 600, "A", ["G"], [("S", ".")]),            # MISSING vs HOM_REF
+    ])
+    ev = _vc_rows(spark, [
+        ("1", 100, "A", ["G"], [("S", "0/0")]),
+        ("1", 200, "C", ["G", "T"], [("S", "2|0")]),     # resolved {C,T} == truth {C,T}
+        ("1", 300, "G", ["A"], [("S", "0/1")]),
+        ("1", 500, "C", ["A"], [("S", "1/1")]),          # eval-only site
+        ("1", 600, "A", ["G"], [("S", "0/0")]),
+    ])
+    got = {
+        (r.truth_state, r.eval_state): (r.n_sites, r.n_gt_match)
+        for r in genotype_concordance(truth, ev, "S", "S").collect()
+    }
+    assert got[("HOM_REF", "HOM_REF")] == (1, 1)
+    assert got[("HET", "HET")] == (1, 1)        # allele-resolved despite 2|0 spelling
+    assert got[("HOM_VAR", "HET")] == (1, 0)
+    assert got[("HET", "NO_SITE")] == (1, 0)
+    assert got[("NO_SITE", "HOM_VAR")] == (1, 0)
+    assert got[("MISSING", "HOM_REF")] == (1, 0)
+    assert sum(n for n, _ in got.values()) == 6
+
+
+def test_genotype_concordance_multisample_join(spark):
+    from disq_spark.operators.variant_qc import genotype_concordance
+
+    truth = _vc_rows(spark, [
+        ("1", 100, "A", ["G"], [("s1", "0/1"), ("s2", "1/1")]),
+    ])
+    ev = _vc_rows(spark, [
+        ("1", 100, "A", ["G"], [("s1", "0/1"), ("s2", "0/1")]),
+    ])
+    got = {
+        (r.truth_state, r.eval_state): (r.n_sites, r.n_gt_match)
+        for r in genotype_concordance(truth, ev).collect()
+    }
+    # samples matched by name: s1 concordant HET, s2 HOM_VAR->HET
+    assert got[("HET", "HET")] == (1, 1)
+    assert got[("HOM_VAR", "HET")] == (1, 0)
+
+
+def test_genotype_concordance_self_is_diagonal(spark, fixtures_dir):
+    import os
+
+    from disq_spark.operators.variant_qc import genotype_concordance
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(fixtures_dir, "HiSeq.10000.vcf.bgz"))
+    rows = genotype_concordance(df, df, "NA12878", "NA12878").collect()
+    for r in rows:
+        assert r.truth_state == r.eval_state
+        if r.truth_state not in ("MISSING", "NO_SITE"):
+            assert r.n_gt_match == r.n_sites
+    assert sum(r.n_sites for r in rows) == 8171
+
+
+def test_split_multiallelics(spark):
+    from disq_spark.operators.variant_qc import split_multiallelics
+
+    df = _vc_rows(spark, [
+        ("1", 100, "A", ["G", "T"], [("S", "1/2"), ("T", "0|1"), ("U", "./.")]),
+        ("1", 200, "C", ["T"], [("S", "0/1"), ("T", "1/1"), ("U", "0/0")]),
+    ])
+    df = df.withColumn(
+        "info",
+        F.when(F.col("start") == 100, F.create_map(
+            F.lit("AF"), F.lit("0.5,0.25"), F.lit("DP"), F.lit("10"))
+        ).otherwise(F.col("info")),
+    )
+    out = split_multiallelics(df).orderBy("start", F.col("alts")[0]).collect()
+    assert len(out) == 3
+    r1, r2, r3 = out
+    # multiallelic site split into G-row and T-row
+    assert (r1.start, r1.ref, r1.alts) == (100, "A", ["G"])
+    gts = {g.sample: g.gt for g in r1.genotypes}
+    assert gts == {"S": "1/0", "T": "0/1", "U": "./."}
+    assert r1.info["AF"] == "0.5" and r1.info["DP"] == "10"
+    assert (r2.start, r2.ref, r2.alts) == (100, "A", ["T"])
+    gts = {g.sample: g.gt for g in r2.genotypes}
+    assert gts == {"S": "0/1", "T": "0/0", "U": "./."}
+    assert r2.info["AF"] == "0.25"
+    # biallelic passes through untouched (original phasing kept)
+    assert (r3.start, r3.alts) == (200, ["T"])
+    assert {g.sample: g.gt for g in r3.genotypes}["T"] == "1/1"
+
+
+def test_trim_variants_parsimony(spark):
+    from disq_spark.operators.variant_qc import trim_variants
+
+    df = _vc_rows(spark, [
+        ("1", 100, "GTC", ["G"], [("S", "0/1")]),       # already minimal (suffix differs)
+        ("1", 200, "CTCC", ["CCC", "C"], [("S", "1/2")]),  # bcftools doc example
+        ("1", 300, "TA", ["GA"], [("S", "0/1")]),        # shared suffix A -> SNP T>G
+        ("1", 400, "ACGT", ["ACGA"], [("S", "0/1")]),    # shared prefix ACG -> pos+3
+        ("1", 500, "A", ["<NON_REF>"], [("S", "0/0")]),  # symbolic passthrough
+    ])
+    rows = sorted(trim_variants(df).collect(), key=lambda r: (r.contig, r.start))
+    # (100) GTC>G unchanged
+    assert (rows[0].start, rows[0].ref, rows[0].alts, rows[0].end) == (100, "GTC", ["G"], 102)
+    # (200) CTCC>CCC,C: shared suffix CC trimmed -> CT>C,(C? no: C stays C),
+    # bcftools: CTCC>CCC,C trims to CT>C? multi-alt shared trim: suffix shared by
+    # CTCC/CCC/C is 'CC' capped by shortest alt (C, cap 0) -> suf=0; prefix 'C'
+    # shared -> CTCC>CCC,C becomes TCC>CC,(empty? no, cap keeps >=1) pre capped
+    # at min(len)-1 per alt: alt 'C' cap 0 -> pre=0. Row unchanged.
+    assert (rows[1].ref, rows[1].alts) == ("CTCC", ["CCC", "C"])
+    # (300) TA>GA: suffix A trimmed, becomes T>G SNP at same pos
+    assert (rows[2].start, rows[2].ref, rows[2].alts, rows[2].end) == (300, "T", ["G"], 300)
+    # (400) ACGT>ACGA: prefix ACG trimmed, pos advances 3
+    assert (rows[3].start, rows[3].ref, rows[3].alts, rows[3].end) == (403, "T", ["A"], 403)
+    # (500) symbolic untouched
+    assert (rows[4].ref, rows[4].alts) == ("A", ["<NON_REF>"])
+
+
+def test_split_then_trim_normalizes(spark):
+    """The bcftools norm -m- pipeline: split first, then per-alt trim."""
+    from disq_spark.operators.variant_qc import split_multiallelics, trim_variants
+
+    df = _vc_rows(spark, [
+        ("1", 200, "CTCC", ["CCC", "C"], [("S", "1/2")]),
+    ])
+    rows = sorted(trim_variants(split_multiallelics(df)).collect(), key=lambda r: r.ref)
+    # after split: CTCC>CCC and CTCC>C
+    # CTCC>CCC: shared suffix CC (cap min-1=2) -> CT>C at 200, end 201
+    # CTCC>C:   caps at min(4,1)-1=0 on both runs -> unchanged
+    assert (rows[0].start, rows[0].ref, rows[0].alts, rows[0].end) == (200, "CT", ["C"], 201)
+    assert (rows[1].start, rows[1].ref, rows[1].alts) == (200, "CTCC", ["C"])
+    # GT remaps carried through the split: 1/2 -> 1/0 (CCC row) and 0/1 (C row)
+    assert {g.sample: g.gt for g in rows[0].genotypes} == {"S": "1/0"}
+    assert {g.sample: g.gt for g in rows[1].genotypes} == {"S": "0/1"}
+
+
+def _serial_norm(recs):
+    """Independent serial split+trim: text-level, shares nothing with
+    the Spark expressions. recs: (contig, pos, ref, alts) tuples with
+    alts possibly None. Returns list of (contig, pos, ref, alt)."""
+    out = []
+    for contig, pos, ref, alts in recs:
+        if not alts:
+            out.append((contig, pos, ref, None))
+            continue
+        for alt in alts:
+            r, a, p = ref, alt, pos
+            if not (a.startswith("<") or "[" in a or "]" in a):
+                # suffix trim, keep >= 1 base each
+                while len(r) > 1 and len(a) > 1 and r[-1] == a[-1]:
+                    r, a = r[:-1], a[:-1]
+                # prefix trim
+                while len(r) > 1 and len(a) > 1 and r[0] == a[0]:
+                    r, a, p = r[1:], a[1:], p + 1
+            out.append((contig, p, r, a))
+    return out
+
+
+def test_normalize_matches_serial_on_gvcf(spark, fixtures_dir):
+    import gzip
+    import os
+    from collections import Counter
+
+    from disq_spark.operators.variant_qc import split_multiallelics, trim_variants
+    from disq_spark.sources.variants import read_vcf
+
+    path = os.path.join(fixtures_dir, "CEUTrio.20.21.gatk3.4.g.vcf.bgz")
+    df, _h = read_vcf(spark, path)
+    norm = trim_variants(split_multiallelics(df))
+    got = Counter(
+        (r.contig, r.start, r.ref, r.alts[0] if r.alts else None)
+        for r in norm.collect()
+    )
+    recs = []
+    with gzip.open(path, "rt") as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            alts = None if f[4] == "." else f[4].split(",")
+            recs.append((f[0], int(f[1]), f[3], alts))
+    want = Counter(_serial_norm(recs))
+    assert got == want
+    assert sum(want.values()) > 19910  # splitting genuinely fans out
