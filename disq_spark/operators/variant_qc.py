@@ -340,3 +340,154 @@ def trim_variants(df: DataFrame) -> DataFrame:
         )
         .drop("__trim", "__suf", "__ref1", "__alts1", "__pre")
     )
+
+
+def left_align_variants(
+    df: DataFrame,
+    spark,
+    fasta_path: str,
+    max_shift: int = 200,
+    max_indel_len: int = 1000,
+    window: int = 1_000_000,
+) -> DataFrame:
+    """Reference-guided left-alignment of pure indels (bcftools norm's
+    realign step / GATK LeftAlignAndTrimVariants). Together with
+    ``split_multiallelics`` + ``trim_variants`` this completes the
+    normalization triple; run split+trim FIRST (only biallelic,
+    parsimony-trimmed rows are shifted; everything else passes through
+    unchanged). Variants must be reference-consistent (REF equals the
+    fasta at POS) — the closed form below reads the indel's repeat
+    context from the reference, which equals bcftools' allele-string
+    chopping only when REF actually matches the reference.
+
+    A trimmed pure indel is REF=a, ALT=a+I (insertion) or REF=a+D,
+    ALT=a (deletion), anchor base a = ref[POS]. bcftools' realign loop
+    (chop equal last bases; on empty allele, extend left from the
+    reference) admits a closed form: one leftward step rotates the
+    indel sequence S right by one and is legal iff S[-1] equals the
+    reference base at the current POS, so after j steps the rotated
+    sequence's last base is S[(m-1-j) mod m] (m = len(S); for
+    deletions S sits in the reference, where the identity
+    ref[p-j+m] == ref[p-j] is the same test). The total shift is
+    therefore the longest run of consecutive j = 0,1,... with::
+
+        S[(m-1-j) mod m] == ref[POS-j]
+
+    which one SQL ``aggregate`` over ``sequence(0, cap)`` computes
+    per row — the same consecutive-run gate as ``trim_variants``.
+
+    Reference context: each candidate row joins to the
+    ``read_fasta_windows`` window containing ``POS - max_shift``
+    (overlap = max_shift + max_indel_len guarantees the window's seq
+    covers ``[POS - max_shift, POS + len(REF)]``). The join is a
+    plain equi-join on (contig, window-id): the genome side is
+    genome/window rows regardless of cohort size, so at 100 TB of
+    variants the shuffle is dominated by the variant side's single
+    repartition and the per-row work stays in whole-stage codegen.
+    Rows shifted into a window edge (POS - max_shift < window body
+    start is impossible by construction; hitting j = cap means the
+    repeat run continues past max_shift) stop at the cap, exactly
+    like bcftools' -w limit. Indels longer than ``max_indel_len``
+    pass through unshifted.
+    """
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    ref_w = read_fasta_windows(
+        spark, fasta_path, window=window, overlap=max_shift + max_indel_len
+    ).select(
+        "contig",
+        ((F.col("start") - 1) / window).cast("long").alias("__wid"),
+        F.col("start").alias("__wstart"),
+        F.col("seq").alias("__ctx"),
+    )
+
+    a0 = F.col("alts")[0]
+    pure_ins = (
+        (F.length("ref") == 1)
+        & (F.length(a0) > 1)
+        & (F.expr("substring(alts[0], 1, 1)") == F.col("ref"))
+    )
+    pure_del = (
+        (F.length(a0) == 1)
+        & (F.length("ref") > 1)
+        & (F.expr("substring(ref, 1, 1)") == a0)
+    )
+    candidate = (
+        F.col("alts").isNotNull()
+        & (F.size("alts") == 1)
+        & a0.isNotNull()
+        & ~a0.startswith("<")
+        & (F.instr(a0, "[") == 0)
+        & (F.instr(a0, "]") == 0)
+        & (pure_ins | pure_del)
+        & (F.greatest(F.length("ref"), F.length(a0)) <= max_indel_len + 1)
+        & (F.col("start") > 1)
+    )
+
+    cand = df.filter(candidate).withColumn(
+        "__wid",
+        (F.greatest(F.col("start") - max_shift, F.lit(1)) - 1) / window,
+    ).withColumn("__wid", F.col("__wid").cast("long"))
+    rest = df.filter(~candidate | candidate.isNull())
+
+    j = cand.join(ref_w, ["contig", "__wid"], "left")
+
+    # S and its length; off = 0-based index of POS within __ctx
+    s_expr = (
+        "case when length(ref) = 1 then substring(alts[0], 2) "
+        "else substring(ref, 2) end"
+    )
+    off = "(start - __wstart)"
+    # consecutive-run aggregate: acc counts matches at j = 0..acc-1
+    # sequence(0, cap) admits shift = cap + 1 when every j matches, so
+    # cap is one below the shift budget min(max_shift, off)
+    cap = f"(least({max_shift}, cast({off} as int)) - 1)"
+    match_j = (
+        f"substring(__s, pmod(length(__s) - 1 - i, length(__s)) + 1, 1) = "
+        f"upper(substring(__ctx, cast({off} as int) - i + 1, 1))"
+    )
+    shift_expr = (
+        f"case when __ctx is null or {cap} < 0 then 0 else "
+        f"aggregate(sequence(0, {cap}), 0, "
+        f"(acc, i) -> case when acc = i and {match_j} then i + 1 else acc end) end"
+    )
+    j = (
+        j.withColumn("__s", F.upper(F.expr(s_expr)))
+        .withColumn("__shift", F.expr(shift_expr))
+    )
+    m = "length(__s)"
+    # materialize the rebuilt pieces BEFORE touching `start`: every
+    # expression below indexes __ctx relative to the ORIGINAL POS
+    anchor = f"upper(substring(__ctx, cast({off} as int) - __shift + 1, 1))"
+    # rotated indel sequence after __shift left steps (rotate-right^shift)
+    rot = (
+        f"concat(substring(__s, {m} - pmod(__shift, {m}) + 1), "
+        f"substring(__s, 1, {m} - pmod(__shift, {m})))"
+    )
+    # deletion: D' read straight from the reference at the new POS
+    del_seq = f"upper(substring(__ctx, cast({off} as int) - __shift + 2, {m}))"
+    is_ins = "length(ref) = 1"
+    aligned = (
+        j.withColumn(
+            "__ref2",
+            F.expr(
+                f"case when __shift = 0 then ref "
+                f"when {is_ins} then {anchor} "
+                f"else concat({anchor}, {del_seq}) end"
+            ),
+        )
+        .withColumn(
+            "__alts2",
+            F.expr(
+                f"case when __shift = 0 then alts "
+                f"when {is_ins} then array(concat({anchor}, {rot})) "
+                f"else array({anchor}) end"
+            ),
+        )
+        .withColumn("start", F.col("start") - F.col("__shift"))
+        .withColumn("ref", F.col("__ref2"))
+        .withColumn("alts", F.col("__alts2"))
+        .withColumn("end", F.col("start") + F.length("ref") - 1)
+        .drop("__wid", "__wstart", "__ctx", "__s", "__shift", "__ref2", "__alts2")
+    )
+    return rest.unionByName(aligned)

@@ -1657,3 +1657,46 @@ FROM (VALUES
 ) AS t(name, flags, mean_q, qual_md5)
 ORDER BY name, flags
 """
+
+@_q("genomics_left_align")
+def genomics_left_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-guided indel left-alignment (bcftools norm realign /
+    GATK LeftAlignAndTrimVariants) against the valid.fasta fixture:
+    homopolymer and dinucleotide-repeat indels on chr1/chr7 shift to
+    the repeat's left edge; the SNP row passes through. Golden rows
+    derived from an independent serial implementation of the bcftools
+    chop-and-extend loop (tests/test_operators.py::_serial_left_align),
+    which the distributed closed form matches on 120 random
+    repeat-genome indels (test_left_align_matches_serial_random)."""
+    from disq_spark.operators.variant_qc import left_align_variants
+    from disq_spark.schemas import VARIANTS_SCHEMA
+
+    rows = [
+        ("chr1", 69, 69, None, "A", ["AA"], None, None, None, None),
+        ("chr1", 67, 69, None, "AAA", ["A"], None, None, None, None),
+        ("chr7", 14, 14, None, "G", ["GG"], None, None, None, None),
+        ("chr7", 30, 30, None, "T", ["TGT"], None, None, None, None),
+        ("chr7", 67, 68, None, "CC", ["C"], None, None, None, None),
+        ("chr7", 40, 40, None, "T", ["A"], None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, VARIANTS_SCHEMA)
+    out = left_align_variants(
+        df, spark, os.path.join(FIXTURES, "valid.fasta"), window=50
+    )
+    return out.select(
+        "contig", "start", "end", "ref", F.array_join("alts", ",").alias("alt")
+    ).orderBy("contig", "start", "ref", "alt")
+
+
+ORACLE["genomics_left_align"] = """
+SELECT contig, CAST(start AS BIGINT) AS start, CAST("end" AS BIGINT) AS "end", ref, alt
+FROM (VALUES
+  ('chr1', 59, 59, 'C', 'CA'),
+  ('chr1', 59, 61, 'CAA', 'C'),
+  ('chr7', 8, 8, 'A', 'AG'),
+  ('chr7', 29, 29, 'T', 'TTG'),
+  ('chr7', 40, 40, 'T', 'A'),
+  ('chr7', 59, 60, 'TC', 'T')
+) AS t(contig, start, "end", ref, alt)
+ORDER BY contig, start, ref, alt
+"""

@@ -2312,3 +2312,111 @@ def test_normalize_matches_serial_on_gvcf(spark, fixtures_dir):
     want = Counter(_serial_norm(recs))
     assert got == want
     assert sum(want.values()) > 19910  # splitting genuinely fans out
+
+
+def _serial_left_align(genome: str, pos: int, ref: str, alt: str, max_shift: int = 200):
+    """bcftools norm realign loop (chop equal last bases; on empty
+    allele extend left from the reference), extension-count bounded."""
+    r, a, p, shifts = ref.upper(), alt.upper(), pos, 0
+    while True:
+        if (len(r) > 1 or len(a) > 1) and r[-1] == a[-1]:
+            r, a = r[:-1], a[:-1]
+            if not r or not a:
+                if p == 1 or shifts >= max_shift:
+                    b = genome[p - 1].upper() if not r else r[0]
+                    # cannot extend: restore the chopped state and stop
+                    r, a = (b + r, b + a) if False else (ref.upper(), alt.upper())
+                    return pos, ref.upper(), alt.upper()
+                p -= 1
+                b = genome[p - 1].upper()
+                r, a = b + r, b + a
+                shifts += 1
+            continue
+        break
+    return p, r, a
+
+
+def _write_fasta(path, contigs: dict):
+    width = 60
+    with open(path, "w") as f, open(path + ".fai", "w") as fai:
+        offset = 0
+        for name, seq in contigs.items():
+            hdr = f">{name}\n"
+            f.write(hdr)
+            offset += len(hdr)
+            for i in range(0, len(seq), width):
+                f.write(seq[i : i + width] + "\n")
+            fai.write(f"{name}\t{len(seq)}\t{offset}\t{width}\t{width + 1}\n")
+            offset += len(seq) + len(seq) // width + (1 if len(seq) % width else 0)
+
+
+def test_left_align_matches_serial_random(spark, tmp_path):
+    """Random repeat-rich genome + right-shifted pure indels: the
+    distributed closed-form shift must equal the serial bcftools loop,
+    across fasta window boundaries (window=97 forces context spans)."""
+    import random
+
+    from disq_spark.operators.variant_qc import left_align_variants
+
+    rng = random.Random(77)
+    # biased alphabet -> long homopolymer / dinucleotide runs
+    genome = "".join(rng.choice("AATTACGT") for _ in range(3000))
+    fa = str(tmp_path / "rep.fa")
+    _write_fasta(fa, {"c1": genome})
+
+    rows = []
+    for _ in range(120):
+        p = rng.randrange(50, len(genome) - 50)
+        m = rng.randrange(1, 6)
+        if rng.random() < 0.5:  # deletion of genome[p+1 .. p+m]
+            ref = genome[p - 1 : p + m]
+            alt = genome[p - 1]
+        else:  # insertion after p, often a copy of adjacent sequence
+            ins = (
+                genome[p : p + m]
+                if rng.random() < 0.7
+                else "".join(rng.choice("ACGT") for _ in range(m))
+            )
+            ref = genome[p - 1]
+            alt = genome[p - 1] + ins
+        rows.append(("c1", p, p + len(ref) - 1, None, ref, [alt], None, None, None, None))
+
+    from disq_spark.schemas import VARIANTS_SCHEMA
+
+    df = spark.createDataFrame(rows, VARIANTS_SCHEMA)
+    got = {
+        (r.start, r.ref, tuple(r.alts)): None
+        for r in left_align_variants(df, spark, fa, max_shift=200, window=97).collect()
+    }
+    want = {}
+    for _, p, _e, _i, ref, alts, *_ in rows:
+        np_, nr, na = _serial_left_align(genome, p, ref, alts[0])
+        want[(np_, nr, (na,))] = None
+    assert sorted(got) == sorted(want)
+
+
+def test_left_align_passthrough_and_cap(spark, tmp_path):
+    from disq_spark.operators.variant_qc import left_align_variants
+    from disq_spark.schemas import VARIANTS_SCHEMA
+
+    genome = "A" * 400 + "CGT" * 40
+    fa = str(tmp_path / "homo.fa")
+    _write_fasta(fa, {"c1": genome})
+    rows = [
+        # pure insertion of A inside the A-run: shifts left but stops at max_shift
+        ("c1", 300, 300, None, "A", ["AA"], None, None, None, None),
+        # SNP: untouched
+        ("c1", 410, 410, None, "G", ["C"], None, None, None, None),
+        # symbolic: untouched
+        ("c1", 420, 420, None, "T", ["<DEL>"], None, None, None, None),
+        # multiallelic: untouched (split first)
+        ("c1", 430, 432, None, "CGT", ["C", "CGTCGT"], None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, VARIANTS_SCHEMA)
+    out = {tuple(r.alts or []): (r.start, r.ref) for r in left_align_variants(
+        df, spark, fa, max_shift=50, window=100
+    ).collect()}
+    assert out[("AA",)] == (250, "A")  # capped at max_shift=50, not POS 1
+    assert out[("C",)] == (410, "G")
+    assert out[("<DEL>",)] == (420, "T")
+    assert out[("C", "CGTCGT")] == (430, "CGT")
