@@ -29,7 +29,18 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from disq_spark.headers import SamHeader
-from disq_spark.schemas import FLAG_DUPLICATE, FLAG_REVERSE, FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED
+from disq_spark.schemas import (
+    FLAG_DUPLICATE,
+    FLAG_FAIL_QC,
+    FLAG_FIRST_OF_PAIR,
+    FLAG_MATE_REVERSE,
+    FLAG_MATE_UNMAPPED,
+    FLAG_PAIRED,
+    FLAG_REVERSE,
+    FLAG_SECONDARY,
+    FLAG_SUPPLEMENTARY,
+    FLAG_UNMAPPED,
+)
 
 DEFAULT_BIN_SIZE = 10_000
 
@@ -1288,3 +1299,251 @@ def candidate_vcf_header(refs: list | None = None) -> "VcfHeader":
         lines.append(f"##contig=<ID={name},length={length}>")
     lines.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
     return VcfHeader.from_lines([ln + "\n" for ln in lines])
+
+
+def _pair_orientation() -> F.Column:
+    """htsjdk SamPairUtil.getPairOrientation as a column expression:
+    TANDEM when both mates share a strand; otherwise compare the
+    positive-strand 5' position against the negative-strand 5'
+    position (read end for a reverse read; mate_start + |TLEN| - 1
+    when the mate is the reverse one) -- FR if positive < negative."""
+    rev = (F.col("flags").bitwiseAND(FLAG_REVERSE)) != 0
+    mate_rev = (F.col("flags").bitwiseAND(FLAG_MATE_REVERSE)) != 0
+    pos5 = F.when(rev, F.col("mate_start")).otherwise(F.col("start"))
+    neg5 = F.when(rev, F.col("end")).otherwise(
+        F.col("mate_start") + F.abs(F.col("template_len")) - 1
+    )
+    return (
+        F.when(rev == mate_rev, "TANDEM")
+        .when(pos5 < neg5, "FR")
+        .otherwise("RF")
+    )
+
+
+def _insert_pairs(df: DataFrame, include_duplicates: bool) -> DataFrame:
+    """First-of-pair representatives carrying (orientation, insert)."""
+    f = F.col("flags")
+    keep = (
+        ((f.bitwiseAND(FLAG_PAIRED)) != 0)
+        & ((f.bitwiseAND(FLAG_UNMAPPED)) == 0)
+        & ((f.bitwiseAND(FLAG_MATE_UNMAPPED)) == 0)
+        & ((f.bitwiseAND(FLAG_FIRST_OF_PAIR)) != 0)
+        & ((f.bitwiseAND(FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0)
+        & (F.col("template_len") != 0)
+        & (
+            F.col("mate_contig").isNull()
+            | (F.col("mate_contig") == F.col("contig"))
+            | (F.col("mate_contig") == "=")
+        )
+    )
+    if not include_duplicates:
+        keep = keep & ((f.bitwiseAND(FLAG_DUPLICATE)) == 0)
+    return df.filter(keep).select(
+        _pair_orientation().alias("orientation"),
+        F.abs(F.col("template_len")).cast("long").alias("insert_size"),
+    )
+
+
+def insert_size_histogram(df: DataFrame, include_duplicates: bool = False) -> DataFrame:
+    """Picard CollectInsertSizeMetrics histogram: (orientation,
+    insert_size, n_pairs), one pair counted once via its first-of-pair
+    end. Single map-side-combinable groupBy; output bounded by
+    #orientations x #distinct insert sizes, never by read count."""
+    return (
+        _insert_pairs(df, include_duplicates)
+        .groupBy("orientation", "insert_size")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def insert_size_metrics(
+    df: DataFrame,
+    include_duplicates: bool = False,
+    deviations: float = 10.0,
+) -> DataFrame:
+    """Picard CollectInsertSizeMetrics summary per pair orientation:
+    median / MAD / min / max over ALL pairs, mean / stddev / read-pair
+    count restricted to Picard's trimmed core (inserts within
+    ``deviations`` x MAD of the median), plus the overall pair count
+    and the modal insert size.
+
+    Three passes over a histogram that is already tiny (bounded by
+    distinct insert sizes): pass 1 medians, pass 2 MADs, pass 3 the
+    trimmed moments + mode -- each a map-side-combinable aggregate on
+    a <=3-row key space, joined broadcast-style. At 100 TB the only
+    full-data work is the single scan building the histogram; the
+    passes run on the collapsed (orientation, insert_size) table.
+    Cites Picard InsertSizeMetrics.java semantics (DEVIATIONS=10
+    default; WIDTH_OF_xx columns omitted -- derivable from the
+    histogram operator).
+    """
+    hist = insert_size_histogram(df, include_duplicates).localCheckpoint()
+
+    med = hist.groupBy("orientation").agg(
+        F.expr(
+            "percentile(insert_size, 0.5, n_pairs)"
+        ).alias("median_insert_size")
+    )
+    h1 = hist.join(F.broadcast(med), "orientation")
+    mad = h1.groupBy("orientation").agg(
+        F.expr(
+            "percentile(abs(insert_size - median_insert_size), 0.5, n_pairs)"
+        ).alias("median_absolute_deviation")
+    )
+    h2 = h1.join(F.broadcast(mad), "orientation")
+    core = F.abs(F.col("insert_size") - F.col("median_insert_size")) <= (
+        F.col("median_absolute_deviation") * deviations
+    )
+    w_total = F.sum("n_pairs")
+    stats = h2.groupBy(
+        "orientation", "median_insert_size", "median_absolute_deviation"
+    ).agg(
+        F.min("insert_size").alias("min_insert_size"),
+        F.max("insert_size").alias("max_insert_size"),
+        w_total.alias("read_pairs"),
+        F.sum(F.when(core, F.col("n_pairs")).otherwise(0)).alias("trimmed_pairs"),
+        (
+            F.sum(F.when(core, F.col("insert_size") * F.col("n_pairs")).otherwise(0))
+            / F.sum(F.when(core, F.col("n_pairs")).otherwise(0))
+        ).alias("mean_insert_size"),
+        F.sum(
+            F.when(core, F.col("insert_size") * F.col("insert_size") * F.col("n_pairs")).otherwise(0)
+        ).alias("__sumsq"),
+        F.max_by("insert_size", F.struct("n_pairs", (-F.col("insert_size")).alias("neg"))).alias(
+            "mode_insert_size"
+        ),
+    )
+    # sample stddev over the trimmed core (Picard uses the histogram's
+    # getStandardDeviation: sqrt((sumsq - n*mean^2) / (n - 1)))
+    sd = F.when(
+        F.col("trimmed_pairs") > 1,
+        F.sqrt(
+            (F.col("__sumsq") - F.col("trimmed_pairs") * F.col("mean_insert_size") ** 2)
+            / (F.col("trimmed_pairs") - 1)
+        ),
+    )
+    return stats.withColumn("standard_deviation", sd).drop("__sumsq").select(
+        "orientation",
+        "read_pairs",
+        "median_insert_size",
+        "median_absolute_deviation",
+        "min_insert_size",
+        "max_insert_size",
+        "mean_insert_size",
+        "standard_deviation",
+        "mode_insert_size",
+        "trimmed_pairs",
+    )
+
+
+def _cigar_op_sum(ops: str) -> F.Column:
+    """Sum of cigar run lengths whose op is in ``ops`` (a character
+    class body, e.g. ``'M=X'``), 0 for null/'*' cigars."""
+    expr = (
+        "aggregate(regexp_extract_all(coalesce(cigar, ''), '([0-9]+)([MIDNSHP=X])', 0), "
+        "0L, (acc, x) -> acc + (case when substring(x, -1, 1) rlike '[" + ops + "]' "
+        "then cast(substring(x, 1, length(x) - 1) as long) else 0L end))"
+    )
+    return F.expr(expr)
+
+
+def alignment_summary_metrics(
+    df: DataFrame, hq_mapq: int = 20, max_insert: int = 100_000
+) -> DataFrame:
+    """Picard CollectAlignmentSummaryMetrics analog per category
+    (FIRST_OF_PAIR / SECOND_OF_PAIR / UNPAIRED, with PAIR as the
+    first+second rollup). Secondary and supplementary records are
+    excluded, matching Picard's primary-record accounting.
+
+    Columns: total_reads; pf_reads (not vendor-failed, 0x200);
+    pf_reads_aligned; pf_hq_aligned_reads (MAPQ >= ``hq_mapq``);
+    reads_aligned_in_pairs (both ends mapped); strand_balance
+    (forward fraction of aligned); mean_read_length;
+    pf_mismatch_rate = substitutions / aligned bases, where
+    substitutions = NM - inserted - deleted bases (Picard excludes
+    indels from the mismatch count) and aligned bases are the M/=/X
+    cigar span -- rows without an NM tag contribute zero to both
+    sides; pct_chimeras (aligned pairs whose mate sits on another
+    contig or |TLEN| > ``max_insert``).
+
+    One scan, every covariate a column expression; the PAIR rollup
+    rides the same aggregate via a 2-element category explode (all
+    numerators are additive), so output is <= 4 rows regardless of
+    input size."""
+    f = F.col("flags")
+    primary = (f.bitwiseAND(FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
+    paired = (f.bitwiseAND(FLAG_PAIRED)) != 0
+    base_cat = (
+        F.when(~paired, "UNPAIRED")
+        .when((f.bitwiseAND(FLAG_FIRST_OF_PAIR)) != 0, "FIRST_OF_PAIR")
+        .otherwise("SECOND_OF_PAIR")
+    )
+    cats = F.when(paired, F.array(base_cat, F.lit("PAIR"))).otherwise(
+        F.array(base_cat)
+    )
+    pf = (f.bitwiseAND(FLAG_FAIL_QC)) == 0
+    mapped = (f.bitwiseAND(FLAG_UNMAPPED)) == 0
+    mate_mapped = (f.bitwiseAND(FLAG_MATE_UNMAPPED)) == 0
+    fwd = (f.bitwiseAND(FLAG_REVERSE)) == 0
+    nm = F.expr(
+        "cast(substring_index(coalesce(try_element_at(tags, 'NM'), ''), ':', -1) as long)"
+    )
+    has_nm = F.col("tags").isNotNull() & F.expr("try_element_at(tags, 'NM') is not null")
+    aligned_bases = _cigar_op_sum("M=X")
+    indel_bases = _cigar_op_sum("ID")
+    subs = F.when(mapped & has_nm, F.greatest(nm - indel_bases, F.lit(0))).otherwise(
+        F.lit(0)
+    )
+    chimeric = mapped & mate_mapped & paired & (
+        (F.col("mate_contig").isNotNull() & (F.col("mate_contig") != "=")
+         & (F.col("mate_contig") != F.col("contig")))
+        | (F.abs(F.coalesce(F.col("template_len"), F.lit(0))) > max_insert)
+    )
+    longc = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    out = (
+        df.filter(primary)
+        .select(
+            F.explode(cats).alias("category"),
+            f.alias("flags"),
+            pf.alias("pf"),
+            mapped.alias("mapped"),
+            (mapped & mate_mapped & paired).alias("in_pair"),
+            (mapped & fwd).alias("fwd_aligned"),
+            F.length(F.when(F.col("seq") == "*", None).otherwise(F.col("seq"))).alias(
+                "read_len"
+            ),
+            (F.col("mapq") >= hq_mapq).alias("hq"),
+            subs.alias("subs"),
+            F.when(mapped & has_nm, aligned_bases).otherwise(F.lit(0)).alias(
+                "nm_aligned_bases"
+            ),
+            chimeric.alias("chimeric"),
+        )
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("total_reads"),
+            longc(F.col("pf")).alias("pf_reads"),
+            longc(F.col("pf") & F.col("mapped")).alias("pf_reads_aligned"),
+            longc(F.col("pf") & F.col("mapped") & F.col("hq")).alias(
+                "pf_hq_aligned_reads"
+            ),
+            longc(F.col("pf") & F.col("in_pair")).alias("reads_aligned_in_pairs"),
+            (
+                longc(F.col("pf") & F.col("fwd_aligned"))
+                / F.nullif(longc(F.col("pf") & F.col("mapped")), F.lit(0))
+            ).alias("strand_balance"),
+            F.avg("read_len").alias("mean_read_length"),
+            (
+                F.sum(F.when(F.col("pf"), F.col("subs")).otherwise(0))
+                / F.nullif(
+                    F.sum(F.when(F.col("pf"), F.col("nm_aligned_bases")).otherwise(0)),
+                    F.lit(0),
+                )
+            ).alias("pf_mismatch_rate"),
+            (
+                longc(F.col("pf") & F.col("chimeric"))
+                / F.nullif(longc(F.col("pf") & F.col("in_pair")), F.lit(0))
+            ).alias("pct_chimeras"),
+        )
+    )
+    return out

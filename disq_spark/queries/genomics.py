@@ -1700,3 +1700,99 @@ FROM (VALUES
 ) AS t(contig, start, "end", ref, alt)
 ORDER BY contig, start, ref, alt
 """
+
+@_q("genomics_insert_size_metrics")
+def genomics_insert_size_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Picard CollectInsertSizeMetrics over the 1.bam fixture: per pair
+    orientation (htsjdk SamPairUtil semantics), median/MAD/min/max over
+    all first-of-pair inserts and MAD-trimmed mean/stddev/mode
+    (DEVIATIONS=10). Golden rows pinned from a run cross-checked
+    base-by-base by the serial Picard collector in
+    tests/test_operators.py::test_insert_size_metrics_matches_serial."""
+    from disq_spark.operators.genomics import insert_size_metrics
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    m = insert_size_metrics(df)
+    return m.select(
+        "orientation",
+        "read_pairs",
+        F.round("median_insert_size", 4).alias("median_insert_size"),
+        F.round("median_absolute_deviation", 4).alias("mad"),
+        "min_insert_size",
+        "max_insert_size",
+        F.round("mean_insert_size", 4).alias("mean_insert_size"),
+        F.round("standard_deviation", 4).alias("standard_deviation"),
+        "mode_insert_size",
+        "trimmed_pairs",
+    ).orderBy("orientation")
+
+
+ORACLE["genomics_insert_size_metrics"] = """
+SELECT orientation, CAST(read_pairs AS BIGINT) AS read_pairs,
+       CAST(median_insert_size AS DOUBLE) AS median_insert_size,
+       CAST(mad AS DOUBLE) AS mad,
+       CAST(min_insert_size AS BIGINT) AS min_insert_size,
+       CAST(max_insert_size AS BIGINT) AS max_insert_size,
+       CAST(mean_insert_size AS DOUBLE) AS mean_insert_size,
+       CAST(standard_deviation AS DOUBLE) AS standard_deviation,
+       CAST(mode_insert_size AS BIGINT) AS mode_insert_size,
+       CAST(trimmed_pairs AS BIGINT) AS trimmed_pairs
+FROM (VALUES
+  ('FR', 1976, 160.0, 37.0, 67, 665, 172.0299, 62.5467, 124, 1974),
+  ('TANDEM', 1, 130726987.0, 0.0, 130726987, 130726987, 130726987.0, NULL, 130726987, 1)
+) AS t(orientation, read_pairs, median_insert_size, mad, min_insert_size,
+       max_insert_size, mean_insert_size, standard_deviation, mode_insert_size,
+       trimmed_pairs)
+ORDER BY orientation
+"""
+
+@_q("genomics_alignment_summary")
+def genomics_alignment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Picard CollectAlignmentSummaryMetrics analog over 1.bam: per
+    category (FIRST/SECOND/PAIR rollup) read accounting, strand
+    balance, NM-derived substitution rate (indel bases excluded), and
+    chimera fraction. Golden rows pinned from a run cross-checked by
+    the serial Picard-style collector in tests/test_operators.py::
+    test_alignment_summary_metrics_matches_serial."""
+    from disq_spark.operators.genomics import alignment_summary_metrics
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    return (
+        alignment_summary_metrics(df)
+        .select(
+            "category",
+            "total_reads",
+            "pf_reads",
+            "pf_reads_aligned",
+            "pf_hq_aligned_reads",
+            "reads_aligned_in_pairs",
+            F.round("strand_balance", 6).alias("strand_balance"),
+            F.round("mean_read_length", 4).alias("mean_read_length"),
+            F.round("pf_mismatch_rate", 6).alias("pf_mismatch_rate"),
+            F.round("pct_chimeras", 6).alias("pct_chimeras"),
+        )
+        .orderBy("category")
+    )
+
+
+ORACLE["genomics_alignment_summary"] = """
+SELECT category, CAST(total_reads AS BIGINT) AS total_reads,
+       CAST(pf_reads AS BIGINT) AS pf_reads,
+       CAST(pf_reads_aligned AS BIGINT) AS pf_reads_aligned,
+       CAST(pf_hq_aligned_reads AS BIGINT) AS pf_hq_aligned_reads,
+       CAST(reads_aligned_in_pairs AS BIGINT) AS reads_aligned_in_pairs,
+       CAST(strand_balance AS DOUBLE) AS strand_balance,
+       CAST(mean_read_length AS DOUBLE) AS mean_read_length,
+       CAST(pf_mismatch_rate AS DOUBLE) AS pf_mismatch_rate,
+       CAST(pct_chimeras AS DOUBLE) AS pct_chimeras
+FROM (VALUES
+  ('FIRST_OF_PAIR', 2442, 2271, 2271, 2270, 2247, 0.446059, 76.0, 0.001041, 0.00267),
+  ('PAIR', 4917, 4570, 4547, 4545, 4523, 0.478557, 76.0, 0.001533, 0.003316),
+  ('SECOND_OF_PAIR', 2475, 2299, 2276, 2275, 2276, 0.510984, 76.0, 0.00203, 0.003954)
+) AS t(category, total_reads, pf_reads, pf_reads_aligned, pf_hq_aligned_reads,
+       reads_aligned_in_pairs, strand_balance, mean_read_length,
+       pf_mismatch_rate, pct_chimeras)
+ORDER BY category
+"""

@@ -2420,3 +2420,163 @@ def test_left_align_passthrough_and_cap(spark, tmp_path):
     assert out[("C",)] == (410, "G")
     assert out[("<DEL>",)] == (420, "T")
     assert out[("C", "CGTCGT")] == (430, "CGT")
+
+
+def test_insert_size_metrics_matches_serial(spark, fixtures_dir):
+    """Histogram + summary cross-checked by an independent serial pass
+    implementing Picard's collector (first-of-pair representative,
+    same-contig mapped pairs, TLEN != 0, MAD-trimmed moments)."""
+    import math
+    import os
+    from collections import Counter
+
+    from disq_spark.operators.genomics import (
+        insert_size_histogram,
+        insert_size_metrics,
+    )
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+
+    by_orient = {}
+    for r in df.collect():
+        f = r.flags
+        if not (f & 0x1) or (f & 0x4) or (f & 0x8) or not (f & 0x40):
+            continue
+        if f & (0x100 | 0x800 | 0x400):
+            continue
+        if not r.template_len:
+            continue
+        if r.mate_contig not in (None, "=", r.contig):
+            continue
+        rev, mrev = bool(f & 0x10), bool(f & 0x20)
+        if rev == mrev:
+            o = "TANDEM"
+        else:
+            pos5 = r.mate_start if rev else r.start
+            neg5 = r.end if rev else r.mate_start + abs(r.template_len) - 1
+            o = "FR" if pos5 < neg5 else "RF"
+        by_orient.setdefault(o, []).append(abs(r.template_len))
+
+    got_h = {
+        (r.orientation, r.insert_size): r.n_pairs
+        for r in insert_size_histogram(df).collect()
+    }
+    want_h = {}
+    for o, xs in by_orient.items():
+        for v, n in Counter(xs).items():
+            want_h[(o, v)] = n
+    assert got_h == want_h
+
+    def median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return (xs[(n - 1) // 2] + xs[n // 2]) / 2
+
+    got_m = {r.orientation: r for r in insert_size_metrics(df).collect()}
+    assert set(got_m) == set(by_orient)
+    for o, xs in by_orient.items():
+        med = median(xs)
+        mad = median([abs(x - med) for x in xs])
+        core = [x for x in xs if abs(x - med) <= 10 * mad]
+        mean = sum(core) / len(core)
+        r = got_m[o]
+        assert r.read_pairs == len(xs)
+        assert r.median_insert_size == med
+        assert r.median_absolute_deviation == mad
+        assert (r.min_insert_size, r.max_insert_size) == (min(xs), max(xs))
+        assert abs(r.mean_insert_size - mean) < 1e-9
+        assert r.trimmed_pairs == len(core)
+        if len(core) > 1:
+            sd = math.sqrt(
+                (sum(x * x for x in core) - len(core) * mean * mean) / (len(core) - 1)
+            )
+            assert abs(r.standard_deviation - sd) < 1e-6
+        cnt = Counter(xs)
+        best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        assert r.mode_insert_size == best
+
+
+def test_alignment_summary_metrics_matches_serial(spark, fixtures_dir):
+    """Per-category counters cross-checked by a serial Picard-style
+    pass over the collected fixture reads (NM-tag substitution rate
+    excludes indel bases; PAIR is the first+second rollup)."""
+    import os
+    import re
+
+    from disq_spark.operators.genomics import alignment_summary_metrics
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    agg = {}
+
+    def bump(cat, **kw):
+        a = agg.setdefault(
+            cat,
+            dict(
+                total=0, pf=0, aligned=0, hq=0, in_pair=0, fwd=0,
+                len_sum=0, len_n=0, subs=0, nm_bases=0, chim=0,
+            ),
+        )
+        for k, v in kw.items():
+            a[k] += v
+
+    for r in df.collect():
+        f = r.flags
+        if f & (0x100 | 0x800):
+            continue
+        paired = bool(f & 0x1)
+        cats = (
+            ["UNPAIRED"]
+            if not paired
+            else (["FIRST_OF_PAIR", "PAIR"] if f & 0x40 else ["SECOND_OF_PAIR", "PAIR"])
+        )
+        pf = not (f & 0x200)
+        mapped = not (f & 0x4)
+        in_pair = mapped and not (f & 0x8) and paired
+        nm = None
+        if r.tags and "NM" in r.tags:
+            nm = int(r.tags["NM"].split(":")[-1])
+        ab = ind = 0
+        for n, op in re.findall(r"(\d+)([MIDNSHP=X])", r.cigar or ""):
+            if op in "M=X":
+                ab += int(n)
+            if op in "ID":
+                ind += int(n)
+        chim = in_pair and (
+            (r.mate_contig not in (None, "=", r.contig))
+            or abs(r.template_len or 0) > 100_000
+        )
+        for c in cats:
+            bump(
+                c,
+                total=1,
+                pf=pf,
+                aligned=pf and mapped,
+                hq=pf and mapped and r.mapq >= 20,
+                in_pair=pf and in_pair,
+                fwd=pf and mapped and not (f & 0x10),
+                len_sum=len(r.seq) if r.seq and r.seq != "*" else 0,
+                len_n=1 if r.seq and r.seq != "*" else 0,
+                subs=(max(nm - ind, 0) if (pf and mapped and nm is not None) else 0),
+                nm_bases=(ab if (pf and mapped and nm is not None) else 0),
+                chim=pf and chim,
+            )
+
+    got = {r.category: r for r in alignment_summary_metrics(df).collect()}
+    assert set(got) == set(agg)
+    for c, a in agg.items():
+        g = got[c]
+        assert g.total_reads == a["total"]
+        assert g.pf_reads == a["pf"]
+        assert g.pf_reads_aligned == a["aligned"]
+        assert g.pf_hq_aligned_reads == a["hq"]
+        assert g.reads_aligned_in_pairs == a["in_pair"]
+        if a["aligned"]:
+            assert abs(g.strand_balance - a["fwd"] / a["aligned"]) < 1e-12
+        if a["len_n"]:
+            assert abs(g.mean_read_length - a["len_sum"] / a["len_n"]) < 1e-9
+        if a["nm_bases"]:
+            assert abs(g.pf_mismatch_rate - a["subs"] / a["nm_bases"]) < 1e-12
+        if a["in_pair"]:
+            assert abs(g.pct_chimeras - a["chim"] / a["in_pair"]) < 1e-12
