@@ -491,3 +491,163 @@ def left_align_variants(
         .drop("__wid", "__wstart", "__ctx", "__s", "__shift", "__ref2", "__alts2")
     )
     return rest.unionByName(aligned)
+
+
+def merge_variant_sets(
+    dfs: list[DataFrame],
+    sample_lists: list[list[str]] | None = None,
+) -> DataFrame:
+    """Multi-way VCF sample merge (bcftools merge analog): one row per
+    (contig, POS, REF) site across all inputs, ALT alleles unified in
+    first-appearance order (input order, then allele order -- bcftools'
+    file-order semantics made deterministic), every genotype's allele
+    indexes remapped into the merged ALT list with phasing separators
+    preserved, and samples from inputs lacking a site filled with the
+    missing genotype './.' (diploid assumption, as bcftools). AN / AC /
+    AF are recomputed from the merged genotypes (bcftools recalculates
+    these); other INFO fields are dropped. QUAL is the max over inputs,
+    IDs and failing FILTER names are unioned. Records sharing POS but
+    differing in REF stay separate rows (bcftools -m none shape for
+    mismatched REFs).
+
+    ``sample_lists[i]`` names input i's samples; when omitted each
+    input is scanned once for its distinct sample set (driver-bounded
+    by cohort sample count). Genotypes in the output are sorted by
+    sample name.
+
+    Plan shape: two site-keyed shuffles (allele first-appearance rank,
+    then the site merge); per-site state is #inputs structs, so reducer
+    rows stay O(samples) regardless of cohort row count. All remapping
+    is higher-order column expressions -- no Python in the row path.
+    """
+    from pyspark.sql import functions as F
+
+    if sample_lists is None:
+        sample_lists = []
+        for d in dfs:
+            s = [
+                r[0]
+                for r in d.select(
+                    F.explode(F.expr("coalesce(genotypes, array())")).alias("g")
+                )
+                .select(F.col("g.sample"))
+                .distinct()
+                .collect()
+            ]
+            sample_lists.append(sorted(s))
+
+    tagged = None
+    for i, d in enumerate(dfs):
+        t = d.withColumn("__src", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    key = ["contig", "start", "ref"]
+
+    # 1. merged ALT list per site, first-appearance order
+    alt_rank = (
+        tagged.filter(F.col("alts").isNotNull())
+        .select(*key, "__src", F.posexplode("alts").alias("__ai", "__alt"))
+        .groupBy(*key, "__alt")
+        .agg(F.min(F.struct("__src", "__ai")).alias("__rank"))
+    )
+    merged_alts = alt_rank.groupBy(*key).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(__rank, __alt))), x -> x.__alt)"
+        ).alias("__malts")
+    )
+
+    # 2. remap each row's genotypes into merged-ALT index space
+    j = tagged.join(merged_alts, key, "left")
+    remap_tok = (
+        "case when t in ('/', '|', '.') then t "
+        "when t = '0' then '0' "
+        "else cast(array_position(__malts, alts[cast(t as int) - 1]) as string) end"
+    )
+    remapped = j.withColumn(
+        "genotypes",
+        F.expr(
+            "transform(coalesce(genotypes, array()), g -> struct("
+            "g.sample as sample, "
+            "case when g.gt is null then null else "
+            f"array_join(transform(regexp_extract_all(g.gt, '([0-9]+|[/|.])', 1), t -> {remap_tok}), '') "
+            "end as gt, g.attrs as attrs))"
+        ),
+    )
+
+    # 3. site merge: union genotypes, fill absent inputs' samples
+    all_samples = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("src"),
+                F.array(*[F.lit(s) for s in sl]).alias("samples"),
+            )
+            for i, sl in enumerate(sample_lists)
+        ]
+    )
+    site = (
+        remapped.groupBy(*key)
+        .agg(
+            F.max("qual").alias("qual"),
+            F.first("__malts", ignorenulls=True).alias("alts"),
+            F.expr(
+                "array_distinct(flatten(collect_list(coalesce(ids, array()))))"
+            ).alias("__ids"),
+            F.expr("max(ids is not null)").alias("__has_ids"),
+            F.expr(
+                "array_distinct(flatten(collect_list(coalesce(filters, array()))))"
+            ).alias("__filt"),
+            F.expr("max(filters is not null)").alias("__has_filt"),
+            F.expr("flatten(collect_list(genotypes))").alias("__g"),
+            F.collect_set("__src").alias("__present"),
+        )
+        .withColumn("__all", all_samples)
+        .withColumn(
+            "__missing",
+            F.expr(
+                "flatten(transform("
+                "filter(__all, a -> not array_contains(__present, a.src)), "
+                "a -> transform(a.samples, s -> struct("
+                "s as sample, './.' as gt, "
+                "cast(null as map<string,string>) as attrs))))"
+            ),
+        )
+        .withColumn(
+            "genotypes",
+            F.expr("array_sort(concat(__g, __missing), (a, b) -> "
+                   "case when a.sample < b.sample then -1 "
+                   "when a.sample > b.sample then 1 else 0 end)"),
+        )
+    )
+
+    # 4. recompute AN / AC / AF from the merged genotypes
+    alleles = (
+        "flatten(transform(genotypes, g -> "
+        "filter(regexp_extract_all(coalesce(g.gt, ''), '([0-9]+|\\\\.)', 1), "
+        "t -> t <> '.')))"
+    )
+    an = f"size({alleles})"
+    ac = (
+        f"transform(sequence(1, size(alts)), k -> "
+        f"size(filter({alleles}, t -> cast(t as int) = k)))"
+    )
+    info = (
+        f"case when alts is null or size(alts) = 0 then "
+        f"map('AN', cast({an} as string)) else "
+        f"map('AN', cast({an} as string), "
+        f"'AC', array_join(transform({ac}, c -> cast(c as string)), ','), "
+        f"'AF', case when {an} = 0 then array_join(transform({ac}, c -> '0'), ',') "
+        f"else array_join(transform({ac}, c -> cast(round(c / {an}, 6) as string)), ',') end) "
+        f"end"
+    )
+    return site.select(
+        "contig",
+        "start",
+        (F.col("start") + F.length("ref") - 1).alias("end"),
+        F.when(F.col("__has_ids"), F.col("__ids")).alias("ids"),
+        "ref",
+        "alts",
+        "qual",
+        F.when(F.col("__has_filt"), F.col("__filt")).alias("filters"),
+        F.expr(info).alias("info"),
+        "genotypes",
+    )

@@ -1796,3 +1796,49 @@ FROM (VALUES
        pf_mismatch_rate, pct_chimeras)
 ORDER BY category
 """
+
+@_q("genomics_merge_vcf")
+def genomics_merge_vcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bcftools-merge analog: the 3-sample spec fixture split into
+    per-sample call sets and merged back -- sites, first-appearance ALT
+    order, and phase-preserving genotypes must reproduce the original
+    file, with AN/AC recomputed from the merged genotypes. Golden rows
+    are the fixture's own records (hand-tallied AN/AC); the remap and
+    missing-sample paths are covered by tests/test_operators.py::
+    test_merge_variant_sets_alt_remap."""
+    from disq_spark.operators.variant_qc import merge_variant_sets
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "test.vcf"))
+    singles = [
+        df.withColumn(
+            "genotypes", F.expr(f"filter(genotypes, g -> g.sample = '{s}')")
+        )
+        for s in ("NA00001", "NA00002", "NA00003")
+    ]
+    m = merge_variant_sets(singles)
+    return m.select(
+        "contig",
+        "start",
+        "ref",
+        F.array_join(F.coalesce("alts", F.array()), ",").alias("alt"),
+        F.expr("cast(info['AN'] as int)").alias("an"),
+        F.coalesce(F.expr("info['AC']"), F.lit("")).alias("ac"),
+        F.array_join(
+            F.expr("transform(genotypes, g -> concat(g.sample, ':', g.gt))"), ";"
+        ).alias("gts"),
+    ).orderBy("contig", "start", "ref")
+
+
+ORACLE["genomics_merge_vcf"] = """
+SELECT contig, CAST(start AS BIGINT) AS start, ref, alt,
+       CAST(an AS INT) AS an, ac, gts
+FROM (VALUES
+  ('20', 14370, 'G', 'A', 6, '3', 'NA00001:0|0;NA00002:1|0;NA00003:1/1'),
+  ('20', 17330, 'T', 'A', 6, '1', 'NA00001:0|0;NA00002:0|1;NA00003:0/0'),
+  ('20', 1110696, 'A', 'G,T', 6, '2,4', 'NA00001:1|2;NA00002:2|1;NA00003:2/2'),
+  ('20', 1230237, 'T', '', 6, '', 'NA00001:0|0;NA00002:0|0;NA00003:0/0'),
+  ('20', 1234567, 'GTC', 'G,GTCT', 6, '3,1', 'NA00001:0/1;NA00002:0/2;NA00003:1/1')
+) AS t(contig, start, ref, alt, an, ac, gts)
+ORDER BY contig, start, ref
+"""

@@ -2580,3 +2580,86 @@ def test_alignment_summary_metrics_matches_serial(spark, fixtures_dir):
             assert abs(g.pf_mismatch_rate - a["subs"] / a["nm_bases"]) < 1e-12
         if a["in_pair"]:
             assert abs(g.pct_chimeras - a["chim"] / a["in_pair"]) < 1e-12
+
+
+def test_merge_variant_sets_roundtrip(spark, fixtures_dir):
+    """Splitting the 3-sample spec fixture into per-sample sets and
+    merging back must reproduce every site, ALT list, and genotype
+    (phasing separators included), with AN/AC recomputed."""
+    import os
+
+    from disq_spark.operators.variant_qc import merge_variant_sets
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(fixtures_dir, "test.vcf"))
+    singles = [
+        df.withColumn(
+            "genotypes",
+            F.expr(f"filter(genotypes, g -> g.sample = '{s}')"),
+        )
+        for s in ("NA00001", "NA00002", "NA00003")
+    ]
+    merged = merge_variant_sets(singles)
+    want = {
+        (r.contig, r.start, r.ref): r
+        for r in df.collect()
+    }
+    got = {(r.contig, r.start, r.ref): r for r in merged.collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g.alts == w.alts, k
+        assert g.end == w.start + len(w.ref) - 1
+        assert sorted((x.sample, x.gt) for x in g.genotypes) == sorted(
+            (x.sample, x.gt) for x in w.genotypes
+        ), k
+        # AN/AC recomputed from genotypes
+        called = [
+            a
+            for x in w.genotypes
+            if x.gt
+            for a in x.gt.replace("|", "/").split("/")
+            if a != "."
+        ]
+        assert int(g.info["AN"]) == len(called), k
+        if w.alts:
+            ac = [sum(1 for a in called if a == str(i + 1)) for i in range(len(w.alts))]
+            assert g.info["AC"] == ",".join(str(c) for c in ac), k
+
+
+def test_merge_variant_sets_alt_remap(spark):
+    """Inputs carrying different ALTs at one site: merged ALT order is
+    first-appearance (input order), and each input's GT indexes are
+    remapped -- input B's '1' (alt T) becomes '2' in the merged row.
+    A site absent from input B back-fills its sample as './.'."""
+    from disq_spark.operators.variant_qc import merge_variant_sets
+    from disq_spark.schemas import VARIANTS_SCHEMA
+
+    a = spark.createDataFrame(
+        [
+            ("1", 100, 100, None, "A", ["G"], 50.0, None, None,
+             [("s1", "0|1", None)]),
+            ("1", 200, 200, None, "C", ["T"], 60.0, None, None,
+             [("s1", "1/1", None)]),
+        ],
+        VARIANTS_SCHEMA,
+    )
+    b = spark.createDataFrame(
+        [
+            ("1", 100, 100, None, "A", ["T", "G"], 70.0, None, None,
+             [("s2", "1|2", None)]),
+        ],
+        VARIANTS_SCHEMA,
+    )
+    got = {r.start: r for r in merge_variant_sets([a, b]).collect()}
+    r100 = got[100]
+    assert r100.alts == ["G", "T"]  # input-a's G first, then b's T
+    gts = {g.sample: g.gt for g in r100.genotypes}
+    assert gts == {"s1": "0|1", "s2": "2|1"}  # b's 1->T->2, 2->G->1
+    assert r100.qual == 70.0
+    assert r100.info["AN"] == "4" and r100.info["AC"] == "2,1"
+    assert r100.info["AF"] == "0.5,0.25"
+    r200 = got[200]
+    gts = {g.sample: g.gt for g in r200.genotypes}
+    assert gts == {"s1": "1/1", "s2": "./."}
+    assert r200.info["AN"] == "2" and r200.info["AC"] == "2"
