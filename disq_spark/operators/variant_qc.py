@@ -651,3 +651,110 @@ def merge_variant_sets(
         F.expr(info).alias("info"),
         "genotypes",
     )
+
+
+def hard_filter(df: DataFrame, filters: dict[str, str]) -> DataFrame:
+    """GATK VariantFiltration analog: evaluate named boolean
+    expressions over typed INFO fields and RECORD the failing filter
+    names in ``filters`` (rows are annotated, never dropped -- GATK
+    semantics). An expression references INFO keys directly (``QD <
+    2.0``); keys are bound as DOUBLE via ``try_cast`` so malformed or
+    missing values make the expression NULL, which counts as NOT
+    failing (GATK's missing-annotation behavior with
+    --missing-values-evaluate-as-failing=false, the default).
+
+    Rows that fail nothing get ``filters = []`` (PASS); pre-existing
+    failing names are preserved and extended. Pure column expressions,
+    zero shuffle.
+    """
+    import re as _re
+
+    failing = []
+    for name, expr in filters.items():
+        bound = _re.sub(
+            r"\b([A-Za-z_][A-Za-z0-9_]*)\b(?!\s*\()",
+            lambda m: (
+                f"try_cast(try_element_at(info, '{m.group(1)}') as double)"
+                if m.group(1) not in ("AND", "OR", "NOT", "and", "or", "not",
+                                       "is", "null", "true", "false",
+                                       "between", "in", "case", "when",
+                                       "then", "else", "end")
+                else m.group(1)
+            ),
+            expr,
+        )
+        failing.append(
+            F.when(F.expr(bound), F.array(F.lit(name))).otherwise(F.array())
+        )
+    all_failing = F.array_distinct(
+        F.concat(F.coalesce(F.col("filters"), F.array()), *failing)
+    )
+    return df.withColumn("filters", all_failing)
+
+
+def mendelian_violations(
+    df: DataFrame, trios: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Mendelian-violation tally per trio (GATK
+    CollectMendelianViolationMetrics / PedigreeValidation analog).
+
+    ``trios`` is a list of (child, father, mother) sample names. For
+    every site where all three genotypes are called (allele indexes
+    are row-scoped, so multiallelic sites work unchanged), a
+    violation is a child allele pair that CANNOT be composed from one
+    paternal + one maternal allele (allele-set test on the resolved
+    index multisets; phasing ignored). Output one row per trio:
+    (child, father, mother, n_sites, n_called, n_violations,
+    violation_rate).
+
+    Plan: the genotypes array is probed by sample name with
+    ``filter(...)[0]`` per trio (no explode, no join -- trios are a
+    plan literal), then one map-side-combinable groupBy on the trio
+    id. Scales with rows x trios, output bounded by #trios.
+    """
+    rows = None
+    for child, father, mother in trios:
+        def gt_of(s):
+            return (
+                f"element_at(filter(genotypes, g -> g.sample = '{s}'), 1).gt"
+            )
+
+        c, fa, mo = gt_of(child), gt_of(father), gt_of(mother)
+
+        def alleles(e):
+            return f"regexp_extract_all(coalesce({e}, '.'), '([0-9]+|\\\\.)', 1)"
+
+        called = (
+            f"size(filter({alleles(c)}, t -> t = '.')) = 0 and "
+            f"size(filter({alleles(fa)}, t -> t = '.')) = 0 and "
+            f"size(filter({alleles(mo)}, t -> t = '.')) = 0 and "
+            f"{c} is not null and {fa} is not null and {mo} is not null"
+        )
+        # diploid check: child = one allele from father x one from mother
+        viol = (
+            f"not exists({alleles(fa)}, pa -> exists({alleles(mo)}, ma -> "
+            f"(pa = {alleles(c)}[0] and ma = {alleles(c)}[1]) or "
+            f"(ma = {alleles(c)}[0] and pa = {alleles(c)}[1])))"
+        )
+        r = df.select(
+            F.lit(child).alias("child"),
+            F.lit(father).alias("father"),
+            F.lit(mother).alias("mother"),
+            F.expr(called).alias("__called"),
+            F.expr(f"case when {called} and size({alleles(c)}) = 2 then {viol} "
+                   "else false end").alias("__viol"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return (
+        rows.groupBy("child", "father", "mother")
+        .agg(
+            F.count("*").alias("n_sites"),
+            F.sum(F.col("__called").cast("long")).alias("n_called"),
+            F.sum(F.col("__viol").cast("long")).alias("n_violations"),
+            F.round(
+                F.sum(F.col("__viol").cast("long"))
+                / F.nullif(F.sum(F.col("__called").cast("long")), F.lit(0)),
+                6,
+            ).alias("violation_rate"),
+        )
+    )

@@ -1842,3 +1842,66 @@ FROM (VALUES
 ) AS t(contig, start, ref, alt, an, ac, gts)
 ORDER BY contig, start, ref
 """
+
+@_q("genomics_hard_filter")
+def genomics_hard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATK VariantFiltration analog over the CEUTrio gVCF fixture:
+    three named expressions on typed INFO fields annotate (never drop)
+    the 19,910 records; output tallies records per failing-filter name
+    (PASS = empty filter set). Missing/malformed annotations do not
+    fail (GATK default). Semantics unit-tested in
+    tests/test_operators.py::test_hard_filter_gatk_semantics."""
+    from disq_spark.operators.variant_qc import hard_filter
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(
+        spark, os.path.join(FIXTURES, "CEUTrio.20.21.gatk3.4.g.vcf.bgz")
+    )
+    out = hard_filter(
+        df, {"MQ40": "MQ < 40.0", "DP10": "DP < 10.0", "MQRS": "MQRankSum < -12.5"}
+    )
+    return (
+        out.select(
+            F.explode(
+                F.when(F.size("filters") == 0, F.array(F.lit("PASS"))).otherwise(
+                    F.col("filters")
+                )
+            ).alias("filter_name")
+        )
+        .groupBy("filter_name")
+        .agg(F.count("*").alias("n_records"))
+        .orderBy("filter_name")
+    )
+
+
+ORACLE["genomics_hard_filter"] = """
+SELECT filter_name, CAST(n_records AS BIGINT) AS n_records
+FROM (VALUES
+  ('DP10', 106), ('MQ40', 783), ('MQRS', 1), ('PASS', 19124)
+) AS t(filter_name, n_records)
+ORDER BY filter_name
+"""
+
+
+@_q("genomics_mendelian_violations")
+def genomics_mendelian_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mendelian-violation tally treating the spec fixture's NA00001 as
+    the child of NA00002/NA00003: record 1 (child 0|0, mother 1/1) is
+    the single violation among 5 fully-called sites. Golden hand-derived;
+    the allele-set test is differentially checked in
+    tests/test_operators.py::test_mendelian_violations_matches_serial."""
+    from disq_spark.operators.variant_qc import mendelian_violations
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "test.vcf"))
+    return mendelian_violations(df, [("NA00001", "NA00002", "NA00003")]).select(
+        "child", "father", "mother", "n_sites", "n_called", "n_violations",
+        F.round("violation_rate", 6).alias("violation_rate"),
+    )
+
+
+ORACLE["genomics_mendelian_violations"] = """
+SELECT 'NA00001' AS child, 'NA00002' AS father, 'NA00003' AS mother,
+       CAST(5 AS BIGINT) AS n_sites, CAST(5 AS BIGINT) AS n_called,
+       CAST(1 AS BIGINT) AS n_violations, CAST(0.2 AS DOUBLE) AS violation_rate
+"""

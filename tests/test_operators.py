@@ -2663,3 +2663,81 @@ def test_merge_variant_sets_alt_remap(spark):
     gts = {g.sample: g.gt for g in r200.genotypes}
     assert gts == {"s1": "1/1", "s2": "./."}
     assert r200.info["AN"] == "2" and r200.info["AC"] == "2"
+
+
+def test_hard_filter_gatk_semantics(spark):
+    from disq_spark.operators.variant_qc import hard_filter
+    from disq_spark.schemas import VARIANTS_SCHEMA
+
+    rows = [
+        ("1", 1, 1, None, "A", ["G"], 10.0, None, {"QD": "1.5", "FS": "70.0"}, None),
+        ("1", 2, 2, None, "A", ["G"], 10.0, None, {"QD": "30.0", "FS": "1.0"}, None),
+        # missing QD: expression NULL -> not failing
+        ("1", 3, 3, None, "A", ["G"], 10.0, None, {"FS": "90.0"}, None),
+        # malformed value -> try_cast null -> not failing
+        ("1", 4, 4, None, "A", ["G"], 10.0, ["OLD"], {"QD": "abc"}, None),
+    ]
+    df = spark.createDataFrame(rows, VARIANTS_SCHEMA)
+    out = {
+        r.start: sorted(r.filters)
+        for r in hard_filter(
+            df, {"QD2": "QD < 2.0", "FS60": "FS > 60.0"}
+        ).collect()
+    }
+    assert out[1] == ["FS60", "QD2"]
+    assert out[2] == []
+    assert out[3] == ["FS60"]
+    assert out[4] == ["OLD"]
+
+
+def test_mendelian_violations_matches_serial(spark, fixtures_dir):
+    """Trio tally cross-checked against a serial allele-set check on
+    the 3-sample spec fixture (treating NA00001 as child of the other
+    two) plus synthetic forced-violation rows."""
+    import os
+
+    from disq_spark.operators.variant_qc import mendelian_violations
+    from disq_spark.schemas import VARIANTS_SCHEMA
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(fixtures_dir, "test.vcf"))
+    extra = spark.createDataFrame(
+        [
+            # child 1/1 but father 0/0, mother 0/0 -> violation
+            ("21", 5, 5, None, "A", ["G"], None, None, None,
+             [("NA00001", "1/1", None), ("NA00002", "0/0", None),
+              ("NA00003", "0/0", None)]),
+            # child 0/1, father 0/0, mother 1/1 -> fine
+            ("21", 6, 6, None, "A", ["G"], None, None, None,
+             [("NA00001", "0/1", None), ("NA00002", "0/0", None),
+              ("NA00003", "1/1", None)]),
+            # child has missing gt -> uncalled
+            ("21", 7, 7, None, "A", ["G"], None, None, None,
+             [("NA00001", "./.", None), ("NA00002", "0/0", None),
+              ("NA00003", "0/0", None)]),
+        ],
+        VARIANTS_SCHEMA,
+    )
+    all_df = df.unionByName(extra)
+    trio = [("NA00001", "NA00002", "NA00003")]
+    got = mendelian_violations(all_df, trio).collect()[0]
+
+    def alle(gt):
+        return gt.replace("|", "/").split("/") if gt else None
+
+    n_sites = n_called = n_viol = 0
+    for r in all_df.collect():
+        gts = {g.sample: g.gt for g in (r.genotypes or [])}
+        n_sites += 1
+        c, fa, mo = (alle(gts.get(s)) for s in trio[0])
+        if not c or not fa or not mo or "." in c + fa + mo:
+            continue
+        n_called += 1
+        if len(c) == 2 and not any(
+            sorted([pa, ma]) == sorted(c) for pa in fa for ma in mo
+        ):
+            n_viol += 1
+    assert (got.n_sites, got.n_called, got.n_violations) == (
+        n_sites, n_called, n_viol
+    )
+    assert n_viol >= 1
