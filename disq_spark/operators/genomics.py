@@ -1547,3 +1547,77 @@ def alignment_summary_metrics(
         )
     )
     return out
+
+
+def wgs_metrics(
+    df: DataFrame,
+    refs: list[tuple[str, int]],
+    min_mapq: int = 20,
+    coverage_cap: int = 250,
+    levels: tuple = (1, 5, 10, 15, 20, 25, 30, 40, 50, 60, 70, 80, 90, 100),
+) -> DataFrame:
+    """Picard CollectWgsMetrics analog: genome-wide depth summary over
+    EVERY reference position (0-depth territory included). Reads are
+    filtered Picard-style (mapped, primary, non-duplicate, PF,
+    MAPQ >= ``min_mapq``); depth is the read-span depth from
+    ``coverage_depth`` capped at ``coverage_cap``. Divergences from
+    Picard, by design: the per-base base-quality filter and
+    overlapping-mate de-double-counting are omitted (read spans, not
+    base walks -- use ``pileup`` when per-base fidelity matters).
+
+    Output is long-format (metric, value): genome_territory,
+    mean_coverage, sd_coverage, median_coverage, pct_Nx for each
+    requested level.
+
+    Scale shape: coverage_depth's run-length segments collapse to a
+    <= cap+1-row depth histogram (one map-side-combinable groupBy);
+    every statistic is computed on that histogram, so the final
+    reduction is O(cap) regardless of genome or read count.
+    """
+    f = F.col("flags")
+    keep = (
+        ((f.bitwiseAND(FLAG_UNMAPPED)) == 0)
+        & ((f.bitwiseAND(FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0)
+        & ((f.bitwiseAND(FLAG_DUPLICATE)) == 0)
+        & ((f.bitwiseAND(FLAG_FAIL_QC)) == 0)
+        & (F.col("mapq") >= min_mapq)
+    )
+    genome_len = sum(int(l) for _n, l in refs)
+    segs = coverage_depth(df.filter(keep))
+    hist = (
+        segs.filter((F.col("depth") > 0) & F.col("next_pos").isNotNull())
+        .select(
+            F.least(F.col("depth"), F.lit(coverage_cap)).alias("d"),
+            (F.col("next_pos") - F.col("pos")).alias("span"),
+        )
+        .groupBy("d")
+        .agg(F.sum("span").alias("span"))
+    )
+    zero = hist.agg(
+        (F.lit(genome_len) - F.coalesce(F.sum("span"), F.lit(0))).alias("span")
+    ).select(F.lit(0).alias("d"), "span")
+    full = hist.unionByName(zero)
+    aggs = [
+        F.lit(genome_len).alias("genome_territory"),
+        (F.sum(F.col("d") * F.col("span")) / genome_len).alias("mean_coverage"),
+        F.sqrt(
+            F.sum(F.col("d") * F.col("d") * F.col("span")) / genome_len
+            - (F.sum(F.col("d") * F.col("span")) / genome_len) ** 2
+        ).alias("sd_coverage"),
+        F.expr("percentile(d, 0.5, span)").alias("median_coverage"),
+    ]
+    for lv in levels:
+        aggs.append(
+            (
+                F.sum(F.when(F.col("d") >= lv, F.col("span")).otherwise(0))
+                / genome_len
+            ).alias(f"pct_{lv}x")
+        )
+    wide = full.agg(*aggs)
+    pairs = []
+    for c in wide.columns:
+        pairs.append(F.lit(c))
+        pairs.append(F.round(F.col(c).cast("double"), 6))
+    return wide.select(
+        F.explode(F.create_map(*pairs)).alias("metric", "value")
+    )

@@ -1905,3 +1905,40 @@ SELECT 'NA00001' AS child, 'NA00002' AS father, 'NA00003' AS mother,
        CAST(5 AS BIGINT) AS n_sites, CAST(5 AS BIGINT) AS n_called,
        CAST(1 AS BIGINT) AS n_violations, CAST(0.2 AS DOUBLE) AS violation_rate
 """
+
+@_q("genomics_wgs_metrics")
+def genomics_wgs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Picard CollectWgsMetrics analog in interval mode: depth summary
+    of 1.bam over its covered region 1:24795478-24981705 (territory
+    186,228 bp) with Picard read filters and a 100x cap. Golden rows
+    pinned from a run cross-checked position-by-position by the serial
+    depth walk in tests/test_operators.py::test_wgs_metrics_matches_serial
+    (which runs the same operator over the full 3.1 Gbp dictionary)."""
+    from disq_spark.operators.genomics import wgs_metrics
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    return wgs_metrics(
+        df,
+        [("1:24795478-24981705", 186228)],
+        coverage_cap=100,
+        levels=(1, 2, 5, 10, 15, 20),
+    ).orderBy("metric")
+
+
+ORACLE["genomics_wgs_metrics"] = """
+SELECT metric, CAST(value AS DOUBLE) AS value
+FROM (VALUES
+  ('genome_territory', 186228.0),
+  ('mean_coverage', 1.264831),
+  ('median_coverage', 0.0),
+  ('pct_10x', 0.022204),
+  ('pct_15x', 0.019745),
+  ('pct_1x', 0.045353),
+  ('pct_20x', 0.017908),
+  ('pct_2x', 0.030608),
+  ('pct_5x', 0.025404),
+  ('sd_coverage', 9.409223)
+) AS t(metric, value)
+ORDER BY metric
+"""

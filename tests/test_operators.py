@@ -2741,3 +2741,57 @@ def test_mendelian_violations_matches_serial(spark, fixtures_dir):
         n_sites, n_called, n_viol
     )
     assert n_viol >= 1
+
+
+def test_wgs_metrics_matches_serial(spark, fixtures_dir):
+    """Depth histogram statistics cross-checked by a serial per-position
+    depth array over the fixture reads (Picard-style read filters)."""
+    import math
+    import os
+
+    from disq_spark.operators.genomics import wgs_metrics
+    from disq_spark.sources.bam_source import read_bam, read_bam_header
+
+    path = os.path.join(fixtures_dir, "1.bam")
+    df, header = read_bam(spark, path)
+    refs = header.sequences
+    got = {r.metric: r.value for r in wgs_metrics(df, refs, coverage_cap=100).collect()}
+
+    # reference contigs are hundreds of Mbp: walk only covered windows,
+    # account the untouched territory as zeros arithmetically
+    from collections import defaultdict
+
+    events = defaultdict(lambda: defaultdict(int))
+    for r in df.collect():
+        f = r.flags
+        if f & (0x4 | 0x100 | 0x800 | 0x400 | 0x200) or r.mapq < 20:
+            continue
+        events[r.contig][r.start] += 1
+        events[r.contig][r.end + 1] -= 1
+    vals = []
+    covered_positions = 0
+    for name, ev in events.items():
+        acc = 0
+        last = None
+        for p in sorted(ev):
+            if acc > 0 and last is not None:
+                vals.extend([min(acc, 100)] * (p - last))
+                covered_positions += p - last
+            acc += ev[p]
+            last = p
+    genome_len = sum(ln for _n, ln in refs)
+    zeros = genome_len - len(vals)
+    n = genome_len
+    assert got["genome_territory"] == n
+    mean = sum(vals) / n
+    assert abs(got["mean_coverage"] - round(mean, 6)) < 1e-9
+    sd = math.sqrt(sum(v * v for v in vals) / n - mean * mean)
+    assert abs(got["sd_coverage"] - round(sd, 6)) < 1e-9
+    # median without materializing the zero run
+    sv = sorted(vals)
+    pick = lambda i: 0 if i < zeros else sv[i - zeros]  # noqa: E731
+    med = (pick((n - 1) // 2) + pick(n // 2)) / 2
+    assert got["median_coverage"] == med
+    for lv in (1, 5, 10, 15, 20):
+        pct = sum(1 for v in vals if v >= lv) / n
+        assert abs(got[f"pct_{lv}x"] - round(pct, 6)) < 1e-9
