@@ -758,3 +758,53 @@ def mendelian_violations(
             ).alias("violation_rate"),
         )
     )
+
+
+def isec_variant_sets(dfs: list[DataFrame], by_alt: bool = True) -> DataFrame:
+    """Call-set intersection/complement accounting (bcftools isec
+    analog): every site across the N inputs annotated with its
+    presence bitmask. ``by_alt`` matches on (contig, POS, REF, ALT
+    set) -- bcftools' default record collapse; with ``by_alt=False``
+    matching is site-level (contig, POS, REF).
+
+    Output: (contig, start, ref, alt, sets, n_sets) where ``sets`` is
+    the comma-free string bitmask ('101' = present in inputs 0 and 2,
+    bcftools' sites.txt column) and n_sets its popcount. Feed a filter
+    on ``sets`` to materialize any of bcftools' -n/-C selections
+    (private records, complements, exact-k intersections).
+
+    One union + one groupBy on the site key: a single shuffle, output
+    bounded by distinct sites.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(dfs)
+    tagged = None
+    for i, d in enumerate(dfs):
+        t = d.select(
+            "contig",
+            "start",
+            "ref",
+            F.array_join(
+                F.array_sort(F.coalesce("alts", F.array())), ","
+            ).alias("alt") if by_alt else F.lit("").alias("alt"),
+            F.lit(i).alias("__src"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    present = tagged.groupBy("contig", "start", "ref", "alt").agg(
+        F.collect_set("__src").alias("__p")
+    )
+    mask = F.concat(
+        *[
+            F.when(F.array_contains("__p", i), F.lit("1")).otherwise(F.lit("0"))
+            for i in range(n)
+        ]
+    )
+    return present.select(
+        "contig",
+        "start",
+        "ref",
+        "alt",
+        mask.alias("sets"),
+        F.size("__p").alias("n_sets"),
+    )

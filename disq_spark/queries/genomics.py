@@ -1942,3 +1942,46 @@ FROM (VALUES
 ) AS t(metric, value)
 ORDER BY metric
 """
+
+@_q("genomics_isec")
+def genomics_isec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bcftools-isec analog: presence bitmask of every record across
+    three representations of the spec fixture -- as-read, after
+    split_multiallelics, and after split+trim normalization. Biallelic
+    already-parsimonious records land in all three ('111'); the
+    multiallelic sites are private to the raw set; the trimmed GTCT
+    allele appears only in the normalized set at its shifted POS.
+    Golden hand-derived; set algebra unit-tested in
+    tests/test_operators.py::test_isec_variant_sets."""
+    from disq_spark.operators.variant_qc import (
+        isec_variant_sets,
+        split_multiallelics,
+        trim_variants,
+    )
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "test.vcf"))
+    split = split_multiallelics(df)
+    norm = trim_variants(split_multiallelics(df))
+    return isec_variant_sets([df, split, norm]).orderBy(
+        "contig", "start", "ref", "alt"
+    )
+
+
+ORACLE["genomics_isec"] = """
+SELECT contig, CAST(start AS BIGINT) AS start, ref, alt, sets,
+       CAST(n_sets AS INT) AS n_sets
+FROM (VALUES
+  ('20', 14370, 'G', 'A', '111', 3),
+  ('20', 17330, 'T', 'A', '111', 3),
+  ('20', 1110696, 'A', 'G', '011', 2),
+  ('20', 1110696, 'A', 'G,T', '100', 1),
+  ('20', 1110696, 'A', 'T', '011', 2),
+  ('20', 1230237, 'T', '', '111', 3),
+  ('20', 1234567, 'GTC', 'G', '011', 2),
+  ('20', 1234567, 'GTC', 'G,GTCT', '100', 1),
+  ('20', 1234567, 'GTC', 'GTCT', '010', 1),
+  ('20', 1234569, 'C', 'CT', '001', 1)
+) AS t(contig, start, ref, alt, sets, n_sets)
+ORDER BY contig, start, ref, alt
+"""

@@ -2795,3 +2795,33 @@ def test_wgs_metrics_matches_serial(spark, fixtures_dir):
     for lv in (1, 5, 10, 15, 20):
         pct = sum(1 for v in vals if v >= lv) / n
         assert abs(got[f"pct_{lv}x"] - round(pct, 6)) < 1e-9
+
+
+def test_isec_variant_sets(spark):
+    from disq_spark.operators.variant_qc import isec_variant_sets
+    from disq_spark.schemas import VARIANTS_SCHEMA
+
+    def vs(rows):
+        return spark.createDataFrame(
+            [("1", p, p, None, r, a, None, None, None, None) for p, r, a in rows],
+            VARIANTS_SCHEMA,
+        )
+
+    a = vs([(100, "A", ["G"]), (200, "C", ["T"]), (300, "G", ["A", "C"])])
+    b = vs([(100, "A", ["G"]), (300, "G", ["C", "A"]), (400, "T", ["C"])])
+    c = vs([(100, "A", ["T"]), (200, "C", ["T"])])
+    got = {
+        (r.start, r.alt): (r.sets, r.n_sets)
+        for r in isec_variant_sets([a, b, c]).collect()
+    }
+    assert got[(100, "G")] == ("110", 2)
+    assert got[(100, "T")] == ("001", 1)  # different ALT = different record
+    assert got[(200, "T")] == ("101", 2)
+    assert got[(300, "A,C")] == ("110", 2)  # ALT-set collapse, order-free
+    assert got[(400, "C")] == ("010", 1)
+    # site-level matching unifies the ALT split at 100
+    site = {
+        r.start: r.sets
+        for r in isec_variant_sets([a, b, c], by_alt=False).collect()
+    }
+    assert site[100] == "111"
