@@ -1621,3 +1621,59 @@ def wgs_metrics(
     return wide.select(
         F.explode(F.create_map(*pairs)).alias("metric", "value")
     )
+
+
+def quality_by_cycle(df: DataFrame, pf_only: bool = False) -> DataFrame:
+    """Picard MeanQualityByCycle / FastQC per-cycle stats: for every
+    machine cycle (1-based; a reverse-strand read's LAST base is cycle
+    1, second-of-pair cycles are reported as negative, matching the
+    BQSR cycle covariate), the mean base quality and the A/C/G/T/N
+    composition of the sequenced base (reverse-complemented back to
+    machine orientation for reverse-strand reads).
+
+    Secondary/supplementary records are excluded (their bases are the
+    primary's). The per-base fan-out is a single posexplode of a
+    quality-integer array built by one higher-order ``transform`` --
+    the explode is shuffle-free and collapses immediately into a
+    map-side-combinable groupBy(cycle), so reducer input is
+    #map-partitions x #cycles rows, never #bases.
+    """
+    f = F.col("flags")
+    keep = (f.bitwiseAND(FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
+    if pf_only:
+        keep = keep & ((f.bitwiseAND(FLAG_FAIL_QC)) == 0)
+    rev = "(flags & 16) != 0"
+    second = "(flags & 128) != 0"
+    cycle0 = f"case when {rev} then length(qual) - i else i + 1 end"
+    cycle = f"case when {second} then -({cycle0}) else ({cycle0}) end"
+    base = (
+        f"case when seq is null or seq = '*' then 'N' "
+        f"when {rev} then translate(upper(substring(seq, i + 1, 1)), 'ACGTN', 'TGCAN') "
+        f"else upper(substring(seq, i + 1, 1)) end"
+    )
+    pairs = (
+        "transform(sequence(0, length(qual) - 1), i -> "
+        f"struct(({cycle}) as cycle, (ascii(substring(qual, i + 1, 1)) - 33) as q, "
+        f"({base}) as b))"
+    )
+    exploded = (
+        df.filter(keep)
+        .filter(F.col("qual").isNotNull() & (F.col("qual") != "*"))
+        .select(F.explode(F.expr(pairs)).alias("p"))
+        .select("p.cycle", "p.q", "p.b")
+    )
+    return (
+        exploded.groupBy("cycle")
+        .agg(
+            F.count("*").alias("n_bases"),
+            F.round(F.avg("q"), 4).alias("mean_quality"),
+            F.sum(F.when(F.col("b") == "A", 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("b") == "C", 1).otherwise(0)).alias("n_c"),
+            F.sum(F.when(F.col("b") == "G", 1).otherwise(0)).alias("n_g"),
+            F.sum(F.when(F.col("b") == "T", 1).otherwise(0)).alias("n_t"),
+            F.sum(
+                F.when(~F.col("b").isin("A", "C", "G", "T"), 1).otherwise(0)
+            ).alias("n_other"),
+        )
+        .orderBy("cycle")
+    )

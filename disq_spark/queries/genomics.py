@@ -1985,3 +1985,56 @@ FROM (VALUES
 ) AS t(contig, start, ref, alt, sets, n_sets)
 ORDER BY contig, start, ref, alt
 """
+
+@_q("genomics_quality_by_cycle")
+def genomics_quality_by_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Picard MeanQualityByCycle / FastQC per-cycle stats over 1.bam,
+    bucketed into 19-cycle bands per read end (+ = first-of-pair
+    machine cycles, - = second-of-pair; reverse-strand reads flipped
+    back to machine orientation). Golden rows pinned from a run
+    cross-checked per-cycle by the serial pass in
+    tests/test_operators.py::test_quality_by_cycle_matches_serial."""
+    from disq_spark.operators.genomics import quality_by_cycle
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    q = quality_by_cycle(df)
+    return (
+        q.groupBy(
+            F.concat(
+                F.when(F.col("cycle") < 0, F.lit("-")).otherwise(F.lit("+")),
+                ((F.abs(F.col("cycle")) - 1) / 19).cast("long").cast("string"),
+            ).alias("bucket")
+        )
+        .agg(
+            F.sum("n_bases").alias("n_bases"),
+            F.round(
+                F.sum(F.col("mean_quality") * F.col("n_bases")) / F.sum("n_bases"), 4
+            ).alias("mean_q"),
+            F.sum("n_a").alias("n_a"),
+            F.sum("n_c").alias("n_c"),
+            F.sum("n_g").alias("n_g"),
+            F.sum("n_t").alias("n_t"),
+            F.sum("n_other").alias("n_other"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE["genomics_quality_by_cycle"] = """
+SELECT bucket, CAST(n_bases AS BIGINT) AS n_bases, CAST(mean_q AS DOUBLE) AS mean_q,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_c AS BIGINT) AS n_c,
+       CAST(n_g AS BIGINT) AS n_g, CAST(n_t AS BIGINT) AS n_t,
+       CAST(n_other AS BIGINT) AS n_other
+FROM (VALUES
+  ('+0', 46398, 33.1466, 12765, 9513, 9992, 14127, 1),
+  ('+1', 46398, 33.7978, 12665, 9863, 10323, 13547, 0),
+  ('+2', 46398, 33.5253, 12671, 9729, 10338, 13660, 0),
+  ('+3', 46398, 32.3634, 12896, 10269, 10186, 13040, 7),
+  ('-0', 47025, 32.1167, 13075, 9879, 10363, 13669, 39),
+  ('-1', 47025, 33.4331, 12939, 10349, 10347, 13317, 73),
+  ('-2', 47025, 32.9813, 13097, 10551, 10211, 13108, 58),
+  ('-3', 47025, 31.6234, 13158, 10628, 10346, 12832, 61)
+) AS t(bucket, n_bases, mean_q, n_a, n_c, n_g, n_t, n_other)
+ORDER BY bucket
+"""

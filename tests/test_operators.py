@@ -2825,3 +2825,48 @@ def test_isec_variant_sets(spark):
         for r in isec_variant_sets([a, b, c], by_alt=False).collect()
     }
     assert site[100] == "111"
+
+
+def test_quality_by_cycle_matches_serial(spark, fixtures_dir):
+    """Cycle orientation (reverse-strand flip, second-of-pair negation)
+    and composition cross-checked serially on the fixture reads."""
+    import os
+    from collections import defaultdict
+
+    from disq_spark.operators.genomics import quality_by_cycle
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    agg = defaultdict(lambda: [0, 0, defaultdict(int)])
+    COMP = str.maketrans("ACGTN", "TGCAN")
+    for r in df.collect():
+        f = r.flags
+        if f & (0x100 | 0x800):
+            continue
+        if not r.qual or r.qual == "*":
+            continue
+        L = len(r.qual)
+        rev, second = bool(f & 0x10), bool(f & 0x80)
+        for i, ch in enumerate(r.qual):
+            c0 = (L - i) if rev else (i + 1)
+            c = -c0 if second else c0
+            a = agg[c]
+            a[0] += 1
+            a[1] += ord(ch) - 33
+            if not r.seq or r.seq == "*":
+                b = "N"
+            else:
+                b = r.seq[i].upper()
+                if rev:
+                    b = b.translate(COMP)
+            a[2][b if b in "ACGT" else "other"] += 1
+
+    got = {r.cycle: r for r in quality_by_cycle(df).collect()}
+    assert set(got) == set(agg)
+    for c, (n, qsum, comp) in agg.items():
+        g = got[c]
+        assert g.n_bases == n
+        assert abs(g.mean_quality - round(qsum / n, 4)) < 1e-9
+        assert (g.n_a, g.n_c, g.n_g, g.n_t, g.n_other) == (
+            comp["A"], comp["C"], comp["G"], comp["T"], comp["other"]
+        )
