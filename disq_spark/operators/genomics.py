@@ -1677,3 +1677,72 @@ def quality_by_cycle(df: DataFrame, pf_only: bool = False) -> DataFrame:
         )
         .orderBy("cycle")
     )
+
+
+def gc_bias_metrics(
+    df: DataFrame,
+    spark,
+    fasta_path: str,
+    window: int = 100,
+) -> DataFrame:
+    """Picard CollectGcBiasMetrics analog: the reference is tiled into
+    ``window``-bp bins, each bin gets its GC percentage (0-100,
+    N-containing windows still count toward their ACGT-based GC like
+    Picard's calculator), and primary mapped non-duplicate read STARTS
+    are attributed to the bin containing their alignment start. Output
+    per GC value: (gc, windows, read_starts, normalized_coverage)
+    where normalized = (starts/windows at this GC) / (total starts /
+    total windows) -- the classic GC-bias curve.
+
+    Plan: reads collapse via one map-side-combinable groupBy on
+    (contig, bin) BEFORE joining the genome-bin table (genome/window
+    rows), so the join never sees raw reads; the final groupBy(gc) is
+    101 groups. Window GC is one translate+length expression.
+    """
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    f = F.col("flags")
+    keep = (
+        ((f.bitwiseAND(FLAG_UNMAPPED)) == 0)
+        & ((f.bitwiseAND(FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0)
+        & ((f.bitwiseAND(FLAG_DUPLICATE)) == 0)
+        & F.col("contig").isNotNull()
+    )
+    starts = (
+        df.filter(keep)
+        .groupBy(
+            "contig", ((F.col("start") - 1) / window).cast("long").alias("bin")
+        )
+        .agg(F.count("*").alias("read_starts"))
+    )
+    gc = F.expr(
+        "cast(round(100.0 * (length(seq) - length(translate(upper(seq), 'GC', ''))) "
+        "/ length(seq)) as int)"
+    )
+    bins = read_fasta_windows(spark, fasta_path, window=window).select(
+        "contig",
+        ((F.col("start") - 1) / window).cast("long").alias("bin"),
+        gc.alias("gc"),
+    )
+    j = bins.join(starts, ["contig", "bin"], "left").select(
+        "gc", F.coalesce("read_starts", F.lit(0)).alias("read_starts")
+    )
+    per_gc = j.groupBy("gc").agg(
+        F.count("*").alias("windows"), F.sum("read_starts").alias("read_starts")
+    )
+    totals = per_gc.agg(
+        F.sum("windows").alias("__tw"), F.sum("read_starts").alias("__ts")
+    )
+    return (
+        per_gc.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "normalized_coverage",
+            F.round(
+                (F.col("read_starts") / F.col("windows"))
+                / (F.col("__ts") / F.col("__tw")),
+                6,
+            ),
+        )
+        .drop("__tw", "__ts")
+        .orderBy("gc")
+    )

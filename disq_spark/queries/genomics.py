@@ -2038,3 +2038,34 @@ FROM (VALUES
 ) AS t(bucket, n_bases, mean_q, n_a, n_c, n_g, n_t, n_other)
 ORDER BY bucket
 """
+
+@_q("genomics_gc_bias")
+def genomics_gc_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Picard CollectGcBiasMetrics analog: valid.fasta tiled into 50-bp
+    bins with per-bin GC, valid.cram primary read starts attributed to
+    bins, normalized-coverage curve per GC value. Golden rows pinned
+    from a run cross-checked bin-by-bin by the serial pass in
+    tests/test_operators.py::test_gc_bias_metrics_matches_serial."""
+    from disq_spark.operators.genomics import gc_bias_metrics
+    from disq_spark.sources.cram_source import read_cram
+
+    fasta = os.path.join(FIXTURES, "valid.fasta")
+    df, _h = read_cram(
+        spark, os.path.join(FIXTURES, "valid.cram"), reference_path=fasta
+    )
+    return gc_bias_metrics(df, spark, fasta, window=50)
+
+
+ORACLE["genomics_gc_bias"] = """
+SELECT CAST(gc AS INT) AS gc, CAST(windows AS BIGINT) AS windows,
+       CAST(read_starts AS BIGINT) AS read_starts,
+       CAST(normalized_coverage AS DOUBLE) AS normalized_coverage
+FROM (VALUES
+  (0, 4, 0, 0.0), (24, 1, 0, 0.0), (25, 1, 0, 0.0), (28, 2, 0, 0.0),
+  (32, 1, 0, 0.0), (38, 1, 0, 0.0), (40, 2, 0, 0.0), (42, 2, 0, 0.0),
+  (46, 4, 0, 0.0), (48, 2, 4, 10.666667), (50, 3, 0, 0.0),
+  (56, 2, 0, 0.0), (58, 3, 2, 3.555556), (62, 1, 0, 0.0),
+  (64, 1, 0, 0.0), (100, 2, 0, 0.0)
+) AS t(gc, windows, read_starts, normalized_coverage)
+ORDER BY gc
+"""

@@ -2870,3 +2870,47 @@ def test_quality_by_cycle_matches_serial(spark, fixtures_dir):
         assert (g.n_a, g.n_c, g.n_g, g.n_t, g.n_other) == (
             comp["A"], comp["C"], comp["G"], comp["T"], comp["other"]
         )
+
+
+def test_gc_bias_metrics_matches_serial(spark, fixtures_dir):
+    import os
+    from collections import Counter
+
+    from disq_spark.formats.gzi import open_indexed_reference, read_fai
+    from disq_spark.operators.genomics import gc_bias_metrics
+    from disq_spark.sources.cram_source import read_cram
+
+    fasta = os.path.join(fixtures_dir, "valid.fasta")
+    df, _h = read_cram(
+        spark, os.path.join(fixtures_dir, "valid.cram"), reference_path=fasta
+    )
+    got = {r.gc: (r.windows, r.read_starts, r.normalized_coverage)
+           for r in gc_bias_metrics(df, spark, fasta, window=50).collect()}
+
+    fai = read_fai(fasta + ".fai")
+    ref = open_indexed_reference(fasta)
+    win_gc = {}
+    for name, e in fai.items():
+        s = 1
+        while s <= e.length:
+            seq = ref.get(name, s, min(s + 49, e.length)).upper()
+            gc = round(100.0 * sum(1 for ch in seq if ch in "GC") / len(seq))
+            win_gc[(name, (s - 1) // 50)] = gc
+            s += 50
+    starts = Counter()
+    for r in df.collect():
+        if r.flags & (0x4 | 0x100 | 0x800 | 0x400) or r.contig is None:
+            continue
+        starts[(r.contig, (r.start - 1) // 50)] += 1
+    per_gc = {}
+    for k, gc in win_gc.items():
+        w, s = per_gc.get(gc, (0, 0))
+        per_gc[gc] = (w + 1, s + starts.get(k, 0))
+    tw = sum(w for w, _s in per_gc.values())
+    ts = sum(s for _w, s in per_gc.values())
+    assert set(got) == set(per_gc)
+    for gc, (w, s) in per_gc.items():
+        g = got[gc]
+        assert (g[0], g[1]) == (w, s), gc
+        assert abs(g[2] - round((s / w) / (ts / tw), 6)) < 1e-9
+    assert ts > 0
