@@ -1,0 +1,172 @@
+"""Distributed interval algebra over (contig, start, end) tables —
+bedtools merge / intersect / subtract / complement / jaccard analogs.
+
+All set operations use GENOME-SPACE (merged) semantics: inputs are
+treated as position sets, exactly what bedtools produces when its
+inputs are merged (bedtools itself recommends `merge` before set ops;
+per-record bookkeeping variants can be layered with ``interval_join``).
+Coordinates are 1-based inclusive, the convention of the reads/variants
+frames (BED's half-open 0-based form is converted by ``sources.bed``).
+
+Scale shape: every operation is one event RLE — the same chunked
+two-level prefix sum as ``operators.genomics.coverage_depth``, so no
+per-contig single reducer on the event pass — followed by a
+gap-and-islands merge over QUALIFYING segments only (2x interval rows
+at worst, BED-sized not genome-sized). Reference parity: the reference
+engine has no interval algebra (it defers to htsjdk's IntervalList in
+tests); these are the downstream layer re-expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _events(df: DataFrame, da: int, db: int) -> DataFrame:
+    return df.select(
+        F.col("contig"),
+        F.col("start").alias("pos"),
+        F.lit(da).alias("da"),
+        F.lit(db).alias("db"),
+    ).union(
+        df.select(
+            F.col("contig"),
+            (F.col("end") + 1).alias("pos"),
+            F.lit(-da).alias("da"),
+            F.lit(-db).alias("db"),
+        )
+    )
+
+
+def dual_depth_segments(
+    a: DataFrame, b: DataFrame, chunk_size: int = 1 << 20
+) -> DataFrame:
+    """Run-length segments (contig, pos, next_pos, depth_a, depth_b)
+    over the union of both inputs' boundary positions. Chunked
+    two-level prefix sum (within-chunk window + broadcast chunk
+    offsets), two counters in one pass."""
+    events = (
+        _events(a, 1, 0)
+        .union(_events(b, 0, 1))
+        .groupBy("contig", "pos")
+        .agg(F.sum("da").alias("da"), F.sum("db").alias("db"))
+        .withColumn("chunk", (F.col("pos") / chunk_size).cast("long"))
+    )
+    win = W.partitionBy("contig", "chunk").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    within = events.withColumn("wa", F.sum("da").over(win)).withColumn(
+        "wb", F.sum("db").over(win)
+    )
+    meta = events.groupBy("contig", "chunk").agg(
+        F.sum("da").alias("ta"),
+        F.sum("db").alias("tb"),
+        F.min("pos").alias("first_pos"),
+    )
+    offw = W.partitionBy("contig").orderBy("chunk").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    leadw = W.partitionBy("contig").orderBy("chunk")
+    meta = meta.select(
+        "contig",
+        "chunk",
+        (F.sum("ta").over(offw) - F.col("ta")).alias("oa"),
+        (F.sum("tb").over(offw) - F.col("tb")).alias("ob"),
+        F.lead("first_pos").over(leadw).alias("next_chunk_first"),
+    )
+    nextw = W.partitionBy("contig", "chunk").orderBy("pos")
+    return (
+        within.join(F.broadcast(meta), ["contig", "chunk"])
+        .withColumn("depth_a", (F.col("wa") + F.col("oa")).cast("long"))
+        .withColumn("depth_b", (F.col("wb") + F.col("ob")).cast("long"))
+        .withColumn(
+            "next_pos",
+            F.coalesce(F.lead("pos").over(nextw), F.col("next_chunk_first")),
+        )
+        .select("contig", "pos", "next_pos", "depth_a", "depth_b")
+    )
+
+
+def _islands(segments: DataFrame, keep) -> DataFrame:
+    """Merge touching qualifying segments into maximal intervals."""
+    q = segments.filter(F.col("next_pos").isNotNull() & keep)
+    w = W.partitionBy("contig").orderBy("pos")
+    isl = q.withColumn(
+        "new_island",
+        (F.coalesce(F.lag("next_pos").over(w), F.lit(-1)) != F.col("pos")).cast(
+            "long"
+        ),
+    ).withColumn("island", F.sum("new_island").over(w))
+    return (
+        isl.groupBy("contig", "island")
+        .agg(F.min("pos").alias("start"), (F.max("next_pos") - 1).alias("end"))
+        .select(
+            "contig",
+            "start",
+            "end",
+            (F.col("end") - F.col("start") + 1).alias("span"),
+        )
+    )
+
+
+def merge_intervals_table(df: DataFrame) -> DataFrame:
+    """bedtools merge: maximal intervals covering the input's position
+    set (book-ended intervals coalesce, as bedtools' default -d 0)."""
+    empty = df.sparkSession.createDataFrame(
+        [], "contig string, start long, end long"
+    )
+    segs = dual_depth_segments(df, empty)
+    return _islands(segs, F.col("depth_a") > 0)
+
+
+def intersect_intervals(a: DataFrame, b: DataFrame) -> DataFrame:
+    """bedtools intersect (genome-space): positions covered by both."""
+    segs = dual_depth_segments(a, b)
+    return _islands(segs, (F.col("depth_a") > 0) & (F.col("depth_b") > 0))
+
+
+def subtract_intervals(a: DataFrame, b: DataFrame) -> DataFrame:
+    """bedtools subtract (genome-space): positions of A not in B."""
+    segs = dual_depth_segments(a, b)
+    return _islands(segs, (F.col("depth_a") > 0) & (F.col("depth_b") == 0))
+
+
+def complement_intervals(
+    df: DataFrame, refs: list[tuple[str, int]]
+) -> DataFrame:
+    """bedtools complement: genome minus the input's position set."""
+    ref_df = df.sparkSession.createDataFrame(
+        [(n, 1, int(ln)) for n, ln in refs], "contig string, start long, end long"
+    )
+    return subtract_intervals(ref_df, df)
+
+
+def jaccard_intervals(a: DataFrame, b: DataFrame) -> DataFrame:
+    """bedtools jaccard: one row (intersection_bp, union_bp, jaccard,
+    n_intersections) over the two position sets."""
+    segs = dual_depth_segments(a, b).filter(F.col("next_pos").isNotNull())
+    span = F.col("next_pos") - F.col("pos")
+    both = (F.col("depth_a") > 0) & (F.col("depth_b") > 0)
+    either = (F.col("depth_a") > 0) | (F.col("depth_b") > 0)
+    inter = _islands(segs, both)
+    n_inter = inter.agg(F.count("*").alias("n")).select("n")
+    sums = segs.agg(
+        F.sum(F.when(both, span).otherwise(0)).alias("intersection_bp"),
+        F.sum(F.when(either, span).otherwise(0)).alias("union_bp"),
+    )
+    return (
+        sums.crossJoin(F.broadcast(n_inter))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection_bp")
+                / F.nullif(F.col("union_bp"), F.lit(0)),
+                6,
+            ),
+        )
+        .select(
+            "intersection_bp", "union_bp", "jaccard", F.col("n").alias("n_intersections")
+        )
+    )

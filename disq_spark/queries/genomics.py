@@ -2069,3 +2069,58 @@ FROM (VALUES
 ) AS t(gc, windows, read_starts, normalized_coverage)
 ORDER BY gc
 """
+
+@_q("genomics_interval_algebra")
+def genomics_interval_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools merge/intersect/subtract/complement/jaccard analogs
+    (operators/intervals.py) summarized over 1.bam's read spans vs two
+    fixed windows of its covered region: (op, n_intervals, total_bp).
+    The jaccard row reports (intersection_bp, union_bp). Golden pinned
+    from a run cross-checked position-by-position by the random set
+    model in tests/test_operators.py::test_interval_algebra_matches_serial."""
+    from disq_spark.operators import intervals as IV
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    a = df.filter("contig is not null").select("contig", "start", "end")
+    b = spark.createDataFrame(
+        [("1", 24795478, 24850000), ("1", 24900000, 24981705)],
+        "contig string, start long, end long",
+    )
+    parts = []
+    for name, t in (
+        ("merge", IV.merge_intervals_table(a)),
+        ("intersect", IV.intersect_intervals(a, b)),
+        ("subtract", IV.subtract_intervals(a, b)),
+        ("complement", IV.complement_intervals(a, [("1", 25000000)])),
+    ):
+        parts.append(
+            t.agg(
+                F.lit(name).alias("op"),
+                F.count("*").alias("n_intervals"),
+                F.sum("span").alias("total_bp"),
+            )
+        )
+    j = IV.jaccard_intervals(a, b).select(
+        F.lit("jaccard").alias("op"),
+        F.col("intersection_bp").alias("n_intervals"),
+        F.col("union_bp").alias("total_bp"),
+    )
+    out = parts[0]
+    for p in parts[1:] + [j]:
+        out = out.unionByName(p)
+    return out.orderBy("op")
+
+
+ORACLE["genomics_interval_algebra"] = """
+SELECT op, CAST(n_intervals AS BIGINT) AS n_intervals,
+       CAST(total_bp AS BIGINT) AS total_bp
+FROM (VALUES
+  ('complement', 45, 24991432),
+  ('intersect', 38, 6815),
+  ('jaccard', 6815, 137982),
+  ('merge', 44, 8568),
+  ('subtract', 6, 1753)
+) AS t(op, n_intervals, total_bp)
+ORDER BY op
+"""

@@ -2914,3 +2914,74 @@ def test_gc_bias_metrics_matches_serial(spark, fixtures_dir):
         assert (g[0], g[1]) == (w, s), gc
         assert abs(g[2] - round((s / w) / (ts / tw), 6)) < 1e-9
     assert ts > 0
+
+
+def test_interval_algebra_matches_serial(spark):
+    """merge/intersect/subtract/complement/jaccard cross-checked by a
+    per-position set model on random interval tables spanning chunk
+    boundaries (chunk_size exercised via positions around 2^20)."""
+    import random
+
+    from disq_spark.operators import intervals as IV
+
+    rng = random.Random(11)
+
+    def gen(n):
+        rows = []
+        for _ in range(n):
+            c = rng.choice(["c1", "c2"])
+            s = rng.randrange(1, 3_000_000)
+            rows.append((c, s, s + rng.randrange(0, 200_000)))
+        return rows
+
+    ra, rb = gen(60), gen(60)
+    a = spark.createDataFrame(ra, "contig string, start long, end long")
+    b = spark.createDataFrame(rb, "contig string, start long, end long")
+
+    def posset(rows):
+        s = set()
+        for c, st, en in rows:
+            s.update((c, p) for p in range(st, en + 1))
+        return s
+
+    pa, pb = posset(ra), posset(rb)
+
+    def to_intervals(ps):
+        out = set()
+        for c in {c for c, _p in ps}:
+            pp = sorted(p for cc, p in ps if cc == c)
+            st = prev = pp[0]
+            for p in pp[1:]:
+                if p != prev + 1:
+                    out.add((c, st, prev))
+                    st = p
+                prev = p
+            out.add((c, st, prev))
+        return out
+
+    got_merge = {
+        (r.contig, r.start, r.end) for r in IV.merge_intervals_table(a).collect()
+    }
+    assert got_merge == to_intervals(pa)
+    got_inter = {
+        (r.contig, r.start, r.end) for r in IV.intersect_intervals(a, b).collect()
+    }
+    assert got_inter == to_intervals(pa & pb)
+    got_sub = {
+        (r.contig, r.start, r.end) for r in IV.subtract_intervals(a, b).collect()
+    }
+    assert got_sub == to_intervals(pa - pb)
+
+    refs = [("c1", 3_300_000), ("c2", 3_300_000)]
+    got_comp = {
+        (r.contig, r.start, r.end)
+        for r in IV.complement_intervals(a, refs).collect()
+    }
+    full = posset([(c, 1, ln) for c, ln in refs])
+    assert got_comp == to_intervals(full - pa)
+
+    j = IV.jaccard_intervals(a, b).collect()[0]
+    assert j.intersection_bp == len(pa & pb)
+    assert j.union_bp == len(pa | pb)
+    assert abs(j.jaccard - round(len(pa & pb) / len(pa | pb), 6)) < 1e-12
+    assert j.n_intersections == len(to_intervals(pa & pb))
