@@ -1746,3 +1746,74 @@ def gc_bias_metrics(
         .drop("__tw", "__ts")
         .orderBy("gc")
     )
+
+
+def consensus_sequence(
+    pile: DataFrame,
+    ref_windows: DataFrame,
+    min_depth: int = 1,
+    window: int | None = None,
+) -> DataFrame:
+    """samtools-consensus analog: per-window consensus strings. Each
+    reference position takes the majority pileup base (ties broken
+    A<C<G<T, deletions as '-', sub-``min_depth``/uncovered positions
+    fall back to the reference base lower-cased -- so the output marks
+    exactly which bases the reads assert). Windows come from
+    ``ref_windows`` (``read_fasta_windows`` shape: contig, start, end,
+    seq); pass ``window`` only to double-check the expected width.
+
+    Plan: pileup rows join their window by integer division (equi-join,
+    genome-bounded right side), one groupBy(window) collects the
+    covered positions (bounded by window size), and the string is
+    rebuilt by a single higher-order transform over the window's
+    positions probing a position->base map -- no per-base shuffle, no
+    Python.
+    """
+    w = window
+    if w is None:
+        first = ref_windows.select(
+            (F.col("end") - F.col("start") + 1).alias("w")
+        ).first()
+        w = int(first["w"]) if first else 1
+    call = (
+        F.when(
+            F.col("depth") < min_depth, F.lit(None)
+        ).otherwise(
+            F.expr(
+                "case greatest(n_a, n_c, n_g, n_t, n_del) "
+                "when n_a then 'A' when n_c then 'C' when n_g then 'G' "
+                "when n_t then 'T' else '-' end"
+            )
+        )
+    )
+    per_pos = pile.select(
+        "contig",
+        F.col("pos"),
+        ((F.col("pos") - 1) / w).cast("long").alias("__wid"),
+        call.alias("__call"),
+    ).filter(F.col("__call").isNotNull())
+    calls = per_pos.groupBy("contig", "__wid").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("pos"), F.col("__call")))
+        ).alias("__m")
+    )
+    win = ref_windows.select(
+        "contig",
+        ((F.col("start") - 1) / w).cast("long").alias("__wid"),
+        "start",
+        "end",
+        F.col("seq").alias("__ref"),
+    )
+    rebuilt = (
+        win.join(calls, ["contig", "__wid"], "left")
+        .withColumn(
+            "consensus",
+            F.expr(
+                "array_join(transform(sequence(start, end), p -> "
+                "coalesce(try_element_at(__m, p), "
+                "lower(substring(__ref, cast(p - start + 1 as int), 1)))), '')"
+            ),
+        )
+        .select("contig", "start", "end", "consensus")
+    )
+    return rebuilt

@@ -2124,3 +2124,38 @@ FROM (VALUES
 ) AS t(op, n_intervals, total_bp)
 ORDER BY op
 """
+
+@_q("genomics_consensus")
+def genomics_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """samtools-consensus analog over valid.cram: per-60bp-window
+    majority-base strings (>=2x positions upper-case, reference
+    fallback lower-case, deletions '-'), windows with no asserted base
+    dropped. Golden rows pinned from a run cross-checked per-position
+    by the serial pass in tests/test_operators.py::
+    test_consensus_sequence_matches_serial."""
+    from disq_spark.operators.genomics import consensus_sequence, pileup
+    from disq_spark.sources.cram_source import read_cram
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    fasta = os.path.join(FIXTURES, "valid.fasta")
+    df, _h = read_cram(
+        spark, os.path.join(FIXTURES, "valid.cram"), reference_path=fasta
+    )
+    out = consensus_sequence(
+        pileup(df), read_fasta_windows(spark, fasta, window=60), min_depth=2
+    )
+    return out.filter(F.expr("consensus rlike '[ACGT-]'")).orderBy(
+        "contig", "start"
+    )
+
+
+ORACLE["genomics_consensus"] = """
+SELECT contig, CAST(start AS BIGINT) AS start, CAST("end" AS BIGINT) AS "end", consensus
+FROM (VALUES
+  ('chr7', 1, 60, 'CAACAGAAGCAGGAATCTGTGAATGTGTTTCGGATTTCCTGCTGAAGGGTTTCTCGCCTC'),
+  ('chr7', 61, 120, 'ACTGAATAATCCCGATTTCCTTCCGCAGCTCACCTCCCAACACCGCACCTCACAACttct'),
+  ('chr7', 301, 360, 'gACGCGGCATC-CCAATTCCTTACCCAACCAACCGACAGACAGACAGCCAGCCCGGCAGG'),
+  ('chr7', 361, 404, 'TAAGTAAGGAACATACAGCCGGGCGGCCAGAGAAAACAcataca')
+) AS t(contig, start, "end", consensus)
+ORDER BY contig, start
+"""

@@ -2985,3 +2985,44 @@ def test_interval_algebra_matches_serial(spark):
     assert j.union_bp == len(pa | pb)
     assert abs(j.jaccard - round(len(pa & pb) / len(pa | pb), 6)) < 1e-12
     assert j.n_intersections == len(to_intervals(pa & pb))
+
+
+def test_consensus_sequence_matches_serial(spark, fixtures_dir):
+    import os
+
+    from disq_spark.operators.genomics import consensus_sequence, pileup
+    from disq_spark.sources.cram_source import read_cram
+    from disq_spark.sources.fasta import read_fasta_windows
+
+    fasta = os.path.join(fixtures_dir, "valid.fasta")
+    df, _h = read_cram(
+        spark, os.path.join(fixtures_dir, "valid.cram"), reference_path=fasta
+    )
+    pile = pileup(df)
+    wins = read_fasta_windows(spark, fasta, window=60)
+    got = {
+        (r.contig, r.start): r.consensus
+        for r in consensus_sequence(pile, wins, min_depth=2).collect()
+    }
+
+    calls = {}
+    for r in pile.collect():
+        if r.depth < 2:
+            continue
+        counts = [(r.n_a, "A"), (r.n_c, "C"), (r.n_g, "G"), (r.n_t, "T"),
+                  (r.n_del, "-")]
+        best = max(c for c, _b in counts)
+        for c, b in counts:  # first max wins: A<C<G<T<'-'
+            if c == best:
+                calls[(r.contig, r.pos)] = b
+                break
+    n_called = 0
+    for w in wins.collect():
+        cons = got[(w.contig, w.start)]
+        assert len(cons) == w.end - w.start + 1
+        for i, p in enumerate(range(w.start, w.end + 1)):
+            want = calls.get((w.contig, p), w.seq[i].lower())
+            assert cons[i] == want, (w.contig, p)
+            if (w.contig, p) in calls:
+                n_called += 1
+    assert n_called > 100  # reads genuinely asserted bases
