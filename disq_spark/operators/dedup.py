@@ -854,3 +854,91 @@ def edit_distance_pairs(
         .filter(F.col("ratio") <= max_ratio)
         .select("id_a", "id_b", "lev", "ratio")
     )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher repetition-rule signals (Rae et al. 2021, Table A1) per
+    document:
+
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``): fraction of the
+      doc's characters inside occurrences of its single most frequent
+      word n-gram (Gopher filters at 0.20/0.18/0.16 for n=2/3/4).
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): fraction of
+      characters covered by n-grams that occur more than once
+      (Gopher: 0.15..0.10 for n=5..10). Per Gopher, character mass is
+      counted per occurrence (overlaps are not de-duplicated) and
+      divided by the doc's total token character mass.
+
+    One explode per n over the token array, each collapsing straight
+    into a per-(doc, gram) count then a per-doc aggregate -- all
+    map-side combinable, reducer rows bounded by distinct grams. The
+    final assembly joins #ns doc-sized tables on the id (AQE picks
+    broadcast/sort-merge by size).
+    """
+    from disq_spark.functions import text as TX
+
+    base = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("toks"))
+    base = base.withColumn(
+        "__chars",
+        F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))"),
+    )
+    out = base.select(id_col, F.size("toks").cast("long").alias("n_tokens"), "__chars")
+
+    def grams(n):
+        return base.filter(F.size("toks") >= n).select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n} + 1), "
+                    f"i -> struct(array_join(slice(toks, i, {n}), ' ') as g, "
+                    f"aggregate(slice(toks, i, {n}), 0L, (a, t) -> a + length(t)) as chars))"
+                )
+            ).alias("e"),
+        ).select(id_col, F.col("e.g").alias("g"), F.col("e.chars").alias("chars"))
+
+    for n in top_ns:
+        gc = (
+            grams(n)
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"), F.first("chars").alias("chars"))
+            .groupBy(id_col)
+            .agg(
+                F.max(F.struct("c", "chars")).alias("__top"),
+            )
+            .select(
+                id_col,
+                (F.col("__top.c") * F.col("__top.chars")).alias(f"__topchars_{n}"),
+            )
+        )
+        out = out.join(gc, id_col, "left").withColumn(
+            f"top_{n}gram_char_frac",
+            F.round(
+                F.coalesce(F.col(f"__topchars_{n}"), F.lit(0))
+                / F.nullif(F.col("__chars"), F.lit(0)),
+                4,
+            ),
+        ).drop(f"__topchars_{n}")
+    for n in dup_ns:
+        gc = (
+            grams(n)
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"), F.first("chars").alias("chars"))
+            .filter(F.col("c") > 1)
+            .groupBy(id_col)
+            .agg(F.sum(F.col("c") * F.col("chars")).alias(f"__dupchars_{n}"))
+        )
+        out = out.join(gc, id_col, "left").withColumn(
+            f"dup_{n}gram_char_frac",
+            F.round(
+                F.coalesce(F.col(f"__dupchars_{n}"), F.lit(0))
+                / F.nullif(F.col("__chars"), F.lit(0)),
+                4,
+            ),
+        ).drop(f"__dupchars_{n}")
+    return out.drop("__chars")

@@ -2123,3 +2123,61 @@ scored AS (
 SELECT id_a, id_b, lev, ratio FROM scored
 WHERE ratio <= {EDIT_MAX_RATIO} ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# text_gopher_repetition — Gopher repetition-rule signals (Rae et al. 2021
+# Table A1): top n-gram char fraction (n=2..4) and duplicate n-gram char
+# fraction (n=5,10). Character mass counts token characters (no spaces),
+# per occurrence, over the doc's total token char mass.
+# ---------------------------------------------------------------------------
+@_q("text_gopher_repetition")
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = DD.gopher_repetition(d, "text", "doc_id", top_ns=(2, 3, 4), dup_ns=(5, 10))
+    return out.orderBy("doc_id")
+
+
+def _gopher_gram_cte(n: int) -> str:
+    return f"""
+g{n} AS (
+  SELECT doc_id,
+         array_to_string(t[i:i+{n - 1}], ' ') AS g,
+         length(array_to_string(t[i:i+{n - 1}], ' ')) - {n - 1} AS chars
+  FROM toks, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+  WHERE len(t) >= {n}
+),
+gc{n} AS (
+  SELECT doc_id, g, count(*) AS c, min(chars) AS chars
+  FROM g{n} GROUP BY doc_id, g
+)"""
+
+
+ORACLE["text_gopher_repetition"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 200
+),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS chars
+  FROM toks
+),
+{",".join(_gopher_gram_cte(n).lstrip() for n in (2, 3, 4, 5, 10))},
+top2 AS (SELECT doc_id, max_by(c * chars, c * 1000000 + chars) AS v FROM gc2 GROUP BY doc_id),
+top3 AS (SELECT doc_id, max_by(c * chars, c * 1000000 + chars) AS v FROM gc3 GROUP BY doc_id),
+top4 AS (SELECT doc_id, max_by(c * chars, c * 1000000 + chars) AS v FROM gc4 GROUP BY doc_id),
+dup5 AS (SELECT doc_id, sum(c * chars) AS v FROM gc5 WHERE c > 1 GROUP BY doc_id),
+dup10 AS (SELECT doc_id, sum(c * chars) AS v FROM gc10 WHERE c > 1 GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       round(coalesce(top2.v, 0) * 1.0 / nullif(b.chars, 0), 4) AS top_2gram_char_frac,
+       round(coalesce(top3.v, 0) * 1.0 / nullif(b.chars, 0), 4) AS top_3gram_char_frac,
+       round(coalesce(top4.v, 0) * 1.0 / nullif(b.chars, 0), 4) AS top_4gram_char_frac,
+       round(coalesce(dup5.v, 0) * 1.0 / nullif(b.chars, 0), 4) AS dup_5gram_char_frac,
+       round(coalesce(dup10.v, 0) * 1.0 / nullif(b.chars, 0), 4) AS dup_10gram_char_frac
+FROM base b
+LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+LEFT JOIN top4 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
+LEFT JOIN dup10 USING (doc_id)
+ORDER BY doc_id
+"""
