@@ -170,3 +170,81 @@ def jaccard_intervals(a: DataFrame, b: DataFrame) -> DataFrame:
             "intersection_bp", "union_bp", "jaccard", F.col("n").alias("n_intersections")
         )
     )
+
+
+def liftover(
+    df: DataFrame,
+    chain: DataFrame,
+    revcomp_alleles: bool = True,
+) -> DataFrame:
+    """Coordinate liftover (Picard LiftoverVcf / CrossMap analog) over
+    an alignment-block table ``chain`` with columns (src_contig,
+    src_start, src_end, dst_contig, dst_start, strand) -- the flattened
+    form of a UCSC chain's ungapped blocks, 1-based inclusive.
+
+    A record lifts iff one block fully contains its [start, end]
+    (partial overlaps are rejected, matching LiftoverVcf's
+    NoTarget/IndelStraddlesMultipleIntervals behavior). '+' blocks
+    translate by offset; '-' blocks flip the interval around the block
+    and, when ``revcomp_alleles`` and ref/alts columns exist,
+    reverse-complement the alleles (symbolic alleles pass through).
+    Output: the input columns with contig/start/end rewritten, plus
+    ``lifted`` (false rows keep their original coordinates -- filter on
+    the flag for the two LiftoverVcf output files).
+
+    Chains are metadata-sized (even hg19->hg38 is ~10^6 blocks), so the
+    join broadcasts; the fact table never shuffles.
+    """
+    c = chain.select(
+        F.col("src_contig").alias("contig"),
+        "src_start",
+        "src_end",
+        "dst_contig",
+        "dst_start",
+        "strand",
+    )
+    bc = F.broadcast(c)
+    j = df.join(
+        bc,
+        (df["contig"] == bc["contig"])
+        & (df["start"] >= bc["src_start"])
+        & (df["end"] <= bc["src_end"]),
+        "left",
+    ).drop(bc["contig"])
+    fwd = F.col("strand") == "+"
+    new_start = F.when(
+        fwd, F.col("dst_start") + (F.col("start") - F.col("src_start"))
+    ).otherwise(F.col("dst_start") + (F.col("src_end") - F.col("end")))
+    new_end = new_start + (F.col("end") - F.col("start"))
+    lifted = F.col("dst_contig").isNotNull()
+    out = (
+        j.withColumn("lifted", lifted)
+        .withColumn("__ns", new_start)
+        .withColumn("__ne", new_end)
+        .withColumn(
+            "contig", F.when(lifted, F.col("dst_contig")).otherwise(F.col("contig"))
+        )
+        .withColumn("start", F.when(lifted, F.col("__ns")).otherwise(F.col("start")))
+        .withColumn("end", F.when(lifted, F.col("__ne")).otherwise(F.col("end")))
+    )
+    rc = "reverse(translate(upper({0}), 'ACGTN', 'TGCAN'))"
+    if revcomp_alleles and "ref" in df.columns:
+        flip = lifted & ~fwd
+        out = out.withColumn(
+            "ref", F.when(flip, F.expr(rc.format("ref"))).otherwise(F.col("ref"))
+        )
+        if "alts" in df.columns:
+            out = out.withColumn(
+                "alts",
+                F.when(
+                    flip,
+                    F.expr(
+                        "transform(alts, a -> case when a like '<%' then a else "
+                        + rc.format("a")
+                        + " end)"
+                    ),
+                ).otherwise(F.col("alts")),
+            )
+    return out.drop(
+        "src_start", "src_end", "dst_contig", "dst_start", "strand", "__ns", "__ne"
+    )

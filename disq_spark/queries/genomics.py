@@ -2159,3 +2159,49 @@ FROM (VALUES
 ) AS t(contig, start, "end", consensus)
 ORDER BY contig, start
 """
+
+@_q("genomics_liftover")
+def genomics_liftover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Picard LiftoverVcf / CrossMap analog: the spec fixture's 5
+    records lifted through a synthetic 2-block chain -- one forward
+    block covering the SNP region (offset +10000) and one reverse
+    block covering the microsat region (alleles reverse-complemented,
+    interval flipped around the block). Records outside any block or
+    straddling a boundary stay put with lifted=false. Block math is
+    differentially tested in tests/test_operators.py::
+    test_liftover_matches_serial."""
+    from disq_spark.operators.intervals import liftover
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "test.vcf"))
+    chain = spark.createDataFrame(
+        [
+            ("20", 14000, 18000, "chr20", 24000, "+"),
+            ("20", 1234000, 1235000, "chr20", 5000000, "-"),
+        ],
+        "src_contig string, src_start long, src_end long, "
+        "dst_contig string, dst_start long, strand string",
+    )
+    out = liftover(df, chain)
+    return out.select(
+        "contig",
+        "start",
+        "end",
+        "ref",
+        F.array_join(F.coalesce("alts", F.array()), ",").alias("alt"),
+        "lifted",
+    ).orderBy("contig", "start", "ref")
+
+
+ORACLE["genomics_liftover"] = """
+SELECT contig, CAST(start AS BIGINT) AS start, CAST("end" AS BIGINT) AS "end",
+       ref, alt, lifted
+FROM (VALUES
+  ('20', 1110696, 1110696, 'A', 'G,T', false),
+  ('20', 1230237, 1230237, 'T', '', false),
+  ('chr20', 24370, 24370, 'G', 'A', true),
+  ('chr20', 27330, 27330, 'T', 'A', true),
+  ('chr20', 5000431, 5000433, 'GAC', 'C,AGAC', true)
+) AS t(contig, start, "end", ref, alt, lifted)
+ORDER BY contig, start, ref
+"""

@@ -3026,3 +3026,61 @@ def test_consensus_sequence_matches_serial(spark, fixtures_dir):
             if (w.contig, p) in calls:
                 n_called += 1
     assert n_called > 100  # reads genuinely asserted bases
+
+
+def test_liftover_matches_serial(spark):
+    """Forward/reverse block translation, allele revcomp, containment
+    rejection -- checked against a serial block walk."""
+    from disq_spark.operators.intervals import liftover
+    from disq_spark.schemas import VARIANTS_SCHEMA
+
+    chain_rows = [
+        # srcC, srcS, srcE, dstC, dstS, strand
+        ("1", 100, 199, "chr1", 1000, "+"),
+        ("1", 300, 399, "chr1", 2000, "-"),
+        ("2", 1, 50, "chr2", 501, "+"),
+    ]
+    chain = spark.createDataFrame(
+        chain_rows,
+        "src_contig string, src_start long, src_end long, "
+        "dst_contig string, dst_start long, strand string",
+    )
+    rows = [
+        ("1", 150, 150, None, "A", ["G"], None, None, None, None),   # + SNP
+        ("1", 150, 152, None, "ACT", ["A"], None, None, None, None), # + del
+        ("1", 350, 351, None, "AC", ["A", "<DEL>"], None, None, None, None),  # - strand
+        ("1", 199, 200, None, "GT", ["G"], None, None, None, None),  # straddles -> unmapped
+        ("1", 500, 500, None, "T", ["C"], None, None, None, None),   # no block
+        ("2", 50, 50, None, "G", ["T"], None, None, None, None),     # block edge
+    ]
+    df = spark.createDataFrame(rows, VARIANTS_SCHEMA)
+    got = {(r.start if not r.lifted else None, r.contig, r.start, r.end,
+            r.ref, tuple(r.alts), r.lifted)
+           for r in liftover(df, chain).collect()}
+
+    COMP = str.maketrans("ACGTN", "TGCAN")
+
+    def rc(s):
+        return s.upper().translate(COMP)[::-1]
+
+    want = set()
+    for c0, s0, e0, _i, ref, alts, *_ in rows:
+        hit = None
+        for sc, ss, se, dc, ds, st in chain_rows:
+            if c0 == sc and s0 >= ss and e0 <= se:
+                hit = (sc, ss, se, dc, ds, st)
+                break
+        if hit is None:
+            want.add((s0, c0, s0, e0, ref, tuple(alts), False))
+            continue
+        _sc, ss, se, dc, ds, st = hit
+        if st == "+":
+            ns = ds + (s0 - ss)
+            want.add((None, dc, ns, ns + (e0 - s0), ref, tuple(alts), True))
+        else:
+            ns = ds + (se - e0)
+            want.add((
+                None, dc, ns, ns + (e0 - s0), rc(ref),
+                tuple(a if a.startswith("<") else rc(a) for a in alts), True,
+            ))
+    assert got == want
