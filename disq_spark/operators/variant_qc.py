@@ -808,3 +808,66 @@ def isec_variant_sets(dfs: list[DataFrame], by_alt: bool = True) -> DataFrame:
         mask.alias("sets"),
         F.size("__p").alias("n_sets"),
     )
+
+
+def pairwise_ibs(df: DataFrame, samples: list[str] | None = None) -> DataFrame:
+    """Identity-by-state matrix between samples (PLINK --distance ibs /
+    bcftools gtcheck counting): over biallelic SNP sites where both
+    samples are called, classify each pair-site by shared alleles
+    (IBS2 = same dosage, IBS1 = dosage differs by 1, IBS0 = opposite
+    homozygotes) and report (sample_a, sample_b, n_sites, ibs0, ibs1,
+    ibs2, ibs_similarity = (ibs2 + ibs1/2) / n_sites).
+
+    Dosage = non-ref allele count (diploid 0/1/2; other ploidies and
+    missing calls are excluded site-wise). ``samples`` bounds the pair
+    space (recommended for cohort-scale inputs: the site self-join
+    emits |pairs| rows per site; restricting to a panel keeps that a
+    constant factor -- the join itself is a single site-keyed shuffle,
+    map-side combinable into the per-pair aggregate).
+    """
+    snp = df.filter(_is_biallelic_snp())
+    g = snp.select(
+        "contig", "start", "ref", F.explode("genotypes").alias("g")
+    ).select(
+        "contig",
+        "start",
+        F.col("g.sample").alias("sample"),
+        F.col("g.gt").alias("gt"),
+    )
+    if samples is not None:
+        g = g.filter(F.col("sample").isin(*samples))
+    alleles = F.split(F.col("gt"), r"[/|]")
+    called = (
+        F.col("gt").isNotNull()
+        & ~F.array_contains(alleles, ".")
+        & (F.size(alleles) == 2)
+    )
+    dosage = F.size(F.filter(alleles, lambda a: a == "1"))
+    d = g.filter(called).select(
+        "contig", "start", "sample", dosage.alias("dos")
+    )
+    a = d.select(
+        "contig", "start", F.col("sample").alias("sample_a"), F.col("dos").alias("da")
+    )
+    b = d.select(
+        "contig", "start", F.col("sample").alias("sample_b"), F.col("dos").alias("db")
+    )
+    pairs = a.join(b, ["contig", "start"]).filter(
+        F.col("sample_a") < F.col("sample_b")
+    )
+    ibs = 2 - F.abs(F.col("da") - F.col("db"))
+    return (
+        pairs.groupBy("sample_a", "sample_b")
+        .agg(
+            F.count("*").alias("n_sites"),
+            F.sum((ibs == 0).cast("long")).alias("ibs0"),
+            F.sum((ibs == 1).cast("long")).alias("ibs1"),
+            F.sum((ibs == 2).cast("long")).alias("ibs2"),
+        )
+        .withColumn(
+            "ibs_similarity",
+            F.round(
+                (F.col("ibs2") + F.col("ibs1") / 2) / F.col("n_sites"), 6
+            ),
+        )
+    )

@@ -2205,3 +2205,29 @@ FROM (VALUES
 ) AS t(contig, start, "end", ref, alt, lifted)
 ORDER BY contig, start, ref
 """
+
+@_q("genomics_pairwise_ibs")
+def genomics_pairwise_ibs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLINK --distance ibs analog over the spec fixture's two
+    biallelic SNP sites x three samples: per pair, IBS class counts
+    from dosage differences. Golden hand-derived (site 14370 dosages
+    0/1/2, site 17330 dosages 0/1/0); the classifier is differentially
+    tested in tests/test_operators.py::test_pairwise_ibs_matches_serial."""
+    from disq_spark.operators.variant_qc import pairwise_ibs
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "test.vcf"))
+    return pairwise_ibs(df).orderBy("sample_a", "sample_b")
+
+
+ORACLE["genomics_pairwise_ibs"] = """
+SELECT sample_a, sample_b, CAST(n_sites AS BIGINT) AS n_sites,
+       CAST(ibs0 AS BIGINT) AS ibs0, CAST(ibs1 AS BIGINT) AS ibs1,
+       CAST(ibs2 AS BIGINT) AS ibs2, CAST(ibs_similarity AS DOUBLE) AS ibs_similarity
+FROM (VALUES
+  ('NA00001', 'NA00002', 2, 0, 2, 0, 0.5),
+  ('NA00001', 'NA00003', 2, 1, 0, 1, 0.5),
+  ('NA00002', 'NA00003', 2, 0, 2, 0, 0.5)
+) AS t(sample_a, sample_b, n_sites, ibs0, ibs1, ibs2, ibs_similarity)
+ORDER BY sample_a, sample_b
+"""

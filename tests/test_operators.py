@@ -3084,3 +3084,43 @@ def test_liftover_matches_serial(spark):
                 tuple(a if a.startswith("<") else rc(a) for a in alts), True,
             ))
     assert got == want
+
+
+def test_pairwise_ibs_matches_serial(spark, fixtures_dir):
+    import os
+    from itertools import combinations
+
+    from disq_spark.operators.variant_qc import pairwise_ibs
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(fixtures_dir, "test.vcf"))
+    got = {
+        (r.sample_a, r.sample_b): (r.n_sites, r.ibs0, r.ibs1, r.ibs2)
+        for r in pairwise_ibs(df).collect()
+    }
+
+    acgt = set("ACGT")
+    agg = {}
+    for r in df.collect():
+        if not (
+            len(r.ref) == 1 and r.ref in acgt and r.alts and len(r.alts) == 1
+            and len(r.alts[0]) == 1 and r.alts[0] in acgt
+        ):
+            continue
+        dos = {}
+        for gg in r.genotypes or []:
+            if not gg.gt:
+                continue
+            al = gg.gt.replace("|", "/").split("/")
+            if "." in al or len(al) != 2:
+                continue
+            dos[gg.sample] = sum(1 for x in al if x == "1")
+        for s1, s2 in combinations(sorted(dos), 2):
+            k = (s1, s2)
+            n, i0, i1, i2 = agg.get(k, (0, 0, 0, 0))
+            ib = 2 - abs(dos[s1] - dos[s2])
+            agg[k] = (
+                n + 1, i0 + (ib == 0), i1 + (ib == 1), i2 + (ib == 2)
+            )
+    assert got == agg
+    assert len(agg) == 3  # all three CEU pairs present
