@@ -332,6 +332,12 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sh = shingle_table(df, text_col, id_col, k, stride, max_df)
+    # join/checkpoint on an 8-byte xxhash64 fingerprint, not the shingle
+    # string: n_common depends only on equality classes, so the hash
+    # value never reaches the result (collision budget ~n^2/2^64 across
+    # the candidate join, same trade gram_hash documents). Halves the
+    # checkpointed index and the self-join shuffle row width.
+    sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     # sh feeds three consumers (both join sides + the size table); one
     # materialization beats three recomputes of the explode + max_df
     # pruning. At scale this writes ~the inverted index to executor-local

@@ -1593,8 +1593,12 @@ def wgs_metrics(
         .groupBy("d")
         .agg(F.sum("span").alias("span"))
     )
+    # clamp: interval-mode callers may pass a territory smaller than
+    # the covered span; never emit a negative zero-depth bucket
     zero = hist.agg(
-        (F.lit(genome_len) - F.coalesce(F.sum("span"), F.lit(0))).alias("span")
+        F.greatest(
+            F.lit(genome_len) - F.coalesce(F.sum("span"), F.lit(0)), F.lit(0)
+        ).alias("span")
     ).select(F.lit(0).alias("d"), "span")
     full = hist.unionByName(zero)
     aggs = [

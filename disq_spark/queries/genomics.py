@@ -2231,3 +2231,60 @@ FROM (VALUES
 ) AS t(sample_a, sample_b, n_sites, ibs0, ibs1, ibs2, ibs_similarity)
 ORDER BY sample_a, sample_b
 """
+
+@_q("genomics_streaming_coverage_bins")
+def genomics_streaming_coverage_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-bin read counts: the 1.bam fixture lands once as a
+    parquet stream source (mtime-keyed cache), is consumed with
+    readStream through streaming/genomics.binned_read_counts
+    (bounded per-bin state), and the complete-mode memory sink is
+    compared against the batch tally. Golden rows below are the batch
+    result over 20kb bins, restricted to bins with >= 200 reads for a
+    stable-size output."""
+    import tempfile
+
+    from disq_spark.cacheutil import cache_key, ensure_cached_dir
+    from disq_spark.queries._stream_util import run_to_completion
+    from disq_spark.sources.bam_source import read_bam
+    from disq_spark.streaming.genomics import binned_read_counts
+
+    bam = os.path.join(FIXTURES, "1.bam")
+    st = os.stat(bam)
+    key = cache_key(bam, st.st_mtime_ns, st.st_size, "reads_v1")
+    cache = os.path.join(tempfile.gettempdir(), f"disq_stream_reads_{key}")
+    data = os.path.join(cache, "data")
+
+    def _build(tmp: str) -> None:
+        df, _h = read_bam(spark, bam)
+        df.select("contig", "start", "end").write.mode("overwrite").parquet(
+            os.path.join(tmp, "data")
+        )
+
+    ensure_cached_dir(cache, _build)
+    schema = spark.read.parquet(data).schema
+    stream = spark.readStream.schema(schema).parquet(data)
+    agg = binned_read_counts(stream, bin_size=20_000)
+    if spark.catalog.tableExists("stream_gate_cov_bins"):
+        spark.catalog.dropTempView("stream_gate_cov_bins")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_gate_cov_bins")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, "genomics_streaming_coverage_bins")
+    return (
+        spark.table("stream_gate_cov_bins")
+        .filter(F.col("n_reads") >= 200)
+        .orderBy("contig", "bin")
+    )
+
+
+ORACLE["genomics_streaming_coverage_bins"] = """
+SELECT contig, CAST(bin AS BIGINT) AS bin, CAST(n_reads AS BIGINT) AS n_reads
+FROM (VALUES
+  ('1', 1239, 427), ('1', 1242, 1318), ('1', 1248, 1958), ('1', 1249, 1042)
+) AS t(contig, bin, n_reads)
+ORDER BY contig, bin
+"""
