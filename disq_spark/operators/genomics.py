@@ -1821,3 +1821,119 @@ def consensus_sequence(
         .select("contig", "start", "end", "consensus")
     )
     return rebuilt
+
+
+def trim_reads(
+    df: DataFrame,
+    trailing_q: int = 20,
+    leading_q: int = 0,
+    adapter: str | None = None,
+    min_len: int = 1,
+) -> DataFrame:
+    """Read trimming (Trimmomatic LEADING/TRAILING + cutadapt-style
+    3' adapter clip) as pure column expressions:
+
+    1. If ``adapter`` is given and occurs in the sequence, the read is
+       truncated at its first occurrence (cutadapt's non-anchored 3'
+       adapter, exact match).
+    2. TRAILING: drop bases from the 3' end while quality < trailing_q.
+    3. LEADING: likewise from the 5' end (when ``leading_q`` > 0).
+    4. Reads shorter than ``min_len`` after trimming get ``kept=false``
+       (Trimmomatic MINLEN); their seq/qual are the trimmed remnant.
+
+    seq and qual are sliced by the same offsets; reads with '*'
+    seq/qual pass through untrimmed. Alignment columns are NOT
+    adjusted -- this is the pre-alignment FASTQ path (pair with
+    sources/fastq or re-align downstream).
+    """
+    has = (
+        F.col("seq").isNotNull()
+        & (F.col("seq") != "*")
+        & F.col("qual").isNotNull()
+        & (F.col("qual") != "*")
+    )
+    adp = ""
+    if adapter:
+        a = adapter.upper().replace("'", "''")
+        adp = f"case when instr(upper(__s), '{a}') > 0 then instr(upper(__s), '{a}') - 1 else length(__s) end"
+    else:
+        adp = "length(__s)"
+    # after adapter cut, scan qualities: trailing run below threshold
+    trail = (
+        f"aggregate(sequence(1, __alen), 0, (acc, i) -> "
+        f"case when acc = i - 1 and ascii(substring(qual, __alen - i + 1, 1)) - 33 < {trailing_q} "
+        f"then i else acc end)"
+    )
+    lead = (
+        f"aggregate(sequence(1, __alen), 0, (acc, i) -> "
+        f"case when acc = i - 1 and ascii(substring(qual, i, 1)) - 33 < {leading_q} "
+        f"then i else acc end)"
+        if leading_q > 0
+        else "0"
+    )
+    d = (
+        df.withColumn("__s", F.col("seq"))
+        .withColumn("__alen", F.when(has, F.expr(adp)).otherwise(F.length("seq")))
+        .withColumn("__t", F.when(has, F.expr(trail)).otherwise(F.lit(0)))
+        .withColumn("__l", F.when(has, F.expr(lead)).otherwise(F.lit(0)))
+        .withColumn(
+            "__keep_len", F.greatest(F.col("__alen") - F.col("__t") - F.col("__l"), F.lit(0))
+        )
+    )
+    out = (
+        d.withColumn(
+            "seq",
+            F.when(has, F.expr("substring(seq, __l + 1, __keep_len)")).otherwise(
+                F.col("seq")
+            ),
+        )
+        .withColumn(
+            "qual",
+            F.when(has, F.expr("substring(qual, __l + 1, __keep_len)")).otherwise(
+                F.col("qual")
+            ),
+        )
+        .withColumn(
+            "kept",
+            F.when(has, F.col("__keep_len") >= min_len).otherwise(F.lit(True)),
+        )
+        .drop("__s", "__alen", "__t", "__l", "__keep_len")
+    )
+    return out
+
+
+def kmer_spectrum(
+    df: DataFrame, k: int = 21, canonical: bool = True, seq_col: str = "seq"
+) -> DataFrame:
+    """k-mer multiplicity spectrum (jellyfish histo analog): counts
+    k-mers across all reads (ACGT-only; ``canonical`` folds each k-mer
+    with its reverse complement, taking the lexicographic min as
+    jellyfish -C), then histograms the multiplicities: (multiplicity,
+    n_kmers).
+
+    Two map-side-combinable groupBys: k-mer counts (the only
+    data-sized shuffle; keys are xxhash64 fingerprints, 8 B each, so
+    the exchange is fixed-width) and the multiplicity histogram
+    (bounded by max multiplicity). Sequencing-error k-mers appear at
+    multiplicity 1; the spectrum's peak estimates coverage.
+    """
+    kmers = F.expr(
+        f"transform(sequence(1, greatest(length(seq) - {k} + 1, 0)), "
+        f"i -> upper(substring(seq, i, {k})))"
+    )
+    km = (
+        df.filter(F.col(seq_col).isNotNull() & (F.col(seq_col) != "*"))
+        .select(F.explode(kmers).alias("km"))
+        .filter(F.col("km").rlike("^[ACGT]+$"))
+    )
+    if canonical:
+        rc = "reverse(translate(km, 'ACGT', 'TGCA'))"
+        km = km.select(F.expr(f"least(km, {rc})").alias("km"))
+    counts = km.select(F.xxhash64("km").alias("h")).groupBy("h").agg(
+        F.count("*").alias("mult")
+    )
+    return (
+        counts.groupBy("mult")
+        .agg(F.count("*").alias("n_kmers"))
+        .orderBy("mult")
+    )

@@ -2288,3 +2288,74 @@ FROM (VALUES
 ) AS t(contig, bin, n_reads)
 ORDER BY contig, bin
 """
+
+@_q("genomics_trim_reads")
+def genomics_trim_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmomatic LEADING/TRAILING(15) + cutadapt 3'-adapter clip +
+    MINLEN(36) over 1.bam, summarized as (reads, kept, total trimmed
+    bases, mean kept length). Golden pinned from a run cross-checked
+    read-by-read by the serial trimmer in tests/test_operators.py::
+    test_trim_reads_matches_serial."""
+    from disq_spark.operators.genomics import trim_reads
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    t = trim_reads(
+        df, trailing_q=15, leading_q=15, adapter="AGATCGGAAGAGC", min_len=36
+    )
+    return t.agg(
+        F.count("*").alias("n_reads"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(F.length("seq")).alias("total_len"),
+        F.round(F.avg(F.when(F.col("kept"), F.length("seq"))), 4).alias(
+            "mean_kept_len"
+        ),
+    )
+
+
+ORACLE["genomics_trim_reads"] = """
+SELECT CAST(4917 AS BIGINT) AS n_reads, CAST(4749 AS BIGINT) AS n_kept,
+       CAST(356889 AS BIGINT) AS total_len, CAST(74.6759 AS DOUBLE) AS mean_kept_len
+"""
+
+
+@_q("genomics_kmer_spectrum")
+def genomics_kmer_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jellyfish-histo analog: canonical 15-mer multiplicity spectrum
+    of 1.bam, bucketed (error k-mers pile at multiplicity 1; higher
+    buckets carry the coverage signal). Golden pinned from a run
+    cross-checked k-mer-by-k-mer by the serial counter in
+    tests/test_operators.py::test_kmer_spectrum_matches_serial."""
+    from disq_spark.operators.genomics import kmer_spectrum
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    sp = kmer_spectrum(df, k=15)
+    b = (
+        F.when(F.col("mult") <= 4, F.col("mult").cast("string"))
+        .when(F.col("mult") < 10, "5-9")
+        .when(F.col("mult") < 20, "10-19")
+        .when(F.col("mult") < 50, "20-49")
+        .when(F.col("mult") < 100, "50-99")
+        .otherwise("100+")
+    )
+    return (
+        sp.groupBy(b.alias("bucket"))
+        .agg(
+            F.sum("n_kmers").alias("n_kmers"),
+            F.sum(F.col("mult") * F.col("n_kmers")).alias("n_occurrences"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE["genomics_kmer_spectrum"] = """
+SELECT bucket, CAST(n_kmers AS BIGINT) AS n_kmers,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM (VALUES
+  ('1', 14596, 14596), ('2', 1582, 3164), ('3', 379, 1137), ('4', 151, 604),
+  ('5-9', 615, 4099), ('10-19', 828, 11382), ('20-49', 1271, 44086),
+  ('50-99', 1021, 70792), ('100+', 1005, 154454)
+) AS t(bucket, n_kmers, n_occurrences)
+ORDER BY bucket
+"""

@@ -3124,3 +3124,84 @@ def test_pairwise_ibs_matches_serial(spark, fixtures_dir):
             )
     assert got == agg
     assert len(agg) == 3  # all three CEU pairs present
+
+
+def test_trim_reads_matches_serial(spark):
+    from disq_spark.operators.genomics import trim_reads
+
+    def q(s):  # phred string from ints
+        return "".join(chr(x + 33) for x in s)
+
+    rows = [
+        # trailing low-qual run
+        ("r1", 0, None, None, None, None, None, None, None, None,
+         "ACGTACGT", q([30, 30, 30, 30, 30, 10, 5, 2]), None, None),
+        # adapter mid-read, then trailing trim of what remains
+        ("r2", 0, None, None, None, None, None, None, None, None,
+         "ACGTAGATCGGAAGAG", q([30] * 4 + [5] + [30] * 11), None, None),
+        # leading low-qual
+        ("r3", 0, None, None, None, None, None, None, None, None,
+         "ACGTACGT", q([2, 3, 30, 30, 30, 30, 30, 30]), None, None),
+        # everything low -> kept=false
+        ("r4", 0, None, None, None, None, None, None, None, None,
+         "ACGT", q([2, 2, 2, 2]), None, None),
+        # unavailable seq passes through
+        ("r5", 4, None, None, None, None, None, None, None, None, "*", "*", None, None),
+    ]
+    from disq_spark.schemas import READS_SCHEMA
+
+    df = spark.createDataFrame(rows, READS_SCHEMA)
+    out = {
+        r.name: (r.seq, r.qual, r.kept)
+        for r in trim_reads(
+            df, trailing_q=20, leading_q=20, adapter="AGATCGGAAGAG", min_len=3
+        ).collect()
+    }
+
+    def serial(seq, qual):
+        a = seq.upper().find("AGATCGGAAGAG")
+        alen = a if a >= 0 else len(seq)
+        t = 0
+        while t < alen and ord(qual[alen - 1 - t]) - 33 < 20:
+            t += 1
+        l = 0
+        while l < alen and ord(qual[l]) - 33 < 20:
+            l += 1
+        keep = max(alen - t - l, 0)
+        return seq[l : l + keep], qual[l : l + keep], keep >= 3
+
+    for name, flags, *_rest in rows:
+        pass
+    for name, seq, qual in [("r1", "ACGTACGT", q([30,30,30,30,30,10,5,2])),
+                            ("r2", "ACGTAGATCGGAAGAG", q([30]*4+[5]+[30]*11)),
+                            ("r3", "ACGTACGT", q([2,3,30,30,30,30,30,30])),
+                            ("r4", "ACGT", q([2,2,2,2]))]:
+        assert out[name] == serial(seq, qual), name
+    assert out["r5"] == ("*", "*", True)
+
+
+def test_kmer_spectrum_matches_serial(spark, fixtures_dir):
+    import os
+    from collections import Counter
+
+    from disq_spark.operators.genomics import kmer_spectrum
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    k = 15
+    got = {r.mult: r.n_kmers for r in kmer_spectrum(df, k=k).collect()}
+
+    cnt = Counter()
+    COMP = str.maketrans("ACGT", "TGCA")
+    for r in df.collect():
+        s = (r.seq or "").upper()
+        if s == "*":
+            continue
+        for i in range(len(s) - k + 1):
+            km = s[i : i + k]
+            if any(c not in "ACGT" for c in km):
+                continue
+            rc = km.translate(COMP)[::-1]
+            cnt[min(km, rc)] += 1
+    hist = Counter(cnt.values())
+    assert got == dict(hist)
