@@ -2359,3 +2359,33 @@ FROM (VALUES
 ) AS t(bucket, n_kmers, n_occurrences)
 ORDER BY bucket
 """
+
+
+@_q("genomics_king_kinship")
+def genomics_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KING-robust pairwise kinship (PLINK2 --make-king analog) over the
+    spec fixture's two biallelic SNP sites x three samples. Golden rows
+    hand-derived from the dosage table (site 14370 -> 0/1/2, site
+    17330 -> 0/1/0): no het-het sharing anywhere, one opposing-hom pair
+    (NA00001-NA00003) whose zero shared-het denominator yields NULL.
+    The estimator itself is differentially tested on a simulated trio
+    in tests/test_operators.py::test_king_kinship_trio_and_serial."""
+    from disq_spark.operators.variant_qc import king_kinship
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "test.vcf"))
+    return king_kinship(df).orderBy("sample_a", "sample_b")
+
+
+ORACLE["genomics_king_kinship"] = """
+SELECT sample_a, sample_b, CAST(n_sites AS BIGINT) AS n_sites,
+       CAST(het_het AS BIGINT) AS het_het, CAST(opp_hom AS BIGINT) AS opp_hom,
+       CAST(het_a AS BIGINT) AS het_a, CAST(het_b AS BIGINT) AS het_b,
+       CAST(kinship AS DOUBLE) AS kinship, degree
+FROM (VALUES
+  ('NA00001', 'NA00002', 2, 0, 0, 0, 2, 0.0, 'UNRELATED'),
+  ('NA00001', 'NA00003', 2, 0, 1, 0, 0, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)),
+  ('NA00002', 'NA00003', 2, 0, 0, 2, 0, 0.0, 'UNRELATED')
+) AS t(sample_a, sample_b, n_sites, het_het, opp_hom, het_a, het_b, kinship, degree)
+ORDER BY sample_a, sample_b
+"""

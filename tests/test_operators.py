@@ -3205,3 +3205,73 @@ def test_kmer_spectrum_matches_serial(spark, fixtures_dir):
             cnt[min(km, rc)] += 1
     hist = Counter(cnt.values())
     assert got == dict(hist)
+
+
+def test_king_kinship_trio_and_serial(spark):
+    """KING-robust kinship: a simulated trio (child inherits one allele
+    from each parent under HWE p=0.5) must land in the FIRST_DEGREE
+    band for both child-parent pairs, and every pair's counters must
+    equal a serial recount."""
+    import random
+    from itertools import combinations
+
+    from disq_spark.operators.variant_qc import king_kinship
+
+    rng = random.Random(20260815)
+    rows = []
+    for i in range(600):
+        mo = [rng.randint(0, 1), rng.randint(0, 1)]
+        fa = [rng.randint(0, 1), rng.randint(0, 1)]
+        ch = [rng.choice(mo), rng.choice(fa)]
+        un = [rng.randint(0, 1), rng.randint(0, 1)]
+        gts = [
+            ("CHILD", f"{ch[0]}/{ch[1]}"),
+            ("FATHER", f"{fa[0]}/{fa[1]}"),
+            ("MOTHER", f"{mo[0]}/{mo[1]}"),
+            ("UNREL", f"{un[0]}/{un[1]}" if i % 17 else "./."),
+        ]
+        rows.append(("1", 100 + i, "A", ["G"], gts))
+    df = _vc_rows(spark, rows)
+    got = {
+        (r.sample_a, r.sample_b): r
+        for r in king_kinship(df).collect()
+    }
+
+    # serial recount
+    agg = {}
+    for contig, start, ref, alts, gts in rows:
+        dos = {}
+        for s, gt in gts:
+            al = gt.replace("|", "/").split("/")
+            if "." in al or len(al) != 2:
+                continue
+            dos[s] = sum(1 for x in al if x == "1")
+        for s1, s2 in combinations(sorted(dos), 2):
+            n, hh, oh, ha, hb = agg.get((s1, s2), (0, 0, 0, 0, 0))
+            d1, d2 = dos[s1], dos[s2]
+            agg[(s1, s2)] = (
+                n + 1,
+                hh + (d1 == 1 and d2 == 1),
+                oh + (abs(d1 - d2) == 2),
+                ha + (d1 == 1),
+                hb + (d2 == 1),
+            )
+    assert set(got) == set(agg)
+    for k, (n, hh, oh, ha, hb) in agg.items():
+        r = got[k]
+        assert (r.n_sites, r.het_het, r.opp_hom, r.het_a, r.het_b) == (
+            n, hh, oh, ha, hb
+        )
+        if ha + hb:
+            assert r.kinship == round((hh - 2 * oh) / (ha + hb), 6)
+        else:
+            assert r.kinship is None and r.degree is None
+
+    # biological structure: child-parent pairs are first-degree,
+    # the outsider is unrelated to everyone
+    assert got[("CHILD", "FATHER")].degree == "FIRST_DEGREE"
+    assert got[("CHILD", "MOTHER")].degree == "FIRST_DEGREE"
+    for pair, r in got.items():
+        if "UNREL" in pair:
+            assert r.degree == "UNRELATED"
+            assert abs(r.kinship) < 0.0884
