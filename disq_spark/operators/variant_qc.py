@@ -947,3 +947,70 @@ def king_kinship(df: DataFrame, samples: list[str] | None = None) -> DataFrame:
         .otherwise(F.lit("UNRELATED"))
     )
     return agg.withColumn("kinship", phi).withColumn("degree", degree)
+
+
+def runs_of_homozygosity(
+    df: DataFrame,
+    min_sites: int = 25,
+    min_bp: int = 0,
+) -> DataFrame:
+    """Runs of homozygosity per sample (PLINK ``--homozyg`` / bcftools
+    roh analog, het-strict variant): over called diploid genotypes at
+    biallelic SNP sites, a run is a maximal streak of consecutive
+    homozygous calls (dosage 0 or 2) along a contig, broken by any
+    heterozygous call; uncalled sites are invisible (neither extend nor
+    break). Emits one row per run with ``n_sites >= min_sites`` and
+    span ``>= min_bp``: (sample, contig, start, end, n_sites, n_hom_alt,
+    span_bp).
+
+    Plan shape: one shuffle to sort each (sample, contig) window, then
+    a gap-and-islands group — run id = running count of preceding het
+    breaks, a prefix sum inside the sorted window. Per-window state is
+    the site count of one sample on one contig (~1-4M rows at WGS
+    scale), well inside a single task; the pair explosion of the
+    kinship/IBS operators never happens here.
+    """
+    snp = df.filter(_is_biallelic_snp())
+    g = snp.select(
+        "contig", "start", F.explode("genotypes").alias("g")
+    ).select(
+        "contig",
+        "start",
+        F.col("g.sample").alias("sample"),
+        F.col("g.gt").alias("gt"),
+    )
+    alleles = F.split(F.col("gt"), r"[/|]")
+    called = (
+        F.col("gt").isNotNull()
+        & ~F.array_contains(alleles, ".")
+        & (F.size(alleles) == 2)
+    )
+    dosage = F.size(F.filter(alleles, lambda a: a == "1"))
+    d = g.filter(called).select(
+        "sample", "contig", "start", dosage.alias("dos")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("sample", "contig")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = d.withColumn("is_het", (F.col("dos") == 1).cast("int")).withColumn(
+        "run_id", F.sum("is_het").over(w)
+    )
+    return (
+        runs.filter(F.col("is_het") == 0)
+        .groupBy("sample", "contig", "run_id")
+        .agg(
+            F.min("start").alias("start"),
+            F.max("start").alias("end"),
+            F.count("*").alias("n_sites"),
+            F.sum((F.col("dos") == 2).cast("long")).alias("n_hom_alt"),
+        )
+        .withColumn("span_bp", F.col("end") - F.col("start") + 1)
+        .filter(
+            (F.col("n_sites") >= min_sites) & (F.col("span_bp") >= min_bp)
+        )
+        .drop("run_id")
+    )

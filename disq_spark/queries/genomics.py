@@ -2389,3 +2389,47 @@ FROM (VALUES
 ) AS t(sample_a, sample_b, n_sites, het_het, opp_hom, het_a, het_b, kinship, degree)
 ORDER BY sample_a, sample_b
 """
+
+
+@_q("genomics_roh")
+def genomics_roh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs of homozygosity (PLINK --homozyg het-strict analog) over the
+    real NA12878 HiSeq call set: maximal streaks of >=20 consecutive
+    homozygous biallelic-SNP calls. Goldens cross-checked by an
+    independent gzip text parse + serial run-finder in
+    tests/test_operators.py::test_roh_matches_serial_on_hiseq."""
+    from disq_spark.operators.variant_qc import runs_of_homozygosity
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "HiSeq.10000.vcf.bgz"))
+    return runs_of_homozygosity(df, min_sites=20).orderBy(
+        "sample", "contig", "start"
+    )
+
+
+ORACLE["genomics_roh"] = """
+SELECT sample, contig, CAST(start AS BIGINT) AS start,
+       CAST("end" AS BIGINT) AS "end", CAST(n_sites AS BIGINT) AS n_sites,
+       CAST(n_hom_alt AS BIGINT) AS n_hom_alt, CAST(span_bp AS BIGINT) AS span_bp
+FROM (VALUES
+  ('NA12878', 'chr1', 746467, 764648, 21, 21, 18182),
+  ('NA12878', 'chr1', 874678, 888186, 24, 24, 13509),
+  ('NA12878', 'chr1', 1931518, 1961249, 33, 33, 29732),
+  ('NA12878', 'chr1', 2028522, 2038589, 20, 20, 10068),
+  ('NA12878', 'chr1', 3088575, 3100277, 25, 25, 11703),
+  ('NA12878', 'chr1', 3735976, 3740591, 22, 22, 4616),
+  ('NA12878', 'chr1', 3742996, 3750378, 21, 21, 7383),
+  ('NA12878', 'chr1', 3751339, 3767471, 44, 44, 16133),
+  ('NA12878', 'chr1', 3784133, 3798222, 22, 22, 14090),
+  ('NA12878', 'chr1', 4015436, 4024120, 32, 32, 8685),
+  ('NA12878', 'chr1', 4027660, 4037078, 31, 31, 9419),
+  ('NA12878', 'chr1', 4397651, 4411281, 22, 22, 13631),
+  ('NA12878', 'chr1', 4902227, 4915704, 35, 35, 13478),
+  ('NA12878', 'chr1', 5036704, 5052019, 22, 22, 15316),
+  ('NA12878', 'chr1', 5080680, 5092609, 21, 21, 11930),
+  ('NA12878', 'chr1', 5195036, 5202388, 23, 23, 7353),
+  ('NA12878', 'chr1', 5202441, 5211244, 37, 37, 8804),
+  ('NA12878', 'chr1', 5227509, 5230727, 26, 26, 3219)
+) AS t(sample, contig, start, "end", n_sites, n_hom_alt, span_bp)
+ORDER BY sample, contig, start
+"""

@@ -3275,3 +3275,104 @@ def test_king_kinship_trio_and_serial(spark):
         if "UNREL" in pair:
             assert r.degree == "UNRELATED"
             assert abs(r.kinship) < 0.0884
+
+
+def test_roh_synthetic_semantics(spark):
+    from disq_spark.operators.variant_qc import runs_of_homozygosity
+
+    rows = [
+        # S: hom,hom,het,hom | missing invisible | second contig separate
+        ("1", 100, "A", ["G"], [("S", "0/0"), ("T", "0/1")]),
+        ("1", 200, "C", ["T"], [("S", "1/1"), ("T", "0/1")]),
+        ("1", 300, "G", ["A"], [("S", "0/1"), ("T", "1/1")]),
+        ("1", 400, "T", ["C"], [("S", "./."), ("T", "1/1")]),
+        ("1", 500, "A", ["C"], [("S", "0/0"), ("T", "0/1")]),
+        ("2", 100, "A", ["G"], [("S", "1/1")]),
+        # non-SNP site must be ignored entirely
+        ("1", 250, "CT", ["C"], [("S", "0/0"), ("T", "0/0")]),
+    ]
+    out = runs_of_homozygosity(_vc_rows(spark, rows), min_sites=1).collect()
+    got = {
+        (r.sample, r.contig, r.start): (r.end, r.n_sites, r.n_hom_alt, r.span_bp)
+        for r in out
+    }
+    assert got == {
+        ("S", "1", 100): (200, 2, 1, 101),   # broken by het at 300
+        ("S", "1", 500): (500, 1, 0, 1),     # resumes after het; 400 invisible
+        ("S", "2", 100): (100, 1, 1, 1),
+        ("T", "1", 300): (400, 2, 2, 101),   # T's het sites break around
+    }
+    # min_sites filter
+    out2 = runs_of_homozygosity(_vc_rows(spark, rows), min_sites=2).collect()
+    assert {(r.sample, r.contig, r.start) for r in out2} == {
+        ("S", "1", 100), ("T", "1", 300)
+    }
+    # min_bp filter
+    out3 = runs_of_homozygosity(
+        _vc_rows(spark, rows), min_sites=1, min_bp=50
+    ).collect()
+    assert all(r.span_bp >= 50 for r in out3)
+
+
+def test_roh_matches_serial_on_hiseq(spark, fixtures_dir):
+    """Independent gzip text parse of HiSeq.10000.vcf.bgz -> serial
+    run-finding -> must equal the distributed operator exactly."""
+    import gzip
+    import os
+
+    from disq_spark.operators.variant_qc import runs_of_homozygosity
+    from disq_spark.sources.variants import read_vcf
+
+    acgt = set("ACGT")
+    per_key = {}  # (sample, contig) -> list[(start, dos)] in file order
+    with gzip.open(
+        os.path.join(fixtures_dir, "HiSeq.10000.vcf.bgz"), "rt"
+    ) as f:
+        samples = None
+        for line in f:
+            if line.startswith("#CHROM"):
+                samples = line.rstrip("\n").split("\t")[9:]
+                continue
+            if line.startswith("#"):
+                continue
+            p = line.rstrip("\n").split("\t")
+            contig, pos, ref, alt = p[0], int(p[1]), p[3], p[4]
+            if not (
+                len(ref) == 1 and ref in acgt and "," not in alt
+                and len(alt) == 1 and alt in acgt
+            ):
+                continue
+            fmt = p[8].split(":")
+            gti = fmt.index("GT")
+            for s, cell in zip(samples, p[9:]):
+                gt = cell.split(":")[gti]
+                al = gt.replace("|", "/").split("/")
+                if "." in al or len(al) != 2:
+                    continue
+                per_key.setdefault((s, contig), []).append(
+                    (pos, sum(1 for x in al if x == "1"))
+                )
+
+    expect = set()
+    for (s, contig), sites in per_key.items():
+        sites.sort()
+        run = []
+        for pos, dos in sites + [(None, 1)]:  # sentinel het flushes
+            if dos == 1:
+                if len(run) >= 10:
+                    expect.add((
+                        s, contig, run[0][0], run[-1][0], len(run),
+                        sum(1 for _, d in run if d == 2),
+                        run[-1][0] - run[0][0] + 1,
+                    ))
+                run = []
+            else:
+                run.append((pos, dos))
+
+    df, _h = read_vcf(spark, os.path.join(fixtures_dir, "HiSeq.10000.vcf.bgz"))
+    got = {
+        (r.sample, r.contig, r.start, r.end, r.n_sites, r.n_hom_alt, r.span_bp)
+        for r in runs_of_homozygosity(df, min_sites=10).collect()
+    }
+    assert got == expect
+    assert len(got) >= 40
