@@ -1937,3 +1937,78 @@ def kmer_spectrum(
         .agg(F.count("*").alias("n_kmers"))
         .orderBy("mult")
     )
+
+
+def cnv_segments(
+    df: DataFrame,
+    bin_size: int = 10_000,
+    gain_log2: float = 0.585,
+    loss_log2: float = -0.737,
+    min_bins: int = 1,
+) -> DataFrame:
+    """Read-depth copy-number segmentation (CNVkit / GATK
+    DenoiseReadCounts+ModelSegments shape, threshold-call variant):
+
+      1. bin the genome and tally per-bin mean depth
+         (:func:`coverage_bins` — reads explode to the bins they touch,
+         one map-side-combinable groupBy),
+      2. normalize each bin to ``log2(depth / median_depth)`` where the
+         median is taken over covered bins genome-wide (bins are
+         genome/bin_size rows, so the exact-median aggregate is cheap
+         regardless of read count),
+      3. call per-bin state: GAIN if log2 >= gain_log2 (default 1.5x),
+         LOSS if log2 <= loss_log2 (default 0.6x), else NEUTRAL,
+      4. merge touching same-state bins into segments (gap-and-islands
+         over bin index per contig) and report non-neutral segments of
+         at least ``min_bins`` bins: (contig, start, end, state,
+         n_bins, mean_log2, mean_depth) with a 1-based inclusive
+         [start, end] span snapped to bin edges.
+
+    Uncovered bins never appear in coverage_bins output, so a coverage
+    gap splits segments (deletions spanning a gap surface as two
+    segments, matching bedtools-style behavior on sparse data). The
+    window pass runs over bin rows (genome/bin_size), not reads — at
+    100 TB the only read-sized stage is the binned tally, which is the
+    same shuffle shape as coverage_bins itself.
+    """
+    from pyspark.sql import Window
+
+    bins = coverage_bins(df, bin_size=bin_size)
+    med = bins.agg(
+        F.expr("percentile(mean_depth, 0.5)").alias("med")
+    )
+    b = bins.join(F.broadcast(med)).withColumn(
+        "log2", F.log2(F.col("mean_depth") / F.col("med"))
+    )
+    state = (
+        F.when(F.col("log2") >= gain_log2, F.lit("GAIN"))
+        .when(F.col("log2") <= loss_log2, F.lit("LOSS"))
+        .otherwise(F.lit("NEUTRAL"))
+    )
+    b = b.withColumn("state", state)
+    w = (
+        Window.partitionBy("contig")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_break = (
+        (F.lag("bin").over(Window.partitionBy("contig").orderBy("bin"))
+         != F.col("bin") - 1)
+        | (F.lag("state").over(Window.partitionBy("contig").orderBy("bin"))
+           != F.col("state"))
+    )
+    seg = b.withColumn(
+        "brk", F.coalesce(is_break, F.lit(True)).cast("int")
+    ).withColumn("seg_id", F.sum("brk").over(w))
+    return (
+        seg.groupBy("contig", "seg_id", "state")
+        .agg(
+            F.min("bin_start").alias("start"),
+            (F.max("bin_start") + bin_size - 1).alias("end"),
+            F.count("*").alias("n_bins"),
+            F.round(F.avg("log2"), 6).alias("mean_log2"),
+            F.round(F.avg("mean_depth"), 6).alias("mean_depth"),
+        )
+        .filter((F.col("state") != "NEUTRAL") & (F.col("n_bins") >= min_bins))
+        .drop("seg_id")
+    )

@@ -2433,3 +2433,35 @@ FROM (VALUES
 ) AS t(sample, contig, start, "end", n_sites, n_hom_alt, span_bp)
 ORDER BY sample, contig, start
 """
+
+
+@_q("genomics_cnv_segments")
+def genomics_cnv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-depth CNV segmentation (CNVkit-style threshold calls) over
+    the 1.bam fixture at 5 kb bins: per-bin mean depth -> log2 vs the
+    genome-wide median -> gap-and-islands merge of GAIN/LOSS bins.
+    The full pipeline (per-base tally, exact median, thresholds, merge)
+    is differentially tested against an independent serial oracle in
+    tests/test_operators.py::test_cnv_segments_matches_serial."""
+    from disq_spark.operators.genomics import cnv_segments
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    return cnv_segments(
+        df.filter(F.col("contig").isNotNull()), bin_size=5000, min_bins=2
+    ).orderBy("contig", "start")
+
+
+ORACLE["genomics_cnv_segments"] = """
+SELECT contig, CAST(start AS BIGINT) AS start, CAST("end" AS BIGINT) AS "end",
+       state, CAST(n_bins AS BIGINT) AS n_bins,
+       CAST(mean_log2 AS DOUBLE) AS mean_log2,
+       CAST(mean_depth AS DOUBLE) AS mean_depth
+FROM (VALUES
+  ('1', 24800001, 24820000, 'LOSS', 4, -4.59636, 0.0582),
+  ('1', 24825001, 24840000, 'LOSS', 3, -3.860619, 0.077067),
+  ('1', 24855001, 24865000, 'GAIN', 2, 2.081178, 6.0943),
+  ('1', 24970001, 24985000, 'GAIN', 3, 3.485397, 14.602467)
+) AS t(contig, start, "end", state, n_bins, mean_log2, mean_depth)
+ORDER BY contig, start
+"""
