@@ -1014,3 +1014,170 @@ def runs_of_homozygosity(
         )
         .drop("run_id")
     )
+
+
+def annotate_variants(
+    variants: DataFrame,
+    genes: DataFrame,
+    near_bp: int = 2000,
+) -> DataFrame:
+    """VEP/ANNOVAR-lite positional consequence annotation against a
+    gene model: adds (consequence, gene, gene_distance) to every
+    variant row.
+
+    ``genes`` carries (contig, start, end, gene, strand) with optional
+    ``exon_starts``/``exon_ends`` arrays (refFlat/genePred shape,
+    1-based closed). Consequences, by position of the variant's start:
+
+    - EXONIC   — inside a gene and inside one of its exons
+    - INTRONIC — inside a gene with an exon model, but not in an exon
+    - GENIC    — inside a gene that has no exon model
+    - UPSTREAM / DOWNSTREAM — within ``near_bp`` of the nearest gene
+      edge, oriented by that gene's strand (upstream = TSS side)
+    - INTERGENIC — anything else; still reports the nearest gene and
+      distance when the contig has one
+
+    Overlap ties pick exonic over intronic/genic, then the
+    lexicographically first gene name (deterministic). Nearest-edge
+    ties prefer the left gene.
+
+    Scale shape: the gene model is a genuine small dimension (every
+    public annotation set is < ~10^5 rows), so it is collapsed to ONE
+    row per contig — a sorted array of gene structs — and broadcast.
+    The variant side never shuffles: classification is a broadcast
+    hash join plus pure higher-order column expressions
+    (filter/exists/array_max over the per-contig array, O(genes per
+    contig) comparisons per variant inside whole-stage codegen). At
+    10^5 genes-per-contig scale, switch the model to genome tiles with
+    per-tile nearest summaries before broadcast; the variant-side plan
+    is unchanged.
+    """
+    gcols = ["contig", "start", "end", "gene", "strand"]
+    has_exons = "exon_starts" in genes.columns
+    if has_exons:
+        g = genes.select(
+            *gcols,
+            F.coalesce("exon_starts", F.array()).alias("exs"),
+            F.coalesce("exon_ends", F.array()).alias("exe"),
+            genes["exon_starts"].isNotNull().alias("has_model"),
+        )
+    else:
+        g = genes.select(
+            *gcols,
+            F.array().cast("array<long>").alias("exs"),
+            F.array().cast("array<long>").alias("exe"),
+            F.lit(False).alias("has_model"),
+        )
+    per_contig = (
+        g.groupBy("contig")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("start").cast("long").alias("s"),
+                        F.col("end").cast("long").alias("e"),
+                        F.col("gene").alias("gene"),
+                        F.col("strand").alias("strand"),
+                        F.col("has_model").alias("has_model"),
+                        F.col("exs").cast("array<long>").alias("exs"),
+                        F.col("exe").cast("array<long>").alias("exe"),
+                    )
+                )
+            ).alias("garr")
+        )
+        .withColumnRenamed("contig", "g_contig")
+    )
+    v = variants.join(
+        F.broadcast(per_contig),
+        variants["contig"] == per_contig["g_contig"],
+        "left",
+    ).drop("g_contig")
+
+    pos = F.col("start").cast("long")
+    arr = F.col("garr")
+    overlapping = F.filter(arr, lambda x: (x.s <= pos) & (pos <= x.e))
+    in_exon = lambda x: F.exists(  # noqa: E731
+        F.zip_with(x.exs, x.exe, lambda a, b: (a <= pos) & (pos <= b)),
+        lambda hit: hit,
+    )
+    exonic = F.filter(overlapping, lambda x: x.has_model & in_exon(x))
+    # deterministic pick: min gene name within the chosen class
+    pick_name = lambda a: F.array_min(  # noqa: E731
+        F.transform(a, lambda x: x.gene)
+    )
+    pick_model = lambda a: F.array_max(  # noqa: E731
+        F.transform(a, lambda x: x.has_model.cast("int"))
+    )
+    left_best = F.array_max(
+        F.transform(
+            F.filter(arr, lambda x: x.e < pos),
+            lambda x: F.struct(
+                x.e.alias("edge"), x.gene.alias("gene"), x.strand.alias("strand")
+            ),
+        )
+    )
+    right_best = F.array_min(
+        F.transform(
+            F.filter(arr, lambda x: x.s > pos),
+            lambda x: F.struct(
+                x.s.alias("edge"), x.gene.alias("gene"), x.strand.alias("strand")
+            ),
+        )
+    )
+    dl = pos - left_best["edge"]
+    dr = right_best["edge"] - pos
+    use_left = left_best.isNotNull() & (
+        right_best.isNull() | (dl <= dr)
+    )
+    near = F.when(use_left, left_best).otherwise(right_best)
+    ndist = F.when(use_left, dl).otherwise(dr)
+    # left gene: variant sits past its end -> downstream of '+', upstream of '-'
+    near_cons = F.when(
+        ndist > near_bp, F.lit("INTERGENIC")
+    ).otherwise(
+        F.when(
+            use_left,
+            F.when(near["strand"] == "+", F.lit("DOWNSTREAM")).otherwise(
+                F.lit("UPSTREAM")
+            ),
+        ).otherwise(
+            F.when(near["strand"] == "+", F.lit("UPSTREAM")).otherwise(
+                F.lit("DOWNSTREAM")
+            )
+        )
+    )
+    genic_model = pick_model(overlapping) == 1
+    out = (
+        v.withColumn(
+            "consequence",
+            F.when(arr.isNull(), F.lit("INTERGENIC"))
+            .when(F.size(exonic) > 0, F.lit("EXONIC"))
+            .when(
+                F.size(overlapping) > 0,
+                F.when(genic_model, F.lit("INTRONIC")).otherwise(F.lit("GENIC")),
+            )
+            .when(near.isNull(), F.lit("INTERGENIC"))
+            .otherwise(near_cons),
+        )
+        .withColumn(
+            "gene",
+            F.when(F.size(F.coalesce(exonic, F.array())) > 0, pick_name(exonic))
+            .when(
+                F.size(F.coalesce(overlapping, F.array())) > 0,
+                # stay inside the winning class (exon-modelled beats not)
+                F.when(
+                    genic_model,
+                    pick_name(F.filter(overlapping, lambda x: x.has_model)),
+                ).otherwise(pick_name(overlapping)),
+            )
+            .otherwise(near["gene"]),
+        )
+        .withColumn(
+            "gene_distance",
+            F.when(F.size(F.coalesce(overlapping, F.array())) > 0, F.lit(0))
+            .otherwise(ndist)
+            .cast("long"),
+        )
+        .drop("garr")
+    )
+    return out

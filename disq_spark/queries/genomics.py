@@ -2465,3 +2465,75 @@ FROM (VALUES
 ) AS t(contig, start, "end", state, n_bins, mean_log2, mean_depth)
 ORDER BY contig, start
 """
+
+
+@_q("genomics_annotate_variants")
+def genomics_annotate_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VEP-lite positional consequence annotation of the NA12878 HiSeq
+    call set against a fixed five-gene chr1 model (mixed strands, one
+    exon-less gene), rolled up per (consequence, gene). The classifier
+    (class priority, tie-breaks, strand-oriented UP/DOWNSTREAM,
+    broadcast per-contig gene array) is differentially tested against
+    a serial spec implementation in
+    tests/test_operators.py::test_annotate_variants_matches_serial."""
+    from disq_spark.operators.variant_qc import annotate_variants
+    from disq_spark.sources.variants import read_vcf
+
+    df, _h = read_vcf(spark, os.path.join(FIXTURES, "HiSeq.10000.vcf.bgz"))
+    genes = spark.createDataFrame(
+        [
+            ("chr1", 700000, 1200000, "GENE_A", "+",
+             [700000, 900000, 1100000], [750000, 950000, 1200000]),
+            ("chr1", 1500000, 2500000, "GENE_B", "-",
+             [1500000, 2400000], [1600000, 2500000]),
+            ("chr1", 3000000, 3800000, "GENE_C", "+", None, None),
+            ("chr1", 4000000, 4500000, "GENE_D", "-",
+             [4100000, 4400000], [4200000, 4500000]),
+            ("chr1", 5150000, 5250000, "GENE_E", "+",
+             [5150000], [5200000]),
+        ],
+        "contig string, start long, end long, gene string, strand string, "
+        "exon_starts array<long>, exon_ends array<long>",
+    )
+    ann = annotate_variants(df, genes, near_bp=5000)
+    return (
+        ann.groupBy("consequence", "gene")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("start").alias("first_pos"),
+            F.max("start").alias("last_pos"),
+        )
+        .orderBy("consequence", "gene")
+    )
+
+
+ORACLE["genomics_annotate_variants"] = """
+SELECT consequence, gene, CAST(n_variants AS BIGINT) AS n_variants,
+       CAST(first_pos AS BIGINT) AS first_pos, CAST(last_pos AS BIGINT) AS last_pos
+FROM (VALUES
+  ('DOWNSTREAM', 'GENE_A', 1, 1204684, 1204684),
+  ('DOWNSTREAM', 'GENE_B', 10, 1495118, 1499019),
+  ('DOWNSTREAM', 'GENE_C', 9, 3800246, 3804602),
+  ('DOWNSTREAM', 'GENE_D', 3, 3995705, 3999521),
+  ('EXONIC', 'GENE_A', 218, 704290, 1186726),
+  ('EXONIC', 'GENE_B', 342, 1500664, 2498203),
+  ('EXONIC', 'GENE_D', 459, 4101675, 4499866),
+  ('EXONIC', 'GENE_E', 40, 5150357, 5199984),
+  ('GENIC', 'GENE_C', 1261, 3000177, 3799283),
+  ('INTERGENIC', 'GENE_A', 226, 109, 1346911),
+  ('INTERGENIC', 'GENE_B', 884, 1390605, 2749715),
+  ('INTERGENIC', 'GENE_C', 570, 2751235, 3899769),
+  ('INTERGENIC', 'GENE_D', 803, 3902626, 4824850),
+  ('INTERGENIC', 'GENE_E', 642, 4825033, 5144621),
+  ('INTRONIC', 'GENE_A', 879, 750775, 1096647),
+  ('INTRONIC', 'GENE_B', 1110, 1600387, 2399993),
+  ('INTRONIC', 'GENE_D', 500, 4000164, 4399691),
+  ('INTRONIC', 'GENE_E', 145, 5200020, 5235136),
+  ('UPSTREAM', 'GENE_A', 2, 695745, 696641),
+  ('UPSTREAM', 'GENE_B', 14, 2500615, 2504435),
+  ('UPSTREAM', 'GENE_C', 13, 2995445, 2998547),
+  ('UPSTREAM', 'GENE_D', 35, 4500093, 4504349),
+  ('UPSTREAM', 'GENE_E', 5, 5146701, 5148401)
+) AS t(consequence, gene, n_variants, first_pos, last_pos)
+ORDER BY consequence, gene
+"""

@@ -3459,3 +3459,86 @@ def test_cnv_segments_matches_serial(spark):
     loss = [x for x in got if x[3] == "LOSS"]
     assert any(g[1] == 10 * bs + 1 and g[4] == 5 for g in gain)
     assert len(loss) == 2  # gap at bin 52 splits contig 2's loss run
+
+
+def test_annotate_variants_matches_serial(spark):
+    """Randomized gene model + variant positions; a serial Python
+    implementation of the documented spec (class priority, name
+    tie-break, left-preferring nearest-edge, strand orientation) must
+    agree exactly."""
+    import random
+
+    from disq_spark.operators.variant_qc import annotate_variants
+
+    rng = random.Random(7)
+    genes = []
+    for i in range(40):
+        contig = rng.choice(["1", "2"])
+        s = rng.randint(1, 50_000)
+        e = s + rng.randint(200, 8000)
+        strand = rng.choice(["+", "-"])
+        if rng.random() < 0.7:
+            # exon model: 1-3 exons inside the gene
+            n = rng.randint(1, 3)
+            cuts = sorted(rng.sample(range(s, e), 2 * n))
+            exs = cuts[0::2]
+            exe = cuts[1::2]
+        else:
+            exs = exe = None
+        genes.append((contig, s, e, f"g{i:02d}", strand, exs, exe))
+    gdf = spark.createDataFrame(
+        genes,
+        "contig string, start long, end long, gene string, strand string, "
+        "exon_starts array<long>, exon_ends array<long>",
+    )
+    variants = [
+        ("1" if i % 3 else "2", rng.randint(1, 70_000), "A", ["G"], [("S", "0/1")])
+        for i in range(400)
+    ] + [("MT", 5, "A", ["G"], [("S", "0/1")])]  # contig with no genes
+    vdf = _vc_rows(spark, variants)
+    got = {
+        (r.contig, r.start): (r.consequence, r.gene, r.gene_distance)
+        for r in annotate_variants(vdf, gdf, near_bp=2000).collect()
+    }
+
+    def serial(contig, pos):
+        cg = [g for g in genes if g[0] == contig]
+        if not cg:
+            return ("INTERGENIC", None, None)
+        overl = [g for g in cg if g[1] <= pos <= g[2]]
+        exonic = [
+            g for g in overl
+            if g[5] is not None
+            and any(a <= pos <= b for a, b in zip(g[5], g[6]))
+        ]
+        if exonic:
+            return ("EXONIC", min(g[3] for g in exonic), 0)
+        if overl:
+            modelled = [g for g in overl if g[5] is not None]
+            if modelled:
+                return ("INTRONIC", min(g[3] for g in modelled), 0)
+            return ("GENIC", min(g[3] for g in overl), 0)
+        lefts = [g for g in cg if g[2] < pos]
+        rights = [g for g in cg if g[1] > pos]
+        lb = max(lefts, key=lambda g: (g[2], g[3])) if lefts else None
+        rb = min(rights, key=lambda g: (g[1], g[3])) if rights else None
+        if lb and (not rb or pos - lb[2] <= rb[1] - pos):
+            d, gname, strand, left = pos - lb[2], lb[3], lb[4], True
+        else:
+            d, gname, strand, left = rb[1] - pos, rb[3], rb[4], False
+        if d > 2000:
+            return ("INTERGENIC", gname, d)
+        if left:
+            return ("DOWNSTREAM" if strand == "+" else "UPSTREAM", gname, d)
+        return ("UPSTREAM" if strand == "+" else "DOWNSTREAM", gname, d)
+
+    assert len(got) == len({(c, p) for c, p, *_ in variants})
+    mism = []
+    for (c, p) in got:
+        if got[(c, p)] != serial(c, p):
+            mism.append(((c, p), got[(c, p)], serial(c, p)))
+    assert not mism, mism[:5]
+    # every class exercised
+    assert {v[0] for v in got.values()} == {
+        "EXONIC", "INTRONIC", "GENIC", "UPSTREAM", "DOWNSTREAM", "INTERGENIC"
+    }
