@@ -187,3 +187,93 @@ def percentile_filter(
             )
         return out.withColumnRenamed("__disq_thr", threshold_col)
     return out.drop("__disq_thr")
+
+
+def dsir_features(df: DataFrame, text_col: str, buckets: int) -> DataFrame:
+    """Hashed n-gram feature extraction for DSIR: unigrams + adjacent
+    bigrams of the whitespace tokens, fingerprinted (md5 -> int64,
+    same scheme as the dedup operators) and folded into ``buckets``
+    hash buckets. Output: one row per feature occurrence
+    (__row_key, bucket). Pure column expressions — no shuffle."""
+    from disq_spark.functions import text as TX
+    from disq_spark.operators.dedup import gram_hash
+
+    toks = TX.tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return df.withColumn("__feat", F.explode(feats)).withColumn(
+        "bucket", F.pmod(gram_hash(F.col("__feat")), F.lit(buckets))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram profile is,
+
+        logweight(doc) = sum over the doc's features f of
+                         log p_target(bucket(f)) - log p_raw(bucket(f))
+
+    with add-1 smoothed bucket unigram models fit on the target and raw
+    corpora respectively: p(b) = (count_b + 1) / (total + buckets).
+    Downstream, sample raw docs proportional to exp(logweight) (Gumbel
+    top-k on logweight + a deterministic hash uniform composes with
+    :func:`hash_sample`'s machinery).
+
+    Output: (doc_id, n_features, logweight).
+
+    Scale shape: the two corpus fits are map-side-combinable counts
+    into ``buckets`` rows; the per-bucket log-ratio table (B rows) is
+    broadcast back, so scoring is explode -> broadcast hash join ->
+    one map-side-combinable per-doc sum. The raw corpus is read twice
+    (fit + score) and never joined against itself; nothing in the plan
+    grows with corpus size except the two linear passes.
+    """
+    rf = dsir_features(raw, text_col, buckets)
+    tf_ = dsir_features(target, text_col, buckets)
+
+    import math
+
+    rc = rf.groupBy("bucket").agg(F.count("*").alias("rc"))
+    tc = tf_.groupBy("bucket").agg(F.count("*").alias("tc"))
+    spark = raw.sparkSession
+    # one fit job: the joint bucket table is exactly `buckets` rows, so
+    # totals and log-ratios are computed driver-side from one collect
+    fit = {
+        r["bucket"]: (r["rc"] or 0, r["tc"] or 0)
+        for r in rc.join(tc, "bucket", "full").collect()
+    }
+    rt = sum(v[0] for v in fit.values())
+    tt = sum(v[1] for v in fit.values())
+    rows = []
+    for b in range(buckets):
+        rcb, tcb = fit.get(b, (0, 0))
+        rows.append((
+            b,
+            math.log((tcb + 1) / float(tt + buckets))
+            - math.log((rcb + 1) / float(rt + buckets)),
+        ))
+    w = spark.createDataFrame(rows, "bucket long, logratio double")
+    return (
+        rf.join(F.broadcast(w), "bucket")
+        .groupBy(F.col(id_col).alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_features"),
+            F.round(F.sum("logratio"), round_to).alias("logweight"),
+        )
+    )

@@ -2181,3 +2181,60 @@ LEFT JOIN top4 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
 LEFT JOIN dup10 USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# text_dsir_weights — DSIR importance resampling weights (Xie et al. 2023):
+# hashed unigram+bigram bucket models, add-1 smoothed, fit on a target
+# slice (source = 'src0') vs the full raw corpus; per-doc logweight =
+# sum of bucket log-ratios. The quality-targeted data-selection
+# primitive. Oracle rebuilds the identical pipeline in DuckDB from the
+# same (buckets, smoothing, rounding) constants.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 1024
+
+
+@_q("text_dsir_weights")
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.sampling import dsir_weights
+
+    d = load(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src0")
+    return dsir_weights(d, target, buckets=DSIR_BUCKETS).orderBy("doc_id")
+
+
+def _dsir_oracle(buckets: int) -> str:
+    feats = f"""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % {buckets} AS bucket
+    FROM (
+      SELECT doc_id, unnest(list_concat(
+        toks,
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             ELSE [] END)) AS f
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents{{WHERE}})
+    )"""
+    rawf = feats.replace("{WHERE}", "")
+    tgtf = feats.replace("{WHERE}", " WHERE source = 'src0'")
+    return f"""
+WITH rawf AS ({rawf}),
+tgtf AS ({tgtf}),
+rcnt AS (SELECT bucket, count(*) AS rc FROM rawf GROUP BY bucket),
+tcnt AS (SELECT bucket, count(*) AS tc FROM tgtf GROUP BY bucket),
+tot AS (SELECT (SELECT count(*) FROM rawf) AS rt, (SELECT count(*) FROM tgtf) AS tt),
+w AS (
+  SELECT b.range AS bucket,
+         ln(CAST(coalesce(tc, 0) + 1 AS DOUBLE) / (tt + {buckets}))
+           - ln(CAST(coalesce(rc, 0) + 1 AS DOUBLE) / (rt + {buckets})) AS logratio
+  FROM range({buckets}) b
+  LEFT JOIN rcnt ON rcnt.bucket = b.range
+  LEFT JOIN tcnt ON tcnt.bucket = b.range, tot
+)
+SELECT doc_id, count(*) AS n_features, round(sum(logratio), 6) AS logweight
+FROM rawf JOIN w USING (bucket)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE["text_dsir_weights"] = _dsir_oracle(DSIR_BUCKETS)

@@ -3542,3 +3542,27 @@ def test_annotate_variants_matches_serial(spark):
     assert {v[0] for v in got.values()} == {
         "EXONIC", "INTRONIC", "GENIC", "UPSTREAM", "DOWNSTREAM", "INTERGENIC"
     }
+
+
+def test_dsir_weights_semantics(spark):
+    """Raw docs sharing the target's vocabulary must outscore docs that
+    don't; feature count is unigrams + adjacent bigrams."""
+    from disq_spark.operators.sampling import dsir_weights
+
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha"),
+            (2, "gamma delta gamma delta gamma"),
+            (3, "alpha beta gamma"),
+            (4, "epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha"), (101, "beta alpha beta")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dsir_weights(raw, target, buckets=64).collect()}
+    assert rows[1].n_features == 9   # 5 unigrams + 4 bigrams
+    assert rows[4].n_features == 1   # single token, no bigram
+    assert rows[1].logweight > rows[3].logweight > rows[2].logweight
