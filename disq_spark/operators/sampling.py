@@ -277,3 +277,60 @@ def dsir_weights(
             F.round(F.sum("logratio"), round_to).alias("logweight"),
         )
     )
+
+
+def importance_resample(
+    scored: DataFrame,
+    k: int,
+    weight_col: str = "logweight",
+    key: str = "doc_id",
+    seed: str = "",
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic importance resampling via the Gumbel-top-k trick:
+    drawing k rows WITHOUT replacement with probability proportional to
+    exp(weight_col) is exactly taking the k largest values of
+
+        gumbel_key = weight + G,   G = -ln(-ln(u))
+
+    when u is uniform on (0,1) (Vieira 2014; the sampling counterpart
+    of DSIR's weighting step). u comes from the same md5-of-key scheme
+    as :func:`hash_sample`, so the selected set is a pure function of
+    (row key, seed) — identical under repartitioning, retries, and
+    engine (the oracle replays it in DuckDB verbatim).
+
+    Scale shape: one column expression per row followed by a global
+    top-k, which Spark executes as TakeOrderedAndProject — per-partition
+    heap of k then a k*partitions driver merge; no full sort, no
+    shuffle. Keep k in the 10^6 range or below; resample larger
+    selections in per-shard strata (compose with assign_shards).
+    """
+    # clamp u away from exact 0/1 so the double log never overflows
+    u = f"greatest(1e-12, least(1.0 - 1e-12, {uniform_sql(key, seed)}))"
+    g = (
+        scored.withColumn(
+            "gumbel_key",
+            F.round(
+                F.col(weight_col) + F.expr(f"-ln(-ln({u}))"), round_to
+            ),
+        )
+    )
+    return g.orderBy(F.col("gumbel_key").desc(), F.col(key)).limit(k)
+
+
+def importance_resample_sql(
+    source_sql: str,
+    k: int,
+    weight_col: str = "logweight",
+    key: str = "doc_id",
+    seed: str = "",
+    round_to: int = 6,
+) -> str:
+    """DuckDB/ANSI oracle for :func:`importance_resample` over any
+    relation expression producing (key, weight_col)."""
+    u = f"greatest(1e-12, least(1.0 - 1e-12, {uniform_sql(key, seed)}))"
+    return f"""
+SELECT *, round({weight_col} + -ln(-ln({u})), {round_to}) AS gumbel_key
+FROM ({source_sql})
+ORDER BY gumbel_key DESC, {key} LIMIT {k}
+"""

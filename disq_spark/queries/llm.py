@@ -2238,3 +2238,37 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 ORACLE["text_dsir_weights"] = _dsir_oracle(DSIR_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# text_importance_resample — the sampling half of DSIR: draw k docs
+# without replacement with probability proportional to exp(logweight)
+# via the deterministic Gumbel-top-k trick (md5-uniform noise, so the
+# selected set is engine- and partitioning-invariant and the oracle
+# replays it exactly).
+# ---------------------------------------------------------------------------
+RESAMPLE_K = 50
+RESAMPLE_SEED = "dsir_v1"
+
+
+@_q("text_importance_resample")
+def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.sampling import dsir_weights, importance_resample
+
+    d = load(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src0")
+    scored = dsir_weights(d, target, buckets=DSIR_BUCKETS)
+    return importance_resample(
+        scored, RESAMPLE_K, seed=RESAMPLE_SEED
+    ).orderBy(F.col("gumbel_key").desc(), "doc_id")
+
+
+def _resample_oracle() -> str:
+    from disq_spark.operators.sampling import importance_resample_sql
+
+    return importance_resample_sql(
+        _dsir_oracle(DSIR_BUCKETS), RESAMPLE_K, seed=RESAMPLE_SEED
+    )
+
+
+ORACLE["text_importance_resample"] = _resample_oracle()

@@ -3566,3 +3566,21 @@ def test_dsir_weights_semantics(spark):
     assert rows[1].n_features == 9   # 5 unigrams + 4 bigrams
     assert rows[4].n_features == 1   # single token, no bigram
     assert rows[1].logweight > rows[3].logweight > rows[2].logweight
+
+
+def test_importance_resample_deterministic_and_weighted(spark):
+    from disq_spark.operators.sampling import importance_resample
+
+    scored = spark.createDataFrame(
+        [(i, 0.0 if i else 100.0) for i in range(200)],
+        "doc_id long, logweight double",
+    )
+    sel1 = [r.doc_id for r in importance_resample(scored, 20, seed="s").collect()]
+    sel2 = [
+        r.doc_id
+        for r in importance_resample(scored.repartition(13), 20, seed="s").collect()
+    ]
+    assert sorted(sel1) == sorted(sel2)            # partition-invariant
+    assert 0 in sel1                               # +100 logweight always wins
+    sel3 = [r.doc_id for r in importance_resample(scored, 20, seed="t").collect()]
+    assert sorted(sel1) != sorted(sel3)            # seed changes the draw
