@@ -2012,3 +2012,90 @@ def cnv_segments(
         .filter((F.col("state") != "NEUTRAL") & (F.col("n_bins") >= min_bins))
         .drop("seg_id")
     )
+
+
+def estimate_contamination(
+    reads: DataFrame,
+    variants: DataFrame,
+    sample: str | None = None,
+    min_depth: int = 10,
+    min_mapq: int = 0,
+    min_base_quality: int = 0,
+) -> DataFrame:
+    """VerifyBamID-lite cross-sample contamination estimate.
+
+    At sites where the sample is a homozygous-alt biallelic SNV, a
+    clean alignment shows only the alt base (plus sequencing error in
+    equal parts across the three non-alt bases); REF-supporting bases
+    beyond that error floor come from foreign DNA, which contributes
+    ref reads at roughly half its fraction (the contaminant is ~2/3
+    likely to carry at least one ref allele at a common site; the
+    classic quick estimate doubles the ref fraction). Reports
+
+        contamination_est = 2 * ref_bases / (ref_bases + alt_bases)
+        error_floor       = other_bases / total * 3 / 2
+
+    over hom-alt sites with pileup depth >= min_depth, so callers can
+    subtract the sequencing-error floor from the estimate.
+
+    Plan shape: the hom-alt site list (thousands of rows) broadcasts
+    into the pileup join, so the only read-scale stages are the pileup
+    itself (shuffle-free CIGAR walk + one map-side-combinable groupBy)
+    and a 1-row aggregate.
+    """
+    snv = variants.filter(
+        (F.length("ref") == 1)
+        & F.col("ref").isin("A", "C", "G", "T")
+        & (F.size("alts") == 1)
+        & (F.length(F.col("alts")[0]) == 1)
+        & F.col("alts")[0].isin("A", "C", "G", "T")
+    )
+    g = snv.select(
+        "contig", "start", "ref", F.col("alts")[0].alias("alt"),
+        F.explode("genotypes").alias("g"),
+    )
+    if sample is not None:
+        g = g.filter(F.col("g.sample") == sample)
+    al = F.split(F.col("g.gt"), r"[/|]")
+    hom_alt = g.filter(
+        F.col("g.gt").isNotNull()
+        & (F.size(al) == 2)
+        & (F.size(F.filter(al, lambda a: a == "1")) == 2)
+    ).select("contig", F.col("start").alias("pos"), "ref", "alt").distinct()
+
+    p = pileup(
+        reads, min_mapq=min_mapq, min_base_quality=min_base_quality
+    )
+    base_n = lambda b: (  # noqa: E731
+        F.when(b == "A", F.col("n_a"))
+        .when(b == "C", F.col("n_c"))
+        .when(b == "G", F.col("n_g"))
+        .otherwise(F.col("n_t"))
+    )
+    j = (
+        p.join(F.broadcast(hom_alt), ["contig", "pos"])
+        .withColumn("ref_n", base_n(F.col("ref")))
+        .withColumn("alt_n", base_n(F.col("alt")))
+        .withColumn(
+            "base_total",
+            F.col("n_a") + F.col("n_c") + F.col("n_g") + F.col("n_t"),
+        )
+        .filter(F.col("base_total") >= min_depth)
+    )
+    return j.agg(
+        F.count("*").alias("n_sites"),
+        F.sum("base_total").alias("total_bases"),
+        F.sum("ref_n").alias("ref_bases"),
+        F.sum("alt_n").alias("alt_bases"),
+        (F.sum("base_total") - F.sum("ref_n") - F.sum("alt_n")).alias(
+            "other_bases"
+        ),
+        F.round(
+            2.0 * F.sum("ref_n") / (F.sum("ref_n") + F.sum("alt_n")), 6
+        ).alias("contamination_est"),
+        F.round(
+            (F.sum("base_total") - F.sum("ref_n") - F.sum("alt_n"))
+            / F.sum("base_total") * 1.5,
+            6,
+        ).alias("error_floor"),
+    )

@@ -2537,3 +2537,52 @@ FROM (VALUES
 ) AS t(consequence, gene, n_variants, first_pos, last_pos)
 ORDER BY consequence, gene
 """
+
+
+@_q("genomics_contamination")
+def genomics_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VerifyBamID-lite contamination estimate over 1.bam at ten fixed
+    hom-alt-like sites (majority base declared ALT, observed minority
+    base REF): doubled ref-fraction + sequencing-error floor. The
+    reduction over the pileup is differentially tested in
+    tests/test_operators.py::test_estimate_contamination_matches_serial."""
+    from disq_spark.operators.genomics import estimate_contamination
+    from disq_spark.sources.bam_source import read_bam
+
+    sites = [
+        ("1", 24975456, "T", "A"),
+        ("1", 24975473, "A", "C"),
+        ("1", 24975429, "A", "T"),
+        ("1", 24975438, "A", "T"),
+        ("1", 24975427, "C", "A"),
+        ("1", 24975426, "G", "A"),
+        ("1", 24975424, "T", "A"),
+        ("1", 24795548, "C", "T"),
+        ("1", 24795547, "A", "C"),
+        ("1", 24975486, "G", "T"),
+    ]
+    vdf = spark.createDataFrame(
+        [
+            (c, p, p, None, r, [a], None, [], {},
+             [{"sample": "S", "gt": "1/1", "attrs": {}}])
+            for c, p, r, a in sites
+        ],
+        _variants_schema(spark),
+    )
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    return estimate_contamination(df, vdf, min_depth=10, min_base_quality=10)
+
+
+def _variants_schema(spark):
+    from disq_spark.schemas import VARIANTS_SCHEMA
+
+    return VARIANTS_SCHEMA
+
+
+ORACLE["genomics_contamination"] = """
+SELECT CAST(10 AS BIGINT) AS n_sites, CAST(2261 AS BIGINT) AS total_bases,
+       CAST(10 AS BIGINT) AS ref_bases, CAST(2251 AS BIGINT) AS alt_bases,
+       CAST(0 AS BIGINT) AS other_bases,
+       CAST(0.008846 AS DOUBLE) AS contamination_est,
+       CAST(0.0 AS DOUBLE) AS error_floor
+"""

@@ -3584,3 +3584,54 @@ def test_importance_resample_deterministic_and_weighted(spark):
     assert 0 in sel1                               # +100 logweight always wins
     sel3 = [r.doc_id for r in importance_resample(scored, 20, seed="t").collect()]
     assert sorted(sel1) != sorted(sel3)            # seed changes the draw
+
+
+def test_estimate_contamination_matches_serial(spark, fixtures_dir):
+    """Reduce the already-differentially-tested pileup over a fixed
+    hom-alt site list serially; the operator's one-row output must
+    match, including the doubled ref-fraction estimate."""
+    import os
+
+    from disq_spark.operators.genomics import estimate_contamination, pileup
+    from disq_spark.sources.bam_source import read_bam
+
+    sites = [
+        ("1", 24975456, "T", "A"),
+        ("1", 24975473, "A", "C"),
+        ("1", 24795548, "C", "T"),
+        ("1", 24861704, "G", "A"),  # genuinely mixed site
+    ]
+    df, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    vdf = _vc_rows(
+        spark, [(c, p, r, [a], [("S", "1/1")]) for c, p, r, a in sites]
+    )
+    got = estimate_contamination(
+        df, vdf, min_depth=10, min_base_quality=10
+    ).collect()[0]
+
+    pl = {
+        (r.contig, r.pos): r
+        for r in pileup(df, min_base_quality=10).filter(
+            F.col("pos").isin([p for _, p, _, _ in sites])
+        ).collect()
+    }
+    tot = refs = alts = 0
+    n_sites = 0
+    for c, p, ref, alt in sites:
+        r = pl[(c, p)]
+        counts = {"A": r.n_a, "C": r.n_c, "G": r.n_g, "T": r.n_t}
+        bt = sum(counts.values())
+        if bt < 10:
+            continue
+        n_sites += 1
+        tot += bt
+        refs += counts[ref]
+        alts += counts[alt]
+    assert (got.n_sites, got.total_bases, got.ref_bases, got.alt_bases) == (
+        n_sites, tot, refs, alts
+    )
+    assert got.other_bases == tot - refs - alts
+    assert got.contamination_est == round(2.0 * refs / (refs + alts), 6)
+    assert got.error_floor == round((tot - refs - alts) / tot * 1.5, 6)
+    # the mixed site pushes the estimate well off zero
+    assert got.contamination_est > 0.02
