@@ -2099,3 +2099,106 @@ def estimate_contamination(
             6,
         ).alias("error_floor"),
     )
+
+
+def sv_discordant_clusters(
+    df: DataFrame,
+    max_insert: int = 1000,
+    cluster_window: int = 500,
+    min_support: int = 2,
+    min_mapq: int = 0,
+) -> DataFrame:
+    """Structural-variant evidence from discordant read pairs
+    (DELLY/LUMPY first-pass analog): classify every primary,
+    non-duplicate, both-ends-mapped, NOT-properly-paired pair, then
+    cluster the left breakpoints.
+
+    Classes: TRA (mates on different contigs), INV (same orientation),
+    DUP (outward RF orientation), DEL (inward FR but span >
+    max_insert), OTHER (inward FR within max_insert — flagged
+    not-proper for some other reason).
+
+    Each pair is counted once via the canonical-end rule — keep the
+    record whose (contig, start, first-in-pair) sorts before its
+    mate's; a lone end whose canonical partner never appears (mate
+    outside the sharded region) still qualifies when it IS the
+    canonical end. Clusters are gap-and-islands over the kept reads'
+    starts within (class, contig, mate_contig): a new cluster starts
+    where the gap exceeds ``cluster_window``. Output: (class, contig,
+    start_lo, start_hi, mate_contig, mate_lo, mate_hi, n_pairs),
+    filtered to ``n_pairs >= min_support``.
+
+    Scale shape: the discordant filter runs at scan time (flag
+    arithmetic, pushable), so the window pass sees only discordant
+    pairs — typically <1% of reads; its partition key
+    (class, contig, mate_contig) spreads interchromosomal evidence
+    across contig pairs. The groupBy is map-side combinable.
+    """
+    from pyspark.sql import Window
+
+    d = df.filter(
+        ((F.col("flags").bitwiseAND(F.lit(0x1))) != 0)
+        & ((F.col("flags").bitwiseAND(F.lit(0x4))) == 0)
+        & ((F.col("flags").bitwiseAND(F.lit(0x8))) == 0)
+        & ((F.col("flags").bitwiseAND(F.lit(0x2))) == 0)
+        & ((F.col("flags").bitwiseAND(F.lit(0x100))) == 0)
+        & ((F.col("flags").bitwiseAND(F.lit(0x400))) == 0)
+        & ((F.col("flags").bitwiseAND(F.lit(0x800))) == 0)
+        & (F.coalesce(F.col("mapq"), F.lit(0)) >= min_mapq)
+        & F.col("contig").isNotNull()
+        & F.col("mate_contig").isNotNull()
+    )
+    first = (F.col("flags").bitwiseAND(F.lit(0x40))) != 0
+    canonical = (
+        (F.col("contig") < F.col("mate_contig"))
+        | (
+            (F.col("contig") == F.col("mate_contig"))
+            & (
+                (F.col("start") < F.col("mate_start"))
+                | ((F.col("start") == F.col("mate_start")) & first)
+            )
+        )
+    )
+    d = d.filter(canonical)
+    rev = (F.col("flags").bitwiseAND(F.lit(0x10))) != 0
+    mrev = (F.col("flags").bitwiseAND(F.lit(0x20))) != 0
+    span = F.col("mate_start") - F.col("start")
+    cls = (
+        F.when(F.col("contig") != F.col("mate_contig"), F.lit("TRA"))
+        .when(rev == mrev, F.lit("INV"))
+        .when(rev, F.lit("DUP"))  # canonical(leftmost) end reverse -> RF
+        .when(span > max_insert, F.lit("DEL"))
+        .otherwise(F.lit("OTHER"))
+    )
+    d = d.select(
+        cls.alias("class"), "contig", "start", "mate_contig", "mate_start"
+    )
+    ow = Window.partitionBy("class", "contig", "mate_contig").orderBy(
+        "start", "mate_start"
+    )
+    cw = (
+        Window.partitionBy("class", "contig", "mate_contig")
+        .orderBy("start", "mate_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    brk = F.coalesce(
+        (F.col("start") - F.lag("start").over(ow)) > cluster_window, F.lit(True)
+    )
+    c = d.withColumn("brk", brk.cast("int")).withColumn(
+        "cl", F.sum("brk").over(cw)
+    )
+    return (
+        c.groupBy("class", "contig", "mate_contig", "cl")
+        .agg(
+            F.min("start").alias("start_lo"),
+            F.max("start").alias("start_hi"),
+            F.min("mate_start").alias("mate_lo"),
+            F.max("mate_start").alias("mate_hi"),
+            F.count("*").alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") >= min_support)
+        .select(
+            "class", "contig", "start_lo", "start_hi",
+            "mate_contig", "mate_lo", "mate_hi", "n_pairs",
+        )
+    )

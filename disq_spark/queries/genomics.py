@@ -2586,3 +2586,44 @@ SELECT CAST(10 AS BIGINT) AS n_sites, CAST(2261 AS BIGINT) AS total_bases,
        CAST(0.008846 AS DOUBLE) AS contamination_est,
        CAST(0.0 AS DOUBLE) AS error_floor
 """
+
+
+@_q("genomics_sv_discordant")
+def genomics_sv_discordant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-variant discordant-pair evidence (DELLY/LUMPY
+    first-pass analog) over 1.bam: canonical-end dedup, TRA/INV/DUP/
+    DEL/OTHER classification, 100 kb breakpoint clustering. The
+    classifier + clustering are differentially tested (engineered SV
+    pair sets and a serial recount) in
+    tests/test_operators.py::test_sv_discordant_clusters_synthetic_and_serial."""
+    from disq_spark.operators.genomics import sv_discordant_clusters
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    return sv_discordant_clusters(
+        df, max_insert=1000, cluster_window=100_000, min_support=1
+    ).orderBy("class", "contig", "mate_contig", "start_lo")
+
+
+ORACLE["genomics_sv_discordant"] = """
+SELECT "class", contig, CAST(start_lo AS BIGINT) AS start_lo,
+       CAST(start_hi AS BIGINT) AS start_hi, mate_contig,
+       CAST(mate_lo AS BIGINT) AS mate_lo, CAST(mate_hi AS BIGINT) AS mate_hi,
+       CAST(n_pairs AS BIGINT) AS n_pairs
+FROM (VALUES
+  ('INV', '1', 24818092, 24855954, '1', 33246704, 155582940, 2),
+  ('INV', '1', 24981496, 24981496, '1', 36935796, 36935796, 1),
+  ('TRA', '1', 24840860, 24840860, '10', 61833862, 61833862, 1),
+  ('TRA', '1', 24802672, 24802672, '11', 56127970, 56127970, 1),
+  ('TRA', '1', 24979276, 24979276, '13', 48986638, 48986638, 1),
+  ('TRA', '1', 24857841, 24857841, '15', 25523450, 25523450, 1),
+  ('TRA', '1', 24981544, 24981544, '18', 10675078, 10675078, 1),
+  ('TRA', '1', 24832937, 24832937, '2', 55795331, 55795331, 1),
+  ('TRA', '1', 24840851, 24840851, '4', 82126179, 82126179, 1),
+  ('TRA', '1', 24973222, 24973222, '4', 38342912, 38342912, 1),
+  ('TRA', '1', 24973226, 24981581, '5', 69422377, 162404294, 2),
+  ('TRA', '1', 24835200, 24835200, '8', 99170324, 99170324, 1),
+  ('TRA', '1', 24976557, 24976557, 'X', 81575341, 81575341, 1)
+) AS t("class", contig, start_lo, start_hi, mate_contig, mate_lo, mate_hi, n_pairs)
+ORDER BY "class", contig, mate_contig, start_lo
+"""

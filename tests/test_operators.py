@@ -3635,3 +3635,78 @@ def test_estimate_contamination_matches_serial(spark, fixtures_dir):
     assert got.error_floor == round((tot - refs - alts) / tot * 1.5, 6)
     # the mixed site pushes the estimate well off zero
     assert got.contamination_est > 0.02
+
+
+def test_sv_discordant_clusters_synthetic_and_serial(spark, fixtures_dir):
+    """Engineered deletion/inversion/duplication/translocation pair
+    sets must classify and cluster per spec; then the 1.bam fixture's
+    discordant ends must match a serial recount."""
+    import os
+
+    from disq_spark.operators.genomics import sv_discordant_clusters
+    from disq_spark.sources.bam_source import read_bam
+
+    F_PAIR, F_PROPER, F_REV, F_MREV, F_FIRST = 0x1, 0x2, 0x10, 0x20, 0x40
+
+    def rec(contig, start, mate_contig, mate_start, flags, name="r"):
+        return (
+            name, flags, contig, start, start + 99, 60, "100M",
+            mate_contig, mate_start, 0, None, None, None, None,
+        )
+
+    rows = []
+    # DEL cluster: 3 FR pairs, long span, starts within 200 bp
+    for i, s in enumerate([10_000, 10_150, 10_190]):
+        rows.append(rec("1", s, "1", s + 50_000, F_PAIR | F_FIRST | F_MREV, f"d{i}"))
+    # INV cluster: 2 same-orientation pairs
+    for i, s in enumerate([40_000, 40_100]):
+        rows.append(rec("1", s, "1", s + 3_000, F_PAIR | F_FIRST, f"i{i}"))
+    # DUP: canonical end reverse, mate forward (RF) — two pairs
+    for i, s in enumerate([70_000, 70_050]):
+        rows.append(rec("1", s, "1", s + 4_000, F_PAIR | F_FIRST | F_REV, f"u{i}"))
+    # TRA cluster: 2 cross-contig pairs + 1 lone far away (dropped @2)
+    rows.append(rec("1", 90_000, "2", 500_000, F_PAIR | F_FIRST | F_MREV, "t0"))
+    rows.append(rec("1", 90_200, "2", 500_300, F_PAIR | F_MREV, "t1"))
+    rows.append(rec("1", 990_000, "2", 800_000, F_PAIR | F_FIRST, "t2"))
+    # OTHER: FR short-span not-proper pair (insert below max)
+    rows.append(rec("1", 60_000, "1", 60_200, F_PAIR | F_FIRST | F_MREV, "o0"))
+    # non-canonical end of d0 (must be dropped, not double-counted)
+    rows.append(rec("1", 60_000, "1", 10_000, F_PAIR | F_REV, "d0mate"))
+    # proper pair and secondary must be ignored
+    rows.append(rec("1", 10_000, "1", 10_400, F_PAIR | F_PROPER | F_FIRST, "p0"))
+    rows.append(rec("1", 10_000, "1", 60_000, F_PAIR | F_FIRST | 0x100, "s0"))
+
+    from disq_spark.schemas import READS_SCHEMA
+    df = spark.createDataFrame(rows, READS_SCHEMA)
+    got = {
+        (r["class"], r.contig, r.start_lo, r.start_hi,
+         r.mate_contig, r.mate_lo, r.mate_hi, r.n_pairs)
+        for r in sv_discordant_clusters(
+            df, max_insert=1000, cluster_window=500, min_support=2
+        ).collect()
+    }
+    assert got == {
+        ("DEL", "1", 10_000, 10_190, "1", 60_000, 60_190, 3),
+        ("INV", "1", 40_000, 40_100, "1", 43_000, 43_100, 2),
+        ("DUP", "1", 70_000, 70_050, "1", 74_000, 74_050, 2),
+        ("TRA", "1", 90_000, 90_200, "2", 500_000, 500_300, 2),
+    }
+
+    # 1.bam: serial recount of canonical discordant ends at min_support=1
+    bam, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    ops = sv_discordant_clusters(
+        bam, max_insert=1000, cluster_window=500, min_support=1
+    ).collect()
+    rows_b = bam.filter(
+        "(flags & 1)!=0 and (flags & 2)=0 and (flags & 4)=0 and (flags & 8)=0"
+        " and (flags & 256)=0 and (flags & 1024)=0 and (flags & 2048)=0"
+        " and contig is not null and mate_contig is not null"
+    ).select("contig", "start", "mate_contig", "mate_start", "flags").collect()
+    kept = []
+    for r in rows_b:
+        first = bool(r.flags & 0x40)
+        if (r.contig, r.start) < (r.mate_contig, r.mate_start) or (
+            (r.contig, r.start) == (r.mate_contig, r.mate_start) and first
+        ):
+            kept.append(r)
+    assert sum(c.n_pairs for c in ops) == len(kept)
