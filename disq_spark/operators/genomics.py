@@ -2202,3 +2202,92 @@ def sv_discordant_clusters(
             "mate_contig", "mate_lo", "mate_hi", "n_pairs",
         )
     )
+
+
+def region_coverage(
+    reads: DataFrame,
+    regions: DataFrame,
+    name_col: str = "name",
+) -> DataFrame:
+    """bedtools coverage / samtools bedcov analog: per-region read
+    count, mean depth, and breadth of coverage.
+
+    ``regions``: (contig, start, end[, name]) 1-based closed intervals.
+    Output per region: (contig, start, end, name, n_reads, total_bases,
+    mean_depth, covered_bases, pct_covered) where total_bases sums
+    read-overlap lengths (bedcov's base total / region length = mean
+    depth) and covered_bases counts region positions with depth >= 1
+    (breadth), computed exactly from run-length depth segments — never
+    per-base rows.
+
+    Plan shape: two binned interval joins (reads x regions for
+    count/total, depth-segments x regions for breadth) — both
+    broadcast when the region list is small, both bin-partitioned
+    otherwise — plus the distributed prefix-sum inside
+    :func:`coverage_depth`. Aggregates are map-side combinable on
+    region keys.
+    """
+    r = regions
+    if name_col not in r.columns:
+        r = r.withColumn(name_col, F.concat_ws(":", "contig", "start", "end"))
+    r = r.select(
+        F.col("contig").alias("contig"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        F.col(name_col).alias("name"),
+    )
+    reads_m = reads.filter(
+        F.col("contig").isNotNull() & F.col("start").isNotNull()
+        & F.col("end").isNotNull()
+    ).select("contig", "start", "end")
+
+    j = interval_join(reads_m, r, right_prefix="rg_")
+    ov = F.least(F.col("end"), F.col("rg_end")) - F.greatest(
+        F.col("start"), F.col("rg_start")
+    ) + 1
+    per_read = (
+        j.groupBy("rg_contig", "rg_start", "rg_end", "rg_name")
+        .agg(
+            F.count("*").alias("n_reads"),
+            F.sum(ov).alias("total_bases"),
+        )
+    )
+
+    segs = coverage_depth(reads_m).filter(F.col("depth") >= 1)
+    # run-length segments cover [pos, next_pos); convert to closed
+    seg_iv = segs.select(
+        "contig",
+        F.col("pos").alias("start"),
+        (F.col("next_pos") - 1).alias("end"),
+    )
+    sj = interval_join(seg_iv, r, right_prefix="rg_")
+    sov = F.least(F.col("end"), F.col("rg_end")) - F.greatest(
+        F.col("start"), F.col("rg_start")
+    ) + 1
+    breadth = (
+        sj.groupBy("rg_contig", "rg_start", "rg_end", "rg_name")
+        .agg(F.sum(sov).alias("covered_bases"))
+    )
+    keys = ["rg_contig", "rg_start", "rg_end", "rg_name"]
+    out = (
+        r.select(
+            F.col("contig").alias("rg_contig"),
+            F.col("start").alias("rg_start"),
+            F.col("end").alias("rg_end"),
+            F.col("name").alias("rg_name"),
+        )
+        .join(per_read, keys, "left")
+        .join(breadth, keys, "left")
+    )
+    span = F.col("rg_end") - F.col("rg_start") + 1
+    return out.select(
+        F.col("rg_contig").alias("contig"),
+        F.col("rg_start").alias("start"),
+        F.col("rg_end").alias("end"),
+        F.col("rg_name").alias("name"),
+        F.coalesce("n_reads", F.lit(0)).alias("n_reads"),
+        F.coalesce("total_bases", F.lit(0)).alias("total_bases"),
+        F.round(F.coalesce("total_bases", F.lit(0)) / span, 6).alias("mean_depth"),
+        F.coalesce("covered_bases", F.lit(0)).alias("covered_bases"),
+        F.round(F.coalesce("covered_bases", F.lit(0)) / span, 6).alias("pct_covered"),
+    )

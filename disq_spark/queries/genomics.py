@@ -2627,3 +2627,46 @@ FROM (VALUES
 ) AS t("class", contig, start_lo, start_hi, mate_contig, mate_lo, mate_hi, n_pairs)
 ORDER BY "class", contig, mate_contig, start_lo
 """
+
+
+@_q("genomics_region_coverage")
+def genomics_region_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bedtools coverage / samtools bedcov analog over 1.bam with a
+    five-region panel (dense, sparse, and empty stretches): per-region
+    read count, overlap-base total, mean depth, and exact breadth from
+    run-length depth segments. Differentially tested against a serial
+    per-base tally in
+    tests/test_operators.py::test_region_coverage_matches_serial."""
+    from disq_spark.operators.genomics import region_coverage
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    regions = spark.createDataFrame(
+        [
+            ("1", 24795000, 24805000, "r1"),
+            ("1", 24805001, 24855000, "r2"),
+            ("1", 24855001, 24905000, "r3"),
+            ("1", 24905001, 24985000, "r4"),
+            ("1", 20000000, 20001000, "r_empty"),
+        ],
+        "contig string, start long, end long, name string",
+    )
+    return region_coverage(df, regions).orderBy("contig", "start")
+
+
+ORACLE["genomics_region_coverage"] = """
+SELECT contig, CAST(start AS BIGINT) AS start, CAST("end" AS BIGINT) AS "end",
+       name, CAST(n_reads AS BIGINT) AS n_reads,
+       CAST(total_bases AS BIGINT) AS total_bases,
+       CAST(mean_depth AS DOUBLE) AS mean_depth,
+       CAST(covered_bases AS BIGINT) AS covered_bases,
+       CAST(pct_covered AS DOUBLE) AS pct_covered
+FROM (VALUES
+  ('1', 20000000, 20001000, 'r_empty', 0, 0, 0.0, 0, 0.0),
+  ('1', 24795000, 24805000, 'r1', 432, 31686, 3.168283, 756, 0.075592),
+  ('1', 24805001, 24855000, 'r2', 651, 48091, 0.96182, 2297, 0.04594),
+  ('1', 24855001, 24905000, 'r3', 834, 60943, 1.21886, 1753, 0.03506),
+  ('1', 24905001, 24985000, 'r4', 3000, 219037, 2.737963, 3762, 0.047025)
+) AS t(contig, start, "end", name, n_reads, total_bases, mean_depth, covered_bases, pct_covered)
+ORDER BY contig, start
+"""

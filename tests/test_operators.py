@@ -3710,3 +3710,47 @@ def test_sv_discordant_clusters_synthetic_and_serial(spark, fixtures_dir):
         ):
             kept.append(r)
     assert sum(c.n_pairs for c in ops) == len(kept)
+
+
+def test_region_coverage_matches_serial(spark, fixtures_dir):
+    """Per-region count/total/breadth over 1.bam must equal a serial
+    per-base tally on a region set spanning covered, boundary, and
+    empty stretches."""
+    import os
+
+    from disq_spark.operators.genomics import region_coverage
+    from disq_spark.sources.bam_source import read_bam
+
+    regions = [
+        ("1", 24795000, 24805000, "covered_a"),
+        ("1", 24860000, 24862000, "tight"),
+        ("1", 24900000, 24900100, "maybe_empty"),
+        ("1", 1000, 2000, "empty"),
+        ("2", 100, 200, "no_contig"),
+    ]
+    rdf = spark.createDataFrame(regions, "contig string, start long, end long, name string")
+    bam, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    got = {
+        r.name: (r.n_reads, r.total_bases, r.mean_depth, r.covered_bases, r.pct_covered)
+        for r in region_coverage(bam, rdf).collect()
+    }
+    assert set(got) == {n for *_, n in regions}
+
+    reads = bam.filter("contig is not null and start is not null and end is not null")\
+        .select("contig", "start", "end").collect()
+    for c, s, e, name in regions:
+        n = tot = 0
+        depth = {}
+        for r in reads:
+            if r.contig != c or r.end < s or r.start > e:
+                continue
+            n += 1
+            lo, hi = max(r.start, s), min(r.end, e)
+            tot += hi - lo + 1
+            for p in range(lo, hi + 1):
+                depth[p] = depth.get(p, 0) + 1
+        covered = len(depth)
+        span = e - s + 1
+        assert got[name] == (
+            n, tot, round(tot / span, 6), covered, round(covered / span, 6)
+        ), name
