@@ -948,3 +948,67 @@ def gopher_repetition(
             ),
         ).drop(f"__dupchars_{n}")
     return out.drop("__chars")
+
+
+def keep_best_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except the HIGHEST-``score_col`` member
+    of its connected component (ties -> min id); rows not in any pair
+    survive untouched. The quality-aware upgrade of
+    :func:`keep_representatives` — when duplicates differ (truncation,
+    boilerplate variants), keep the best copy, not the smallest id.
+
+    Scale shape identical to keep_representatives: components come from
+    the bounded label-propagation join, winners are one max_by over
+    component members (map-side combinable), and the corpus is touched
+    only by one broadcast anti-join of the loser ids (|members of
+    components| rows, not corpus rows).
+    """
+    comps = duplicate_components(pairs, id_a, id_b)
+    scored = comps.join(
+        df.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("__s")
+        ),
+        "node",
+    )
+    winners = scored.groupBy("comp").agg(
+        F.max_by(
+            "node", F.struct(F.col("__s"), (-F.col("node")).alias("nt"))
+        ).alias("winner")
+    )
+    losers = (
+        scored.join(winners, "comp")
+        .filter(F.col("node") != F.col("winner"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def component_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-duplicate-component summary: (comp, winner, best_score,
+    size) under the keep-best rule of :func:`keep_best_representatives`."""
+    comps = duplicate_components(pairs)
+    scored = comps.join(
+        df.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("__s")
+        ),
+        "node",
+    )
+    return scored.groupBy("comp").agg(
+        F.max_by(
+            "node", F.struct(F.col("__s"), (-F.col("node")).alias("nt"))
+        ).alias("winner"),
+        F.max("__s").alias("best_score"),
+        F.count("*").alias("size"),
+    )

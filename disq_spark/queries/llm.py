@@ -2272,3 +2272,51 @@ def _resample_oracle() -> str:
 
 
 ORACLE["text_importance_resample"] = _resample_oracle()
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — quality-aware cluster representative selection: per
+# near-dup component, keep the longest member (ties -> min id). The
+# oracle reuses the label-propagation closure and picks winners with a
+# window over (n_chars DESC, node ASC).
+# ---------------------------------------------------------------------------
+@_q("dedup_keep_best")
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d,
+        "text",
+        "doc_id",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+        k=SHINGLE_K,
+        stride=SHINGLE_STRIDE,
+        max_df=_max_df(spark, sf_dir),
+    )
+    return DD.component_best(d, pairs, "n_chars").orderBy("comp")
+
+
+def _keep_best_oracle() -> str:
+    edges = f"""CREATE OR REPLACE TEMP TABLE __kb_edges AS
+WITH {_minhash_pair_ctes()}
+SELECT id_a AS a, id_b AS b FROM pairs
+UNION
+SELECT id_b AS a, id_a AS b FROM pairs;"""
+    prop, last, unconverged = _label_prop_stmts("__kb_edges", "__kb")
+    final = f"""SELECT comp, winner, best_score, size FROM (
+  SELECT l.comp AS comp,
+         first(l.node ORDER BY d.n_chars DESC, l.node ASC) AS winner,
+         max(d.n_chars) AS best_score,
+         CAST(count(*) AS BIGINT) AS size
+  FROM {last} l JOIN documents d ON d.doc_id = l.node
+  GROUP BY l.comp
+)
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+WHERE {unconverged}
+ORDER BY comp;"""
+    return "\n".join([edges] + prop + [final])
+
+
+ORACLE["dedup_keep_best"] = _keep_best_oracle()

@@ -3754,3 +3754,29 @@ def test_region_coverage_matches_serial(spark, fixtures_dir):
         assert got[name] == (
             n, tot, round(tot / span, 6), covered, round(covered / span, 6)
         ), name
+
+
+def test_keep_best_representatives(spark):
+    from disq_spark.operators.dedup import (
+        component_best,
+        keep_best_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 5), (5, 7)],
+        "doc_id long, n_chars long",
+    )
+    # component {1,2,3}: best score 99 tie -> min id 2; {4,5}: 5 wins
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_best_representatives(docs, pairs, "n_chars").collect()
+    )
+    assert kept == [2, 5]
+    best = {
+        r.comp: (r.winner, r.best_score, r.size)
+        for r in component_best(docs, pairs, "n_chars").collect()
+    }
+    assert best == {1: (2, 99, 3), 4: (5, 7, 2)}
