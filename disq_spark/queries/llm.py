@@ -1034,7 +1034,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cte_parts(k: int, iters: int, r: int) -> list:
+def _kmeans_cte_parts(k: int, iters: int, r: int, source: str = "embeddings") -> list:
     def dist(a: str, b: str) -> str:
         return (
             f"list_sum(list_transform(generate_series(1, len({a})), "
@@ -1042,7 +1042,7 @@ def _kmeans_cte_parts(k: int, iters: int, r: int) -> list:
         )
 
     parts = [
-        "vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM {source})",
         f"c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS c\n"
         f"  FROM (SELECT id, v FROM vecs ORDER BY id LIMIT {k}))",
     ]
@@ -1099,11 +1099,26 @@ ORACLE["embedding_kmeans"] = _kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_ROUND
 SEMDEDUP_THRESHOLD = 0.35
 
 
+#: Gate-side input cap. SemDeDup's cost is sum(cluster_size^2); with the
+#: gate's FIXED k the clusters grow with the corpus and the pair count is
+#: quadratic in sf (the sf5 decade run surfaced this: 100k vectors / 8
+#: clusters = ~625M interpreted pair-cosines). Production callers scale k
+#: with n (see semantic_dedup_pairs docstring); the GATE instead bounds
+#: its input with the deterministic md5-uniform sample below — the rate
+#: is a scalar both engines compute identically, so the oracle stays
+#: hash-exact at every sf while pair work stays ~cap^2/k.
+SEMDEDUP_GATE_CAP = 4000
+SEMDEDUP_SEED = "semdedup_gate"
+
+
 @_q("dedup_semantic")
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from disq_spark.operators import similarity as SIM2
+    from disq_spark.operators.sampling import uniform_sql
 
     e = load(spark, sf_dir, "embeddings")
+    rate = min(1.0, float(SEMDEDUP_GATE_CAP) / e.count())
+    e = e.filter(F.expr(uniform_sql("vec_id", SEMDEDUP_SEED)) < rate)
     return SIM2.semantic_dedup_pairs(
         e,
         threshold=SEMDEDUP_THRESHOLD,
@@ -1114,7 +1129,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_oracle() -> str:
-    parts = _kmeans_cte_parts(KMEANS_K, KMEANS_ITERS, KMEANS_ROUND)
+    from disq_spark.operators.sampling import uniform_sql
+
+    sampled = (
+        "(SELECT vec_id, embedding FROM embeddings "
+        f"WHERE {uniform_sql('vec_id', SEMDEDUP_SEED)} < "
+        f"least(1.0, {float(SEMDEDUP_GATE_CAP)} / "
+        "(SELECT count(*) FROM embeddings)))"
+    )
+    parts = _kmeans_cte_parts(
+        KMEANS_K, KMEANS_ITERS, KMEANS_ROUND, source=sampled
+    )
     parts.append(
         "t AS (SELECT afin.id, afin.cid, vecs.v,\n"
         "  sqrt(list_sum(list_transform(vecs.v, x -> x * x))) AS nrm\n"
