@@ -2291,3 +2291,51 @@ def region_coverage(
         F.coalesce("covered_bases", F.lit(0)).alias("covered_bases"),
         F.round(F.coalesce("covered_bases", F.lit(0)) / span, 6).alias("pct_covered"),
     )
+
+
+def bam_to_fastq_rows(
+    df: DataFrame,
+    include_suffix: bool = True,
+) -> DataFrame:
+    """samtools fastq analog: turn aligned reads back into sequencer
+    orientation for re-alignment. Keeps one record per template end
+    (primary alignments only — secondary/supplementary carry the same
+    sequence again), reverse-complements SEQ and reverses QUAL for
+    reverse-strand alignments, and appends the /1 //2 mate suffix for
+    paired ends (``include_suffix=False`` for name-bare output).
+
+    Output: (name, comment, seq, qual) — exactly the FASTQ sink schema
+    (``sources.fastq.write_fastq``). Rows with no stored sequence
+    ('*') are dropped, matching samtools fastq's behavior.
+
+    Pure column expressions (reverse + translate for the complement) —
+    scan-shaped, no shuffle, codegen throughout.
+    """
+    d = df.filter(
+        ((F.col("flags").bitwiseAND(F.lit(0x100))) == 0)
+        & ((F.col("flags").bitwiseAND(F.lit(0x800))) == 0)
+        & F.col("seq").isNotNull()
+        & (F.col("seq") != "*")
+    )
+    rev = (F.col("flags").bitwiseAND(F.lit(0x10))) != 0
+    seq = F.when(
+        rev, F.translate(F.reverse(F.col("seq")), "ACGTNacgtn", "TGCANtgcan")
+    ).otherwise(F.col("seq"))
+    qual = F.when(
+        F.col("qual").isNull() | (F.col("qual") == "*"), F.lit("*")
+    ).when(rev, F.reverse(F.col("qual"))).otherwise(F.col("qual"))
+    paired = (F.col("flags").bitwiseAND(F.lit(0x1))) != 0
+    first = (F.col("flags").bitwiseAND(F.lit(0x40))) != 0
+    suffix = (
+        F.when(~paired, F.lit(""))
+        .when(first, F.lit("/1"))
+        .otherwise(F.lit("/2"))
+        if include_suffix
+        else F.lit("")
+    )
+    return d.select(
+        F.concat(F.col("name"), suffix).alias("name"),
+        F.lit(None).cast("string").alias("comment"),
+        seq.alias("seq"),
+        qual.alias("qual"),
+    )

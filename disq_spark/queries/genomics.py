@@ -2670,3 +2670,44 @@ FROM (VALUES
 ) AS t(contig, start, "end", name, n_reads, total_bases, mean_depth, covered_bases, pct_covered)
 ORDER BY contig, start
 """
+
+
+@_q("genomics_bam_to_fastq")
+def genomics_bam_to_fastq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """samtools-fastq analog over 1.bam: primary-only, revcomp'd back
+    to sequencer orientation, /1 //2 mate suffixes. Golden aggregate
+    (counts + md5 content fingerprint, mod-folded) pins every record
+    byte; the per-record path and the FASTQ sink round-trip are
+    differentially tested in
+    tests/test_operators.py::test_bam_to_fastq_rows_matches_serial."""
+    from disq_spark.operators.genomics import bam_to_fastq_rows
+    from disq_spark.sources.bam_source import read_bam
+
+    df, _h = read_bam(spark, os.path.join(FIXTURES, "1.bam"))
+    out = bam_to_fastq_rows(df)
+    fp = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "name", "seq", "qual")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000_007),
+    )
+    return out.agg(
+        F.count("*").alias("n_records"),
+        F.count_distinct(F.col("name")).alias("n_names"),
+        F.sum(F.col("name").endswith("/1").cast("long")).alias("n_r1"),
+        F.sum(F.col("name").endswith("/2").cast("long")).alias("n_r2"),
+        F.sum(F.length("seq")).alias("total_bases"),
+        F.sum(fp).alias("content_fp"),
+    )
+
+
+ORACLE["genomics_bam_to_fastq"] = """
+SELECT CAST(4917 AS BIGINT) AS n_records, CAST(4917 AS BIGINT) AS n_names,
+       CAST(2442 AS BIGINT) AS n_r1, CAST(2475 AS BIGINT) AS n_r2,
+       CAST(373692 AS BIGINT) AS total_bases,
+       CAST(2439317969917 AS BIGINT) AS content_fp
+"""

@@ -3780,3 +3780,42 @@ def test_keep_best_representatives(spark):
         for r in component_best(docs, pairs, "n_chars").collect()
     }
     assert best == {1: (2, 99, 3), 4: (5, 7, 2)}
+
+
+def test_bam_to_fastq_rows_matches_serial(spark, fixtures_dir):
+    """Round 1.bam into FASTQ rows; a serial revcomp over the collected
+    reads must agree record-for-record, and a write/read round trip
+    through the FASTQ sink must preserve every record."""
+    import os
+    import tempfile
+
+    from disq_spark.operators.genomics import bam_to_fastq_rows
+    from disq_spark.sources.bam_source import read_bam
+    from disq_spark.sources.fastq import read_fastq, write_fastq
+
+    bam, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
+    out = bam_to_fastq_rows(bam)
+    got = {(r.name, r.seq, r.qual) for r in out.collect()}
+
+    comp = str.maketrans("ACGTNacgtn", "TGCANtgcan")
+    expect = set()
+    for r in bam.collect():
+        if r.flags & (0x100 | 0x800) or not r.seq or r.seq == "*":
+            continue
+        seq, qual = r.seq, r.qual if r.qual else "*"
+        if r.flags & 0x10:
+            seq = seq.translate(comp)[::-1]
+            if qual != "*":
+                qual = qual[::-1]
+        sfx = "" if not r.flags & 0x1 else ("/1" if r.flags & 0x40 else "/2")
+        expect.add((r.name + sfx, seq, qual))
+    assert got == expect
+    assert len(got) > 4000
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "out.fastq")
+        write_fastq(out, p, single_file=True)
+        back = {
+            (r.name, r.seq, r.qual) for r in read_fastq(spark, p).collect()
+        }
+    assert back == got
