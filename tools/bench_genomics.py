@@ -122,10 +122,69 @@ def hotspot_main(factor: int) -> None:
     )
 
 
+def kinship_main(n_samples: int, n_sites: int) -> None:
+    """Cohort-operator scale probe: king_kinship + pairwise_ibs over a
+    deterministic synthetic genotype table. The pair fan-out is
+    sites x C(samples,2); the probe reports wall + fan-out so the
+    linear-in-sites / quadratic-in-panel cost model in SCALE.md stays a
+    measured claim, not an assertion."""
+    spark = get_session("bench_genomics_kinship")
+    from disq_spark.operators.variant_qc import king_kinship, pairwise_ibs
+
+    sites = spark.range(n_sites).select(
+        F.lit("1").alias("contig"),
+        (F.col("id") * 100 + 1).alias("start"),
+        F.lit("A").alias("ref"),
+        F.array(F.lit("G")).alias("alts"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_samples - 1)),
+            lambda i: F.struct(
+                F.concat(F.lit("S"), F.lpad(i.cast("string"), 4, "0")).alias(
+                    "sample"
+                ),
+                F.concat(
+                    (F.xxhash64(F.col("id"), i) % 2 == 0).cast("int"),
+                    F.lit("/"),
+                    (F.xxhash64(F.col("id"), i, F.lit(7)) % 2 == 0).cast("int"),
+                ).alias("gt"),
+                F.map_from_arrays(F.array(), F.array()).alias("attrs"),
+            ),
+        ).alias("genotypes"),
+    )
+    sites = sites.localCheckpoint()  # freeze the synthetic input
+
+    t0 = time.time()
+    nk = king_kinship(sites).count()
+    tk = time.time() - t0
+    t0 = time.time()
+    ni = pairwise_ibs(sites).count()
+    ti = time.time() - t0
+    pairs = n_samples * (n_samples - 1) // 2
+    print(
+        json.dumps(
+            {
+                "metric": "kinship_scale_probe",
+                "n_samples": n_samples,
+                "n_sites": n_sites,
+                "pair_fanout_rows": pairs * n_sites,
+                "king_wall_s": round(tk, 2),
+                "king_pairs_out": int(nk),
+                "ibs_wall_s": round(ti, 2),
+                "ibs_pairs_out": int(ni),
+            }
+        )
+    )
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--hotspot"]
+    args = [a for a in sys.argv[1:] if a not in ("--hotspot", "--kinship")]
     if "--hotspot" in sys.argv[1:]:
         hotspot_main(int(args[0]) if args else 40)
+        return
+    if "--kinship" in sys.argv[1:]:
+        kinship_main(
+            int(args[0]) if args else 100, int(args[1]) if len(args) > 1 else 20000
+        )
         return
     factor = int(args[0]) if args else 40
     spark = get_session("bench_genomics")
