@@ -297,3 +297,53 @@ def test_ngram_contamination_no_cartesian_single_gram_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the gram join itself (hash or broadcast-hash on the gram key)
     assert "Join" in plan
+
+
+def test_annotate_variants_gene_model_broadcasts(spark):
+    """The gene model must reach the variants as a broadcast of the
+    per-contig array table — a sort-merge join here would shuffle every
+    variant on contig (one key per chromosome: 24-way parallelism at
+    best, plus skew on chr1/chr2)."""
+    from disq_spark.operators.variant_qc import annotate_variants
+
+    v = spark.createDataFrame(
+        [("1", 100, "A")], "contig string, start long, ref string"
+    )
+    g = spark.createDataFrame(
+        [("1", 50, 200, "G1", "+")],
+        "contig string, start long, end long, gene string, strand string",
+    )
+    plan = simple_plan_of(annotate_variants(v, g))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_scoring_join_broadcasts(spark):
+    """DSIR scoring: the B-row log-ratio table must broadcast into the
+    exploded feature stream — a shuffle join would exchange the entire
+    feature explosion (corpus tokens x2) on bucket id."""
+    from disq_spark.operators.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    out = dsir_weights(docs, docs.limit(1), buckets=16)
+    plan = simple_plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_importance_resample_is_takeordered(spark):
+    """Gumbel top-k must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global Sort+Limit exchange."""
+    from disq_spark.operators.sampling import importance_resample
+
+    from pyspark.sql import functions as F
+
+    scored = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(0.0).alias("logweight")
+    )
+    plan = simple_plan_of(importance_resample(scored, 5))
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"\bSort\b.*\n.*GlobalLimit", plan) is None
