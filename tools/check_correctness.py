@@ -142,6 +142,12 @@ def main():
 
     spark = get_session("check_correctness")
     con = duckdb.connect()
+    # Large-SF oracle queries (banding self-joins, 24-round label prop)
+    # can balloon past physical RAM — at sf5 the closure oracles hit the
+    # kernel OOM killer at 65/104 GB anon RSS. Cap the oracle engine and
+    # give it a spill directory so it trades disk for survival.
+    con.execute("SET memory_limit = '48GB'")
+    con.execute("SET temp_directory = '/tmp/duckdb_spill'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
