@@ -391,7 +391,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicate_components(pairs).orderBy("node")
 
 
-def _label_prop_stmts(edges_table: str, prefix: str, rounds: int = 24) -> tuple[list[str], str, str]:
+def _label_prop_stmts(edges_table: str, prefix: str, rounds: int = 48) -> tuple[list[str], str, str]:
     """Min-label propagation with pointer jumping over ``edges_table``
     (undirected: both (a,b) and (b,a) present), unrolled as temp-table
     rounds. Returns (statements, final_label_table, unconverged_predicate).
@@ -401,8 +401,9 @@ def _label_prop_stmts(edges_table: str, prefix: str, rounds: int = 24) -> tuple[
     UNION dedup per iteration — which ground for 45+ minutes at sf1.
     Each round here is linear in |edges|: a node takes the min of its
     own label, its neighbors' labels, and its LABEL'S label (pointer
-    jump), so convergence needs only O(log diameter) rounds; 24 covers
-    any component with diameter < 2^24. Callers use the unconverged
+    jump), so convergence needs only O(log diameter)-ish rounds; the sf5
+    pair graph (136k nodes) needed 28, so 48 gives two decades of slack
+    at 0.1 s/round. Callers use the unconverged
     predicate to emit a poison row if the rounds were ever insufficient,
     failing the gate loudly instead of passing on a stale labeling."""
     stmts = [
@@ -427,12 +428,25 @@ SELECT node, min(comp) AS comp FROM (
     # different root labels — both sides can individually satisfy
     # comp(comp)=comp while still disagreeing, which pointer stability
     # alone would miss and silently emit a wrong labeling).
+    #
+    # The edge-agreement term is materialized FIRST through pure
+    # equality joins: written inline, `la.comp <> lb.comp` is an
+    # inequality predicate between the two label tables, and DuckDB's
+    # join-order search may pick la-lb as the first pair — a 250k x 250k
+    # inequality join that spilled 76 GB and OOM-killed the sf5 replica
+    # before ever touching the (tiny) edge table. With the comp pairs
+    # materialized per edge (|edges| rows), the inequality degrades to a
+    # scan filter and the probe is O(|edges|).
+    stmts.append(
+        f"""CREATE OR REPLACE TEMP TABLE {prefix}_edgecomp AS
+SELECT la.comp AS ca, lb.comp AS cb FROM {edges_table} e
+JOIN {last} la ON la.node = e.a
+JOIN {last} lb ON lb.node = e.b;"""
+    )
     unconverged = (
         f"(EXISTS (SELECT 1 FROM {last} l JOIN {last} p "
         f"ON p.node = l.comp AND p.comp < l.comp) "
-        f"OR EXISTS (SELECT 1 FROM {edges_table} e "
-        f"JOIN {last} la ON la.node = e.a "
-        f"JOIN {last} lb ON lb.node = e.b WHERE la.comp <> lb.comp))"
+        f"OR EXISTS (SELECT 1 FROM {prefix}_edgecomp WHERE ca <> cb))"
     )
     return stmts, last, unconverged
 
