@@ -977,9 +977,13 @@ def keep_best_representatives(
         ),
         "node",
     )
+    # min over (-score, node): highest score wins, ties -> MIN node.
+    # Negating the (numeric-by-contract) score instead of the node keeps
+    # the tie-break type-agnostic — node ids may be strings, where a
+    # unary minus would cast to NULL (or error under ANSI mode).
     winners = scored.groupBy("comp").agg(
-        F.max_by(
-            "node", F.struct(F.col("__s"), (-F.col("node")).alias("nt"))
+        F.min_by(
+            "node", F.struct((-F.col("__s")).alias("ns"), F.col("node").alias("nt"))
         ).alias("winner")
     )
     losers = (
@@ -1006,8 +1010,9 @@ def component_best(
         "node",
     )
     return scored.groupBy("comp").agg(
-        F.max_by(
-            "node", F.struct(F.col("__s"), (-F.col("node")).alias("nt"))
+        # see keep_best_representatives: type-agnostic (score desc, node asc)
+        F.min_by(
+            "node", F.struct((-F.col("__s")).alias("ns"), F.col("node").alias("nt"))
         ).alias("winner"),
         F.max("__s").alias("best_score"),
         F.count("*").alias("size"),

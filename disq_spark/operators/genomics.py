@@ -2057,11 +2057,31 @@ def estimate_contamination(
     if sample is not None:
         g = g.filter(F.col("g.sample") == sample)
     al = F.split(F.col("g.gt"), r"[/|]")
-    hom_alt = g.filter(
-        F.col("g.gt").isNotNull()
-        & (F.size(al) == 2)
-        & (F.size(F.filter(al, lambda a: a == "1")) == 2)
-    ).select("contig", F.col("start").alias("pos"), "ref", "alt").distinct()
+    # One row per (contig, pos): split multiallelics produce several
+    # records at the same position, and every one of them would join the
+    # single pileup row, double-counting the site's bases. A position
+    # whose hom-alt records disagree on (ref, alt) is biologically
+    # inconsistent for this sample and is dropped outright.
+    hom_alt = (
+        g.filter(
+            F.col("g.gt").isNotNull()
+            & (F.size(al) == 2)
+            & (F.size(F.filter(al, lambda a: a == "1")) == 2)
+        )
+        .select("contig", F.col("start").alias("pos"), "ref", "alt")
+        .groupBy("contig", "pos")
+        .agg(
+            F.count_distinct("ref", "alt").alias("__nv"),
+            F.min(F.struct("ref", "alt")).alias("__ra"),
+        )
+        .filter(F.col("__nv") == 1)
+        .select(
+            "contig",
+            "pos",
+            F.col("__ra.ref").alias("ref"),
+            F.col("__ra.alt").alias("alt"),
+        )
+    )
 
     p = pileup(
         reads, min_mapq=min_mapq, min_base_quality=min_base_quality
@@ -2124,7 +2144,12 @@ def sv_discordant_clusters(
     outside the sharded region) still qualifies when it IS the
     canonical end. Clusters are gap-and-islands over the kept reads'
     starts within (class, contig, mate_contig): a new cluster starts
-    where the gap exceeds ``cluster_window``. Output: (class, contig,
+    where the LEFT-start gap exceeds ``cluster_window`` OR the
+    mate-start jump exceeds ``cluster_window`` — both breakpoints must
+    be tight (DELLY/LUMPY cluster on both ends; left-only clustering
+    merges unrelated events whose left reads happen to be close, e.g.
+    two inversions sharing a left locus with mates 100 Mbp
+    apart). Output: (class, contig,
     start_lo, start_hi, mate_contig, mate_lo, mate_hi, n_pairs),
     filtered to ``n_pairs >= min_support``.
 
@@ -2182,7 +2207,12 @@ def sv_discordant_clusters(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     brk = F.coalesce(
-        (F.col("start") - F.lag("start").over(ow)) > cluster_window, F.lit(True)
+        ((F.col("start") - F.lag("start").over(ow)) > cluster_window)
+        | (
+            F.abs(F.col("mate_start") - F.lag("mate_start").over(ow))
+            > cluster_window
+        ),
+        F.lit(True),
     )
     c = d.withColumn("brk", brk.cast("int")).withColumn(
         "cl", F.sum("brk").over(cw)

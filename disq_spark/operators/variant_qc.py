@@ -873,19 +873,36 @@ def pairwise_ibs(df: DataFrame, samples: list[str] | None = None) -> DataFrame:
     )
 
 
-def king_kinship(df: DataFrame, samples: list[str] | None = None) -> DataFrame:
+def king_kinship(
+    df: DataFrame,
+    samples: list[str] | None = None,
+    estimator: str = "between",
+) -> DataFrame:
     """KING-robust pairwise kinship estimator (Manichaikul et al. 2010;
     PLINK2 ``--make-king``): over biallelic SNP sites where BOTH samples
-    carry a called diploid genotype,
+    carry a called diploid genotype. Two published forms:
 
-        phi = (N_het,het - 2 * N_opposing_hom) / (N_het_a + N_het_b)
+    ``estimator="between"`` (default — the KING-robust *between-family*
+    estimator, what PLINK2 ``--make-king`` computes; Manichaikul eq. 11):
 
-    where ``N_het_a``/``N_het_b`` count the heterozygous sites of each
-    sample *restricted to the shared called sites*. Degree calls use the
-    PLINK2 inference cutoffs (powers of 2^-x): > 0.3536 duplicate/MZ,
-    > 0.1768 first-degree, > 0.0884 second-degree, > 0.0442
-    third-degree, else unrelated. A pair with zero heterozygous sites
-    (denominator 0) gets a NULL kinship and NULL degree.
+        phi = 1/2 + (2*N_het,het - 4*N_opp_hom - N_het_a - N_het_b)
+                    / (4 * min(N_het_a, N_het_b))
+
+    ``estimator="within"`` (the *within-family* / homogeneous-population
+    form, Manichaikul eq. 9):
+
+        phi = (N_het,het - 2 * N_opp_hom) / (N_het_a + N_het_b)
+
+    The two diverge exactly for heterozygosity-imbalanced pairs
+    (admixture, contamination) — the case the robust between-family
+    form exists for, hence it is the default and the PLINK2 parity
+    claim applies to it only. ``N_het_a``/``N_het_b`` count the
+    heterozygous sites of each sample *restricted to the shared called
+    sites*. Degree calls use the PLINK2 inference cutoffs (powers of
+    2^-x): > 0.3536 duplicate/MZ, > 0.1768 first-degree, > 0.0884
+    second-degree, > 0.0442 third-degree, else unrelated. A pair whose
+    denominator is zero (``min`` het count for between, het sum for
+    within) gets a NULL kinship and NULL degree.
 
     Scale shape: identical to :func:`pairwise_ibs` — one site-keyed
     shuffle into the pair self-join, then a map-side-combinable
@@ -933,11 +950,23 @@ def king_kinship(df: DataFrame, samples: list[str] | None = None) -> DataFrame:
         F.sum((F.col("da") == 1).cast("long")).alias("het_a"),
         F.sum((F.col("db") == 1).cast("long")).alias("het_b"),
     )
-    denom = F.col("het_a") + F.col("het_b")
-    phi = F.when(
-        denom > 0,
-        F.round((F.col("het_het") - 2 * F.col("opp_hom")) / denom, 6),
-    )
+    if estimator == "between":
+        denom = 4 * F.least(F.col("het_a"), F.col("het_b"))
+        numer = (
+            2 * F.col("het_het")
+            - 4 * F.col("opp_hom")
+            - F.col("het_a")
+            - F.col("het_b")
+        )
+        phi = F.when(denom > 0, F.round(0.5 + numer / denom, 6))
+    elif estimator == "within":
+        denom = F.col("het_a") + F.col("het_b")
+        phi = F.when(
+            denom > 0,
+            F.round((F.col("het_het") - 2 * F.col("opp_hom")) / denom, 6),
+        )
+    else:
+        raise ValueError(f"estimator must be 'between' or 'within': {estimator!r}")
     degree = (
         F.when(phi.isNull(), F.lit(None).cast("string"))
         .when(phi > 0.353553, F.lit("DUPLICATE"))

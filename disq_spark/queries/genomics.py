@@ -2363,13 +2363,16 @@ ORDER BY bucket
 
 @_q("genomics_king_kinship")
 def genomics_king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KING-robust pairwise kinship (PLINK2 --make-king analog) over the
-    spec fixture's two biallelic SNP sites x three samples. Golden rows
-    hand-derived from the dosage table (site 14370 -> 0/1/2, site
-    17330 -> 0/1/0): no het-het sharing anywhere, one opposing-hom pair
-    (NA00001-NA00003) whose zero shared-het denominator yields NULL.
-    The estimator itself is differentially tested on a simulated trio
-    in tests/test_operators.py::test_king_kinship_trio_and_serial."""
+    """KING-robust pairwise kinship (PLINK2 --make-king analog,
+    between-family estimator) over the spec fixture's two biallelic SNP
+    sites x three samples. Golden rows hand-derived from the dosage
+    table (site 14370 -> 0/1/2, site 17330 -> 0/1/0): no het-het
+    sharing anywhere; every pair has min(het_a, het_b) == 0, so the
+    between-family denominator is 0 and all kinships are NULL — the
+    counters are the value of this gate. The estimator itself
+    (including the within-family variant) is differentially tested on
+    a simulated trio in
+    tests/test_operators.py::test_king_kinship_trio_and_serial."""
     from disq_spark.operators.variant_qc import king_kinship
     from disq_spark.sources.variants import read_vcf
 
@@ -2383,9 +2386,9 @@ SELECT sample_a, sample_b, CAST(n_sites AS BIGINT) AS n_sites,
        CAST(het_a AS BIGINT) AS het_a, CAST(het_b AS BIGINT) AS het_b,
        CAST(kinship AS DOUBLE) AS kinship, degree
 FROM (VALUES
-  ('NA00001', 'NA00002', 2, 0, 0, 0, 2, 0.0, 'UNRELATED'),
+  ('NA00001', 'NA00002', 2, 0, 0, 0, 2, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)),
   ('NA00001', 'NA00003', 2, 0, 1, 0, 0, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)),
-  ('NA00002', 'NA00003', 2, 0, 0, 2, 0, 0.0, 'UNRELATED')
+  ('NA00002', 'NA00003', 2, 0, 0, 2, 0, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))
 ) AS t(sample_a, sample_b, n_sites, het_het, opp_hom, het_a, het_b, kinship, degree)
 ORDER BY sample_a, sample_b
 """
@@ -2592,7 +2595,8 @@ SELECT CAST(10 AS BIGINT) AS n_sites, CAST(2261 AS BIGINT) AS total_bases,
 def genomics_sv_discordant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural-variant discordant-pair evidence (DELLY/LUMPY
     first-pass analog) over 1.bam: canonical-end dedup, TRA/INV/DUP/
-    DEL/OTHER classification, 100 kb breakpoint clustering. The
+    DEL/OTHER classification, 100 kb BOTH-breakpoint clustering (left
+    starts tight AND mate jumps bounded). The
     classifier + clustering are differentially tested (engineered SV
     pair sets and a serial recount) in
     tests/test_operators.py::test_sv_discordant_clusters_synthetic_and_serial."""
@@ -2611,7 +2615,8 @@ SELECT "class", contig, CAST(start_lo AS BIGINT) AS start_lo,
        CAST(mate_lo AS BIGINT) AS mate_lo, CAST(mate_hi AS BIGINT) AS mate_hi,
        CAST(n_pairs AS BIGINT) AS n_pairs
 FROM (VALUES
-  ('INV', '1', 24818092, 24855954, '1', 33246704, 155582940, 2),
+  ('INV', '1', 24818092, 24818092, '1', 33246704, 33246704, 1),
+  ('INV', '1', 24855954, 24855954, '1', 155582940, 155582940, 1),
   ('INV', '1', 24981496, 24981496, '1', 36935796, 36935796, 1),
   ('TRA', '1', 24840860, 24840860, '10', 61833862, 61833862, 1),
   ('TRA', '1', 24802672, 24802672, '11', 56127970, 56127970, 1),
@@ -2621,7 +2626,8 @@ FROM (VALUES
   ('TRA', '1', 24832937, 24832937, '2', 55795331, 55795331, 1),
   ('TRA', '1', 24840851, 24840851, '4', 82126179, 82126179, 1),
   ('TRA', '1', 24973222, 24973222, '4', 38342912, 38342912, 1),
-  ('TRA', '1', 24973226, 24981581, '5', 69422377, 162404294, 2),
+  ('TRA', '1', 24973226, 24973226, '5', 162404294, 162404294, 1),
+  ('TRA', '1', 24981581, 24981581, '5', 69422377, 69422377, 1),
   ('TRA', '1', 24835200, 24835200, '8', 99170324, 99170324, 1),
   ('TRA', '1', 24976557, 24976557, 'X', 81575341, 81575341, 1)
 ) AS t("class", contig, start_lo, start_hi, mate_contig, mate_lo, mate_hi, n_pairs)

@@ -3236,6 +3236,10 @@ def test_king_kinship_trio_and_serial(spark):
         (r.sample_a, r.sample_b): r
         for r in king_kinship(df).collect()
     }
+    got_within = {
+        (r.sample_a, r.sample_b): r
+        for r in king_kinship(df, estimator="within").collect()
+    }
 
     # serial recount
     agg = {}
@@ -3262,10 +3266,19 @@ def test_king_kinship_trio_and_serial(spark):
         assert (r.n_sites, r.het_het, r.opp_hom, r.het_a, r.het_b) == (
             n, hh, oh, ha, hb
         )
-        if ha + hb:
-            assert r.kinship == round((hh - 2 * oh) / (ha + hb), 6)
+        # default = KING-robust between-family (PLINK2 --make-king)
+        if min(ha, hb):
+            assert r.kinship == round(
+                0.5 + (2 * hh - 4 * oh - ha - hb) / (4 * min(ha, hb)), 6
+            )
         else:
             assert r.kinship is None and r.degree is None
+        # within-family variant
+        rw = got_within[k]
+        if ha + hb:
+            assert rw.kinship == round((hh - 2 * oh) / (ha + hb), 6)
+        else:
+            assert rw.kinship is None and rw.degree is None
 
     # biological structure: child-parent pairs are first-degree,
     # the outsider is unrelated to everyone
@@ -3602,9 +3615,14 @@ def test_estimate_contamination_matches_serial(spark, fixtures_dir):
         ("1", 24861704, "G", "A"),  # genuinely mixed site
     ]
     df, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
-    vdf = _vc_rows(
-        spark, [(c, p, r, [a], [("S", "1/1")]) for c, p, r, a in sites]
-    )
+    vrows = [(c, p, r, [a], [("S", "1/1")]) for c, p, r, a in sites]
+    # split-multiallelic hazards: an exact duplicate record must count
+    # its position ONCE, and a same-position record with a conflicting
+    # ALT must drop the position entirely (inconsistent hom-alt)
+    vrows.append(("1", 24975456, "T", ["A"], [("S", "1/1")]))
+    vrows.append(("1", 24975473, "A", ["G"], [("S", "1/1")]))
+    sites = [s for s in sites if s[1] != 24975473]
+    vdf = _vc_rows(spark, vrows)
     got = estimate_contamination(
         df, vdf, min_depth=10, min_base_quality=10
     ).collect()[0]
@@ -3661,6 +3679,11 @@ def test_sv_discordant_clusters_synthetic_and_serial(spark, fixtures_dir):
     # INV cluster: 2 same-orientation pairs
     for i, s in enumerate([40_000, 40_100]):
         rows.append(rec("1", s, "1", s + 3_000, F_PAIR | F_FIRST, f"i{i}"))
+    # mate-side break: two INV pairs with CLOSE left starts but mates
+    # ~9 Mbp apart are unrelated events — must NOT merge into one
+    # cluster (left-only clustering would report them as n_pairs=2)
+    rows.append(rec("1", 45_000, "1", 48_000, F_PAIR | F_FIRST, "m0"))
+    rows.append(rec("1", 45_100, "1", 9_045_100, F_PAIR | F_FIRST, "m1"))
     # DUP: canonical end reverse, mate forward (RF) — two pairs
     for i, s in enumerate([70_000, 70_050]):
         rows.append(rec("1", s, "1", s + 4_000, F_PAIR | F_FIRST | F_REV, f"u{i}"))
@@ -3691,25 +3714,79 @@ def test_sv_discordant_clusters_synthetic_and_serial(spark, fixtures_dir):
         ("DUP", "1", 70_000, 70_050, "1", 74_000, 74_050, 2),
         ("TRA", "1", 90_000, 90_200, "2", 500_000, 500_300, 2),
     }
+    # at min_support=1 the mate-split events surface as two singleton
+    # clusters, never one merged pair
+    got1 = {
+        (r["class"], r.start_lo, r.start_hi, r.mate_lo, r.mate_hi, r.n_pairs)
+        for r in sv_discordant_clusters(
+            df, max_insert=1000, cluster_window=500, min_support=1
+        ).collect()
+        if r["class"] == "INV" and 45_000 <= r.start_lo <= 45_100
+    }
+    assert got1 == {
+        ("INV", 45_000, 45_000, 48_000, 48_000, 1),
+        ("INV", 45_100, 45_100, 9_045_100, 9_045_100, 1),
+    }
 
-    # 1.bam: serial recount of canonical discordant ends at min_support=1
+    # 1.bam: FULL serial reimplementation (classify + canonical dedup +
+    # both-breakpoint gap-and-islands clustering) must reproduce the
+    # operator cluster-for-cluster — this independently validates the
+    # genomics_sv_discordant gate's golden literals, not just their
+    # stability (the gate runs at cluster_window=100k; check both).
     bam, _h = read_bam(spark, os.path.join(fixtures_dir, "1.bam"))
-    ops = sv_discordant_clusters(
-        bam, max_insert=1000, cluster_window=500, min_support=1
-    ).collect()
-    rows_b = bam.filter(
-        "(flags & 1)!=0 and (flags & 2)=0 and (flags & 4)=0 and (flags & 8)=0"
-        " and (flags & 256)=0 and (flags & 1024)=0 and (flags & 2048)=0"
-        " and contig is not null and mate_contig is not null"
-    ).select("contig", "start", "mate_contig", "mate_start", "flags").collect()
-    kept = []
-    for r in rows_b:
-        first = bool(r.flags & 0x40)
-        if (r.contig, r.start) < (r.mate_contig, r.mate_start) or (
-            (r.contig, r.start) == (r.mate_contig, r.mate_start) and first
-        ):
-            kept.append(r)
-    assert sum(c.n_pairs for c in ops) == len(kept)
+    for window in (500, 100_000):
+        ops = {
+            (r["class"], r.contig, r.start_lo, r.start_hi,
+             r.mate_contig, r.mate_lo, r.mate_hi, r.n_pairs)
+            for r in sv_discordant_clusters(
+                bam, max_insert=1000, cluster_window=window, min_support=1
+            ).collect()
+        }
+        rows_b = bam.filter(
+            "(flags & 1)!=0 and (flags & 2)=0 and (flags & 4)=0 and (flags & 8)=0"
+            " and (flags & 256)=0 and (flags & 1024)=0 and (flags & 2048)=0"
+            " and contig is not null and mate_contig is not null"
+        ).select("contig", "start", "mate_contig", "mate_start", "flags").collect()
+        kept = []
+        for r in rows_b:
+            first = bool(r.flags & 0x40)
+            if (r.contig, r.start) < (r.mate_contig, r.mate_start) or (
+                (r.contig, r.start) == (r.mate_contig, r.mate_start) and first
+            ):
+                rev, mrev = bool(r.flags & 0x10), bool(r.flags & 0x20)
+                if r.contig != r.mate_contig:
+                    c = "TRA"
+                elif rev == mrev:
+                    c = "INV"
+                elif rev:
+                    c = "DUP"
+                elif r.mate_start - r.start > 1000:
+                    c = "DEL"
+                else:
+                    c = "OTHER"
+                kept.append((c, r.contig, r.mate_contig, r.start, r.mate_start))
+        groups = {}
+        for c, ctg, mctg, s, ms in kept:
+            groups.setdefault((c, ctg, mctg), []).append((s, ms))
+        expect = set()
+        for (c, ctg, mctg), pts in groups.items():
+            pts.sort()
+            cluster = [pts[0]]
+            for s, ms in pts[1:]:
+                if s - cluster[-1][0] > window or abs(ms - cluster[-1][1]) > window:
+                    expect.add((
+                        c, ctg, cluster[0][0], cluster[-1][0], mctg,
+                        min(m for _, m in cluster), max(m for _, m in cluster),
+                        len(cluster),
+                    ))
+                    cluster = []
+                cluster.append((s, ms))
+            expect.add((
+                c, ctg, cluster[0][0], cluster[-1][0], mctg,
+                min(m for _, m in cluster), max(m for _, m in cluster),
+                len(cluster),
+            ))
+        assert ops == expect, f"window={window}"
 
 
 def test_region_coverage_matches_serial(spark, fixtures_dir):
@@ -3780,6 +3857,34 @@ def test_keep_best_representatives(spark):
         for r in component_best(docs, pairs, "n_chars").collect()
     }
     assert best == {1: (2, 99, 3), 4: (5, 7, 2)}
+
+
+def test_keep_best_representatives_string_ids(spark):
+    """String doc_ids must work and tie-break deterministically to the
+    MIN id — the previous unary-minus tie-break silently cast string
+    ids to NULL (non-deterministic winner; error under ANSI mode)."""
+    from disq_spark.operators.dedup import (
+        component_best,
+        keep_best_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", 10), ("d2", 99), ("d3", 99), ("d4", 5), ("d5", 7)],
+        "doc_id string, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d4", "d5")], "id_a string, id_b string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_best_representatives(docs, pairs, "n_chars").collect()
+    )
+    assert kept == ["d2", "d5"]
+    best = {
+        r.comp: (r.winner, r.best_score, r.size)
+        for r in component_best(docs, pairs, "n_chars").collect()
+    }
+    assert best == {"d1": ("d2", 99, 3), "d4": ("d5", 7, 2)}
 
 
 def test_bam_to_fastq_rows_matches_serial(spark, fixtures_dir):
