@@ -3,15 +3,18 @@ with typed metadata, processed in Arrow-batched mapInPandas stages.
 
 Decode support is two-tier:
 
-- REAL kernels, no external libraries: PPM (P6) / PGM (P5) and
-  uncompressed 24-bit BMP images via numpy; PCM WAV audio via the
-  stdlib ``wave`` module; byte-histogram features for anything. These
-  run the actual pixels/samples through the distributed pipeline.
+- REAL kernels, no external libraries: PPM (P6) / PGM (P5),
+  uncompressed 24-bit BMP, 8-bit PNG (zlib + row filters), and
+  baseline-sequential JPEG (``formats/jpeg.py``: Huffman + IDCT +
+  4:2:0 upsampling in numpy) images; PCM WAV audio via the stdlib
+  ``wave`` module; byte-histogram features for anything. These run
+  the actual pixels/samples through the distributed pipeline.
 - FAKE kernels (``fake=True``) for formats whose codecs this container
-  lacks (JPEG/PNG/MP3/video need PIL/ffmpeg): a deterministic md5-
-  seeded decoder exercises the full Spark-side pipeline — schema, batch
-  shapes, partitioning — which is the part that has to be right at
-  100 TB. Swap in a real PIL/ffmpeg call and nothing else changes.
+  lacks (progressive JPEG/WebP/GIF/MP3/video need PIL/ffmpeg): a
+  deterministic md5-seeded decoder exercises the full Spark-side
+  pipeline — schema, batch shapes, partitioning — which is the part
+  that has to be right at 100 TB. Swap in a real PIL/ffmpeg call and
+  nothing else changes.
 
 Design for scale:
 - payloads stay in BinaryType columns (Tungsten off-heap, Arrow
@@ -63,8 +66,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads -> (width, height, features).
 
-    REAL for PPM/PGM/uncompressed-BMP payloads (numpy, no external
-    libraries; features = mean RGB + 5-bin luminance histogram).
+    REAL for PPM/PGM/uncompressed-BMP/PNG/baseline-JPEG payloads
+    (numpy, no external libraries; features = mean RGB + 5-bin
+    luminance histogram).
     ``fake=True`` instead runs the deterministic md5 kernel on every
     payload (for undecodable formats / plumbing tests); without it an
     undecodable payload raises NotImplementedError naming the formats
@@ -81,9 +85,10 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
                     dec = try_decode_image(b)
                     if dec is None:
                         raise NotImplementedError(
-                            "payload is not PPM/PGM/BMP; JPEG/PNG need "
-                            "PIL (not in this environment) — use fake=True "
-                            "for the deterministic stub kernel"
+                            "payload is not PPM/PGM/BMP/PNG/baseline-JPEG "
+                            "(progressive JPEG, WebP, GIF... need PIL, not "
+                            "in this environment) — use fake=True for the "
+                            "deterministic stub kernel"
                         )
                     w, h, img = dec
                     feats = _image_features(img)
@@ -442,8 +447,13 @@ def _decode_png(b: bytes):
 def try_decode_image(b: bytes):
     """(w, h, HxWx3 uint8) for the formats decodable without external
     libraries (PPM/PGM, uncompressed 24-bit BMP, 8-bit non-interlaced
-    PNG), else None."""
-    return _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
+    PNG, baseline-sequential JPEG), else None."""
+    dec = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
+    if dec is None and len(b) >= 2 and b[0] == 0xFF and b[1] == 0xD8:
+        from disq_spark.formats.jpeg import decode_jpeg
+
+        dec = decode_jpeg(b)
+    return dec
 
 
 def _image_features(img) -> list[float]:

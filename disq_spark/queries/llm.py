@@ -1991,6 +1991,85 @@ FROM base ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# multimodal_jpeg_decode — the REAL baseline JPEG codec (formats/jpeg.py:
+# Huffman entropy coding + DCT + quantization, no PIL) in the gate, on
+# its exactly-representable subspace: each ASCII document's first 16
+# bytes become a 32x32 GRAYSCALE image of 8x8-constant blocks (block
+# (i,j) = byte 4i+j). Constant blocks have all-zero AC coefficients and
+# an integer DC path, so at quality=100 (all-ones quant table) the
+# lossy pipeline round-trips bit-exactly and the oracle can recompute
+# the channel means straight from the text with ascii(). Restart
+# markers every 2 MCUs keep the DRI/RSTn path inside the gate. Lossy
+# behaviour on photographic content is property-tested with error
+# bounds in tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+_JPEG_BYTES = 16  # 4x4 blocks of 8x8 px
+
+
+@_q("multimodal_jpeg_decode")
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import MEDIA_SCHEMA, decode_image
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").rlike("^[ -~]+$")
+    )
+    padded = F.rpad(F.substring("text", 1, _JPEG_BYTES), _JPEG_BYTES, " ")
+    base = d.select("doc_id", padded.cast("binary").alias("px"))
+
+    def to_jpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from disq_spark.formats.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+                vals = np.frombuffer(bytes(px), np.uint8).reshape(4, 4)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                payload = encode_jpeg(img, quality=100, restart_interval=2)
+                rows.append(
+                    (doc_id, "image/jpeg", payload, len(payload), "")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "payload", "n_bytes", "content_md5"],
+            )
+
+    media = base.mapInPandas(to_jpeg, MEDIA_SCHEMA)
+    feats = decode_image(media)  # REAL path: Huffman decode + IDCT
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("r_mean"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("g_mean"),
+        F.round(F.element_at("features", 3).cast("double"), 6).alias("b_mean"),
+    ).orderBy("doc_id")
+
+
+def _gray_mean_sql() -> str:
+    # mean over the 16 block bytes (each fills 64 px, so the pixel mean
+    # equals the byte mean), /255, half-up 1e-6 — _image_features' math
+    vals = f"[ascii(substring(p, i, 1)) for i in generate_series(1, {_JPEG_BYTES})]"
+    return f"floor((list_sum({vals}) / {_JPEG_BYTES}.0 / 255.0) * 1e6 + 0.5) / 1e6"
+
+
+ORACLE["multimodal_jpeg_decode"] = f"""
+WITH base AS (
+  SELECT doc_id, rpad(substring(text, 1, {_JPEG_BYTES}), {_JPEG_BYTES}, ' ') AS p
+  FROM documents
+  WHERE doc_id < 100 AND regexp_full_match(text, '[ -~]+')
+)
+SELECT doc_id, 32 AS width, 32 AS height,
+       {_gray_mean_sql()} AS r_mean,
+       {_gray_mean_sql()} AS g_mean,
+       {_gray_mean_sql()} AS b_mean
+FROM base ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming_dedup_gate — the applyInPandasWithState exact-dedup operator
 # under the full hash gate: a bounded document stream deduplicated with
 # keyed state must emit exactly one row per distinct fingerprint, so the

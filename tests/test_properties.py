@@ -416,3 +416,116 @@ def test_png_roundtrip_property(w, h, filters, seed):
     got_w, got_h, back = _decode_png(encode_png(img, filters))
     assert (got_w, got_h) == (w, h)
     assert np.array_equal(back, img)
+
+
+# --------------------------------------------------------------------------
+# JPEG (formats/jpeg.py): lossy round-trip with bounded error on any
+# content; bit-exact on the blockwise-constant grayscale subspace (the
+# contract the multimodal_jpeg_decode oracle gate relies on).
+# --------------------------------------------------------------------------
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.booleans(),
+    st.sampled_from([0, 2, 5]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_bounded_error_property(w, h, subsample, rst, seed):
+    # min dim 8: below one block, edge-replication padding makes the
+    # per-pixel gradient a max-frequency edge and the q90 error is
+    # legitimately large — not the regime this bound is about
+    import numpy as np
+
+    from disq_spark.formats.jpeg import decode_jpeg, encode_jpeg
+
+    # smooth content (gradient + low-freq sine): JPEG's design target,
+    # where quality-90 error stays within a few counts
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    rng = np.random.default_rng(seed)
+    ph = rng.uniform(0, np.pi, 3)
+    img = np.stack(
+        [
+            128 + 100 * np.sin(xx / 13 + ph[0]) * np.cos(yy / 11 + ph[1]),
+            np.minimum(255, 255 * xx / max(w, 1)),
+            np.minimum(255, 255 * yy / max(h, 1)),
+        ],
+        axis=2,
+    ).clip(0, 255).astype(np.uint8)
+    got = decode_jpeg(
+        encode_jpeg(img, quality=90, subsample=subsample, restart_interval=rst)
+    )
+    assert got is not None
+    gw, gh, back = got
+    assert (gw, gh) == (w, h)
+    err = np.abs(back.astype(int) - img.astype(int))
+    # 4:4:4 q90 stays within ~16 counts on smooth content; 4:2:0 adds
+    # chroma-pooling error, worst on small steep-gradient images
+    assert err.mean() < (12.0 if subsample else 8.0)
+    assert err.max() <= (64 if subsample else 32)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.sampled_from([0, 1, 3]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_blockconstant_gray_exact_property(bw, bh, rst, seed):
+    import numpy as np
+
+    from disq_spark.formats.jpeg import decode_jpeg, encode_jpeg
+
+    vals = np.random.default_rng(seed).integers(0, 256, (bh, bw), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    gw, gh, back = decode_jpeg(
+        encode_jpeg(img, quality=100, restart_interval=rst)
+    )
+    assert (gw, gh) == (bw * 8, bh * 8)
+    assert np.array_equal(back, np.repeat(img[:, :, None], 3, axis=2))
+
+
+def test_jpeg_matches_png_path_on_synthetic_images():
+    """The JPEG decode path must agree with the (lossless) PNG path on
+    the same synthetic image up to the documented quality-100 error
+    bound — ties the new decoder to the already-trusted one."""
+    import numpy as np
+
+    from disq_spark.formats.jpeg import decode_jpeg, encode_jpeg
+    from disq_spark.operators.multimodal import (
+        _decode_png,
+        _image_features,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(20260815)
+    for trial in range(5):
+        img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        _, _, via_png = _decode_png(encode_png(img))
+        got = decode_jpeg(encode_jpeg(img, quality=100))
+        assert got is not None
+        _, _, via_jpeg = got
+        assert np.array_equal(via_png, img)
+        err = np.abs(via_jpeg.astype(int) - via_png.astype(int))
+        assert err.max() <= 4  # q100: rounding error only
+        fp = _image_features(via_png)
+        fj = _image_features(via_jpeg)
+        assert all(abs(a - b) < 0.01 for a, b in zip(fp, fj))
+
+
+def test_jpeg_decoder_rejects_malformed():
+    import numpy as np
+
+    from disq_spark.formats.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(3).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    enc = encode_jpeg(img)
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\xff\xd8\xff") is None
+    assert decode_jpeg(b"not a jpeg at all") is None
+    assert decode_jpeg(enc[:40]) is None          # truncated headers
+    assert decode_jpeg(enc[: len(enc) // 2]) is None  # truncated entropy data
+    # progressive SOF2 marker -> refused, not crashed
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) is None
