@@ -476,6 +476,8 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     init: str = "first_ids",
     round_centroids: int = 6,
+    method: str = "blas",
+    block_size: int = 8192,
 ) -> "DataFrame":
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
     k-means cluster the embeddings, then compute EXACT pairwise cosine
@@ -487,12 +489,30 @@ def semantic_dedup_pairs(
     clusters are missed by design (the SemDeDup trade: recall bounded by
     clustering quality, cost bounded by sum of cluster_size^2).
 
+    ``method="blas"`` (default) scores pairs in an Arrow-batched
+    ``applyInPandas`` kernel: each task gets one (cid, block_i, block_j)
+    group and runs a float64 numpy GEMM over row strips — the sf5
+    lesson (SCALE.md) is that ``zip_with``/``aggregate`` lambdas run
+    INTERPRETED on the JVM, multiplying per-pair cost ~100x; pairwise
+    scoring at scale belongs in batched BLAS. Blocks are hash-assigned
+    (``xxhash64(id) % n_blocks``, n_blocks sized so an expected block
+    is <= ``block_size`` rows), every unordered pair lands in exactly
+    one block-pair, and per-task memory is bounded by
+    2 * block_size * dim doubles + a strip of the score matrix
+    regardless of cluster size. ``method="sql"`` keeps the previous
+    pure-column path (bit-exact fold order, zero Python) for parity
+    checks and Arrow-less deployments; both round scores to 4 decimals,
+    and float64 GEMM agrees with the sequential fold at that rounding
+    for any realistic input (disagreement needs a true cosine within
+    ~1e-15 of a 0.5e-4 boundary).
+
     Scale shape: the k-means rounds are broadcast-centroid projections
-    (see ``clustering.kmeans``); the pair join shuffles once on cid and
-    emits ~n^2/k pairs for balanced clusters — at 100 TB you grow k with
-    n (k ~ n / target_cluster_size, like ``scale_n_bits`` does for the
-    LSH variant) so per-cluster work stays constant. Norms are computed
-    per-vector before the join (``cosine_with_norms``), not per-pair.
+    (see ``clustering.kmeans``); the pair stage shuffles once on
+    (cid, bi, bj) and emits ~n^2/k pairs for balanced clusters — at
+    100 TB you grow k with n (k ~ n / target_cluster_size, like
+    ``scale_n_bits`` does for the LSH variant) so per-cluster work
+    stays constant, while the block grid keeps task memory flat and
+    parallelism >= clusters x block-pairs even when k is small.
     """
     from disq_spark.operators.clustering import kmeans
 
@@ -511,15 +531,86 @@ def semantic_dedup_pairs(
         _norm(F.col(vec_col)).alias("nrm"),
     )
     t = assign.join(vecs, "id")
-    a = t.select(F.col("cid"), F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = t.select(F.col("cid"), F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "score",
-            F.round(cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4),
+    if method == "sql":
+        a = t.select(F.col("cid"), F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+        b = t.select(F.col("cid"), F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+        return (
+            a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "score",
+                F.round(cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4),
+            )
+            .filter(F.col("score") >= threshold)
+            .select("id_a", "id_b", "cid", "score")
         )
-        .filter(F.col("score") >= threshold)
-        .select("id_a", "id_b", "cid", "score")
+    if method != "blas":
+        raise ValueError(f"method must be 'blas' or 'sql': {method!r}")
+
+    n = t.count()
+    n_blocks = max(1, -(-max(n // max(k, 1), 1) // block_size))
+    bid = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
+    base = t.withColumn("b", bid.cast("int"))
+    # role A covers block-pairs (b, j >= b); role B covers (i < b, b).
+    # The diagonal pair (b, b) is carried by role A alone, so every
+    # unordered block pair materializes exactly once.
+    role_a = base.select(
+        "cid", "id", "v", "nrm", F.lit("a").alias("role"),
+        F.col("b").alias("bi"),
+        F.explode(F.sequence(F.col("b"), F.lit(n_blocks - 1))).alias("bj"),
+    )
+    role_b = base.filter(F.lit(n_blocks) > 1).select(
+        "cid", "id", "v", "nrm", F.lit("b").alias("role"),
+        F.explode(F.sequence(F.lit(0), F.col("b") - 1)).alias("bi"),
+        F.col("b").alias("bj"),
+    )
+    tagged = role_a.unionByName(role_b)
+
+    def score_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cid = pdf["cid"].iloc[0]
+        diag = pdf["bi"].iloc[0] == pdf["bj"].iloc[0]
+        a_rows = pdf if diag else pdf[pdf["role"] == "a"]
+        b_rows = pdf if diag else pdf[pdf["role"] == "b"]
+        if len(a_rows) == 0 or len(b_rows) == 0:
+            return pd.DataFrame(
+                columns=["id_a", "id_b", "cid", "score"]
+            ).astype({"id_a": "int64", "id_b": "int64", "cid": "int32", "score": "float64"})
+        ids_a = a_rows["id"].to_numpy()
+        ids_b = b_rows["id"].to_numpy()
+        va = np.stack(a_rows["v"].to_numpy()).astype(np.float64)
+        vb = np.stack(b_rows["v"].to_numpy()).astype(np.float64)
+        na = a_rows["nrm"].to_numpy()
+        nb = b_rows["nrm"].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        strip = max(1, (1 << 24) // max(len(ids_b), 1))  # <=128MB score strip
+        for s0 in range(0, len(ids_a), strip):
+            sl = slice(s0, s0 + strip)
+            scores = (va[sl] @ vb.T) / (na[sl, None] * nb[None, :])
+            scores = np.round(scores, 4)
+            ii, jj = np.nonzero(scores >= threshold)
+            ia, ib = ids_a[sl][ii], ids_b[jj]
+            keep = ia != ib if diag else np.ones(len(ia), bool)
+            ia, ib, sc = ia[keep], ib[keep], scores[ii, jj][keep]
+            lo = np.minimum(ia, ib)
+            hi = np.maximum(ia, ib)
+            if diag:  # each unordered pair appears twice; keep one
+                first = lo == ia
+                lo, hi, sc = lo[first], hi[first], sc[first]
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(sc)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                "cid": cid,
+                "score": np.concatenate(out_s) if out_s else np.array([], np.float64),
+            }
+        )
+
+    return tagged.groupBy("cid", "bi", "bj").applyInPandas(
+        score_block, "id_a long, id_b long, cid int, score double"
     )

@@ -1900,6 +1900,38 @@ def test_semantic_dedup_pairs_cluster_scoped(spark):
     assert all(r.score >= 0.9 for r in pairs)
 
 
+def test_semantic_dedup_blas_matches_sql(spark):
+    """The Arrow/BLAS pair-scoring path must produce exactly the pair
+    set and rounded scores of the pure-column SQL path, including when
+    the block grid splits clusters (small block_size forces multi-block
+    GEMM tiles and the off-diagonal orientation logic)."""
+    import random
+
+    from disq_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = random.Random(20260815)
+    rows = []
+    for i in range(240):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 else [0.0, 1.0, 0.0, 0.0]
+        v = [x + rng.uniform(-0.2, 0.2) for x in base]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.97, k=2, iters=2)
+    sql = {
+        (r.id_a, r.id_b): (r.cid, r.score)
+        for r in semantic_dedup_pairs(df, method="sql", **kw).collect()
+    }
+    for bs in (8192, 16):  # single-block and forced multi-block grids
+        blas = {
+            (r.id_a, r.id_b): (r.cid, r.score)
+            for r in semantic_dedup_pairs(
+                df, method="blas", block_size=bs, **kw
+            ).collect()
+        }
+        assert blas == sql, f"block_size={bs}"
+    assert len(sql) > 50  # the comparison is not vacuous
+
+
 def _serial_bqsr(recs, ref, min_reported_q=3):
     """Independent serial BQSR walk: regex CIGAR parse, dict reference,
     plain-Python covariates. Shares nothing with the Spark plan."""
