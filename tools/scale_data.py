@@ -31,7 +31,20 @@ Timestamps are kept verbatim so window densities per (replicated) user
 and date-filter selectivities are unchanged — 10x rows at the same
 selectivity, i.e. clean linear scaling of useful work.
 
+``--unique-docs`` switches documents.text from the per-REPLICA
+bijection to a per-DOCUMENT one (seeded by the strided doc_id): no two
+documents share a letter map, so every duplicate / near-duplicate
+relationship — including the source corpus's own intra-corpus dup
+clusters — is destroyed. The resulting corpus has ~zero dup pairs at
+every factor, which isolates the dedup OPERATORS' cost (shingling,
+signatures, banding, candidate join) from the corpus's dup content:
+benching the same query on default vs unique corpora at two factors
+separates "wall that scales with dup pairs in the data" from "wall
+that scales with documents" (SCALE.md §sf5/sf10). Lengths, n_chars,
+and token shapes are preserved exactly, like the default mode.
+
 Usage: python tools/scale_data.py [--src DIR] [--out DIR] [--factor N]
+           [--unique-docs] [--tables documents,embeddings,...]
 """
 
 from __future__ import annotations
@@ -71,7 +84,23 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.scratch/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--unique-docs",
+        action="store_true",
+        help="per-DOCUMENT letter bijection for documents.text (destroys "
+        "all duplicate structure; isolates dedup operator cost from "
+        "corpus dup content)",
+    )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to generate (default all)",
+    )
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
+
+    def wanted(name: str) -> bool:
+        return only is None or name in only
 
     import duckdb
     import numpy as np
@@ -104,6 +133,8 @@ def main() -> int:
     }
 
     def write_union(name: str, select_for_replica) -> None:
+        if not wanted(name):
+            return
         parts = [select_for_replica(i) for i in range(args.factor)]
         union = " UNION ALL ".join(parts)
         out = f"{args.out}/{name}.parquet"
@@ -112,7 +143,7 @@ def main() -> int:
         print(f"{name}: {n} rows -> {out}")
 
     # fixed dims: copy verbatim
-    for name in ("region", "nation"):
+    for name in ("region", "nation") if only is None else ():
         q(
             f"COPY (SELECT * FROM {tbl(name)}) TO "
             f"'{args.out}/{name}.parquet' (FORMAT PARQUET)"
@@ -163,14 +194,56 @@ def main() -> int:
             ts, user_id + {i * strides['user_id']} AS user_id,
             event_type, value, props FROM {tbl('events')}""",
     )
-    write_union(
-        "documents",
-        lambda i: f"""SELECT doc_id + {i * strides['doc_id']} AS doc_id,
-            translate(text, '{text_cycle(i)[0]}', '{text_cycle(i)[1]}') AS text,
-            lang, source, n_chars FROM {tbl('documents')}""",
-    )
+    if args.unique_docs and wanted("documents"):
+        # per-DOCUMENT bijection, python-side: DuckDB translate() can't
+        # vary its map per row. Seeded by the strided doc_id so the
+        # corpus is deterministic; no two docs (not even the source
+        # corpus's exact-dup pairs) share a letter map, so dup pairs ~0
+        # at every factor while lengths/shapes are preserved.
+        import random
+
+        src_docs = q(
+            f"SELECT doc_id, text, lang, source, n_chars FROM {tbl('documents')}"
+        ).fetch_arrow_table()
+        s_ids = src_docs.column("doc_id").to_pylist()
+        s_text = src_docs.column("text").to_pylist()
+        s_rest = [src_docs.column(c).to_pylist() for c in ("lang", "source", "n_chars")]
+        out_rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+        upper = LETTERS.upper()
+        for i in range(args.factor):
+            for j, (did, txt) in enumerate(zip(s_ids, s_text)):
+                new_id = did + i * strides["doc_id"]
+                dst = list(LETTERS)
+                random.Random(77_000_000 + new_id).shuffle(dst)
+                dst = "".join(dst)
+                table_map = str.maketrans(LETTERS + upper, dst + dst.upper())
+                out_rows["doc_id"].append(new_id)
+                out_rows["text"].append(txt.translate(table_map))
+                out_rows["lang"].append(s_rest[0][j])
+                out_rows["source"].append(s_rest[1][j])
+                out_rows["n_chars"].append(s_rest[2][j])
+        doc_table = pa.table(
+            {
+                "doc_id": pa.array(out_rows["doc_id"], type=pa.int64()),
+                "text": pa.array(out_rows["text"], type=pa.string()),
+                "lang": pa.array(out_rows["lang"], type=src_docs.schema.field("lang").type),
+                "source": pa.array(out_rows["source"], type=src_docs.schema.field("source").type),
+                "n_chars": pa.array(out_rows["n_chars"], type=src_docs.schema.field("n_chars").type),
+            }
+        )
+        pq.write_table(doc_table, f"{args.out}/documents.parquet")
+        print(f"documents (unique): {doc_table.num_rows} rows -> {args.out}/documents.parquet")
+    else:
+        write_union(
+            "documents",
+            lambda i: f"""SELECT doc_id + {i * strides['doc_id']} AS doc_id,
+                translate(text, '{text_cycle(i)[0]}', '{text_cycle(i)[1]}') AS text,
+                lang, source, n_chars FROM {tbl('documents')}""",
+        )
 
     # embeddings: per-replica deterministic sign-flip via numpy/pyarrow
+    if not wanted("embeddings"):
+        return 0
     emb = q(f"SELECT vec_id, embedding, label FROM {tbl('embeddings')}").fetch_arrow_table()
     vec_ids = emb.column("vec_id").to_numpy()
     labels = emb.column("label").to_numpy()
