@@ -88,8 +88,16 @@ def kmeans(
     ``init="first_ids"`` seeds from the k lowest-id vectors
     (deterministic, oracle-matchable); ``init="sample"`` seeds from a
     seeded uniform sample (scale-correct)."""
-    # each Lloyd round rescans the input: persist it for the iteration
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    # each Lloyd round rescans the input: persist it for the iteration.
+    # A low-partition source (one small parquet file) would otherwise
+    # cap every round at #input-partitions cores; all downstream math
+    # is row-level and both init modes are partition-independent, so
+    # fanning out to the session's parallelism is result-neutral.
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sc = df.sparkSession.sparkContext
+    if vecs.rdd.getNumPartitions() < sc.defaultParallelism:
+        vecs = vecs.repartition(sc.defaultParallelism)
+    vecs = vecs.persist()
     try:
         if init == "first_ids":
             seed_rows = vecs.orderBy("id").limit(k).collect()

@@ -477,7 +477,7 @@ def semantic_dedup_pairs(
     init: str = "first_ids",
     round_centroids: int = 6,
     method: str = "blas",
-    block_size: int = 8192,
+    block_size: int | None = None,
 ) -> "DataFrame":
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
     k-means cluster the embeddings, then compute EXACT pairwise cosine
@@ -499,7 +499,13 @@ def semantic_dedup_pairs(
     is <= ``block_size`` rows), every unordered pair lands in exactly
     one block-pair, and per-task memory is bounded by
     2 * block_size * dim doubles + a strip of the score matrix
-    regardless of cluster size. ``method="sql"`` keeps the previous
+    regardless of cluster size. ``block_size=None`` (default) picks
+    ``max(1024, expected_cluster/16)``: measured on 100k x 64-dim
+    vectors at k=8 (~625M pair-cosines), coarse grids leave straggler
+    tails (bs=8192 -> 110 s; one tile = 33M pairs) while ~1k tiles run
+    uniform (bs=1024 -> ~10 s warm); the /16 floor bounds the tagged
+    row duplication (each row is shipped n_blocks times) at 16x
+    shuffle amplification for any cluster size. ``method="sql"`` keeps the previous
     pure-column path (bit-exact fold order, zero Python) for parity
     checks and Arrow-less deployments; both round scores to 4 decimals,
     and float64 GEMM agrees with the sequential fold at that rounding
@@ -548,7 +554,10 @@ def semantic_dedup_pairs(
         raise ValueError(f"method must be 'blas' or 'sql': {method!r}")
 
     n = t.count()
-    n_blocks = max(1, -(-max(n // max(k, 1), 1) // block_size))
+    expected = max(n // max(k, 1), 1)
+    if block_size is None:
+        block_size = max(1024, -(-expected // 16))
+    n_blocks = max(1, -(-expected // block_size))
     bid = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
     base = t.withColumn("b", bid.cast("int"))
     # role A covers block-pairs (b, j >= b); role B covers (i < b, b).
