@@ -491,3 +491,30 @@ def test_cram_write_quality_series_picks_order1(spark, tmp_path):
     assert len(got) == 3000
     for r in rows[:50]:
         assert got[r["name"]] == r["qual"]
+
+
+def test_cram_whole_file_parity_valid_fixture(spark, fixtures_dir, tmp_path):
+    """Whole-pipeline storage parity on the one fixture whose reference
+    FASTA is vendored (valid.cram + valid.fasta, htsjdk-written): our
+    sink's output must be no larger than the htsjdk file and re-read
+    value-identical including tags. The block-level codec-parity number
+    (0.9927 on CEUTrio, BASELINE.md) is pinned separately in
+    test_rans_roundtrip_and_size_parity; this guards the end-to-end
+    write path (container layout + per-block method choice)."""
+    import os
+
+    from disq_spark.sinks.cram import write_cram
+    from disq_spark.sources.cram_source import read_cram
+
+    src = os.path.join(fixtures_dir, "valid.cram")
+    ref = os.path.join(fixtures_dir, "valid.fasta")
+    df, header = read_cram(spark, src, reference_path=ref)
+    out = str(tmp_path / "ours.cram")
+    write_cram(df, header, out, reference_path=ref)
+    assert os.path.getsize(out) <= os.path.getsize(src)
+
+    back, _ = read_cram(spark, out, reference_path=ref)
+    cols = ["name", "flags", "contig", "start", "mapq", "cigar", "seq", "qual", "tags"]
+    want = sorted((tuple(r[:-1]) + (sorted((r[-1] or {}).items()),)) for r in df.select(cols).collect())
+    got = sorted((tuple(r[:-1]) + (sorted((r[-1] or {}).items()),)) for r in back.select(cols).collect())
+    assert want == got
