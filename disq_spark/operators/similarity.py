@@ -263,6 +263,45 @@ def ivf_topk(
     )
 
 
+def _bucket_pair_kernel(threshold: float, round_to: int):
+    """applyInPandas kernel: all within-group pairs scored by one
+    float64 GEMM over row strips (<=128 MB score strip). Rows arrive
+    sorted by id so position order == id order and id_a < id_b falls
+    out of the upper triangle."""
+
+    def score_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        out_cols = ["id_a", "id_b", "score"]
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=out_cols)
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy()
+        v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        n = len(ids)
+        out_a, out_b, out_s = [], [], []
+        strip = max(1, (1 << 24) // n)
+        for s0 in range(0, n, strip):
+            sl = slice(s0, min(s0 + strip, n))
+            scores = np.round((v[sl] @ v.T) / (nrm[sl, None] * nrm[None, :]), round_to)
+            ii, jj = np.nonzero(scores >= threshold)
+            keep = (ii + s0) < jj  # strict upper triangle in id order
+            out_a.append(ids[ii[keep] + s0])
+            out_b.append(ids[jj[keep]])
+            out_s.append(scores[ii[keep], jj[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+                "score": np.concatenate(out_s) if out_s else [],
+            }
+        )
+
+    return score_bucket
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -271,6 +310,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    method: str = "blas",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
@@ -284,12 +324,46 @@ def embedding_neardup_pairs(
     the recall a single hyperplane family loses; requires
     n_families * n_bits <= dim.
 
+    ``method="blas"`` (default) scores each bucket's pairs with one
+    Arrow-batched float64 GEMM (``applyInPandas`` over the bucket key)
+    instead of materializing the within-bucket self-join and folding
+    each pair through interpreted ``zip_with`` lambdas — the sf10
+    measurement (SCALE.md) had 2.45M interpreted pair-cosines dominate
+    the wall. Norms stay JVM-computed per vector; scores round to
+    ``round_to`` in both paths, where float64 GEMM and the sequential
+    fold agree (disagreement needs a true cosine within ~1e-15 of a
+    rounding boundary). ``method="sql"`` keeps the pure-column path.
+
     Output: (id_a, id_b, score) with id_a < id_b, score >= threshold.
     """
     if n_bits is None:
         # driver-side sizing action, same spirit as the reference running
         # split planning as Spark jobs (BamSource.java:120-139)
         n_bits = scale_n_bits(df.count())
+    if method == "blas":
+        id_t = df.schema[id_col].dataType.simpleString()
+        kernel = _bucket_pair_kernel(threshold, round_to)
+        schema = f"id_a {id_t}, id_b {id_t}, score double"
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        if n_families <= 1:
+            tagged = base.withColumn("bucket", sign_bucket(F.col("v"), n_bits))
+            return tagged.groupBy("bucket").applyInPandas(kernel, schema)
+        tagged = base.select(
+            "id", "v", "nrm", F.posexplode(_family_buckets(F.col("v"), n_bits, n_families)).alias("fam", "bucket")
+        )
+        return (
+            tagged.groupBy("fam", "bucket")
+            .applyInPandas(kernel, schema)
+            # a pair sharing several family buckets must emit once;
+            # the score is identical in every family group
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    if method != "sql":
+        raise ValueError(f"method must be 'blas' or 'sql': {method!r}")
     if n_families <= 1:
         a = df.select(
             F.col(id_col).alias("id_a"),

@@ -3956,3 +3956,32 @@ def test_bam_to_fastq_rows_matches_serial(spark, fixtures_dir):
             (r.name, r.seq, r.qual) for r in read_fastq(spark, p).collect()
         }
     assert back == got
+
+
+def test_embedding_neardup_blas_matches_sql(spark):
+    """The bucket-GEMM path must produce exactly the SQL path's pairs
+    and rounded scores, single- and multi-family (where a pair sharing
+    several family buckets must emit once)."""
+    import random
+
+    from disq_spark.operators.similarity import embedding_neardup_pairs
+
+    rng = random.Random(20260816)
+    rows = []
+    for i in range(300):
+        base = [1.0, 0.2, -0.5, 0.8, -1.0, 0.3, 0.6, -0.4][i % 8]
+        v = [base + rng.uniform(-0.15, 0.15) for _ in range(16)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for fams in (1, 2):
+        kw = dict(threshold=0.98, n_bits=4, n_families=fams)
+        sql = {
+            (r.id_a, r.id_b): r.score
+            for r in embedding_neardup_pairs(df, method="sql", **kw).collect()
+        }
+        blas = {
+            (r.id_a, r.id_b): r.score
+            for r in embedding_neardup_pairs(df, method="blas", **kw).collect()
+        }
+        assert blas == sql, f"n_families={fams}"
+        assert len(sql) > 20  # not vacuous
