@@ -3985,3 +3985,27 @@ def test_embedding_neardup_blas_matches_sql(spark):
         }
         assert blas == sql, f"n_families={fams}"
         assert len(sql) > 20  # not vacuous
+
+
+def test_cosine_topk_blas_matches_sql(spark):
+    """Streamed-GEMM top-k must equal the broadcast-join SQL path:
+    same neighbors, ranks, and rounded scores, including id-ascending
+    tie-breaks and self-match exclusion."""
+    import random
+
+    from disq_spark.operators.similarity import cosine_topk
+
+    rng = random.Random(20260817)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(400)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(8)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    got_sql = sorted(
+        map(tuple, cosine_topk(corpus, queries, k=7, method="sql").collect())
+    )
+    got_blas = sorted(
+        map(tuple, cosine_topk(corpus, queries, k=7, method="blas").collect())
+    )
+    assert got_blas == got_sql
+    assert len(got_sql) == 35
