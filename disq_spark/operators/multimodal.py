@@ -10,7 +10,7 @@ Decode support is two-tier:
   ``wave`` module; byte-histogram features for anything. These run
   the actual pixels/samples through the distributed pipeline.
 - FAKE kernels (``fake=True``) for formats whose codecs this container
-  lacks (progressive JPEG/WebP/GIF/MP3/video need PIL/ffmpeg): a
+  lacks (progressive JPEG/WebP/MP3/video need PIL/ffmpeg): a
   deterministic md5-seeded decoder exercises the full Spark-side
   pipeline — schema, batch shapes, partitioning — which is the part
   that has to be right at 100 TB. Swap in a real PIL/ffmpeg call and
@@ -85,8 +85,8 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
                     dec = try_decode_image(b)
                     if dec is None:
                         raise NotImplementedError(
-                            "payload is not PPM/PGM/BMP/PNG/baseline-JPEG "
-                            "(progressive JPEG, WebP, GIF... need PIL, not "
+                            "payload is not PPM/PGM/BMP/PNG/baseline-JPEG/GIF "
+                            "(progressive JPEG, WebP... need PIL, not "
                             "in this environment) — use fake=True for the "
                             "deterministic stub kernel"
                         )
@@ -447,12 +447,16 @@ def _decode_png(b: bytes):
 def try_decode_image(b: bytes):
     """(w, h, HxWx3 uint8) for the formats decodable without external
     libraries (PPM/PGM, uncompressed 24-bit BMP, 8-bit non-interlaced
-    PNG, baseline-sequential JPEG), else None."""
+    PNG, baseline-sequential JPEG, GIF87a/89a first frame), else None."""
     dec = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
     if dec is None and len(b) >= 2 and b[0] == 0xFF and b[1] == 0xD8:
         from disq_spark.formats.jpeg import decode_jpeg
 
         dec = decode_jpeg(b)
+    if dec is None and b[:4] == b"GIF8":
+        from disq_spark.formats.gif import decode_gif
+
+        dec = decode_gif(b)
     return dec
 
 

@@ -2070,6 +2070,68 @@ FROM base ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# multimodal_gif_decode — the REAL GIF codec (formats/gif.py: LZW +
+# palette + interlace) in the gate: each ASCII document's first 16
+# bytes become a 4x4 GRAYSCALE image (palette = the distinct byte
+# values). GIF is lossless on paletted content, so the decoded channel
+# means equal the byte means exactly and the oracle recomputes them
+# from the text with ascii(). LZW boundary/interlace behaviour is
+# property-tested in tests/test_properties.py.
+# ---------------------------------------------------------------------------
+@_q("multimodal_gif_decode")
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import MEDIA_SCHEMA, decode_image
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").rlike("^[ -~]+$")
+    )
+    padded = F.rpad(F.substring("text", 1, _JPEG_BYTES), _JPEG_BYTES, " ")
+    base = d.select("doc_id", padded.cast("binary").alias("px"))
+
+    def to_gif(batches):
+        import numpy as np
+        import pandas as pd
+
+        from disq_spark.formats.gif import encode_gif
+
+        for pdf in batches:
+            rows = []
+            for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+                img = np.frombuffer(bytes(px), np.uint8).reshape(4, 4)
+                payload = encode_gif(img)
+                rows.append((doc_id, "image/gif", payload, len(payload), ""))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "payload", "n_bytes", "content_md5"],
+            )
+
+    media = base.mapInPandas(to_gif, MEDIA_SCHEMA)
+    feats = decode_image(media)  # REAL path: LZW decode + palette
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("r_mean"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("g_mean"),
+        F.round(F.element_at("features", 3).cast("double"), 6).alias("b_mean"),
+    ).orderBy("doc_id")
+
+
+ORACLE["multimodal_gif_decode"] = f"""
+WITH base AS (
+  SELECT doc_id, rpad(substring(text, 1, {_JPEG_BYTES}), {_JPEG_BYTES}, ' ') AS p
+  FROM documents
+  WHERE doc_id < 100 AND regexp_full_match(text, '[ -~]+')
+)
+SELECT doc_id, 4 AS width, 4 AS height,
+       {_gray_mean_sql()} AS r_mean,
+       {_gray_mean_sql()} AS g_mean,
+       {_gray_mean_sql()} AS b_mean
+FROM base ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming_dedup_gate — the applyInPandasWithState exact-dedup operator
 # under the full hash gate: a bounded document stream deduplicated with
 # keyed state must emit exactly one row per distinct fingerprint, so the

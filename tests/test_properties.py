@@ -529,3 +529,104 @@ def test_jpeg_decoder_rejects_malformed():
     # progressive SOF2 marker -> refused, not crashed
     prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
+
+
+# ---------------------------------------------------------------------------
+# GIF codec properties (formats/gif.py)
+# ---------------------------------------------------------------------------
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    colors=st.integers(1, 256),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_lossless_property(w, h, colors, seed):
+    """GIF is lossless on <=256-color content: encode->decode must be
+    pixel-exact for any palette size (exercises LZW width growth and,
+    on larger images, mid-stream dictionary resets)."""
+    import numpy as np
+
+    from disq_spark.formats.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (colors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, colors, (h, w))]
+    gw, gh, back = decode_gif(encode_gif(img))
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(back, img)
+
+
+def test_gif_known_fixture_and_interlace():
+    """Decoder pinned by the widely-published 1x1 black-pixel GIF89a
+    byte vector, and by a hand-built interlaced variant of our own
+    encoder output (rows permuted into interlace pass order + the
+    interlace flag set) that must decode back to the original image."""
+    import struct
+
+    import numpy as np
+
+    from disq_spark.formats.gif import (
+        _INTERLACE_PASSES,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    onepx = bytes(
+        [0x47, 0x49, 0x46, 0x38, 0x39, 0x61, 0x01, 0x00, 0x01, 0x00, 0x80, 0x00,
+         0x00, 0x00, 0x00, 0x00, 0xFF, 0xFF, 0xFF, 0x21, 0xF9, 0x04, 0x01, 0x00,
+         0x00, 0x00, 0x00, 0x2C, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00,
+         0x00, 0x02, 0x02, 0x44, 0x01, 0x00, 0x3B]
+    )
+    w, h, img = decode_gif(onepx)
+    assert (w, h) == (1, 1) and img.tolist() == [[[0, 0, 0]]]
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (13, 9), dtype=np.uint8)
+    hh, ww = idx.shape
+    order = [y for start, step in _INTERLACE_PASSES for y in range(start, hh, step)]
+    data = _lzw_encode(idx[order].tobytes(), 4)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", ww, hh, 0x80 | 3, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, ww, hh, 0x40)  # interlaced
+    out.append(4)
+    for i in range(0, len(data), 255):
+        out.append(len(data[i : i + 255]))
+        out += data[i : i + 255]
+    out += b"\x00\x3b"
+    gw, gh, back = decode_gif(bytes(out))
+    assert (gw, gh) == (ww, hh)
+    assert np.array_equal(back, pal[idx])
+
+
+def test_gif_matches_png_path_and_rejects_malformed():
+    import numpy as np
+
+    from disq_spark.formats.gif import decode_gif, encode_gif
+    from disq_spark.operators.multimodal import _decode_png, encode_png, try_decode_image
+
+    rng = np.random.default_rng(20260818)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 64, (21, 34))]
+    _, _, via_png = _decode_png(encode_png(img))
+    _, _, via_gif = decode_gif(encode_gif(img))
+    assert np.array_equal(via_png, via_gif)
+    # dispatch: try_decode_image routes GIF payloads
+    w, h, routed = try_decode_image(encode_gif(img))
+    assert (w, h) == (34, 21) and np.array_equal(routed, img)
+    # >256 colors is a codec error, not a silent quantize
+    import pytest as _pytest
+
+    i = np.arange(32 * 32)  # 1024 distinct colors
+    grad = np.stack([i % 256, (i // 256) * 61 % 256, i % 7], axis=1)
+    with _pytest.raises(ValueError):
+        encode_gif(grad.reshape(32, 32, 3).astype(np.uint8))
+    assert decode_gif(b"") is None
+    assert decode_gif(b"GIF8") is None
+    assert decode_gif(b"not a gif") is None
+    enc = encode_gif(img)
+    with _pytest.raises(ValueError):
+        decode_gif(enc[: len(enc) // 2])  # truncated stream
