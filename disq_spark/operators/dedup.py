@@ -305,16 +305,35 @@ def minhash_lsh_pairs(
         .distinct()  # mh_* are functionally dependent on the ids
     )
 
-    eq_sum = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cand.withColumn("est_jaccard", F.round(eq_sum / F.lit(float(num_hashes)), 4))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    # est_jaccard = fraction of equal signature components. Integer
+    # equality counting is exact in any engine, so the Arrow-batched
+    # numpy path is bit-identical to the zip_with fold while skipping
+    # the interpreted per-component lambda (num_hashes ops/pair; the
+    # JVM runs HOF lambdas interpreted — SCALE.md, SemDeDup lesson).
+    id_t = cand.schema["id_a"].dataType.simpleString()
+    thr = float(threshold)
+    nh = float(num_hashes)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["mh_a"].to_numpy())
+            b = np.stack(pdf["mh_b"].to_numpy())
+            est = np.round((a == b).sum(axis=1) / nh, 4)
+            keep = est >= thr
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "est_jaccard": est[keep],
+                }
+            )
+
+    return cand.mapInPandas(score, f"id_a {id_t}, id_b {id_t}, est_jaccard double")
 
 
 def ngram_jaccard_pairs(
