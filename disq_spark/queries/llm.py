@@ -2176,6 +2176,60 @@ FROM fp
 
 
 # ---------------------------------------------------------------------------
+# streaming_neardup_gate — stateful streaming MinHash+LSH near-dup under
+# the full hash gate. The operator's contract is the PAIR SET (min,max
+# normalized), which is micro-batch- and order-independent, so the gate
+# aggregates the distinct pairs into an order-insensitive fingerprint;
+# the oracle recomputes the identical pair set with the batch minhash
+# CTE chain, uncapped (streaming has no corpus-global df statistic —
+# see streaming/neardup.py).
+# ---------------------------------------------------------------------------
+@_q("streaming_neardup_gate")
+def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.queries._stream_util import bounded_stream, run_to_completion
+    from disq_spark.streaming.neardup import streaming_minhash_pairs
+
+    stream = bounded_stream(spark, sf_dir, "documents", ["doc_id", "text"])
+    if spark.catalog.tableExists("stream_gate_neardup"):
+        spark.catalog.dropTempView("stream_gate_neardup")
+    q = (
+        streaming_minhash_pairs(stream, threshold=MINHASH_THRESHOLD)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_gate_neardup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, "streaming_neardup_gate")
+    pairs = spark.table("stream_gate_neardup").dropDuplicates(["id_a", "id_b"])
+    tag = F.concat_ws(
+        ":",
+        F.col("id_a").cast("string"),
+        F.col("id_b").cast("string"),
+        F.format_string("%.4f", F.col("est_jaccard")),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list(tag)))).alias(
+            "pair_set_md5"
+        ),
+    )
+
+
+ORACLE["streaming_neardup_gate"] = f"""
+WITH {_minhash_pair_ctes(max_df_sql="1e18")},
+tags AS (
+  SELECT cast(id_a AS VARCHAR) || ':' || cast(id_b AS VARCHAR) || ':'
+         || printf('%.4f', est_jaccard) AS tag
+  FROM pairs
+)
+SELECT cast(count(*) AS BIGINT) AS n_pairs,
+       md5(string_agg(tag, '|' ORDER BY tag)) AS pair_set_md5
+FROM tags
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_incremental_gate — incremental exact dedup under the hash gate:
 # a NEW batch deduped against the running hash index of everything seen
 # (one anti-join; the corpus is never rescanned). The oracle replays the

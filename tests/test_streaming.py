@@ -201,3 +201,45 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_neardup_pairs_equal_batch(spark, tmp_path):
+    """Stateful streaming MinHash+LSH must emit exactly the batch
+    operator's (uncapped) pair set — with the corpus split across
+    micro-batches (maxFilesPerTrigger=1), so pairs whose members arrive
+    in different batches are found via bucket state, and the (min,max)
+    normalization makes the set independent of arrival order."""
+    from disq_spark.operators.dedup import minhash_lsh_pairs
+    from disq_spark.streaming.neardup import streaming_minhash_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "neardup_src")
+    half_a.coalesce(1).write.mode("overwrite").parquet(src)
+    half_b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_minhash_pairs(stream, threshold=0.25)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in spark.sql("SELECT * FROM neardup_out").collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.25, max_df=None).collect()
+    }
+    assert got == want
+    assert len(want) > 5  # not vacuous
