@@ -2230,6 +2230,80 @@ FROM tags
 
 
 # ---------------------------------------------------------------------------
+# streaming_embdup_gate — stateful streaming embedding near-dup (sign-
+# LSH buckets, per-bucket vector state) under the full hash gate. Fixed
+# n_bits (streaming cannot count the corpus first); the oracle is the
+# batch bucket join at the same width, aggregated order-insensitively.
+# ---------------------------------------------------------------------------
+_STREAM_EMB_BITS = 8
+
+
+@_q("streaming_embdup_gate")
+def streaming_embdup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.queries._stream_util import bounded_stream, run_to_completion
+    from disq_spark.streaming.neardup import streaming_embedding_neardup_pairs
+
+    stream = bounded_stream(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    if spark.catalog.tableExists("stream_gate_embdup"):
+        spark.catalog.dropTempView("stream_gate_embdup")
+    q = (
+        streaming_embedding_neardup_pairs(
+            stream, threshold=EMB_DEDUP_THRESHOLD, n_bits=_STREAM_EMB_BITS
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_gate_embdup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, "streaming_embdup_gate")
+    pairs = spark.table("stream_gate_embdup").dropDuplicates(["id_a", "id_b"])
+    tag = F.concat_ws(
+        ":",
+        F.col("id_a").cast("string"),
+        F.col("id_b").cast("string"),
+        F.format_string("%.4f", F.col("score")),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list(tag)))).alias(
+            "pair_set_md5"
+        ),
+    )
+
+
+_FIXED_VBUCKET = (
+    "CAST(list_sum([CASE WHEN {vec}[i] >= 0.0 THEN CAST(pow(2, i - 1) AS BIGINT) "
+    f"ELSE 0 END for i in generate_series(1, {_STREAM_EMB_BITS})]) AS BIGINT)"
+)
+
+ORACLE["streaming_embdup_gate"] = f"""
+WITH a AS (
+  SELECT vec_id AS id_a, embedding::DOUBLE[] AS av,
+         {_FIXED_VBUCKET.format(vec='embedding')} AS bucket
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id AS id_b, embedding::DOUBLE[] AS bv,
+         {_FIXED_VBUCKET.format(vec='embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT id_a, id_b, round({_DOT_AB} / ({_NORM_A} * {_NORM_B}), 4) AS score
+  FROM a JOIN b USING (bucket) WHERE id_a < id_b
+),
+tags AS (
+  SELECT cast(id_a AS VARCHAR) || ':' || cast(id_b AS VARCHAR) || ':'
+         || printf('%.4f', score) AS tag
+  FROM scored WHERE score >= {EMB_DEDUP_THRESHOLD}
+)
+SELECT cast(count(*) AS BIGINT) AS n_pairs,
+       md5(string_agg(tag, '|' ORDER BY tag)) AS pair_set_md5
+FROM tags
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_incremental_gate — incremental exact dedup under the hash gate:
 # a NEW batch deduped against the running hash index of everything seen
 # (one anti-join; the corpus is never rescanned). The oracle replays the

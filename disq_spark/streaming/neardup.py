@@ -180,3 +180,114 @@ def streaming_minhash_pairs(
         "append",
         timeout,
     )
+
+
+def streaming_embedding_neardup_pairs(
+    stream: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    ttl_minutes: int | None = None,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a vector stream — the
+    streaming analog of ``operators/similarity.embedding_neardup_pairs``
+    with the same sign-LSH bucketing (bit i = sign(vec[i])), so on a
+    bounded stream the pair set equals the batch operator's at the same
+    ``n_bits``. Per-bucket state holds member ids + float64 vectors +
+    norms; each arrival scores against its bucket with one numpy
+    matvec. ``n_bits`` is a fixed parameter here (streaming cannot
+    count the corpus first — size it for the expected steady-state rate
+    like ``scale_n_bits`` would); (min,max) pair normalization makes
+    the output batch-boundary- and order-independent, same contract as
+    ``streaming_minhash_pairs``."""
+    import numpy as np
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def tag_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (v[:, :n_bits] >= 0.0).astype(np.int64)
+            bucket = (bits * (1 << np.arange(n_bits, dtype=np.int64))).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "bucket": bucket,
+                    "v": list(v),
+                    "nrm": np.sqrt((v * v).sum(axis=1)),
+                }
+            )
+
+    tagged = stream.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        tag_rows, "id long, bucket long, v array<double>, nrm double"
+    )
+
+    def bucket_fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows: list[tuple[int, list[float], float]] = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    pdf["id"].tolist(),
+                    ([float(x) for x in m] for m in pdf["v"]),
+                    (float(x) for x in pdf["nrm"]),
+                )
+            )
+        if state.exists:
+            ids, flat, nrms = state.get
+            dim = len(flat) // len(ids) if ids else 0
+            members = [
+                (ids[i], list(flat[i * dim : (i + 1) * dim]), nrms[i])
+                for i in range(len(ids))
+            ]
+        else:
+            members = []
+        known = {m[0] for m in members}
+        out_a, out_b, out_s = [], [], []
+        for vid, vec, nrm in sorted(rows, key=lambda r: r[0]):
+            if vid in known:
+                continue
+            if len(members) < max_bucket:
+                if members:
+                    mat = np.array([m[1] for m in members])
+                    mn = np.array([m[2] for m in members])
+                    scores = np.round((mat @ np.array(vec)) / (mn * nrm), round_to)
+                    for j in np.nonzero(scores >= threshold)[0]:
+                        oid = members[j][0]
+                        out_a.append(min(vid, oid))
+                        out_b.append(max(vid, oid))
+                        out_s.append(float(scores[j]))
+                members.append((vid, vec, nrm))
+                known.add(vid)
+        state.update(
+            (
+                [m[0] for m in members],
+                [c for m in members for c in m[1]],
+                [m[2] for m in members],
+            )
+        )
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "score": out_s})
+
+    return tagged.groupBy("bucket").applyInPandasWithState(
+        bucket_fn,
+        "id_a long, id_b long, score double",
+        "ids array<long>, vecs array<double>, nrms array<double>",
+        "append",
+        timeout,
+    )

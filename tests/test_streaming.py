@@ -243,3 +243,38 @@ def test_streaming_neardup_pairs_equal_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 5  # not vacuous
+
+
+def test_streaming_embedding_neardup_equal_batch(spark, tmp_path):
+    """Streaming sign-LSH embedding near-dup must emit the batch
+    operator's pair set at the same n_bits, across micro-batches."""
+    from disq_spark.operators.similarity import embedding_neardup_pairs
+    from disq_spark.streaming.neardup import streaming_embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    src = str(tmp_path / "embdup_src")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_embedding_neardup_pairs(stream, threshold=0.3, n_bits=6)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("embdup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.id_a, r.id_b): r.score
+        for r in spark.sql("SELECT * FROM embdup_out").collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.score
+        for r in embedding_neardup_pairs(emb, threshold=0.3, n_bits=6).collect()
+    }
+    assert got == want
+    assert len(want) > 5
