@@ -1,18 +1,25 @@
-"""Baseline-sequential JPEG (JFIF) codec in numpy + stdlib — no PIL.
+"""JPEG (JFIF) codec in numpy + stdlib — baseline AND progressive, no PIL.
 
-Real LLM image corpora are JPEG-dominated, so the multimodal decode path
-needs a real JPEG decoder, not a stub. This implements the baseline
-profile of ITU-T T.81 (ISO/IEC 10918-1):
+Real LLM image corpora are JPEG-dominated (and web JPEGs are heavily
+progressive), so the multimodal decode path needs a real JPEG decoder,
+not a stub. This implements ITU-T T.81 (ISO/IEC 10918-1):
 
-- decode: SOI/APP/DQT/SOF0/DHT/DRI/SOS parsing, Huffman entropy decode
-  with byte unstuffing and restart markers, dequantize + dezigzag,
-  batched 8x8 float IDCT, chroma upsampling (h/v factors 1-2), BT.601
-  YCbCr->RGB. Progressive (SOF2), arithmetic coding, 12-bit precision,
-  and hierarchical modes return None (decode_jpeg is a sniffing
-  decoder, same contract as _decode_png).
-- encode: grayscale or 4:4:4 colour baseline with the Annex K example
-  quantization tables (libjpeg quality scaling) and the Annex K
-  "typical" Huffman tables. Exists so tests and gates can synthesize
+- decode: SOI/APP/DQT/SOF0/SOF2/DHT/DRI/SOS parsing, Huffman entropy
+  decode with byte unstuffing and restart markers, dequantize +
+  dezigzag, batched 8x8 float IDCT, chroma upsampling (h/v factors
+  1-2), BT.601 YCbCr->RGB. Progressive (SOF2, T.81 Annex G): multi-scan
+  spectral selection + successive approximation — DC/AC first and
+  refinement passes, EOB-run skips with correction bits, ZRL-in-refine,
+  non-interleaved single-component block grids, per-scan restarts.
+  Arithmetic coding, 12-bit precision, lossless, and hierarchical modes
+  return None (decode_jpeg is a sniffing decoder, same contract as
+  _decode_png).
+- encode: grayscale or 4:4:4/4:2:0 colour, baseline with the Annex K
+  tables, or ``progressive=True`` (SOF2 scan script: DC Al=1 + refine;
+  per-component AC 1-5/6-63 at Al=1 + one refine pass) — the
+  progressive bitstream carries the IDENTICAL quantized coefficients
+  as baseline, so both decodes agree pixel-exactly (the differential
+  the property tests pin). Exists so tests and gates can synthesize
   JPEG payloads in a container that has no image libraries, and as the
   write side of the multimodal sink.
 
@@ -263,11 +270,235 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+# Progressive AC scans need EOBn symbols (r<<4 for run lengths 2^r..)
+# that the standard sequential AC tables do not contain. A flat table —
+# all 256 symbols at code length 9 (Kraft sum 0.5, so the all-ones
+# prefix stays unused as T.81 prefers) — can encode every progressive
+# symbol; compression is not the point of the test encoder.
+_FLAT_BITS = [0] * 16
+_FLAT_BITS[8] = 255  # 255 codes of length 9 (DHT counts are bytes)
+_FLAT_BITS[9] = 1  # symbol 0xFF at length 10
+_FLAT_VALS = list(range(256))
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: EOB-run accumulation,
+    buffered correction bits, restart handling (mirrors the decoder in
+    _decode_prog_scan, which mirrors T.81 G.1.2 / libjpeg)."""
+
+    def __init__(self, ac_codes, restart_interval):
+        self.bw = _BitWriter()
+        self.ac = ac_codes
+        self.restart_interval = restart_interval
+        self.eobrun = 0
+        self.be: list[int] = []
+        self.unit_i = 0
+        self.rst_n = 0
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.ac[r << 4]
+            self.bw.write(code, length)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.be:
+            self.bw.write(bit, 1)
+        self.be = []
+
+    def unit_boundary(self) -> bool:
+        """Call before each MCU/block; emits RSTn when due. Returns
+        True when a restart was emitted (DC predictors must reset)."""
+        due = (
+            self.restart_interval
+            and self.unit_i
+            and self.unit_i % self.restart_interval == 0
+        )
+        if due:
+            self.flush_eob()
+            self.bw.flush()
+            self.bw.buf += bytes([0xFF, 0xD0 + self.rst_n])
+            self.rst_n = (self.rst_n + 1) % 8
+            self.reset_state()
+        self.unit_i += 1
+        return bool(due)
+
+    def reset_state(self) -> None:
+        self.eobrun = 0
+        self.be = []
+
+    def finish(self) -> bytes:
+        self.flush_eob()
+        self.bw.flush()
+        return bytes(self.bw.buf)
+
+
+def _enc_ac_first_block(w: _ProgScanWriter, blk, ss: int, se: int, al: int) -> None:
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        a = abs(v) >> al  # AC point transform truncates toward zero
+        vals.append(a if v >= 0 else -a)
+    nz = [i for i, v in enumerate(vals) if v]
+    if not nz:
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.flush_eob()
+        return
+    w.flush_eob()
+    r = 0
+    for i in range(nz[-1] + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = w.ac[0xF0]
+            w.bw.write(code, length)
+            r -= 16
+        size, amp = _magnitude(v)
+        code, length = w.ac[(r << 4) | size]
+        w.bw.write(code, length)
+        w.bw.write(amp, size)
+        r = 0
+    if nz[-1] < se - ss:
+        w.eobrun += 1
+
+
+def _enc_ac_refine_block(w: _ProgScanWriter, blk, ss: int, se: int, al: int) -> None:
+    band = [int(blk[k]) for k in range(ss, se + 1)]
+    absv = [abs(v) >> al for v in band]
+    eob = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i
+    r = 0
+    br_bits: list[int] = []
+    for i, a in enumerate(absv):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            w.flush_eob()
+            code, length = w.ac[0xF0]
+            w.bw.write(code, length)
+            r -= 16
+            for bit in br_bits:
+                w.bw.write(bit, 1)
+            br_bits = []
+        if a > 1:
+            br_bits.append(a & 1)
+            continue
+        # newly-nonzero coefficient
+        w.flush_eob()
+        code, length = w.ac[(r << 4) | 1]
+        w.bw.write(code, length)
+        w.bw.write(1 if band[i] > 0 else 0, 1)
+        for bit in br_bits:
+            w.bw.write(bit, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        w.eobrun += 1
+        w.be.extend(br_bits)
+        if w.eobrun == 0x7FFF or len(w.be) > 900:
+            w.flush_eob()
+
+
+def _encode_progressive(
+    out: bytearray,
+    comps: list[np.ndarray],
+    factors: list[tuple[int, int]],
+    mcux: int,
+    mcuy: int,
+    h: int,
+    w: int,
+    gray: bool,
+    restart_interval: int,
+) -> None:
+    """Append the progressive scan script: DC first (Al=1, interleaved),
+    DC refine, then per component AC first split 1-5 / 6-63 at Al=1 and
+    one AC refine 1-63 — exercising spectral selection, successive
+    approximation, EOBRUN, ZRL-in-refine, and non-interleaved grids."""
+    ncomp = len(comps)
+    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    flat = _build_codes(_FLAT_BITS, _FLAT_VALS)
+    out += _seg(0xC4, bytes([0x00] + DC_LUMA_BITS + DC_LUMA_VALS))  # DC table 0
+    out += _seg(0xC4, bytes([0x10] + _FLAT_BITS + _FLAT_VALS))  # AC table 0
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        hdr = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            hdr += bytes([cid, 0x00])  # DC table 0, AC table 0
+        return _seg(0xDA, hdr + bytes([ss, se, (ah << 4) | al]))
+
+    def mcu_order():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blks = []
+                for ci, (fh_, fv_) in enumerate(factors):
+                    bstride = mcux * fh_
+                    for by in range(fv_):
+                        for bx in range(fh_):
+                            blks.append(
+                                (ci, (my * fv_ + by) * bstride + mx * fh_ + bx)
+                            )
+                yield blks
+
+    # 1. DC first, Al=1, interleaved
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    wri = _ProgScanWriter(flat, restart_interval)
+    preds = [0] * ncomp
+    for blks in mcu_order():
+        if wri.unit_boundary():
+            preds = [0] * ncomp
+        for ci, bi in blks:
+            v = int(comps[ci][bi][0]) >> 1  # arithmetic shift, like decode
+            diff = v - preds[ci]
+            preds[ci] = v
+            size, amp = _magnitude(diff)
+            code, length = dc_codes[size]
+            wri.bw.write(code, length)
+            if size:
+                wri.bw.write(amp, size)
+    out += wri.finish()
+    # 2. DC refine (Ah=1 -> Al=0): one raw bit per block, MCU order
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    wri = _ProgScanWriter(flat, restart_interval)
+    for blks in mcu_order():
+        wri.unit_boundary()
+        for ci, bi in blks:
+            wri.bw.write(int(comps[ci][bi][0]) & 1, 1)
+    out += wri.finish()
+    # 3. per-component AC scans over the component's OWN block grid
+    for ci in range(ncomp):
+        fh_, fv_ = factors[ci]
+        cw = -(-w * fh_ // hmax)
+        ch = -(-h * fv_ // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        bstride = mcux * fh_
+        grid = [(by * bstride + bx) for by in range(nby) for bx in range(nbx)]
+        for ss, se, ah, al in ((1, 5, 0, 1), (6, 63, 0, 1), (1, 63, 1, 0)):
+            out += sos([ci + 1], ss, se, ah, al)
+            wri = _ProgScanWriter(flat, restart_interval)
+            for bi in grid:
+                wri.unit_boundary()
+                if ah == 0:
+                    _enc_ac_first_block(wri, comps[ci][bi], ss, se, al)
+                else:
+                    _enc_ac_refine_block(wri, comps[ci][bi], ss, se, al)
+            out += wri.finish()
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 to baseline JFIF.
 
@@ -276,8 +507,12 @@ def encode_jpeg(
     (chroma 2x2-mean downsampled) — the dominant layout in web corpora,
     and the path that exercises the decoder's multi-block-MCU +
     upsampling code. ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs. Dimensions are padded to MCU multiples by
-    edge replication (decoder crops back via SOF dims)."""
+    every that many MCUs (baseline) / units (progressive scans).
+    ``progressive=True`` writes SOF2 with a spectral-selection +
+    successive-approximation scan script (see _encode_progressive);
+    the DCT coefficients are IDENTICAL to the baseline encoding of the
+    same image, so progressive and baseline decodes must agree
+    pixel-exactly — the differential the tests pin."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[0], img.shape[1]
@@ -326,14 +561,25 @@ def encode_jpeg(
     out += _seg(0xDB, b"\x00" + bytes(int(x) for x in ql[ZIGZAG]))
     if not gray:
         out += _seg(0xDB, b"\x01" + bytes(int(x) for x in qc[ZIGZAG]))
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         fh_, fv_ = factors[cid - 1]
         tq = 0 if cid == 1 else 1
         sof += struct.pack(">BBB", cid, (fh_ << 4) | fv_, tq)
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
+    if progressive:
+        if restart_interval:
+            out += _seg(0xDD, struct.pack(">H", restart_interval))
+        comps = []
+        for i, p in enumerate(planes):
+            comps.append(_forward_blocks(p, ql if i == 0 else qc))
+        _encode_progressive(
+            out, comps, factors, mcux, mcuy, h, w, gray, restart_interval
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
     # DHT
     def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
         return _seg(0xC4, bytes([tc_th] + bits + vals))
@@ -479,6 +725,7 @@ def _decode_jpeg_strict(b: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    store: dict[int, np.ndarray] | None = None
     restart_interval = 0
     pos = 2
     n = len(b)
@@ -516,7 +763,7 @@ def _decode_jpeg_strict(b: bytes):
                 vals = list(data[p + 17 : p + 17 + nv])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", data, 0)
             if prec != 8 or fh == 0 or fw == 0 or nc not in (1, 3):
                 return None
@@ -526,10 +773,20 @@ def _decode_jpeg_strict(b: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": fh, "w": fw, "comps": comps, "prog": marker == 0xC2}
+            if frame["prog"]:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-fw // (8 * hmax))
+                mcuy = -(-fh // (8 * vmax))
+                frame["grid"] = (hmax, vmax, mcux, mcuy)
+                store = {
+                    c["id"]: np.zeros((mcuy * c["v"] * mcux * c["h"], 64), np.int64)
+                    for c in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS
@@ -541,12 +798,24 @@ def _decode_jpeg_strict(b: bytes):
                 cs, tdta = data[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0xF))
-            if ns != len(frame["comps"]):
-                return None  # non-interleaved multi-scan not supported
-            return _decode_scan(
-                b, pos, frame, scan, qtables, htables, restart_interval
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            if not frame["prog"]:
+                if ns != len(frame["comps"]) or (ss, se, ahal) != (0, 63, 0):
+                    return None  # baseline is one full interleaved scan
+                return _decode_scan(
+                    b, pos, frame, scan, qtables, htables, restart_interval
+                )
+            pos = _decode_prog_scan(
+                b, pos, frame, scan, ss, se, ahal >> 4, ahal & 0xF,
+                htables, store, restart_interval,
             )
         # else: APPn/COM/etc: skip
+    if frame is not None and frame.get("prog") and store:
+        hmax, vmax, mcux, mcuy = frame["grid"]
+        planes = [
+            (c, store[c["id"]]) for c in frame["comps"]
+        ]
+        return _reconstruct(frame, planes, qtables, hmax, vmax, mcux, mcuy)
     return None
 
 
@@ -602,11 +871,19 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
                             blk[k] = _extend(br.read_bits(s), s)
                             k += 1
             mcu_i += 1
-    # dequantize + batched IDCT per component
+    comp_stores = [(c, store[ci]) for ci, (c, _, _) in enumerate(scan)]
+    return _reconstruct(frame, comp_stores, qtables, hmax, vmax, mcux, mcuy)
+
+
+def _reconstruct(frame, comp_stores, qtables, hmax, vmax, mcux, mcuy):
+    """(comp, zig-zag coef blocks) per component -> (w, h, RGB image):
+    dequantize + batched IDCT + upsample + color convert. Shared by the
+    baseline single-scan path and the progressive multi-scan path."""
+    fh, fw = frame["h"], frame["w"]
     planes = []
-    for ci, (c, _, _) in enumerate(scan):
+    for c, blocks in comp_stores:
         q = qtables[c["tq"]]
-        coefs = store[ci][:, np.argsort(ZIGZAG)]  # zig-zag -> raster
+        coefs = blocks[:, np.argsort(ZIGZAG)]  # zig-zag -> raster
         deq = (coefs * q).astype(np.float64).reshape(-1, 8, 8)
         px = np.einsum("xu,nuv,yv->nxy", _A.T, deq, _A.T) + 128.0
         bw = mcux * c["h"]
@@ -632,3 +909,150 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
             np.round(np.stack([r, g, bl], axis=2)), 0, 255
         ).astype(np.uint8)
     return fw, fh, np.ascontiguousarray(img)
+
+
+def _next_marker(b: bytes, pos: int) -> int:
+    """Byte offset of the next real marker (skips entropy bytes, FF00
+    stuffing, and stray RSTn) at or after pos."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] != 0xFF:
+            pos += 1
+        elif b[pos + 1] == 0x00:
+            pos += 2
+        elif 0xD0 <= b[pos + 1] <= 0xD7:
+            pos += 2
+        elif b[pos + 1] == 0xFF:  # fill byte
+            pos += 1
+        else:
+            return pos
+    return n
+
+
+def _decode_prog_scan(
+    b, pos, frame, scan, ss, se, ah, al, htables, store, restart_interval
+):
+    """One progressive scan (T.81 G.2): DC/AC, first/refinement, into
+    the per-component zig-zag coefficient store. Returns the byte
+    offset of the marker that follows the scan's entropy data."""
+    hmax, vmax, mcux, mcuy = frame["grid"]
+    fh, fw = frame["h"], frame["w"]
+    ns = len(scan)
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC")
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    br = _BitReader(b, pos)
+    preds = [0] * ns
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def units():
+        """Decoding units: MCUs (interleaved) or single blocks (ns=1,
+        the component's OWN grid, not the MCU-padded one — T.81 A.2.2)."""
+        if ns > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blks = []
+                    for ci, (c, _, _) in enumerate(scan):
+                        bw = mcux * c["h"]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blks.append(
+                                    (
+                                        ci,
+                                        store[c["id"]][
+                                            (my * c["v"] + by) * bw
+                                            + (mx * c["h"] + bx)
+                                        ],
+                                    )
+                                )
+                    yield blks
+        else:
+            c = scan[0][0]
+            cw = -(-fw * c["h"] // hmax)
+            ch = -(-fh * c["v"] // vmax)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            bw = mcux * c["h"]
+            for by in range(nby):
+                for bx in range(nbx):
+                    yield [(0, store[c["id"]][by * bw + bx])]
+
+    unit_i = 0
+    for blks in units():
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            br.align_and_skip_rst()
+            preds = [0] * ns
+            eobrun = 0
+        for ci, blk in blks:
+            c, td, ta = scan[ci]
+            if ss == 0 and ah == 0:  # DC first
+                size = _decode_huff(br, htables[(0, td)])
+                diff = _extend(br.read_bits(size), size)
+                preds[ci] += diff
+                blk[0] = preds[ci] << al
+            elif ss == 0:  # DC refinement: one raw bit per block
+                if br.read_bit():
+                    blk[0] |= p1
+            elif ah == 0:  # AC first
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                ac_tbl = htables[(1, ta)]
+                while k <= se:
+                    rs = _decode_huff(br, ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC overflow")
+                    blk[int(k)] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:  # AC refinement (T.81 G.2 / libjpeg decode_mcu_AC_refine)
+                ac_tbl = htables[(1, ta)]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_huff(br, ac_tbl)
+                        r, s = rs >> 4, rs & 0xF
+                        if s:
+                            if s != 1:
+                                raise ValueError("bad refinement size")
+                            s = p1 if br.read_bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        # advance past r zero-history coefficients,
+                        # correcting every nonzero-history one en route
+                        while k <= se:
+                            coef = int(blk[k])
+                            if coef != 0:
+                                if br.read_bit() and (coef & p1) == 0:
+                                    blk[k] = coef + (p1 if coef >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if s and k <= se:
+                            blk[int(k)] = s
+                        k += 1
+                if eobrun > 0:  # EOB run covers this block's remainder
+                    while k <= se:
+                        coef = int(blk[k])
+                        if coef != 0 and br.read_bit() and (coef & p1) == 0:
+                            blk[k] = coef + (p1 if coef >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+        unit_i += 1
+    return _next_marker(b, br.pos)

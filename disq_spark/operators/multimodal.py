@@ -5,12 +5,12 @@ Decode support is two-tier:
 
 - REAL kernels, no external libraries: PPM (P6) / PGM (P5),
   uncompressed 24-bit BMP, 8-bit PNG (zlib + row filters), and
-  baseline-sequential JPEG (``formats/jpeg.py``: Huffman + IDCT +
-  4:2:0 upsampling in numpy) images; PCM WAV audio via the stdlib
+  JPEG — baseline AND progressive SOF2 (``formats/jpeg.py``: Huffman +
+  IDCT + 4:2:0 upsampling in numpy) — and GIF87a/89a images; PCM WAV audio via the stdlib
   ``wave`` module; byte-histogram features for anything. These run
   the actual pixels/samples through the distributed pipeline.
 - FAKE kernels (``fake=True``) for formats whose codecs this container
-  lacks (progressive JPEG/WebP/MP3/video need PIL/ffmpeg): a
+  lacks (WebP/MP3/video need PIL/ffmpeg): a
   deterministic md5-seeded decoder exercises the full Spark-side
   pipeline — schema, batch shapes, partitioning — which is the part
   that has to be right at 100 TB. Swap in a real PIL/ffmpeg call and
@@ -66,7 +66,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads -> (width, height, features).
 
-    REAL for PPM/PGM/uncompressed-BMP/PNG/baseline-JPEG payloads
+    REAL for PPM/PGM/uncompressed-BMP/PNG/JPEG(baseline+progressive)/GIF payloads
     (numpy, no external libraries; features = mean RGB + 5-bin
     luminance histogram).
     ``fake=True`` instead runs the deterministic md5 kernel on every
@@ -85,8 +85,8 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
                     dec = try_decode_image(b)
                     if dec is None:
                         raise NotImplementedError(
-                            "payload is not PPM/PGM/BMP/PNG/baseline-JPEG/GIF "
-                            "(progressive JPEG, WebP... need PIL, not "
+                            "payload is not PPM/PGM/BMP/PNG/JPEG/GIF "
+                            "(WebP, MP3, video... need PIL/ffmpeg, not "
                             "in this environment) — use fake=True for the "
                             "deterministic stub kernel"
                         )
@@ -447,7 +447,7 @@ def _decode_png(b: bytes):
 def try_decode_image(b: bytes):
     """(w, h, HxWx3 uint8) for the formats decodable without external
     libraries (PPM/PGM, uncompressed 24-bit BMP, 8-bit non-interlaced
-    PNG, baseline-sequential JPEG, GIF87a/89a first frame), else None."""
+    PNG, JPEG incl. progressive SOF2, GIF87a/89a first frame), else None."""
     dec = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
     if dec is None and len(b) >= 2 and b[0] == 0xFF and b[1] == 0xD8:
         from disq_spark.formats.jpeg import decode_jpeg

@@ -630,3 +630,61 @@ def test_gif_matches_png_path_and_rejects_malformed():
     enc = encode_gif(img)
     with _pytest.raises(ValueError):
         decode_gif(enc[: len(enc) // 2])  # truncated stream
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) properties
+# ---------------------------------------------------------------------------
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 48),
+    quality=st.sampled_from([20, 50, 90, 100]),
+    subsample=st.booleans(),
+    rst=st.sampled_from([0, 0, 2, 5]),
+    smooth=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_progressive_jpeg_equals_baseline_property(w, h, quality, subsample, rst, smooth, seed):
+    """Progressive encoding carries the IDENTICAL quantized DCT
+    coefficients as baseline (spectral selection + successive
+    approximation merely reorder the bits), so progressive decode must
+    equal baseline decode pixel-exactly — for any size, quality, 4:2:0
+    layout, and restart interval. `smooth` drives long EOB runs (the
+    multi-block EOBRUN skip/correction paths); random images drive
+    dense coefficients (ZRL-in-refine, newly-nonzero insertion)."""
+    import numpy as np
+
+    from disq_spark.formats.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    if smooth:
+        gy, gx = np.mgrid[0:h, 0:w]
+        img = (
+            np.stack([(gy * 3) % 256, (gx * 3) % 256, (gy + gx) % 256], axis=2)
+        ).astype(np.uint8)
+    else:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    kw = dict(quality=quality, subsample=subsample, restart_interval=rst)
+    base = decode_jpeg(encode_jpeg(img, **kw))
+    prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+    assert prog is not None
+    assert (base[0], base[1]) == (prog[0], prog[1])
+    assert np.array_equal(base[2], prog[2])
+
+
+def test_progressive_jpeg_gray_and_malformed():
+    import numpy as np
+
+    from disq_spark.formats.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, (21, 30), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(g))
+    prog_bytes = encode_jpeg(g, progressive=True)
+    prog = decode_jpeg(prog_bytes)
+    assert np.array_equal(base[2], prog[2])
+    # truncated progressive stream -> None, not a crash
+    assert decode_jpeg(prog_bytes[: len(prog_bytes) // 2]) is None
+    # arithmetic-coded SOF9 still refused
+    assert decode_jpeg(prog_bytes.replace(b"\xff\xc2", b"\xff\xc9", 1)) is None
