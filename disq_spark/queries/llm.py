@@ -2070,6 +2070,60 @@ FROM base ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# multimodal_jpeg_progressive — the SAME blockwise-constant subspace
+# through the PROGRESSIVE (SOF2) pipeline: spectral-selection +
+# successive-approximation scans carry the identical quantized
+# coefficients as baseline, so the quality=100 bit-exactness argument
+# holds unchanged and the oracle is the same ascii() recomputation.
+# Exercises multi-scan parse, DC refine, EOB runs, and per-scan
+# restarts inside the oracle-gated path (not just pytest).
+# ---------------------------------------------------------------------------
+@_q("multimodal_jpeg_progressive")
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import MEDIA_SCHEMA, decode_image
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").rlike("^[ -~]+$")
+    )
+    padded = F.rpad(F.substring("text", 1, _JPEG_BYTES), _JPEG_BYTES, " ")
+    base = d.select("doc_id", padded.cast("binary").alias("px"))
+
+    def to_jpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from disq_spark.formats.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+                vals = np.frombuffer(bytes(px), np.uint8).reshape(4, 4)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                payload = encode_jpeg(
+                    img, quality=100, restart_interval=2, progressive=True
+                )
+                rows.append((doc_id, "image/jpeg", payload, len(payload), ""))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "payload", "n_bytes", "content_md5"],
+            )
+
+    media = base.mapInPandas(to_jpeg, MEDIA_SCHEMA)
+    feats = decode_image(media)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("r_mean"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("g_mean"),
+        F.round(F.element_at("features", 3).cast("double"), 6).alias("b_mean"),
+    ).orderBy("doc_id")
+
+
+ORACLE["multimodal_jpeg_progressive"] = ORACLE["multimodal_jpeg_decode"]
+
+
+# ---------------------------------------------------------------------------
 # multimodal_gif_decode — the REAL GIF codec (formats/gif.py: LZW +
 # palette + interlace) in the gate: each ASCII document's first 16
 # bytes become a 4x4 GRAYSCALE image (palette = the distinct byte
