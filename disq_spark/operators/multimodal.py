@@ -376,12 +376,19 @@ def _png_unfilter(arr, channels: int):
     return out
 
 
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)  # (x_start, x_step, y_start, y_step) per RFC 2083 §2.6
+
+
 def _decode_png(b: bytes):
-    """8-bit non-interlaced PNG (gray / RGB / palette / gray+alpha /
-    RGBA) -> (w, h, HxWx3 uint8) or None — PNG is just zlib over
-    per-row byte filters (RFC 2083), decodable with numpy + stdlib
-    zlib, no PIL. Alpha is dropped (features are computed over RGB).
-    16-bit depth and Adam7 interlace return None (rare in web corpora)."""
+    """8-bit PNG (gray / RGB / palette / gray+alpha / RGBA; both
+    non-interlaced and Adam7) -> (w, h, HxWx3 uint8) or None — PNG is
+    just zlib over per-row byte filters (RFC 2083), decodable with
+    numpy + stdlib zlib, no PIL. Alpha is dropped (features are
+    computed over RGB). 16-bit depth returns None (rare in web
+    corpora)."""
     import struct
     import zlib
 
@@ -410,7 +417,7 @@ def _decode_png(b: bytes):
         return None
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or channels is None:
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1) or channels is None:
         return None
     if w == 0 or h == 0:
         return None
@@ -418,14 +425,37 @@ def _decode_png(b: bytes):
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    arr = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
-    out = _png_unfilter(arr, channels)
-    if out is None:
-        return None
-    px = out.reshape(h, w, channels)
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images scattered onto
+        # the (y0::ys, x0::xs) grids; empty passes carry no bytes
+        px = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * channels
+            need = ph * (stride + 1)
+            if len(raw) < off + need:
+                return None
+            arr = np.frombuffer(raw, np.uint8, count=need, offset=off).reshape(
+                ph, stride + 1
+            )
+            off += need
+            sub = _png_unfilter(arr, channels)
+            if sub is None:
+                return None
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+    else:
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        arr = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
+        out = _png_unfilter(arr, channels)
+        if out is None:
+            return None
+        px = out.reshape(h, w, channels)
     if ctype == 0:
         img = np.repeat(px, 3, axis=2)
     elif ctype == 2:

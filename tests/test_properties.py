@@ -688,3 +688,58 @@ def test_progressive_jpeg_gray_and_malformed():
     assert decode_jpeg(prog_bytes[: len(prog_bytes) // 2]) is None
     # arithmetic-coded SOF9 still refused
     assert decode_jpeg(prog_bytes.replace(b"\xff\xc2", b"\xff\xc9", 1)) is None
+
+
+def test_png_adam7_interlace_decode():
+    """Adam7 decode must reproduce the original pixels for every color
+    type, including edge sizes where some passes are empty (1x1, 3x5)
+    and a mix of per-pass row filters."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from disq_spark.operators.multimodal import _ADAM7, _decode_png
+
+    def build_interlaced(px, ctype, channels, pal=None, filt_type=0):
+        h, w = px.shape[:2]
+        raw = bytearray()
+        for x0, xs, y0, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            prev = np.zeros(sub.shape[1] * channels, np.int32)
+            for row in sub.reshape(sub.shape[0], -1):
+                r = row.astype(np.int32)
+                if filt_type == 2:  # Up filter inside a pass
+                    raw += bytes([2]) + bytes(((r - prev) % 256).astype(np.uint8))
+                else:
+                    raw += bytes([0]) + bytes(r.astype(np.uint8))
+                prev = r
+        def chunk(typ, data):
+            c = struct.pack(">I", len(data)) + typ + data
+            return c + struct.pack(">I", zlib.crc32(typ + data))
+        out = b"\x89PNG\r\n\x1a\n"
+        out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1))
+        if pal is not None:
+            out += chunk(b"PLTE", pal.tobytes())
+        out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+        out += chunk(b"IEND", b"")
+        return out
+
+    rng = np.random.default_rng(20260819)
+    for hw in ((1, 1), (3, 5), (8, 8), (13, 21), (16, 16)):
+        for ft in (0, 2):
+            # RGB
+            img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+            w, h, got = _decode_png(build_interlaced(img, 2, 3, filt_type=ft))
+            assert (w, h) == (hw[1], hw[0]) and np.array_equal(got, img), (hw, ft)
+            # grayscale
+            g = rng.integers(0, 256, (*hw, 1), dtype=np.uint8)
+            w, h, got = _decode_png(build_interlaced(g, 0, 1, filt_type=ft))
+            assert np.array_equal(got, np.repeat(g, 3, axis=2)), (hw, ft)
+        # palette
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (*hw, 1), dtype=np.uint8)
+        w, h, got = _decode_png(build_interlaced(idx, 3, 1, pal=pal))
+        assert np.array_equal(got, pal[idx[:, :, 0]]), hw
