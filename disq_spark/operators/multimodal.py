@@ -6,8 +6,8 @@ Decode support is two-tier:
 - REAL kernels, no external libraries: PPM (P6) / PGM (P5),
   uncompressed 24-bit BMP, 8-bit PNG (zlib + row filters), and
   JPEG — baseline AND progressive SOF2 (``formats/jpeg.py``: Huffman +
-  IDCT + 4:2:0 upsampling in numpy) — and GIF87a/89a images; PCM WAV audio via the stdlib
-  ``wave`` module; byte-histogram features for anything. These run
+  IDCT + 4:2:0 upsampling in numpy) — and GIF87a/89a images; PCM WAV (stdlib ``wave``) and
+  FLAC (``formats/flac.py``) audio; byte-histogram features for anything. These run
   the actual pixels/samples through the distributed pipeline.
 - FAKE kernels (``fake=True``) for formats whose codecs this container
   lacks (WebP/MP3/video need PIL/ffmpeg): a
@@ -217,10 +217,12 @@ AUDIO_SCHEMA = (
 def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode audio payloads -> (sample_rate, n_samples, rms, peak).
 
-    REAL for PCM WAV (8/16-bit) via the stdlib ``wave`` module — no
+    REAL for PCM WAV (8/16-bit, stdlib ``wave``) and FLAC
+    (``formats/flac.py`` — CONSTANT/VERBATIM/FIXED/LPC subframes,
+    Rice residuals, stereo decorrelation, CRC + MD5 verified) — no
     ffmpeg needed. ``fake=True`` treats the payload bytes as centered
-    8-bit PCM with an md5-seeded sample rate (plumbing tests /
-    non-WAV formats, which would need ffmpeg/soundfile).
+    8-bit PCM with an md5-seeded sample rate (plumbing tests / formats
+    that would need ffmpeg, e.g. MP3).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -236,10 +238,10 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
                     # payload bytes as signed-centered PCM in [-1, 1)
                     samples = [(b - 128) / 128.0 for b in payload]
                 else:
-                    dec = decode_wav(payload)
+                    dec = try_decode_audio(payload)
                     if dec is None:
                         raise NotImplementedError(
-                            "payload is not PCM WAV — use fake=True"
+                            "payload is not PCM WAV or FLAC — use fake=True"
                         )
                     rate, samples = dec
                     samples = samples.tolist()
@@ -588,3 +590,22 @@ def decode_wav(b: bytes):
     else:
         return None
     return rate, samples
+
+
+def try_decode_audio(b: bytes):
+    """(sample_rate, float samples in [-1,1)) for formats decodable
+    without external libraries: PCM WAV (stdlib) and FLAC
+    (``formats/flac.py``), else None. Multi-channel FLAC is flattened
+    channel-interleaved like wave.readframes does."""
+    dec = decode_wav(b)
+    if dec is None and b[:4] == b"fLaC":
+        import numpy as np
+
+        from disq_spark.formats.flac import decode_flac
+
+        f = decode_flac(b)
+        if f is not None:
+            rate, _nch, samples, bits = f
+            # scale by the stream's bit depth to [-1, 1), like the WAV path
+            dec = rate, samples.reshape(-1).astype(np.float64) / float(1 << (bits - 1))
+    return dec

@@ -2186,6 +2186,63 @@ FROM base ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# multimodal_flac_decode — the REAL FLAC codec (formats/flac.py: FIXED/
+# LPC prediction, Rice residuals, CRCs, STREAMINFO MD5) in the gate:
+# each ASCII document's first 16 bytes become 16-bit PCM samples
+# ((ascii-96)*256, exact in int16), FLAC-encoded in the query and
+# decoded through decode_audio's real path. Samples are multiples of
+# 2^-7 after normalization, so sum-of-squares over 16 terms is exact in
+# double and the oracle recomputes rms/peak from ascii() bit-identically.
+# ---------------------------------------------------------------------------
+@_q("multimodal_flac_decode")
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import MEDIA_SCHEMA, decode_audio
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").rlike("^[ -~]+$")
+    )
+    padded = F.rpad(F.substring("text", 1, _JPEG_BYTES), _JPEG_BYTES, " ")
+    base = d.select("doc_id", padded.cast("binary").alias("px"))
+
+    def to_flac(batches):
+        import numpy as np
+        import pandas as pd
+
+        from disq_spark.formats.flac import encode_flac
+
+        for pdf in batches:
+            rows = []
+            for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+                pcm = (np.frombuffer(bytes(px), np.uint8).astype(np.int64) - 96) * 256
+                payload = encode_flac(pcm, 16000, bps=16)
+                rows.append((doc_id, "audio/flac", payload, len(payload), ""))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "payload", "n_bytes", "content_md5"],
+            )
+
+    media = base.mapInPandas(to_flac, MEDIA_SCHEMA)
+    return decode_audio(media).select(
+        "doc_id", "sample_rate", "n_samples", "rms", "peak"
+    ).orderBy("doc_id")
+
+
+_FLAC_V = "((ascii(substring(p, i, 1)) - 96) / 128.0)"
+
+ORACLE["multimodal_flac_decode"] = f"""
+WITH base AS (
+  SELECT doc_id, rpad(substring(text, 1, {_JPEG_BYTES}), {_JPEG_BYTES}, ' ') AS p
+  FROM documents
+  WHERE doc_id < 100 AND regexp_full_match(text, '[ -~]+')
+)
+SELECT doc_id, 16000 AS sample_rate, CAST({_JPEG_BYTES} AS BIGINT) AS n_samples,
+       floor(sqrt(list_sum([{_FLAC_V} * {_FLAC_V} for i in generate_series(1, {_JPEG_BYTES})]) / {_JPEG_BYTES}.0) * 1e6 + 0.5) / 1e6 AS rms,
+       floor(list_max([abs({_FLAC_V}) for i in generate_series(1, {_JPEG_BYTES})]) * 1e6 + 0.5) / 1e6 AS peak
+FROM base ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming_dedup_gate — the applyInPandasWithState exact-dedup operator
 # under the full hash gate: a bounded document stream deduplicated with
 # keyed state must emit exactly one row per distinct fingerprint, so the

@@ -743,3 +743,63 @@ def test_png_adam7_interlace_decode():
         idx = rng.integers(0, 16, (*hw, 1), dtype=np.uint8)
         w, h, got = _decode_png(build_interlaced(idx, 3, 1, pal=pal))
         assert np.array_equal(got, pal[idx[:, :, 0]]), hw
+
+
+# ---------------------------------------------------------------------------
+# FLAC codec properties (formats/flac.py)
+# ---------------------------------------------------------------------------
+@given(
+    n=st.integers(1, 6000),
+    stereo=st.booleans(),
+    bps=st.sampled_from([8, 16, 16, 24]),
+    smooth=st.booleans(),
+    as_lpc=st.booleans(),
+    block=st.sampled_from([4096, 192, 1000]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_roundtrip_lossless_property(n, stereo, bps, smooth, as_lpc, block, seed):
+    """FLAC is lossless: encode->decode must reproduce the PCM exactly
+    for any length, bit depth, channel layout, block size, predictor
+    family (FIXED or LPC-emitted), and signal shape (noise drives
+    high Rice params / rice2; smooth drives low params and mid-side)."""
+    import numpy as np
+
+    from disq_spark.formats.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    hi = 1 << (bps - 1)
+    shape = (n, 2) if stereo else (n,)
+    if smooth:
+        t = np.arange(n)
+        base = (0.4 * hi * np.sin(t * 0.01)).astype(np.int64)
+        pcm = np.stack([base, base + rng.integers(-3, 4, n)], axis=1) if stereo else base
+    else:
+        pcm = rng.integers(-hi, hi, shape)
+    enc = encode_flac(pcm, 44100, bps=bps, block_size=block, as_lpc=as_lpc)
+    sr, nch, back, got_bps = decode_flac(enc)
+    want = pcm[:, None] if pcm.ndim == 1 else pcm
+    assert sr == 44100 and got_bps == bps
+    assert np.array_equal(back, want)
+
+
+def test_flac_integrity_checks_and_sniffing():
+    """CRC-8/CRC-16/MD5 must each catch corruption; non-FLAC bytes
+    sniff to None rather than raising."""
+    import numpy as np
+    import pytest as _pytest
+
+    from disq_spark.formats.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(4)
+    pcm = rng.integers(-30000, 30000, 2000)
+    enc = bytearray(encode_flac(pcm, 8000))
+    assert decode_flac(b"") is None
+    assert decode_flac(b"RIFFnotflac") is None
+    assert decode_flac(b"fLaC") is None  # truncated metadata
+    # flip one bit inside the first frame's entropy bytes: some CRC
+    # (8, 16, or the stream MD5) must reject it
+    bad = bytearray(enc)
+    bad[60] ^= 0x10
+    with _pytest.raises((ValueError, EOFError)):
+        decode_flac(bytes(bad))
