@@ -821,6 +821,50 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# text_bigram_perplexity — the CCNet-style perplexity filter upgraded
+# to a CONDITIONAL bigram LM with add-k smoothing (operators/lm.py):
+# P(w2|w1) = (c12 + k) / (c1 + k*V), doc score = exp(mean NLL). Two
+# corpus count aggregations + join-based scoring; single-token docs
+# surface with null scores, not fabricated ones.
+# ---------------------------------------------------------------------------
+_LM_K = 0.5
+
+
+@_q("text_bigram_perplexity")
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.lm import bigram_perplexity
+
+    d = load(spark, sf_dir, "documents")
+    return bigram_perplexity(d, add_k=_LM_K).orderBy("doc_id")
+
+
+ORACLE["text_bigram_perplexity"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg0 AS (
+  SELECT doc_id, [{{'w1': t[i], 'w2': t[i+1]}} for i in generate_series(1, len(t)-1)] AS pairs
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+       FROM (SELECT doc_id, unnest(pairs) AS p FROM bg0)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+voc AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM toks)),
+scored AS (
+  SELECT bg.doc_id, -ln((c12.c12 + {_LM_K}) / (c1.c1 + {_LM_K} * voc.v)) AS nll
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), voc
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS avg_nll,
+         round(exp(avg(nll)), 3) AS perplexity
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.avg_nll, p.perplexity
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_repetition_stats — Gopher-style repetition signals: distinct-token
 # ratio and the share of the most frequent bigram. High top-bigram share /
 # low distinct ratio marks boilerplate and degenerate generations.
