@@ -6,11 +6,13 @@ Decode support is two-tier:
 - REAL kernels, no external libraries: PPM (P6) / PGM (P5),
   uncompressed 24-bit BMP, 8-bit PNG (zlib + row filters), and
   JPEG — baseline AND progressive SOF2 (``formats/jpeg.py``: Huffman +
-  IDCT + 4:2:0 upsampling in numpy) — and GIF87a/89a images; PCM WAV (stdlib ``wave``) and
+  IDCT + 4:2:0 upsampling in numpy) — GIF87a/89a, and lossless WebP
+  (``formats/webp.py``: VP8L prefix codes, LZ77 + color cache, all four
+  transforms) images; PCM WAV (stdlib ``wave``) and
   FLAC (``formats/flac.py``) audio; byte-histogram features for anything. These run
   the actual pixels/samples through the distributed pipeline.
 - FAKE kernels (``fake=True``) for formats whose codecs this container
-  lacks (WebP/MP3/video need PIL/ffmpeg): a
+  lacks (lossy WebP/MP3/video need PIL/ffmpeg): a
   deterministic md5-seeded decoder exercises the full Spark-side
   pipeline — schema, batch shapes, partitioning — which is the part
   that has to be right at 100 TB. Swap in a real PIL/ffmpeg call and
@@ -85,7 +87,7 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
                     dec = try_decode_image(b)
                     if dec is None:
                         raise NotImplementedError(
-                            "payload is not PPM/PGM/BMP/PNG/JPEG/GIF "
+                            "payload is not PPM/PGM/BMP/PNG/JPEG/GIF/VP8L "
                             "(WebP, MP3, video... need PIL/ffmpeg, not "
                             "in this environment) — use fake=True for the "
                             "deterministic stub kernel"
@@ -479,7 +481,8 @@ def _decode_png(b: bytes):
 def try_decode_image(b: bytes):
     """(w, h, HxWx3 uint8) for the formats decodable without external
     libraries (PPM/PGM, uncompressed 24-bit BMP, 8-bit non-interlaced
-    PNG, JPEG incl. progressive SOF2, GIF87a/89a first frame), else None."""
+    PNG, JPEG incl. progressive SOF2, GIF87a/89a first frame,
+    lossless WebP/VP8L), else None."""
     dec = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
     if dec is None and len(b) >= 2 and b[0] == 0xFF and b[1] == 0xD8:
         from disq_spark.formats.jpeg import decode_jpeg
@@ -489,6 +492,10 @@ def try_decode_image(b: bytes):
         from disq_spark.formats.gif import decode_gif
 
         dec = decode_gif(b)
+    if dec is None and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from disq_spark.formats.webp import decode_webp
+
+        dec = decode_webp(b)
     return dec
 
 

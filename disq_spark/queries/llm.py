@@ -2215,6 +2215,65 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# multimodal_webp_decode — the REAL VP8L codec (formats/webp.py: prefix
+# codes, LZ77 + color cache, subtract-green transform) in the gate on
+# the same lossless 4x4-grayscale subspace as the GIF gate; channel
+# means recomputed from ascii() in DuckDB.
+# ---------------------------------------------------------------------------
+@_q("multimodal_webp_decode")
+def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import MEDIA_SCHEMA, decode_image
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").rlike("^[ -~]+$")
+    )
+    padded = F.rpad(F.substring("text", 1, _JPEG_BYTES), _JPEG_BYTES, " ")
+    base = d.select("doc_id", padded.cast("binary").alias("px"))
+
+    def to_webp(batches):
+        import numpy as np
+        import pandas as pd
+
+        from disq_spark.formats.webp import encode_webp
+
+        for pdf in batches:
+            rows = []
+            for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+                img = np.frombuffer(bytes(px), np.uint8).reshape(4, 4)
+                payload = encode_webp(img, subtract_green=True, cache_bits=4)
+                rows.append((doc_id, "image/webp", payload, len(payload), ""))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "payload", "n_bytes", "content_md5"],
+            )
+
+    media = base.mapInPandas(to_webp, MEDIA_SCHEMA)
+    feats = decode_image(media)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("r_mean"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("g_mean"),
+        F.round(F.element_at("features", 3).cast("double"), 6).alias("b_mean"),
+    ).orderBy("doc_id")
+
+
+ORACLE["multimodal_webp_decode"] = f"""
+WITH base AS (
+  SELECT doc_id, rpad(substring(text, 1, {_JPEG_BYTES}), {_JPEG_BYTES}, ' ') AS p
+  FROM documents
+  WHERE doc_id < 100 AND regexp_full_match(text, '[ -~]+')
+)
+SELECT doc_id, 4 AS width, 4 AS height,
+       {_gray_mean_sql()} AS r_mean,
+       {_gray_mean_sql()} AS g_mean,
+       {_gray_mean_sql()} AS b_mean
+FROM base ORDER BY doc_id
+"""
+
+
 ORACLE["multimodal_gif_decode"] = f"""
 WITH base AS (
   SELECT doc_id, rpad(substring(text, 1, {_JPEG_BYTES}), {_JPEG_BYTES}, ' ') AS p

@@ -803,3 +803,72 @@ def test_flac_integrity_checks_and_sniffing():
     bad[60] ^= 0x10
     with _pytest.raises((ValueError, EOFError)):
         decode_flac(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# WebP-lossless (VP8L) codec properties (formats/webp.py)
+# ---------------------------------------------------------------------------
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    mode=st.sampled_from(
+        ["plain", "sg", "cache", "rle", "rle2d", "pal"]
+        + [f"pred{m}" for m in range(14)]
+        + ["color", "sg+pred"]
+    ),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_webp_lossless_roundtrip_property(w, h, mode, seed):
+    """VP8L is lossless: every transform/entropy path must round-trip
+    pixel-exactly — all 14 predictor modes, the color transform,
+    subtract-green, palette (incl. sub-byte bundling), color cache,
+    and LZ77 backrefs with both plain and 2D-mapped distances."""
+    import numpy as np
+
+    from disq_spark.formats.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(seed)
+    kw = {}
+    if mode == "pal":
+        img = (rng.integers(0, rng.integers(2, 20), (h, w)) * 13 % 256).astype(np.uint8)
+        img = np.repeat(img[:, :, None], 3, axis=2)
+        kw = {"palette": True}
+    elif mode.startswith("rle"):
+        img = np.repeat(rng.integers(0, 256, (h, max(1, w // 4), 3), dtype=np.uint8), 4, axis=1)[:, :w]
+        if img.shape[1] < w:
+            img = np.pad(img, ((0, 0), (0, w - img.shape[1]), (0, 0)), mode="edge")
+        kw = {"rle": True, "use_2d_dist": mode == "rle2d", "cache_bits": 4}
+    else:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if mode == "sg":
+            kw = {"subtract_green": True}
+        elif mode == "cache":
+            kw = {"cache_bits": 8}
+        elif mode.startswith("pred"):
+            kw = {"predictor": int(mode[4:]), "size_bits": 2}
+        elif mode == "color":
+            kw = {"color": (int(rng.integers(0, 256)), int(rng.integers(0, 256)), int(rng.integers(0, 256)))}
+        elif mode == "sg+pred":
+            kw = {"subtract_green": True, "predictor": int(rng.integers(0, 14))}
+    enc = encode_webp(img, **kw)
+    dec = decode_webp(enc)
+    assert dec is not None
+    gw, gh, got = dec
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(got, img), mode
+
+
+def test_webp_sniffing_and_malformed():
+    import numpy as np
+
+    from disq_spark.formats.webp import decode_webp, encode_webp
+
+    img = np.random.default_rng(1).integers(0, 256, (10, 10, 3), dtype=np.uint8)
+    enc = encode_webp(img)
+    assert decode_webp(b"") is None
+    assert decode_webp(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert decode_webp(enc[: len(enc) // 2]) is None  # truncated
+    # a lossy VP8 chunk is not ours
+    lossy = enc.replace(b"VP8L", b"VP8 ", 1)
+    assert decode_webp(lossy) is None
