@@ -838,8 +838,7 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_perplexity(d, add_k=_LM_K).orderBy("doc_id")
 
 
-ORACLE["text_bigram_perplexity"] = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+_BIGRAM_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 bg0 AS (
   SELECT doc_id, [{{'w1': t[i], 'w2': t[i+1]}} for i in generate_series(1, len(t)-1)] AS pairs
   FROM toks WHERE len(t) >= 2
@@ -849,19 +848,75 @@ bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2
 c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
 c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
 voc AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM toks)),
-scored AS (
+nlls AS (
   SELECT bg.doc_id, -ln((c12.c12 + {_LM_K}) / (c1.c1 + {_LM_K} * voc.v)) AS nll
   FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), voc
 ),
 per_doc AS (
   SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS avg_nll,
          round(exp(avg(nll)), 3) AS perplexity
-  FROM scored GROUP BY doc_id
-)
+  FROM nlls GROUP BY doc_id
+)"""
+
+ORACLE["text_bigram_perplexity"] = f"""
+WITH {_BIGRAM_CTES}
 SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.avg_nll, p.perplexity
 FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# text_perplexity_filter — the CCNet cut composed end-to-end: score the
+# corpus with the bigram LM, estimate the keep-threshold from a
+# deterministic hash-sample (no global sort), keep the LOW-perplexity
+# side. The classic "drop the weird tail" pretraining filter as one
+# declarative pipeline.
+# ---------------------------------------------------------------------------
+PPLF_PCT = 0.7
+PPLF_RATE = 0.25
+
+
+@_q("text_perplexity_filter")
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.lm import bigram_perplexity
+    from disq_spark.operators.sampling import sampled_rank_threshold
+
+    d = load(spark, sf_dir, "documents")
+    scored = bigram_perplexity(d, add_k=_LM_K).filter(F.col("n_bigrams") > 0)
+    thr = sampled_rank_threshold(
+        scored, "perplexity", PPLF_PCT, "doc_id", PPLF_RATE
+    )
+    kept = scored.crossJoin(
+        F.broadcast(thr.select(F.col("threshold").alias("__thr")))
+    ).filter(F.col("perplexity") <= F.col("__thr"))
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("perplexity"), 4).alias("avg_ppl"),
+        F.round(F.max("__thr"), 3).alias("threshold"),
+    )
+
+
+def _pplf_oracle() -> str:
+    from disq_spark.operators.sampling import uniform_sql
+
+    return f"""
+WITH {_BIGRAM_CTES},
+sc AS (SELECT doc_id, perplexity FROM per_doc WHERE n_bigrams > 0),
+s AS (SELECT perplexity, doc_id FROM sc WHERE {uniform_sql("doc_id")} < {PPLF_RATE}),
+r AS (SELECT perplexity, row_number() OVER (ORDER BY perplexity, doc_id) AS rn,
+             count(*) OVER () AS n FROM s),
+t AS (SELECT max(thr) AS thr FROM (
+      SELECT perplexity AS thr FROM r
+      WHERE rn = greatest(1, cast(ceil({PPLF_PCT} * n) AS bigint))
+      UNION ALL SELECT CAST('-infinity' AS DOUBLE)))
+SELECT count(*) AS n_kept, round(avg(perplexity), 4) AS avg_ppl,
+       round(max(thr), 3) AS threshold
+FROM sc, t WHERE perplexity <= thr
+"""
+
+
+ORACLE["text_perplexity_filter"] = _pplf_oracle()
 
 
 # ---------------------------------------------------------------------------
