@@ -157,9 +157,6 @@ def _write_utf8_number(out: bytearray, v: int) -> None:
         out.append(v)
         return
     # same shape as UTF-8 multi-byte sequences, up to 7 bytes
-    for n_extra in range(1, 7):
-        if v < (1 << (5 * n_extra + 6 - (n_extra - 1))):
-            pass
     tmp = []
     n_extra = 1
     while v >= (1 << (6 * n_extra + (6 - n_extra))):

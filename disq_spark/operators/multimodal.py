@@ -154,7 +154,7 @@ def resize_image(
                     dec = try_decode_image(b)
                     if dec is None:
                         raise NotImplementedError(
-                            "payload is not PPM/PGM/BMP — use fake=True"
+                            "payload is not a decodable image — use fake=True"
                         )
                     w, h, img = dec
                 scale = min(target_w / w, target_h / h)
