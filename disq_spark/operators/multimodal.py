@@ -3,20 +3,19 @@ with typed metadata, processed in Arrow-batched mapInPandas stages.
 
 Decode support is two-tier:
 
-- REAL kernels, no external libraries: PPM (P6) / PGM (P5),
-  uncompressed 24-bit BMP, 8-bit PNG (zlib + row filters), and
-  JPEG — baseline AND progressive SOF2 (``formats/jpeg.py``: Huffman +
-  IDCT + 4:2:0 upsampling in numpy) — GIF87a/89a, and lossless WebP
-  (``formats/webp.py``: VP8L prefix codes, LZ77 + color cache, all four
-  transforms) images; PCM WAV (stdlib ``wave``) and
-  FLAC (``formats/flac.py``) audio; byte-histogram features for anything. These run
-  the actual pixels/samples through the distributed pipeline.
-- FAKE kernels (``fake=True``) for formats whose codecs this container
-  lacks (lossy WebP/MP3/video need PIL/ffmpeg): a
-  deterministic md5-seeded decoder exercises the full Spark-side
-  pipeline — schema, batch shapes, partitioning — which is the part
-  that has to be right at 100 TB. Swap in a real PIL/ffmpeg call and
-  nothing else changes.
+- REAL kernels, no external libraries. Images: PPM (P6) / PGM (P5),
+  uncompressed 24-bit BMP, 8-bit PNG incl. Adam7 (zlib + row filters),
+  JPEG baseline AND progressive SOF2 (``formats/jpeg.py``), GIF87a/89a
+  (``formats/gif.py``), lossless WebP/VP8L (``formats/webp.py``), and
+  baseline stripped TIFF (``formats/tiff.py``). Audio: PCM and G.711
+  u-law/A-law WAV (stdlib) and FLAC (``formats/flac.py``).
+  Byte-histogram features for anything. These run the actual
+  pixels/samples through the distributed pipeline.
+- FAKE kernels (``fake=True``) for the formats whose codecs genuinely
+  need PIL/ffmpeg (lossy-VP8 WebP, MP3, video): a deterministic
+  md5-seeded decoder exercises the full Spark-side pipeline — schema,
+  batch shapes, partitioning — which is the part that has to be right
+  at 100 TB. Swap in a real PIL/ffmpeg call and nothing else changes.
 
 Design for scale:
 - payloads stay in BinaryType columns (Tungsten off-heap, Arrow
@@ -68,9 +67,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads -> (width, height, features).
 
-    REAL for PPM/PGM/uncompressed-BMP/PNG/JPEG(baseline+progressive)/GIF payloads
-    (numpy, no external libraries; features = mean RGB + 5-bin
-    luminance histogram).
+    REAL for PPM/PGM/BMP/PNG/JPEG(baseline+progressive)/GIF/VP8L/TIFF
+    payloads (numpy, no external libraries; features = mean RGB +
+    5-bin luminance histogram).
     ``fake=True`` instead runs the deterministic md5 kernel on every
     payload (for undecodable formats / plumbing tests); without it an
     undecodable payload raises NotImplementedError naming the formats
@@ -87,9 +86,9 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
                     dec = try_decode_image(b)
                     if dec is None:
                         raise NotImplementedError(
-                            "payload is not PPM/PGM/BMP/PNG/JPEG/GIF/VP8L "
-                            "(WebP, MP3, video... need PIL/ffmpeg, not "
-                            "in this environment) — use fake=True for the "
+                            "payload is not PPM/PGM/BMP/PNG/JPEG/GIF/VP8L/TIFF "
+                            "(lossy WebP, MP3, video need PIL/ffmpeg, not in "
+                            "this environment) — use fake=True for the "
                             "deterministic stub kernel"
                         )
                     w, h, img = dec
@@ -482,7 +481,7 @@ def try_decode_image(b: bytes):
     """(w, h, HxWx3 uint8) for the formats decodable without external
     libraries (PPM/PGM, uncompressed 24-bit BMP, 8-bit non-interlaced
     PNG, JPEG incl. progressive SOF2, GIF87a/89a first frame,
-    lossless WebP/VP8L), else None."""
+    lossless WebP/VP8L, baseline stripped TIFF), else None."""
     dec = _decode_ppm(b) or _decode_bmp(b) or _decode_png(b)
     if dec is None and len(b) >= 2 and b[0] == 0xFF and b[1] == 0xD8:
         from disq_spark.formats.jpeg import decode_jpeg
@@ -496,6 +495,10 @@ def try_decode_image(b: bytes):
         from disq_spark.formats.webp import decode_webp
 
         dec = decode_webp(b)
+    if dec is None and b[:4] in (b"II*\x00", b"MM\x00*"):
+        from disq_spark.formats.tiff import decode_tiff
+
+        dec = decode_tiff(b)
     return dec
 
 

@@ -2315,6 +2315,64 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# multimodal_tiff_decode — the REAL baseline-TIFF codec (formats/
+# tiff.py: LZW with the early width change + horizontal predictor) on
+# the lossless 4x4-grayscale subspace; ascii() oracle like GIF/WebP.
+# ---------------------------------------------------------------------------
+@_q("multimodal_tiff_decode")
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import MEDIA_SCHEMA, decode_image
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").rlike("^[ -~]+$")
+    )
+    padded = F.rpad(F.substring("text", 1, _JPEG_BYTES), _JPEG_BYTES, " ")
+    base = d.select("doc_id", padded.cast("binary").alias("px"))
+
+    def to_tiff(batches):
+        import numpy as np
+        import pandas as pd
+
+        from disq_spark.formats.tiff import encode_tiff
+
+        for pdf in batches:
+            rows = []
+            for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+                img = np.frombuffer(bytes(px), np.uint8).reshape(4, 4)
+                payload = encode_tiff(img, compression=5, predictor=2, rows_per_strip=2)
+                rows.append((doc_id, "image/tiff", payload, len(payload), ""))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "payload", "n_bytes", "content_md5"],
+            )
+
+    media = base.mapInPandas(to_tiff, MEDIA_SCHEMA)
+    feats = decode_image(media)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("r_mean"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("g_mean"),
+        F.round(F.element_at("features", 3).cast("double"), 6).alias("b_mean"),
+    ).orderBy("doc_id")
+
+
+ORACLE["multimodal_tiff_decode"] = f"""
+WITH base AS (
+  SELECT doc_id, rpad(substring(text, 1, {_JPEG_BYTES}), {_JPEG_BYTES}, ' ') AS p
+  FROM documents
+  WHERE doc_id < 100 AND regexp_full_match(text, '[ -~]+')
+)
+SELECT doc_id, 4 AS width, 4 AS height,
+       {_gray_mean_sql()} AS r_mean,
+       {_gray_mean_sql()} AS g_mean,
+       {_gray_mean_sql()} AS b_mean
+FROM base ORDER BY doc_id
+"""
+
+
 ORACLE["multimodal_webp_decode"] = f"""
 WITH base AS (
   SELECT doc_id, rpad(substring(text, 1, {_JPEG_BYTES}), {_JPEG_BYTES}, ' ') AS p

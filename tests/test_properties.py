@@ -872,3 +872,59 @@ def test_webp_sniffing_and_malformed():
     # a lossy VP8 chunk is not ours
     lossy = enc.replace(b"VP8L", b"VP8 ", 1)
     assert decode_webp(lossy) is None
+
+
+# ---------------------------------------------------------------------------
+# Baseline TIFF codec properties (formats/tiff.py)
+# ---------------------------------------------------------------------------
+@given(
+    w=st.integers(1, 50),
+    h=st.integers(1, 50),
+    comp=st.sampled_from([1, 5, 32773]),
+    pred=st.sampled_from([1, 1, 2]),
+    pal=st.booleans(),
+    be=st.booleans(),
+    rps=st.sampled_from([16, 1, 7]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_tiff_roundtrip_property(w, h, comp, pred, pal, be, rps, seed):
+    """Baseline TIFF round-trips pixel-exactly across compressions
+    (none / LZW with the early width change / PackBits), horizontal
+    predictor, palette, byte orders, and strip heights (incl. 1-row
+    strips, which resets LZW/PackBits state per strip)."""
+    import numpy as np
+
+    from disq_spark.formats.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    if pal:
+        idx = rng.integers(0, rng.integers(2, 30), (h, w)).astype(np.uint8)
+        img = np.repeat((idx * 9 % 256)[:, :, None], 3, axis=2)
+        kw = {"palette": True}
+    else:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        kw = {}
+    enc = encode_tiff(img, compression=comp, predictor=pred, big_endian=be, rows_per_strip=rps, **kw)
+    dec = decode_tiff(enc)
+    assert dec is not None
+    gw, gh, got = dec
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(got, img)
+
+
+def test_tiff_gray_dispatch_and_malformed():
+    import numpy as np
+
+    from disq_spark.formats.tiff import decode_tiff, encode_tiff
+    from disq_spark.operators.multimodal import try_decode_image
+
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 256, (14, 23), dtype=np.uint8)
+    enc = encode_tiff(g, compression=5)
+    w, h, got = try_decode_image(enc)
+    assert (w, h) == (23, 14) and np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+    assert decode_tiff(b"") is None
+    assert decode_tiff(b"II*\x00\x08\x00\x00\x00") is None
+    assert decode_tiff(b"not a tiff") is None
+    assert decode_tiff(enc[:30]) is None
