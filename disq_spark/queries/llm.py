@@ -2316,6 +2316,71 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal_mp4_demux — REAL video frame extraction: each document
+# becomes a valid single-track MP4 whose 16 frame sizes are its ascii
+# bytes (chunked 5 samples per stco entry), and the Spark side resolves
+# every frame's absolute byte range by walking the moov sample tables
+# (stsz/stsc/stco/stss/stts). The oracle recomputes offsets as plain
+# prefix sums over ascii() — an independent derivation that only agrees
+# if the stsc/stco chunk-table arithmetic is right.
+# ---------------------------------------------------------------------------
+_MP4_KEYS = (1, 6, 11)
+_MP4_DELTA = 40
+_MP4_DATA_BASE = 36  # len(ftyp box) + mdat header
+
+
+@_q("multimodal_mp4_demux")
+def multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import MEDIA_SCHEMA, demux_frames
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").rlike("^[ -~]+$")
+    )
+    padded = F.rpad(F.substring("text", 1, _JPEG_BYTES), _JPEG_BYTES, " ")
+    base = d.select("doc_id", padded.cast("binary").alias("px"))
+
+    def to_mp4(batches):
+        import pandas as pd
+
+        from disq_spark.formats.mp4 import encode_mp4
+
+        for pdf in batches:
+            rows = []
+            for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+                sizes = list(bytes(px))
+                payload = encode_mp4(
+                    sizes, list(_MP4_KEYS), frame_delta=_MP4_DELTA,
+                    samples_per_chunk=5,
+                )
+                rows.append((doc_id, "video/mp4", payload, len(payload), ""))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "payload", "n_bytes", "content_md5"],
+            )
+
+    media = base.mapInPandas(to_mp4, MEDIA_SCHEMA)
+    return demux_frames(media).orderBy("doc_id", "frame_idx")
+
+
+ORACLE["multimodal_mp4_demux"] = f"""
+WITH base AS (
+  SELECT doc_id, rpad(substring(text, 1, {_JPEG_BYTES}), {_JPEG_BYTES}, ' ') AS p
+  FROM documents
+  WHERE doc_id < 100 AND regexp_full_match(text, '[ -~]+')
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS frame_idx,
+       CAST({_MP4_DATA_BASE} + coalesce(list_sum(
+           [ascii(substring(p, j, 1)) for j in generate_series(1, i - 1)]), 0)
+         AS BIGINT) AS offset,
+       CAST(ascii(substring(p, i, 1)) AS BIGINT) AS size,
+       i IN {_MP4_KEYS} AS is_keyframe,
+       CAST((i - 1) * {_MP4_DELTA} AS BIGINT) AS dts
+FROM base, generate_series(1, {_JPEG_BYTES}) g(i)
+ORDER BY doc_id, frame_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_tiff_decode — the REAL baseline-TIFF codec (formats/
 # tiff.py: LZW with the early width change + horizontal predictor) on
 # the lossless 4x4-grayscale subspace; ascii() oracle like GIF/WebP.

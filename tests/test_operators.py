@@ -4041,3 +4041,37 @@ def test_ulaw_alaw_wav_decode():
         assert rate == 8000 and len(samples) == len(raw)
         want = np.frombuffer(expand(raw, 2), dtype="<i2").astype(np.float64) / 32768.0
         assert np.array_equal(samples, want), tag
+
+
+def test_mp4_demux_and_metadata(spark):
+    """Real ISO-BMFF demux through the distributed operators: sample
+    byte ranges slice the exact frame payloads back out of the
+    container, keyframes_only filters on stss, and video_metadata
+    surfaces container facts."""
+    import numpy as np
+
+    from disq_spark.formats.mp4 import encode_mp4, sample_table
+    from disq_spark.operators.multimodal import demux_frames, video_metadata
+
+    rng = np.random.default_rng(6)
+    sizes = [int(x) for x in rng.integers(1, 300, 23)]
+    keys = [1, 7, 20]
+    payload = encode_mp4(sizes, keys, width=640, height=360,
+                         samples_per_chunk=4, frame_fill=b"\x01\x02\x03")
+    # serial ground truth: ranges slice the exact fill bytes
+    for i, (off, sz, _k, _d) in enumerate(sample_table(payload)):
+        assert payload[off : off + sz] == bytes([b"\x01\x02\x03"[i % 3]]) * sz
+
+    media = spark.createDataFrame(
+        [(7, "video/mp4", bytearray(payload), len(payload), "m")],
+        "doc_id long, media_type string, payload binary, n_bytes long, content_md5 string",
+    )
+    rows = demux_frames(media).orderBy("frame_idx").collect()
+    assert [r.size for r in rows] == sizes
+    assert [r.is_keyframe for r in rows] == [i + 1 in set(keys) for i in range(23)]
+    kf = demux_frames(media, keyframes_only=True).collect()
+    assert len(kf) == 3
+
+    meta = video_metadata(media).collect()[0]
+    assert meta.codec == "avc1" and meta.width == 640 and meta.height == 360
+    assert meta.n_frames == 23 and meta.n_keyframes == 3
