@@ -2316,6 +2316,72 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# warc_crawl_ingest — the Common Crawl ingestion path end-to-end: the
+# corpus is materialized ONCE (cached, mtime-keyed) as a .warc.gz with
+# one gzip member per record, then read back DISTRIBUTED at a 4 KB
+# split size — dozens of byte-range tasks each snapping to a gzip
+# member boundary — and every record must come back exactly once with
+# its exact bytes (md5 vs the raw table).
+# ---------------------------------------------------------------------------
+@_q("warc_crawl_ingest")
+def warc_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from disq_spark.cacheutil import cache_key, ensure_cached_dir
+    from disq_spark.sources.warc import read_warc
+
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_file)
+    key = cache_key(src_file, st.st_mtime_ns, st.st_size, "warc-v1")
+    cache = os.path.join(tempfile.gettempdir(), f"disq_warc_{key}")
+    warc_path = os.path.join(cache, "corpus.warc.gz")
+
+    def _build(tmp: str) -> None:
+        import zlib
+
+        from disq_spark.formats.warc import build_warc
+
+        with open(os.path.join(tmp, "corpus.warc.gz"), "wb") as f:
+            it = (
+                load(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .orderBy("doc_id")
+                .toLocalIterator()
+            )
+            for r in it:  # bounded memory: one record at a time
+                rec = (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:doc:{r.doc_id}>",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "WARC-Target-URI": f"https://corpus.local/doc/{r.doc_id}",
+                        "Content-Type": "text/plain",
+                    },
+                    r.text.encode("utf-8"),
+                )
+                f.write(build_warc([rec], gzip_members=True))
+
+    ensure_cached_dir(cache, _build)
+    df = read_warc(spark, warc_path, split_size=4096)
+    return df.select(
+        F.col("url"),
+        F.col("warc_type"),
+        F.col("content_length"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    ).orderBy("url")
+
+
+ORACLE["warc_crawl_ingest"] = """
+SELECT 'https://corpus.local/doc/' || doc_id AS url,
+       'response' AS warc_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       md5(text) AS payload_md5
+FROM documents ORDER BY url
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_mp4_demux — REAL video frame extraction: each document
 # becomes a valid single-track MP4 whose 16 frame sizes are its ascii
 # bytes (chunked 5 samples per stco entry), and the Spark side resolves
