@@ -2316,6 +2316,50 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# html_extract_text — the crawl-to-text step (functions/html.py): each
+# document is wrapped into a synthetic page (escaped body + title +
+# script/comment traps + links), the Spark side runs the real
+# strip/decode/collapse chain on the PAGE, and the oracle derives the
+# expected result directly from the RAW text — extraction must invert
+# generation exactly, so a regex that eats content or leaks markup
+# hash-mismatches.
+# ---------------------------------------------------------------------------
+@_q("html_extract_text")
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.functions import html as H
+
+    d = load(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>if (1 < 2) { x = \"<p>\"; }</script>"),
+        F.lit("<style>a > b { color: red; }</style></head>"),
+        F.lit("<body><!-- hidden < comment --><p id=\"main\">"),
+        H.escape_text(F.col("text")),
+        F.lit("</p><a href=\"https://x/1\">l</a><a href='https://x/2'>m</a>"),
+        F.lit("</body></html>"),
+    )
+    p = d.select("doc_id", page.alias("page"))
+    return p.select(
+        "doc_id",
+        H.extract_title(F.col("page")).alias("title"),
+        F.md5(H.html_to_text(F.col("page")).cast("binary")).alias("text_md5"),
+        F.size(H.extract_links(F.col("page"))).alias("n_links"),
+    ).orderBy("doc_id")
+
+
+ORACLE["html_extract_text"] = """
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       md5(trim(regexp_replace(
+           'Doc ' || doc_id || ' ' || text || ' l m',
+           '\\s+', ' ', 'g'))) AS text_md5,
+       2 AS n_links
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # warc_crawl_ingest — the Common Crawl ingestion path end-to-end: the
 # corpus is materialized ONCE (cached, mtime-keyed) as a .warc.gz with
 # one gzip member per record, then read back DISTRIBUTED at a 4 KB
@@ -2378,6 +2422,65 @@ SELECT 'https://corpus.local/doc/' || doc_id AS url,
        CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
        md5(text) AS payload_md5
 FROM documents ORDER BY url
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl_prep — the crawl pipeline end-to-end: DISTRIBUTED .warc.gz read
+# (member-boundary splits) -> payload to text -> quality filter ->
+# exact dedup (min-record representative). The ingestion analog of
+# corpus_prep: proves the WARC source composes with the text tier, not
+# just that it round-trips.
+# ---------------------------------------------------------------------------
+CRAWL_QUALITY_MIN = 0.5
+
+
+@_q("crawl_prep")
+def crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from disq_spark.cacheutil import cache_key, ensure_cached_dir
+    from disq_spark.operators.dedup import exact_dedup
+    from disq_spark.sources.warc import read_warc
+
+    # same cached corpus.warc.gz as warc_crawl_ingest
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_file)
+    key = cache_key(src_file, st.st_mtime_ns, st.st_size, "warc-v1")
+    cache = os.path.join(tempfile.gettempdir(), f"disq_warc_{key}")
+    warc_path = os.path.join(cache, "corpus.warc.gz")
+    if not os.path.exists(warc_path):
+        # build via the sibling gate's builder (cache-shared)
+        warc_crawl_ingest(spark, sf_dir).count()
+
+    docs = read_warc(spark, warc_path, split_size=8192).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("payload").cast("string").alias("text"),
+    )
+    good = docs.filter(TX.quality_score(F.col("text")) >= CRAWL_QUALITY_MIN)
+    kept = exact_dedup(good, "text", "doc_id")
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_copies").alias("n_good"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id").cast("string"))))
+        ).alias("kept_ids_md5"),
+    )
+
+
+ORACLE["crawl_prep"] = f"""
+WITH good AS (
+  SELECT doc_id, text FROM documents WHERE ({_QUALITY_SQL}) >= {CRAWL_QUALITY_MIN}
+),
+kept AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+  FROM good GROUP BY sha256({_NORM})
+)
+SELECT cast(count(*) AS BIGINT) AS n_kept,
+       cast(sum(n_copies) AS BIGINT) AS n_good,
+       md5(string_agg(cast(doc_id AS VARCHAR), ',' ORDER BY cast(doc_id AS VARCHAR))) AS kept_ids_md5
+FROM kept
 """
 
 
