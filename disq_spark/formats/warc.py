@@ -27,17 +27,29 @@ from __future__ import annotations
 import io
 import zlib
 
+from disq_spark import fs as _dfs
+
 _GZ_MAGIC = b"\x1f\x8b\x08"
 
 
-def parse_record(buf: bytes, pos: int):
-    """One record at pos -> (headers dict, payload bytes, end_pos) or
-    None if buf[pos:] does not start a WARC record."""
+def record_status(buf: bytes, pos: int):
+    """Classify buf[pos:]: ('ok', (headers, payload, end_pos)) for a
+    complete record, ('short', None) when the bytes so far are a valid
+    record PREFIX that extending the buffer could complete (header block
+    still open, or payload shorter than Content-Length), ('bad', None)
+    when pos can never start a record however much data follows. The
+    split-snap needs the three-way answer: 'bad' advances the scan,
+    'short' reads more — treating them the same silently drops any
+    record larger than the overscan window (ADVICE r6)."""
     if buf[pos : pos + 5] != b"WARC/":
-        return None
+        return "bad", None
     hdr_end = buf.find(b"\r\n\r\n", pos)
     if hdr_end < 0:
-        return None
+        # an unterminated header block could still close with more data
+        # — but only if what we have still looks like header lines
+        # (CRLF-separated 'k: v'); a binary blob after 'WARC/' is bad.
+        tail = buf[pos:]
+        return ("short", None) if len(tail) < (1 << 20) else ("bad", None)
     lines = buf[pos:hdr_end].split(b"\r\n")
     headers = {"WARC-Version": lines[0].decode("ascii", "replace")}
     for line in lines[1:]:
@@ -48,15 +60,23 @@ def parse_record(buf: bytes, pos: int):
     try:
         n = int(headers.get("Content-Length", ""))
     except ValueError:
-        return None
+        return "bad", None
     body_start = hdr_end + 4
     payload = buf[body_start : body_start + n]
     if len(payload) != n:
-        return None
+        return "short", None
     end = body_start + n
     if buf[end : end + 4] == b"\r\n\r\n":
         end += 4
-    return headers, payload, end
+    return "ok", (headers, payload, end)
+
+
+def parse_record(buf: bytes, pos: int):
+    """One record at pos -> (headers dict, payload bytes, end_pos) or
+    None if buf[pos:] does not contain a complete WARC record (see
+    record_status for the truncated-vs-invalid distinction)."""
+    st, rec = record_status(buf, pos)
+    return rec if st == "ok" else None
 
 
 def parse_records(buf: bytes, start: int = 0, end: int | None = None):
@@ -92,8 +112,11 @@ def find_gzip_member_start(path: str, pos: int, limit: int = 1 << 26) -> int:
     """First offset >= pos that starts a gzip member whose decompressed
     head reads ``WARC/`` — the split-snap for .warc.gz (candidates are
     validated by actually inflating a few bytes, BamRecordGuesser
-    style). -1 if none within ``limit`` bytes."""
-    with open(path, "rb") as f:
+    style). -1 if none within ``limit`` bytes. Callers snapping a
+    byte-range chunk MUST pass ``limit >= chunk length`` (the chunk may
+    hold no boundary before its last bytes); sources/warc.py passes
+    ``max(end - start, 1 << 26)``."""
+    with _dfs.open_input(path) as f:
         f.seek(pos)
         window = f.read(limit)
     i = 0
@@ -114,7 +137,7 @@ def find_gzip_member_start(path: str, pos: int, limit: int = 1 << 26) -> int:
 def iter_gzip_members(path: str, start: int, end: int):
     """Decompressed bytes of every gzip member starting in [start, end)
     of a member-per-record .warc.gz, yielded as (member_offset, data)."""
-    with open(path, "rb") as f:
+    with _dfs.open_input(path) as f:
         f.seek(0, io.SEEK_END)
         fsize = f.tell()
         pos = start

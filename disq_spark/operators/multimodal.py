@@ -709,14 +709,56 @@ def _decode_wav_companded(b: bytes):
     audio_fmt, _nch, rate = _struct.unpack_from("<HHI", fmt, 0)
     if audio_fmt not in (6, 7):
         return None
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", DeprecationWarning)
-        import audioop
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        # audioop was removed in Python 3.13 (PEP 594): expand G.711
+        # with the inline table (256 entries/law, ITU-T G.711 decode).
+        table = _G711_ULAW if audio_fmt == 7 else _G711_ALAW
+        samples = table[np.frombuffer(data, dtype=np.uint8)] / 32768.0
+        return rate, samples
     lin = (
         audioop.ulaw2lin(data, 2) if audio_fmt == 7 else audioop.alaw2lin(data, 2)
     )
     samples = np.frombuffer(lin, dtype="<i2").astype(np.float64) / 32768.0
     return rate, samples
+
+
+def _g711_tables():
+    """u-law / A-law byte -> linear int16 expansion tables, computed
+    from the ITU-T G.711 definitions (identical values to CPython's
+    audioop tables; verified against audioop on 3.11 in
+    tests/test_operators.py)."""
+    import numpy as np
+
+    ulaw = np.empty(256, np.float64)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        val = ((mant << 3) + 0x84) << exp
+        val -= 0x84
+        ulaw[b] = -val if sign else val
+    alaw = np.empty(256, np.float64)
+    for b in range(256):
+        a = b ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 0x07
+        mant = a & 0x0F
+        if exp == 0:
+            val = (mant << 4) + 8
+        else:
+            val = ((mant << 4) + 0x108) << (exp - 1)
+        # A-law sign convention is inverted vs u-law: XORed bit SET
+        # means positive
+        alaw[b] = val if sign else -val
+    return ulaw, alaw
+
+
+_G711_ULAW, _G711_ALAW = _g711_tables()
 
 
 def try_decode_audio(b: bytes):

@@ -727,9 +727,15 @@ def semantic_dedup_pairs(
         a_rows = pdf if diag else pdf[pdf["role"] == "a"]
         b_rows = pdf if diag else pdf[pdf["role"] == "b"]
         if len(a_rows) == 0 or len(b_rows) == 0:
+            # empty frame with the INPUT's dtypes (ids may be strings)
             return pd.DataFrame(
-                columns=["id_a", "id_b", "cid", "score"]
-            ).astype({"id_a": "int64", "id_b": "int64", "cid": "int32", "score": "float64"})
+                {
+                    "id_a": pdf["id"][:0],
+                    "id_b": pdf["id"][:0],
+                    "cid": pdf["cid"][:0],
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
         ids_a = a_rows["id"].to_numpy()
         ids_b = b_rows["id"].to_numpy()
         va = np.stack(a_rows["v"].to_numpy()).astype(np.float64)
@@ -756,13 +762,19 @@ def semantic_dedup_pairs(
             out_s.append(sc)
         return pd.DataFrame(
             {
-                "id_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
-                "id_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                "id_a": np.concatenate(out_a) if out_a else ids_a[:0],
+                "id_b": np.concatenate(out_b) if out_b else ids_b[:0],
                 "cid": cid,
                 "score": np.concatenate(out_s) if out_s else np.array([], np.float64),
             }
         )
 
+    # schema derives from the INPUT (string/non-long ids worked on the
+    # sql path and must keep working here — ADVICE r6); np.minimum/
+    # np.maximum order object arrays fine, so the kernel is id-type
+    # agnostic already.
+    id_t = df.schema[id_col].dataType.simpleString()
+    cid_t = assign.schema["cid"].dataType.simpleString()
     return tagged.groupBy("cid", "bi", "bj").applyInPandas(
-        score_block, "id_a long, id_b long, cid int, score double"
+        score_block, f"id_a {id_t}, id_b {id_t}, cid {cid_t}, score double"
     )

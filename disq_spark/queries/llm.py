@@ -2426,6 +2426,82 @@ FROM documents ORDER BY url
 
 
 # ---------------------------------------------------------------------------
+# warc_sharded_ingest — the DEPLOYMENT shape of the crawl source: the
+# corpus is sharded across multiple .warc.gz segment files in a
+# directory (Common Crawl is ~100k segments per dump), read with ONE
+# read_warc(dir) call at a 4 KB split size — multi-file resolution
+# (resolve_paths: sorted, hidden-skipped) x member-boundary snapping in
+# one gate. Every record from every shard must come back exactly once.
+# ---------------------------------------------------------------------------
+_WARC_SHARDS = 5
+
+
+@_q("warc_sharded_ingest")
+def warc_sharded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from disq_spark.cacheutil import cache_key, ensure_cached_dir
+    from disq_spark.sources.warc import read_warc
+
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_file)
+    key = cache_key(src_file, st.st_mtime_ns, st.st_size, "warc-sharded-v1")
+    cache = os.path.join(tempfile.gettempdir(), f"disq_warcsh_{key}")
+
+    def _build(tmp: str) -> None:
+        from disq_spark.formats.warc import build_warc
+
+        writers = [
+            open(os.path.join(tmp, f"part-{i:04d}.warc.gz"), "wb")
+            for i in range(_WARC_SHARDS)
+        ]
+        # decoy files the reader must skip (hidden + wrong extension)
+        with open(os.path.join(tmp, "_manifest.txt"), "w") as f:
+            f.write("shards\n")
+        try:
+            it = (
+                load(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .orderBy("doc_id")
+                .toLocalIterator()
+            )
+            for r in it:
+                rec = (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:doc:{r.doc_id}>",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "WARC-Target-URI": f"https://corpus.local/doc/{r.doc_id}",
+                        "Content-Type": "text/plain",
+                    },
+                    r.text.encode("utf-8"),
+                )
+                writers[r.doc_id % _WARC_SHARDS].write(
+                    build_warc([rec], gzip_members=True)
+                )
+        finally:
+            for w in writers:
+                w.close()
+
+    ensure_cached_dir(cache, _build)
+    df = read_warc(spark, cache, split_size=4096)
+    return df.select(
+        F.col("url"),
+        F.col("content_length"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    ).orderBy("url")
+
+
+ORACLE["warc_sharded_ingest"] = """
+SELECT 'https://corpus.local/doc/' || doc_id AS url,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       md5(text) AS payload_md5
+FROM documents ORDER BY url
+"""
+
+
+# ---------------------------------------------------------------------------
 # crawl_prep — the crawl pipeline end-to-end: DISTRIBUTED .warc.gz read
 # (member-boundary splits) -> payload to text -> quality filter ->
 # exact dedup (min-record representative). The ingestion analog of

@@ -4075,3 +4075,57 @@ def test_mp4_demux_and_metadata(spark):
     meta = video_metadata(media).collect()[0]
     assert meta.codec == "avc1" and meta.width == 640 and meta.height == 360
     assert meta.n_frames == 23 and meta.n_keyframes == 3
+
+
+def test_g711_fallback_tables_match_audioop():
+    """audioop is removed in Python 3.13 (PEP 594); the companded-WAV
+    decoder falls back to inline G.711 expansion tables. On runtimes
+    that still ship audioop, the tables must match its expansion
+    bit-for-bit (u-law AND A-law, all 256 codes)."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        pytest.skip("audioop removed on this runtime; tables are the only path")
+
+    from disq_spark.operators.multimodal import _G711_ALAW, _G711_ULAW
+
+    codes = np.arange(256, dtype=np.uint8)
+    data = codes.tobytes()
+    want_u = np.frombuffer(audioop.ulaw2lin(data, 2), dtype="<i2").astype(np.float64)
+    want_a = np.frombuffer(audioop.alaw2lin(data, 2), dtype="<i2").astype(np.float64)
+    assert np.array_equal(_G711_ULAW[codes], want_u)
+    assert np.array_equal(_G711_ALAW[codes], want_a)
+
+
+def test_semantic_dedup_string_ids_blas(spark):
+    """String (non-long) id columns worked on the sql path before the
+    blas default landed and must keep working: the blas output schema
+    derives from the input id type (ADVICE r6), and the pair set must
+    match the sql path exactly."""
+    import random
+
+    from disq_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        base = [1.0, 0.0, 0.0] if i % 2 else [0.0, 1.0, 0.0]
+        v = [x + rng.uniform(-0.15, 0.15) for x in base]
+        rows.append((f"doc-{i:04d}", v))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    kw = dict(threshold=0.97, k=2, iters=2)
+    sql = {
+        (r.id_a, r.id_b): (r.cid, r.score)
+        for r in semantic_dedup_pairs(df, method="sql", **kw).collect()
+    }
+    out = semantic_dedup_pairs(df, method="blas", block_size=16, **kw)
+    assert dict(out.dtypes)["id_a"] == "string"
+    blas = {(r.id_a, r.id_b): (r.cid, r.score) for r in out.collect()}
+    assert blas == sql and len(sql) > 20
