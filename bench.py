@@ -93,7 +93,16 @@ def main() -> None:
 
     import subprocess
 
+    # A canary runs BEFORE EVERY child (and once after the last), not
+    # once at the end: ambient load decaying DURING the bench (observed
+    # r6: cold sequence 35.4 -> 29.4 -> 24.4 with a clean terminal
+    # canary) is invisible to a single terminal probe but shows up as a
+    # falling canary sequence. Each cold wall is normalized by the mean
+    # of its bracketing canaries; the headline stays the RAW median for
+    # round-over-round comparability, value_normalized is the
+    # steady-state estimate.
     samples = []
+    canaries = [cpu_canary()]
     for i in range(runs):
         env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
         if i > 0:
@@ -103,7 +112,12 @@ def main() -> None:
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         samples.append(json.loads(line))
-        print(f"# cold run {i + 1}/{runs}: {samples[-1]['value']}s", file=sys.stderr)
+        canaries.append(cpu_canary())
+        print(
+            f"# cold run {i + 1}/{runs}: {samples[-1]['value']}s "
+            f"(canary before={canaries[-2]}, after={canaries[-1]})",
+            file=sys.stderr,
+        )
 
     med_q = {
         name: round(_median([s["queries"][name] for s in samples]), 3)
@@ -113,7 +127,20 @@ def main() -> None:
     result["queries"] = med_q
     result["value"] = round(sum(med_q.values()), 3)
     result["cold_run_totals"] = [s["value"] for s in samples]
-    canaries = [cpu_canary() for _ in range(3)]
+    run_canary = [(canaries[i] + canaries[i + 1]) / 2 for i in range(runs)]
+    result["canary_pairs"] = [
+        [round(run_canary[i], 3), samples[i]["value"]] for i in range(runs)
+    ]
+    norm = [
+        samples[i]["value"] * (CANARY_REF / run_canary[i]) for i in range(runs)
+    ]
+    result["cold_run_totals_normalized"] = [round(x, 3) for x in norm]
+    result["value_normalized"] = round(_median(norm), 3)
+    if "value_warm" in result:
+        # the warm pass runs inside child 1, bracketed by canaries[0:2]
+        result["value_warm_normalized"] = round(
+            result["value_warm"] * (CANARY_REF / run_canary[0]), 3
+        )
     result["canary_sec"] = _median(canaries)
     result["canary_runs"] = canaries
     print(json.dumps(result))

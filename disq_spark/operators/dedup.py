@@ -242,6 +242,7 @@ def minhash_lsh_pairs(
     k: int = 8,
     stride: int = 4,
     max_df: float | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -310,6 +311,25 @@ def minhash_lsh_pairs(
     # numpy path is bit-identical to the zip_with fold while skipping
     # the interpreted per-component lambda (num_hashes ops/pair; the
     # JVM runs HOF lambdas interpreted — SCALE.md, SemDeDup lesson).
+    # Under ~50k docs the Python-worker spin-up + Arrow round-trip
+    # outweighs the interpreted fold (r6 bench: sf0.1 warm 2.37->2.94 s
+    # on the numpy path, sf10 a clear numpy win) — method="auto"
+    # dispatches on the input's Catalyst size estimate.
+    from disq_spark.operators.dispatch import resolve_method
+
+    if resolve_method(method, df) == "sql":
+        eq_sum = F.aggregate(
+            F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            cand.withColumn(
+                "est_jaccard", F.round(eq_sum / F.lit(float(num_hashes)), 4)
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard")
+        )
     id_t = cand.schema["id_a"].dataType.simpleString()
     thr = float(threshold)
     nh = float(num_hashes)

@@ -1,0 +1,46 @@
+"""Size-based kernel dispatch: SQL column expressions vs Arrow/numpy.
+
+The r6 lesson, measured both ways: Arrow-batched numpy kernels win big
+at scale (ann_cosine_topk sf10 15.5 -> 2.3 s, SCALE.md) but PAY a fixed
+Python-worker spin-up + Arrow round-trip that dominates at small input
+(ann_cosine_topk sf0.1 warm 0.62 -> 1.13 s after the blas default
+landed). Both paths are bit-identical at the operators' output rounding
+(integer signature-equality counts are exact in any engine; float64
+GEMM agrees with the sequential fold at 4-decimal rounding), so the
+choice is pure cost. ``method="auto"`` picks by the input's Catalyst
+size estimate — no extra Spark job, the stats come from the optimized
+plan (file-scan sizes for parquet inputs).
+
+Thresholds are calibrated against the observed estimator, not ideal row
+counts: Catalyst estimates the sf0.1 documents scan (5k rows) at
+~0.6 MB and embeddings (2k x 64 floats) at ~0.8 MB, while the sf10
+corpora land at tens of MB — any threshold in the 4-32 MB band
+separates "Python worker spin-up dominates" from "per-row fold cost
+dominates". ~8 MB corresponds to the ~50k-row crossover the r6 bench
+analysis identified.
+"""
+
+from __future__ import annotations
+
+SMALL_INPUT_BYTES = 8 * 1024 * 1024
+
+
+def plan_size_bytes(df) -> int:
+    """Catalyst's size estimate for the optimized plan — zero jobs.
+    Unknown (Connect, or stats failure) estimates BIG: at scale the
+    numpy kernel is the safe default; only provably-small inputs take
+    the SQL path."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def resolve_method(method: str, df, small_bytes: int = SMALL_INPUT_BYTES) -> str:
+    """'auto' -> 'sql' for small inputs, 'blas' otherwise; explicit
+    'sql'/'blas' pass through; anything else raises."""
+    if method == "auto":
+        return "sql" if plan_size_bytes(df) < small_bytes else "blas"
+    if method not in ("sql", "blas"):
+        raise ValueError(f"method must be 'auto', 'blas' or 'sql': {method!r}")
+    return method

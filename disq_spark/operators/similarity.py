@@ -65,11 +65,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
-    method: str = "blas",
+    method: str = "auto",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``method="blas"`` (default): queries (small by construction) are
+    ``method="auto"`` (default) picks by the corpus's Catalyst size
+    estimate: the broadcast-join SQL path under ~8 MB (Python-worker
+    spin-up + Arrow transfer dominate small corpora — r6 bench, sf0.1
+    warm 0.62 -> 1.13 s on blas), the GEMM path above (sf10: 15.5 ->
+    2.3 s). Both round scores to ``round_to``, where float64 GEMM and
+    the sequential fold agree.
+
+    ``method="blas"``: queries (small by construction) are
     collected and shipped in the task closure as one numpy matrix; the
     corpus streams through ``mapInPandas`` where each Arrow batch runs
     a single (batch x dim) @ (dim x |queries|) float64 GEMM and keeps
@@ -82,6 +89,9 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, rank, score). Self-matches excluded.
     """
+    from disq_spark.operators.dispatch import resolve_method
+
+    method = resolve_method(method, corpus)
     if method == "blas":
         import numpy as np
 
@@ -379,7 +389,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
-    method: str = "blas",
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
@@ -409,6 +419,11 @@ def embedding_neardup_pairs(
         # driver-side sizing action, same spirit as the reference running
         # split planning as Spark jobs (BamSource.java:120-139)
         n_bits = scale_n_bits(df.count())
+    # method="auto": SQL fold for provably-small corpora (Python-worker
+    # spin-up dominates), bucket-GEMM at scale — see operators/dispatch.
+    from disq_spark.operators.dispatch import resolve_method
+
+    method = resolve_method(method, df)
     if method == "blas":
         id_t = df.schema[id_col].dataType.simpleString()
         kernel = _bucket_pair_kernel(threshold, round_to)
@@ -619,7 +634,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     init: str = "first_ids",
     round_centroids: int = 6,
-    method: str = "blas",
+    method: str = "auto",
     block_size: int | None = None,
 ) -> "DataFrame":
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
@@ -680,6 +695,11 @@ def semantic_dedup_pairs(
         _norm(F.col(vec_col)).alias("nrm"),
     )
     t = assign.join(vecs, "id")
+    # method="auto": SQL pair-fold for provably-small inputs, blocked
+    # GEMM at scale — see operators/dispatch.
+    from disq_spark.operators.dispatch import resolve_method
+
+    method = resolve_method(method, df)
     if method == "sql":
         a = t.select(F.col("cid"), F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
         b = t.select(F.col("cid"), F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))

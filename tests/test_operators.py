@@ -4129,3 +4129,56 @@ def test_semantic_dedup_string_ids_blas(spark):
     assert dict(out.dtypes)["id_a"] == "string"
     blas = {(r.id_a, r.id_b): (r.cid, r.score) for r in out.collect()}
     assert blas == sql and len(sql) > 20
+
+
+def test_size_dispatch_auto_and_path_equality(spark, tmp_path):
+    """method="auto" must route provably-small inputs to the SQL path
+    (no Python worker) — file-scan stats give real sizes; in-memory
+    relations report unknown (Long.MaxValue) and conservatively take
+    the scale path — and the two paths must agree exactly: integer
+    signature-equality counts for minhash, 4-decimal-rounded cosine
+    for top-k."""
+    from disq_spark.operators.dedup import minhash_lsh_pairs
+    from disq_spark.operators.dispatch import plan_size_bytes, resolve_method
+    from disq_spark.operators.similarity import cosine_topk
+
+    local = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 7} jumps over the lazy dog {i % 7}")
+         for i in range(80)],
+        "doc_id long, text string",
+    )
+    # unknown stats (LogicalRDD) -> big -> the scale kernel
+    assert resolve_method("auto", local) == "blas"
+    local.write.parquet(str(tmp_path / "docs.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "docs.parquet"))
+    assert plan_size_bytes(docs) < 8 * 1024 * 1024
+    assert resolve_method("auto", docs) == "sql"
+    a = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5, method="sql").collect()
+    }
+    b = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5, method="blas").collect()
+    }
+    auto = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5, method="auto").collect()
+    }
+    assert a == b == auto and len(a) > 10
+
+    import random
+
+    rng = random.Random(99)
+    vecs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.filter("vec_id < 4")
+    t_sql = [tuple(r) for r in cosine_topk(vecs, q, k=5, method="sql")
+             .orderBy("query_id", "rank").collect()]
+    t_blas = [tuple(r) for r in cosine_topk(vecs, q, k=5, method="blas")
+              .orderBy("query_id", "rank").collect()]
+    t_auto = [tuple(r) for r in cosine_topk(vecs, q, k=5, method="auto")
+              .orderBy("query_id", "rank").collect()]
+    assert t_sql == t_blas == t_auto and len(t_sql) == 20
