@@ -18,7 +18,8 @@ _DROP_BLOCKS = r"(?si)<(script|style)\b[^>]*>.*?</(script|style)>"
 _DROP_COMMENTS = r"(?s)<!--.*?-->"
 _DROP_TAGS = r"(?s)<[^>]*>"
 
-# the high-frequency named entities; numeric forms decoded separately
+# the high-frequency named entities; numeric forms are decoded by
+# decode_numeric_entities (split + codepoint fold, below)
 _ENTITIES = [
     ("&lt;", "<"),
     ("&gt;", ">"),
@@ -38,15 +39,88 @@ def strip_markup(col) -> Column:
     return F.regexp_replace(c, _DROP_TAGS, " ")
 
 
+def codepoint_char(cp) -> Column:
+    """Unicode code point (int column) -> its one-character string,
+    JVM-side: Spark's chr() is ASCII-only (wraps mod 256), so the
+    UTF-8 byte sequence is assembled with shift/mask arithmetic into a
+    hex string and decoded. Invalid code points (surrogates, > U+10FFFF)
+    map to U+FFFD like every browser's parser does."""
+    cp = cp.cast("bigint")
+    invalid = (cp > 0x10FFFF) | ((cp >= 0xD800) & (cp <= 0xDFFF)) | (cp <= 0)
+    cp = F.when(invalid, F.lit(0xFFFD)).otherwise(cp)
+    b = lambda x: F.lpad(F.hex(x), 2, "0")
+    u1 = b(cp)
+    u2 = F.concat(
+        b(F.shiftright(cp, 6).bitwiseAND(F.lit(0x1F)) + F.lit(0xC0)),
+        b(cp.bitwiseAND(F.lit(0x3F)) + F.lit(0x80)),
+    )
+    u3 = F.concat(
+        b(F.shiftright(cp, 12).bitwiseAND(F.lit(0x0F)) + F.lit(0xE0)),
+        b(F.shiftright(cp, 6).bitwiseAND(F.lit(0x3F)) + F.lit(0x80)),
+        b(cp.bitwiseAND(F.lit(0x3F)) + F.lit(0x80)),
+    )
+    u4 = F.concat(
+        b(F.shiftright(cp, 18).bitwiseAND(F.lit(0x07)) + F.lit(0xF0)),
+        b(F.shiftright(cp, 12).bitwiseAND(F.lit(0x3F)) + F.lit(0x80)),
+        b(F.shiftright(cp, 6).bitwiseAND(F.lit(0x3F)) + F.lit(0x80)),
+        b(cp.bitwiseAND(F.lit(0x3F)) + F.lit(0x80)),
+    )
+    hexstr = (
+        F.when(cp < 0x80, u1)
+        .when(cp < 0x800, u2)
+        .when(cp < 0x10000, u3)
+        .otherwise(u4)
+    )
+    return F.decode(F.unhex(hexstr), "UTF-8")
+
+
+def decode_numeric_entities(col) -> Column:
+    """Decode ``&#233;`` / ``&#xE9;`` character references — real crawls
+    are full of both forms. Pure column expressions: split on the
+    ``&#`` introducer, then fold the tail pieces, turning each piece's
+    leading ``\\d+;`` / ``[xX][0-9a-fA-F]+;`` into its code point's
+    character (codepoint_char) and passing non-matching pieces through
+    with the introducer restored."""
+    parts = F.split(col, r"&#")
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def piece(p):
+        dec = F.regexp_extract(p, r"^([0-9]{1,7});", 1)
+        hx = F.regexp_extract(p, r"^[xX]([0-9a-fA-F]{1,6});", 1)
+        return (
+            F.when(
+                dec != "",
+                F.concat(
+                    codepoint_char(dec.cast("bigint")),
+                    F.regexp_replace(p, r"^[0-9]{1,7};", ""),
+                ),
+            )
+            .when(
+                hx != "",
+                F.concat(
+                    codepoint_char(F.conv(hx, 16, 10).cast("bigint")),
+                    F.regexp_replace(p, r"^[xX][0-9a-fA-F]{1,6};", ""),
+                ),
+            )
+            .otherwise(F.concat(F.lit("&#"), p))
+        )
+
+    return F.when(F.size(parts) <= 1, col).otherwise(
+        F.concat(head, F.aggregate(tail, F.lit(""), lambda acc, p: F.concat(acc, piece(p))))
+    )
+
+
 def decode_entities(col) -> Column:
-    c = col
+    c = decode_numeric_entities(col)
     for ent, rep in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return c
 
 
 def html_to_text(col) -> Column:
-    """Markup stripped, entities decoded, whitespace collapsed."""
+    """Markup stripped, entities decoded (named + numeric), whitespace
+    collapsed."""
     return F.trim(
         F.regexp_replace(decode_entities(strip_markup(col)), r"\s+", " ")
     )
@@ -74,7 +148,11 @@ def escape_text(col) -> Column:
     return F.replace(c, F.lit(">"), F.lit("&gt;"))
 
 
-# DuckDB fragments running the IDENTICAL chain, for oracle reuse
+# DuckDB fragments mirroring the named-entity/markup chain. The gates
+# don't use these (their oracles derive expected text from the RAW
+# source, the stronger check); numeric references have no DuckDB
+# fragment — mirroring the split+fold is possible (list_reduce) but
+# has no consumer.
 def strip_markup_sql(expr: str) -> str:
     c = f"regexp_replace({expr}, '(?si)<(script|style)\\b[^>]*>.*?</(script|style)>', ' ', 'g')"
     c = f"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"

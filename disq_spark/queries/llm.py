@@ -2336,7 +2336,10 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<style>a > b { color: red; }</style></head>"),
         F.lit("<body><!-- hidden < comment --><p id=\"main\">"),
         H.escape_text(F.col("text")),
-        F.lit("</p><a href=\"https://x/1\">l</a><a href='https://x/2'>m</a>"),
+        # numeric character references (decimal, hex, astral) and an
+        # amp-protected one that must STAY literal after decoding
+        F.lit("</p><span>caf&#233;-r&#xE9;sum&#xe9;-&#x1F600; amp:&amp;#65;</span>"),
+        F.lit("<a href=\"https://x/1\">l</a><a href='https://x/2'>m</a>"),
         F.lit("</body></html>"),
     )
     p = d.select("doc_id", page.alias("page"))
@@ -2352,7 +2355,8 @@ ORACLE["html_extract_text"] = """
 SELECT doc_id,
        'Doc ' || doc_id AS title,
        md5(trim(regexp_replace(
-           'Doc ' || doc_id || ' ' || text || ' l m',
+           'Doc ' || doc_id || ' ' || text ||
+           ' café-résumé-😀 amp:&#65; l m',
            '\\s+', ' ', 'g'))) AS text_md5,
        2 AS n_links
 FROM documents ORDER BY doc_id
@@ -2530,9 +2534,14 @@ def crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # build via the sibling gate's builder (cache-shared)
         warc_crawl_ingest(spark, sf_dir).count()
 
+    from disq_spark.functions.charset import decode_payload
+
+    # honor the Content-Type charset (this corpus is charset-less
+    # text/plain -> UTF-8 default; crawl_charset_decode exercises the
+    # latin-1/utf-16 legs end-to-end)
     docs = read_warc(spark, warc_path, split_size=8192).select(
         F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
-        F.col("payload").cast("string").alias("text"),
+        decode_payload(F.col("payload"), F.col("mime")).alias("text"),
     )
     good = docs.filter(TX.quality_score(F.col("text")) >= CRAWL_QUALITY_MIN)
     kept = exact_dedup(good, "text", "doc_id")
@@ -2543,6 +2552,84 @@ def crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id").cast("string"))))
         ).alias("kept_ids_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl_charset_decode — non-UTF-8 pages end-to-end: the corpus carries
+# latin-1, explicit utf-8, charset-less (utf-8 default), and UTF-16LE
+# records with non-ASCII markers; the Spark side must sniff charset=
+# from the Content-Type header and decode accordingly (a plain UTF-8
+# cast mangles the latin-1 and UTF-16 legs into different md5s). The
+# oracle recomputes the decoded text from the raw documents table.
+# ---------------------------------------------------------------------------
+_CS_MARKS = {0: " café-é", 1: " café-😀", 2: "", 3: " café-é"}
+
+
+@_q("crawl_charset_decode")
+def crawl_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from disq_spark.cacheutil import cache_key, ensure_cached_dir
+    from disq_spark.functions.charset import decode_payload
+    from disq_spark.sources.warc import read_warc
+
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_file)
+    key = cache_key(src_file, st.st_mtime_ns, st.st_size, "warc-charset-v1")
+    cache = os.path.join(tempfile.gettempdir(), f"disq_warccs_{key}")
+
+    def _build(tmp: str) -> None:
+        from disq_spark.formats.warc import build_warc
+
+        variants = {
+            0: ("iso-8859-1", 'text/html; charset=ISO-8859-1'),
+            1: ("utf-8", 'text/html; charset="utf-8"'),
+            2: ("utf-8", "text/html"),  # charset-less: UTF-8 default
+            3: ("utf-16-le", "text/html; charset=UTF-16LE"),
+        }
+        with open(os.path.join(tmp, "corpus.warc.gz"), "wb") as f:
+            it = (
+                load(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .orderBy("doc_id")
+                .toLocalIterator()
+            )
+            for r in it:
+                v = r.doc_id % 4
+                codec, ctype = variants[v]
+                payload = (r.text + _CS_MARKS[v]).encode(codec)
+                rec = (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:doc:{r.doc_id}>",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "WARC-Target-URI": f"https://corpus.local/doc/{r.doc_id}",
+                        "Content-Type": ctype,
+                    },
+                    payload,
+                )
+                f.write(build_warc([rec], gzip_members=True))
+
+    ensure_cached_dir(cache, _build)
+    df = read_warc(spark, os.path.join(cache, "corpus.warc.gz"), split_size=8192)
+    return df.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.md5(
+            F.encode(decode_payload(F.col("payload"), F.col("mime")), "UTF-8")
+        ).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE["crawl_charset_decode"] = """
+SELECT doc_id,
+       md5(text || CASE doc_id % 4
+                     WHEN 0 THEN ' café-é'
+                     WHEN 1 THEN ' café-😀'
+                     WHEN 2 THEN ''
+                     ELSE ' café-é' END) AS text_md5
+FROM documents ORDER BY doc_id
+"""
 
 
 ORACLE["crawl_prep"] = f"""

@@ -107,3 +107,55 @@ def test_ngram_contamination_exact(spark):
         for r in ngram_contamination(df, bench, n=13).collect()
     }
     assert got == {1: 1, 3: 1}
+
+
+def test_numeric_entity_decode(spark):
+    """Decimal, hex, astral, amp-protected, malformed, and invalid
+    code points — the full numeric-character-reference surface
+    (functions/html.py decode_numeric_entities)."""
+    from pyspark.sql import functions as F
+
+    from disq_spark.functions import html as H
+
+    cases = [
+        ("caf&#233; r&#xE9;sum&#xe9; &#x1F600;", "café résumé 😀"),
+        ("&amp;#233; literal", "&#233; literal"),  # amp protects
+        ("no entities", "no entities"),
+        ("&#bad; &#x; &# ;", "&#bad; &#x; &# ;"),  # malformed pass through
+        ("&#0;|&#xD800;|&#1114112;", "�|�|�"),  # invalid -> U+FFFD
+        ("&#65;&#66;&#67;", "ABC"),  # adjacent references
+        ("tail &#233;", "tail é"),
+        ("&#233; head", "é head"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = [r.t for r in df.select(H.decode_entities(F.col("s")).alias("t")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_charset_sniff_and_decode(spark):
+    """Content-Type charset sniffing: declared latin-1 / utf-16 decode
+    correctly, windows-1252 and unknown tokens fall back to latin-1
+    (never fails), absent charset defaults to UTF-8."""
+    from pyspark.sql import functions as F
+
+    from disq_spark.functions.charset import decode_payload, sniff_charset
+
+    rows = [
+        ("text/html; charset=ISO-8859-1", "café".encode("iso-8859-1"), "café"),
+        ('text/html; charset="utf-8"', "café😀".encode("utf-8"), "café😀"),
+        ("text/html", "café".encode("utf-8"), "café"),
+        ("text/html; charset=UTF-16LE", "café".encode("utf-16-le"), "café"),
+        # windows-1252 maps to latin-1 (é is identical there)
+        ("text/html; charset=windows-1252", "café".encode("cp1252"), "café"),
+        # unknown charset -> latin-1 fallback, never fails
+        ("text/html; charset=x-sjis-ish", b"caf\xe9", "café"),
+    ]
+    df = spark.createDataFrame(
+        [(m, p) for m, p, _ in rows], "mime string, payload binary"
+    )
+    out = df.select(
+        sniff_charset(F.col("mime")).alias("cs"),
+        decode_payload(F.col("payload"), F.col("mime")).alias("t"),
+    ).collect()
+    assert [r.t for r in out] == [want for _, _, want in rows]
+    assert out[0].cs == "ISO-8859-1" and out[2].cs == "" and out[4].cs == "WINDOWS-1252"
