@@ -144,6 +144,55 @@ def text_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# bpe_apply_tokens — REAL BPE: train a merge table from the corpus's
+# word-frequency table (one distributed job + driver-side Sennrich
+# merges), then segment every document with the rank-greedy inference
+# rule, distributed (Arrow-batched, word-memoized). Iterative-fixpoint
+# segmentation is not SQL-expressible, so this gate is rows-only for
+# the driver; the correctness evidence is the serial differential
+# (tests/test_text.py::test_bpe_apply_matches_serial_reference) which
+# hash-matches the Spark segmentation against an independently-coded
+# one-merge-at-a-time reference on both adversarial words and this
+# corpus.
+# ---------------------------------------------------------------------------
+BPE_GATE_MERGES = 120
+
+
+@_q("bpe_apply_tokens")
+def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.bpe import apply_bpe, train_bpe
+
+    d = load(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=BPE_GATE_MERGES)
+    # source rides through the kernel (carry) — no join back against
+    # the corpus, the shape that survives 100 TB
+    seg = apply_bpe(d, merges, carry=("source",))
+    per_doc = seg.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.md5(F.concat_ws("\x1f", F.col("tokens"))).alias("h"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total_bpe_applied"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(":", F.col("doc_id").cast("string"), "h")
+                        )
+                    ),
+                )
+            ).alias("seg_md5"),
+        )
+        .orderBy("source")
+    )
+
+
 _BPE = f"regexp_extract_all({_NORM}, '[a-z]+|[0-9]+|[^a-z0-9 ]')"
 
 ORACLE["text_bpe_stats"] = f"""

@@ -159,3 +159,91 @@ def test_charset_sniff_and_decode(spark):
     ).collect()
     assert [r.t for r in out] == [want for _, _, want in rows]
     assert out[0].cs == "ISO-8859-1" and out[2].cs == "" and out[4].cs == "WINDOWS-1252"
+
+
+def _serial_bpe_segment(word, ranks):
+    """Independent reference: merge ONE occurrence at a time — the
+    lowest-rank pair present, leftmost occurrence first — until no pair
+    in the table remains. Equivalent to the operator's all-occurrences
+    rule for any table (re-merging the same lowest-rank pair leftmost
+    repeatedly IS left-to-right), but structured differently so a shared
+    bug can't hide."""
+    syms = list(word)
+    while True:
+        cand = [
+            (ranks[(syms[i], syms[i + 1])], i)
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not cand:
+            return syms
+        _, i = min(cand)
+        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+
+
+def _serial_pretokenize(text):
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    return re.findall(r"[a-z]+|[0-9]+|[^a-z0-9 ]", norm)
+
+
+def test_bpe_apply_matches_serial_reference(spark):
+    """Spark-side BPE segmentation must hash-match an independently
+    coded serial BPE: (a) on adversarial words under a handcrafted
+    consistent merge table (overlapping runs, chained merges), (b) on a
+    real corpus slice under a trained table."""
+    from disq_spark.operators.bpe import apply_bpe, train_bpe
+
+    merges = [("a", "a"), ("a", "b"), ("aa", "ab"), ("b", "c"), ("ab", "bc"),
+              ("n", "a"), ("na", "na"), ("1", "2")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = [
+        (0, "aaaa aaab aaaab abab banana"),
+        (1, "abc abbc aabab 12 121212 a1b2"),
+        (2, "Mixed CASE   with\twhitespace banana-nana!"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in apply_bpe(df, merges).collect()
+    }
+    for doc_id, text in docs:
+        want = []
+        for w in _serial_pretokenize(text):
+            want.extend(_serial_bpe_segment(w, ranks))
+        assert got[doc_id] == (want, len(want)), (doc_id, got[doc_id], want)
+
+    # (b) trained table over the sf0.001 corpus
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    trained = train_bpe(d, n_merges=60)
+    assert len(trained) == 60
+    ranks_t = {p: i for i, p in enumerate(trained)}
+    sample = d.select("doc_id", "text").orderBy("doc_id").limit(120).collect()
+    sdf = spark.createDataFrame(sample, "doc_id long, text string")
+    got_t = {r.doc_id: list(r.tokens) for r in apply_bpe(sdf, trained).collect()}
+    for r in sample:
+        want = []
+        for w in _serial_pretokenize(r.text):
+            want.extend(_serial_bpe_segment(w, ranks_t))
+        assert got_t[r.doc_id] == want, r.doc_id
+
+
+def test_train_bpe_deterministic_and_consistent(spark):
+    """The merge table must be partition-invariant (same merges under a
+    different partitioning) and CONSISTENT: any pair referencing a
+    merged symbol ranks after the merge that created it — the property
+    that makes rank-greedy application correct."""
+    from disq_spark.operators.bpe import train_bpe
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m1 = train_bpe(d, n_merges=40)
+    m2 = train_bpe(d.repartition(7), n_merges=40)
+    assert m1 == m2 and len(m1) == 40
+    created_at = {}
+    for i, (a, b) in enumerate(m1):
+        for sym in (a, b):
+            if len(sym) > 1:
+                assert sym in created_at and created_at[sym] < i, (i, sym)
+        created_at.setdefault(a + b, i)
