@@ -691,6 +691,207 @@ def incremental_minhash_pairs(
     return pairs, sig_a
 
 
+def _band_key_array(num_hashes: int, bands: int, mh_col: str = "mh") -> F.Column:
+    """array<string> of per-band md5 keys over an mh signature array —
+    the single band-key expression every LSH path shares."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(mh_col)[i]
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _drop_table_and_location(spark, name: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of an orphaned warehouse
+    location (a killed run can leave the directory behind without a
+    catalog entry, which fails the next overwrite with
+    LOCATION_ALREADY_EXISTS)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        import os
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        for prefix in ("file:", ""):
+            if wh.startswith(prefix):
+                loc = os.path.join(wh[len(prefix):], name.lower())
+                if os.path.isdir(loc):
+                    shutil.rmtree(loc, ignore_errors=True)
+                break
+    except Exception:
+        pass  # non-local warehouse: DROP TABLE alone is authoritative
+
+
+def build_minhash_store(
+    df: DataFrame,
+    store: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 8,
+    stride: int = 4,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the corpus's minhash signatures as PERSISTED bucketed
+    parquet assets: ``{store}_sigs`` (id, mh array) bucketed by id and
+    ``{store}_bands`` (band, band_key, id) bucketed by band_key — the
+    asset a daily-ingest pipeline joins new batches against so the
+    corpus TEXT is shingled exactly once, ever (VERDICT r6 #5:
+    ``incremental_minhash_pairs`` re-derives the signature table's
+    lineage per batch; at 100 TB the signatures must live on disk).
+
+    Bucketing by band_key means every later batch-vs-store band join
+    shuffles only the (small) batch side — the store side is
+    exchange-free, the ``operators/bucketing.py`` co-location pattern.
+    No ``max_df`` here by design: stored signatures must depend only on
+    each document's text (never on corpus-wide shingle stats) so that
+    batch-vs-store pairs are bit-identical to a full recompute.
+    """
+    assert num_hashes % bands == 0
+    spark = df.sparkSession
+    for t in (f"{store}_sigs", f"{store}_bands"):
+        _drop_table_and_location(spark, t)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, stride, None)
+    arr = sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
+    )
+    (
+        arr.write.mode("overwrite")
+        .bucketBy(n_buckets, id_col)
+        .sortBy(id_col)
+        .saveAsTable(f"{store}_sigs")
+    )
+    # derive band rows from the WRITTEN sigs (one shingle pass total)
+    bands_df = spark.table(f"{store}_sigs").select(
+        F.col(id_col),
+        F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "band_key"),
+    ).select("band", "band_key", id_col)
+    (
+        bands_df.write.mode("overwrite")
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(f"{store}_bands")
+    )
+
+
+def incremental_minhash_pairs_stored(
+    new_df: DataFrame,
+    store: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    k: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch vs itself + a PERSISTED signature
+    store (``build_minhash_store``), with the corpus text never
+    rescanned: only the batch is shingled; the store contributes its
+    band/sig tables (plan-asserted in tests/test_operators.py).
+
+    Pairs (id_a, id_b, est_jaccard), id_a < id_b, at least one side new
+    — equal to a full-corpus recompute restricted to pairs touching the
+    batch (the store-gate oracle states exactly that in SQL).
+    """
+    assert num_hashes % bands == 0
+    spark = new_df.sparkSession
+    new_sig = minhash_signatures(new_df, text_col, id_col, num_hashes, k, stride, None)
+    new_arr = new_sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
+    ).localCheckpoint(eager=False)
+    new_bands = new_arr.select(
+        F.col(id_col),
+        F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "band_key"),
+    ).select("band", "band_key", id_col)
+
+    all_bands = spark.table(f"{store}_bands").unionByName(new_bands)
+    all_sigs = spark.table(f"{store}_sigs").unionByName(new_arr)
+
+    cand = (
+        new_bands.select(
+            "band", "band_key", F.col(id_col).alias("id_a")
+        )
+        .join(
+            all_bands.select(
+                F.col("band").alias("band_r"),
+                F.col("band_key").alias("band_key_r"),
+                F.col(id_col).alias("id_b"),
+            ),
+            (F.col("band") == F.col("band_r"))
+            & (F.col("band_key") == F.col("band_key_r"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = all_sigs.select(F.col(id_col).alias("id_a"), F.col("mh").alias("mh_a"))
+    b = all_sigs.select(F.col(id_col).alias("id_b"), F.col("mh").alias("mh_b"))
+    eq_sum = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("est_jaccard", F.round(eq_sum / F.lit(float(num_hashes)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def append_minhash_store(
+    new_df: DataFrame,
+    store: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 8,
+    stride: int = 4,
+    n_buckets: int = 32,
+) -> None:
+    """Fold a processed batch into the store (same bucket spec, append
+    mode). Call AFTER materializing the batch's pairs — the store
+    tables are read lazily, so appending first would make the batch
+    collide with itself through the store."""
+    sig = minhash_signatures(new_df, text_col, id_col, num_hashes, k, stride, None)
+    arr = sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
+    ).localCheckpoint(eager=False)
+    (
+        arr.write.mode("append")
+        .bucketBy(n_buckets, id_col)
+        .sortBy(id_col)
+        .saveAsTable(f"{store}_sigs")
+    )
+    bands_df = arr.select(
+        F.col(id_col),
+        F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "band_key"),
+    ).select("band", "band_key", id_col)
+    (
+        bands_df.write.mode("append")
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(f"{store}_bands")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -3114,6 +3114,51 @@ SELECT (SELECT count(*) FROM reps) AS n_kept,
 
 
 # ---------------------------------------------------------------------------
+# dedup_incremental_store_gate — the PERSISTED-STORE shape of daily
+# near-dup ingest (VERDICT r6 #5): the already-ingested corpus's
+# signatures live as bucketed parquet assets (build_minhash_store,
+# written once from the old half); the new batch joins the store's band
+# table — the corpus text is never rescanned (plan-asserted in
+# tests/test_operators.py::test_minhash_store_no_corpus_rescan). The
+# oracle recomputes minhash over the FULL slice in SQL and restricts to
+# pairs touching the batch: store-based pairs must equal full recompute
+# exactly. No max_df on either side — stored signatures must depend
+# only on document text, never corpus-wide stats, or batch-vs-store
+# would drift from full recompute.
+# ---------------------------------------------------------------------------
+INCR_STORE_CAP = 2000  # gate slice bound: keeps the capless minhash tractable at sf>=5
+
+
+@_q("dedup_incremental_store_gate")
+def dedup_incremental_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < INCR_STORE_CAP)
+    old = d.filter(F.col("doc_id") < INCR_SPLIT)
+    new = d.filter(F.col("doc_id") >= INCR_SPLIT)
+    store = "disq_incr_minhash_store"
+    DD.build_minhash_store(
+        old, store, num_hashes=NUM_HASHES, bands=BANDS, k=SHINGLE_K, stride=SHINGLE_STRIDE
+    )
+    pairs = DD.incremental_minhash_pairs_stored(
+        new,
+        store,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+        k=SHINGLE_K,
+        stride=SHINGLE_STRIDE,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+ORACLE["dedup_incremental_store_gate"] = f"""
+WITH {_minhash_pair_ctes(f"(SELECT * FROM documents WHERE doc_id < {INCR_STORE_CAP}) AS d", max_df_sql="1000000000")}
+SELECT id_a, id_b, est_jaccard FROM pairs
+WHERE id_b >= {INCR_SPLIT}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_substring_dup_rate — cross-document duplicated-substring share
 # (distributed approximation of Lee et al. suffix-array substring dedup;
 # positional word n-grams, cross-doc test = min(doc)!=max(doc) per gram)

@@ -4182,3 +4182,84 @@ def test_size_dispatch_auto_and_path_equality(spark, tmp_path):
     t_auto = [tuple(r) for r in cosine_topk(vecs, q, k=5, method="auto")
               .orderBy("query_id", "rank").collect()]
     assert t_sql == t_blas == t_auto and len(t_sql) == 20
+
+
+def test_minhash_store_no_corpus_rescan(spark, tmp_path):
+    """Persisted signature store: (a) batch-vs-store pairs equal the
+    non-stored incremental path and the full recompute restricted to
+    the batch; (b) the physical plan of the batch query scans the STORE
+    tables, never the old corpus parquet; (c) append folds a processed
+    batch in so the next batch dedups against it."""
+    import random
+
+    from disq_spark.operators.dedup import (
+        append_minhash_store,
+        build_minhash_store,
+        incremental_minhash_pairs,
+        incremental_minhash_pairs_stored,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    rng = random.Random(20260815)
+    base = ["the quick brown fox jumps over the lazy dog again and again",
+            "pack my box with five dozen liquor jugs for the party tonight",
+            "how vexingly quick daft zebras jump over fences in the zoo"]
+
+    def doc(i):
+        t = base[i % 3]
+        words = t.split()
+        if i % 4 == 0:
+            words[rng.randrange(len(words))] = f"tok{i}"
+        return (i, " ".join(words))
+
+    rows = [doc(i) for i in range(120)]
+    old_p, new_p = str(tmp_path / "old.parquet"), str(tmp_path / "new.parquet")
+    spark.createDataFrame(rows[:70], "doc_id long, text string").write.parquet(old_p)
+    spark.createDataFrame(rows[70:], "doc_id long, text string").write.parquet(new_p)
+    old, new = spark.read.parquet(old_p), spark.read.parquet(new_p)
+
+    kw = dict(num_hashes=32, bands=8, k=8, stride=4)
+    store = "disq_test_minhash_store"
+    build_minhash_store(old, store, **kw)
+    pairs_df = incremental_minhash_pairs_stored(new, store, threshold=0.3, **kw)
+
+    # (b) plan never touches the old corpus parquet; the batch side is a
+    # (lazily checkpointed) LogicalRDD so neither path appears — the
+    # store side must be the catalog tables
+    plan = pairs_df._sc._jvm.PythonSQLUtils.explainString(
+        pairs_df._jdf.queryExecution(), "formatted"
+    )
+    assert old_p not in plan
+    assert f"{store}_bands" in plan and f"{store}_sigs" in plan
+
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs_df.collect()}
+
+    # (a1) == non-stored incremental (recomputes corpus sigs per batch)
+    old_sig = minhash_signatures(old, num_hashes=32, k=8, stride=4)
+    legacy, _ = incremental_minhash_pairs(new, old_sig, threshold=0.3, **kw)
+    assert got == {(r.id_a, r.id_b): r.est_jaccard for r in legacy.collect()}
+
+    # (a2) == full recompute restricted to pairs touching the batch
+    full = minhash_lsh_pairs(
+        old.unionByName(new), threshold=0.3, method="sql", **kw
+    )
+    want = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in full.collect()
+        if r.id_b >= 70
+    }
+    assert got == want and len(got) > 20
+
+    # (c) append, then a second batch must pair against the first batch
+    append_minhash_store(new, store, **kw)
+    batch2 = spark.createDataFrame(
+        [(200, rows[71][1])], "doc_id long, text string"  # dup of a batch-1 doc
+    )
+    p2 = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_pairs_stored(batch2, store, threshold=0.3, **kw).collect()
+    }
+    assert (71, 200) in p2
+    for t in (f"{store}_sigs", f"{store}_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
