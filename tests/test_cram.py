@@ -518,3 +518,25 @@ def test_cram_whole_file_parity_valid_fixture(spark, fixtures_dir, tmp_path):
     want = sorted((tuple(r[:-1]) + (sorted((r[-1] or {}).items()),)) for r in df.select(cols).collect())
     got = sorted((tuple(r[:-1]) + (sorted((r[-1] or {}).items()),)) for r in back.select(cols).collect())
     assert want == got
+
+
+def test_cram_samtools_cross_validation(spark):
+    """External-decoder parity for OUR CRAM writer (reference test
+    style: SamtoolsTestUtil.java, HtsjdkReadsRddTest.java:151-153).
+    Skips when samtools is absent (this container today); the day the
+    binary appears, this asserts samtools view count + core-field md5
+    parity on our encoding of the CEUTrio fixture. One command stands
+    ready: python tools/xval_cram.py"""
+    import shutil as _sh
+
+    import pytest as _pt
+
+    if _sh.which("samtools") is None:
+        _pt.skip("samtools not on PATH — xval recipe ready in tools/xval_cram.py")
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from xval_cram import run_xval
+
+    msg = run_xval(spark)
+    assert msg.startswith("PASS"), msg
