@@ -928,3 +928,277 @@ def test_tiff_gray_dispatch_and_malformed():
     assert decode_tiff(b"II*\x00\x08\x00\x00\x00") is None
     assert decode_tiff(b"not a tiff") is None
     assert decode_tiff(enc[:30]) is None
+
+
+def test_tiff_known_fixture_hand_assembled():
+    """Decoder pinned by hand-assembled TIFF bytes (spec-derived, no
+    shared code with our encoder — ADVICE r6: round-trips alone can't
+    catch a complementary encoder/decoder layout bug): a big-endian
+    2x2 RGB uncompressed file, a PackBits grayscale file with
+    hand-coded RLE runs, and a WhiteIsZero inversion check."""
+    import struct
+
+    import numpy as np
+
+    from disq_spark.formats.tiff import decode_tiff
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack(">HHI4s", tag, typ, cnt, val)
+
+    def short_val(v):  # SHORT left-justified in the 4-byte field (BE)
+        return struct.pack(">HH", v, 0)
+
+    def long_val(v):
+        return struct.pack(">I", v)
+
+    # --- 2x2 RGB, uncompressed, big-endian ------------------------------
+    strip = bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  17, 34, 51]
+    )
+    n_entries = 9
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + n_entries * 12 + 4
+    bits_off = after_ifd            # 3 SHORTs = 6 bytes
+    data_off = after_ifd + 6
+    ifd = struct.pack(">H", n_entries)
+    ifd += entry(256, 3, 1, short_val(2))            # ImageWidth
+    ifd += entry(257, 3, 1, short_val(2))            # ImageLength
+    ifd += entry(258, 3, 3, long_val(bits_off))      # BitsPerSample
+    ifd += entry(259, 3, 1, short_val(1))            # Compression=none
+    ifd += entry(262, 3, 1, short_val(2))            # Photometric=RGB
+    ifd += entry(273, 4, 1, long_val(data_off))      # StripOffsets
+    ifd += entry(277, 3, 1, short_val(3))            # SamplesPerPixel
+    ifd += entry(278, 3, 1, short_val(2))            # RowsPerStrip
+    ifd += entry(279, 4, 1, long_val(len(strip)))    # StripByteCounts
+    ifd += struct.pack(">I", 0)                      # next IFD
+    tif = b"MM\x00*" + struct.pack(">I", ifd_off) + ifd
+    tif += struct.pack(">HHH", 8, 8, 8) + strip
+    got = decode_tiff(tif)
+    assert got is not None
+    w, h, img = got
+    assert (w, h) == (2, 2)
+    assert img.tolist() == [
+        [[255, 0, 0], [0, 255, 0]],
+        [[0, 0, 255], [17, 34, 51]],
+    ]
+
+    # --- 3x2 grayscale, PackBits, WhiteIsZero ---------------------------
+    # rows: [10 10 10], [200 7 7] -> bytes 10*3, 200, 7*2
+    # PackBits: run of 3x10 -> (-2, 10); literal 200 -> (0, 200);
+    # run of 2x7 -> (-1, 7)
+    pb = bytes([0xFE, 10, 0x00, 200, 0xFF, 7])
+    n_entries = 8
+    after_ifd = 8 + 2 + n_entries * 12 + 4
+    data_off = after_ifd
+    ifd = struct.pack(">H", n_entries)
+    ifd += entry(256, 3, 1, short_val(3))
+    ifd += entry(257, 3, 1, short_val(2))
+    ifd += entry(258, 3, 1, short_val(8))
+    ifd += entry(259, 3, 1, short_val(32773))        # PackBits
+    ifd += entry(262, 3, 1, short_val(0))            # WhiteIsZero
+    ifd += entry(273, 4, 1, long_val(data_off))
+    ifd += entry(278, 3, 1, short_val(2))
+    ifd += entry(279, 4, 1, long_val(len(pb)))
+    ifd += struct.pack(">I", 0)
+    tif2 = b"MM\x00*" + struct.pack(">I", 8) + ifd + pb
+    got2 = decode_tiff(tif2)
+    assert got2 is not None
+    w2, h2, img2 = got2
+    assert (w2, h2) == (3, 2)
+    inv = [255 - 10, 255 - 200, 255 - 7]
+    assert img2.tolist() == [
+        [[inv[0]] * 3, [inv[0]] * 3, [inv[0]] * 3],
+        [[inv[1]] * 3, [inv[2]] * 3, [inv[2]] * 3],
+    ]
+
+
+def test_flac_known_fixture_hand_assembled():
+    """Decoder pinned by hand-assembled FLAC bytes built straight from
+    RFC 9639 with an independent bit packer and independent CRC-8/16
+    implementations (ADVICE r6: encoder/decoder round-trips can share a
+    complementary layout bug): STREAMINFO + one frame with a CONSTANT
+    subframe, and a second stream with a VERBATIM subframe."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from disq_spark.formats.flac import decode_flac
+
+    def crc8(data):  # bitwise, poly x^8+x^2+x+1, independent of the table impl
+        crc = 0
+        for byte in data:
+            crc ^= byte
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        return crc
+
+    def crc16(data):  # poly x^16+x^15+x^2+1 (0x8005)
+        crc = 0
+        for byte in data:
+            crc ^= byte << 8
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        return crc
+
+    class MsbWriter:
+        def __init__(self):
+            self.bits = []
+
+        def w(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((v >> i) & 1)
+
+        def bytes(self):
+            assert len(self.bits) % 8 == 0
+            out = bytearray()
+            for i in range(0, len(self.bits), 8):
+                out.append(int("".join(map(str, self.bits[i : i + 8])), 2))
+            return bytes(out)
+
+    def streaminfo(n_samples, pcm_md5):
+        si = MsbWriter()
+        si.w(4, 16)       # min blocksize
+        si.w(4, 16)       # max blocksize
+        si.w(0, 24)       # min framesize (unknown)
+        si.w(0, 24)       # max framesize
+        si.w(8000, 20)    # sample rate
+        si.w(0, 3)        # channels - 1
+        si.w(15, 5)       # bits - 1
+        si.w(n_samples, 36)
+        body = si.bytes() + pcm_md5
+        assert len(body) == 34
+        return b"fLaC" + bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+    def frame(samples, subframe_bits):
+        hw = MsbWriter()
+        hw.w(0x3FFE, 14)  # sync
+        hw.w(0, 1)        # reserved
+        hw.w(0, 1)        # fixed blocking
+        hw.w(6, 4)        # blocksize: 8-bit at end of header
+        hw.w(0, 4)        # sample rate: from STREAMINFO
+        hw.w(0, 4)        # 1 channel
+        hw.w(4, 3)        # 16-bit samples
+        hw.w(0, 1)        # reserved
+        hw.w(0, 8)        # frame number 0 (UTF-8)
+        hw.w(len(samples) - 1, 8)
+        hdr = hw.bytes()
+        body = hdr + bytes([crc8(hdr)]) + subframe_bits
+        return body + struct.pack(">H", crc16(body))
+
+    # --- CONSTANT subframe: 4 samples of 1234 ---------------------------
+    sw = MsbWriter()
+    sw.w(0, 1)     # zero pad
+    sw.w(0, 6)     # type: CONSTANT
+    sw.w(0, 1)     # no wasted bits
+    sw.w(1234, 16)
+    pcm = struct.pack("<4h", *([1234] * 4))
+    blob = streaminfo(4, hashlib.md5(pcm).digest()) + frame([1234] * 4, sw.bytes())
+    dec = decode_flac(blob)
+    assert dec is not None
+    rate, nch, samples, bits = dec
+    assert (rate, nch, bits) == (8000, 1, 16)
+    assert samples.reshape(-1).tolist() == [1234] * 4
+
+    # --- VERBATIM subframe: distinct values incl. negatives -------------
+    vals = [1, -2, 30000, -32768]
+    sw = MsbWriter()
+    sw.w(0, 1)
+    sw.w(1, 6)     # type: VERBATIM
+    sw.w(0, 1)
+    for v in vals:
+        sw.w(v & 0xFFFF, 16)
+    pcm = struct.pack("<4h", *vals)
+    blob = streaminfo(4, hashlib.md5(pcm).digest()) + frame(vals, sw.bytes())
+    dec = decode_flac(blob)
+    assert dec is not None
+    rate, nch, samples, bits = dec
+    assert samples.reshape(-1).tolist() == vals
+
+    # corrupting one payload byte must trip a CRC, not decode silently
+    bad = bytearray(blob)
+    bad[-5] ^= 0x40
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_flac(bytes(bad))
+
+
+def test_webp_vp8l_known_fixture_hand_assembled():
+    """VP8L decoder pinned by a hand-assembled lossless bitstream built
+    straight from the VP8L spec with an independent LSB-first bit
+    packer (ADVICE r6): 2x1 image, five simple prefix codes (2-symbol
+    G/R/B, 1-symbol A and distance), literal pixels only. Canonical
+    code assignment puts the numerically smaller symbol on bit 0."""
+    import struct
+
+    from disq_spark.formats.webp import decode_webp
+
+    class LsbWriter:
+        def __init__(self):
+            self.bits = []
+
+        def w(self, v, n):
+            for i in range(n):
+                self.bits.append((v >> i) & 1)
+
+        def bytes(self):
+            while len(self.bits) % 8:
+                self.bits.append(0)
+            out = bytearray()
+            for i in range(0, len(self.bits), 8):
+                byte = 0
+                for j in range(8):
+                    byte |= self.bits[i + j] << j
+                out.append(byte)
+            return bytes(out)
+
+    bw = LsbWriter()
+    bw.w(1, 14)  # width - 1  (w=2)
+    bw.w(0, 14)  # height - 1 (h=1)
+    bw.w(0, 1)   # alpha hint
+    bw.w(0, 3)   # version
+    bw.w(0, 1)   # no transforms
+    bw.w(0, 1)   # no color cache
+    bw.w(0, 1)   # no meta-huffman
+
+    def simple2(s0, s1):
+        bw.w(1, 1)   # simple code
+        bw.w(1, 1)   # two symbols
+        bw.w(1, 1)   # first symbol in 8 bits
+        bw.w(s0, 8)
+        bw.w(s1, 8)
+
+    def simple1(sym):
+        bw.w(1, 1)   # simple code
+        bw.w(0, 1)   # one symbol
+        if sym > 1:
+            bw.w(1, 1)
+            bw.w(sym, 8)
+        else:
+            bw.w(0, 1)
+            bw.w(sym, 1)
+
+    simple2(64, 5)    # G  (alphabet 280)
+    simple2(30, 17)   # R
+    simple2(200, 9)   # B
+    simple1(255)      # A  (zero bits per read)
+    simple1(0)        # distance (zero bits per read)
+
+    # canonical two-symbol codes: smaller symbol -> bit 0
+    # pixel 0: (r,g,b) = (30, 64, 200) -> G:1 R:1 B:1
+    bw.w(1, 1); bw.w(1, 1); bw.w(1, 1)
+    # pixel 1: (17, 5, 9) -> G:0 R:0 B:0
+    bw.w(0, 1); bw.w(0, 1); bw.w(0, 1)
+
+    payload = b"\x2f" + bw.bytes()
+    riff = b"WEBPVP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        riff += b"\x00"
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    got = decode_webp(blob)
+    assert got is not None
+    w, h, img = got
+    assert (w, h) == (2, 1)
+    assert img.tolist() == [[[30, 64, 200], [17, 5, 9]]]
