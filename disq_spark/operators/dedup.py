@@ -364,11 +364,22 @@ def ngram_jaccard_pairs(
     k: int = 8,
     stride: int = 4,
     max_df: float | None = None,
+    two_level_agg: bool = False,
+    agg_buckets: int = 16,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, computed only for pairs that share
     at least one shingle (inverted-index candidate join).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``two_level_agg``: classic partial-agg salting probe for the
+    measured sf10 single-box knee (SCALE.md: 872M pair rows into one
+    hash agg) — pre-aggregate counts per (shingle mod agg_buckets,
+    pair) before the global pair groupBy, splitting the reducer-side
+    hash tables across agg_buckets x more, smaller groups at the cost
+    of one extra shuffle. Helps only if pairs share many shingles
+    (the pre-agg must actually shrink rows); measured result in
+    SCALE.md §ngram two-level probe.
     """
     sh = shingle_table(df, text_col, id_col, k, stride, max_df)
     # join/checkpoint on an 8-byte xxhash64 fingerprint, not the shingle
@@ -386,12 +397,20 @@ def ngram_jaccard_pairs(
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    joined = a.join(b, ["shingle"]).filter(F.col("id_a") < F.col("id_b"))
+    if two_level_agg:
+        inter = (
+            joined.groupBy(
+                F.pmod("shingle", F.lit(agg_buckets)).alias("__gb"), "id_a", "id_b"
+            )
+            .agg(F.count("*").alias("__n"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum("__n").alias("n_common"))
+        )
+    else:
+        inter = (
+            joined.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
+        )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -880,9 +880,59 @@ class BedDataSource(DataSource):
         return BedReader(self.options)
 
 
+@dataclass
+class WarcChunk(InputPartition):
+    path: str
+    start: int
+    end: int
+    is_gz: bool
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("format('warc') requires .load(path)")
+        self.split_size = int(options.get("split_size", 64 * 1024 * 1024))
+
+    def partitions(self) -> list[WarcChunk]:
+        from disq_spark.sources.warc import plan_warc_chunks
+
+        return [
+            WarcChunk(p, s, e, gz)
+            for p, s, e, gz in plan_warc_chunks(self.path, self.split_size)
+        ]
+
+    def read(self, part: WarcChunk) -> Iterator[tuple]:
+        from disq_spark.sources.warc import decode_warc_chunks
+
+        for pdf in decode_warc_chunks([(part.path, part.start, part.end, part.is_gz)]):
+            for row in pdf.itertuples(index=False):
+                yield tuple(row)
+
+
+class WarcDataSource(DataSource):
+    """spark.read.format("warc").load(file | dir | glob) — the crawl
+    ingestion source (Common Crawl .warc.gz segments) as a first-class
+    Spark source, same fs-registry path resolution and exactly-once
+    split-snap contract as read_warc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self):
+        from disq_spark.sources.warc import WARC_SCHEMA
+
+        return WARC_SCHEMA
+
+    def reader(self, schema) -> WarcReader:
+        return WarcReader(self.options)
+
+
 def register_datasources(spark) -> None:
-    """Register bam/sam/cram/vcf/fastq/fasta/bed with a SparkSession: enables
-    spark.read.format(...) and df.write.format("bam")."""
+    """Register bam/sam/cram/vcf/fastq/fasta/bed/warc with a SparkSession:
+    enables spark.read.format(...) and df.write.format("bam")."""
     spark.dataSource.register(BamDataSource)
     spark.dataSource.register(SamDataSource)
     spark.dataSource.register(CramDataSource)
@@ -890,3 +940,4 @@ def register_datasources(spark) -> None:
     spark.dataSource.register(FastqDataSource)
     spark.dataSource.register(FastaDataSource)
     spark.dataSource.register(BedDataSource)
+    spark.dataSource.register(WarcDataSource)

@@ -281,3 +281,46 @@ def test_bed_datasource_matches_functional(spark, tmp_path):
     direct = read_bed(spark, str(bed)).orderBy("contig", "start").collect()
     assert via_fmt == direct and len(via_fmt) == 3
     assert via_fmt[0].start == 1 and via_fmt[0].end == 100
+
+
+def test_warc_datasource_reads_sharded_dir(spark, tmp_path):
+    """spark.read.format('warc') over a sharded directory must match
+    read_warc exactly (same planner + kernel behind the DataSource)."""
+    import numpy as np
+
+    from disq_spark.formats.warc import build_warc
+    from disq_spark.sources.datasource import register_datasources
+    from disq_spark.sources.warc import read_warc
+
+    rng = np.random.default_rng(31)
+    for i in range(2):
+        recs = []
+        for j in range(6):
+            payload = bytes(rng.integers(32, 127, 500 + 100 * j, dtype=np.uint8))
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:ds{i}:{j}>",
+                        "WARC-Target-URI": f"https://x/{i}/{j}",
+                        "Content-Type": "text/html",
+                    },
+                    payload,
+                )
+            )
+        with open(tmp_path / f"seg-{i}.warc.gz", "wb") as f:
+            f.write(build_warc(recs, gzip_members=True))
+
+    register_datasources(spark)
+    via_ds = {
+        r.record_id: (r.url, bytes(r.payload))
+        for r in spark.read.format("warc")
+        .option("split_size", 2048)
+        .load(str(tmp_path))
+        .collect()
+    }
+    via_fn = {
+        r.record_id: (r.url, bytes(r.payload))
+        for r in read_warc(spark, str(tmp_path), split_size=2048).collect()
+    }
+    assert via_ds == via_fn and len(via_ds) == 12
