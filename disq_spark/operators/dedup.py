@@ -375,11 +375,13 @@ def ngram_jaccard_pairs(
     ``two_level_agg``: classic partial-agg salting probe for the
     measured sf10 single-box knee (SCALE.md: 872M pair rows into one
     hash agg) — pre-aggregate counts per (shingle mod agg_buckets,
-    pair) before the global pair groupBy, splitting the reducer-side
-    hash tables across agg_buckets x more, smaller groups at the cost
-    of one extra shuffle. Helps only if pairs share many shingles
-    (the pre-agg must actually shrink rows); measured result in
-    SCALE.md §ngram two-level probe.
+    pair) before the global pair groupBy. MEASURED NEGATIVE at sf10
+    (SCALE.md §round-7 probe: 104 s baseline vs 206 s two-level, clean
+    box, identical pairs): candidate pairs overwhelmingly share one
+    kept shingle, so the pre-agg shrinks nothing while adding a full
+    extra shuffle with MORE distinct groups. Kept available (default
+    off) as the documented negative; the scale-out lever for the knee
+    is executors over the uniform pair-keyed shuffle, not salting.
     """
     sh = shingle_table(df, text_col, id_col, k, stride, max_df)
     # join/checkpoint on an 8-byte xxhash64 fingerprint, not the shingle

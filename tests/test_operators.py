@@ -4263,3 +4263,25 @@ def test_minhash_store_no_corpus_rescan(spark, tmp_path):
     assert (71, 200) in p2
     for t in (f"{store}_sigs", f"{store}_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ngram_two_level_agg_path_equality(spark):
+    """two_level_agg is a measured-negative probe kept off by default
+    (SCALE.md r7); when enabled it must still produce the identical
+    pair set (it only re-associates the n_common summation)."""
+    from disq_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix text block {i % 6} and some common words tail {i % 6}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    two = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, two_level_agg=True).collect()
+    }
+    assert base == two and len(base) > 10
