@@ -2670,6 +2670,101 @@ def crawl_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# crawl_http_extract — the real Common Crawl payload shape: WARC
+# response records carry the FULL HTTP message (status line + headers +
+# body), and the authoritative charset lives in the HTTP Content-Type
+# INSIDE the payload. Distributed WARC read -> http_status /
+# http_content_type / http_body split -> declared-charset body decode;
+# non-HTTP resource records pass through whole. The oracle recomputes
+# status/mime/decoded-text from the raw documents table.
+# ---------------------------------------------------------------------------
+@_q("crawl_http_extract")
+def crawl_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from disq_spark.cacheutil import cache_key, ensure_cached_dir
+    from disq_spark.functions import http as HT
+    from disq_spark.functions.charset import decode_payload
+    from disq_spark.sources.warc import read_warc
+
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_file)
+    key = cache_key(src_file, st.st_mtime_ns, st.st_size, "warc-http-v1")
+    cache = os.path.join(tempfile.gettempdir(), f"disq_warchttp_{key}")
+
+    def _build(tmp: str) -> None:
+        from disq_spark.formats.warc import build_warc
+
+        charsets = {
+            0: ("iso-8859-1", "text/html; charset=ISO-8859-1", " café-é"),
+            1: ("utf-8", 'text/html; charset="utf-8"', " café-😀"),
+            2: ("utf-8", "text/html", " café-😀"),  # no charset: UTF-8 default
+        }
+        with open(os.path.join(tmp, "corpus.warc.gz"), "wb") as f:
+            it = (
+                load(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .orderBy("doc_id")
+                .toLocalIterator()
+            )
+            for r in it:
+                if r.doc_id % 11 == 7:
+                    # plain resource record: no HTTP framing
+                    payload = r.text.encode("utf-8")
+                    ctype = "text/plain"
+                else:
+                    codec, ct, mark = charsets[r.doc_id % 3]
+                    body = (r.text + mark).encode(codec)
+                    status = 404 if r.doc_id % 5 == 0 else 200
+                    reason = "Not Found" if status == 404 else "OK"
+                    payload = (
+                        f"HTTP/1.1 {status} {reason}\r\n"
+                        f"Server: corpus-local\r\n"
+                        f"Content-Type: {ct}\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode("ascii") + body
+                    ctype = "application/http; msgtype=response"
+                rec = (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:doc:{r.doc_id}>",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "WARC-Target-URI": f"https://corpus.local/doc/{r.doc_id}",
+                        "Content-Type": ctype,
+                    },
+                    payload,
+                )
+                f.write(build_warc([rec], gzip_members=True))
+
+    ensure_cached_dir(cache, _build)
+    df = read_warc(spark, os.path.join(cache, "corpus.warc.gz"), split_size=8192)
+    body = HT.http_body(F.col("payload"))
+    ctype = HT.http_content_type(F.col("payload"))
+    return df.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        HT.http_status(F.col("payload")).alias("status"),
+        ctype.alias("http_mime"),
+        F.md5(F.encode(decode_payload(body, ctype), "UTF-8")).alias("body_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE["crawl_http_extract"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 7 THEN NULL
+            WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS status,
+       CASE WHEN doc_id % 11 = 7 THEN ''
+            WHEN doc_id % 3 = 0 THEN 'text/html; charset=ISO-8859-1'
+            WHEN doc_id % 3 = 1 THEN 'text/html; charset="utf-8"'
+            ELSE 'text/html' END AS http_mime,
+       md5(text || CASE WHEN doc_id % 11 = 7 THEN ''
+                        WHEN doc_id % 3 = 0 THEN ' café-é'
+                        ELSE ' café-😀' END) AS body_md5
+FROM documents ORDER BY doc_id
+"""
+
+
 ORACLE["crawl_charset_decode"] = """
 SELECT doc_id,
        md5(text || CASE doc_id % 4

@@ -247,3 +247,41 @@ def test_train_bpe_deterministic_and_consistent(spark):
             if len(sym) > 1:
                 assert sym in created_at and created_at[sym] < i, (i, sym)
         created_at.setdefault(a + b, i)
+
+
+def test_http_response_parsing(spark):
+    """HTTP message split: status/header extraction (case-insensitive),
+    byte-exact body slicing (binary bodies with non-UTF-8 bytes must
+    survive), and whole-payload passthrough for non-HTTP resources."""
+    from pyspark.sql import functions as F
+
+    from disq_spark.functions import http as HT
+
+    body_bin = bytes([0xE9, 0x00, 0xFF, 0x0D, 0x0A, 0x41])  # binary, incl CRLF
+    msg = (
+        b"HTTP/1.1 301 Moved Permanently\r\n"
+        b"content-type: text/html; charset=ISO-8859-1\r\n"
+        b"Location: https://x/2\r\n\r\n" + body_bin
+    )
+    plain = b"just bytes, no http"
+    no_sep = b"HTTP/1.1 200 OK\r\nTruncated-Header: x"
+    df = spark.createDataFrame(
+        [(1, msg), (2, plain), (3, no_sep)], "i long, p binary"
+    )
+    rows = {
+        r.i: r
+        for r in df.select(
+            "i",
+            HT.http_status(F.col("p")).alias("status"),
+            HT.http_content_type(F.col("p")).alias("ct"),
+            HT.http_header(F.col("p"), "location").alias("loc"),
+            HT.http_body(F.col("p")).alias("body"),
+        ).collect()
+    }
+    assert rows[1].status == 301
+    assert rows[1].ct == "text/html; charset=ISO-8859-1"  # ci header match
+    assert rows[1].loc == "https://x/2"
+    assert bytes(rows[1].body) == body_bin  # byte-exact, CRLF inside intact
+    assert rows[2].status is None and rows[2].ct == ""
+    assert bytes(rows[2].body) == plain  # passthrough
+    assert rows[3].status == 200 and bytes(rows[3].body) == no_sep  # no separator
