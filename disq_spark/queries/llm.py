@@ -2555,6 +2555,58 @@ FROM documents ORDER BY url
 
 
 # ---------------------------------------------------------------------------
+# streaming_warc_ingest_gate — spark.readStream.format("warc") under
+# the full hash gate: the sharded segment directory (same cached corpus
+# as warc_sharded_ingest) is drained with availableNow into a memory
+# sink; the drained stream must equal the batch read — i.e. the exact
+# oracle that checks the batch source checks the streaming one. At
+# scale the same query tails a live Common Crawl dump directory with a
+# checkpoint (restart exactly-once covered in tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+@_q("streaming_warc_ingest_gate")
+def streaming_warc_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from disq_spark.cacheutil import cache_key, ensure_cached_dir
+    from disq_spark.queries._stream_util import run_to_completion
+    from disq_spark.sources.datasource import register_datasources
+
+    # same cached sharded corpus as warc_sharded_ingest
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_file)
+    key = cache_key(src_file, st.st_mtime_ns, st.st_size, "warc-sharded-v1")
+    cache = os.path.join(tempfile.gettempdir(), f"disq_warcsh_{key}")
+    if not os.path.exists(cache):
+        warc_sharded_ingest(spark, sf_dir).count()  # builds the cache
+
+    register_datasources(spark)
+    if spark.catalog.tableExists("stream_gate_warc"):
+        spark.catalog.dropTempView("stream_gate_warc")
+    q = (
+        spark.readStream.format("warc")
+        .option("split_size", 8192)
+        .load(cache)
+        .selectExpr("url", "content_length", "md5(payload) AS payload_md5")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_gate_warc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, "streaming_warc_ingest_gate")
+    return spark.table("stream_gate_warc").orderBy("url")
+
+
+ORACLE["streaming_warc_ingest_gate"] = """
+SELECT 'https://corpus.local/doc/' || doc_id AS url,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       md5(text) AS payload_md5
+FROM documents ORDER BY url
+"""
+
+
+# ---------------------------------------------------------------------------
 # crawl_prep — the crawl pipeline end-to-end: DISTRIBUTED .warc.gz read
 # (member-boundary splits) -> payload to text -> quality filter ->
 # exact dedup (min-record representative). The ingestion analog of

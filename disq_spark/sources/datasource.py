@@ -50,6 +50,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -911,11 +912,91 @@ class WarcReader(DataSourceReader):
                 yield tuple(row)
 
 
+class WarcStreamReader(DataSourceStreamReader):
+    """spark.readStream.format("warc").load(dir) — incremental crawl
+    ingestion: each microbatch picks up the segment files that appeared
+    since the last committed offset (Common Crawl dumps land as
+    thousands of immutable .warc.gz segments over hours).
+
+    Offset = {"files": {basename: size}} — the set of fully-ingested
+    segments with their sizes pinned at discovery. Contract matches
+    Spark's own file streaming source: segments must be IMMUTABLE and
+    atomically moved into the directory (a half-written file is
+    ingested as-is and never re-read); growth of an already-seen file
+    is ignored. Within a batch each new file fans out into
+    split_size byte-range chunks through the same exactly-once
+    member-snap kernel the batch source uses, so a single huge segment
+    still parallelizes across the cluster."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("readStream format('warc') requires .load(dir)")
+        self.split_size = int(options.get("split_size", 64 * 1024 * 1024))
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        from disq_spark import fs as _dfs
+        from disq_spark.sources.plan import resolve_paths
+
+        try:
+            paths = resolve_paths(self.path, (".warc", ".warc.gz"))
+        except FileNotFoundError:
+            return {"files": {}}
+        return {
+            "files": {os.path.basename(p): _dfs.getsize(p) for p in paths}
+        }
+
+    def partitions(self, start: dict, end: dict):
+        from disq_spark import fs as _dfs
+        from disq_spark.sources.plan import resolve_paths
+
+        seen = start.get("files", {})
+        new_names = {
+            n: sz for n, sz in end.get("files", {}).items() if n not in seen
+        }
+        if not new_names:
+            # Spark requires >= 1 partition per batch; emit one empty chunk
+            return [WarcChunk("", 0, 0, False)]
+        try:
+            by_name = {
+                os.path.basename(p): p
+                for p in resolve_paths(self.path, (".warc", ".warc.gz"))
+            }
+        except FileNotFoundError:
+            return [WarcChunk("", 0, 0, False)]
+        out = []
+        for n, size in sorted(new_names.items()):
+            p = by_name.get(n)
+            if p is None:
+                continue  # vanished between offsets; size pinned said ingested
+            is_gz = p.endswith(".gz")
+            for s in range(0, max(size, 1), self.split_size):
+                out.append(WarcChunk(p, s, min(s + self.split_size, size), is_gz))
+        return out or [WarcChunk("", 0, 0, False)]
+
+    def read(self, part: WarcChunk) -> Iterator[tuple]:
+        if not part.path:
+            return
+        from disq_spark.sources.warc import decode_warc_chunks
+
+        for pdf in decode_warc_chunks([(part.path, part.start, part.end, part.is_gz)]):
+            for row in pdf.itertuples(index=False):
+                yield tuple(row)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are the full state; nothing external to release
+
+
 class WarcDataSource(DataSource):
     """spark.read.format("warc").load(file | dir | glob) — the crawl
     ingestion source (Common Crawl .warc.gz segments) as a first-class
     Spark source, same fs-registry path resolution and exactly-once
-    split-snap contract as read_warc."""
+    split-snap contract as read_warc. Also streamable:
+    spark.readStream.format("warc").load(dir) tails a segment
+    directory (see WarcStreamReader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -928,6 +1009,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> WarcReader:
         return WarcReader(self.options)
+
+    def streamReader(self, schema) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
 
 
 def register_datasources(spark) -> None:

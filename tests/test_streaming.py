@@ -278,3 +278,77 @@ def test_streaming_embedding_neardup_equal_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 5
+
+
+def test_warc_stream_tails_segment_directory(spark, tmp_path):
+    """readStream format('warc'): microbatches pick up exactly the
+    segments that appeared since the committed offset — drained stream
+    == batch read after every arrival wave, no record lost or doubled
+    across a checkpointed restart."""
+    import numpy as np
+
+    from disq_spark.formats.warc import build_warc
+    from disq_spark.sources.datasource import register_datasources
+    from disq_spark.sources.warc import read_warc
+
+    register_datasources(spark)
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(41)
+
+    def write_segment(i, n):
+        recs = []
+        for j in range(n):
+            payload = bytes(rng.integers(32, 127, 300 + 50 * j, dtype=np.uint8))
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:seg{i}:{j}>",
+                        "WARC-Target-URI": f"https://x/{i}/{j}",
+                        "Content-Type": "text/html",
+                    },
+                    payload,
+                )
+            )
+        tmp = seg_dir / f".seg-{i:04d}.warc.gz.tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_warc(recs, gzip_members=True))
+        tmp.rename(seg_dir / f"seg-{i:04d}.warc.gz")  # atomic arrival
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("warc")
+            .option("split_size", 2048)
+            .load(str(seg_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_segment(0, 5)
+    write_segment(1, 7)
+    drain()
+    got1 = {
+        r.record_id for r in spark.read.parquet(out_dir).collect()
+    }
+    want1 = {
+        r.record_id for r in read_warc(spark, str(seg_dir)).collect()
+    }
+    assert got1 == want1 and len(got1) == 12
+
+    # second wave + checkpointed restart: only the new segment arrives
+    write_segment(2, 4)
+    drain()
+    rows = spark.read.parquet(out_dir).collect()
+    ids = [r.record_id for r in rows]
+    assert len(ids) == len(set(ids)) == 16  # no duplicates across restart
+    assert {i for i in ids if i.startswith("<urn:seg2")} == {
+        f"<urn:seg2:{j}>" for j in range(4)
+    }
