@@ -193,6 +193,38 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# pack_sequences_bpe — the packing pipeline on REAL token counts: the
+# whitespace-token packing gate (pack_sequences_stats) budgets context
+# windows in the wrong unit; a production tape is cut in model tokens.
+# train_bpe -> apply_bpe(n_tokens) -> pack_sequences composition.
+# Rows-only (BPE counts are not SQL-expressible); the BPE layer is
+# differential-tested serially and the packing layer has its own full
+# oracle on whitespace counts — this gate pins the composition.
+# ---------------------------------------------------------------------------
+@_q("pack_sequences_bpe")
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators import sampling as SP2
+    from disq_spark.operators.bpe import apply_bpe, train_bpe
+
+    d = load(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=BPE_GATE_MERGES)
+    seg = apply_bpe(d, merges).select("doc_id", "n_tokens")
+    p = SP2.pack_sequences(seg, 512, "n_tokens", "doc_id", n_shards=8)
+    return (
+        p.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_bpe_tokens"),
+            (F.max("pack_id") + 1).alias("n_packs"),
+            F.round(
+                F.sum("n_tokens") / ((F.max("pack_id") + 1) * 512.0), 4
+            ).alias("fill"),
+        )
+        .orderBy("shard")
+    )
+
+
 _BPE = f"regexp_extract_all({_NORM}, '[a-z]+|[0-9]+|[^a-z0-9 ]')"
 
 ORACLE["text_bpe_stats"] = f"""
