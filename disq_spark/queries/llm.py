@@ -194,6 +194,61 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_nfc_dedup — Unicode normalization ahead of hashing: composed
+# (U+00E9) and decomposed (e + U+0301) forms of the same text hash
+# differently, so un-normalized exact dedup splits equal documents.
+# The gate doubles each doc into an NFC twin and an NFD twin (built
+# with explicit combining characters on both engines), normalizes with
+# the Arrow kernel (Python unicodedata), and exact-dedups: every pair
+# must collapse. Oracle = DuckDB nfc_normalize (utf8proc) — two
+# independent UAX #15 implementations must hash-agree on every doc.
+# ---------------------------------------------------------------------------
+@_q("text_nfc_dedup")
+def text_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.functions.unicode import nfc_normalize_col
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nfc_twin = d.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" café Ångström")).alias("text"),
+    )
+    nfd_twin = d.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" café Ångström")  # SAME glyphs, DECOMPOSED code points (e+U+0301 etc.)
+        ).alias("text"),
+    )
+    both = nfc_twin.unionByName(nfd_twin)
+    norm = nfc_normalize_col(both, "text", out_col="norm_text")
+    per_doc = norm.select("doc_id", F.md5(F.encode(F.col("norm_text"), "UTF-8")).alias("h"))
+    # every (2k, 2k+1) twin pair must share a hash after normalization
+    return per_doc.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("h").alias("n_distinct_norm"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", F.col("doc_id").cast("string"), "h"))))
+        ).alias("all_md5"),
+    )
+
+
+ORACLE["text_nfc_dedup"] = """
+WITH both_t AS (
+  SELECT doc_id * 2 AS doc_id,
+         text || ' café Ångström' AS text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS doc_id,
+         text || ' cafe' || chr(769) || ' A' || chr(778) || 'ngstro' || chr(776) || 'm' AS text
+  FROM documents
+),
+normed AS (SELECT doc_id, md5(nfc_normalize(text)) AS h FROM both_t)
+SELECT count(*) AS n_rows,
+       count(DISTINCT h) AS n_distinct_norm,
+       md5(string_agg(doc_id || ':' || h, ',' ORDER BY doc_id || ':' || h)) AS all_md5
+FROM normed
+"""
+
+
+# ---------------------------------------------------------------------------
 # pack_sequences_bpe — the packing pipeline on REAL token counts: the
 # whitespace-token packing gate (pack_sequences_stats) budgets context
 # windows in the wrong unit; a production tape is cut in model tokens.

@@ -285,3 +285,28 @@ def test_http_response_parsing(spark):
     assert rows[2].status is None and rows[2].ct == ""
     assert bytes(rows[2].body) == plain  # passthrough
     assert rows[3].status == 200 and bytes(rows[3].body) == no_sep  # no separator
+
+
+def test_nfc_normalize_kernel(spark):
+    """The NFC kernel must unify composed/decomposed forms (hashes
+    collapse), leave ASCII untouched (fast path), and agree with
+    Python's unicodedata reference on NFKC too."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from disq_spark.functions.unicode import nfc_normalize_col
+
+    composed = "café Ångström"
+    decomposed = "café Ångström"
+    assert composed != decomposed  # different code points...
+    rows = [(0, composed), (1, decomposed), (2, "plain ascii"), (3, None)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r.i: r.norm for r in nfc_normalize_col(
+        df, "text", out_col="norm").collect()}
+    assert out[0] == out[1] == composed  # ...same after NFC
+    assert out[2] == "plain ascii" and out[3] is None
+    # NFKC variant: ligature and fullwidth fold
+    df2 = spark.createDataFrame([(0, "ﬁle Ａ")], "i long, text string")
+    got = nfc_normalize_col(df2, "text", form="NFKC").collect()[0].text
+    assert got == unicodedata.normalize("NFKC", "ﬁle Ａ") == "file Ａ".replace("Ａ", "A")
