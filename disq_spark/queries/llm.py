@@ -194,6 +194,90 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# crawl_url_stats — host/TLD extraction + domain blocklist filtering,
+# the first crawl aggregation after ingestion. URLs are synthesized
+# deterministically from doc_id with userinfo/port/path/query traps;
+# Spark extracts with functions/url.py, the oracle with the mirrored
+# DuckDB regexes; the blocklist drops exact hosts AND their subdomains
+# via a broadcast anti-join.
+# ---------------------------------------------------------------------------
+_URL_BLOCKED = ("spam7.example.net", "site3.example.com")
+
+
+@_q("crawl_url_stats")
+def crawl_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.functions import url as U
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    sub = F.when(F.col("doc_id") % 7 == 0, F.lit("www.")).otherwise(F.lit(""))
+    userinfo = F.when(F.col("doc_id") % 11 == 0, F.lit("user:pw@")).otherwise(F.lit(""))
+    port = F.when(F.col("doc_id") % 5 == 0, F.lit(":8443")).otherwise(F.lit(""))
+    host_core = F.concat(
+        F.when(F.col("doc_id") % 13 == 7, F.lit("spam")).otherwise(F.lit("site")),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example."),
+        tld,
+    )
+    url = F.concat(
+        F.lit("https://"), userinfo, sub, host_core, port,
+        F.lit("/p/"), F.col("doc_id").cast("string"), F.lit("?q=1#frag"),
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    kept = U.filter_blocked_hosts(pages, "url", _URL_BLOCKED)
+    return (
+        kept.groupBy(U.registered_domain(F.col("url")).alias("domain"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct(U.url_host(F.col("url"))).alias("n_hosts"),
+            F.countDistinct(U.url_tld(F.col("url"))).alias("n_tlds"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list(U.url_path(F.col("url")))))
+            ).alias("paths_md5"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _url_oracle() -> str:
+    from disq_spark.functions.url import url_host_sql, url_path_sql, url_tld_sql
+
+    blocked = ", ".join(f"'{h}'" for h in _URL_BLOCKED)
+    host = url_host_sql("url")
+    sub_pred = " OR ".join(
+        f"{host} = '{h}' OR {host} LIKE '%.{h}'" for h in _URL_BLOCKED
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
+         CASE WHEN doc_id % 13 = 7 THEN 'spam' ELSE 'site' END ||
+         CAST(doc_id % 10 AS VARCHAR) || '.example.' ||
+         CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END ||
+         CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
+         '/p/' || CAST(doc_id AS VARCHAR) || '?q=1#frag' AS url
+  FROM documents
+),
+kept AS (
+  SELECT * FROM pages WHERE NOT ({sub_pred})
+)
+SELECT regexp_extract({host}, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS domain,
+       count(*) AS n_pages,
+       count(DISTINCT {host}) AS n_hosts,
+       count(DISTINCT {url_tld_sql("url")}) AS n_tlds,
+       md5(string_agg({url_path_sql("url")}, ',' ORDER BY {url_path_sql("url")})) AS paths_md5
+FROM kept GROUP BY 1 ORDER BY domain
+"""
+
+
+ORACLE["crawl_url_stats"] = _url_oracle()
+
+
+# ---------------------------------------------------------------------------
 # text_nfc_dedup — Unicode normalization ahead of hashing: composed
 # (U+00E9) and decomposed (e + U+0301) forms of the same text hash
 # differently, so un-normalized exact dedup splits equal documents.

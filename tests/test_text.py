@@ -310,3 +310,38 @@ def test_nfc_normalize_kernel(spark):
     df2 = spark.createDataFrame([(0, "ﬁle Ａ")], "i long, text string")
     got = nfc_normalize_col(df2, "text", form="NFKC").collect()[0].text
     assert got == unicodedata.normalize("NFKC", "ﬁle Ａ") == "file Ａ".replace("Ａ", "A")
+
+
+def test_url_extractors_and_blocklist(spark):
+    """Host/path/TLD extraction edge cases (userinfo, ports, case,
+    schemeless) and subdomain-aware blocklist filtering."""
+    from pyspark.sql import functions as F
+
+    from disq_spark.functions import url as U
+
+    rows = [
+        (0, "https://User:pw@WWW.Example.COM:8443/a/b?q=1#f"),
+        (1, "http://sub.spam.example.net/x"),
+        (2, "https://spam.example.net"),
+        (3, "not a url"),
+        (4, "ftp://plain.org/file.txt"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {
+        r.i: (r.host, r.path, r.tld, r.dom)
+        for r in df.select(
+            "i",
+            U.url_host(F.col("url")).alias("host"),
+            U.url_path(F.col("url")).alias("path"),
+            U.url_tld(F.col("url")).alias("tld"),
+            U.registered_domain(F.col("url")).alias("dom"),
+        ).collect()
+    }
+    assert got[0] == ("www.example.com", "/a/b", "com", "example.com")
+    assert got[1] == ("sub.spam.example.net", "/x", "net", "example.net")
+    assert got[2] == ("spam.example.net", "", "net", "example.net")
+    assert got[3] == ("", "", "", "")
+    assert got[4] == ("plain.org", "/file.txt", "org", "plain.org")
+
+    kept = {r.i for r in U.filter_blocked_hosts(df, "url", ["spam.example.net"]).collect()}
+    assert kept == {0, 3, 4}  # exact host AND its subdomain dropped
