@@ -194,6 +194,66 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# crawl_boilerplate_removal — the CCNet-shaped line-cleaning tier:
+# each doc becomes a multi-line page with injected cookie-banner /
+# copyright / nav-crumb lines; the per-line predicate chain (marker
+# phrases + short-line-without-terminal-punctuation) must strip
+# exactly the injected lines. Spark runs split->filter->array_join
+# HOFs; the oracle runs the mirrored string_split->list_filter chain.
+# ---------------------------------------------------------------------------
+@_q("crawl_boilerplate_removal")
+def crawl_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.functions import boilerplate as BP
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.concat(
+        F.lit("We use cookies to improve your experience\n"),
+        F.lit("Home | News | Sports\n"),  # short nav crumb, no terminal punct
+        F.col("text"),
+        F.lit("\nShort header line?\n"),  # short BUT terminal punct -> kept
+        F.lit("Subscribe to our newsletter\n"),
+        F.lit("© 2026 corpus.local — All Rights Reserved"),
+    )
+    pages = d.select("doc_id", page.alias("page"))
+    cleaned = pages.select(
+        "doc_id",
+        BP.line_count(F.col("page")).alias("n_lines"),
+        BP.kept_line_count(F.col("page")).alias("n_kept"),
+        F.md5(
+            F.encode(BP.remove_boilerplate_lines(F.col("page")), "UTF-8")
+        ).alias("clean_md5"),
+    )
+    return cleaned.orderBy("doc_id")
+
+
+def _boilerplate_oracle() -> str:
+    from disq_spark.functions.boilerplate import (
+        kept_line_count_sql,
+        line_count_sql,
+        remove_boilerplate_sql,
+    )
+
+    page = (
+        "'We use cookies to improve your experience' || chr(10) || "
+        "'Home | News | Sports' || chr(10) || text || chr(10) || "
+        "'Short header line?' || chr(10) || "
+        "'Subscribe to our newsletter' || chr(10) || "
+        "'© 2026 corpus.local — All Rights Reserved'"
+    )
+    return f"""
+WITH pages AS (SELECT doc_id, {page} AS page FROM documents)
+SELECT doc_id,
+       CAST({line_count_sql("page")} AS BIGINT) AS n_lines,
+       CAST({kept_line_count_sql("page")} AS BIGINT) AS n_kept,
+       md5({remove_boilerplate_sql("page")}) AS clean_md5
+FROM pages ORDER BY doc_id
+"""
+
+
+ORACLE["crawl_boilerplate_removal"] = _boilerplate_oracle()
+
+
+# ---------------------------------------------------------------------------
 # crawl_url_stats — host/TLD extraction + domain blocklist filtering,
 # the first crawl aggregation after ingestion. URLs are synthesized
 # deterministically from doc_id with userinfo/port/path/query traps;

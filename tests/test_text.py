@@ -345,3 +345,37 @@ def test_url_extractors_and_blocklist(spark):
 
     kept = {r.i for r in U.filter_blocked_hosts(df, "url", ["spam.example.net"]).collect()}
     assert kept == {0, 3, 4}  # exact host AND its subdomain dropped
+
+
+def test_boilerplate_line_rules(spark):
+    """Per-line predicate semantics: marker phrases drop regardless of
+    length; short lines drop unless terminally punctuated; prose
+    survives verbatim (joined back with newlines)."""
+    from pyspark.sql import functions as F
+
+    from disq_spark.functions import boilerplate as BP
+
+    page = "\n".join(
+        [
+            "We use cookies on this site",          # marker -> drop
+            "Home | About",                          # short, no punct -> drop
+            "A genuinely long prose line that easily clears the threshold",
+            "Short but ends properly.",              # short + terminal -> keep
+            "SUBSCRIBE TO our updates today friends",  # marker (ci) -> drop
+            "x" * 30,                                # exactly min length -> keep
+        ]
+    )
+    df = spark.createDataFrame([(page,)], "page string")
+    r = df.select(
+        BP.remove_boilerplate_lines(F.col("page")).alias("clean"),
+        BP.kept_line_count(F.col("page")).alias("k"),
+        BP.line_count(F.col("page")).alias("n"),
+    ).collect()[0]
+    assert r.n == 6 and r.k == 3
+    assert r.clean == "\n".join(
+        [
+            "A genuinely long prose line that easily clears the threshold",
+            "Short but ends properly.",
+            "x" * 30,
+        ]
+    )
