@@ -194,6 +194,145 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# crawl_pipeline_full — the WHOLE crawl tier composed end-to-end, one
+# gate: sharded .warc.gz ingestion (member-snap splits) -> HTTP
+# message split -> declared-charset body decode (latin-1 / utf-8 /
+# charset-less legs) -> line-based boilerplate removal -> Unicode NFC
+# (one leg's marker is DECOMPOSED so normalization materially matters)
+# -> quality filter -> exact dedup. The oracle rebuilds the expected
+# text from the raw documents table through the mirrored SQL chain
+# (list_filter boilerplate, nfc_normalize, quality, sha256 dedup) —
+# every tier must invert/compose exactly or the hash gate fails.
+# ---------------------------------------------------------------------------
+_FULL_SHARDS = 4
+
+
+@_q("crawl_pipeline_full")
+def crawl_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from disq_spark.cacheutil import cache_key, ensure_cached_dir
+    from disq_spark.functions import boilerplate as BP
+    from disq_spark.functions import http as HT
+    from disq_spark.functions.charset import decode_payload
+    from disq_spark.functions.unicode import nfc_normalize_col
+    from disq_spark.operators.dedup import exact_dedup
+    from disq_spark.sources.warc import read_warc
+
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_file)
+    key = cache_key(src_file, st.st_mtime_ns, st.st_size, "warc-full-v1")
+    cache = os.path.join(tempfile.gettempdir(), f"disq_warcfull_{key}")
+
+    def _build(tmp: str) -> None:
+        from disq_spark.formats.warc import build_warc
+
+        legs = {
+            0: ("iso-8859-1", "text/plain; charset=ISO-8859-1", " café-é."),
+            1: ("utf-8", 'text/plain; charset="utf-8"', " café-😀."),
+            # DECOMPOSED marker: e/é as base + combining acute
+            2: ("utf-8", "text/plain", " cafe\u0301-e\u0301."),
+        }
+        writers = [
+            open(os.path.join(tmp, f"part-{i:04d}.warc.gz"), "wb")
+            for i in range(_FULL_SHARDS)
+        ]
+        try:
+            it = (
+                load(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .orderBy("doc_id")
+                .toLocalIterator()
+            )
+            for r in it:
+                codec, ct, mark = legs[r.doc_id % 3]
+                body_text = (
+                    "We use cookies to track you\n"
+                    + r.text
+                    + mark
+                    + "\nAll Rights Reserved"
+                )
+                body = body_text.encode(codec)
+                payload = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode("ascii") + body
+                rec = (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:doc:{r.doc_id}>",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "WARC-Target-URI": f"https://corpus.local/doc/{r.doc_id}",
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    payload,
+                )
+                writers[r.doc_id % _FULL_SHARDS].write(
+                    build_warc([rec], gzip_members=True)
+                )
+        finally:
+            for w in writers:
+                w.close()
+
+    ensure_cached_dir(cache, _build)
+    df = read_warc(spark, cache, split_size=4096)
+    body = HT.http_body(F.col("payload"))
+    ctype = HT.http_content_type(F.col("payload"))
+    docs = df.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        BP.remove_boilerplate_lines(decode_payload(body, ctype)).alias("text"),
+    )
+    docs = nfc_normalize_col(docs, "text")
+    good = docs.filter(TX.quality_score(F.col("text")) >= CRAWL_QUALITY_MIN)
+    kept = exact_dedup(good, "text", "doc_id")
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_copies").alias("n_good"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id").cast("string"))))
+        ).alias("kept_ids_md5"),
+    )
+
+
+def _full_pipeline_oracle() -> str:
+    from disq_spark.functions.boilerplate import remove_boilerplate_sql
+
+    # legs: 0/1 carry composed markers, leg 2 a DECOMPOSED one (base
+    # letters + chr(769) combining acute) that NFC must compose back
+    mark = (
+        "CASE doc_id % 3 WHEN 0 THEN ' café-é.' "
+        "WHEN 1 THEN ' café-😀.' "
+        "ELSE ' cafe' || chr(769) || '-e' || chr(769) || '.' END"
+    )
+    page = (
+        f"'We use cookies to track you' || chr(10) || documents.text || {mark} "
+        f"|| chr(10) || 'All Rights Reserved'"
+    )
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id, nfc_normalize({remove_boilerplate_sql(page)}) AS text
+  FROM documents
+),
+good AS (
+  SELECT doc_id, text FROM cleaned WHERE ({_QUALITY_SQL}) >= {CRAWL_QUALITY_MIN}
+),
+kept AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+  FROM good GROUP BY sha256({_NORM})
+)
+SELECT cast(count(*) AS BIGINT) AS n_kept,
+       cast(sum(n_copies) AS BIGINT) AS n_good,
+       md5(string_agg(cast(doc_id AS VARCHAR), ',' ORDER BY cast(doc_id AS VARCHAR))) AS kept_ids_md5
+FROM kept
+"""
+
+
+# (ORACLE["crawl_pipeline_full"] is assigned at the end of this module:
+# the oracle builder references _QUALITY_SQL, defined further down.)
+
+
+# ---------------------------------------------------------------------------
 # crawl_boilerplate_removal — the CCNet-shaped line-cleaning tier:
 # each doc becomes a multi-line page with injected cookie-banner /
 # copyright / nav-crumb lines; the per-line predicate chain (marker
@@ -3824,3 +3963,8 @@ ORDER BY comp;"""
 
 
 ORACLE["dedup_keep_best"] = _keep_best_oracle()
+
+
+# deferred: _full_pipeline_oracle needs _QUALITY_SQL / CRAWL_QUALITY_MIN,
+# which are defined between the gate and here
+ORACLE["crawl_pipeline_full"] = _full_pipeline_oracle()
