@@ -913,6 +913,63 @@ def append_minhash_store(
     )
 
 
+def remove_duplicate_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Cross-document repeated-paragraph removal — the C4/RefinedWeb
+    boilerplate pass: a paragraph appearing (normalized) in >=
+    ``min_docs`` DISTINCT documents is dropped from every document;
+    unique paragraphs survive in their original form and order.
+
+    Plan shape: one posexplode, one hash groupBy for the hot-paragraph
+    list (countDistinct doc, partial-agg friendly), one broadcast
+    anti-join (the hot list is small by construction — it is the
+    boilerplate), one re-assembly groupBy. The re-assembled text joins
+    surviving paragraphs with ``sep`` sorted by original position.
+    Documents whose every paragraph was removed come back as ''.
+
+    Output: (id_col, text_col cleaned, n_paragraphs, n_removed).
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__para"),
+    )
+    h = F.sha2(F.trim(F.regexp_replace(F.lower(F.col("__para")), r"\s+", " ")), 256)
+    paras = paras.withColumn("__h", h)
+    hot = (
+        paras.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__h")
+    )
+    flagged = paras.join(F.broadcast(hot.withColumn("__hot", F.lit(True))), "__h", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__hot").isNull(),
+                                F.struct(F.col("__idx"), F.col("__para")),
+                            )
+                        )
+                    ),
+                    lambda x: x["__para"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count("*").alias("n_paragraphs"),
+            F.sum(F.when(F.col("__hot").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

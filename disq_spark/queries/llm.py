@@ -333,6 +333,63 @@ FROM kept
 
 
 # ---------------------------------------------------------------------------
+# dedup_paragraphs — cross-document repeated-paragraph removal (the
+# C4/RefinedWeb boilerplate pass): each doc becomes three paragraphs —
+# its own text (unique), a shared banner drawn from a 5-variant pool
+# (repeated across ~100 docs -> removed), and a per-doc tail (unique).
+# Exactly the shared paragraph must vanish from every page; order and
+# original (un-normalized) text of survivors must be preserved. Oracle
+# mirrors with generate_series indexing + string_agg ORDER BY.
+# ---------------------------------------------------------------------------
+@_q("dedup_paragraphs")
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    banner = F.concat(
+        F.lit("Shared Site Banner Variant "), (F.col("doc_id") % 5).cast("string")
+    )
+    page = F.concat_ws(
+        "\n\n",
+        F.col("text"),
+        banner,
+        F.concat(F.lit("Unique tail for page "), F.col("doc_id").cast("string")),
+    )
+    pages = d.select("doc_id", page.alias("text"))
+    cleaned = DD.remove_duplicate_paragraphs(pages, "text", "doc_id", min_docs=2)
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("clean_md5"),
+        "n_paragraphs",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+ORACLE["dedup_paragraphs"] = """
+WITH pages AS (
+  SELECT doc_id,
+         text || chr(10) || chr(10) ||
+         'Shared Site Banner Variant ' || CAST(doc_id % 5 AS VARCHAR) ||
+         chr(10) || chr(10) ||
+         'Unique tail for page ' || CAST(doc_id AS VARCHAR) AS page
+  FROM documents
+),
+split_p AS (SELECT doc_id, string_split(page, chr(10) || chr(10)) AS parts FROM pages),
+paras AS (
+  SELECT doc_id, i AS idx, parts[i] AS para,
+         sha256(trim(regexp_replace(lower(parts[i]), '\\s+', ' ', 'g'))) AS h
+  FROM split_p, unnest(generate_series(1, len(parts))) AS t(i)
+),
+hot AS (SELECT h FROM paras GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+flagged AS (SELECT p.*, (p.h IN (SELECT h FROM hot)) AS is_hot FROM paras p)
+SELECT doc_id,
+       md5(coalesce(string_agg(CASE WHEN NOT is_hot THEN para END,
+                               chr(10) || chr(10) ORDER BY idx), '')) AS clean_md5,
+       count(*) AS n_paragraphs,
+       CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # crawl_boilerplate_removal — the CCNet-shaped line-cleaning tier:
 # each doc becomes a multi-line page with injected cookie-banner /
 # copyright / nav-crumb lines; the per-line predicate chain (marker

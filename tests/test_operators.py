@@ -4285,3 +4285,29 @@ def test_ngram_two_level_agg_path_equality(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.3, two_level_agg=True).collect()
     }
     assert base == two and len(base) > 10
+
+
+def test_remove_duplicate_paragraphs_semantics(spark):
+    """Paragraph dedup: normalized matching (case/whitespace variants
+    collapse), distinct-doc counting (a paragraph twice in ONE doc
+    survives), original text + order preserved, all-removed docs come
+    back as ''."""
+    from disq_spark.operators.dedup import remove_duplicate_paragraphs
+
+    rows = [
+        (0, "Unique alpha\n\nShared  BANNER\n\nUnique beta"),
+        (1, "shared banner\n\nOwn text one"),
+        (2, "Repeated twice\n\nRepeated twice\n\nOwn text two"),  # same doc only
+        (3, "Shared banner"),  # entire doc is the hot paragraph
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_paragraphs, r.n_removed)
+        for r in remove_duplicate_paragraphs(df, min_docs=2).collect()
+    }
+    # normalized forms of 'Shared  BANNER'/'shared banner'/'Shared banner'
+    # coincide -> hot (3 distinct docs); 'Repeated twice' is 1 doc -> kept
+    assert got[0] == ("Unique alpha\n\nUnique beta", 3, 1)
+    assert got[1] == ("Own text one", 2, 1)
+    assert got[2] == ("Repeated twice\n\nRepeated twice\n\nOwn text two", 3, 0)
+    assert got[3] == ("", 1, 1)
