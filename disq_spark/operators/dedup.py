@@ -998,32 +998,54 @@ def simhash_pairs(
 
     Output: (id_a, id_b, hamming) with id_a < id_b.
     """
+    sim = simhash(df, text_col, id_col, bits)  # (id, simhash)
+    return hamming_banded_pairs(sim, "simhash", id_col, bits, bands, max_hamming)
+
+
+def hamming_banded_pairs(
+    codes: DataFrame,
+    code_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within hamming distance <= max_hamming over ANY int64 code
+    column (simhash, image dHash, ...), pigeonhole-banded: split the
+    code into ``bands`` equal bit-slices; a pair within distance <
+    bands must agree exactly on >= 1 slice, so candidates are
+    equi-joins on (band, slice-value) — never all-pairs. Requires
+    max_hamming < bands for completeness (asserted), so the banded
+    result EQUALS a brute-force popcount join. shiftrightunsigned keeps
+    bit 63 (the long's sign bit) slicing correctly.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
     assert bits % bands == 0
     assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
     slice_bits = bits // bands
-    sim = simhash(df, text_col, id_col, bits)  # (id, simhash)
     slices = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), b * slice_bits)
+                F.shiftrightunsigned(F.col(code_col), b * slice_bits)
                 .bitwiseAND((1 << slice_bits) - 1)
                 .alias("key"),
             )
             for b in range(bands)
         ]
     )
-    buckets = sim.select(
-        F.col(id_col), F.col("simhash"), F.explode(slices).alias("s")
-    ).select(id_col, "simhash", F.col("s.band").alias("band"), F.col("s.key").alias("key"))
+    buckets = codes.select(
+        F.col(id_col), F.col(code_col).alias("__code"), F.explode(slices).alias("s")
+    ).select(id_col, "__code", F.col("s.band").alias("band"), F.col("s.key").alias("key"))
     left = buckets.select(
-        "band", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")
+        "band", "key", F.col(id_col).alias("id_a"), F.col("__code").alias("h_a")
     )
     right = buckets.select(
         F.col("band").alias("band_r"),
         F.col("key").alias("key_r"),
         F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("h_b"),
+        F.col("__code").alias("h_b"),
     )
     cand = (
         left.join(

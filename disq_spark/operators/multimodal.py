@@ -580,6 +580,62 @@ def try_decode_image(b: bytes):
     return dec
 
 
+def dhash_bits(img) -> int:
+    """64-bit difference hash (dHash) of an HxWx3 uint8 image — the
+    standard perceptual near-dup code (crops/recompressions/minor edits
+    land within a few bits; identical pixels hash identically):
+
+    - grayscale = integer mean (r+g+b)//3 (engine-portable: no
+      ITU-R weights, so a SQL oracle reproduces it with // arithmetic),
+    - nearest-neighbor resample to 9 columns x 8 rows with the floor
+      index map src = floor(dst * src_dim / target) (same rule as
+      resize_image),
+    - bit (r*8+c) = 1 iff g[r][c] < g[r][c+1],
+
+    returned as a SIGNED int64 (bit 63 via two's complement) so it
+    lands in a Spark long and hamming_banded_pairs slices it directly.
+    """
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    g = img.astype(np.int64).sum(axis=2) // 3
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    small = g[np.ix_(rows, cols)]
+    bits = small[:, :-1] < small[:, 1:]
+    v = 0
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """(id_col, dhash long, width, height) per decodable image; rows
+    whose payload no decoder accepts are dropped (same contract as
+    decode_image). Arrow-batched; pairs come from
+    ``dedup.hamming_banded_pairs(out, "dhash")`` — banded equi-joins,
+    never all-pairs."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = try_decode_image(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, img = dec
+                rows.append((did, dhash_bits(img), w, h))
+            yield pd.DataFrame(rows, columns=[id_col, "dhash", "width", "height"])
+
+    return df.mapInPandas(
+        kernel, f"{id_col} {id_t}, dhash long, width int, height int"
+    )
+
+
 def _image_features(img) -> list[float]:
     """8 deterministic floats: mean R,G,B + 5-bin luminance histogram
     (fractions), everything half-up rounded at 1e-6."""

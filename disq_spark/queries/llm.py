@@ -2578,6 +2578,101 @@ FROM base ORDER BY doc_id
 # behaviour on photographic content is property-tested with error
 # bounds in tests/test_multimodal.py.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# multimodal_image_dhash / multimodal_image_neardup — perceptual image
+# near-dup: each printable doc becomes a REAL 18x16 binary P6 whose
+# pixel bytes are its text; image_dhash decodes, integer-grayscales,
+# nearest-resamples to 9x8 and emits the 64-bit difference hash; pairs
+# come from pigeonhole hamming banding (never all-pairs). The oracle
+# recomputes the hash in pure SQL from the text bytes (ascii/substring
+# + // arithmetic + signed bit-63 term) and, for the pair gate,
+# brute-forces bit_count(xor()) over all pairs — banded MUST equal
+# brute force (max_hamming < bands completeness).
+# ---------------------------------------------------------------------------
+_DH_W, _DH_H = 18, 16
+_DH_BYTES = _DH_W * _DH_H * 3
+_DH_CAP = 200
+_DH_MAXHAM = 3
+
+
+def _dhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < _DH_CAP) & F.col("text").rlike("^[ -~]+$")
+    )
+    body = F.rpad(F.substring("text", 1, _DH_BYTES), _DH_BYTES, " ")
+    header = F.lit(f"P6\n{_DH_W} {_DH_H}\n255\n")
+    return d.select(
+        "doc_id",
+        F.concat(header.cast("binary"), body.cast("binary")).alias("payload"),
+    )
+
+
+@_q("multimodal_image_dhash")
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.multimodal import image_dhash
+
+    return image_dhash(_dhash_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@_q("multimodal_image_neardup")
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.dedup import hamming_banded_pairs
+    from disq_spark.operators.multimodal import image_dhash
+
+    codes = image_dhash(_dhash_docs(spark, sf_dir)).select("doc_id", "dhash")
+    return hamming_banded_pairs(
+        codes, "dhash", "doc_id", bits=64, bands=4, max_hamming=_DH_MAXHAM
+    ).orderBy("id_a", "id_b")
+
+
+def _dhash_sql_expr(pad: str) -> str:
+    """BIGINT dHash of an 18x16 image whose raw P6 body bytes are the
+    864-char expression ``pad`` (1-based substring indexing)."""
+    def gray(r, c):
+        pos = 3 * ((2 * r) * _DH_W + 2 * c)
+        return (
+            f"((ascii(substring({pad}, {pos + 1}, 1))"
+            f" + ascii(substring({pad}, {pos + 2}, 1))"
+            f" + ascii(substring({pad}, {pos + 3}, 1))) // 3)"
+        )
+
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            i = r * 8 + c
+            coef = "-9223372036854775808" if i == 63 else str(1 << i)
+            terms.append(
+                f"CASE WHEN {gray(r, c)} < {gray(r, c + 1)} THEN CAST({coef} AS BIGINT) ELSE 0 END"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dhash_codes_cte() -> str:
+    pad = f"rpad(substring(text, 1, {_DH_BYTES}), {_DH_BYTES}, ' ')"
+    return f"""
+codes AS (
+  SELECT doc_id, {_dhash_sql_expr(pad)} AS dhash
+  FROM documents
+  WHERE doc_id < {_DH_CAP} AND regexp_matches(text, '^[ -~]+$')
+)"""
+
+
+ORACLE["multimodal_image_dhash"] = f"""
+WITH {_dhash_codes_cte()}
+SELECT doc_id, dhash, {_DH_W} AS width, {_DH_H} AS height
+FROM codes ORDER BY doc_id
+"""
+
+ORACLE["multimodal_image_neardup"] = f"""
+WITH {_dhash_codes_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {_DH_MAXHAM}
+ORDER BY id_a, id_b
+"""
+
+
 _JPEG_BYTES = 16  # 4x4 blocks of 8x8 px
 
 

@@ -4311,3 +4311,42 @@ def test_remove_duplicate_paragraphs_semantics(spark):
     assert got[1] == ("Own text one", 2, 1)
     assert got[2] == ("Repeated twice\n\nRepeated twice\n\nOwn text two", 3, 0)
     assert got[3] == ("", 1, 1)
+
+
+def test_image_dhash_semantics(spark):
+    """dHash invariants: identical pixels -> identical codes (hamming
+    0), a single-pixel luminance bump flips at most 2 bits (its two
+    adjacent comparisons), and a hand-computed 9x8 gradient image gives
+    the known all-ones / all-zeros rows."""
+    import numpy as np
+
+    from disq_spark.operators.dedup import hamming_banded_pairs
+    from disq_spark.operators.multimodal import dhash_bits, encode_ppm, image_dhash
+
+    # hand-check: 9x8 image whose grayscale strictly increases along x
+    # -> every comparison true -> all 64 bits set -> signed -1
+    grad = np.tile((np.arange(9, dtype=np.uint8) * 20)[None, :, None], (8, 1, 3))
+    assert dhash_bits(grad) == -1
+    # constant image: no comparison true -> 0
+    assert dhash_bits(np.full((8, 9, 3), 7, np.uint8)) == 0
+
+    rng = np.random.default_rng(12)
+    base = rng.integers(0, 256, (16, 18, 3), dtype=np.uint8)
+    bumped = base.copy()
+    bumped[0, 0] = 255  # lands on sampled pixel (0,0): affects <= 1 comparison
+    rows = [
+        (0, encode_ppm(base)),
+        (1, encode_ppm(base)),       # exact duplicate
+        (2, encode_ppm(bumped)),     # near duplicate
+        (3, b"not an image"),        # undecodable -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    codes = image_dhash(df)
+    got = {r.doc_id: r.dhash for r in codes.collect()}
+    assert set(got) == {0, 1, 2} and got[0] == got[1]
+    assert bin(got[0] ^ got[2]).count("1") <= 2
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_banded_pairs(codes, "dhash", max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0 and (0, 2) in pairs
