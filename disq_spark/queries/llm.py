@@ -333,6 +333,73 @@ FROM kept
 
 
 # ---------------------------------------------------------------------------
+# link_pagerank — host/page ranking over the crawl link graph (Common
+# Crawl publishes exactly this as its host ranking; pipelines use it as
+# a sampling-quality prior). Synthetic deterministic graph from doc_ids
+# with dangling nodes (every 17th page has no out-links) so the
+# dangling-mass redistribution is exercised; the oracle unrolls the
+# identical power iteration as chained CTEs. Rounded to 6 decimals —
+# float sums agree at that rounding across engines (in-degree <= ~9
+# terms per node per iteration).
+# ---------------------------------------------------------------------------
+_PR_CAP = 400
+_PR_ITERS = 12
+
+
+def _pr_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _PR_CAP)
+    links = F.array(
+        *[
+            (F.col("doc_id") * a + c) % _PR_CAP
+            for a, c in ((7, 1), (13, 5), (3, 11))
+        ]
+    )
+    return (
+        d.filter(F.col("doc_id") % 17 != 0)  # every 17th page is dangling
+        .select(F.col("doc_id").alias("src"), F.explode(links).alias("dst"))
+    )
+
+
+@_q("link_pagerank")
+def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.graph import pagerank
+
+    pr = pagerank(
+        _pr_edges_spark(spark, sf_dir), damping=0.85, iters=_PR_ITERS
+    )
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(25)
+    )
+
+
+def _pagerank_oracle() -> str:
+    from disq_spark.operators.graph import pagerank_sql_ctes
+
+    edges_cte = f"""edges AS (
+  SELECT DISTINCT src AS u, dst AS v FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % {_PR_CAP} AS dst
+    FROM documents WHERE doc_id < {_PR_CAP} AND doc_id % 17 != 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % {_PR_CAP}
+    FROM documents WHERE doc_id < {_PR_CAP} AND doc_id % 17 != 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 3 + 11) % {_PR_CAP}
+    FROM documents WHERE doc_id < {_PR_CAP} AND doc_id % 17 != 0
+  )
+)"""
+    return f"""
+WITH {pagerank_sql_ctes(edges_cte, 0.85, _PR_ITERS)}
+SELECT node, round(rank, 6) AS rank
+FROM pr_final ORDER BY round(rank, 6) DESC, node LIMIT 25
+"""
+
+
+ORACLE["link_pagerank"] = _pagerank_oracle()
+
+
+# ---------------------------------------------------------------------------
 # dedup_paragraphs — cross-document repeated-paragraph removal (the
 # C4/RefinedWeb boilerplate pass): each doc becomes three paragraphs —
 # its own text (unique), a shared banner drawn from a 5-variant pool

@@ -4350,3 +4350,24 @@ def test_image_dhash_semantics(spark):
         for r in hamming_banded_pairs(codes, "dhash", max_hamming=3).collect()
     }
     assert pairs[(0, 1)] == 0 and (0, 2) in pairs
+
+
+def test_pagerank_semantics(spark):
+    """PageRank invariants on analytic graphs: a symmetric 2-cycle
+    stays uniform (0.5/0.5); total mass is conserved (sums to 1) even
+    with dangling nodes; a sink fed by everything outranks its
+    feeders."""
+    from disq_spark.operators.graph import pagerank
+
+    # symmetric 2-cycle
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(e, iters=10).collect()}
+    assert abs(got[1] - 0.5) < 1e-12 and abs(got[2] - 0.5) < 1e-12
+
+    # star into a dangling sink: 1..4 -> 0; 0 has no out-edges
+    e2 = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src long, dst long")
+    rows = pagerank(e2, iters=20).collect()
+    ranks = {r.node: r.rank for r in rows}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved
+    assert all(ranks[0] > ranks[i] for i in range(1, 5))
+    assert len({round(ranks[i], 12) for i in range(1, 5)}) == 1  # symmetric feeders
