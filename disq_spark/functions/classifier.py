@@ -1,0 +1,71 @@
+"""Hashed linear text-classifier INFERENCE — the fastText-shaped
+quality/toxicity scorer every large filtering pipeline runs (a linear
+head over hashed bag-of-tokens features; training happens offline on
+labeled samples, scoring happens over the full 100 TB corpus — this is
+the scoring path).
+
+Pure column expressions: token -> md5-derived bucket (the repo's
+standard engine-portable hash, ``dedup.gram_hash``), bucket -> weight
+via an array literal (a few-KB plan constant; a 50k-bucket production
+head would broadcast-join a weights table instead — same semantics,
+the gate pins the arithmetic), score = sigmoid(bias + mean of token
+weights). DuckDB mirrors every step, so the gate hash-matches at the
+output rounding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from disq_spark.functions.text import tokens
+from disq_spark.operators.dedup import gram_hash
+
+
+def deterministic_weights(n_buckets: int, label: str = "disq-qw") -> list[float]:
+    """Reproducible stand-in weight vector in [-1, 1) (gates/tests; a
+    real deployment loads trained weights)."""
+    out = []
+    for i in range(n_buckets):
+        h = int(hashlib.md5(f"{label}-{i}".encode()).hexdigest()[:8], 16)
+        out.append(round(h / float(1 << 31) - 1.0, 6))
+    return out
+
+
+def hashed_linear_score(
+    col, weights: list[float], bias: float = 0.0, round_to: int = 6
+) -> Column:
+    """sigmoid(bias + mean_t weights[gram_hash(t) % n]) over whitespace
+    tokens of the normalized text; empty text scores sigmoid(bias)."""
+    n = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens(col)
+    per_tok = F.transform(
+        toks, lambda t: F.element_at(warr, (gram_hash(t) % n + 1).cast("int"))
+    )
+    mean_w = F.when(
+        F.size(toks) > 0,
+        F.aggregate(per_tok, F.lit(0.0), lambda acc, x: acc + x) / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    z = F.lit(float(bias)) + mean_w
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
+
+
+def hashed_linear_score_sql(
+    expr_norm_tokens: str, weights: list[float], bias: float = 0.0, round_to: int = 6
+) -> str:
+    """DuckDB mirror. ``expr_norm_tokens`` must be the token-list
+    expression (the caller's _TOKS equivalent)."""
+    n = len(weights)
+    wlist = "[" + ", ".join(repr(float(w)) for w in weights) + "]"
+    bucket = (
+        "(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % " + str(n) + " + 1)"
+    )
+    mean_w = (
+        f"(CASE WHEN len({expr_norm_tokens}) > 0 THEN "
+        f"list_sum(list_transform({expr_norm_tokens}, t -> ({wlist})[{bucket}]))"
+        f" / len({expr_norm_tokens}) ELSE 0.0 END)"
+    )
+    return f"round(1.0 / (1.0 + exp(-({float(bias)} + {mean_w}))), {round_to})"

@@ -333,6 +333,59 @@ FROM kept
 
 
 # ---------------------------------------------------------------------------
+# text_classifier_score — fastText-shaped quality-head INFERENCE (the
+# scoring path that runs over the full corpus; training is offline):
+# md5-hashed bag-of-tokens -> bucket weights -> sigmoid of the mean.
+# Fixed deterministic weights; the oracle mirrors bucket arithmetic,
+# list indexing, and the sigmoid, so the score hash-matches.
+# ---------------------------------------------------------------------------
+_CLF_BUCKETS = 64
+_CLF_BIAS = -0.1
+
+
+@_q("text_classifier_score")
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.functions.classifier import deterministic_weights, hashed_linear_score
+
+    w = deterministic_weights(_CLF_BUCKETS)
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        hashed_linear_score(F.col("text"), w, bias=_CLF_BIAS).alias("score"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.sum((F.col("score") >= 0.5).cast("long")).alias("n_pass"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("source")
+    )
+
+
+def _clf_oracle() -> str:
+    from disq_spark.functions.classifier import deterministic_weights, hashed_linear_score_sql
+
+    w = deterministic_weights(_CLF_BUCKETS)
+    score = hashed_linear_score_sql(_TOKS, w, bias=_CLF_BIAS)
+    return f"""
+WITH scored AS (SELECT source, {score} AS score FROM documents)
+SELECT source, count(*) AS n_docs,
+       round(avg(score), 6) AS avg_score,
+       CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+ORACLE["text_classifier_score"] = _clf_oracle()
+
+
+# ---------------------------------------------------------------------------
 # link_pagerank — host/page ranking over the crawl link graph (Common
 # Crawl publishes exactly this as its host ranking; pipelines use it as
 # a sampling-quality prior). Synthetic deterministic graph from doc_ids
