@@ -44,7 +44,25 @@ def resolve_paths(path: str, extensions: tuple[str, ...]) -> list[str]:
             raise FileNotFoundError(f"no {extensions} files in directory {path}")
         return sorted(names)
     if any(ch in path for ch in "*?["):
-        names = [p for p in glob.glob(path) if not os.path.basename(p).startswith((".", "_"))]
+        from disq_spark.fs import split_scheme
+
+        if split_scheme(path)[0] in ("", "file"):
+            names = [
+                p for p in glob.glob(path) if not os.path.basename(p).startswith((".", "_"))
+            ]
+            return sorted(names)
+        # non-local scheme: list the parent through the fs registry and
+        # fnmatch the basename (one-level globs — the common segment
+        # pattern; deep ** globs need backend-native listing)
+        import fnmatch
+
+        parent, pattern = path.rsplit("/", 1)
+        names = [
+            p
+            for p in _dfs.listdir(parent)
+            if fnmatch.fnmatch(os.path.basename(p), pattern)
+            and not os.path.basename(p).startswith((".", "_"))
+        ]
         return sorted(names)
     return [path]
 

@@ -188,3 +188,20 @@ def test_block_locations_dispatch(tmp_path):
             assert part.hosts == ("dn-1.example", "dn-2.example")
     finally:
         fs._REGISTRY.pop("mockloc", None)
+
+
+def test_resolve_paths_glob_on_memory_fs():
+    """Globs must work on non-local schemes through the fs registry
+    (fnmatch over the listed parent), with hidden/_ files skipped."""
+    from disq_spark import fs
+    from disq_spark.sources.plan import resolve_paths
+
+    for name in ("part-0.warc.gz", "part-1.warc.gz", "other.txt", "_tmp.warc.gz"):
+        with fs.open_output(f"memory://globtest/{name}") as f:
+            f.write(b"x")
+    got = resolve_paths("memory://globtest/part-*.warc.gz", (".warc.gz",))
+    assert got == [
+        "memory://globtest/part-0.warc.gz",
+        "memory://globtest/part-1.warc.gz",
+    ]
+    fs.rmtree("memory://globtest")
