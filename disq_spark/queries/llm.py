@@ -333,6 +333,76 @@ FROM kept
 
 
 # ---------------------------------------------------------------------------
+# crawl_robots_filter — robots.txt enforcement end-to-end: per-host
+# robots payloads are PARSED (user-agent groups, Allow/Disallow,
+# comments, empty-Disallow) and pages filtered by longest-prefix-match
+# with Allow winning ties. The oracle never sees the robots text — it
+# recomputes allowed-ness independently from the corpus-generation
+# arithmetic, so parser AND enforcement must both be right.
+#   hosts: site{doc_id%6}.example.com
+#   robots per host h: disallow /private/; allow /private/ok/ when h
+#   is even; host 5 has an irrelevant agent group only (no '*' rules).
+#   pages: doc_id%4==0 -> /private/a{id}, %4==1 -> /private/ok/b{id},
+#          %4==2 -> /public/c{id},      %4==3 -> /
+# ---------------------------------------------------------------------------
+@_q("crawl_robots_filter")
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.robots import apply_robots, robots_rules
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 6).cast("int")
+    hostname = F.concat(F.lit("site"), h.cast("string"), F.lit(".example.com"))
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/private/a"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/ok/b"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/public/c"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/"))
+    )
+    pages = d.select(
+        "doc_id", F.concat(F.lit("https://"), hostname, path).alias("url")
+    )
+    robots_txt = []
+    for hh in range(6):
+        if hh == 5:
+            txt = "User-agent: SpecialBot\nDisallow: /\n"  # no '*' group
+        else:
+            txt = (
+                "# robots for tests\nUser-agent: GoogleBot\nUser-agent: *\n"
+                "Disallow: /private/\n"
+            )
+            if hh % 2 == 0:
+                txt += "Allow: /private/ok/\n"
+            txt += "\nUser-agent: OtherBot\nDisallow: /\n"
+        robots_txt.append((f"site{hh}.example.com", txt))
+    robots_df = spark.createDataFrame(robots_txt, "host string, payload string")
+    rules = robots_rules(robots_df)
+    kept = apply_robots(pages, rules, "url")
+    return kept.agg(
+        F.count("*").alias("n_allowed"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id").cast("string"))))
+        ).alias("allowed_md5"),
+    )
+
+
+ORACLE["crawl_robots_filter"] = """
+WITH verdicts AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 6 = 5 THEN TRUE            -- no '*' rules
+           WHEN doc_id % 4 = 0 THEN FALSE           -- /private/ disallowed
+           WHEN doc_id % 4 = 1 THEN (doc_id % 6) % 2 = 0  -- /private/ok/ allowed on even hosts
+           ELSE TRUE                                -- /public/ and /
+         END AS allowed
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_allowed,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))) AS allowed_md5
+FROM verdicts WHERE allowed
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_classifier_score — fastText-shaped quality-head INFERENCE (the
 # scoring path that runs over the full corpus; training is offline):
 # md5-hashed bag-of-tokens -> bucket weights -> sigmoid of the mean.

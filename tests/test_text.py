@@ -379,3 +379,54 @@ def test_boilerplate_line_rules(spark):
             "x" * 30,
         ]
     )
+
+
+def test_robots_parse_and_apply(spark):
+    """RFC 9309 subset semantics: stacked user-agent lines form one
+    group, comments and empty Disallow handled, longest-prefix wins
+    with Allow beating Disallow at equal length, ruleless hosts pass
+    everything."""
+    from pyspark.sql import functions as F
+
+    from disq_spark.operators.robots import (
+        apply_robots,
+        parse_robots_rules,
+        robots_rules,
+    )
+
+    txt = (
+        "# comment\n"
+        "User-agent: GoogleBot\n"
+        "User-agent: *\n"
+        "Disallow: /a/\n"
+        "Allow: /a/b/\n"
+        "Disallow:\n"            # empty: allow-all, no rule emitted
+        "\n"
+        "User-agent: OtherBot\n"
+        "Disallow: /\n"          # not ours
+    )
+    assert parse_robots_rules(txt) == [(False, "/a/"), (True, "/a/b/")]
+
+    robots = spark.createDataFrame(
+        [("h1", txt), ("h2", "User-agent: *\nDisallow: /\n")],
+        "host string, payload string",
+    )
+    rules = robots_rules(robots)
+    pages = spark.createDataFrame(
+        [
+            (0, "https://h1/a/x"),      # /a/ disallowed
+            (1, "https://h1/a/b/x"),    # /a/b/ allow overrides (longer)
+            (2, "https://h1/c"),        # unmatched -> allowed
+            (3, "https://h2/anything"), # blanket disallow
+            (4, "https://h3/x"),        # no robots -> allowed
+            (5, "https://h1"),          # empty path -> '/' -> unmatched
+        ],
+        "i long, url string",
+    )
+    kept = {r.i for r in apply_robots(pages, rules, "url").collect()}
+    assert kept == {1, 2, 4, 5}
+    # plan shape: broadcast join, no exchange of the page side keys
+    plan = apply_robots(pages, rules, "url")._sc._jvm.PythonSQLUtils.explainString(
+        apply_robots(pages, rules, "url")._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
