@@ -53,6 +53,79 @@ def hashed_linear_score(
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
 
 
+def score_hashed_linear(
+    df,
+    weights: list[float],
+    text_col: str = "text",
+    bias: float = 0.0,
+    out_col: str = "score",
+    round_to: int = 6,
+    method: str = "auto",
+):
+    """DataFrame form with size-based dispatch (operators/dispatch):
+    the pure-column HOF path runs the per-token fold INTERPRETED on the
+    JVM (measured sf5, 250k docs x 64 buckets: 75.8 s), so at scale the
+    scoring runs as an Arrow kernel — md5 per distinct token with a
+    batch memo (Zipf), left-to-right accumulation in the same order as
+    the JVM fold, same sigmoid/rounding. Both paths agree at round_to
+    (pinned by test)."""
+    from disq_spark.operators.dispatch import resolve_method
+
+    if resolve_method(method, df) == "sql":
+        return df.withColumn(
+            out_col, hashed_linear_score(F.col(text_col), weights, bias, round_to)
+        )
+
+    import hashlib as _hashlib
+    import re as _re
+
+    n = len(weights)
+    w = [float(x) for x in weights]
+    b = float(bias)
+    cols = list(df.columns)
+    if out_col not in cols:
+        cols.append(out_col)
+    schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" if c in df.columns else f"{c} double"
+        for c in cols
+    )
+
+    def kernel(batches):
+        import math
+
+        memo: dict[str, float] = {}
+
+        def tok_weight(t: str) -> float:
+            v = memo.get(t)
+            if v is None:
+                h = int(_hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                v = w[h % n]
+                memo[t] = v
+            return v
+
+        for pdf in batches:
+            scores = []
+            for text in pdf[text_col]:
+                if not isinstance(text, str):
+                    scores.append(None)
+                    continue
+                norm = _re.sub(r"\s+", " ", text.lower()).strip()
+                toks = norm.split(" ") if norm else []
+                acc = 0.0
+                for t in toks:  # left-to-right like the JVM fold
+                    acc += tok_weight(t)
+                z = b + (acc / len(toks) if toks else 0.0)
+                s = 1.0 / (1.0 + math.exp(-z))
+                # half-up like Spark's F.round (Python round() is banker's)
+                scale = 10.0 ** round_to
+                scores.append(math.floor(s * scale + 0.5) / scale)
+            pdf = pdf.copy()
+            pdf[out_col] = scores
+            yield pdf[cols]
+
+    return df.mapInPandas(kernel, schema)
+
+
 def hashed_linear_score_sql(
     expr_norm_tokens: str, weights: list[float], bias: float = 0.0, round_to: int = 6
 ) -> str:

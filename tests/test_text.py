@@ -430,3 +430,24 @@ def test_robots_parse_and_apply(spark):
         apply_robots(pages, rules, "url")._jdf.queryExecution(), "simple"
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_classifier_kernel_matches_sql_path(spark, tmp_path):
+    """score_hashed_linear: the Arrow kernel (scale path) must produce
+    the identical rounded scores as the pure-column HOF path on real
+    corpus text, and auto-dispatch must route parquet-small inputs to
+    sql."""
+    from disq_spark.functions.classifier import (
+        deterministic_weights,
+        score_hashed_linear,
+    )
+    from disq_spark.operators.dispatch import resolve_method
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    assert resolve_method("auto", d) == "sql"
+    w = deterministic_weights(64)
+    a = {r.doc_id: r.score for r in score_hashed_linear(d, w, bias=-0.1, method="sql").collect()}
+    b = {r.doc_id: r.score for r in score_hashed_linear(d, w, bias=-0.1, method="blas").collect()}
+    assert a == b and len(a) == 500
