@@ -106,10 +106,13 @@ def score_hashed_linear(
         for pdf in batches:
             scores = []
             for text in pdf[text_col]:
-                if not isinstance(text, str):
-                    scores.append(None)
-                    continue
-                norm = _re.sub(r"\s+", " ", text.lower()).strip()
+                # null text scores like empty text — sigmoid(bias) —
+                # exactly as the SQL path's otherwise(0.0) branch does
+                norm = (
+                    _re.sub(r"\s+", " ", text.lower()).strip()
+                    if isinstance(text, str)
+                    else ""
+                )
                 toks = norm.split(" ") if norm else []
                 acc = 0.0
                 for t in toks:  # left-to-right like the JVM fold

@@ -49,6 +49,10 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n_total = nodes.count()
+    if n_total == 0:
+        # empty edge list: empty result with the right schema, not a
+        # division by zero buried in an executor task
+        return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("u").agg(F.count("*").alias("deg"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))

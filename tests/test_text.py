@@ -451,3 +451,8 @@ def test_classifier_kernel_matches_sql_path(spark, tmp_path):
     a = {r.doc_id: r.score for r in score_hashed_linear(d, w, bias=-0.1, method="sql").collect()}
     b = {r.doc_id: r.score for r in score_hashed_linear(d, w, bias=-0.1, method="blas").collect()}
     assert a == b and len(a) == 500
+    # null/empty text parity: both paths give sigmoid(bias)
+    edge = spark.createDataFrame([(0, None), (1, ""), (2, "   ")], "doc_id long, text string")
+    ea = {r.doc_id: r.score for r in score_hashed_linear(edge, w, bias=-0.1, method="sql").collect()}
+    eb = {r.doc_id: r.score for r in score_hashed_linear(edge, w, bias=-0.1, method="blas").collect()}
+    assert ea == eb and len(set(ea.values())) == 1
