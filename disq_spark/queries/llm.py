@@ -526,6 +526,75 @@ ORACLE["link_pagerank"] = _pagerank_oracle()
 
 
 # ---------------------------------------------------------------------------
+# dedup_lsh_recall — measure, don't guess: recall/precision of the
+# MinHash+LSH candidate pipeline against EXACT shingle-set Jaccard on
+# a bounded slice, as one oracle-checked gate. Both sides are fully
+# SQL-expressible (the minhash CTE chain and the inverted-index
+# Jaccard share the same shingle CTE), so the quality numbers
+# themselves are hash-verified — the operator's recall claim is a
+# checked artifact, not a notebook anecdote.
+# ---------------------------------------------------------------------------
+_LSH_EVAL_CAP = 300
+
+
+@_q("dedup_lsh_recall")
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _LSH_EVAL_CAP)
+    exact = DD.ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=MINHASH_THRESHOLD,
+        k=SHINGLE_K, stride=SHINGLE_STRIDE, max_df=None,
+    ).select("id_a", "id_b")
+    approx = DD.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=NUM_HASHES, bands=BANDS,
+        threshold=MINHASH_THRESHOLD, k=SHINGLE_K, stride=SHINGLE_STRIDE,
+        max_df=None,
+    ).select("id_a", "id_b")
+    hit = approx.intersect(exact)
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(approx.agg(F.count("*").alias("n_approx")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_approx",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_approx"), 4).alias("precision"),
+        )
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    src = f"(SELECT * FROM documents WHERE doc_id < {_LSH_EVAL_CAP}) AS d"
+    return f"""
+WITH {_minhash_pair_ctes(src, max_df_sql="1000000000")},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+             JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) >= {MINHASH_THRESHOLD}
+),
+approx AS (SELECT id_a, id_b FROM pairs),
+hit AS (SELECT id_a, id_b FROM approx INTERSECT SELECT id_a, id_b FROM exact)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM approx) AS n_approx,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round((SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM exact), 4) AS recall,
+       round((SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM approx), 4) AS precision
+"""
+
+
+# (ORACLE["dedup_lsh_recall"] assigned at end of module: the builder
+# references _minhash_pair_ctes, defined further down.)
+
+
+# ---------------------------------------------------------------------------
 # dedup_paragraphs — cross-document repeated-paragraph removal (the
 # C4/RefinedWeb boilerplate pass): each doc becomes three paragraphs —
 # its own text (unique), a shared banner drawn from a 5-variant pool
@@ -4310,6 +4379,7 @@ ORDER BY comp;"""
 ORACLE["dedup_keep_best"] = _keep_best_oracle()
 
 
-# deferred: _full_pipeline_oracle needs _QUALITY_SQL / CRAWL_QUALITY_MIN,
-# which are defined between the gate and here
+# deferred: these oracle builders reference helpers (_QUALITY_SQL,
+# _minhash_pair_ctes) defined between the gates and here
 ORACLE["crawl_pipeline_full"] = _full_pipeline_oracle()
+ORACLE["dedup_lsh_recall"] = _lsh_recall_oracle()
