@@ -1162,6 +1162,116 @@ def substring_dup_rate(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_span: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the cleaning step of
+    Lee et al.'s ExactSubstr dedup (``substring_dup_rate`` only measures;
+    this rewrites). Token-level variant of the paper's 50-token rule:
+
+    - a word ``n``-gram is duplicated iff it occurs in >= 2 distinct
+      documents (within-doc repeats don't count, same contract as
+      ``substring_dup_rate``);
+    - a token position is covered iff any duplicated gram spans it;
+    - maximal runs of covered positions with run length >= ``min_span``
+      are deleted; everything else (including sub-threshold covered
+      runs) is kept verbatim.
+
+    Returns one row per input document:
+    (id_col, n_tokens, n_removed, clean_text) — documents shorter than
+    ``n`` tokens (no grams) pass through unchanged; empty docs yield
+    ``clean_text = ''``.
+
+    Plan shape / scale: grams shuffle once as 8-byte fingerprints for
+    the cross-doc flag (map-side-combinable min/max, never
+    count-distinct), covered positions re-shuffle by document for the
+    run-length windows — window partitions are doc-sized, bounded by
+    document length, so no partition outgrows memory at 100 TB. The
+    rebuild is an anti-join of the token table against the removal set
+    plus one per-doc sort_array — all JVM expressions, no Python, no
+    driver collect. Suffix arrays (the paper's data structure) don't
+    distribute; positional-gram cover is the shuffle-native equivalent
+    and finds exactly the duplicated spans of length >= n.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    npos = F.size(F.col("toks")) - F.lit(n - 1)
+    # positional grams: (id, pos, gh) with pos 1-based
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                npos >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(npos, F.lit(1))),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gram"),
+    ).select(
+        F.col(id_col),
+        (F.col("pos0") + 1).alias("pos"),
+        gram_hash(F.col("gram")).alias("gh"),
+    )
+    flag = grams.groupBy("gh").agg((F.min(id_col) != F.max(id_col)).alias("is_dup"))
+    covered = (
+        grams.join(flag, "gh")
+        .filter("is_dup")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+                "ti"
+            ),
+        )
+        .distinct()
+    )
+    # gaps-and-islands: consecutive covered positions share (ti - row_number)
+    w = Window.partitionBy(id_col).orderBy("ti")
+    runs = covered.withColumn("grp", F.col("ti") - F.row_number().over(w))
+    removal = (
+        runs.withColumn(
+            "run_len", F.count("*").over(Window.partitionBy(id_col, "grp"))
+        )
+        .filter(F.col("run_len") >= min_span)
+        .select(id_col, "ti")
+    )
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode(F.col("toks")).alias("idx0", "tok")
+    ).select(F.col(id_col), (F.col("idx0") + 1).alias("ti"), "tok")
+    kept = (
+        tok_rows.join(removal, [id_col, "ti"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        base.select(F.col(id_col), F.size("toks").cast("long").alias("n_tokens"))
+        .join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -4136,6 +4136,101 @@ GROUP BY d.source ORDER BY d.source
 
 
 # ---------------------------------------------------------------------------
+# text_substring_span_removal — the CLEANING step of Lee et al. ExactSubstr
+# dedup (text_substring_dup_rate measures, this rewrites): maximal runs of
+# token positions covered by cross-document duplicated n-grams are deleted
+# when the run reaches min_span tokens. content_hash pins every cleaned
+# text byte-exactly (md5 of per-doc md5s in doc_id order), so the oracle
+# verifies the rewritten corpus, not just the counters.
+# ---------------------------------------------------------------------------
+SPANRM_N = 5
+SPANRM_MIN = 20  # sf-synthetic run lengths span 5..93 — 20 exercises both branches
+
+
+@_q("text_substring_span_removal")
+def text_substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per = DD.remove_duplicate_spans(d, n=SPANRM_N, min_span=SPANRM_MIN)
+    return (
+        per.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_removed").alias("total_removed"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias("n_docs_touched"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("doc_id"),
+                                    F.md5("clean_text").alias("h"),
+                                )
+                            )
+                        ),
+                        lambda s: s["h"],
+                    ),
+                )
+            ).alias("content_hash"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_substring_span_removal"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {SPANRM_N - 1}), ' ')), 1, 15)) AS BIGINT) AS gh
+  FROM t, unnest(generate_series(1, len(toks) - {SPANRM_N - 1})) AS u(i)
+  WHERE len(toks) >= {SPANRM_N}
+),
+gf AS (SELECT gh, (min(doc_id) <> max(doc_id)) AS is_dup FROM g GROUP BY gh),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + j AS ti
+  FROM g JOIN gf USING (gh), unnest(generate_series(0, {SPANRM_N - 1})) AS v(j)
+  WHERE gf.is_dup
+),
+runs AS (
+  SELECT doc_id, ti, ti - row_number() OVER (PARTITION BY doc_id ORDER BY ti) AS grp
+  FROM cov
+),
+rem AS (
+  SELECT doc_id, ti FROM (
+    SELECT doc_id, ti, count(*) OVER (PARTITION BY doc_id, grp) AS run_len FROM runs
+  ) WHERE run_len >= {SPANRM_MIN}
+),
+tok AS (
+  SELECT doc_id, u.i AS ti, toks[u.i] AS tok
+  FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+),
+kept AS (
+  SELECT tok.doc_id, count(*) AS n_kept,
+         coalesce(string_agg(tok.tok, ' ' ORDER BY tok.ti), '') AS clean_text
+  FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM rem WHERE rem.doc_id = tok.doc_id AND rem.ti = tok.ti)
+  GROUP BY tok.doc_id
+),
+per AS (
+  SELECT t.doc_id, len(t.toks) AS n_tokens,
+         len(t.toks) - coalesce(k.n_kept, 0) AS n_removed,
+         coalesce(k.clean_text, '') AS clean_text
+  FROM t LEFT JOIN kept k USING (doc_id)
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(per.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(per.n_removed) AS BIGINT) AS total_removed,
+       CAST(sum(CASE WHEN per.n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+       md5(string_agg(md5(per.clean_text), '' ORDER BY per.doc_id)) AS content_hash
+FROM per JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_edit_distance — the fuzzy VERIFICATION tier: Levenshtein over
 # normalized text, computed only on shingle-candidate pairs (sketches
 # propose, exact string metric disposes). Both engines implement the

@@ -1050,6 +1050,55 @@ def test_substring_dup_rate_hand_computed(spark):
     assert got == {1: (3, round(1 / 3, 6)), 2: (3, round(1 / 3, 6)), 3: (6, 0.0)}
 
 
+def test_remove_duplicate_spans_hand_computed(spark):
+    from disq_spark.operators.dedup import remove_duplicate_spans
+
+    # docs 1/2 share "b c d e f g" -> with n=3 the covered run in each is
+    # 6 tokens; min_span=6 deletes it in both. doc 3's within-doc repeat
+    # must survive (cross-doc test). doc 4 shares only "b c d" with doc 1
+    # -> covered run of 3 < min_span, kept. doc 5 is short, doc 6 empty.
+    rows = [
+        (1, "A b c d e f g h"),
+        (2, "x b c d e f g y"),
+        (3, "p q r p q r p q r"),
+        (4, "u b c d v w z q1 q2"),
+        (5, "s t"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_duplicate_spans(df, n=3, min_span=6).collect()
+    }
+    assert got[1] == (8, 6, "a h")
+    assert got[2] == (8, 6, "x y")
+    assert got[3] == (9, 0, "p q r p q r p q r")
+    # doc 4: "b c d" covered (3 tokens) but run < 6 -> nothing removed
+    assert got[4] == (9, 0, "u b c d v w z q1 q2")
+    assert got[5] == (2, 0, "s t")
+    assert got[6] == (0, 0, "")
+    assert len(got) == 6
+
+
+def test_remove_duplicate_spans_threshold_boundary(spark):
+    from disq_spark.operators.dedup import remove_duplicate_spans
+
+    # shared 4-token phrase, n=3 -> covered run is exactly 4 tokens:
+    # removed at min_span=4, kept at min_span=5 (>= comparison).
+    rows = [(1, "a b c d e"), (2, "z b c d e")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rm4 = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(df, n=3, min_span=4).collect()
+    }
+    rm5 = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(df, n=3, min_span=5).collect()
+    }
+    assert rm4 == {1: "a", 2: "z"}
+    assert rm5 == {1: "a b c d e", 2: "z b c d e"}
+
+
 def test_scale_n_bits_matches_sql_formula():
     """The dedup_embedding_cosine oracle recomputes the LSH bit width in
     SQL; the two formulas must agree exactly, including at the power-of-
