@@ -285,3 +285,102 @@ ORDER BY stats.col_name
 
 
 ORACLE["profile_orders"] = _profile_oracle()
+
+
+# ---------------------------------------------------------------------------
+# data_quality_checks — Deequ-style constraint verification on orders +
+# a lineitem->orders referential containment (operators/checks.py). The
+# o_custkey distinctness check is DESIGNED to fail (1,500 customers /
+# 15,000 orders) so the gate verifies recorded failures, not just greens.
+# ---------------------------------------------------------------------------
+
+_DQ_CONSTRAINTS = [
+    {"name": "orders_custkey_distinct", "kind": "distinctness",
+     "column": "o_custkey", "min_ratio": 1.0},
+    {"name": "orders_orderkey_complete", "kind": "completeness",
+     "column": "o_orderkey", "min_ratio": 1.0},
+    {"name": "orders_orderkey_distinct", "kind": "distinctness",
+     "column": "o_orderkey", "min_ratio": 1.0},
+    {"name": "orders_priority_pattern", "kind": "pattern",
+     "column": "o_orderpriority", "pattern": "^[1-5]-", "min_ratio": 1.0},
+    {"name": "orders_rowcount", "kind": "row_count", "min": 1},
+    {"name": "orders_status_domain", "kind": "in_set",
+     "column": "o_orderstatus", "values": ["F", "O", "P"], "min_ratio": 1.0},
+    {"name": "orders_totalprice_min", "kind": "min",
+     "column": "o_totalprice", "bound": 0.0},
+]
+
+
+@_q("data_quality_checks")
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators import checks as CK
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    report = CK.check_constraints(o, _DQ_CONSTRAINTS).unionByName(
+        CK.containment_check(
+            li, "l_orderkey", o, "o_orderkey",
+            name="lineitem_orderkey_in_orders", min_ratio=1.0,
+        )
+    )
+    return report.select(
+        "name", "kind", "col", F.round("metric", 6).alias("metric"), "passed"
+    ).orderBy("name")
+
+
+ORACLE["data_quality_checks"] = """
+SELECT * FROM (
+  SELECT 'lineitem_orderkey_in_orders' AS name, 'containment' AS kind,
+         'l_orderkey' AS col,
+         round(avg(CASE WHEN l_orderkey IS NULL THEN NULL
+                        WHEN l_orderkey IN (SELECT o_orderkey FROM orders)
+                        THEN 1.0 ELSE 0.0 END), 6) AS metric,
+         coalesce(avg(CASE WHEN l_orderkey IS NULL THEN NULL
+                           WHEN l_orderkey IN (SELECT o_orderkey FROM orders)
+                           THEN 1.0 ELSE 0.0 END) >= 1.0, false) AS passed
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_custkey_distinct', 'distinctness', 'o_custkey',
+         round(count(DISTINCT o_custkey) / CAST(count(*) AS DOUBLE), 6),
+         coalesce(count(DISTINCT o_custkey) / CAST(count(*) AS DOUBLE) >= 1.0, false)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_orderkey_complete', 'completeness', 'o_orderkey',
+         round(avg(CASE WHEN o_orderkey IS NULL THEN 0.0 ELSE 1.0 END), 6),
+         coalesce(avg(CASE WHEN o_orderkey IS NULL THEN 0.0 ELSE 1.0 END) >= 1.0, false)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_orderkey_distinct', 'distinctness', 'o_orderkey',
+         round(count(DISTINCT o_orderkey) / CAST(count(*) AS DOUBLE), 6),
+         coalesce(count(DISTINCT o_orderkey) / CAST(count(*) AS DOUBLE) >= 1.0, false)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_priority_pattern', 'pattern', 'o_orderpriority',
+         round(avg(CASE WHEN o_orderpriority IS NULL THEN NULL
+                        WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                        THEN 1.0 ELSE 0.0 END), 6),
+         coalesce(avg(CASE WHEN o_orderpriority IS NULL THEN NULL
+                           WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                           THEN 1.0 ELSE 0.0 END) >= 1.0, false)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_rowcount', 'row_count', NULL,
+         round(CAST(count(*) AS DOUBLE), 6),
+         coalesce(CAST(count(*) AS DOUBLE) >= 1.0, false)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_status_domain', 'in_set', 'o_orderstatus',
+         round(avg(CASE WHEN o_orderstatus IS NULL THEN NULL
+                        WHEN o_orderstatus IN ('F', 'O', 'P')
+                        THEN 1.0 ELSE 0.0 END), 6),
+         coalesce(avg(CASE WHEN o_orderstatus IS NULL THEN NULL
+                           WHEN o_orderstatus IN ('F', 'O', 'P')
+                           THEN 1.0 ELSE 0.0 END) >= 1.0, false)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_totalprice_min', 'min', 'o_totalprice',
+         round(CAST(min(o_totalprice) AS DOUBLE), 6),
+         coalesce(min(o_totalprice) >= 0.0, false)
+  FROM orders
+) ORDER BY name
+"""
