@@ -63,6 +63,69 @@ def bigram_lm_fit(
     return c12, c1, vocab
 
 
+def collocations_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_k`` collocations by pointwise mutual information — the
+    phrase-detection pass (word2vec-phrases / NLTK collocations) a
+    corpus-analysis tier runs before tokenizer training.
+
+    PMI over the corpus BIGRAM distribution: with c12 = count(w1 w2),
+    h1 = count of w1 in first position, t2 = count of w2 in second
+    position, N = total bigram occurrences,
+
+        lift = c12 * N / (h1 * t2)        pmi = ln(lift)
+
+    Pairs below ``min_count`` are dropped (rare-pair PMI explodes — the
+    standard guard). Returns (w1, w2, c12, lift, pmi), ordered by
+    (lift desc, w1, w2).
+
+    Determinism: lift is computed as an INTEGER-product ratio
+    (c12*N)/(h1*t2) — both products stay in int64 and their double
+    quotient is correctly rounded, so any engine produces the identical
+    double and the identical ordering; only the final ln() is rounded
+    for display. (At extreme scale c12*N can overflow int64 once
+    N > ~9e18/c12; flip the expression to (c12/h1)*(N/t2) there and
+    accept last-ulp ordering jitter.)
+
+    Scale shape: one explode into bigram rows, three partial-agg
+    groupBys (pair/head/tail counts — shuffle rows ~= distinct grams,
+    not corpus tokens), N as a broadcast scalar, two joins keyed by
+    single words (AQE broadcasts the marginal tables when the vocab
+    fits), one top-k sort of the filtered pair table.
+    """
+    bg = _doc_bigrams(df, text_col, id_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    h1 = bg.groupBy("w1").agg(F.count("*").alias("h1"))
+    t2 = bg.groupBy("w2").agg(F.count("*").alias("t2"))
+    n = bg.agg(F.count("*").alias("n"))
+    lift = (F.col("c12") * F.col("n")).cast("double") / (
+        F.col("h1") * F.col("t2")
+    ).cast("double")
+    return (
+        c12.filter(F.col("c12") >= min_count)
+        .join(h1, "w1")
+        .join(t2, "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn("lift", lift)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round("lift", 6).alias("lift_r"),
+            F.round(F.log("lift"), 6).alias("pmi"),
+            "lift",
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(top_k)
+        .drop("lift")
+    )
+
+
 def bigram_perplexity(
     df: DataFrame,
     text_col: str = "text",

@@ -1605,6 +1605,47 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# text_collocations_pmi — phrase detection by pointwise mutual information
+# over the corpus bigram distribution (operators/lm.py collocations_pmi).
+# The ordering key is the INTEGER-product lift ratio, identical as a double
+# in any engine, so the top-k cut is deterministic cross-engine.
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+@_q("text_collocations_pmi")
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.lm import collocations_pmi
+
+    d = load(spark, sf_dir, "documents")
+    return collocations_pmi(d, min_count=PMI_MIN_COUNT, top_k=PMI_TOP_K)
+
+
+ORACLE["text_collocations_pmi"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg0 AS (
+  SELECT doc_id, [{{'w1': t[i], 'w2': t[i+1]}} for i in generate_series(1, len(t)-1)] AS pairs
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (SELECT p.w1 AS w1, p.w2 AS w2
+       FROM (SELECT unnest(pairs) AS p FROM bg0)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+h1 AS (SELECT w1, count(*) AS h1 FROM bg GROUP BY 1),
+t2 AS (SELECT w2, count(*) AS t2 FROM bg GROUP BY 1),
+n AS (SELECT count(*) AS n FROM bg),
+scored AS (
+  SELECT c12.w1, c12.w2, c12.c12,
+         CAST(c12.c12 * n.n AS DOUBLE) / CAST(h1.h1 * t2.t2 AS DOUBLE) AS lift
+  FROM c12 JOIN h1 USING (w1) JOIN t2 USING (w2), n
+  WHERE c12.c12 >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, c12, round(lift, 6) AS lift_r, round(ln(lift), 6) AS pmi
+FROM scored ORDER BY lift DESC, w1, w2 LIMIT {PMI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_perplexity_filter — the CCNet cut composed end-to-end: score the
 # corpus with the bigram LM, estimate the keep-threshold from a
 # deterministic hash-sample (no global sort), keep the LOW-perplexity

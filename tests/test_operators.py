@@ -1080,6 +1080,22 @@ def test_remove_duplicate_spans_hand_computed(spark):
     assert len(got) == 6
 
 
+def test_collocations_pmi_hand_computed(spark):
+    import math
+
+    from disq_spark.operators.lm import collocations_pmi
+
+    # "a b a b c": bigrams (a,b),(b,a),(a,b),(b,c) -> c12(a,b)=2,
+    # h1(a)=2, t2(b)=2, N=4 -> lift = 2*4/(2*2) = 2.0, pmi = ln 2.
+    df = spark.createDataFrame([(1, "a b a b c")], ["doc_id", "text"])
+    rows = collocations_pmi(df, min_count=2, top_k=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["c12"]) == ("a", "b", 2)
+    assert r["lift_r"] == 2.0
+    assert r["pmi"] == round(math.log(2.0), 6)
+
+
 def test_remove_duplicate_spans_threshold_boundary(spark):
     from disq_spark.operators.dedup import remove_duplicate_spans
 
