@@ -161,3 +161,68 @@ def bigram_perplexity(
         ids.join(per_doc, id_col, "left")
         .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
     )
+
+
+def corpus_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Distribution drift per group: KL(group || corpus) over unigram
+    token distributions with add-k smoothing — the drift monitor a
+    curation pipeline runs when a new dump/source lands (is this slice
+    statistically like the corpus it joins?), and the signal behind
+    mixture re-weighting decisions.
+
+    For each group g and token w over the CORPUS vocabulary V:
+
+        p_g(w) = (c_gw + k) / (n_g + k|V|)
+        p_c(w) = (c_w  + k) / (n_c + k|V|)
+        KL(g)  = sum_w p_g(w) * ln(p_g(w) / p_c(w))
+
+    Tokens absent from the group still contribute (c_gw = 0) — dropping
+    them would understate drift for narrow slices, so the sum runs over
+    the full group x vocab grid.
+
+    Returns (group_col, n_tokens, vocab_used, kl), kl in nats >= 0.
+
+    Scale shape: two partial-agg token counts (corpus + per-group;
+    shuffle rows ~= |V|, not corpus tokens), group totals as a small
+    table, then the grid join |V| x #groups — #groups is a source enum,
+    not data-sized, so the grid stays ~|V| rows per group and the final
+    sum is one more partial agg. No collect, no Python.
+    """
+    tok = df.select(F.col(group_col).alias("g"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    cw = tok.groupBy("tok").agg(F.count("*").alias("cw"))
+    cgw = tok.groupBy("g", "tok").agg(F.count("*").alias("cgw"))
+    ng = tok.groupBy("g").agg(F.count("*").alias("ng"))
+    scalars = cw.agg(
+        F.sum("cw").alias("nc"), F.count("*").alias("v")
+    )
+    grid = (
+        cw.crossJoin(F.broadcast(ng))
+        .join(cgw, ["g", "tok"], "left")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("cgw", F.coalesce("cgw", F.lit(0)))
+    )
+    pg = (F.col("cgw") + F.lit(add_k)) / (
+        F.col("ng") + F.lit(add_k) * F.col("v")
+    )
+    pc = (F.col("cw") + F.lit(add_k)) / (
+        F.col("nc") + F.lit(add_k) * F.col("v")
+    )
+    per_group = grid.withColumn("term", pg * F.log(pg / pc)).groupBy("g").agg(
+        F.sum("term").alias("kl")
+    )
+    used = cgw.groupBy("g").agg(F.count("*").alias("vocab_used"))
+    return (
+        ng.join(used, "g")
+        .join(per_group, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("ng").alias("n_tokens"),
+            "vocab_used",
+            F.col("kl"),
+        )
+    )

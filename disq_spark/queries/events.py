@@ -779,3 +779,100 @@ SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col ORDER BY row, col
 
 
 ORACLE["streaming_countmin_gate"] = _streaming_cm_oracle()
+
+
+# ---------------------------------------------------------------------------
+# streaming_quality_gate — the Deequ-style constraint suite maintained
+# INCREMENTALLY over a bounded stream (complete mode): the very same
+# check_constraints operator runs on the stream because every kind it
+# compiles to — completeness/min/max/pattern/in_set/row_count — is a
+# mergeable aggregate. distinctness is deliberately absent: exact
+# count-distinct is not a one-pass mergeable metric (use the streaming
+# HLL registers for an approximate distinctness monitor). The metrics a
+# micro-batch pipeline gates on must equal the batch answer exactly —
+# that equality is this gate.
+# ---------------------------------------------------------------------------
+
+_SQ_CONSTRAINTS = [
+    {"name": "orders_orderkey_complete", "kind": "completeness",
+     "column": "o_orderkey", "min_ratio": 1.0},
+    {"name": "orders_priority_pattern", "kind": "pattern",
+     "column": "o_orderpriority", "pattern": "^[1-5]-", "min_ratio": 1.0},
+    {"name": "orders_rowcount", "kind": "row_count", "min": 1},
+    {"name": "orders_status_domain", "kind": "in_set",
+     "column": "o_orderstatus", "values": ["F", "O", "P"], "min_ratio": 1.0},
+    {"name": "orders_totalprice_max", "kind": "max",
+     "column": "o_totalprice", "bound": 1e6},
+    {"name": "orders_totalprice_min", "kind": "min",
+     "column": "o_totalprice", "bound": 0.0},
+]
+
+
+@_q("streaming_quality_gate")
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.checks import check_constraints
+    from disq_spark.queries._stream_util import bounded_stream, run_to_completion
+
+    stream = bounded_stream(
+        spark, sf_dir, "orders",
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    report = check_constraints(stream, _SQ_CONSTRAINTS)
+    if spark.catalog.tableExists("stream_gate_quality"):
+        spark.catalog.dropTempView("stream_gate_quality")  # re-run safety
+    q = (
+        report.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_gate_quality")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q, "streaming_quality_gate")
+    return (
+        spark.table("stream_gate_quality")
+        .select("name", "kind", "col", F.round("metric", 6).alias("metric"), "passed")
+        .orderBy("name")
+    )
+
+
+ORACLE["streaming_quality_gate"] = """
+SELECT * FROM (
+  SELECT 'orders_orderkey_complete' AS name, 'completeness' AS kind, 'o_orderkey' AS col,
+         round(avg(CASE WHEN o_orderkey IS NULL THEN 0.0 ELSE 1.0 END), 6) AS metric,
+         coalesce(avg(CASE WHEN o_orderkey IS NULL THEN 0.0 ELSE 1.0 END) >= 1.0, false) AS passed
+  FROM orders
+  UNION ALL
+  SELECT 'orders_priority_pattern', 'pattern', 'o_orderpriority',
+         round(avg(CASE WHEN o_orderpriority IS NULL THEN NULL
+                        WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                        THEN 1.0 ELSE 0.0 END), 6),
+         coalesce(avg(CASE WHEN o_orderpriority IS NULL THEN NULL
+                           WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                           THEN 1.0 ELSE 0.0 END) >= 1.0, false)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_rowcount', 'row_count', NULL,
+         round(CAST(count(*) AS DOUBLE), 6),
+         coalesce(CAST(count(*) AS DOUBLE) >= 1.0, false)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_status_domain', 'in_set', 'o_orderstatus',
+         round(avg(CASE WHEN o_orderstatus IS NULL THEN NULL
+                        WHEN o_orderstatus IN ('F', 'O', 'P')
+                        THEN 1.0 ELSE 0.0 END), 6),
+         coalesce(avg(CASE WHEN o_orderstatus IS NULL THEN NULL
+                           WHEN o_orderstatus IN ('F', 'O', 'P')
+                           THEN 1.0 ELSE 0.0 END) >= 1.0, false)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_totalprice_max', 'max', 'o_totalprice',
+         round(CAST(max(o_totalprice) AS DOUBLE), 6),
+         coalesce(max(o_totalprice) <= 1000000.0, false)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_totalprice_min', 'min', 'o_totalprice',
+         round(CAST(min(o_totalprice) AS DOUBLE), 6),
+         coalesce(min(o_totalprice) >= 0.0, false)
+  FROM orders
+) ORDER BY name
+"""

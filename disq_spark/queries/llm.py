@@ -1605,6 +1605,52 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# corpus_drift_kl — per-source distribution drift: KL(source || corpus)
+# over add-1-smoothed unigram distributions on the corpus vocabulary
+# (operators/lm.py corpus_kl_divergence). The drift monitor a curation
+# pipeline runs when a new dump lands.
+# ---------------------------------------------------------------------------
+
+
+@_q("corpus_drift_kl")
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.lm import corpus_kl_divergence
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        corpus_kl_divergence(d, group_col="source")
+        .select("source", "n_tokens", "vocab_used", F.round("kl", 4).alias("kl"))
+        .orderBy("source")
+    )
+
+
+ORACLE["corpus_drift_kl"] = f"""
+WITH tokrows AS (
+  SELECT g, unnest(toks) AS tok
+  FROM (SELECT source AS g, {_TOKS} AS toks FROM documents)
+),
+cw AS (SELECT tok, count(*) AS cw FROM tokrows GROUP BY tok),
+cgw AS (SELECT g, tok, count(*) AS cgw FROM tokrows GROUP BY g, tok),
+ng AS (SELECT g, count(*) AS ng FROM tokrows GROUP BY g),
+sc AS (SELECT CAST(sum(cw) AS BIGINT) AS nc, count(*) AS v FROM cw),
+grid AS (
+  SELECT ng.g, ng.ng, cw.cw, coalesce(cgw.cgw, 0) AS cgw, sc.nc, sc.v
+  FROM cw CROSS JOIN ng LEFT JOIN cgw ON cgw.g = ng.g AND cgw.tok = cw.tok, sc
+),
+per AS (
+  SELECT g, sum(((cgw + 1.0) / (ng + 1.0 * v))
+                * ln(((cgw + 1.0) / (ng + 1.0 * v))
+                     / ((cw + 1.0) / (nc + 1.0 * v)))) AS kl
+  FROM grid GROUP BY g
+),
+used AS (SELECT g, count(*) AS vocab_used FROM cgw GROUP BY g)
+SELECT ng.g AS source, ng.ng AS n_tokens, used.vocab_used, round(per.kl, 4) AS kl
+FROM ng JOIN used USING (g) JOIN per USING (g)
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_collocations_pmi — phrase detection by pointwise mutual information
 # over the corpus bigram distribution (operators/lm.py collocations_pmi).
 # The ordering key is the INTEGER-product lift ratio, identical as a double

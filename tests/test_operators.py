@@ -1080,6 +1080,38 @@ def test_remove_duplicate_spans_hand_computed(spark):
     assert len(got) == 6
 
 
+def test_corpus_kl_divergence_properties(spark):
+    import math
+
+    from disq_spark.operators.lm import corpus_kl_divergence
+
+    # single group == whole corpus -> p_g == p_c exactly -> KL = 0
+    one = spark.createDataFrame(
+        [(1, "a", "a b b c"), (2, "a", "c a")], ["doc_id", "source", "text"]
+    )
+    row = corpus_kl_divergence(one).collect()[0]
+    assert row["kl"] == 0.0 and row["n_tokens"] == 6 and row["vocab_used"] == 3
+
+    # two divergent groups: KL > 0 and matches the numpy mirror
+    two = spark.createDataFrame(
+        [(1, "x", "a a a b"), (2, "y", "b b b c")], ["doc_id", "source", "text"]
+    )
+    got = {r["source"]: r["kl"] for r in corpus_kl_divergence(two).collect()}
+    # mirror: vocab {a,b,c} V=3, corpus counts a=3,b=4,c=1, nc=8, k=1
+    def kl(counts, ng):
+        corpus = {"a": 3, "b": 4, "c": 1}
+        s = 0.0
+        for w in corpus:
+            pg = (counts.get(w, 0) + 1) / (ng + 3)
+            pc = (corpus[w] + 1) / (8 + 3)
+            s += pg * math.log(pg / pc)
+        return s
+
+    assert got["x"] > 0 and got["y"] > 0
+    assert abs(got["x"] - kl({"a": 3, "b": 1}, 4)) < 1e-12
+    assert abs(got["y"] - kl({"b": 3, "c": 1}, 4)) < 1e-12
+
+
 def test_collocations_pmi_hand_computed(spark):
     import math
 
