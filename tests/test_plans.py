@@ -409,3 +409,39 @@ def test_incremental_store_join_keeps_store_exchange_free(spark, tmp_path):
     assert _re.search(r"Bucketed: true", plan), "store scan not bucket-aware"
     for t in (f"{store}_sigs", f"{store}_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_span_removal_partial_aggs_no_cartesian(spark):
+    """remove_duplicate_spans: the gram dup-flag groupBy must run
+    map-side partials (min/max combine to two values per gram before the
+    shuffle — the boilerplate-gram protection), and nothing in the
+    rewrite chain may degenerate to a cartesian."""
+    from disq_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = simple_plan_of(remove_duplicate_spans(docs, n=5, min_span=20))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_collocations_pmi_partial_aggs_no_cartesian(spark):
+    """collocations_pmi: pair/head/tail counts are partial-agg groupBys;
+    the only nested-loop join allowed is the 1-row broadcast of N."""
+    from disq_spark.operators.lm import collocations_pmi
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = simple_plan_of(collocations_pmi(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_corpus_kl_grid_no_cartesian(spark):
+    """corpus_kl_divergence: the vocab x groups grid is built against
+    BROADCAST group totals/scalars (both bounded small), never a
+    shuffled cartesian."""
+    from disq_spark.operators.lm import corpus_kl_divergence
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = simple_plan_of(corpus_kl_divergence(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
