@@ -1272,6 +1272,97 @@ def remove_duplicate_spans(
     )
 
 
+#: winnowing position field width: 21 bits -> documents up to 2^21-1
+#: (~2M) normalized chars; longer docs must be chunked first
+#: (operators/chunking.py) — asserted in the kernel, not silently wrong.
+WINNOW_POS_BITS = 21
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): over the char ``k``-gram hash sequence, every
+    window of ``w`` consecutive hashes selects its minimum (rightmost on
+    ties); the selected (position, hash) set is the fingerprint. The
+    paper's guarantee carries over: any shared substring of length
+    >= w + k - 1 chars produces at least one shared fingerprint, with
+    density ~2/(w+1) — the local, position-robust alternative to MinHash
+    when you need to LOCATE matches, not just detect them.
+
+    Returns (id_col, pos, fp): 1-based char position of each selected
+    gram and its 40-bit hash, distinct per document.
+
+    Determinism / oracle portability: selection uses one int64 key
+    ``h40 * 2^21 + (2^21-1 - pos)`` — min of that key IS (min hash,
+    rightmost position) — so the whole operator is a window MIN over
+    integers, identical in any engine; a 2M-char position bound is
+    ASSERTED (longer docs chunk first), never silently truncated.
+
+    Scale shape: one explode to gram rows (no shuffle), one shuffle by
+    document for the window (partitions are doc-sized), one distinct.
+    Short documents (< w grams, i.e. < w+k-1 chars) have no complete
+    window and yield no fingerprints — the paper's contract.
+    """
+    norm = normalize(F.col(text_col))
+    n_grams = F.length(norm) - F.lit(k - 1)
+    base = df.select(
+        F.col(id_col), norm.alias("__t"), n_grams.alias("__ng")
+    ).filter(F.col("__ng") >= 1)
+    pos_cap = (1 << WINNOW_POS_BITS) - 1
+    # the oversize guard lives INSIDE the key expression — an unused
+    # assert column would be pruned away by the optimizer
+    h40 = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
+    key = F.when(
+        F.col("__ng") > pos_cap,
+        F.raise_error(
+            F.lit(
+                f"winnowing_fingerprints: document exceeds {pos_cap} chars; "
+                "chunk first (operators/chunking.py)"
+            )
+        ).cast("long"),
+    ).otherwise(
+        h40 * F.lit(1 << WINNOW_POS_BITS) + (F.lit(pos_cap) - (F.col("pos0") + 1))
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.col("__ng"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__ng")),
+                lambda i: F.substring(F.col("__t"), i, k),
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        F.col(id_col),
+        "__ng",
+        (F.col("pos0") + 1).alias("pos"),
+        key.alias("key"),
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        grams.withColumn("sel", F.min("key").over(win))
+        .filter(F.col("pos") <= F.col("__ng") - F.lit(w - 1))
+        .select(id_col, "sel")
+        .distinct()
+    )
+    return sel.select(
+        F.col(id_col),
+        (F.lit(pos_cap) - F.col("sel") % F.lit(1 << WINNOW_POS_BITS)).alias("pos"),
+        F.shiftright("sel", WINNOW_POS_BITS).alias("fp"),
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",

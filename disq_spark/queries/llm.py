@@ -1605,6 +1605,80 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# text_winnowing_fingerprints — MOSS winnowing (Schleimer et al. 2003):
+# per-window rightmost-min selection over char k-gram hashes, the whole
+# selection encoded as one int64 window MIN (operators/dedup.py
+# winnowing_fingerprints) so the oracle is pure integer arithmetic.
+# shared_fps counts each doc's fingerprints that also occur in ANOTHER
+# doc — the locate-the-match signal winnowing exists for.
+# ---------------------------------------------------------------------------
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+@_q("text_winnowing_fingerprints")
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = DD.winnowing_fingerprints(d, k=WINNOW_K, w=WINNOW_W)
+    flag = fp.groupBy("fp").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("is_shared")
+    )
+    per_doc = (
+        fp.join(flag, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.sum(F.col("is_shared").cast("long")).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_fps").alias("total_fps"),
+            F.sum("n_shared").alias("shared_fps"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_winnowing_fingerprints"] = f"""
+WITH t AS (
+  SELECT doc_id, {_NORM} AS nt, length({_NORM}) - {WINNOW_K - 1} AS ng
+  FROM documents
+),
+g AS (
+  SELECT doc_id, ng, i AS pos,
+         CAST(('0x' || substr(md5(substr(nt, i, {WINNOW_K})), 1, 10)) AS BIGINT)
+           * {1 << 21} + ({(1 << 21) - 1} - i) AS key
+  FROM t, unnest(generate_series(1, ng)) AS u(i)
+  WHERE ng >= 1
+),
+sel AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, ng, pos,
+           min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS s
+    FROM g
+  ) WHERE pos <= ng - {WINNOW_W - 1}
+),
+fp AS (SELECT doc_id, s >> 21 AS fp FROM sel),
+flag AS (SELECT fp, (min(doc_id) <> max(doc_id)) AS is_shared FROM fp GROUP BY fp),
+per_doc AS (
+  SELECT fp.doc_id, count(*) AS n_fps,
+         CAST(sum(CASE WHEN flag.is_shared THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM fp JOIN flag USING (fp) GROUP BY fp.doc_id
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(per_doc.n_fps) AS BIGINT) AS total_fps,
+       CAST(sum(per_doc.n_shared) AS BIGINT) AS shared_fps
+FROM per_doc JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus_drift_kl — per-source distribution drift: KL(source || corpus)
 # over add-1-smoothed unigram distributions on the corpus vocabulary
 # (operators/lm.py corpus_kl_divergence). The drift monitor a curation

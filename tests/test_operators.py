@@ -1080,6 +1080,61 @@ def test_remove_duplicate_spans_hand_computed(spark):
     assert len(got) == 6
 
 
+def _winnow_ref(text, k, w):
+    """Serial reference: Schleimer et al. winnowing with rightmost-min
+    tie-break, mirroring the operator's md5-derived 40-bit hashes."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    n = len(norm) - k + 1
+    if n < w:
+        return set()
+    hs = [
+        int(hashlib.md5(norm[i : i + k].encode()).hexdigest()[:10], 16)
+        for i in range(n)
+    ]
+    out = set()
+    for s in range(n - w + 1):
+        window = hs[s : s + w]
+        m = min(window)
+        # rightmost occurrence of the min
+        j = max(i for i, h in enumerate(window) if h == m)
+        out.add((s + j + 1, m))  # 1-based char position
+    return out
+
+
+def test_winnowing_matches_serial_reference(spark):
+    from disq_spark.operators.dedup import winnowing_fingerprints
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs ok"),
+        (3, "aaaaaaaaaaaaaaaa"),  # all-equal hashes: rightmost-min ties
+        (4, "short"),  # < k+w-1 chars -> no fingerprints
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {}
+    for r in winnowing_fingerprints(df, k=8, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in texts:
+        assert got.get(i, set()) == _winnow_ref(t, 8, 4), f"doc {i}"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from disq_spark.operators.dedup import winnowing_fingerprints
+
+    # docs share a run of >= w+k-1 = 11 chars -> at least one shared fp
+    df = spark.createDataFrame(
+        [(1, "xxxx SHARED-RUN-HERE yyyy"), (2, "zz SHARED-RUN-HERE qqqq")],
+        ["doc_id", "text"],
+    )
+    fps = {}
+    for r in winnowing_fingerprints(df, k=8, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+
+
 def test_corpus_kl_divergence_properties(spark):
     import math
 
