@@ -1314,28 +1314,29 @@ def winnowing_fingerprints(
         F.col(id_col), norm.alias("__t"), n_grams.alias("__ng")
     ).filter(F.col("__ng") >= 1)
     pos_cap = (1 << WINNOW_POS_BITS) - 1
-    # the oversize guard lives INSIDE the key expression — an unused
-    # assert column would be pruned away by the optimizer
-    h40 = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
-    key = F.when(
+    # the oversize guard gates the POSITIONS array, not the key: it must
+    # fire before the gram transform runs (substring-per-position over an
+    # oversize string is the quadratic blowup the bound exists to stop),
+    # and living inside a used expression keeps the optimizer from
+    # pruning it
+    positions = F.when(
         F.col("__ng") > pos_cap,
         F.raise_error(
             F.lit(
                 f"winnowing_fingerprints: document exceeds {pos_cap} chars; "
                 "chunk first (operators/chunking.py)"
             )
-        ).cast("long"),
-    ).otherwise(
-        h40 * F.lit(1 << WINNOW_POS_BITS) + (F.lit(pos_cap) - (F.col("pos0") + 1))
+        ).cast("array<int>"),
+    ).otherwise(F.sequence(F.lit(1), F.col("__ng")))
+    h40 = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
+    key = h40 * F.lit(1 << WINNOW_POS_BITS) + (
+        F.lit(pos_cap) - (F.col("pos0") + 1)
     )
     grams = base.select(
         F.col(id_col),
         F.col("__ng"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("__ng")),
-                lambda i: F.substring(F.col("__t"), i, k),
-            )
+            F.transform(positions, lambda i: F.substring(F.col("__t"), i, k))
         ).alias("pos0", "gram"),
     ).select(
         F.col(id_col),

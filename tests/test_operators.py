@@ -1121,6 +1121,19 @@ def test_winnowing_matches_serial_reference(spark):
         assert got.get(i, set()) == _winnow_ref(t, 8, 4), f"doc {i}"
 
 
+def test_winnowing_oversize_doc_raises(spark):
+    """Documents past the 21-bit position bound must raise loudly (the
+    guard lives inside the key expression so pruning can't drop it)."""
+    import pytest
+
+    from disq_spark.operators.dedup import WINNOW_POS_BITS, winnowing_fingerprints
+
+    big = "ab" * ((1 << WINNOW_POS_BITS) // 2 + 8)  # > 2^21 chars, no ws
+    df = spark.createDataFrame([(1, big)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="chunk first"):
+        winnowing_fingerprints(df, k=8, w=4).count()
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     from disq_spark.operators.dedup import winnowing_fingerprints
 
