@@ -30,6 +30,11 @@ import zlib
 from disq_spark import fs as _dfs
 
 _GZ_MAGIC = b"\x1f\x8b\x08"
+#: extra bytes read past a snap window so a member boundary in its final
+#: bytes has enough compressed input to inflate the 5-byte WARC/ probe
+#: (a deflate stream needs at most a few hundred bytes for 5 chars;
+#: 64 KiB is comfortably past any header + first-block need)
+_GZ_SLACK = 1 << 16
 
 
 def record_status(buf: bytes, pos: int):
@@ -115,14 +120,21 @@ def find_gzip_member_start(path: str, pos: int, limit: int = 1 << 26) -> int:
     style). -1 if none within ``limit`` bytes. Callers snapping a
     byte-range chunk MUST pass ``limit >= chunk length`` (the chunk may
     hold no boundary before its last bytes); sources/warc.py passes
-    ``max(end - start, 1 << 26)``."""
+    ``max(end - start, 1 << 26)``.
+
+    The read window extends ``_GZ_SLACK`` bytes past ``limit``: a true
+    member boundary in the window's FINAL bytes needs compressed input
+    beyond it to inflate the 5-byte probe — truncating the read at
+    ``limit`` would reject that candidate as a false positive and
+    silently drop the chunk's records (candidates are still only
+    accepted at offsets < ``limit``)."""
     with _dfs.open_input(path) as f:
         f.seek(pos)
-        window = f.read(limit)
+        window = f.read(limit + _GZ_SLACK)
     i = 0
     while True:
         i = window.find(_GZ_MAGIC, i)
-        if i < 0:
+        if i < 0 or i >= limit:
             return -1
         try:
             d = zlib.decompressobj(31)

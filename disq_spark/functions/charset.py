@@ -33,7 +33,10 @@ def decode_payload(payload_col, mime_col) -> Column:
     """binary payload + Content-Type header -> string, honoring the
     declared charset (see module docstring for the support matrix and
     fallbacks)."""
-    cs = sniff_charset(mime_col)
+    # NULL Content-Type (header absent) must take the UTF-8 default like
+    # the empty string, not fall through every NULL-valued when() to the
+    # latin-1 branch
+    cs = F.coalesce(sniff_charset(mime_col), F.lit(""))
     return (
         F.when(cs.isin("", "UTF-8", "UTF8"), F.decode(payload_col, "UTF-8"))
         .when(cs.isin("US-ASCII", "ASCII"), F.decode(payload_col, "US-ASCII"))

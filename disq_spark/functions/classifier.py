@@ -108,8 +108,12 @@ def score_hashed_linear(
             for text in pdf[text_col]:
                 # null text scores like empty text — sigmoid(bias) —
                 # exactly as the SQL path's otherwise(0.0) branch does
+                # re.ASCII: Java regex \s (the SQL path's tokens()) is
+                # ASCII-only; Python's default \s is Unicode-wide and
+                # would split on U+00A0 etc., diverging from the SQL
+                # path on non-ASCII whitespace
                 norm = (
-                    _re.sub(r"\s+", " ", text.lower()).strip()
+                    _re.sub(r"\s+", " ", text.lower(), flags=_re.ASCII).strip()
                     if isinstance(text, str)
                     else ""
                 )

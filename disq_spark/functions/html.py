@@ -111,11 +111,36 @@ def decode_numeric_entities(col) -> Column:
     )
 
 
+# Private-use sentinel for numeric-escaped ampersands: '&#38;lt;' means
+# the literal text '&lt;' — the decoded '&' must survive BOTH the named
+# pass and the amp-last pass without re-combining into an entity. Real
+# U+E000 in crawl text (private use area) is vanishingly rare; a page
+# using it trades one character for correct entity semantics.
+_AMP_SENTINEL = "\ue000"
+_AMP_NUMERIC_DEC = r"&#0*38;"
+_AMP_NUMERIC_HEX = r"&#[xX]0*26;"
+
+
 def decode_entities(col) -> Column:
-    c = decode_numeric_entities(col)
+    """Named + numeric character references, replace-chain order chosen
+    so no decoded character re-enters a later replacement:
+
+    1. named entities EXCEPT &amp;
+    2. numeric-escaped ampersands (&#38; / &#x26;) -> sentinel
+    3. remaining numeric references (codepoint fold)
+    4. &amp; LAST (so &amp;lt; -> &lt;, not <)
+    5. sentinel -> '&' (so &#38;lt; -> &lt; and &#38;amp; -> &amp;)
+    """
+    c = col
     for ent, rep in _ENTITIES:
+        if ent == "&amp;":
+            continue
         c = F.replace(c, F.lit(ent), F.lit(rep))
-    return c
+    c = F.regexp_replace(c, _AMP_NUMERIC_DEC, _AMP_SENTINEL)
+    c = F.regexp_replace(c, _AMP_NUMERIC_HEX, _AMP_SENTINEL)
+    c = decode_numeric_entities(c)
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
+    return F.replace(c, F.lit(_AMP_SENTINEL), F.lit("&"))
 
 
 def html_to_text(col) -> Column:

@@ -315,9 +315,23 @@ def minhash_lsh_pairs(
     # outweighs the interpreted fold (r6 bench: sf0.1 warm 2.37->2.94 s
     # on the numpy path, sf10 a clear numpy win) — method="auto"
     # dispatches on the input's Catalyst size estimate.
+    return _score_signature_pairs(cand, num_hashes, threshold, method, df)
+
+
+def _score_signature_pairs(
+    cand: DataFrame,
+    num_hashes: int,
+    threshold: float,
+    method: str,
+    dispatch_df: DataFrame,
+) -> DataFrame:
+    """(id_a, id_b, mh_a, mh_b) candidates -> (id_a, id_b, est_jaccard)
+    rows passing ``threshold``. Shared by the one-shot and the
+    store-backed LSH paths; ``dispatch_df`` supplies the Catalyst size
+    estimate for the SQL/numpy choice (see operators/dispatch.py)."""
     from disq_spark.operators.dispatch import resolve_method
 
-    if resolve_method(method, df) == "sql":
+    if resolve_method(method, dispatch_df) == "sql":
         eq_sum = F.aggregate(
             F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
             F.lit(0),
@@ -816,6 +830,7 @@ def incremental_minhash_pairs_stored(
     threshold: float = 0.5,
     k: int = 8,
     stride: int = 4,
+    method: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch vs itself + a PERSISTED signature
     store (``build_minhash_store``), with the corpus text never
@@ -825,6 +840,10 @@ def incremental_minhash_pairs_stored(
     Pairs (id_a, id_b, est_jaccard), id_a < id_b, at least one side new
     — equal to a full-corpus recompute restricted to pairs touching the
     batch (the store-gate oracle states exactly that in SQL).
+
+    Scoring dispatches SQL/numpy like ``minhash_lsh_pairs`` (shared
+    ``_score_signature_pairs``); the size estimate comes from the STORE
+    sig table — daily batches are small, the store is the scale driver.
     """
     assert num_hashes % bands == 0
     spark = new_df.sparkSession
@@ -862,17 +881,11 @@ def incremental_minhash_pairs_stored(
     )
     a = all_sigs.select(F.col(id_col).alias("id_a"), F.col("mh").alias("mh_a"))
     b = all_sigs.select(F.col(id_col).alias("id_b"), F.col("mh").alias("mh_b"))
-    eq_sum = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    scored_cand = cand.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b", "mh_a", "mh_b"
     )
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("est_jaccard", F.round(eq_sum / F.lit(float(num_hashes)), 4))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+    return _score_signature_pairs(
+        scored_cand, num_hashes, threshold, method, spark.table(f"{store}_sigs")
     )
 
 

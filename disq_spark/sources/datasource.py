@@ -926,7 +926,16 @@ class WarcStreamReader(DataSourceStreamReader):
     is ignored. Within a batch each new file fans out into
     split_size byte-range chunks through the same exactly-once
     member-snap kernel the batch source uses, so a single huge segment
-    still parallelizes across the cluster."""
+    still parallelizes across the cluster.
+
+    Known scale bound: the offset IS the seen-file map, so each
+    trigger's offset JSON (and the directory listing diff) grows
+    O(total segments ever seen) — fine for the thousands-of-segments
+    tail this targets, but a months-long tail of a ~100k-segment dump
+    wants Spark's file-source pattern instead (seen-file state in a
+    compacted metadata log, offsets as log positions). Recipe: keep
+    {files} in a per-checkpoint parquet ledger keyed by batch id and
+    make the offset {"ledger_version": N}."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -967,14 +976,16 @@ class WarcStreamReader(DataSourceStreamReader):
             }
         except FileNotFoundError:
             return [WarcChunk("", 0, 0, False)]
+        from disq_spark.sources.warc import chunk_ranges
+
         out = []
         for n, size in sorted(new_names.items()):
             p = by_name.get(n)
             if p is None:
                 continue  # vanished between offsets; size pinned said ingested
             is_gz = p.endswith(".gz")
-            for s in range(0, max(size, 1), self.split_size):
-                out.append(WarcChunk(p, s, min(s + self.split_size, size), is_gz))
+            for s, e in chunk_ranges(size, self.split_size):
+                out.append(WarcChunk(p, s, e, is_gz))
         return out or [WarcChunk("", 0, 0, False)]
 
     def read(self, part: WarcChunk) -> Iterator[tuple]:

@@ -149,6 +149,16 @@ def decode_warc_chunks(chunk_rows) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=cols)
 
 
+def chunk_ranges(size: int, split_size: int) -> list[tuple[int, int]]:
+    """[(start, end)] byte ranges covering a file of ``size`` bytes —
+    THE chunking rule, shared by the batch planner and the streaming
+    reader so the two sources can't drift. A zero-size file still gets
+    one (0, 0) chunk so per-file task accounting holds."""
+    return [
+        (s, min(s + split_size, size)) for s in range(0, max(size, 1), split_size)
+    ]
+
+
 def plan_warc_chunks(path: str, split_size: int) -> list[tuple]:
     """Driver-side chunk plan: (path, start, end, is_gz) per byte range,
     across every file the path resolves to."""
@@ -156,8 +166,8 @@ def plan_warc_chunks(path: str, split_size: int) -> list[tuple]:
     for p in resolve_paths(path, _WARC_EXTS):
         size = _dfs.getsize(p)
         is_gz = p.endswith(".gz")
-        for s in range(0, max(size, 1), split_size):
-            chunks.append((p, s, min(s + split_size, size), is_gz))
+        for s, e in chunk_ranges(size, split_size):
+            chunks.append((p, s, e, is_gz))
     return chunks
 
 

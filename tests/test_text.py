@@ -126,6 +126,13 @@ def test_numeric_entity_decode(spark):
         ("&#65;&#66;&#67;", "ABC"),  # adjacent references
         ("tail &#233;", "tail é"),
         ("&#233; head", "é head"),
+        # numeric-escaped ampersands must NOT re-enter later replacement
+        # passes (sentinel round-trip): &#38;lt; is the literal text
+        # &lt;, in either numeric form, zero-padded or not
+        ("&#38;lt;b&#38;gt;", "&lt;b&gt;"),
+        ("&#x26;lt;", "&lt;"),
+        ("&#038;quot;", "&quot;"),
+        ("&#38;amp;x", "&amp;x"),
     ]
     df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
     got = [r.t for r in df.select(H.decode_entities(F.col("s")).alias("t")).collect()]
@@ -149,6 +156,9 @@ def test_charset_sniff_and_decode(spark):
         ("text/html; charset=windows-1252", "café".encode("cp1252"), "café"),
         # unknown charset -> latin-1 fallback, never fails
         ("text/html; charset=x-sjis-ish", b"caf\xe9", "café"),
+        # ABSENT Content-Type header (NULL mime) -> UTF-8 default, like
+        # the empty string — not the latin-1 fallthrough
+        (None, "café😀".encode("utf-8"), "café😀"),
     ]
     df = spark.createDataFrame(
         [(m, p) for m, p, _ in rows], "mime string, payload binary"
@@ -456,3 +466,11 @@ def test_classifier_kernel_matches_sql_path(spark, tmp_path):
     ea = {r.doc_id: r.score for r in score_hashed_linear(edge, w, bias=-0.1, method="sql").collect()}
     eb = {r.doc_id: r.score for r in score_hashed_linear(edge, w, bias=-0.1, method="blas").collect()}
     assert ea == eb and len(set(ea.values())) == 1
+    # non-ASCII whitespace parity: Java \s (the SQL tokenizer) is
+    # ASCII-only, so U+00A0 must stay INSIDE a token in the kernel too
+    nb = spark.createDataFrame(
+        [(0, "a\u00a0b c"), (1, "x\u2009y")], "doc_id long, text string"
+    )
+    na = {r.doc_id: r.score for r in score_hashed_linear(nb, w, bias=-0.1, method="sql").collect()}
+    nbk = {r.doc_id: r.score for r in score_hashed_linear(nb, w, bias=-0.1, method="blas").collect()}
+    assert na == nbk

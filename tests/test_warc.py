@@ -91,6 +91,31 @@ def test_warc_gz_member_snap(tmp_path):
     assert s == offs[1]
 
 
+def test_warc_gz_snap_boundary_in_window_tail(tmp_path):
+    """A member boundary in the snap window's FINAL bytes: its
+    compressed data extends past ``limit``, so validating by inflating
+    from a window truncated AT limit rejects the true boundary and
+    silently drops the chunk (exactly-once violation). The slack read
+    must accept it; offsets at/after limit must still be rejected."""
+    rng = np.random.default_rng(11)
+    recs = _make_records(6, rng)
+    path = str(tmp_path / "tail.warc.gz")
+    data = build_warc(recs, gzip_members=True)
+    with open(path, "wb") as f:
+        f.write(data)
+    from disq_spark.formats.warc import iter_gzip_members
+
+    offs = [off for off, _ in iter_gzip_members(path, 0, len(data))]
+    second = offs[1]
+    # from pos=1: candidate at relative second-1; limit leaves only 10
+    # bytes of the member inside the window — not enough to inflate the
+    # 5-byte probe without the slack
+    s = find_gzip_member_start(path, 1, limit=(second - 1) + 10)
+    assert s == second
+    # a boundary AT/after limit stays out of this chunk's snap
+    assert find_gzip_member_start(path, 1, limit=second - 1) == -1
+
+
 def test_warc_multifile_directory_and_glob(spark, tmp_path):
     """Common Crawl shape: a directory of .warc.gz shards must read as
     one corpus (lexicographic file order, hidden/_ files skipped), with
