@@ -1605,6 +1605,50 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# sql_api_text_stats — the SQL-only surface (functions/sqlapi.py): the
+# ds_* SQL scalar functions (Spark 4 CREATE FUNCTION ... RETURN macros,
+# JVM-side, zero Python) must produce the same numbers the Column API
+# produces — here driven entirely through spark.sql, no DataFrame ops.
+# ---------------------------------------------------------------------------
+
+
+@_q("sql_api_text_stats")
+def sql_api_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.functions.sqlapi import register_sql_functions
+
+    register_sql_functions(spark)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("sqlapi_documents")
+    return spark.sql(
+        """
+        SELECT source,
+               CAST(sum(ds_token_count(text)) AS BIGINT) AS total_tokens,
+               CAST(sum(ds_bpe_token_count(text)) AS BIGINT) AS total_bpe,
+               CAST(count(DISTINCT ds_fingerprint(text)) AS BIGINT) AS n_unique,
+               CAST(sum(CASE WHEN ds_uniform(CAST(doc_id AS STRING), 's7') < 0.25
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM sqlapi_documents GROUP BY source ORDER BY source
+        """
+    )
+
+
+def _sql_api_oracle() -> str:
+    from disq_spark.operators.sampling import uniform_sql
+
+    u = uniform_sql("CAST(doc_id AS VARCHAR)", "s7")
+    return f"""
+SELECT source,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(sum(len({_BPE})) AS BIGINT) AS total_bpe,
+       CAST(count(DISTINCT md5({_NORM})) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN {u} < 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+ORACLE["sql_api_text_stats"] = _sql_api_oracle()
+
+
+# ---------------------------------------------------------------------------
 # text_winnowing_fingerprints — MOSS winnowing (Schleimer et al. 2003):
 # per-window rightmost-min selection over char k-gram hashes, the whole
 # selection encoded as one int64 window MIN (operators/dedup.py
