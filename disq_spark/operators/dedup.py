@@ -1377,6 +1377,51 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style match candidates: document pairs sharing >=
+    ``min_shared`` winnowing fingerprints (the matching step the
+    fingerprints exist for — each shared fp witnesses a shared substring
+    of >= w+k-1 chars at a locatable position).
+
+    Returns (id_a, id_b, n_shared), id_a < id_b, n_shared = number of
+    DISTINCT shared fingerprint hashes.
+
+    Scale shape: inverted-index self-join on the fp hash — cost is
+    O(sum df(fp)^2) like every posting-list join, NEVER all-pairs;
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents (boilerplate protection, same contract as the shingle
+    ``max_df``) via one partial-agg count + semi-join before the pair
+    join. Pair counting is count(*) over per-doc-distinct fps — no
+    count-distinct shuffle.
+    """
+    fp = (
+        winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        keep = fp.groupBy("fp").agg(F.count("*").alias("df_")).filter(
+            F.col("df_") <= max_df
+        )
+        fp = fp.join(keep.select("fp"), "fp")
+    a = fp.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = fp.select(F.col("fp").alias("fp_b"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1687,8 +1687,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["text_winnowing_fingerprints"] = f"""
-WITH t AS (
+_WINNOW_FP_CTES = f"""t AS (
   SELECT doc_id, {_NORM} AS nt, length({_NORM}) - {WINNOW_K - 1} AS ng
   FROM documents
 ),
@@ -1707,7 +1706,10 @@ sel AS (
     FROM g
   ) WHERE pos <= ng - {WINNOW_W - 1}
 ),
-fp AS (SELECT doc_id, s >> 21 AS fp FROM sel),
+fp AS (SELECT doc_id, s >> 21 AS fp FROM sel)"""
+
+ORACLE["text_winnowing_fingerprints"] = f"""
+WITH {_WINNOW_FP_CTES},
 flag AS (SELECT fp, (min(doc_id) <> max(doc_id)) AS is_shared FROM fp GROUP BY fp),
 per_doc AS (
   SELECT fp.doc_id, count(*) AS n_fps,
@@ -1719,6 +1721,37 @@ SELECT d.source, count(*) AS n_docs,
        CAST(sum(per_doc.n_shared) AS BIGINT) AS shared_fps
 FROM per_doc JOIN documents d USING (doc_id)
 GROUP BY d.source ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnowing_pairs — the MATCHING step of MOSS (operators/dedup.py
+# winnowing_pairs): inverted-index self-join on fingerprint hashes with a
+# document-frequency cap on boilerplate fps; each pair's n_shared counts
+# distinct shared fingerprints (each a located shared substring).
+# ---------------------------------------------------------------------------
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 20
+
+
+@_q("dedup_winnowing_pairs")
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.winnowing_pairs(
+        d, k=WINNOW_K, w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED, max_df=WINNOW_MAX_DF,
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE["dedup_winnowing_pairs"] = f"""
+WITH {_WINNOW_FP_CTES},
+fpd AS (SELECT DISTINCT doc_id, fp FROM fp),
+keep AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+fpk AS (SELECT fpd.doc_id, fpd.fp FROM fpd JOIN keep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+ORDER BY id_a, id_b
 """
 
 

@@ -1148,6 +1148,30 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert fps[1] & fps[2], "shared substring must share a fingerprint"
 
 
+def test_winnowing_pairs_and_max_df_cap(spark):
+    from disq_spark.operators.dedup import winnowing_fingerprints, winnowing_pairs
+
+    rows = [
+        (1, "xxxx SHARED-RUN-IS-LONG-HERE yyyy"),
+        (2, "zz SHARED-RUN-IS-LONG-HERE qqqq"),
+        (3, "totally different content words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnowing_pairs(df, k=8, w=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs)
+    # n_shared counts DISTINCT shared fps, consistent with the fp sets
+    fps = {}
+    for r in winnowing_fingerprints(df, k=8, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert pairs[(1, 2)] == len(fps[1] & fps[2])
+    # a df cap of 1 removes every cross-doc fp -> no pairs survive
+    assert winnowing_pairs(df, k=8, w=4, min_shared=1, max_df=1).count() == 0
+
+
 def test_corpus_kl_divergence_properties(spark):
     import math
 
