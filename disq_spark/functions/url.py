@@ -83,3 +83,77 @@ def url_path_sql(expr: str) -> str:
 
 def url_tld_sql(expr: str) -> str:
     return f"regexp_extract({url_host_sql(expr)}, '\\.([a-z0-9-]+)$', 1)"
+
+
+# -- Canonicalization --------------------------------------------------------
+
+#: query params dropped by canonicalize_url: click/campaign trackers that
+#: never change page content (the standard URL-dedup pre-pass list)
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid)="
+
+_SCHEME_AUTH_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+# optional-tail captures instead of lookaheads: DuckDB's RE2 has no
+# lookahead, and Java/RE2 both substitute '' for an unmatched group ref
+_HTTP_80_RE = r"^(http://[^/?#]*):80([/?#].*)?$"
+_HTTPS_443_RE = r"^(https://[^/?#]*):443([/?#].*)?$"
+_EMPTY_PATH_RE = r"^([a-z][a-z0-9+.-]*://[^/?#]+)(\?.*)?$"
+
+
+def canonicalize_url(col) -> Column:
+    """Canonical URL form — the pre-pass URL-level dedup keys on (two
+    spellings of one page must collide BEFORE hashing):
+
+    1. trim; drop the #fragment (client-side only)
+    2. lowercase scheme://authority (path/query stay case-sensitive)
+    3. drop default ports (http :80, https :443)
+    4. empty path -> '/' (https://x.com == https://x.com/)
+    5. drop tracking params (TRACKING_PARAM_RE), SORT the survivors,
+       drop a now-empty '?'
+
+    Pure column expressions with an exact DuckDB mirror
+    (``canonicalize_url_sql``); schemeless input passes through steps
+    that don't apply. Deliberately NOT done: trailing-slash or //
+    collapsing inside paths and %-escape normalization — those change
+    semantics on real servers.
+    """
+    u = F.regexp_replace(F.trim(col), r"#.*$", "")
+    sh = F.regexp_extract(u, _SCHEME_AUTH_RE, 1)
+    u = F.concat(F.lower(sh), F.substring(u, F.length(sh) + 1, F.lit(1 << 30)))
+    u = F.regexp_replace(u, _HTTP_80_RE, "$1$2")
+    u = F.regexp_replace(u, _HTTPS_443_RE, "$1$2")
+    u = F.regexp_replace(u, _EMPTY_PATH_RE, "$1/$2")
+    q = F.regexp_extract(u, r"\?(.*)$", 1)
+    base = F.regexp_replace(u, r"\?.*$", "")
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (~p.rlike(TRACKING_PARAM_RE)) & (p != ""),
+        )
+    )
+    return (
+        F.when(q == "", u)
+        .when(F.size(params) == 0, base)
+        .otherwise(F.concat(base, F.lit("?"), F.array_join(params, "&")))
+    )
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB mirror of ``canonicalize_url`` (RE2: \\1 refs, list_sort/
+    list_filter for the query step)."""
+    u = f"regexp_replace(trim({expr}), '#.*$', '')"
+    sh = f"regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
+    u = f"(lower({sh}) || substr({u}, length({sh}) + 1))"
+    u = f"regexp_replace({u}, '^(http://[^/?#]*):80([/?#].*)?$', '\\1\\2')"
+    u = f"regexp_replace({u}, '^(https://[^/?#]*):443([/?#].*)?$', '\\1\\2')"
+    u = f"regexp_replace({u}, '^([a-z][a-z0-9+.-]*://[^/?#]+)(\\?.*)?$', '\\1/\\2')"
+    q = f"regexp_extract({u}, '\\?(.*)$', 1)"
+    base = f"regexp_replace({u}, '\\?.*$', '')"
+    params = (
+        f"list_sort(list_filter(string_split({q}, '&'), "
+        f"p -> NOT regexp_matches(p, '{TRACKING_PARAM_RE}') AND p <> ''))"
+    )
+    return (
+        f"(CASE WHEN {q} = '' THEN {u} "
+        f"WHEN len({params}) = 0 THEN {base} "
+        f"ELSE {base} || '?' || array_to_string({params}, '&') END)"
+    )

@@ -1605,6 +1605,70 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# crawl_url_canonicalize — URL canonicalization as the URL-dedup pre-pass
+# (functions/url.py canonicalize_url): two deliberately different
+# spellings of every page (mixed-case scheme/host, default port, utm
+# params, fragment vs the clean form) must collapse to ONE canonical URL;
+# the gate counts the collapse and pins every canonical string.
+# ---------------------------------------------------------------------------
+
+
+@_q("crawl_url_canonicalize")
+def crawl_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.functions.url import canonicalize_url
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 10).cast("string"))
+    path = F.concat(F.lit("/p/"), F.col("doc_id").cast("string"))
+    q = (F.col("doc_id") % 5).cast("string")
+    messy = F.concat(
+        F.lit("HTTPS://"), F.upper(site), F.lit(".Example.COM:443"),
+        path, F.lit("?utm_source=tw&q="), q, F.lit("&utm_medium=x#frag"),
+    )
+    clean = F.concat(
+        F.lit("https://"), site, F.lit(".example.com"), path, F.lit("?q="), q
+    )
+    urls = d.select(messy.alias("url")).unionAll(d.select(clean.alias("url")))
+    canon = urls.select(canonicalize_url(F.col("url")).alias("c"))
+    return canon.agg(
+        F.count("*").alias("n_raw"),
+        F.countDistinct("c").alias("n_canonical"),
+        F.md5(
+            F.concat_ws("\n", F.array_sort(F.collect_set("c")))
+        ).alias("canon_hash"),
+    )
+
+
+def _url_canon_oracle() -> str:
+    from disq_spark.functions.url import canonicalize_url_sql
+
+    gen = """
+urls AS (
+  SELECT 'HTTPS://' || upper('site' || CAST(doc_id % 10 AS VARCHAR)) ||
+         '.Example.COM:443/p/' || CAST(doc_id AS VARCHAR) ||
+         '?utm_source=tw&q=' || CAST(doc_id % 5 AS VARCHAR) ||
+         '&utm_medium=x#frag' AS url
+  FROM documents
+  UNION ALL
+  SELECT 'https://site' || CAST(doc_id % 10 AS VARCHAR) ||
+         '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+         '?q=' || CAST(doc_id % 5 AS VARCHAR)
+  FROM documents
+)"""
+    c = canonicalize_url_sql("url")
+    return f"""
+WITH {gen},
+canon AS (SELECT {c} AS c FROM urls)
+SELECT count(*) AS n_raw, count(DISTINCT c) AS n_canonical,
+       md5(string_agg(DISTINCT c, chr(10) ORDER BY c)) AS canon_hash
+FROM canon
+"""
+
+
+ORACLE["crawl_url_canonicalize"] = _url_canon_oracle()
+
+
+# ---------------------------------------------------------------------------
 # sql_api_text_stats — the SQL-only surface (functions/sqlapi.py): the
 # ds_* SQL scalar functions (Spark 4 CREATE FUNCTION ... RETURN macros,
 # JVM-side, zero Python) must produce the same numbers the Column API

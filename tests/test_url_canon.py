@@ -1,0 +1,64 @@
+"""canonicalize_url: hand-computed canonical forms and the Spark/DuckDB
+mirror parity (the gate relies on both)."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from disq_spark.functions.url import canonicalize_url, canonicalize_url_sql
+
+CASES = [
+    # (input, canonical)
+    ("HTTPS://Example.COM/Path?b=2&a=1#frag", "https://example.com/Path?a=1&b=2"),
+    ("http://x.com:80/p", "http://x.com/p"),
+    ("https://x.com:443/p?z=1", "https://x.com/p?z=1"),
+    ("https://x.com:8443/p", "https://x.com:8443/p"),  # non-default port kept
+    ("https://x.com", "https://x.com/"),
+    ("https://x.com?a=1", "https://x.com/?a=1"),
+    ("https://x.com/p?utm_source=tw&q=ok&utm_medium=x", "https://x.com/p?q=ok"),
+    ("https://x.com/p?utm_source=tw", "https://x.com/p"),
+    ("https://x.com/p?gclid=123&fbclid=9", "https://x.com/p"),
+    ("  https://x.com/p  ", "https://x.com/p"),
+    # path/query case preserved; userinfo untouched
+    ("http://User@X.COM/Q?A=B", "http://user@x.com/Q?A=B"),
+    ("not a url", "not a url"),
+    ("", ""),
+]
+
+
+def test_canonicalize_url_hand_computed(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)], "i long, u string")
+    got = [
+        r.c
+        for r in df.select("i", canonicalize_url(F.col("u")).alias("c"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == [want for _, want in CASES]
+
+
+def test_canonicalize_url_sql_mirror_parity(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)], "i long, u string")
+    got = [
+        r.c
+        for r in df.select("i", canonicalize_url(F.col("u")).alias("c"))
+        .orderBy("i")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(CASES)), "u": [u for u, _ in CASES]}))
+    want = [
+        c
+        for (c,) in con.execute(
+            f"SELECT {canonicalize_url_sql('u')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_canonicalize_url_idempotent(spark):
+    """Canonicalizing a canonical URL is a no-op (fixed point)."""
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)], "i long, u string")
+    once = df.select("i", canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select("i", canonicalize_url(F.col("c")).alias("c2"), "c")
+    assert twice.filter(F.col("c") != F.col("c2")).count() == 0
