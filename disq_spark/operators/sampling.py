@@ -334,3 +334,85 @@ SELECT *, round({weight_col} + -ln(-ln({u})), {round_to}) AS gumbel_key
 FROM ({source_sql})
 ORDER BY gumbel_key DESC, {key} LIMIT {k}
 """
+
+
+def pack_sequences_bfd(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    key: str,
+    n_shards: int = 64,
+    seed: str = "",
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing — the no-cross-document-
+    attention alternative to ``pack_sequences``: each document lands
+    whole in exactly one bin of ``budget`` tokens (concat-then-chop
+    splits documents across context windows; BFD never does), at the
+    cost of per-bin slack. Classic bin-packing: documents sorted by
+    token count DESCENDING are placed into the FULLEST bin that still
+    fits (11/9 OPT + 6/9 bins guarantee); ties break to the lowest bin
+    id, so the layout is fully deterministic.
+
+    Documents longer than ``budget`` get a bin of their own with
+    ``overflow = true`` — flagged, never silently truncated (chunk
+    first: operators/chunking.py).
+
+    Adds (shard, bin_id, overflow). Packing is sequential BY NATURE, so
+    it runs per shard: hash-sharding (``assign_shards``) keeps the
+    layout partition-invariant and bounds the sequential unit; at 100 TB
+    pick n_shards >> cores and each task packs one shard. The kernel is
+    an Arrow-batched applyInPandas (one group per shard) with an
+    O(docs x bins) scan per shard — swap in a fill-ordered tree when a
+    single shard's bin count makes the scan bite; the layout contract
+    (sorted order + best-fit + lowest-id ties) is what tests pin.
+
+    No SQL oracle: sequential greedy placement is not SQL-expressible;
+    the gate is rows-only and the serial reference lives in the tests.
+    """
+    out = assign_shards(df, n_shards, key, seed)
+    key_t = df.schema[key].dataType.simpleString()
+    tok_t = df.schema[token_col].dataType.simpleString()
+    schema = (
+        f"{key} {key_t}, {token_col} {tok_t}, shard int, "
+        "bin_id long, overflow boolean"
+    )
+    b = int(budget)
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            [token_col, key], ascending=[False, True], kind="mergesort"
+        )
+        fills: list[int] = []
+        bin_ids, overflows = [], []
+        for n in pdf[token_col].tolist():
+            n = int(n)
+            if n > b:
+                bin_ids.append(len(fills))
+                overflows.append(True)
+                fills.append(n)
+                continue
+            best, best_fill = -1, -1
+            for i, f in enumerate(fills):
+                if f + n <= b and f > best_fill:
+                    best, best_fill = i, f
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += n
+            bin_ids.append(best)
+            overflows.append(False)
+        return pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                token_col: pdf[token_col].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "bin_id": bin_ids,
+                "overflow": overflows,
+            }
+        )
+
+    return out.select(key, token_col, "shard").groupBy("shard").applyInPandas(
+        pack, schema
+    )

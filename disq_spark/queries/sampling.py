@@ -135,3 +135,48 @@ SELECT shard, count(*) AS n_docs,
        round(sum(toks) / ((max(CAST(floor(tape_offset / {_BUDGET}) AS BIGINT)) + 1) * {float(_BUDGET)}), 4) AS fill
 FROM packed GROUP BY shard ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences_bfd_stats — best-fit-decreasing packing (the whole-doc,
+# no-cross-attention layout). ROWS-ONLY gate: greedy sequential placement
+# is not SQL-expressible; the serial reference + invariants (fills <=
+# budget, determinism under repartition) live in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+_BFD_BUDGET = 128
+_BFD_SHARDS = 8
+
+
+@_q("pack_sequences_bfd_stats")
+def pack_sequences_bfd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = SP.pack_sequences_bfd(
+        d, budget=_BFD_BUDGET, token_col="n_tokens", key="doc_id",
+        n_shards=_BFD_SHARDS,
+    )
+    bins = packed.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.max(F.col("overflow").cast("int")).alias("is_overflow"),
+    )
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("fill").alias("total_tokens"),
+            F.max(F.when(F.col("is_overflow") == 0, F.col("fill"))).alias(
+                "max_regular_fill"
+            ),
+            F.sum("is_overflow").alias("n_overflow_bins"),
+            F.round(
+                F.sum(F.when(F.col("is_overflow") == 0, F.col("fill")).otherwise(0))
+                / (
+                    F.sum(F.when(F.col("is_overflow") == 0, 1).otherwise(0))
+                    * F.lit(float(_BFD_BUDGET))
+                ),
+                4,
+            ).alias("utilization"),
+        )
+        .orderBy("shard")
+    )

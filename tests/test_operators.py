@@ -1148,6 +1148,61 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert fps[1] & fps[2], "shared substring must share a fingerprint"
 
 
+def _bfd_ref(items, budget):
+    """Serial BFD reference: items = [(key, n)], sorted desc by n then
+    asc by key; returns {key: bin_id} with lowest-id best-fit ties."""
+    fills = []
+    out = {}
+    for k, n in sorted(items, key=lambda t: (-t[1], t[0])):
+        if n > budget:
+            out[k] = len(fills)
+            fills.append(n)
+            continue
+        best, best_fill = -1, -1
+        for i, f in enumerate(fills):
+            if f + n <= budget and f > best_fill:
+                best, best_fill = i, f
+        if best < 0:
+            best = len(fills)
+            fills.append(0)
+        fills[best] += n
+        out[k] = best
+    return out, fills
+
+
+def test_pack_sequences_bfd_matches_serial_and_invariants(spark):
+    from disq_spark.operators.sampling import pack_sequences_bfd
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(200)] + [(999, 500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    got = pack_sequences_bfd(
+        df, budget=128, token_col="n", key="doc_id", n_shards=4
+    ).collect()
+    assert len(got) == len(rows)  # every doc placed exactly once
+    # per-shard: layout equals the serial reference bin-for-bin
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    n_of = dict(rows)
+    for shard, rs in by_shard.items():
+        ref, fills = _bfd_ref([(r["doc_id"], n_of[r["doc_id"]]) for r in rs], 128)
+        assert {r["doc_id"]: r["bin_id"] for r in rs} == ref
+        # regular bins never exceed budget; overflow only for n > budget
+        for r in rs:
+            assert r["overflow"] == (n_of[r["doc_id"]] > 128)
+        for bid, f in enumerate(fills):
+            docs = [r for r in rs if r["bin_id"] == bid]
+            if not any(r["overflow"] for r in docs):
+                assert f <= 128
+    # partition-invariance: a different input layout packs identically
+    got2 = pack_sequences_bfd(
+        df.repartition(13), budget=128, token_col="n", key="doc_id", n_shards=4
+    ).collect()
+    assert {(r["doc_id"], r["shard"], r["bin_id"]) for r in got} == {
+        (r["doc_id"], r["shard"], r["bin_id"]) for r in got2
+    }
+
+
 def test_winnowing_pairs_and_max_df_cap(spark):
     from disq_spark.operators.dedup import winnowing_fingerprints, winnowing_pairs
 
