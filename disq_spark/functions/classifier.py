@@ -149,3 +149,140 @@ def hashed_linear_score_sql(
         f" / len({expr_norm_tokens}) ELSE 0.0 END)"
     )
     return f"round(1.0 / (1.0 + exp(-({float(bias)} + {mean_w}))), {round_to})"
+
+
+def train_hashed_logreg(
+    df,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    iters: int = 3,
+    lr: float = 1.0,
+    round_w: int = 6,
+) -> tuple[list[float], float]:
+    """TRAIN the hashed linear head by full-batch gradient descent —
+    closing the loop on ``hashed_linear_score`` (inference): same model
+    (score = bias + mean of bucket weights over tokens, sigmoid link),
+    log-loss gradient, zero init.
+
+        p_d    = sigmoid(bias + sum_b cf_db * w_b)
+        grad_b = sum_d (p_d - y_d) * cf_db / N      (cf_db = cnt/len_d)
+        w_b   <- round(w_b - lr * grad_b, round_w)
+
+    Returns (weights, bias). The per-iteration ROUNDING is the same
+    cross-engine determinism device k-means and PageRank use: both
+    engines round the updated parameters each step, so last-ulp
+    summation differences cannot compound across iterations and the
+    unrolled-CTE oracle (``train_hashed_logreg_sql``) stays hash-exact.
+
+    Scale shape: the feature table (doc, bucket, cf) is built once and
+    persisted; each iteration is two partial-agg shuffles (per-doc score,
+    per-bucket gradient) plus an O(n_buckets) driver collect — the
+    k-means pattern (model state is bounded, data never moves to the
+    driver). Empty/token-less docs contribute to the bias gradient only.
+    """
+    from disq_spark.operators.dedup import gram_hash
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("d"),
+        toks.alias("toks"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    cf = (
+        base.select("d", F.size("toks").alias("nd"), F.explode("toks").alias("t"))
+        .groupBy("d", (gram_hash(F.col("t")) % n_buckets).alias("bucket"))
+        .agg((F.count("*") / F.min("nd")).alias("cf"))
+        .persist()
+    )
+    docs = base.select("d", "y").persist()
+    try:
+        n_docs = float(docs.count())
+        w = [0.0] * n_buckets
+        b = 0.0
+        for _ in range(iters):
+            warr = F.array(*[F.lit(float(x)) for x in w])
+            sc = cf.groupBy("d").agg(
+                F.sum(
+                    F.col("cf")
+                    * F.element_at(warr, (F.col("bucket") + 1).cast("int"))
+                ).alias("s")
+            )
+            resid = docs.join(sc, "d", "left").select(
+                "d",
+                (
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(-(F.lit(b) + F.coalesce(F.col("s"), F.lit(0.0))))
+                    )
+                    - F.col("y")
+                ).alias("r"),
+            )
+            grows = (
+                cf.join(resid, "d")
+                .groupBy("bucket")
+                .agg((F.sum(F.col("r") * F.col("cf")) / n_docs).alias("g"))
+                .collect()
+            )
+            g = {int(r["bucket"]): float(r["g"]) for r in grows}
+            gb = float(resid.agg(F.sum("r")).collect()[0][0]) / n_docs
+            w = [round(w[j] - lr * g.get(j, 0.0), round_w) for j in range(n_buckets)]
+            b = round(b - lr * gb, round_w)
+        return w, b
+    finally:
+        cf.unpersist()
+        docs.unpersist()
+
+
+def train_hashed_logreg_sql(
+    label_expr: str,
+    toks_expr: str,
+    n_buckets: int = 64,
+    iters: int = 3,
+    lr: float = 1.0,
+    round_w: int = 6,
+) -> str:
+    """DuckDB mirror of ``train_hashed_logreg`` as one unrolled-CTE
+    query over ``documents`` returning (bucket, weight) with the bias at
+    bucket = -1 (the PageRank oracle pattern: the SAME recurrence, each
+    iteration rounded identically)."""
+    ctes = [
+        f"base AS (SELECT doc_id AS d, {toks_expr} AS toks, "
+        f"CAST({label_expr} AS DOUBLE) AS y FROM documents)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base)",
+        "tok AS (SELECT d, len(toks) AS nd, unnest(toks) AS t FROM base)",
+        (
+            "cf AS (SELECT d, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) "
+            f"% {n_buckets} AS bucket, "
+            "CAST(count(*) AS DOUBLE) / CAST(min(nd) AS DOUBLE) AS cf "
+            "FROM tok GROUP BY 1, 2)"
+        ),
+        f"w0 AS (SELECT i AS bucket, 0.0 AS w FROM range({n_buckets}) u(i))",
+        "b0 AS (SELECT 0.0 AS b)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"s{t} AS (SELECT base.d, "
+            f"1.0 / (1.0 + exp(-((SELECT b FROM b{t}) + coalesce(sc.s, 0.0)))) "
+            f"- base.y AS r FROM base LEFT JOIN "
+            f"(SELECT cf.d, sum(cf.cf * w{t}.w) AS s FROM cf "
+            f"JOIN w{t} USING (bucket) GROUP BY cf.d) sc USING (d))"
+        )
+        ctes.append(
+            f"w{t + 1} AS (SELECT w{t}.bucket, "
+            f"round(w{t}.w - {lr!r} * coalesce(g.g, 0.0), {round_w}) AS w "
+            f"FROM w{t} LEFT JOIN "
+            f"(SELECT cf.bucket, sum(s{t}.r * cf.cf) / (SELECT n FROM nn) AS g "
+            f"FROM cf JOIN s{t} USING (d) GROUP BY cf.bucket) g USING (bucket))"
+        )
+        ctes.append(
+            f"b{t + 1} AS (SELECT round((SELECT b FROM b{t}) - {lr!r} * "
+            f"(SELECT sum(r) FROM s{t}) / (SELECT n FROM nn), {round_w}) AS b)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT CAST(bucket AS BIGINT) AS bucket, "
+        f"w AS weight FROM w{iters} "
+        f"UNION ALL SELECT -1, b FROM b{iters} ORDER BY bucket"
+    )

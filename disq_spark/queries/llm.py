@@ -1605,6 +1605,48 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# text_classifier_train — TRAINING the hashed linear quality head
+# (functions/classifier.py train_hashed_logreg): full-batch logistic
+# gradient descent, label = (lang = 'en'), per-iteration rounded so the
+# unrolled-CTE DuckDB oracle runs the identical recurrence (k-means /
+# PageRank pattern). Inference (text_classifier_score) + this close the
+# classifier loop: train on a labeled slice, score the corpus.
+# ---------------------------------------------------------------------------
+CLF_TRAIN_BUCKETS = 64
+CLF_TRAIN_ITERS = 3
+CLF_TRAIN_LR = 1.0
+
+
+@_q("text_classifier_train")
+def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.functions.classifier import train_hashed_logreg
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("double")
+    )
+    w, b = train_hashed_logreg(
+        d, "y", n_buckets=CLF_TRAIN_BUCKETS, iters=CLF_TRAIN_ITERS, lr=CLF_TRAIN_LR
+    )
+    rows = [(j, float(x)) for j, x in enumerate(w)] + [(-1, float(b))]
+    return spark.createDataFrame(rows, "bucket long, weight double").orderBy("bucket")
+
+
+def _clf_train_oracle() -> str:
+    from disq_spark.functions.classifier import train_hashed_logreg_sql
+
+    return train_hashed_logreg_sql(
+        "(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)",
+        _TOKS,
+        n_buckets=CLF_TRAIN_BUCKETS,
+        iters=CLF_TRAIN_ITERS,
+        lr=CLF_TRAIN_LR,
+    )
+
+
+ORACLE["text_classifier_train"] = _clf_train_oracle()
+
+
+# ---------------------------------------------------------------------------
 # crawl_url_canonicalize — URL canonicalization as the URL-dedup pre-pass
 # (functions/url.py canonicalize_url): two deliberately different
 # spellings of every page (mixed-case scheme/host, default port, utm
