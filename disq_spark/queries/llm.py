@@ -1647,6 +1647,82 @@ ORACLE["text_classifier_train"] = _clf_train_oracle()
 
 
 # ---------------------------------------------------------------------------
+# text_classifier_train_score — the composed loop: TRAIN the head on the
+# corpus labels, then SCORE the corpus with the trained weights (what a
+# filtering pipeline actually ships). The oracle re-runs the training
+# recurrence AND the scoring join in one statement, so weights are never
+# copied between engines — each derives its own.
+# ---------------------------------------------------------------------------
+
+
+@_q("text_classifier_train_score")
+def text_classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.functions.classifier import (
+        score_hashed_linear,
+        train_hashed_logreg,
+    )
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("double")
+    )
+    w, b = train_hashed_logreg(
+        d, "y", n_buckets=CLF_TRAIN_BUCKETS, iters=CLF_TRAIN_ITERS, lr=CLF_TRAIN_LR
+    )
+    scored = score_hashed_linear(d, w, bias=b)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.sum((F.col("score") >= 0.5).cast("long")).alias("n_positive"),
+            F.round(
+                F.avg(
+                    F.when(F.col("y") == (F.col("score") >= 0.5).cast("double"), 1.0)
+                    .otherwise(0.0)
+                ),
+                4,
+            ).alias("train_accuracy"),
+        )
+        .orderBy("source")
+    )
+
+
+def _clf_train_score_oracle() -> str:
+    train = _clf_train_oracle()
+    # reuse the training CTE chain: strip the final SELECT, keep WITH ...
+    ctes = train[: train.rindex("\nSELECT")]
+    last_w = f"w{CLF_TRAIN_ITERS}"
+    last_b = f"b{CLF_TRAIN_ITERS}"
+    return f"""{ctes},
+tok2 AS (
+  SELECT base.d, len(base.toks) AS nd, unnest(base.toks) AS t FROM base
+),
+docw AS (
+  SELECT tok2.d, sum({last_w}.w) / CAST(min(tok2.nd) AS DOUBLE) AS mw
+  FROM tok2 JOIN {last_w}
+    ON CAST(('0x' || substr(md5(tok2.t), 1, 15)) AS BIGINT) % {CLF_TRAIN_BUCKETS}
+       = {last_w}.bucket
+  GROUP BY tok2.d
+),
+scored AS (
+  SELECT base.d, base.y,
+         round(1.0 / (1.0 + exp(-((SELECT b FROM {last_b}) + coalesce(docw.mw, 0.0)))), 6) AS score
+  FROM base LEFT JOIN docw USING (d)
+)
+SELECT doc.source, count(*) AS n_docs,
+       round(avg(scored.score), 4) AS avg_score,
+       CAST(sum(CASE WHEN scored.score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       round(avg(CASE WHEN scored.y = (CASE WHEN scored.score >= 0.5 THEN 1.0 ELSE 0.0 END)
+                      THEN 1.0 ELSE 0.0 END), 4) AS train_accuracy
+FROM scored JOIN documents doc ON scored.d = doc.doc_id
+GROUP BY doc.source ORDER BY doc.source
+"""
+
+
+ORACLE["text_classifier_train_score"] = _clf_train_score_oracle()
+
+
+# ---------------------------------------------------------------------------
 # crawl_url_canonicalize — URL canonicalization as the URL-dedup pre-pass
 # (functions/url.py canonicalize_url): two deliberately different
 # spellings of every page (mixed-case scheme/host, default port, utm
