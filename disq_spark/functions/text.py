@@ -122,3 +122,36 @@ def lang_id(col) -> Column:
     for lang in reversed(LANG_ORDER):
         expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+# PII redaction (the SHIPPING op behind the text_pii_scan metrics):
+# ordered regexp_replace chain over the RAW text (redaction must not
+# destroy casing/layout the way normalize() would). Order matters: URLs
+# first (emails/digit-runs inside a URL vanish with it), then emails,
+# IPs, and bare long digit runs. Patterns stay in the Java/RE2 shared
+# dialect (no lookaround/backrefs) so the DuckDB oracle runs the same
+# chain; (?i) covers raw-case text.
+PII_REDACTIONS = [
+    ("(?i)https?://[^ ]+", "<URL>"),
+    ("(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("[0-9]{7,}", "<ID>"),
+]
+
+
+def redact_pii(col) -> Column:
+    """Raw text with URL/email/IP/long-digit-run spans replaced by typed
+    placeholders — one codegen'd regexp_replace chain, scan-speed."""
+    c = col
+    for pat, rep in PII_REDACTIONS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB mirror of ``redact_pii`` (needs the 'g' flag; Spark
+    replaces all matches by default)."""
+    c = expr
+    for pat, rep in PII_REDACTIONS:
+        c = f"regexp_replace({c}, '{pat}', '{rep}', 'g')"
+    return c

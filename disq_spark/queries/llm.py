@@ -2971,6 +2971,70 @@ FROM t GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# text_pii_redact — the SHIPPING op behind the scan: raw text rewritten
+# with typed placeholders (functions/text.py redact_pii; URL before
+# email so addresses inside URLs vanish with the URL). content_hash pins
+# every redacted byte, placeholder counts quantify the rewrite.
+# ---------------------------------------------------------------------------
+
+
+@_q("text_pii_redact")
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    red = d.select(
+        "doc_id", "source", TX.redact_pii(F.col("text")).alias("red")
+    )
+    n_ph = sum(
+        [F.regexp_count(F.col("red"), F.lit(p)) for p in ("<URL>", "<EMAIL>", "<IP>", "<ID>")],
+        F.lit(0),
+    )
+    return (
+        red.select("doc_id", "source", "red", n_ph.alias("n_ph"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ph").alias("n_placeholders"),
+            F.sum((F.col("n_ph") > 0).cast("long")).alias("n_docs_redacted"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("doc_id"), F.md5("red").alias("h"))
+                            )
+                        ),
+                        lambda s: s["h"],
+                    ),
+                )
+            ).alias("content_hash"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pii_redact_oracle() -> str:
+    from disq_spark.functions.text import redact_pii_sql
+
+    red = redact_pii_sql("text")
+    n_ph = " + ".join(
+        f"len(regexp_extract_all(red, '{p}'))" for p in ("<URL>", "<EMAIL>", "<IP>", "<ID>")
+    )
+    return f"""
+WITH r AS (SELECT doc_id, source, {red} AS red FROM documents),
+t AS (SELECT doc_id, source, red, {n_ph} AS n_ph FROM r)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_ph) AS BIGINT) AS n_placeholders,
+       CAST(sum(CASE WHEN n_ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+       md5(string_agg(md5(red), '' ORDER BY doc_id)) AS content_hash
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+ORACLE["text_pii_redact"] = _pii_redact_oracle()
+
+
+# ---------------------------------------------------------------------------
 # text_decontamination — benchmark-probe containment: which documents
 # contain any of a probe set of eval-set phrases (substring on
 # normalized text; the production version uses the n-gram tables above —

@@ -171,6 +171,44 @@ def test_charset_sniff_and_decode(spark):
     assert out[0].cs == "ISO-8859-1" and out[2].cs == "" and out[4].cs == "WINDOWS-1252"
 
 
+def test_redact_pii_hand_computed(spark):
+    """URL-before-email ordering (an address inside a URL vanishes with
+    the URL), IPs vs long digit runs, casing/layout preserved."""
+    from pyspark.sql import functions as F
+
+    from disq_spark.functions.text import redact_pii
+
+    cases = [
+        ("Mail Bob@Example.COM now", "Mail <EMAIL> now"),
+        ("see https://x.com/a@b.com?id=12345678 ok", "see <URL> ok"),
+        ("call 5551234567 at 10.0.0.1", "call <ID> at <IP>"),
+        ("short 123456 stays", "short 123456 stays"),  # < 7 digits
+        ("Keep CASE and  spacing", "Keep CASE and  spacing"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i long, s string")
+    got = [r.t for r in df.select("i", redact_pii(F.col("s")).alias("t")).orderBy("i").collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_redact_pii_sql_mirror_parity(spark):
+    from pyspark.sql import functions as F
+
+    from disq_spark.functions.text import redact_pii, redact_pii_sql
+
+    texts = [
+        "a@b.co https://h.io/p?q=1 12345678 1.2.3.4",
+        "nested http://u.com/x@y.org end",
+        "",
+        "plain words only",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], "i long, s string")
+    got = [r.t for r in df.select("i", redact_pii(F.col("s")).alias("t")).orderBy("i").collect()]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(texts)), "s": texts}))
+    want = [v for (v,) in con.execute(f"SELECT {redact_pii_sql('s')} FROM t ORDER BY i").fetchall()]
+    assert got == want
+
+
 def test_train_hashed_logreg_matches_serial_and_learns(spark):
     """Distributed full-batch GD == a numpy serial trainer implementing
     the same recurrence (incl. per-iteration rounding), and on a
