@@ -16,6 +16,7 @@ output rounding.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -228,8 +229,13 @@ def train_hashed_logreg(
             )
             g = {int(r["bucket"]): float(r["g"]) for r in grows}
             gb = float(resid.agg(F.sum("r")).collect()[0][0]) / n_docs
-            w = [round(w[j] - lr * g.get(j, 0.0), round_w) for j in range(n_buckets)]
-            b = round(b - lr * gb, round_w)
+            # sign-aware half-away-from-zero to match DuckDB/Spark round()
+            # (Python round() is banker's: a dyadic halfway update such as
+            # 2^-7 = 0.0078125 would round differently and compound)
+            scale = 10.0 ** round_w
+            _r = lambda x: math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+            w = [_r(w[j] - lr * g.get(j, 0.0)) for j in range(n_buckets)]
+            b = _r(b - lr * gb)
         return w, b
     finally:
         cf.unpersist()

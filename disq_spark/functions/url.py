@@ -91,7 +91,11 @@ def url_tld_sql(expr: str) -> str:
 #: never change page content (the standard URL-dedup pre-pass list)
 TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid)="
 
-_SCHEME_AUTH_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+# three-way authority split: scheme:// / userinfo@ (case-sensitive per
+# RFC 3986 — NOT lowercased) / host[:port]. The greedy '[^/?#]*@' runs
+# to the LAST '@' before the path, matching the RFC host rule; an
+# unmatched optional group extracts as '' in both Java regex and RE2.
+_SCHEME_AUTH_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*@)?([^/?#]*)"
 # optional-tail captures instead of lookaheads: DuckDB's RE2 has no
 # lookahead, and Java/RE2 both substitute '' for an unmatched group ref
 _HTTP_80_RE = r"^(http://[^/?#]*):80([/?#].*)?$"
@@ -104,11 +108,14 @@ def canonicalize_url(col) -> Column:
     spellings of one page must collide BEFORE hashing):
 
     1. trim; drop the #fragment (client-side only)
-    2. lowercase scheme://authority (path/query stay case-sensitive)
+    2. lowercase scheme and host[:port] — userinfo is case-sensitive
+       per RFC 3986 and is kept verbatim; path/query stay
+       case-sensitive too
     3. drop default ports (http :80, https :443)
     4. empty path -> '/' (https://x.com == https://x.com/)
     5. drop tracking params (TRACKING_PARAM_RE), SORT the survivors,
-       drop a now-empty '?'
+       drop a now-empty '?' (including a bare trailing '?':
+       'https://x.com/?' == 'https://x.com/')
 
     Pure column expressions with an exact DuckDB mirror
     (``canonicalize_url_sql``); schemeless input passes through steps
@@ -117,11 +124,18 @@ def canonicalize_url(col) -> Column:
     semantics on real servers.
     """
     u = F.regexp_replace(F.trim(col), r"#.*$", "")
-    sh = F.regexp_extract(u, _SCHEME_AUTH_RE, 1)
-    u = F.concat(F.lower(sh), F.substring(u, F.length(sh) + 1, F.lit(1 << 30)))
+    sch = F.regexp_extract(u, _SCHEME_AUTH_RE, 1)
+    usr = F.regexp_extract(u, _SCHEME_AUTH_RE, 2)
+    hst = F.regexp_extract(u, _SCHEME_AUTH_RE, 3)
+    auth_len = F.length(sch) + F.length(usr) + F.length(hst)
+    u = F.concat(
+        F.lower(sch), usr, F.lower(hst),
+        F.substring(u, auth_len + 1, F.lit(1 << 30)),
+    )
     u = F.regexp_replace(u, _HTTP_80_RE, "$1$2")
     u = F.regexp_replace(u, _HTTPS_443_RE, "$1$2")
     u = F.regexp_replace(u, _EMPTY_PATH_RE, "$1/$2")
+    u = F.regexp_replace(u, r"\?$", "")
     q = F.regexp_extract(u, r"\?(.*)$", 1)
     base = F.regexp_replace(u, r"\?.*$", "")
     params = F.array_sort(
@@ -141,11 +155,18 @@ def canonicalize_url_sql(expr: str) -> str:
     """DuckDB mirror of ``canonicalize_url`` (RE2: \\1 refs, list_sort/
     list_filter for the query step)."""
     u = f"regexp_replace(trim({expr}), '#.*$', '')"
-    sh = f"regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
-    u = f"(lower({sh}) || substr({u}, length({sh}) + 1))"
+    auth = "'^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*@)?([^/?#]*)'"
+    sch = f"regexp_extract({u}, {auth}, 1)"
+    usr = f"regexp_extract({u}, {auth}, 2)"
+    hst = f"regexp_extract({u}, {auth}, 3)"
+    u = (
+        f"(lower({sch}) || {usr} || lower({hst}) || "
+        f"substr({u}, length({sch}) + length({usr}) + length({hst}) + 1))"
+    )
     u = f"regexp_replace({u}, '^(http://[^/?#]*):80([/?#].*)?$', '\\1\\2')"
     u = f"regexp_replace({u}, '^(https://[^/?#]*):443([/?#].*)?$', '\\1\\2')"
     u = f"regexp_replace({u}, '^([a-z][a-z0-9+.-]*://[^/?#]+)(\\?.*)?$', '\\1/\\2')"
+    u = f"regexp_replace({u}, '\\?$', '')"
     q = f"regexp_extract({u}, '\\?(.*)$', 1)"
     base = f"regexp_replace({u}, '\\?.*$', '')"
     params = (

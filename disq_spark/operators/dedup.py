@@ -357,7 +357,10 @@ def _score_signature_pairs(
                 continue
             a = np.stack(pdf["mh_a"].to_numpy())
             b = np.stack(pdf["mh_b"].to_numpy())
-            est = np.round((a == b).sum(axis=1) / nh, 4)
+            # half-up like Spark's F.round / DuckDB round() — np.round is
+            # half-to-even and diverges on exact halfway points such as
+            # 68/128 = 0.53125 (values are nonnegative, no sign handling)
+            est = np.floor((a == b).sum(axis=1) / nh * 1e4 + 0.5) / 1e4
             keep = est >= thr
             yield pd.DataFrame(
                 {

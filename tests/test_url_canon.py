@@ -19,8 +19,13 @@ CASES = [
     ("https://x.com/p?utm_source=tw", "https://x.com/p"),
     ("https://x.com/p?gclid=123&fbclid=9", "https://x.com/p"),
     ("  https://x.com/p  ", "https://x.com/p"),
-    # path/query case preserved; userinfo untouched
-    ("http://User@X.COM/Q?A=B", "http://user@x.com/Q?A=B"),
+    # path/query case preserved; userinfo case-sensitive (RFC 3986) — kept
+    ("http://User@X.COM/Q?A=B", "http://User@x.com/Q?A=B"),
+    # host = after the LAST '@'; password case also preserved
+    ("http://User:Pw@X.COM/", "http://User:Pw@x.com/"),
+    # bare trailing '?' (empty query) collapses to the query-less form
+    ("https://x.com/?", "https://x.com/"),
+    ("https://x.com?", "https://x.com/"),
     ("not a url", "not a url"),
     ("", ""),
 ]
