@@ -152,6 +152,66 @@ def format_vcf_line(row, samples: list[str]) -> str:
 
 
 def format_vcf_batch(pdf: pd.DataFrame, samples: list[str]) -> pd.Series:
-    return pd.Series(
-        [format_vcf_line(row, samples) for _, row in pdf.iterrows()], dtype="object"
+    """Vectorized variants-schema batch -> VCF text lines (no newline).
+
+    contig/start are assembled column-level; the nested map/array
+    columns (info, filters, ids, alts, genotypes) are inherently
+    per-row but iterate raw numpy object arrays via zip instead of
+    iterrows (no per-row Series construction — that was ~80% of the
+    former cost). Semantics identical to ``format_vcf_line``."""
+    n = len(pdf)
+    if n == 0:
+        return pd.Series([], dtype="object")
+    start_s = (
+        pd.to_numeric(pdf["start"]).astype("int64").astype(str).to_numpy(dtype=object)
     )
+    cols = [
+        pdf[c].to_numpy()
+        for c in ("contig", "ids", "ref", "alts", "qual", "filters", "info", "genotypes")
+    ]
+    lines: list[str] = []
+    for i, (contig, ids, ref, alts, qual, filters, info, gts) in enumerate(zip(*cols)):
+        if info is None:
+            info_s = "."
+        else:
+            items = info.items() if hasattr(info, "items") else info
+            parts = [k if v == "" else f"{k}={v}" for k, v in items]
+            info_s = ";".join(parts) if parts else "."
+        if filters is None:
+            filt_s = "."
+        elif len(filters) == 0:
+            filt_s = "PASS"
+        else:
+            filt_s = ";".join(filters)
+        # Arrow->pandas turns a null qual into float NaN — guard both
+        # spellings of "missing" (same rule as format_vcf_line)
+        if qual is None or (isinstance(qual, float) and math.isnan(qual)):
+            qual_s = "."
+        else:
+            qual_s = str(qual) if qual != int(qual) else str(int(qual))
+        fields = [
+            contig,
+            start_s[i],
+            ";".join(ids) if ids is not None and len(ids) else ".",
+            ref,
+            ",".join(alts) if alts is not None and len(alts) else ".",
+            qual_s,
+            filt_s,
+            info_s,
+        ]
+        if gts is not None and len(gts) and samples:
+            fmt_keys = list(gts[0]["attrs"].keys()) if gts[0]["attrs"] else ["GT"]
+            if "GT" in fmt_keys:
+                fmt_keys.remove("GT")
+                fmt_keys.insert(0, "GT")
+            fields.append(":".join(fmt_keys))
+            by_sample = {g["sample"]: g for g in gts}
+            for sample in samples:
+                g = by_sample.get(sample)
+                if g is None:
+                    fields.append("./.")
+                else:
+                    attrs = g["attrs"] or {}
+                    fields.append(":".join(attrs.get(k, ".") for k in fmt_keys))
+        lines.append("\t".join(fields))
+    return pd.Series(lines, dtype="object")

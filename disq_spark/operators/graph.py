@@ -10,11 +10,14 @@ ranking). PageRank is THE canonical iterative DataFrame workload:
 Plan shape per iteration: one join of the rank table against the edge
 list keyed on src (shuffle on node id — unavoidable; at scale you
 pre-partition BOTH by id so iterations reuse the exchange), one
-aggregation keyed on dst, plus a single-scalar action for the dangling
-mass (one tiny job per iteration — the standard formulation; avoiding
-it needs an extra outer join that costs more than it saves).
-``localCheckpoint`` every few rounds truncates the growing lineage —
-the same iterative-loop hygiene as label propagation in dedup.
+aggregation keyed on dst, plus the dangling-mass scalar folded INTO
+the plan as a broadcast single-row crossJoin (the lm.py KL-drift
+pattern) — no per-iteration driver ``collect()``, so the whole run is
+one submitted action plus the small async broadcast-exchange jobs,
+instead of a full driver round-trip (with lineage recomputation since
+the last checkpoint) every iteration. ``localCheckpoint`` every few
+rounds truncates the growing lineage — the same iterative-loop hygiene
+as label propagation in dedup.
 
 Determinism: fixed iteration count (no convergence test — a float
 threshold is partition-order sensitive), float64 arithmetic, final
@@ -58,12 +61,12 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
     base = (1.0 - damping) / n_total
     for i in range(iters):
-        with_deg = ranks.join(outdeg, ranks["node"] == outdeg["u"], "left")
-        # dangling nodes (no out-edges) spread their whole mass uniformly
+        # dangling nodes (no out-edges) spread their whole mass uniformly;
+        # the scalar stays IN the plan as a broadcast one-row aggregate
+        # (same double-precision ops as the former driver-side literal)
         dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+            ranks.join(outdeg, ranks["node"] == outdeg["u"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
         )
         contrib = (
             ranks.join(e, ranks["node"] == e["u"])
@@ -74,12 +77,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n_total))
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("__dang") / F.lit(float(n_total))
+                    )
                 ).alias("rank"),
             )
         )

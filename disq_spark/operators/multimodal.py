@@ -78,8 +78,15 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                b = bytes(r["payload"])
+            # zip over raw numpy columns (itertuples-style): no per-row
+            # Series construction — the decode dominates, the accessor
+            # shouldn't (matches sources/datasource.py's kernels)
+            for doc_id, payload, n_bytes in zip(
+                pdf["doc_id"].to_numpy(),
+                pdf["payload"].to_numpy(),
+                pdf["n_bytes"].to_numpy(),
+            ):
+                b = bytes(payload)
                 if fake:
                     w, h, feats = _fake_decode(b)
                 else:
@@ -93,7 +100,7 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
                         )
                     w, h, img = dec
                     feats = _image_features(img)
-                rows.append((r["doc_id"], w, h, r["n_bytes"], feats))
+                rows.append((doc_id, w, h, n_bytes, feats))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "n_bytes", "features"]
             )
@@ -309,8 +316,11 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            # raw-column zip, not iterrows (see decode_image note)
+            for doc_id, payload in zip(
+                pdf["doc_id"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                payload = bytes(payload)
                 if fake:
                     h = hashlib.md5(payload).digest()
                     rate = (8000, 16000, 22050, 44100)[h[0] % 4]
@@ -331,7 +341,7 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
                 # reproduce it exactly — Python round() is banker's
                 rows.append(
                     (
-                        r["doc_id"],
+                        doc_id,
                         rate,
                         n,
                         math.floor(rms * 1e6 + 0.5) / 1e6,
