@@ -29,9 +29,23 @@ textbook BPE inference rule. A consistently-trained table guarantees
 any pair involving a merged symbol ranks AFTER the merge that created
 the symbol, which is what makes rank-greedy application equal to
 sequential application — pinned by a serial differential in
-tests/test_text.py. Not SQL-expressible (iterative fixpoint per word),
-so the registered gate is rows-only; the differential test is the
-correctness evidence.
+tests/test_text.py AND by the full DuckDB oracle below.
+
+SQL oracle (``bpe_oracle_ctes``): train+apply IS expressible after
+two observations. (1) "Merge all occurrences of pair (a,b)
+left-to-right" is a LEFT FOLD over the token list whose accumulator is
+the space-delimited output string: when the next token is ``b`` and
+the accumulator's last token is ``a``, append ``b`` with no delimiter
+(the merged symbol is the concatenation a||b); otherwise append with a
+delimiter. A just-merged symbol is strictly longer than ``a`` so it
+can never re-match as the left element — exactly the non-overlapping
+left-to-right rule. (2) Rank-greedy inference equals applying the
+merges once each in rank order (merging (x,y) can only create
+adjacencies involving the new symbol, never between two older
+symbols), so application is a linear recursion over ranks, not a
+per-word fixpoint. Training unrolls n_merges stages of
+(pair-count -> argmax -> fold-merge) as materialized CTEs — the same
+unrolled-recurrence device as the PageRank/logreg oracles.
 """
 
 from __future__ import annotations
@@ -173,3 +187,129 @@ def apply_bpe(
     return src.mapInPandas(
         kernel, f"{id_col} {id_t}{carry_sql}, tokens array<string>, n_tokens long"
     )
+
+
+# -- DuckDB oracle ----------------------------------------------------------
+
+#: the engine-portable pre-tokenizer mirror (functions/text.py BPE_PATTERN
+#: over the normalize() mirror) — identical to queries/llm.py's _BPE
+_NORM_SQL = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+_BPE_SQL = "regexp_extract_all(" + _NORM_SQL + ", '[a-z]+|[0-9]+|[^a-z0-9 ]')"
+
+
+def bpe_pretokens_sql(col: str = "text") -> str:
+    """DuckDB mirror of functions.text.bpe_tokens."""
+    return _BPE_SQL.format(col=col)
+
+
+def _fold_merge(list_expr: str, a: str, b: str) -> str:
+    """Left fold implementing _merge_word on a token list -> the merged
+    segmentation as a space-delimited string (see module docstring)."""
+    return (
+        f"list_reduce({list_expr}, (acc, x) -> "
+        f"CASE WHEN x = {b} AND (acc = {a} OR ends_with(acc, ' ' || {a})) "
+        f"THEN acc || x ELSE acc || ' ' || x END)"
+    )
+
+
+def bpe_oracle_ctes(
+    n_merges: int,
+    min_count: int = 2,
+    docs_table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """CTE chain (needs a ``WITH RECURSIVE`` prefix) mirroring
+    train_bpe + apply_bpe exactly. Produces:
+
+    - ``merges(rank, a, b)`` — the trained merge table, rank 1-based
+    - ``seg(w, s)`` — every distinct pre-token of the corpus mapped to
+      its segmentation (tokens space-delimited in ``s``)
+    - ``perdoc(doc_id, n_tokens, h)`` — per-document applied token
+      count and md5 of the 0x1f-joined token stream, the same value as
+      Spark's md5(concat_ws(chr(31), tokens))
+
+    Training stages are MATERIALIZED (the pagerank-oracle lesson: a
+    plain CTE chain re-inlines exponentially). Stop conditions mirror
+    train_bpe: a stage with no pair of count >= min_count yields an
+    empty p{i}, the vocabulary passes through unchanged, and every
+    later stage is then empty too — same as the Python break."""
+    pre = bpe_pretokens_sql(text_col)
+    parts = [
+        f"""words0 AS MATERIALIZED (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest({pre}) AS w FROM {docs_table})
+  GROUP BY w HAVING count(*) >= {min_count}
+)""",
+        """v0 AS MATERIALIZED (
+  SELECT w, array_to_string(regexp_extract_all(w, '.'), ' ') AS s, c FROM words0
+)""",
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT t.toks[g.j] AS a, t.toks[g.j + 1] AS b, sum(t.c) AS cnt
+    FROM (SELECT string_split(s, ' ') AS toks, c FROM v{i}) t,
+         LATERAL (SELECT unnest(generate_series(1, len(t.toks) - 1)) AS j) g
+    GROUP BY 1, 2 HAVING sum(t.c) >= {min_count}
+    ORDER BY cnt DESC, a DESC, b DESC LIMIT 1
+  )
+)"""
+        )
+        fold = _fold_merge("string_split(v.s, ' ')", "p.a", "p.b")
+        parts.append(
+            f"""v{i + 1} AS MATERIALIZED (
+  SELECT v.w, CASE WHEN p.a IS NULL THEN v.s ELSE {fold} END AS s, v.c
+  FROM v{i} v LEFT JOIN p{i} p ON TRUE
+)"""
+        )
+    merge_rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS rank, a, b FROM p{i}" for i in range(n_merges)
+    )
+    apply_fold = _fold_merge("string_split(sapply.s, ' ')", "m.a", "m.b")
+    parts.append(f"merges AS MATERIALIZED ({merge_rows})")
+    parts.append(
+        f"""allwords AS MATERIALIZED (
+  SELECT DISTINCT unnest({pre}) AS w FROM {docs_table}
+)"""
+    )
+    parts.append(
+        f"""sapply AS (
+  SELECT w, array_to_string(regexp_extract_all(w, '.'), ' ') AS s, 0 AS r
+  FROM allwords
+  UNION ALL
+  SELECT sapply.w, {apply_fold}, sapply.r + 1
+  FROM sapply JOIN merges m ON m.rank = sapply.r + 1
+)"""
+    )
+    parts.append(
+        """seg AS MATERIALIZED (
+  SELECT w, s FROM sapply
+  WHERE r = (SELECT coalesce(max(rank), 0) FROM merges)
+)"""
+    )
+    parts.append(
+        f"""docseg AS (
+  SELECT dp.doc_id, dp.j, seg.s
+  FROM (
+    SELECT doc_id, toks[j] AS w, j
+    FROM (SELECT doc_id, {pre} AS toks,
+                 unnest(generate_series(1, len({pre}))) AS j
+          FROM {docs_table})
+  ) dp JOIN seg ON seg.w = dp.w
+)"""
+    )
+    parts.append(
+        f"""perdoc AS MATERIALIZED (
+  SELECT d.doc_id,
+         coalesce(p.n_tokens, 0) AS n_tokens,
+         coalesce(p.h, md5('')) AS h
+  FROM {docs_table} d LEFT JOIN (
+    SELECT doc_id,
+           CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_tokens,
+           md5(string_agg(replace(s, ' ', chr(31)), chr(31) ORDER BY j)) AS h
+    FROM docseg GROUP BY doc_id
+  ) p ON d.doc_id = p.doc_id
+)"""
+    )
+    return ",\n".join(parts)

@@ -416,3 +416,59 @@ def pack_sequences_bfd(
     return out.select(key, token_col, "shard").groupBy("shard").applyInPandas(
         pack, schema
     )
+
+
+def bfd_oracle_ctes(
+    budget: int,
+    n_shards: int,
+    tokens_expr: str,
+    docs_table: str = "documents",
+    key: str = "doc_id",
+    seed: str = "",
+) -> str:
+    """DuckDB mirror of ``pack_sequences_bfd`` as a recursive CTE (needs
+    a ``WITH RECURSIVE`` prefix). Greedy sequential placement IS
+    SQL-expressible: the per-shard packing state is the LIST of bin
+    fills, advanced one document per recursion step in the same
+    (tokens DESC, key ASC) order the kernel sorts by. Best-fit =
+    ``list_aggregate(list_filter(fills, f -> f + n <= budget), 'max')``;
+    the lowest-index tie-break is ``list_position`` (first occurrence).
+    An overflow document (n > budget) and a no-bin-fits document both
+    append a new bin holding exactly n. Produces ``bfd_bins(shard,
+    fill)`` — one row per bin; a bin is an overflow bin iff
+    fill > budget (overflow docs always sit alone: nothing ever fits
+    next to a fill already above budget)."""
+    b = int(budget)
+    splice = (
+        "list_slice(st.fills, 1, list_position(st.fills, best_f) - 1) || "
+        "[best_f + o.n] || "
+        "list_slice(st.fills, list_position(st.fills, best_f) + 1, len(st.fills))"
+    )
+    return f"""bfd_base AS (
+  SELECT {key} AS k, CAST({tokens_expr} AS BIGINT) AS n,
+         CAST({shard_sql(key, n_shards, seed)} AS INT) AS shard
+  FROM {docs_table}
+),
+bfd_ordered AS (
+  SELECT shard, k, n,
+         row_number() OVER (PARTITION BY shard ORDER BY n DESC, k) AS rn
+  FROM bfd_base
+),
+bfd_cnt AS (SELECT shard, max(rn) AS mx FROM bfd_ordered GROUP BY shard),
+bfd_st AS (
+  SELECT shard, 0 AS i, CAST([] AS BIGINT[]) AS fills FROM bfd_cnt
+  UNION ALL
+  SELECT st.shard, st.i + 1,
+    CASE WHEN o.n > {b} OR best_f IS NULL THEN list_append(st.fills, o.n)
+         ELSE {splice} END
+  FROM (
+    SELECT st.*, o.n,
+           list_aggregate(list_filter(st.fills, f -> f + o.n <= {b}), 'max') AS best_f
+    FROM bfd_st st JOIN bfd_ordered o ON o.shard = st.shard AND o.rn = st.i + 1
+  ) st(shard, i, fills, n, best_f),
+  LATERAL (SELECT st.n AS n) o
+),
+bfd_bins AS (
+  SELECT st.shard, unnest(st.fills) AS fill
+  FROM bfd_st st JOIN bfd_cnt c ON c.shard = st.shard AND st.i = c.mx
+)"""

@@ -148,13 +148,12 @@ def text_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bpe_apply_tokens — REAL BPE: train a merge table from the corpus's
 # word-frequency table (one distributed job + driver-side Sennrich
 # merges), then segment every document with the rank-greedy inference
-# rule, distributed (Arrow-batched, word-memoized). Iterative-fixpoint
-# segmentation is not SQL-expressible, so this gate is rows-only for
-# the driver; the correctness evidence is the serial differential
-# (tests/test_text.py::test_bpe_apply_matches_serial_reference) which
-# hash-matches the Spark segmentation against an independently-coded
-# one-merge-at-a-time reference on both adversarial words and this
-# corpus.
+# rule, distributed (Arrow-batched, word-memoized). FULL DuckDB oracle:
+# train+apply re-expressed as unrolled merge stages + a rank-recursion
+# (operators/bpe.py bpe_oracle_ctes — merge-all is a string left-fold,
+# rank-greedy == sequential rank order), hash-compared per document;
+# additionally pinned by the serial differential
+# (tests/test_text.py::test_bpe_apply_matches_serial_reference).
 # ---------------------------------------------------------------------------
 BPE_GATE_MERGES = 120
 
@@ -191,6 +190,24 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _bpe_oracle_prefix() -> str:
+    from disq_spark.operators.bpe import bpe_oracle_ctes
+
+    return "WITH RECURSIVE " + bpe_oracle_ctes(BPE_GATE_MERGES)
+
+
+ORACLE["bpe_apply_tokens"] = f"""{_bpe_oracle_prefix()},
+perdoc_src AS (
+  SELECT p.doc_id, d.source, p.n_tokens, p.h
+  FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(sum(n_tokens) AS BIGINT) AS total_bpe_applied,
+       md5(string_agg(doc_id || ':' || h, ',' ORDER BY doc_id || ':' || h)) AS seg_md5
+FROM perdoc_src GROUP BY source ORDER BY source
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -855,9 +872,8 @@ FROM normed
 # whitespace-token packing gate (pack_sequences_stats) budgets context
 # windows in the wrong unit; a production tape is cut in model tokens.
 # train_bpe -> apply_bpe(n_tokens) -> pack_sequences composition.
-# Rows-only (BPE counts are not SQL-expressible); the BPE layer is
-# differential-tested serially and the packing layer has its own full
-# oracle on whitespace counts — this gate pins the composition.
+# FULL oracle: the bpe_oracle_ctes perdoc counts feed the same
+# hash-order window-cumsum packing SQL as pack_sequences_stats.
 # ---------------------------------------------------------------------------
 @_q("pack_sequences_bpe")
 def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,6 +896,33 @@ def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _pack_bpe_oracle() -> str:
+    from disq_spark.operators.sampling import shard_sql
+
+    return f"""{_bpe_oracle_prefix()},
+base AS (
+  SELECT doc_id, n_tokens,
+         CAST({shard_sql("doc_id", 8)} AS INT) AS shard,
+         substring(md5('' || doc_id), 1, 16) AS __ord
+  FROM perdoc
+),
+packed AS (
+  SELECT shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY __ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tape_offset
+  FROM base
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST(max(CAST(floor(tape_offset / 512) AS BIGINT)) + 1 AS BIGINT) AS n_packs,
+       round(sum(n_tokens) / ((max(CAST(floor(tape_offset / 512) AS BIGINT)) + 1) * 512.0), 4) AS fill
+FROM packed GROUP BY shard ORDER BY shard
+"""
+
+
+ORACLE["pack_sequences_bpe"] = _pack_bpe_oracle()
 
 
 _BPE = f"regexp_extract_all({_NORM}, '[a-z]+|[0-9]+|[^a-z0-9 ]')"

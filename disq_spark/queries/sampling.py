@@ -139,9 +139,12 @@ FROM packed GROUP BY shard ORDER BY shard
 
 # ---------------------------------------------------------------------------
 # pack_sequences_bfd_stats — best-fit-decreasing packing (the whole-doc,
-# no-cross-attention layout). ROWS-ONLY gate: greedy sequential placement
-# is not SQL-expressible; the serial reference + invariants (fills <=
-# budget, determinism under repartition) live in tests/test_operators.py.
+# no-cross-attention layout). FULL oracle: sequential greedy placement
+# re-expressed as a recursive CTE whose per-shard state is the bin-fill
+# LIST, one document placed per recursion step in the kernel's exact
+# (tokens DESC, key ASC) order (operators/sampling.py bfd_oracle_ctes);
+# invariants (fills <= budget, determinism under repartition) also live
+# in tests/test_operators.py.
 # ---------------------------------------------------------------------------
 _BFD_BUDGET = 128
 _BFD_SHARDS = 8
@@ -180,3 +183,16 @@ def pack_sequences_bfd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+ORACLE["pack_sequences_bfd_stats"] = f"""
+WITH RECURSIVE {SP.bfd_oracle_ctes(_BFD_BUDGET, _BFD_SHARDS, f"len({_TOKS})")}
+SELECT shard,
+       count(*) AS n_bins,
+       CAST(sum(fill) AS BIGINT) AS total_tokens,
+       max(CASE WHEN fill <= {_BFD_BUDGET} THEN fill END) AS max_regular_fill,
+       CAST(sum(CASE WHEN fill > {_BFD_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_bins,
+       round(sum(CASE WHEN fill <= {_BFD_BUDGET} THEN fill ELSE 0 END)
+             / (sum(CASE WHEN fill <= {_BFD_BUDGET} THEN 1 ELSE 0 END) * {float(_BFD_BUDGET)}), 4) AS utilization
+FROM bfd_bins GROUP BY shard ORDER BY shard
+"""

@@ -1203,6 +1203,46 @@ def test_pack_sequences_bfd_matches_serial_and_invariants(spark):
     }
 
 
+def test_bfd_duckdb_oracle_matches_kernel(spark):
+    """The recursive-CTE BFD oracle (bfd_oracle_ctes) must reproduce
+    the applyInPandas kernel's bin-fill multiset per shard — including
+    overflow bins and exact-budget fits — on adversarial sizes. Value
+    evidence behind pack_sequences_bfd_stats being a full hash gate."""
+    import duckdb
+    import pandas as pd
+
+    from disq_spark.operators.sampling import bfd_oracle_ctes, pack_sequences_bfd
+
+    rows = (
+        [(i, 10 + (i * 37) % 90) for i in range(150)]
+        + [(900, 500), (901, 129), (902, 128), (903, 128), (904, 1)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    got = pack_sequences_bfd(
+        df, budget=128, token_col="n", key="doc_id", n_shards=4
+    ).collect()
+    fills_spark = {}
+    for r in got:
+        fills_spark[(r["shard"], r["bin_id"])] = (
+            fills_spark.get((r["shard"], r["bin_id"]), 0) + r_n(r, rows)
+        )
+    want = sorted((s, f) for (s, _), f in fills_spark.items())
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "n"]))
+    ctes = bfd_oracle_ctes(128, 4, "n", key="doc_id")
+    oracle = sorted(
+        con.execute(
+            f"WITH RECURSIVE {ctes} SELECT shard, fill FROM bfd_bins"
+        ).fetchall()
+    )
+    assert oracle == want
+
+
+def r_n(r, rows):
+    return dict(rows)[r["doc_id"]]
+
+
 def test_winnowing_pairs_and_max_df_cap(spark):
     from disq_spark.operators.dedup import winnowing_fingerprints, winnowing_pairs
 

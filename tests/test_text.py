@@ -326,6 +326,60 @@ def test_bpe_apply_matches_serial_reference(spark):
         assert got_t[r.doc_id] == want, r.doc_id
 
 
+def test_bpe_duckdb_oracle_matches_spark(spark):
+    """The full SQL oracle (bpe_oracle_ctes: unrolled fold-merge train
+    stages + rank-recursion apply) must reproduce the Spark pipeline —
+    trained merges, per-word segmentations, and per-doc token hashes —
+    on an adversarial corpus (overlapping runs, chained merges, ties,
+    empty doc). This is the value evidence behind the bpe_apply_tokens /
+    pack_sequences_bpe gates being full hash gates, not rows-only."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from disq_spark.operators.bpe import (
+        apply_bpe,
+        bpe_oracle_ctes,
+        segment_word,
+        train_bpe,
+    )
+
+    docs = [
+        (0, "aaaa aaab aaaab abab banana banana"),
+        (1, "abc abbc aabab 12 121212 a1b2 abc abc"),
+        (2, "Mixed CASE   with\twhitespace banana-nana! nana nana"),
+        (3, ""),
+        (4, "aaaaaaa aaaaaaa zzz zzz z z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n_merges = 25
+    merges = train_bpe(df, n_merges=n_merges)
+    got = {r.doc_id: (r.n_tokens, list(r.tokens)) for r in apply_bpe(df, merges).collect()}
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    ctes = bpe_oracle_ctes(n_merges)
+    sql_merges = [
+        (a, b)
+        for _, a, b in con.execute(
+            f"WITH RECURSIVE {ctes} SELECT rank, a, b FROM merges ORDER BY rank"
+        ).fetchall()
+    ]
+    assert sql_merges == merges
+    # per-word segmentation parity (covers every distinct pre-token)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, s in con.execute(f"WITH RECURSIVE {ctes} SELECT w, s FROM seg").fetchall():
+        assert s.split(" ") == segment_word(w, ranks), w
+    # per-doc count + stream-hash parity vs the Spark kernel output
+    for doc_id, n_tokens, h in con.execute(
+        f"WITH RECURSIVE {ctes} SELECT doc_id, n_tokens, h FROM perdoc"
+    ).fetchall():
+        want_n, want_toks = got[doc_id]
+        assert n_tokens == want_n, doc_id
+        assert h == hashlib.md5("\x1f".join(want_toks).encode()).hexdigest(), doc_id
+
+
 def test_train_bpe_deterministic_and_consistent(spark):
     """The merge table must be partition-invariant (same merges under a
     different partitioning) and CONSISTENT: any pair referencing a
