@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from disq_spark.functions.text import normalize, tokens
 
@@ -268,13 +269,19 @@ def minhash_lsh_pairs(
         F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
     )
     # sig feeds both sides of the self-join below. Materialize it once:
-    # the signature table is 1 row/doc x (id + num_hashes*32 B) — tiny
+    # the signature table is 1 row/doc x (id + num_hashes*8 B) — tiny
     # relative to the corpus — while its lineage (explode + hot-shingle
-    # count + agg) is the expensive part. Without the checkpoint each
-    # join side recomputes the whole pipeline, including the max_df
-    # hot-list job. (localCheckpoint, not cache: truncating lineage also
-    # halves the plan Catalyst must analyze/codegen.)
-    sig = sig.localCheckpoint(eager=False)
+    # count + agg) is the expensive part, and exchange reuse does NOT
+    # kick in for the aliased self-join sides (verified: the SMJ plan
+    # shows two full Exchange chains, no ReusedExchange). persist, NOT
+    # localCheckpoint: checkpoint converts the plan to an RDD at BUILD
+    # time — a full analyze/optimize/codegen pass of the 128-agg
+    # subplan, measured 2.5 s per rebuild warm and ~6 s cold at sf0.1
+    # (r8 profile), which dominated the whole query; persist is a lazy
+    # marker with the same compute-once property (CacheManager dedups
+    # identical canonical plans, MEMORY_AND_DISK evicts under pressure).
+    # Bench: cold 9.9 -> 4.0 s, warm 2.6 -> 2.4 s for the full pipeline.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
     band_keys = F.array(
         *[
@@ -409,9 +416,15 @@ def ngram_jaccard_pairs(
     sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     # sh feeds three consumers (both join sides + the size table); one
     # materialization beats three recomputes of the explode + max_df
-    # pruning. At scale this writes ~the inverted index to executor-local
-    # storage — the standard trade for multi-consumer iterative shapes.
-    sh = sh.localCheckpoint(eager=False)
+    # pruning. persist, not localCheckpoint: checkpoint pays a full
+    # plan->RDD conversion (analyze/optimize/codegen) at BUILD time —
+    # measured 7.6 s cold / part of every warm rebuild at sf0.1 (r8
+    # profile) — while persist defers planning to the single action and
+    # still computes the index once (CacheManager dedups canonical
+    # plans). At scale this caches ~the inverted index to
+    # memory-then-disk — same bytes the checkpoint wrote, minus the
+    # eager planning pass.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -678,8 +691,11 @@ def incremental_minhash_pairs(
     arr = lambda s: s.select(
         F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
     )
-    sig_n = arr(new_sig).localCheckpoint(eager=False)
-    sig_a = arr(all_sig).localCheckpoint(eager=False)
+    # persist, not localCheckpoint — same r8 finding as minhash_lsh_pairs:
+    # checkpoint pays an eager plan->RDD codegen pass per table at build
+    # time; persist defers to the action and still computes each once.
+    sig_n = arr(new_sig).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_a = arr(all_sig).persist(StorageLevel.MEMORY_AND_DISK)
 
     def buckets(sig):
         band_keys = F.array(
@@ -853,7 +869,7 @@ def incremental_minhash_pairs_stored(
     new_sig = minhash_signatures(new_df, text_col, id_col, num_hashes, k, stride, None)
     new_arr = new_sig.select(
         F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     new_bands = new_arr.select(
         F.col(id_col),
         F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "band_key"),
@@ -908,9 +924,12 @@ def append_minhash_store(
     tables are read lazily, so appending first would make the batch
     collide with itself through the store."""
     sig = minhash_signatures(new_df, text_col, id_col, num_hashes, k, stride, None)
+    # single consumer (the write) — no materialization marker needed at
+    # all; the eager=False checkpoint here only added the r8-measured
+    # plan->RDD build cost.
     arr = sig.select(
         F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
-    ).localCheckpoint(eager=False)
+    )
     (
         arr.write.mode("append")
         .bucketBy(n_buckets, id_col)
