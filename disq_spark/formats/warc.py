@@ -66,6 +66,10 @@ def record_status(buf: bytes, pos: int):
         n = int(headers.get("Content-Length", ""))
     except ValueError:
         return "bad", None
+    if n < 0:
+        # a negative length can never complete — without this it would
+        # classify as 'short' forever and pin the buffer-extension loop
+        return "bad", None
     body_start = hdr_end + 4
     payload = buf[body_start : body_start + n]
     if len(payload) != n:

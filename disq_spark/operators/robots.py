@@ -39,6 +39,9 @@ def parse_robots_rules(txt: str) -> list[tuple[bool, str]]:
     rules: list[tuple[bool, str]] = []
     applies = False
     last_was_agent = False
+    # a UTF-8 BOM glued to the first 'User-agent' key would otherwise
+    # make the whole '*' group unrecognized (real crawls serve these)
+    txt = txt.lstrip('\ufeff')
     for raw in txt.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:

@@ -116,7 +116,15 @@ def decode_warc_chunks(chunk_rows) -> Iterator[pd.DataFrame]:
                 while pos < len(data):
                     rec = parse_record(data, pos)
                     if rec is None:
-                        break
+                        # poisoned framing inside a member (bad
+                        # Content-Length, binary junk): resync to the
+                        # next record start instead of dropping the
+                        # member tail — crawls DO ship corrupt records
+                        nxt = data.find(b"WARC/", pos + 1)
+                        if nxt < 0:
+                            break
+                        pos = nxt
+                        continue
                     headers, payload, pos = rec
                     rows.append(_rows_of(headers, payload))
         else:
@@ -142,8 +150,18 @@ def decode_warc_chunks(chunk_rows) -> Iterator[pd.DataFrame]:
                             break
                         buf += more
                         st, rec = record_status(buf, pos)
+                    if st == "bad":
+                        # resync past poisoned framing (negative or
+                        # non-numeric Content-Length, binary junk):
+                        # later well-formed records in this range must
+                        # still be surfaced
+                        nxt = buf.find(b"WARC/", pos + 1)
+                        if nxt < 0 or nxt >= limit:
+                            break
+                        pos = nxt
+                        continue
                     if st != "ok":
-                        break
+                        break  # 'short' at EOF: genuinely truncated tail
                     headers, payload, pos = rec
                     rows.append(_rows_of(headers, payload))
         yield pd.DataFrame(rows, columns=cols)

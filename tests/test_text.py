@@ -614,3 +614,100 @@ def test_classifier_kernel_matches_sql_path(spark, tmp_path):
     na = {r.doc_id: r.score for r in score_hashed_linear(nb, w, bias=-0.1, method="sql").collect()}
     nbk = {r.doc_id: r.score for r in score_hashed_linear(nb, w, bias=-0.1, method="blas").collect()}
     assert na == nbk
+
+
+# -- hostile-input hardening (r8): robots.txt + HTML edge cases ---------------
+
+
+def test_robots_bom_and_mixed_case():
+    """A UTF-8 BOM glued to the first header key and fully-uppercased
+    keys must not hide the '*' group (both appear in real crawls)."""
+    from disq_spark.operators.robots import parse_robots_rules
+
+    txt = "﻿USER-AGENT: *\r\nDISALLOW: /private\r\nALLOW: /private/ok\r\n"
+    assert parse_robots_rules(txt) == [(False, "/private"), (True, "/private/ok")]
+
+
+def test_robots_conflicting_rules_precedence(spark):
+    """Documented precedence on conflicts: longest matching prefix
+    wins; Allow beats Disallow at EQUAL length; no match -> allowed."""
+    from disq_spark.operators.robots import apply_robots
+
+    rules = spark.createDataFrame(
+        [
+            ("h.com", False, "/a"),      # Disallow /a
+            ("h.com", True, "/a"),       # Allow /a  (equal length: Allow wins)
+            ("h.com", False, "/a/deep"), # longer Disallow overrides under /a/deep
+        ],
+        "host string, allow boolean, prefix string",
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "https://h.com/a/x"),       # equal-length tie -> Allow
+            (2, "https://h.com/a/deep/x"),  # longest prefix -> Disallow
+            (3, "https://h.com/other"),     # no rule -> allowed
+        ],
+        "id long, url string",
+    )
+    got = {r.id for r in apply_robots(pages, rules, "url").collect()}
+    assert got == {1, 3}
+
+
+def test_robots_rules_before_any_group_ignored():
+    from disq_spark.operators.robots import parse_robots_rules
+
+    txt = "Disallow: /early\nUser-agent: *\nDisallow: /x\n"
+    assert parse_robots_rules(txt) == [(False, "/x")]
+
+
+def test_robots_junk_lines_no_crash():
+    from disq_spark.operators.robots import parse_robots_rules
+
+    txt = (
+        "User-agent: *\n"
+        "this line has no colon\n"       # unknown key -> skipped
+        "Crawl-delay: not-a-number\n"    # unsupported directive -> skipped
+        "Disallow: /ok\n"
+        "\x00\x01binary junk\n"
+    )
+    assert parse_robots_rules(txt) == [(False, "/ok")]
+
+
+def test_html_script_with_nested_markup(spark):
+    """A <script> body containing comments, fake close tags of OTHER
+    elements, and a CDATA section drops at the first real </script> —
+    the same rule browsers use; surrounding text survives."""
+    from disq_spark.functions import html as H
+
+    doc = (
+        "<p>before</p>"
+        "<script>/*<!-- </div> --> <![CDATA[ if (a<b) x(); ]]>*/</script>"
+        "<p>after</p>"
+    )
+    df = spark.createDataFrame([(doc,)], "h string")
+    out = df.select(H.html_to_text(F.col("h")).alias("t")).collect()[0].t
+    assert "before" in out and "after" in out
+    assert "CDATA" not in out and "if (a" not in out
+
+
+def test_html_unclosed_script_documented_leak(spark):
+    """An unclosed <script> at EOF cannot match the lazy block regex;
+    the regex-tier extractor strips the tag and lets the body through
+    as text — documented behavior (a DOM-tier extractor is the
+    upgrade path), asserted here so a silent change is visible."""
+    from disq_spark.functions import html as H
+
+    doc = "<p>keep</p><script>var leak = 1;"
+    df = spark.createDataFrame([(doc,)], "h string")
+    out = df.select(H.html_to_text(F.col("h")).alias("t")).collect()[0].t
+    assert "keep" in out
+    assert "var leak" in out  # the documented regex-tier limitation
+
+
+def test_html_bare_cdata_no_crash(spark):
+    from disq_spark.functions import html as H
+
+    doc = "x <![CDATA[ raw < data ]]> y"
+    df = spark.createDataFrame([(doc,)], "h string")
+    out = df.select(H.html_to_text(F.col("h")).alias("t")).collect()[0].t
+    assert "x" in out and "y" in out

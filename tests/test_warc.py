@@ -254,3 +254,133 @@ def test_warc_plain_oversize_record(spark, tmp_path, monkeypatch):
                 assert rid not in got, f"duplicate {rid} at split={split}"
                 got[rid] = bytes(payload)
         assert got == want, f"split={split}"
+
+
+# -- hostile-input hardening (r8): malformed WARC framing ---------------------
+
+
+def _rec_bytes(headers: dict, payload: bytes) -> bytes:
+    lines = ["WARC/1.0"] + [f"{k}: {v}" for k, v in headers.items()]
+    return ("\r\n".join(lines) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+
+def _valid(i: int, payload: bytes = b"ok-payload") -> bytes:
+    return _rec_bytes(
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": f"<urn:uuid:{i:08d}>",
+            "Content-Length": str(len(b"ok-payload")),
+        },
+        b"ok-payload",
+    )
+
+
+def test_warc_negative_content_length_is_bad_not_short():
+    """A negative Content-Length can never complete: it must classify
+    'bad' (advance the scan), not 'short' (extend the buffer forever —
+    the hang mode this guards against)."""
+    from disq_spark.formats.warc import record_status
+
+    bad = _rec_bytes({"Content-Length": "-7"}, b"")
+    st, rec = record_status(bad, 0)
+    assert st == "bad" and rec is None
+    # recovery: a valid record after the poisoned one is still found
+    buf = bad + _valid(1)
+    pos = find_record_start(buf, 1)  # skip the bad record's own 'WARC/'
+    assert pos >= 0
+    recs = parse_records(buf, pos)
+    assert len(recs) == 1 and recs[0][1] == b"ok-payload"
+
+
+def test_warc_nonnumeric_content_length_recovers():
+    from disq_spark.formats.warc import record_status
+
+    for cl in ("abc", "12abc", "1e3", "", "0x10"):
+        bad = _rec_bytes({"Content-Length": cl}, b"xx")
+        assert record_status(bad, 0)[0] == "bad", cl
+    buf = _rec_bytes({"Content-Length": "zzz"}, b"") + _valid(2)
+    pos = find_record_start(buf, 1)
+    assert parse_records(buf, pos)[0][1] == b"ok-payload"
+
+
+def test_warc_lf_only_headers_not_a_record():
+    """LF-only framing (no CRLF CRLF terminator) is spec-invalid: the
+    classifier reports 'short' while the buffer is small (more data
+    could still close the block) and 'bad' once a binary-blob-sized
+    tail rules a header block out — never a parse, never a hang."""
+    from disq_spark.formats.warc import record_status
+
+    lf_only = b"WARC/1.0\nContent-Length: 2\n\nhi"
+    st, _ = record_status(lf_only, 0)
+    assert st == "short"  # could still be a prefix of CRLF framing
+    st2, _ = record_status(b"WARC/" + b"\x00" * (1 << 20) + b"x", 0)
+    assert st2 == "bad"  # oversized unterminated block: scan advances
+
+
+def test_warc_headerline_without_colon_no_crash():
+    raw = (
+        b"WARC/1.0\r\nWARC-Record-ID: <urn:uuid:1>\r\n"
+        b"garbage line no colon\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    recs = parse_records(raw)
+    assert len(recs) == 1 and recs[0][1] == b"hi"
+    assert recs[0][0]["garbage line no colon"] == ""
+
+
+def test_warc_duplicate_header_last_wins():
+    raw = (
+        b"WARC/1.0\r\nContent-Length: 99\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    recs = parse_records(raw)
+    assert len(recs) == 1 and recs[0][1] == b"hi"
+
+
+def test_warc_truncated_tail_drops_only_last():
+    """Content-Length pointing past EOF: earlier records parse, the
+    truncated tail is 'short' (a resumable prefix), not an error."""
+    from disq_spark.formats.warc import record_status
+
+    buf = _valid(1) + _rec_bytes({"Content-Length": "100000"}, b"only-a-bit")
+    recs = parse_records(buf)
+    assert len(recs) == 1 and recs[0][1] == b"ok-payload"
+    st, _ = record_status(buf, len(_valid(1)))
+    assert st == "short"
+
+
+def test_warc_huge_content_length_no_allocation_blowup():
+    from disq_spark.formats.warc import record_status
+
+    st, _ = record_status(_rec_bytes({"Content-Length": str(1 << 60)}, b"x"), 0)
+    assert st == "short"  # classified from lengths, no 2^60 allocation
+
+
+def test_warc_malformed_mix_end_to_end(spark, tmp_path):
+    """A .warc file with a poisoned record between two valid ones: the
+    reader must surface both valid records and not loop/crash on the
+    bad framing."""
+    buf = (
+        _valid(1)
+        + _rec_bytes({"Content-Length": "-1"}, b"")
+        + _valid(2)
+    )
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(buf)
+    rows = read_warc(spark, str(p)).collect()
+    ids = sorted(r.record_id for r in rows)
+    assert ids == ["<urn:uuid:00000001>", "<urn:uuid:00000002>"]
+
+
+def test_warc_gz_malformed_member_resync(spark, tmp_path):
+    """Same poisoned-record recovery inside a gzip member: a bad
+    record between two valid ones in ONE member must not drop the
+    member tail."""
+    import gzip
+
+    member = _valid(1) + _rec_bytes({"Content-Length": "-1"}, b"") + _valid(2)
+    p = tmp_path / "mixed.warc.gz"
+    p.write_bytes(gzip.compress(member))
+    rows = read_warc(spark, str(p)).collect()
+    assert sorted(r.record_id for r in rows) == [
+        "<urn:uuid:00000001>",
+        "<urn:uuid:00000002>",
+    ]
