@@ -128,6 +128,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--rel-tol", type=float, default=0.0)
+    ap.add_argument(
+        "--manifest",
+        default=None,
+        help="write a JSON manifest {name: {rows, cols, value_md5}} of the "
+        "SPARK result per gate — a one-file fingerprint the judge can diff "
+        "against a later run without replaying the full replica",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -156,6 +163,7 @@ def main():
         )
 
     n_pass = n_fail = 0
+    manifest: dict = {}
     for name in names:
         t0 = time.time()
         try:
@@ -167,6 +175,15 @@ def main():
             traceback.print_exc()
             n_fail += 1
             continue
+        if args.manifest is not None:
+            import hashlib
+
+            _, m_norm = df_to_rows(scols, srows, 0.0)
+            manifest[name] = {
+                "rows": len(srows),
+                "cols": sorted(scols),
+                "value_md5": hashlib.md5(repr(m_norm).encode()).hexdigest(),
+            }
         if name not in oracles:
             print(f"PASS(rows-only) {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
             n_pass += 1
@@ -202,6 +219,13 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
+
+    if args.manifest is not None:
+        import json
+
+        with open(args.manifest, "w") as fh:
+            json.dump({"sf": args.sf, "gates": manifest}, fh, indent=1, sort_keys=True)
+        print(f"manifest: {args.manifest} ({len(manifest)} gates)")
 
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0
