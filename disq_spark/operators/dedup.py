@@ -390,6 +390,7 @@ def ngram_jaccard_pairs(
     max_df: float | None = None,
     two_level_agg: bool = False,
     agg_buckets: int = 16,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, computed only for pairs that share
     at least one shingle (inverted-index candidate join).
@@ -406,6 +407,23 @@ def ngram_jaccard_pairs(
     extra shuffle with MORE distinct groups. Kept available (default
     off) as the documented negative; the scale-out lever for the knee
     is executors over the uniform pair-keyed shuffle, not salting.
+
+    ``prefix_filter``: the PPJoin-family prefix-filtered variant
+    (Chaudhuri/Bayardo/Vernica — the published SSJoin scale design).
+    Same output rows, different candidate generation: under one global
+    token order (document frequency ascending, rarest first), two sets
+    with jaccard >= t MUST share a token within their first
+    |X| - ceil(t*|X|) + 1 tokens, so only those prefixes enter the
+    inverted-index join, and verification is size(array_intersect)
+    per candidate pair instead of one shuffled row per shared shingle.
+    MEASURED NEGATIVE on this synthetic corpus family at sf1/sf5/sf10
+    (SCALE.md §r8 probe: 119 s baseline vs 442 s prefix at sf10, gate
+    params): replica-structured duplicates bound every shingle's df at
+    the replica count, so the baseline join is already near-linear and
+    the df-join + per-doc sort + join-backs are pure overhead. Kept
+    (default off) for the published win regime — Zipfian natural text
+    with uncapped df where hot shingles make the shared-shingle join
+    quadratic; re-measure there before choosing.
     """
     sh = shingle_table(df, text_col, id_col, k, stride, max_df)
     # join/checkpoint on an 8-byte xxhash64 fingerprint, not the shingle
@@ -425,6 +443,8 @@ def ngram_jaccard_pairs(
     # memory-then-disk — same bytes the checkpoint wrote, minus the
     # eager planning pass.
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if prefix_filter:
+        return _ngram_jaccard_prefix(sh, id_col, threshold)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -451,6 +471,90 @@ def ngram_jaccard_pairs(
         .withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_jaccard_prefix(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """PPJoin-style candidate generation + array-intersect verification
+    over an (id, shingle-hash) inverted-index table. Same output as the
+    shared-shingle path (see ngram_jaccard_pairs docstring).
+
+    Soundness of the prefix: order every document's tokens by
+    (document frequency, token) ascending — one GLOBAL total order.
+    jaccard(A,B) >= t implies |A∩B| >= t*|A∪B| >= t*max(|A|,|B|), so
+    by pigeonhole A and B must share a token among their first
+    |X| - ceil(t*|X|) + 1 tokens. ceil is computed with a 1e-9 slack
+    SUBTRACTED before the ceil: float error can only lengthen the
+    prefix (more candidates), never shorten it (missed pairs). The
+    size filter min >= t*max (same slack direction) prunes before the
+    pair distinct."""
+    t = float(threshold)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    docs = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("toks")
+        )
+        .select(
+            F.col(id_col),
+            "toks",
+            F.size("toks").alias("n"),
+            F.slice(
+                "toks",
+                F.lit(1),
+                F.size("toks")
+                - F.ceil(F.lit(t) * F.size("toks") - F.lit(1e-9)).cast("int")
+                + F.lit(1),
+            ).alias("prefix"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # the candidate join and its pair-distinct run on NARROW rows (ids +
+    # sizes only) — token arrays are unbounded (doc length / stride), so
+    # carrying them through the join's sort/shuffle multiplies each
+    # array by its prefix-match fan-out (measured: disk-spill blowup at
+    # sf5). The arrays join back AFTER the distinct, once per pair side,
+    # against the 1-row-per-doc table.
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.explode("prefix").alias("tok"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.explode("prefix").alias("tok"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["tok"] == b["tok"])
+            & (F.col("id_a") < F.col("id_b"))
+            # size filter: jaccard >= t forces min(|A|,|B|) >= t*max
+            & (
+                F.least("n_a", "n_b").cast("double")
+                >= F.lit(t) * F.greatest("n_a", "n_b") - F.lit(1e-9)
+            ),
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    n_common = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(n_common / (F.col("n_a") + F.col("n_b") - n_common), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

