@@ -445,3 +445,50 @@ def test_corpus_kl_grid_no_cartesian(spark):
     plan = simple_plan_of(corpus_kl_divergence(docs))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_materialization_is_lazy_cache_not_eager_checkpoint(spark):
+    """r8 regression lock: the signature/index tables must be persisted
+    (InMemoryTableScan in the plan — a LAZY marker), never
+    localCheckpoint'ed (an 'Scan ExistingRDD' leaf — which converts the
+    subplan to an RDD at DataFrame-BUILD time, the 2.5 s/rebuild warm
+    cost SCALE.md r8 profiles). Applies to minhash_lsh_pairs and
+    ngram_jaccard_pairs."""
+    from disq_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from disq_spark.queries.tables import load
+
+    d = load(spark, SF, "documents")
+    # build inside the loop: clearCache() between plans would otherwise
+    # wipe a pre-built DataFrame's cache registration
+    for mk in (
+        lambda: minhash_lsh_pairs(d, num_hashes=16, bands=4),
+        lambda: ngram_jaccard_pairs(d, threshold=0.4),
+    ):
+        plan = simple_plan_of(mk())
+        assert "InMemoryTableScan" in plan, plan[:800]
+        assert "Scan ExistingRDD" not in plan, plan[:800]
+        spark.catalog.clearCache()
+
+
+def test_ngram_prefix_candidate_rows_are_narrow(spark):
+    """r8 regression lock for the prefix path's disk-spill fix: the
+    pair-distinct (HashAggregate keyed on id_a, id_b) must NOT carry
+    the token arrays — arrays join back after the distinct. A 'toks'
+    column inside the distinct's aggregate expressions is the spill
+    bug reintroduced."""
+    from disq_spark.operators.dedup import ngram_jaccard_pairs
+    from disq_spark.queries.tables import load
+
+    d = load(spark, SF, "documents")
+    plan = plan_of(ngram_jaccard_pairs(d, threshold=0.4, prefix_filter=True))
+    # locate the pair-dedup aggregates (formatted mode: 'Keys [2]:
+    # [id_a..., id_b...]' with an 'Input [...]' line two lines above)
+    lines = plan.splitlines()
+    hits = 0
+    for i, ln in enumerate(lines):
+        if re.search(r"Keys \[2\]: \[id_a", ln):
+            hits += 1
+            blk = "\n".join(lines[max(i - 2, 0) : i + 4])
+            assert "toks" not in blk, blk
+    assert hits >= 1, plan[:800]
+    spark.catalog.clearCache()

@@ -711,3 +711,26 @@ def test_html_bare_cdata_no_crash(spark):
     df = spark.createDataFrame([(doc,)], "h string")
     out = df.select(H.html_to_text(F.col("h")).alias("t")).collect()[0].t
     assert "x" in out and "y" in out
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_robots_line = st.one_of(
+    st.text(alphabet="UuSsEeRrAaGgNnTtDdIiLlOoWwCc*:/#x -_\t﻿\x00", max_size=30),
+    st.sampled_from(
+        ["User-agent: *", "Disallow: /x", "Allow: /x/y", "Disallow:", "User-agent: bot"]
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_robots_line, max_size=12))
+def test_robots_parser_total_on_hostile_text(lines):
+    """parse_robots_rules never raises on arbitrary hostile text and
+    every emitted rule has a boolean verdict and a non-empty prefix."""
+    from disq_spark.operators.robots import parse_robots_rules
+
+    rules = parse_robots_rules("\n".join(lines))
+    for allow, prefix in rules:
+        assert isinstance(allow, bool) and isinstance(prefix, str) and prefix

