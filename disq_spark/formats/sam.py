@@ -134,8 +134,17 @@ def format_sam_batch(pdf: pd.DataFrame) -> pd.Series:
     def _s(col: str) -> pd.Series:  # nullable string -> '*'
         return pdf[col].fillna("*").astype("object")
 
-    def _i(col: str, default: int) -> pd.Series:  # nullable int -> default
-        v = pd.to_numeric(pdf[col], errors="coerce").fillna(default)
+    def _i(col: str, default: int | None) -> pd.Series:
+        # nullable int -> default; default=None means the field is
+        # mandatory and a null raises — matching the per-row path,
+        # which raised at str(int(None)). errors='raise' keeps
+        # non-numeric garbage loud instead of widening it to a default.
+        v = pd.to_numeric(pdf[col], errors="raise")
+        if default is None:
+            if v.isna().any():
+                raise ValueError(f"null {col} in SAM record batch")
+        else:
+            v = v.fillna(default)
         return v.astype("int64").astype(str).astype("object")
 
     mate = pdf["mate_contig"]
@@ -145,7 +154,7 @@ def format_sam_batch(pdf: pd.DataFrame) -> pd.Series:
 
     tab = "\t"
     line = (
-        _s("name") + tab + _i("flags", 0) + tab + _s("contig") + tab
+        _s("name") + tab + _i("flags", None) + tab + _s("contig") + tab
         + _i("start", 0) + tab + _i("mapq", 255) + tab + _s("cigar") + tab
         + mate_repr + tab + _i("mate_start", 0) + tab
         + _i("template_len", 0) + tab + _s("seq") + tab + _s("qual")

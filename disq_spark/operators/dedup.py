@@ -444,6 +444,8 @@ def ngram_jaccard_pairs(
     # eager planning pass.
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if prefix_filter:
+        if two_level_agg:
+            raise ValueError("prefix_filter and two_level_agg are mutually exclusive")
         return _ngram_jaccard_prefix(sh, id_col, threshold)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
@@ -490,8 +492,14 @@ def _ngram_jaccard_prefix(sh: DataFrame, id_col: str, threshold: float) -> DataF
     SUBTRACTED before the ceil: float error can only lengthen the
     prefix (more candidates), never shorten it (missed pairs). The
     size filter min >= t*max (same slack direction) prunes before the
-    pair distinct."""
-    t = float(threshold)
+    pair distinct.
+
+    The keep rule downstream is round(jaccard, 4) >= t, so a pair with
+    exact jaccard as low as t - 5e-5 is KEPT — the candidate pruning
+    must therefore run at the effective threshold t - 5e-5 (minus the
+    float slack), or a near-threshold pair that rounds up could be
+    pruned that the baseline path and the shared oracle both keep."""
+    t = float(threshold) - 5e-5
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     docs = (
         sh.join(dfreq, "shingle")
@@ -511,7 +519,7 @@ def _ngram_jaccard_prefix(sh: DataFrame, id_col: str, threshold: float) -> DataF
                 F.lit(1),
                 F.size("toks")
                 - F.ceil(F.lit(t) * F.size("toks") - F.lit(1e-9)).cast("int")
-                + F.lit(1),
+                + F.lit(1),  # t already carries the round-window slack
             ).alias("prefix"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1028,12 +1036,13 @@ def append_minhash_store(
     tables are read lazily, so appending first would make the batch
     collide with itself through the store."""
     sig = minhash_signatures(new_df, text_col, id_col, num_hashes, k, stride, None)
-    # single consumer (the write) — no materialization marker needed at
-    # all; the eager=False checkpoint here only added the r8-measured
-    # plan->RDD build cost.
+    # arr feeds TWO write actions (the sigs table and the bands table):
+    # persist so the shingle explode + num_hashes-aggregate pipeline
+    # computes once (lazy marker — not the eager checkpoint whose
+    # build-time planning cost r8 measured).
     arr = sig.select(
         F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     (
         arr.write.mode("append")
         .bucketBy(n_buckets, id_col)

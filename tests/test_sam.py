@@ -111,3 +111,25 @@ def test_small_sam_fixture(spark, fixtures_dir):
     assert r0["tags"]["NM"] == "i:0" and r0["tags"]["AS"] == "i:75"
     assert 'CL:"myProg 123"' in header.text
     assert "PP:p1" in header.text
+
+
+def test_format_sam_batch_null_mandatory_flags_raises():
+    """A null in the mandatory flags column must raise (the per-row
+    encoder raised at str(int(None))) — never silently serialize as
+    flag 0, which is a valid 'unpaired forward read'."""
+    import pandas as pd
+    import pytest as _pt
+
+    from disq_spark.formats.sam import format_sam_batch
+
+    pdf = pd.DataFrame(
+        {
+            "name": ["r1"], "flags": [None], "contig": ["chr1"],
+            "start": [100], "mapq": [60], "cigar": ["4M"],
+            "mate_contig": [None], "mate_start": [None],
+            "template_len": [None], "seq": ["ACGT"], "qual": ["IIII"],
+            "tags": [None],
+        }
+    )
+    with _pt.raises(ValueError, match="flags"):
+        format_sam_batch(pdf)

@@ -269,9 +269,9 @@ def _valid(i: int, payload: bytes = b"ok-payload") -> bytes:
         {
             "WARC-Type": "response",
             "WARC-Record-ID": f"<urn:uuid:{i:08d}>",
-            "Content-Length": str(len(b"ok-payload")),
+            "Content-Length": str(len(payload)),
         },
-        b"ok-payload",
+        payload,
     )
 
 
