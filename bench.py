@@ -141,6 +141,10 @@ def main() -> None:
         result["value_warm_normalized"] = round(
             result["value_warm"] * (CANARY_REF / run_canary[0]), 3
         )
+    if "value_warm_nocache" in result:
+        result["value_warm_nocache_normalized"] = round(
+            result["value_warm_nocache"] * (CANARY_REF / run_canary[0]), 3
+        )
     result["canary_sec"] = _median(canaries)
     result["canary_runs"] = canaries
     print(json.dumps(result))
@@ -197,6 +201,23 @@ def child_main() -> None:
         warm[name] = round(dt, 3)
         warm_total += dt
 
+    # Third pass: warm with the session cache CLEARED first. Since r8 the
+    # dedup operators persist their signature/index tables, so the warm
+    # pass above legitimately reuses the cold pass's cache (the
+    # steady-state a long session sees when re-scoring the same corpus);
+    # this pass attributes the warm number — JIT-warm but cache-cold —
+    # so a cache-reuse win can never masquerade as a plan win.
+    spark.catalog.clearCache()
+    warm_nc: dict[str, float] = {}
+    warm_nc_total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        warm_nc[name] = round(dt, 3)
+        warm_nc_total += dt
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -205,6 +226,8 @@ def child_main() -> None:
         "queries": times,
         "queries_warm": warm,
         "value_warm": round(warm_total, 3),
+        "queries_warm_nocache": warm_nc,
+        "value_warm_nocache": round(warm_nc_total, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if not os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
