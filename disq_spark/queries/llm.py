@@ -1311,6 +1311,85 @@ ORACLE["dedup_ngram_jaccard_prefix"] = ORACLE["dedup_ngram_jaccard"]
 
 
 # ---------------------------------------------------------------------------
+# forced-kernel gates: every size-dispatched operator has an Arrow/numpy
+# path that 'auto' NEVER picks at the driver's sf0.01 check scale — so a
+# numpy-path divergence (exactly the r8-advice np.round half-to-even
+# finding) is invisible to the default gates. Each *_blas gate forces
+# method="blas" and shares its base gate's oracle verbatim: the kernel
+# must be bit-identical to the SQL path or the hash gate fails at ANY
+# scale the driver runs.
+# ---------------------------------------------------------------------------
+@_q("dedup_minhash_lsh_blas")
+def dedup_minhash_lsh_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        d, "text", "doc_id",
+        num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
+        k=SHINGLE_K, stride=SHINGLE_STRIDE, max_df=_max_df(spark, sf_dir),
+        method="blas",
+    ).orderBy("id_a", "id_b")
+
+
+@_q("ann_cosine_topk_blas")
+def ann_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk(e, q, k=5, method="blas").orderBy("query_id", "rank")
+
+
+@_q("dedup_embedding_cosine_blas")
+def dedup_embedding_cosine_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    bits = SIM.scale_n_bits(e.count(), target_bucket_size=EMB_DEDUP_TARGET)
+    return SIM.embedding_neardup_pairs(
+        e, threshold=EMB_DEDUP_THRESHOLD, n_bits=bits, method="blas"
+    ).orderBy("id_a", "id_b")
+
+
+@_q("text_classifier_score_blas")
+def text_classifier_score_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.functions.classifier import (
+        deterministic_weights,
+        score_hashed_linear,
+    )
+
+    w = deterministic_weights(_CLF_BUCKETS)
+    d = load(spark, sf_dir, "documents")
+    scored = score_hashed_linear(
+        d.select("source", "text"), w, bias=_CLF_BIAS, method="blas"
+    ).select("source", "score")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.sum((F.col("score") >= 0.5).cast("long")).alias("n_pass"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q("dedup_semantic_blas")
+def dedup_semantic_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators import similarity as SIM2
+    from disq_spark.operators.sampling import uniform_sql
+
+    e = load(spark, sf_dir, "embeddings")
+    rate = min(1.0, float(SEMDEDUP_GATE_CAP) / e.count())
+    e = e.filter(F.expr(uniform_sql("vec_id", SEMDEDUP_SEED)) < rate)
+    return SIM2.semantic_dedup_pairs(
+        e,
+        threshold=SEMDEDUP_THRESHOLD,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        round_centroids=KMEANS_ROUND,
+        method="blas",
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # dedup_simhash — 64-bit simhash per doc (first 50 docs for output size).
 # Bit 63 rides the sign bit via two's complement (+(-2^63)), so every
 # intermediate stays inside int64 in both engines.
@@ -5031,3 +5110,16 @@ ORACLE["dedup_keep_best"] = _keep_best_oracle()
 # _minhash_pair_ctes) defined between the gates and here
 ORACLE["crawl_pipeline_full"] = _full_pipeline_oracle()
 ORACLE["dedup_lsh_recall"] = _lsh_recall_oracle()
+
+
+# forced-kernel gates share their base oracles verbatim (see the
+# *_blas block above): one oracle, two kernels, both hash-gated
+for _b in (
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "text_classifier_score",
+    "dedup_semantic",
+):
+    ORACLE[f"{_b}_blas"] = ORACLE[_b]
+del _b

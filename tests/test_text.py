@@ -734,3 +734,46 @@ def test_robots_parser_total_on_hostile_text(lines):
     rules = parse_robots_rules("\n".join(lines))
     for allow, prefix in rules:
         assert isinstance(allow, bool) and isinstance(prefix, str) and prefix
+
+
+def test_text_functions_hostile_unicode_parity(spark):
+    """normalize/tokens/bpe_tokens and the quality expression must
+    agree between Spark and DuckDB on hostile unicode — NULs,
+    astral-plane emoji, RTL text, combining marks, zero-width chars,
+    kilobyte tokens — not just the corpus's ASCII-ish text. One batched
+    action per engine."""
+    hostile = [
+        "a\x00b nul byte",
+        "emoji 😀😀 and astral 𝔘𝔫𝔦𝔠𝔬𝔡𝔢",
+        "עברית rtl العربية mixed ltr",
+        "combining á é vs precomposed á é",
+        "zero​width‌joins‍ here",
+        "x" * 4096,
+        "tabs\tand nbsp and  line-sep",
+        "ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hostile)], "i long, text string"
+    )
+    got = [
+        (r.n, list(r.toks), r.b)
+        for r in df.select(
+            "i",
+            TX.normalize("text").alias("n"),
+            TX.tokens("text").alias("toks"),
+            TX.bpe_token_count("text").alias("b"),
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"i": range(len(hostile)), "text": hostile}))
+    from disq_spark.queries.llm import _BPE
+
+    want = [
+        (n, list(t), int(b))
+        for _, n, t, b in con.execute(
+            f"SELECT i, {_NORM}, {_TOKS}, len({_BPE}) FROM documents ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want
