@@ -201,17 +201,20 @@ def child_main() -> None:
         warm[name] = round(dt, 3)
         warm_total += dt
 
-    # Third pass: warm with the session cache CLEARED first. Since r8 the
-    # dedup operators persist their signature/index tables, so the warm
-    # pass above legitimately reuses the cold pass's cache (the
-    # steady-state a long session sees when re-scoring the same corpus);
-    # this pass attributes the warm number — JIT-warm but cache-cold —
-    # so a cache-reuse win can never masquerade as a plan win.
-    spark.catalog.clearCache()
+    # Third pass: warm with the session cache CLEARED before EVERY query.
+    # Since r8 the dedup operators persist their signature/index tables,
+    # so the warm pass above legitimately reuses the cold pass's cache
+    # (the steady-state a long session sees when re-scoring the same
+    # corpus); this pass attributes the warm number PER QUERY — JIT-warm
+    # but cache-cold — so cache reuse can never masquerade as a plan win.
+    # The clear is inside the loop (r8 advice): two headline queries with
+    # canonically identical sub-plans (shared shingle/signature tables)
+    # would otherwise make only the FIRST one cache-cold.
     warm_nc: dict[str, float] = {}
     warm_nc_total = 0.0
     for name in HEADLINE:
         fn = qs[name]
+        spark.catalog.clearCache()
         t0 = time.time()
         fn(spark, sf_dir).count()
         dt = time.time() - t0

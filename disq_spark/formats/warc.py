@@ -117,6 +117,35 @@ def find_record_start(buf: bytes, pos: int) -> int:
         pos = i + 1
 
 
+def resync_record_start(buf: bytes, pos: int, end: int | None = None) -> int:
+    """First ``WARC/`` at/after ``pos`` sitting at a PLAUSIBLE record
+    boundary: offset 0 (chunk/member start) or preceded by the
+    ``\\r\\n\\r\\n`` record terminator. -1 if none before ``end``.
+
+    This is the corrupt-record resync for the streaming scan loops in
+    sources/warc.py — unlike ``find_record_start`` it must accept
+    records that are still INCOMPLETE in the buffer (the caller extends
+    the read), so it cannot validate by parsing. The boundary check is
+    what keeps a bad/truncated record's PAYLOAD from fabricating
+    phantom top-level records: warc-in-warc payloads (revisit/metadata
+    records embedding full WARC records) exist in real crawls, and a
+    raw ``find(b'WARC/')`` would emit them as their own records (r8
+    advice). Residual risk, accepted and documented: an embedded record
+    located exactly at its parent's payload start IS preceded by the
+    parent header's terminator and would still be surfaced — only
+    reachable when the parent itself is corrupt, and the alternative
+    (dropping everything after any bad record) loses real data."""
+    n = len(buf) if end is None else end
+    i = pos
+    while True:
+        i = buf.find(b"WARC/", i)
+        if i < 0 or i >= n:
+            return -1
+        if i == 0 or buf[max(0, i - 4) : i] == b"\r\n\r\n":
+            return i
+        i += 1
+
+
 def find_gzip_member_start(path: str, pos: int, limit: int = 1 << 26) -> int:
     """First offset >= pos that starts a gzip member whose decompressed
     head reads ``WARC/`` — the split-snap for .warc.gz (candidates are

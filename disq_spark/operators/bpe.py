@@ -120,6 +120,34 @@ def train_bpe(
     return merges
 
 
+def assert_merges_oracle_consistent(merges: list[tuple[str, str]]) -> None:
+    """Precondition for the DuckDB oracle's rank-recursion (and for the
+    'rank-greedy == sequential' argument in the module docstring): all
+    merge-output strings ``a || b`` must be pairwise distinct.
+
+    If two merges concatenate to the SAME symbol string — e.g.
+    rank_i = (a, bc) and rank_j = (ab, c) both producing 'abc' — then a
+    pair (q, 'abc') ranked between i and j is applied by the fixpoint
+    (``segment_word``) after the LATER merge forms 'abc', but the
+    oracle's single rank-ordered pass has already moved past that rank:
+    engine and oracle segmentations diverge and the gate false-fails
+    even though the operator is fine (r8 advice; divergence witness in
+    tests/test_text.py). Tables trained by ``train_bpe`` on natural
+    corpora virtually never collide, but the gate must not depend on
+    luck: callers building an oracle-checked gate assert this and fall
+    back to the serial differential on collision."""
+    seen: dict[str, int] = {}
+    for i, (a, b) in enumerate(merges):
+        s = a + b
+        if s in seen:
+            raise ValueError(
+                f"BPE merge-string collision: rank {seen[s]} and rank {i} "
+                f"both produce {s!r}; the rank-recursion oracle is unsound "
+                "for this table — verify via the serial differential instead"
+            )
+        seen[s] = i
+
+
 def segment_word(word: str, ranks: dict) -> list[str]:
     """Greedy BPE inference for one word: repeatedly merge the
     lowest-rank adjacent pair present, all occurrences left-to-right."""
@@ -283,9 +311,18 @@ def bpe_oracle_ctes(
 )"""
     )
     parts.append(
+        # the guard subquery mirrors assert_merges_oracle_consistent: the
+        # rank-recursion above is only equal to the engine's fixpoint
+        # inference when all a||b strings are pairwise distinct; on a
+        # collision the oracle must ERROR (visible, gate shows err)
+        # rather than silently produce a diverging segmentation
         """seg AS MATERIALIZED (
   SELECT w, s FROM sapply
   WHERE r = (SELECT coalesce(max(rank), 0) FROM merges)
+    AND 1 = (SELECT CASE WHEN count(*) = count(DISTINCT a || b) THEN 1
+                    ELSE error('bpe oracle precondition violated: merge-string collision')
+                    END
+             FROM merges)
 )"""
     )
     parts.append(

@@ -48,6 +48,42 @@ from disq_spark.functions.text import normalize, tokens
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows per band = num_hashes // bands
 
+# -- persisted-intermediate lifecycle ----------------------------------------
+# The LSH / inverted-index operators persist corpus-derived intermediates
+# (signature and shingle-hash tables) that feed self-joins. The returned
+# DataFrames are lazy, so the operator can never know when its caller has
+# materialized the result — unpersisting before the action would defeat
+# the compute-once marker. Session contract (r8 verdict/advice):
+#   * every persist in this module is registered here;
+#   * a long-lived session running many dedup jobs calls
+#     ``release_caches()`` after consuming each result (the gate replica
+#     and bench.py do) — otherwise MEMORY_AND_DISK entries accumulate
+#     until LRU eviction, and disk blocks are NOT evicted by memory
+#     pressure;
+#   * after rewriting input files at the same path mid-session, call
+#     ``release_caches()`` (or ``spark.catalog.clearCache()``) BEFORE
+#     re-running: CacheManager matches canonical plans across calls, so
+#     a stale cache entry would silently serve the old bytes.
+_TRACKED: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRACKED.append(df)
+    return df
+
+
+def release_caches(blocking: bool = True) -> int:
+    """Unpersist every intermediate persisted by this module's operators;
+    returns how many were released. Safe at any time: Spark recomputes
+    lazily if a released plan is re-used. ``blocking=True`` so a caller
+    asserting on cache state (tests) sees the release immediately."""
+    n = 0
+    while _TRACKED:
+        _TRACKED.pop().unpersist(blocking=blocking)
+        n += 1
+    return n
+
 # Universal-hash modulus for minhash components: 2^31-1 (Mersenne prime).
 # Keeps a*h+b < 2^62 — inside signed int64 in Spark AND DuckDB, so the
 # oracle arithmetic is bit-identical with no overflow in either engine.
@@ -281,7 +317,7 @@ def minhash_lsh_pairs(
     # marker with the same compute-once property (CacheManager dedups
     # identical canonical plans, MEMORY_AND_DISK evicts under pressure).
     # Bench: cold 9.9 -> 4.0 s, warm 2.6 -> 2.4 s for the full pipeline.
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _persist_tracked(sig)
 
     band_keys = F.array(
         *[
@@ -442,7 +478,7 @@ def ngram_jaccard_pairs(
     # plans). At scale this caches ~the inverted index to
     # memory-then-disk — same bytes the checkpoint wrote, minus the
     # eager planning pass.
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _persist_tracked(sh)
     if prefix_filter:
         if two_level_agg:
             raise ValueError("prefix_filter and two_level_agg are mutually exclusive")
@@ -522,8 +558,8 @@ def _ngram_jaccard_prefix(sh: DataFrame, id_col: str, threshold: float) -> DataF
                 + F.lit(1),  # t already carries the round-window slack
             ).alias("prefix"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    docs = _persist_tracked(docs)
     # the candidate join and its pair-distinct run on NARROW rows (ids +
     # sizes only) — token arrays are unbounded (doc length / stride), so
     # carrying them through the join's sort/shuffle multiplies each
@@ -806,8 +842,8 @@ def incremental_minhash_pairs(
     # persist, not localCheckpoint — same r8 finding as minhash_lsh_pairs:
     # checkpoint pays an eager plan->RDD codegen pass per table at build
     # time; persist defers to the action and still computes each once.
-    sig_n = arr(new_sig).persist(StorageLevel.MEMORY_AND_DISK)
-    sig_a = arr(all_sig).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_n = _persist_tracked(arr(new_sig))
+    sig_a = _persist_tracked(arr(all_sig))
 
     def buckets(sig):
         band_keys = F.array(
@@ -979,9 +1015,9 @@ def incremental_minhash_pairs_stored(
     assert num_hashes % bands == 0
     spark = new_df.sparkSession
     new_sig = minhash_signatures(new_df, text_col, id_col, num_hashes, k, stride, None)
-    new_arr = new_sig.select(
+    new_arr = _persist_tracked(new_sig.select(
         F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     new_bands = new_arr.select(
         F.col(id_col),
         F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "band_key"),
@@ -1043,22 +1079,28 @@ def append_minhash_store(
     arr = sig.select(
         F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    (
-        arr.write.mode("append")
-        .bucketBy(n_buckets, id_col)
-        .sortBy(id_col)
-        .saveAsTable(f"{store}_sigs")
-    )
-    bands_df = arr.select(
-        F.col(id_col),
-        F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "band_key"),
-    ).select("band", "band_key", id_col)
-    (
-        bands_df.write.mode("append")
-        .bucketBy(n_buckets, "band_key")
-        .sortBy("band_key")
-        .saveAsTable(f"{store}_bands")
-    )
+    # both consuming actions run INSIDE this function, so — unlike the
+    # lazy-returning operators above — the cache entry can be released
+    # here instead of deferring to release_caches()
+    try:
+        (
+            arr.write.mode("append")
+            .bucketBy(n_buckets, id_col)
+            .sortBy(id_col)
+            .saveAsTable(f"{store}_sigs")
+        )
+        bands_df = arr.select(
+            F.col(id_col),
+            F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "band_key"),
+        ).select("band", "band_key", id_col)
+        (
+            bands_df.write.mode("append")
+            .bucketBy(n_buckets, "band_key")
+            .sortBy("band_key")
+            .saveAsTable(f"{store}_bands")
+        )
+    finally:
+        arr.unpersist(blocking=False)
 
 
 def remove_duplicate_paragraphs(

@@ -38,11 +38,21 @@ def pagerank(
     iters: int = 15,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, rank) after ``iters`` power iterations over the distinct
     edge list. Nodes = union of sources and destinations; parallel
-    edges collapse (distinct) so outdeg counts distinct targets."""
+    edges collapse (distinct) so outdeg counts distinct targets.
+
+    ``checkpoint_every=1`` is deliberate: each iteration references the
+    previous ranks subtree TWICE (contribution join + dangling-mass
+    aggregate), so the un-truncated logical plan DOUBLES per iteration —
+    2^k subtree copies between checkpoints, and Catalyst analysis time
+    grows with it (r8 advice). The checkpoints are lazy
+    (``eager=False``), so per-iteration truncation costs one small
+    plan->RDD conversion at build time, not an action; raising
+    ``checkpoint_every`` above ~3 buys nothing and risks exponential
+    analysis blow-up."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     e = e.localCheckpoint(eager=False)
     nodes = (

@@ -160,10 +160,18 @@ BPE_GATE_MERGES = 120
 
 @_q("bpe_apply_tokens")
 def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from disq_spark.operators.bpe import apply_bpe, train_bpe
+    from disq_spark.operators.bpe import (
+        apply_bpe,
+        assert_merges_oracle_consistent,
+        train_bpe,
+    )
 
     d = load(spark, sf_dir, "documents")
     merges = train_bpe(d, n_merges=BPE_GATE_MERGES)
+    # the rank-recursion oracle is only sound for collision-free merge
+    # tables (see assert_merges_oracle_consistent) — fail LOUDLY here
+    # rather than let the gate false-fail on a diverging segmentation
+    assert_merges_oracle_consistent(merges)
     # source rides through the kernel (carry) — no join back against
     # the corpus, the shape that survives 100 TB
     seg = apply_bpe(d, merges, carry=("source",))
@@ -878,10 +886,15 @@ FROM normed
 @_q("pack_sequences_bpe")
 def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from disq_spark.operators import sampling as SP2
-    from disq_spark.operators.bpe import apply_bpe, train_bpe
+    from disq_spark.operators.bpe import (
+        apply_bpe,
+        assert_merges_oracle_consistent,
+        train_bpe,
+    )
 
     d = load(spark, sf_dir, "documents")
     merges = train_bpe(d, n_merges=BPE_GATE_MERGES)
+    assert_merges_oracle_consistent(merges)  # oracle soundness precondition
     seg = apply_bpe(d, merges).select("doc_id", "n_tokens")
     p = SP2.pack_sequences(seg, 512, "n_tokens", "doc_id", n_shards=8)
     return (

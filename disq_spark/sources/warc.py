@@ -36,6 +36,7 @@ from disq_spark.formats.warc import (
     iter_gzip_members,
     parse_record,
     record_status,
+    resync_record_start,
 )
 from disq_spark.sources.plan import resolve_paths
 
@@ -118,9 +119,12 @@ def decode_warc_chunks(chunk_rows) -> Iterator[pd.DataFrame]:
                     if rec is None:
                         # poisoned framing inside a member (bad
                         # Content-Length, binary junk): resync to the
-                        # next record start instead of dropping the
-                        # member tail — crawls DO ship corrupt records
-                        nxt = data.find(b"WARC/", pos + 1)
+                        # next PLAUSIBLE record boundary instead of
+                        # dropping the member tail — crawls DO ship
+                        # corrupt records. Boundary-checked resync so a
+                        # bad record's payload can't fabricate phantom
+                        # top-level records (warc-in-warc payloads)
+                        nxt = resync_record_start(data, pos + 1)
                         if nxt < 0:
                             break
                         pos = nxt
@@ -154,8 +158,10 @@ def decode_warc_chunks(chunk_rows) -> Iterator[pd.DataFrame]:
                         # resync past poisoned framing (negative or
                         # non-numeric Content-Length, binary junk):
                         # later well-formed records in this range must
-                        # still be surfaced
-                        nxt = buf.find(b"WARC/", pos + 1)
+                        # still be surfaced — but only from a plausible
+                        # record boundary (no phantom records out of
+                        # the bad record's payload bytes)
+                        nxt = resync_record_start(buf, pos + 1)
                         if nxt < 0 or nxt >= limit:
                             break
                         pos = nxt

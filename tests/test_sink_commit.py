@@ -242,3 +242,71 @@ def test_rejected_overwrite_preserves_existing_target(spark, tmp_path):
     for p, content in want.items():
         assert os.path.exists(p) and open(p, "rb").read() == content
     assert not os.path.exists(out + ".parts")
+
+
+def test_build_sbi_excludes_losing_attempt_fragment(spark, tmp_path):
+    """READ-side distributed index construction (build_sbi) has the same
+    attempt-isolation obligation as the write sinks above: a losing
+    speculative/zombie attempt's fragment (attempt-unique name, already
+    on disk) must never reach the merge — the driver merges ONLY the
+    fragment paths reported by collected winning tasks. Plant a
+    plausible-named garbage fragment before the build and require the
+    built index byte-identical to a clean build."""
+    import shutil
+    import struct
+
+    from disq_spark.sources.bam_source import build_sbi
+
+    src = os.path.join(FIXTURES, "1-with-splitting-index.bam")
+    clean = str(tmp_path / "clean.bam")
+    shutil.copyfile(src, clean)
+    truth = open(
+        build_sbi(spark, clean, split_size=150_000, granularity=1), "rb"
+    ).read()
+
+    dirty = str(tmp_path / "dirty.bam")
+    shutil.copyfile(src, dirty)
+    parts_dir = dirty + ".sbi.parts"
+    _dfs.makedirs(parts_dir)
+    # name shape matches attempt_part_path(prefix="frag"); sorts first
+    with open(os.path.join(parts_dir, "frag-00000-00000000"), "wb") as f:
+        f.write(struct.pack("<4q", 1, 2, 3, 4))  # garbage virtual offsets
+
+    out = build_sbi(spark, dirty, split_size=150_000, granularity=1)
+    assert open(out, "rb").read() == truth
+    assert not os.path.exists(parts_dir)  # staging cleaned up
+
+
+def test_build_bai_excludes_losing_attempt_fragment(spark, tmp_path):
+    """Same guarantee for build_bai's per-chunk .bai fragments: a stale
+    losing-attempt fragment AND its order sidecar planted in the parts
+    dir must not perturb the merged index (merge set = collected task
+    reports, never a directory listing)."""
+    import shutil
+
+    from disq_spark.sinks.bam import write_bam
+    from disq_spark.sources.bam_source import build_bai, read_bam
+
+    src = os.path.join(FIXTURES, "1-with-splitting-index.bam")
+    df, header = read_bam(spark, src, split_size=200_000)
+    sorted_bam = str(tmp_path / "sorted.bam")
+    write_bam(df.coalesce(1), header, sorted_bam, write_bai=False)
+
+    clean = str(tmp_path / "clean.bam")
+    shutil.copyfile(sorted_bam, clean)
+    truth = open(build_bai(spark, clean, split_size=100_000), "rb").read()
+
+    dirty = str(tmp_path / "dirty.bam")
+    shutil.copyfile(sorted_bam, dirty)
+    parts_dir = dirty + ".bai.parts"
+    _dfs.makedirs(parts_dir)
+    impostor = "part-00000-00000000"  # sorts before every real base
+    with open(os.path.join(parts_dir, f".{impostor}.bai"), "wb") as f:
+        f.write(b"NOT-A-BAI-FRAGMENT" * 8)
+    merge.write_order_sidecar(
+        parts_dir, impostor, {"first": [0, 0], "last": [0, 1], "unplaced": False}
+    )
+
+    built = build_bai(spark, dirty, split_size=100_000)
+    assert open(built, "rb").read() == truth
+    assert not os.path.exists(parts_dir)

@@ -777,3 +777,52 @@ def test_text_functions_hostile_unicode_parity(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_bpe_merge_collision_guard_is_load_bearing():
+    """A merge table where two ranks concatenate to the same string
+    ('a'+'bc' and 'ab'+'c' both -> 'abc') makes rank-greedy FIXPOINT
+    inference diverge from the oracle's single sequential rank-order
+    pass — the exact unsoundness assert_merges_oracle_consistent
+    guards (r8 advice). Witness: 'qabc' under the table below."""
+    import pytest
+
+    from disq_spark.operators.bpe import (
+        _merge_word,
+        assert_merges_oracle_consistent,
+        segment_word,
+    )
+
+    merges = [("a", "b"), ("b", "c"), ("a", "bc"), ("q", "abc"), ("ab", "c")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    fixpoint = segment_word("qabc", ranks)
+    syms = tuple("qabc")
+    for p in merges:  # the oracle's model: each merge once, rank order
+        syms = _merge_word(syms, p)
+    assert fixpoint == ["qabc"] and list(syms) == ["q", "abc"]
+    assert fixpoint != list(syms)  # diverged -> guard is load-bearing
+    with pytest.raises(ValueError, match="collision"):
+        assert_merges_oracle_consistent(merges)
+    # collision-free tables pass
+    assert_merges_oracle_consistent([("a", "b"), ("b", "c"), ("ab", "c")])
+
+
+def test_bpe_oracle_sql_guard_errors_on_collision():
+    """The DuckDB mirror of the guard: a colliding merges table makes
+    the oracle raise, not silently diverge."""
+    import duckdb
+    import pytest
+
+    con = duckdb.connect()
+    guard = (
+        "SELECT 1 WHERE 1 = (SELECT CASE WHEN count(*) = count(DISTINCT a || b) "
+        "THEN 1 ELSE error('bpe oracle precondition violated: merge-string collision') END "
+        "FROM merges)"
+    )
+    con.execute("CREATE TABLE merges AS SELECT * FROM (VALUES ('a','bc'), ('ab','c')) t(a, b)")
+    with pytest.raises(duckdb.Error, match="collision"):
+        con.execute(guard).fetchall()
+    con.execute("DELETE FROM merges WHERE a = 'ab'")
+    assert con.execute(guard).fetchall() == [(1,)]
+    con.execute("DELETE FROM merges")  # empty table: guard passes
+    assert con.execute(guard).fetchall() == [(1,)]

@@ -427,3 +427,56 @@ def test_warc_parse_recovers_valid_record_after_junk(pre, mid, cl):
     true_off = len(buf) - len(_valid(7))
     recs = parse_records(buf, true_off)
     assert len(recs) == 1 and recs[0][1] == b"ok-payload"
+
+
+def test_warc_resync_no_phantom_record_from_bad_payload(spark, tmp_path):
+    """A poisoned record whose payload bytes embed a COMPLETE valid WARC
+    record mid-payload (warc-in-warc — revisit/metadata payloads exist
+    in real crawls) must not have that embedded record fabricated as a
+    top-level record during resync: the scan resumes only at a
+    plausible record boundary (preceded by CRLFCRLF). The genuine next
+    record is still recovered."""
+    embedded = _valid(55)
+    # CL=-1 -> 'bad'; the junk prefix keeps the embedded record off any
+    # plausible boundary. The embedded record's own trailing CRLFCRLF
+    # then forms the boundary for the genuine record 2.
+    bad_outer = (
+        b"WARC/1.0\r\nContent-Length: -1\r\n\r\n" + b"JUNKJUNK" + embedded
+    )
+    buf = _valid(1) + bad_outer + _valid(2)
+    p = tmp_path / "warcinwarc.warc"
+    p.write_bytes(buf)
+    ids = sorted(r.record_id for r in read_warc(spark, str(p)).collect())
+    assert ids == ["<urn:uuid:00000001>", "<urn:uuid:00000002>"]
+
+
+def test_warc_gz_resync_no_phantom_record_from_bad_payload(spark, tmp_path):
+    """Same phantom guard inside a gzip member."""
+    import gzip
+
+    member = (
+        _valid(1)
+        + b"WARC/1.0\r\nContent-Length: -1\r\n\r\n"
+        + b"JUNKJUNK"
+        + _valid(55)
+        + _valid(2)
+    )
+    p = tmp_path / "warcinwarc.warc.gz"
+    p.write_bytes(gzip.compress(member))
+    ids = sorted(r.record_id for r in read_warc(spark, str(p)).collect())
+    assert ids == ["<urn:uuid:00000001>", "<urn:uuid:00000002>"]
+
+
+def test_warc_resync_boundary_helper():
+    from disq_spark.formats.warc import resync_record_start
+
+    buf = b"junkWARC/xxx\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    # offset 0 is plausible (member/chunk start)
+    assert resync_record_start(b"WARC/1.0\r\n", 0) == 0
+    # the first WARC/ (preceded by 'junk') is implausible; the second
+    # (preceded by CRLFCRLF) is the resync point
+    want = buf.find(b"WARC/1.0")
+    assert resync_record_start(buf, 1) == want
+    # end bound respected
+    assert resync_record_start(buf, 1, end=want) == -1
+    assert resync_record_start(b"no magic here", 0) == -1

@@ -170,6 +170,13 @@ def main():
             sdf = qs[name](spark, args.sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # the documented cache contract for the dedup operators
+            # (operators/dedup.py): release persisted intermediates once
+            # the gate's result is materialized, so a full-registry
+            # replica run doesn't accumulate one signature table per gate
+            from disq_spark.operators.dedup import release_caches
+
+            release_caches(blocking=False)
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()

@@ -43,8 +43,23 @@ separates "wall that scales with dup pairs in the data" from "wall
 that scales with documents" (SCALE.md §sf5/sf10). Lengths, n_chars,
 and token shapes are preserved exactly, like the default mode.
 
+``--zipf-docs N`` replaces documents.parquet with a SYNTHESIZED
+natural-text-shaped corpus instead of replicating the source: tokens
+drawn from a 30k-word vocabulary under a Zipf(s~1.07) rank law, a
+small pool of hot boilerplate sentences injected across unrelated
+documents (shingle document frequency then grows LINEARLY with corpus
+size — uncapped df, the regime max_df capping and PPJoin prefix
+filtering were designed for, which the replica-structured default can
+never produce: its shingle df is bounded by the replica count,
+SCALE.md §r8), and heavy-tailed near-duplicate clusters (a Zipf draw
+over a small template pool, 5% token mutation). All other tables are
+copied verbatim from --src so the gate replica's view registration
+works unchanged. Deterministic under a fixed seed.
+
 Usage: python tools/scale_data.py [--src DIR] [--out DIR] [--factor N]
            [--unique-docs] [--tables documents,embeddings,...]
+           [--zipf-docs N [--zipf-s S] [--zipf-vocab V]
+            [--boilerplate-rate R] [--dup-rate R]]
 """
 
 from __future__ import annotations
@@ -79,6 +94,114 @@ def text_cycle(i: int) -> tuple[str, str]:
     return (LETTERS, "".join(dst))
 
 
+def _zipf_wordform(rank: int) -> str:
+    """Deterministic pronounceable wordform for a vocabulary rank:
+    alternating consonant-vowel syllables of the rank's base-105 digits
+    (21 consonants x 5 vowels). Hot ranks get short words, tail ranks
+    longer — the natural-text length/frequency correlation."""
+    cons = "bcdfghjklmnpqrstvwxyz"
+    vow = "aeiou"
+    r = rank
+    out = []
+    while True:
+        out.append(cons[r % 21] + vow[(r // 21) % 5])
+        r //= 105
+        if r == 0:
+            break
+        r -= 1
+    return "".join(out)
+
+
+def write_zipf_documents(
+    out_dir: str,
+    n_docs: int,
+    s: float = 1.07,
+    vocab: int = 30_000,
+    boilerplate_rate: float = 0.35,
+    dup_rate: float = 0.15,
+    seed: int = 4242,
+) -> None:
+    """Synthesize documents.parquet with uncapped-df skew (module
+    docstring). Three ingredients, each targeting a dedup mechanism:
+
+    - **Zipf token draw** (inverse-CDF over rank probs ~ 1/r^s): the
+      top words appear in virtually every document, so word-level and
+      char-shingle dfs are heavy-tailed like natural text.
+    - **Hot boilerplate**: 25 fixed sentences (cookie-banner analog);
+      each doc gets one with prob ``boilerplate_rate``, the CHOICE of
+      sentence itself Zipf-weighted — the hottest banner lands in ~10%
+      of ALL documents, so its shingles' df grows linearly with corpus
+      size. This is the load max_df capping exists for.
+    - **Near-dup clusters**: ``dup_rate`` of docs are 5%-token-mutated
+      copies of a template drawn Zipf-weighted from a pool of
+      n_docs/100 templates — cluster sizes are heavy-tailed, so the
+      candidate-join bucket sizes are too (the banding stressor).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    # inverse-CDF table for the Zipf rank law
+    probs = 1.0 / np.power(np.arange(1, vocab + 1, dtype=np.float64), s)
+    cdf = np.cumsum(probs / probs.sum())
+    words = np.array([_zipf_wordform(r) for r in range(vocab)], dtype=object)
+
+    def draw_tokens(n: int) -> "np.ndarray":
+        return np.searchsorted(cdf, rng.random(n), side="right")
+
+    # boilerplate pool: 25 sentences x 10 tokens, drawn once from the
+    # same vocabulary; selection weights ~ 1/rank so banner 0 is hot
+    bp_pool = [
+        " ".join(words[draw_tokens(10)]) for _ in range(25)
+    ]
+    bp_w = 1.0 / np.arange(1, 26, dtype=np.float64)
+    bp_cdf = np.cumsum(bp_w / bp_w.sum())
+
+    n_templates = max(n_docs // 100, 1)
+    tmpl_w = 1.0 / np.arange(1, n_templates + 1, dtype=np.float64)
+    tmpl_cdf = np.cumsum(tmpl_w / tmpl_w.sum())
+
+    lens = np.clip(
+        rng.lognormal(mean=3.85, sigma=0.4, size=n_docs).astype(int), 10, 220
+    )
+    texts: list[str] = []
+    base_texts: list[str] = []  # template originals, index = template id
+    for i in range(n_docs):
+        is_dup = i >= n_templates and rng.random() < dup_rate
+        if is_dup:
+            t_id = int(np.searchsorted(tmpl_cdf, rng.random(), side="right"))
+            toks = base_texts[t_id].split(" ")
+            n_mut = max(1, len(toks) // 20)
+            for j in rng.integers(0, len(toks), size=n_mut):
+                toks[int(j)] = words[int(draw_tokens(1)[0])]
+            body = " ".join(toks)
+        else:
+            body = " ".join(words[draw_tokens(int(lens[i]))])
+        if rng.random() < boilerplate_rate:
+            bp = bp_pool[int(np.searchsorted(bp_cdf, rng.random(), side="right"))]
+            body = (bp + " " + body) if rng.random() < 0.5 else (body + " " + bp)
+        if len(base_texts) < n_templates:
+            base_texts.append(body)
+        texts.append(body)
+
+    table = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * n_docs, type=pa.string()),
+            "source": pa.array(
+                [f"src{i % 20}" for i in range(n_docs)], type=pa.string()
+            ),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )
+    pq.write_table(table, f"{out_dir}/documents.parquet")
+    print(f"documents (zipf): {n_docs} rows -> {out_dir}/documents.parquet")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -96,7 +219,41 @@ def main() -> int:
         default=None,
         help="comma-separated subset of tables to generate (default all)",
     )
+    ap.add_argument(
+        "--zipf-docs",
+        type=int,
+        default=None,
+        help="synthesize documents.parquet: N Zipf-drawn docs with hot "
+        "boilerplate (uncapped shingle df) and heavy-tailed near-dup "
+        "clusters; all other tables are copied verbatim from --src",
+    )
+    ap.add_argument("--zipf-s", type=float, default=1.07)
+    ap.add_argument("--zipf-vocab", type=int, default=30_000)
+    ap.add_argument("--boilerplate-rate", type=float, default=0.35)
+    ap.add_argument("--dup-rate", type=float, default=0.15)
     args = ap.parse_args()
+
+    if args.zipf_docs is not None:
+        import shutil
+
+        os.makedirs(args.out, exist_ok=True)
+        write_zipf_documents(
+            args.out,
+            args.zipf_docs,
+            s=args.zipf_s,
+            vocab=args.zipf_vocab,
+            boilerplate_rate=args.boilerplate_rate,
+            dup_rate=args.dup_rate,
+        )
+        for name in (
+            "region nation customer supplier part orders lineitem events "
+            "embeddings"
+        ).split():
+            shutil.copyfile(
+                f"{args.src}/{name}.parquet", f"{args.out}/{name}.parquet"
+            )
+        print(f"other tables: copied verbatim from {args.src}")
+        return 0
     only = set(args.tables.split(",")) if args.tables else None
 
     def wanted(name: str) -> bool:
