@@ -426,7 +426,7 @@ def ngram_jaccard_pairs(
     max_df: float | None = None,
     two_level_agg: bool = False,
     agg_buckets: int = 16,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, computed only for pairs that share
     at least one shingle (inverted-index candidate join).
@@ -452,15 +452,23 @@ def ngram_jaccard_pairs(
     |X| - ceil(t*|X|) + 1 tokens, so only those prefixes enter the
     inverted-index join, and verification is size(array_intersect)
     per candidate pair instead of one shuffled row per shared shingle.
-    MEASURED NEGATIVE on this synthetic corpus family at sf1/sf5/sf10
-    (SCALE.md §r8 probe: 119 s baseline vs 442 s prefix at sf10, gate
-    params): replica-structured duplicates bound every shingle's df at
-    the replica count, so the baseline join is already near-linear and
-    the df-join + per-doc sort + join-backs are pure overhead. Kept
-    (default off) for the published win regime — Zipfian natural text
-    with uncapped df where hot shingles make the shared-shingle join
-    quadratic; re-measure there before choosing.
+    Measured both ways, on the two corpus families that exist
+    (SCALE.md §r8 + §r9): when ``max_df`` caps document frequency the
+    baseline shared-shingle join is already near-linear and the prefix
+    machinery (df-join + per-doc sort + post-distinct join-backs) is
+    pure overhead — replica corpus sf10: 119 s baseline vs 442 s
+    prefix; zipf 50k capped: 8.8 vs 9.2 s. With df UNCAPPED on
+    Zipfian text — hot boilerplate shingles shared across unrelated
+    docs, the published PPJoin regime — the prefix path wins ~2x and
+    the gap grows with corpus size (zipf 50k: 18.8 -> 9.9 s, identical
+    851,888 output pairs). Hence ``prefix_filter="auto"`` (default):
+    prefix on exactly when ``max_df is None``, i.e. when nothing else
+    bounds a shingle's candidate fan-out. Pass True/False to override.
     """
+    if prefix_filter == "auto":
+        # an explicit two_level_agg request overrides auto (the paths
+        # are mutually exclusive; only a literal True conflicts)
+        prefix_filter = max_df is None and not two_level_agg
     sh = shingle_table(df, text_col, id_col, k, stride, max_df)
     # join/checkpoint on an 8-byte xxhash64 fingerprint, not the shingle
     # string: n_common depends only on equality classes, so the hash

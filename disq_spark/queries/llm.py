@@ -59,8 +59,20 @@ MAX_DF_FLOOR = 20.0
 MAX_DF_CAP = 100.0
 
 
+_N_DOCS_CACHE: dict[str, int] = {}
+
+
 def _max_df(spark: SparkSession, sf_dir: str) -> float:
-    n = load(spark, sf_dir, "documents").count()
+    # the corpus count is a full-scan ACTION at gate-BUILD time; bench's
+    # three passes re-invoke every gate, so memoize per sf_dir (r9 cold
+    # profile: ~0.2 s x 2 dedup gates x 3 passes). Same staleness
+    # contract as the operator caches: rewriting documents.parquet at
+    # the same path mid-session requires a fresh process (or clearing
+    # this dict) — the driver and the replica both use one dir per run.
+    n = _N_DOCS_CACHE.get(sf_dir)
+    if n is None:
+        n = load(spark, sf_dir, "documents").count()
+        _N_DOCS_CACHE[sf_dir] = n
     return min(max(MAX_DF_FLOOR, MAX_DF_FRACTION * n), MAX_DF_CAP)
 
 

@@ -4562,7 +4562,7 @@ def test_ngram_two_level_agg_path_equality(spark):
     )
     base = {
         (r.id_a, r.id_b): r.jaccard
-        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, prefix_filter=False).collect()
     }
     two = {
         (r.id_a, r.id_b): r.jaccard
@@ -4592,7 +4592,9 @@ def test_ngram_prefix_filter_path_equality(spark):
     for t in (0.2, 0.4, 0.5, 0.8, 1.0):
         base = {
             (r.id_a, r.id_b): r.jaccard
-            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=False
+            ).collect()
         }
         pref = {
             (r.id_a, r.id_b): r.jaccard
@@ -4784,3 +4786,28 @@ def test_dedup_cache_release_no_net_growth(spark):
         # count can legitimately dip below the captured baseline; the
         # contract under test is no NET GROWTH from the dedup operators
         assert jsc.getPersistentRDDs().size() <= base, f"iteration {i}"
+
+
+def test_ngram_prefix_filter_auto_dispatch(spark):
+    """prefix_filter='auto' resolves to the prefix path exactly when
+    max_df is None (nothing else bounds shingle fan-out — the regime
+    the r9 zipf probe measured the prefix path ~2x faster in) and to
+    the baseline shared-shingle path when a cap is set (measured pure
+    overhead there). Plan-sniffed via the prefix path's signature
+    'slice' expression over the sorted token arrays."""
+    from disq_spark.operators.dedup import ngram_jaccard_pairs, release_caches
+
+    docs = spark.createDataFrame(
+        [(i, f"auto dispatch text block {i % 5} common tail words {i % 5}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    auto_uncapped = ngram_jaccard_pairs(docs, threshold=0.3)
+    auto_capped = ngram_jaccard_pairs(docs, threshold=0.3, max_df=15.0)
+    plan_u = auto_uncapped._jdf.queryExecution().analyzed().toString()
+    plan_c = auto_capped._jdf.queryExecution().analyzed().toString()
+    assert "slice" in plan_u and "slice" not in plan_c
+    # two_level_agg wins over auto (the paths are mutually exclusive)
+    both = ngram_jaccard_pairs(docs, threshold=0.3, two_level_agg=True)
+    assert "slice" not in both._jdf.queryExecution().analyzed().toString()
+    release_caches()

@@ -462,7 +462,7 @@ def test_minhash_materialization_is_lazy_cache_not_eager_checkpoint(spark):
     # wipe a pre-built DataFrame's cache registration
     for mk in (
         lambda: minhash_lsh_pairs(d, num_hashes=16, bands=4),
-        lambda: ngram_jaccard_pairs(d, threshold=0.4),
+        lambda: ngram_jaccard_pairs(d, threshold=0.4, prefix_filter=False),
     ):
         plan = simple_plan_of(mk())
         assert "InMemoryTableScan" in plan, plan[:800]
