@@ -148,7 +148,11 @@ def write_zipf_documents(
     words = np.array([_zipf_wordform(r) for r in range(vocab)], dtype=object)
 
     def draw_tokens(n: int) -> "np.ndarray":
-        return np.searchsorted(cdf, rng.random(n), side="right")
+        # clip: float rounding can leave cdf[-1] a hair under 1.0, and a
+        # uniform draw above it would searchsorted to index == vocab
+        return np.minimum(
+            np.searchsorted(cdf, rng.random(n), side="right"), vocab - 1
+        )
 
     # boilerplate pool: 25 sentences x 10 tokens, drawn once from the
     # same vocabulary; selection weights ~ 1/rank so banner 0 is hot
