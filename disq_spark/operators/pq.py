@@ -1,0 +1,210 @@
+"""Product quantization (PQ) for embedding columns — the standard
+compression + ANN-search path for corpus-scale vector data (Jegou et
+al. 2011, the FAISS IVF-PQ design): split each d-dim vector into ``m``
+subvectors, k-means each subspace, store only the m centroid codes
+(m bytes/vector at k<=256 vs 4d bytes of float32 — 32x at d=64/m=4),
+and answer top-k queries with asymmetric distance computation (ADC):
+distance(query, vector) ~= sum over blocks of sqdist(query_subvec,
+codebook[block][code]).
+
+Scale shape (the part that matters at 100 TB):
+
+- **Training** touches the corpus once per Lloyd iteration and trains
+  ALL m subspaces in that one job: the vectors explode to
+  (id, block, subvec) rows, assignment is a ROW-LOCAL argmin over the
+  (block-dispatched) centroid literals — no join, no shuffle — and the
+  update is one (block, cid, pos) groupBy whose output is m*k*(d/m)
+  doubles, driver-trivial at any corpus size. Same determinism
+  discipline as operators/clustering.kmeans (seed from the k lowest
+  ids per block, round(avg, r) centroid updates so engine summation
+  order can't drift) — the unrolled-CTE DuckDB oracle reproduces the
+  codebooks exactly.
+- **Encoding** is a pure projection (per-block row-local argmin, zero
+  shuffle) — it pipelines onto whatever scan produces the vectors.
+- **ADC top-k** materializes the classic lookup table IN-PLAN: the
+  (query x block x centroid) distance table is a broadcast-sized
+  crossJoin (Q*m*k rows), the exploded codes join it on (block, cid)
+  [broadcast hash join], and one (q_id, id) aggregation sums the m
+  block distances. One shuffle, rows = n*m per query batch. Ranking
+  ties break on id, mirrored by the oracle's ORDER BY.
+
+The reference has no vector path at all; this extends the repo's ANN
+tier (similarity.py: brute GEMM / sign-LSH / IVF; int8 quantization)
+with the codebook-compressed variant those designs hand off to at
+full-corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from disq_spark.operators.clustering import _nearest, _sqdist
+
+
+def _block_slices(vec_col: str, dim: int, m: int) -> list:
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    return [F.slice(F.col(vec_col), b * sub + 1, sub) for b in range(m)]
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_centroids: int = 6,
+) -> dict[tuple[int, int], list[float]]:
+    """Per-subspace Lloyd's k-means; returns {(block, cid): centroid}.
+
+    Deterministic and oracle-matchable: block ``b``'s seeds are the
+    subvectors of the k lowest-id vectors; updates round(avg, r) per
+    component (see module docstring)."""
+    d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    first = d.orderBy("id").limit(k).collect()
+    if not first:
+        return {}
+    dim = len(first[0].v)
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+
+    blocks = d.select(
+        "id",
+        F.posexplode(
+            F.array(*_block_slices("v", dim, m))
+        ).alias("block", "sv"),
+    )
+    # each Lloyd round rescans the exploded table: materialize once
+    blocks = blocks.persist()
+    try:
+        cents: dict[tuple[int, int], list[float]] = {}
+        for b in range(m):
+            for cid, r in enumerate(first):
+                cents[(b, cid)] = [float(x) for x in r.v[b * sub : (b + 1) * sub]]
+
+        def assigned() -> DataFrame:
+            # row-local argmin, block-dispatched: one chained-when over
+            # the m per-block centroid sets — no join, no exchange
+            expr = _nearest(F.col("sv"), [(cid, cents[(0, cid)]) for cid in range(k)])
+            for b in range(1, m):
+                expr = F.when(
+                    F.col("block") == b,
+                    _nearest(F.col("sv"), [(cid, cents[(b, cid)]) for cid in range(k)]),
+                ).otherwise(expr)
+            return blocks.select("id", "block", "sv", expr["cid"].alias("cid"))
+
+        for _ in range(iters):
+            rows = (
+                assigned()
+                .select("block", "cid", F.posexplode("sv").alias("pos", "x"))
+                .groupBy("block", "cid", "pos")
+                .agg(
+                    F.round(
+                        F.avg(F.col("x").cast("double")), round_centroids
+                    ).alias("x")
+                )
+                .groupBy("block", "cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
+                .select("block", "cid", F.col("px.x").alias("c"))
+                .collect()
+            )
+            # a centroid that lost all members keeps its previous value
+            # (same convention as the oracle: no row -> no update)
+            for r in rows:
+                cents[(int(r.block), int(r.cid))] = list(r.c)
+        return cents
+    finally:
+        blocks.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: dict[tuple[int, int], list[float]],
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, codes array<int>) — pure projection, zero shuffle."""
+    if not codebooks:
+        return df.select(F.col(id_col), F.array().cast("array<int>").alias("codes"))
+    k = max(cid for _, cid in codebooks) + 1
+    dim = m * len(codebooks[(0, 0)])
+    slices = _block_slices(vec_col, dim, m)
+    codes = F.array(
+        *[
+            _nearest(slices[b], [(cid, codebooks[(b, cid)]) for cid in range(k)])[
+                "cid"
+            ]
+            for b in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: dict[tuple[int, int], list[float]],
+    queries: list[tuple[int, list[float]]],
+    topk: int = 5,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: (q_id, id_col, adist), ``topk`` rows per query,
+    ordered by (q_id, adist, id). ``queries`` is a driver-side list —
+    query batches are small by definition; the corpus side never
+    leaves the cluster."""
+    spark = df.sparkSession
+    k = max(cid for _, cid in codebooks) + 1
+    dim = m * len(codebooks[(0, 0)])
+    sub = dim // m
+
+    enc = pq_encode(df, codebooks, m, id_col, vec_col)
+    coded = enc.select(
+        F.col(id_col), F.posexplode("codes").alias("block", "cid")
+    )
+    cdf = spark.createDataFrame(
+        [(b, cid, codebooks[(b, cid)]) for b in range(m) for cid in range(k)],
+        "block int, cid int, c array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [
+            (qid, b, [float(x) for x in qv[b * sub : (b + 1) * sub]])
+            for qid, qv in queries
+            for b in range(m)
+        ],
+        "q_id long, block int, qsv array<double>",
+    )
+    # the classic ADC lookup table, built IN-PLAN: Q*m*k rows
+    lut = (
+        qdf.join(F.broadcast(cdf), "block")
+        .select("q_id", "block", "cid", _sqdist(F.col("qsv"), F.col("c")).alias("bd"))
+    )
+    # the per-(query, id) total is a fold over the block distances IN
+    # BLOCK ORDER, not an unordered SUM: engines disagree on aggregation
+    # order, and double addition is order-sensitive — the ordered fold
+    # is the same device the k-means oracle pair uses for row-local
+    # distances, so Spark and DuckDB produce bit-identical totals
+    scored = (
+        coded.join(F.broadcast(lut), ["block", "cid"])
+        .groupBy("q_id", id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("block", "bd"))).alias("a"))
+        .select(
+            "q_id",
+            id_col,
+            F.aggregate(
+                F.col("a.bd"), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("adist", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("q_id", id_col, "adist")
+        .orderBy("q_id", "adist", id_col)
+    )

@@ -2535,6 +2535,120 @@ ORACLE["embedding_kmeans"] = _kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_ROUND
 
 
 # ---------------------------------------------------------------------------
+# ann_pq_topk — product-quantization ANN (operators/pq.py): per-subspace
+# Lloyd's codebooks -> code assignment -> ADC top-k. Oracle unrolls the
+# joint per-block k-means exactly like the embedding_kmeans CTEs (same
+# seed/round discipline), then mirrors the in-plan ADC lookup table and
+# the block-ORDERED distance fold (unordered SUM would be engine-order-
+# sensitive on doubles).
+# ---------------------------------------------------------------------------
+PQ_M = 4
+PQ_K = 8
+PQ_ITERS = 2
+PQ_ROUND = 6
+PQ_TOPK = 5
+PQ_NQ = 3
+
+
+@_q("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.pq import pq_topk, train_pq
+
+    e = load(spark, sf_dir, "embeddings")
+    cb = train_pq(e, m=PQ_M, k=PQ_K, iters=PQ_ITERS, round_centroids=PQ_ROUND)
+    qrows = e.orderBy("vec_id").limit(PQ_NQ).collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    res = pq_topk(e, cb, queries, topk=PQ_TOPK, m=PQ_M)
+    return res.select(
+        "q_id", "vec_id", F.round("adist", 4).alias("adist")
+    ).orderBy("q_id", "adist", "vec_id")
+
+
+def _pq_oracle(m: int, k: int, iters: int, r: int, nq: int, topk: int) -> str:
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [
+        "vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        # one row per (vector, subspace): sv = the block's slice
+        f"""bl AS (
+  SELECT id, g.block,
+         v[g.block * (len(v) // {m}) + 1 : (g.block + 1) * (len(v) // {m})] AS sv
+  FROM vecs, LATERAL (SELECT unnest(generate_series(0, {m - 1})) AS block) g)""",
+        f"seed AS (SELECT id FROM vecs ORDER BY id LIMIT {k})",
+        # cid = rank of the seed id within the block (same enumeration
+        # as train_pq's k lowest-id vectors)
+        """c0 AS (
+  SELECT bl.block,
+         row_number() OVER (PARTITION BY bl.block ORDER BY bl.id) - 1 AS cid,
+         bl.sv AS c
+  FROM bl JOIN seed USING (id))""",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""a{t} AS (
+  SELECT id, block, sv, cid FROM (
+    SELECT bl.id, bl.block, bl.sv, c{t}.cid,
+           row_number() OVER (PARTITION BY bl.id, bl.block
+             ORDER BY {dist('bl.sv', f'c{t}.c')}, c{t}.cid) AS rn
+    FROM bl JOIN c{t} ON bl.block = c{t}.block) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""u{t} AS (SELECT block, cid, unnest(generate_series(1, len(sv))) AS pos,
+  unnest(sv) AS x FROM a{t})"""
+        )
+        # a centroid that lost every member keeps its previous value
+        # (train_pq's dict update has the same convention)
+        parts.append(
+            f"""c{t + 1} AS (
+  SELECT c{t}.block, c{t}.cid, coalesce(n.c, c{t}.c) AS c
+  FROM c{t} LEFT JOIN (
+    SELECT block, cid, list(x ORDER BY pos) AS c FROM (
+      SELECT block, cid, pos, round(avg(x), {r}) AS x
+      FROM u{t} GROUP BY block, cid, pos) GROUP BY block, cid) n
+  ON c{t}.block = n.block AND c{t}.cid = n.cid)"""
+        )
+    parts.append(
+        f"""enc AS (
+  SELECT id, block, cid FROM (
+    SELECT bl.id, bl.block, c{iters}.cid,
+           row_number() OVER (PARTITION BY bl.id, bl.block
+             ORDER BY {dist('bl.sv', f'c{iters}.c')}, c{iters}.cid) AS rn
+    FROM bl JOIN c{iters} ON bl.block = c{iters}.block) WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""q AS (SELECT id AS q_id, block, sv AS qsv FROM bl
+  WHERE id IN (SELECT id FROM vecs ORDER BY id LIMIT {nq}))"""
+    )
+    # the ADC lookup table, then the block-ORDERED fold per (q, id)
+    parts.append(
+        f"""lut AS (
+  SELECT q.q_id, c.block, c.cid, {dist('q.qsv', 'c.c')} AS bd
+  FROM q JOIN c{iters} c ON q.block = c.block)"""
+    )
+    parts.append(
+        """sc AS (
+  SELECT q_id, id, list_sum(list(bd ORDER BY enc.block)) AS adist
+  FROM enc JOIN lut ON enc.block = lut.block AND enc.cid = lut.cid
+  GROUP BY q_id, id)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT q_id, id AS vec_id, round(adist, 4) AS adist FROM (
+  SELECT q_id, id, adist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist, id) AS rn
+  FROM sc) WHERE rn <= {topk}
+ORDER BY q_id, adist, vec_id"""
+    )
+
+
+ORACLE["ann_pq_topk"] = _pq_oracle(PQ_M, PQ_K, PQ_ITERS, PQ_ROUND, PQ_NQ, PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
 # dedup_semantic — SemDeDup (Abbas et al. 2023): k-means cluster the
 # embeddings, exact pairwise cosine ONLY within each cluster. The oracle
 # extends the unrolled-kmeans CTE (same k/iters/rounding, so assignments

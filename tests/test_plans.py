@@ -492,3 +492,26 @@ def test_ngram_prefix_candidate_rows_are_narrow(spark):
             assert "toks" not in blk, blk
     assert hits >= 1, plan[:800]
     spark.catalog.clearCache()
+
+
+def test_pq_encode_is_exchange_free_and_topk_broadcasts(spark):
+    """PQ plan shape (operators/pq.py): encoding is a PURE PROJECTION —
+    the per-block argmin folds over centroid literals, so the plan has
+    zero exchanges and pipelines onto the scan. ADC top-k's lookup-table
+    joins must broadcast (the LUT is Q*m*k rows); only the final
+    per-(query, id) aggregation and its window may shuffle. No
+    cartesian/BNLJ anywhere."""
+    from disq_spark.operators.pq import pq_encode, pq_topk, train_pq
+    from disq_spark.queries.tables import load
+
+    e = load(spark, SF, "embeddings")
+    cb = train_pq(e, m=4, k=4, iters=1)
+    enc_plan = plan_of(pq_encode(e, cb, m=4))
+    assert "Exchange" not in enc_plan, enc_plan[:800]
+
+    queries = [(0, [0.0] * 64), (1, [1.0] * 64)]
+    topk_plan = plan_of(pq_topk(e, cb, queries, topk=3, m=4))
+    assert "BroadcastHashJoin" in topk_plan, topk_plan[:800]
+    assert "CartesianProduct" not in topk_plan
+    assert "BroadcastNestedLoopJoin" not in topk_plan
+    assert "SortMergeJoin" not in topk_plan, topk_plan[:800]

@@ -232,3 +232,117 @@ def test_percentile_filter_degenerate_params_keep_data(spark):
     assert percentile_filter(df, "v", 0.0, "id", sample_rate=0.5).count() >= 90
     # sample_rate so small nothing is sampled -> keep all
     assert percentile_filter(df, "v", 0.8, "id", sample_rate=1e-12).count() == 100
+
+
+# -- product quantization (operators/pq.py) -----------------------------------
+
+
+def _pq_serial(vecs: dict, m: int, k: int, iters: int, rnd: int):
+    """Driver-side reference: joint per-block Lloyd's with the same
+    seed (k lowest ids per block), tie (lowest cid), and round(avg)
+    conventions as train_pq — half-up decimal rounding is irrelevant
+    here because Python round is only applied to averages the operator
+    also rounds via Spark F.round; the test corpus is chosen with no
+    halfway points (random floats)."""
+    ids = sorted(vecs)
+    dim = len(vecs[ids[0]])
+    sub = dim // m
+    cents = {
+        (b, cid): list(vecs[ids[cid]][b * sub : (b + 1) * sub])
+        for b in range(m)
+        for cid in range(k)
+    }
+
+    def nearest(b, sv):
+        best, bd = None, None
+        for cid in range(k):
+            c = cents[(b, cid)]
+            d = 0.0
+            for x, y in zip(sv, c):
+                d += (x - y) ** 2
+            if bd is None or d < bd:
+                best, bd = cid, d
+        return best, bd
+
+    for _ in range(iters):
+        members: dict = {}
+        for i in ids:
+            for b in range(m):
+                sv = vecs[i][b * sub : (b + 1) * sub]
+                cid, _ = nearest(b, sv)
+                members.setdefault((b, cid), []).append(sv)
+        for key, svs in members.items():
+            avg = [sum(col) / len(svs) for col in zip(*svs)]
+            cents[key] = [round(x, rnd) for x in avg]
+    return cents, sub, nearest
+
+
+def test_pq_encode_matches_serial_reference(spark):
+    import random
+
+    from disq_spark.operators.pq import pq_encode, train_pq
+
+    rng = random.Random(11)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(12)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    m, k, iters = 3, 4, 2
+    cb = train_pq(df, m=m, k=k, iters=iters)
+    ref, sub, nearest = _pq_serial(vecs, m, k, iters, 6)
+    # codebooks agree (rounded floats from random draws: no halfway pts)
+    for key in ref:
+        assert cb[key] == [round(x, 6) for x in ref[key]] or all(
+            abs(a - b) < 1e-9 for a, b in zip(cb[key], ref[key])
+        ), key
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, cb, m=m).collect()}
+    for i, v in vecs.items():
+        want = [nearest(b, v[b * sub : (b + 1) * sub])[0] for b in range(m)]
+        assert got[i] == want, i
+
+
+def test_pq_topk_matches_exact_adc(spark):
+    """pq_topk's distributed ADC equals the serial ADC on the same
+    codebooks: distance = sum over blocks of sqdist(query subvec,
+    assigned centroid)."""
+    import random
+
+    from disq_spark.operators.pq import pq_encode, pq_topk, train_pq
+
+    rng = random.Random(23)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(12)] for i in range(50)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    m, k, topk = 3, 4, 6
+    cb = train_pq(df, m=m, k=k, iters=2)
+    sub = 12 // m
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(df, cb, m=m).collect()}
+    queries = [(0, vecs[0]), (7, vecs[7])]
+    got = [
+        (r.q_id, r.vec_id, r.adist)
+        for r in pq_topk(df, cb, queries, topk=topk, m=m).collect()
+    ]
+    for qid, qv in queries:
+        dists = []
+        for i in vecs:
+            d = 0.0
+            for b in range(m):
+                c = cb[(b, codes[i][b])]
+                for x, y in zip(qv[b * sub : (b + 1) * sub], c):
+                    d += (x - y) ** 2
+            dists.append((d, i))
+        dists.sort(key=lambda t: (t[0], t[1]))
+        want = [(qid, i) for _, i in dists[:topk]]
+        have = [(q, i) for q, i, _ in got if q == qid]
+        assert have == want, qid
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    import pytest
+
+    from disq_spark.operators.pq import train_pq
+
+    df = spark.createDataFrame([(0, [1.0] * 10)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(df, m=3)
