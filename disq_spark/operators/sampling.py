@@ -472,3 +472,77 @@ bfd_bins AS (
   SELECT st.shard, unnest(st.fills) AS fill
   FROM bfd_st st JOIN bfd_cnt c ON c.shard = st.shard AND st.i = c.mx
 )"""
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-token training windows with overlap — the long-document
+    counterpart of ``pack_sequences`` (packing concatenates SHORT docs
+    onto a token tape; chunking splits LONG docs into windows a model's
+    context can hold; real corpus prep runs both).
+
+    Output: (id_col, chunk_id, n_tokens, chunk_text). Window ``j``
+    covers whitespace tokens [j*stride, j*stride + max_tokens) of the
+    normalized text, stride = max_tokens - overlap; the final window
+    keeps the tail (may be shorter); a document of <= max_tokens tokens
+    (including an empty one) yields exactly one window. Chunk count is
+    ceil((n - max_tokens) / stride) + 1 for n > max_tokens.
+
+    Plan shape: one posexplode over a per-row sequence — no shuffle, no
+    UDF; the token array is built once per row and sliced per window
+    (slice is O(window), not O(doc), so a document's total cost is
+    O(n_chunks * max_tokens) ~= O(n * max/stride))."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    from disq_spark.functions.text import tokens
+
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= max_tokens, F.lit(1))
+        .otherwise(F.ceil((n - F.lit(max_tokens)) / F.lit(float(stride))).cast("int") + 1)
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("__p", "chunk_id"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, max_tokens)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    max_tokens: int,
+    overlap: int,
+    docs_table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of chunk_documents: produces a CTE named ``chunks``
+    (doc_id, chunk_id, n_tokens, chunk_text)."""
+    stride = max_tokens - overlap
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    toks = f"(CASE WHEN {norm} = '' THEN [] ELSE string_split({norm}, ' ') END)"
+    return f"""chunks AS (
+  SELECT doc_id, chunk_id,
+         len(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {max_tokens}]) AS n_tokens,
+         array_to_string(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {max_tokens}], ' ')
+           AS chunk_text
+  FROM (
+    SELECT doc_id, {toks} AS toks,
+           unnest(generate_series(0,
+             CASE WHEN len({toks}) <= {max_tokens} THEN 0
+                  ELSE cast(ceil((len({toks}) - {max_tokens}) / {float(stride)}) AS int)
+             END)) AS chunk_id
+    FROM {docs_table})
+)"""

@@ -5262,3 +5262,52 @@ for _b in (
 ):
     ORACLE[f"{_b}_blas"] = ORACLE[_b]
 del _b
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_windows — fixed-token training windows with overlap
+# (operators/sampling.chunk_documents): the long-document counterpart of
+# pack_sequences. Oracle: the same window arithmetic in DuckDB
+# (chunk_documents_sql), bucket-aggregated with an order-pinned string
+# fingerprint (zero-padded keys so string order == numeric order).
+# ---------------------------------------------------------------------------
+CHUNK_MAX = 48
+CHUNK_OVERLAP = 8
+
+
+@_q("text_chunk_windows")
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.sampling import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    ch = chunk_documents(d, max_tokens=CHUNK_MAX, overlap=CHUNK_OVERLAP)
+    s = F.concat_ws(
+        ":",
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        F.lpad(F.col("chunk_id").cast("string"), 6, "0"),
+        F.md5("chunk_text"),
+    )
+    return (
+        ch.groupBy((F.col("doc_id") % 16).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list(s)))).alias("h"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _chunk_oracle() -> str:
+    from disq_spark.operators.sampling import chunk_documents_sql
+
+    return f"""WITH {chunk_documents_sql(CHUNK_MAX, CHUNK_OVERLAP)}
+SELECT doc_id % 16 AS bucket, count(*) AS n_chunks, sum(n_tokens) AS sum_tokens,
+       md5(string_agg(lpad(doc_id::VARCHAR, 12, '0') || ':' ||
+                      lpad(chunk_id::VARCHAR, 6, '0') || ':' || md5(chunk_text),
+                      ',' ORDER BY lpad(doc_id::VARCHAR, 12, '0') || ':' ||
+                                   lpad(chunk_id::VARCHAR, 6, '0') || ':' || md5(chunk_text))) AS h
+FROM chunks GROUP BY bucket ORDER BY bucket"""
+
+
+ORACLE["text_chunk_windows"] = _chunk_oracle()

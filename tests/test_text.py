@@ -826,3 +826,62 @@ def test_bpe_oracle_sql_guard_errors_on_collision():
     assert con.execute(guard).fetchall() == [(1,)]
     con.execute("DELETE FROM merges")  # empty table: guard passes
     assert con.execute(guard).fetchall() == [(1,)]
+
+
+def test_chunk_documents_hand_case(spark):
+    from disq_spark.operators.sampling import chunk_documents
+
+    txt = " ".join(f"t{i}" for i in range(11))  # 11 tokens
+    df = spark.createDataFrame([(1, txt), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    rows = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+            for r in chunk_documents(df, max_tokens=4, overlap=1).collect()}
+    # stride 3; 11 tokens -> ceil((11-4)/3)+1 = 4 windows at starts 0,3,6,9
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert rows[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert rows[(1, 3)] == (2, "t9 t10")  # tail kept, shorter
+    assert rows[(2, 0)] == (2, "a b")     # <= max: exactly one window
+    assert rows[(3, 0)] == (0, "")        # empty doc: one empty window
+    assert len(rows) == 6
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Every token index is covered by >= 1 window and consecutive
+    windows overlap by exactly `overlap` (except the tail); windows
+    never exceed max_tokens."""
+    from disq_spark.operators.sampling import chunk_documents
+
+    cases = [(n, mx, ov) for n in (0, 1, 7, 48, 49, 100, 101)
+             for mx, ov in ((16, 0), (16, 4), (7, 6))]
+    df = spark.createDataFrame(
+        [(f"{n}_{mx}_{ov}", " ".join(f"w{i}" for i in range(n)))
+         for n, mx, ov in cases],
+        "doc_id string, text string",
+    )
+    for mx, ov in {(c[1], c[2]) for c in cases}:
+        sub = df.filter(F.col("doc_id").endswith(f"_{mx}_{ov}"))
+        out = chunk_documents(sub, max_tokens=mx, overlap=ov).collect()
+        by_doc: dict = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for did, chunks in by_doc.items():
+            n = int(did.split("_")[0])
+            chunks.sort(key=lambda r: r.chunk_id)
+            stride = mx - ov
+            covered = set()
+            for r in chunks:
+                assert r.n_tokens <= mx
+                start = r.chunk_id * stride
+                covered.update(range(start, start + r.n_tokens))
+            assert covered == set(range(n)), (did, mx, ov)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from disq_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=4, overlap=4)
