@@ -167,6 +167,15 @@ def pq_topk(
     coded = enc.select(
         F.col(id_col), F.posexplode("codes").alias("block", "cid")
     )
+    # the classic ADC lookup table, built IN-PLAN (Q*m*k rows), then the
+    # block-ORDERED distance fold — see _adc_score_topk for why an
+    # unordered SUM over doubles would diverge between engines
+    lut = _adc_lut(spark, codebooks, queries, m, k, sub)
+    return _adc_score_topk(coded, lut, id_col, topk, ["block", "cid"])
+
+
+def _adc_lut(spark, codebooks, queries, m: int, k: int, sub: int):
+    """(q_id, block, cid, bd) — the ADC lookup table, built in-plan."""
     cdf = spark.createDataFrame(
         [(b, cid, codebooks[(b, cid)]) for b in range(m) for cid in range(k)],
         "block int, cid int, c array<double>",
@@ -179,18 +188,17 @@ def pq_topk(
         ],
         "q_id long, block int, qsv array<double>",
     )
-    # the classic ADC lookup table, built IN-PLAN: Q*m*k rows
-    lut = (
-        qdf.join(F.broadcast(cdf), "block")
-        .select("q_id", "block", "cid", _sqdist(F.col("qsv"), F.col("c")).alias("bd"))
+    return qdf.join(F.broadcast(cdf), "block").select(
+        "q_id", "block", "cid", _sqdist(F.col("qsv"), F.col("c")).alias("bd")
     )
-    # the per-(query, id) total is a fold over the block distances IN
-    # BLOCK ORDER, not an unordered SUM: engines disagree on aggregation
-    # order, and double addition is order-sensitive — the ordered fold
-    # is the same device the k-means oracle pair uses for row-local
-    # distances, so Spark and DuckDB produce bit-identical totals
+
+
+def _adc_score_topk(coded: DataFrame, lut: DataFrame, id_col: str, topk: int,
+                    join_on: list[str]) -> DataFrame:
+    """Block-ORDERED distance fold per (q_id, id) + per-query top-k (see
+    pq_topk's comment on why an unordered SUM would be wrong)."""
     scored = (
-        coded.join(F.broadcast(lut), ["block", "cid"])
+        coded.join(F.broadcast(lut), join_on)
         .groupBy("q_id", id_col)
         .agg(F.array_sort(F.collect_list(F.struct("block", "bd"))).alias("a"))
         .select(
@@ -208,3 +216,70 @@ def pq_topk(
         .select("q_id", id_col, "adist")
         .orderBy("q_id", "adist", id_col)
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    codebooks: dict[tuple[int, int], list[float]],
+    coarse: dict[tuple[int, int], list[float]],
+    queries: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    topk: int = 5,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: probe each query's ``nprobe`` nearest coarse cells
+    and run ADC only within them — the FAISS-style serving shape where a
+    query touches ~nprobe/K of the corpus instead of all of it.
+
+    ``coarse`` is a full-vector quantizer trained as ``train_pq(df, m=1,
+    k=K)`` (a coarse quantizer IS single-block PQ, so training reuses
+    the same job and the same oracle CTEs). With ``nprobe == K`` the
+    result equals ``pq_topk`` exactly (tested).
+
+    Plan shape: cell id and PQ codes are ONE combined row-local
+    projection over the corpus scan (never a corpus-corpus join); the
+    probe ranking and the candidate semi-join broadcast (queries and
+    probed-cell lists are tiny); cost per query batch =
+    sum over queries of |probed cells' members| * m rows into the one
+    (q_id, id) aggregation. Probing runs IN-PLAN, not driver-side: a
+    knife-edge cell-distance tie resolved differently by a Python float
+    fold would silently change the candidate set vs the SQL oracle."""
+    spark = df.sparkSession
+    K = max(cid for _, cid in coarse) + 1
+    k = max(cid for _, cid in codebooks) + 1
+    dim = m * len(codebooks[(0, 0)])
+    sub = dim // m
+
+    slices = _block_slices(vec_col, dim, m)
+    cell = _nearest(F.col(vec_col), [(cid, coarse[(0, cid)]) for cid in range(K)])["cid"]
+    codes = F.array(
+        *[
+            _nearest(slices[b], [(cid, codebooks[(b, cid)]) for cid in range(k)])["cid"]
+            for b in range(m)
+        ]
+    )
+    encoded = df.select(F.col(id_col), cell.alias("cell"), codes.alias("codes"))
+
+    qv = spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in queries],
+        "q_id long, qv array<double>",
+    )
+    gdf = spark.createDataFrame(
+        [(cid, coarse[(0, cid)]) for cid in range(K)], "cell int, c array<double>"
+    )
+    wq = Window.partitionBy("q_id").orderBy("d", "cell")
+    probed = (
+        qv.crossJoin(F.broadcast(gdf))
+        .select("q_id", "cell", _sqdist(F.col("qv"), F.col("c")).alias("d"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cell")
+    )
+    coded = (
+        encoded.join(F.broadcast(probed), "cell")
+        .select("q_id", id_col, F.posexplode("codes").alias("block", "cid"))
+    )
+    lut = _adc_lut(spark, codebooks, queries, m, k, sub)
+    return _adc_score_topk(coded, lut, id_col, topk, ["q_id", "block", "cid"])

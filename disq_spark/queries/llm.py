@@ -2564,61 +2564,76 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "adist", "vec_id")
 
 
-def _pq_oracle(m: int, k: int, iters: int, r: int, nq: int, topk: int) -> str:
-    def dist(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, len({a})), "
-            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-        )
+def _sqdist_sql(a: str, b: str) -> str:
+    """The same left-fold squared distance the k-means oracle uses."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
 
+
+def _pq_cte_parts(p: str, m: int, k: int, iters: int, r: int) -> list:
+    """Unrolled per-block Lloyd's + final code assignment, all CTE names
+    prefixed with ``p`` so a coarse (m=1) and a fine quantizer can
+    coexist in one oracle (the IVF-PQ gate). Expects a CTE ``vecs(id,
+    v)``. Produces ``{p}enc(id, block, cid)`` and ``{p}c{iters}(block,
+    cid, c)``."""
+    dist = _sqdist_sql
     parts = [
-        "vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
         # one row per (vector, subspace): sv = the block's slice
-        f"""bl AS (
+        f"""{p}bl AS (
   SELECT id, g.block,
          v[g.block * (len(v) // {m}) + 1 : (g.block + 1) * (len(v) // {m})] AS sv
   FROM vecs, LATERAL (SELECT unnest(generate_series(0, {m - 1})) AS block) g)""",
-        f"seed AS (SELECT id FROM vecs ORDER BY id LIMIT {k})",
+        f"{p}seed AS (SELECT id FROM vecs ORDER BY id LIMIT {k})",
         # cid = rank of the seed id within the block (same enumeration
         # as train_pq's k lowest-id vectors)
-        """c0 AS (
-  SELECT bl.block,
-         row_number() OVER (PARTITION BY bl.block ORDER BY bl.id) - 1 AS cid,
-         bl.sv AS c
-  FROM bl JOIN seed USING (id))""",
+        f"""{p}c0 AS (
+  SELECT {p}bl.block,
+         row_number() OVER (PARTITION BY {p}bl.block ORDER BY {p}bl.id) - 1 AS cid,
+         {p}bl.sv AS c
+  FROM {p}bl JOIN {p}seed USING (id))""",
     ]
     for t in range(iters):
         parts.append(
-            f"""a{t} AS (
+            f"""{p}a{t} AS (
   SELECT id, block, sv, cid FROM (
-    SELECT bl.id, bl.block, bl.sv, c{t}.cid,
-           row_number() OVER (PARTITION BY bl.id, bl.block
-             ORDER BY {dist('bl.sv', f'c{t}.c')}, c{t}.cid) AS rn
-    FROM bl JOIN c{t} ON bl.block = c{t}.block) WHERE rn = 1)"""
+    SELECT {p}bl.id, {p}bl.block, {p}bl.sv, {p}c{t}.cid,
+           row_number() OVER (PARTITION BY {p}bl.id, {p}bl.block
+             ORDER BY {dist(f'{p}bl.sv', f'{p}c{t}.c')}, {p}c{t}.cid) AS rn
+    FROM {p}bl JOIN {p}c{t} ON {p}bl.block = {p}c{t}.block) WHERE rn = 1)"""
         )
         parts.append(
-            f"""u{t} AS (SELECT block, cid, unnest(generate_series(1, len(sv))) AS pos,
-  unnest(sv) AS x FROM a{t})"""
+            f"""{p}u{t} AS (SELECT block, cid, unnest(generate_series(1, len(sv))) AS pos,
+  unnest(sv) AS x FROM {p}a{t})"""
         )
         # a centroid that lost every member keeps its previous value
         # (train_pq's dict update has the same convention)
         parts.append(
-            f"""c{t + 1} AS (
-  SELECT c{t}.block, c{t}.cid, coalesce(n.c, c{t}.c) AS c
-  FROM c{t} LEFT JOIN (
+            f"""{p}c{t + 1} AS (
+  SELECT {p}c{t}.block, {p}c{t}.cid, coalesce(n.c, {p}c{t}.c) AS c
+  FROM {p}c{t} LEFT JOIN (
     SELECT block, cid, list(x ORDER BY pos) AS c FROM (
       SELECT block, cid, pos, round(avg(x), {r}) AS x
-      FROM u{t} GROUP BY block, cid, pos) GROUP BY block, cid) n
-  ON c{t}.block = n.block AND c{t}.cid = n.cid)"""
+      FROM {p}u{t} GROUP BY block, cid, pos) GROUP BY block, cid) n
+  ON {p}c{t}.block = n.block AND {p}c{t}.cid = n.cid)"""
         )
     parts.append(
-        f"""enc AS (
+        f"""{p}enc AS (
   SELECT id, block, cid FROM (
-    SELECT bl.id, bl.block, c{iters}.cid,
-           row_number() OVER (PARTITION BY bl.id, bl.block
-             ORDER BY {dist('bl.sv', f'c{iters}.c')}, c{iters}.cid) AS rn
-    FROM bl JOIN c{iters} ON bl.block = c{iters}.block) WHERE rn = 1)"""
+    SELECT {p}bl.id, {p}bl.block, {p}c{iters}.cid,
+           row_number() OVER (PARTITION BY {p}bl.id, {p}bl.block
+             ORDER BY {dist(f'{p}bl.sv', f'{p}c{iters}.c')}, {p}c{iters}.cid) AS rn
+    FROM {p}bl JOIN {p}c{iters} ON {p}bl.block = {p}c{iters}.block) WHERE rn = 1)"""
     )
+    return parts
+
+
+def _pq_oracle(m: int, k: int, iters: int, r: int, nq: int, topk: int) -> str:
+    dist = _sqdist_sql
+    parts = [
+        "vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+    ] + _pq_cte_parts("", m, k, iters, r)
     parts.append(
         f"""q AS (SELECT id AS q_id, block, sv AS qsv FROM bl
   WHERE id IN (SELECT id FROM vecs ORDER BY id LIMIT {nq}))"""
@@ -2646,6 +2661,95 @@ ORDER BY q_id, adist, vec_id"""
 
 
 ORACLE["ann_pq_topk"] = _pq_oracle(PQ_M, PQ_K, PQ_ITERS, PQ_ROUND, PQ_NQ, PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_pq_topk — IVF-PQ search (operators/pq.py::ivf_pq_topk): probe
+# nprobe nearest coarse cells per query, ADC only within them. The coarse
+# quantizer is single-block PQ (train_pq m=1), so the oracle reuses the
+# same unrolled-k-means CTE generator twice (prefixes g/<none>). With
+# nprobe == coarse K the result equals ann_pq_topk (unit-tested).
+# ---------------------------------------------------------------------------
+IVFPQ_COARSE_K = 4
+IVFPQ_COARSE_ITERS = 2
+IVFPQ_NPROBE = 2
+
+
+@_q("ann_ivf_pq_topk")
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.pq import ivf_pq_topk, train_pq
+
+    e = load(spark, sf_dir, "embeddings")
+    coarse = train_pq(
+        e, m=1, k=IVFPQ_COARSE_K, iters=IVFPQ_COARSE_ITERS, round_centroids=PQ_ROUND
+    )
+    cb = train_pq(e, m=PQ_M, k=PQ_K, iters=PQ_ITERS, round_centroids=PQ_ROUND)
+    qrows = e.orderBy("vec_id").limit(PQ_NQ).collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    res = ivf_pq_topk(
+        e, cb, coarse, queries, nprobe=IVFPQ_NPROBE, topk=PQ_TOPK, m=PQ_M
+    )
+    return res.select(
+        "q_id", "vec_id", F.round("adist", 4).alias("adist")
+    ).orderBy("q_id", "adist", "vec_id")
+
+
+def _ivf_pq_oracle(
+    m: int, k: int, iters: int, r: int,
+    ck: int, citers: int, nprobe: int, nq: int, topk: int,
+) -> str:
+    dist = _sqdist_sql
+    parts = [
+        "vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+    ]
+    parts += _pq_cte_parts("g", 1, ck, citers, r)   # coarse (single block)
+    parts += _pq_cte_parts("", m, k, iters, r)       # fine codebooks
+    parts.append(
+        f"""qfull AS (SELECT id AS q_id, v FROM vecs
+  WHERE id IN (SELECT id FROM vecs ORDER BY id LIMIT {nq}))"""
+    )
+    parts.append(
+        f"""q AS (SELECT id AS q_id, block, sv AS qsv FROM bl
+  WHERE id IN (SELECT id FROM vecs ORDER BY id LIMIT {nq}))"""
+    )
+    parts.append(
+        f"""probe AS (
+  SELECT q_id, cid AS cell FROM (
+    SELECT qfull.q_id, g.cid,
+           row_number() OVER (PARTITION BY qfull.q_id
+             ORDER BY {dist('qfull.v', 'g.c')}, g.cid) AS rn
+    FROM qfull JOIN gc{citers} g ON g.block = 0) WHERE rn <= {nprobe})"""
+    )
+    parts.append(
+        """cand AS (SELECT p.q_id, e.id FROM probe p
+  JOIN genc e ON e.cid = p.cell)"""
+    )
+    parts.append(
+        f"""lut AS (
+  SELECT q.q_id, c.block, c.cid, {dist('q.qsv', 'c.c')} AS bd
+  FROM q JOIN c{iters} c ON q.block = c.block)"""
+    )
+    parts.append(
+        """sc AS (
+  SELECT cand.q_id, cand.id, list_sum(list(bd ORDER BY enc.block)) AS adist
+  FROM cand JOIN enc ON enc.id = cand.id
+  JOIN lut ON lut.q_id = cand.q_id AND lut.block = enc.block AND lut.cid = enc.cid
+  GROUP BY cand.q_id, cand.id)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT q_id, id AS vec_id, round(adist, 4) AS adist FROM (
+  SELECT q_id, id, adist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist, id) AS rn
+  FROM sc) WHERE rn <= {topk}
+ORDER BY q_id, adist, vec_id"""
+    )
+
+
+ORACLE["ann_ivf_pq_topk"] = _ivf_pq_oracle(
+    PQ_M, PQ_K, PQ_ITERS, PQ_ROUND,
+    IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS, IVFPQ_NPROBE, PQ_NQ, PQ_TOPK,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -527,3 +527,30 @@ def test_chunk_documents_is_exchange_free(spark):
     d = load(spark, SF, "documents")
     plan = plan_of(chunk_documents(d, max_tokens=48, overlap=8))
     assert "Exchange" not in plan, plan[:800]
+
+
+def test_ivf_pq_single_corpus_scan_and_broadcasts(spark):
+    """IVF-PQ plan: cell id + PQ codes are ONE row-local projection of
+    the corpus scan (a corpus-corpus join here would be the classic
+    mistake); the probe and candidate joins broadcast; no cartesian/
+    SMJ. Exactly one scan of the embeddings parquet."""
+    from disq_spark.operators.pq import ivf_pq_topk, train_pq
+    from disq_spark.queries.tables import load
+
+    e = load(spark, SF, "embeddings")
+    cb = train_pq(e, m=4, k=4, iters=1)
+    coarse = train_pq(e, m=1, k=4, iters=1)
+    queries = [(0, [0.0] * 64), (1, [1.0] * 64)]
+    plan = plan_of(ivf_pq_topk(e, cb, coarse, queries, nprobe=2, topk=3, m=4))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan
+    # the probe's query x coarse-centroid crossJoin legitimately plans
+    # as a BroadcastNestedLoopJoin — both sides are driver-created
+    # literal relations of Q and K rows; the corpus must never appear
+    # in one. Corpus containment is covered by the single-scan check:
+    scan_locs = [
+        ln for ln in plan.splitlines()
+        if "Location" in ln and "embeddings" in ln
+    ]
+    assert len(scan_locs) == 1, (scan_locs, plan[:800])

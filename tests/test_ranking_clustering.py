@@ -346,3 +346,61 @@ def test_pq_dim_not_divisible_raises(spark):
     df = spark.createDataFrame([(0, [1.0] * 10)], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         train_pq(df, m=3)
+
+
+def test_ivf_pq_full_probe_equals_pq_topk(spark):
+    """With nprobe == coarse K every cell is probed, so IVF-PQ must
+    return exactly pq_topk's rows (same codebooks, same queries)."""
+    import random
+
+    from disq_spark.operators.pq import ivf_pq_topk, pq_topk, train_pq
+
+    rng = random.Random(31)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(12)] for i in range(60)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    m, K = 3, 4
+    cb = train_pq(df, m=m, k=4, iters=2)
+    coarse = train_pq(df, m=1, k=K, iters=2)
+    queries = [(0, vecs[0]), (9, vecs[9])]
+    full = [(r.q_id, r.vec_id, round(r.adist, 9))
+            for r in pq_topk(df, cb, queries, topk=5, m=m).collect()]
+    ivf = [(r.q_id, r.vec_id, round(r.adist, 9))
+           for r in ivf_pq_topk(df, cb, coarse, queries, nprobe=K, topk=5, m=m).collect()]
+    assert ivf == full
+
+
+def test_ivf_pq_candidates_respect_probed_cells(spark):
+    """Every returned id must live in one of its query's nprobe probed
+    cells — the pruning contract (a result from an unprobed cell means
+    the semi-join leaked)."""
+    import random
+
+    from disq_spark.operators.pq import ivf_pq_topk, pq_encode, train_pq
+
+    rng = random.Random(37)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(12)] for i in range(80)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    m, K, nprobe = 3, 4, 2
+    cb = train_pq(df, m=m, k=4, iters=2)
+    coarse = train_pq(df, m=1, k=K, iters=2)
+    cells = {r.vec_id: r.codes[0]
+             for r in pq_encode(df, coarse, m=1).collect()}
+
+    def probe(qv):
+        ds = []
+        for cid in range(K):
+            c = coarse[(0, cid)]
+            ds.append((sum((x - y) ** 2 for x, y in zip(qv, c)), cid))
+        ds.sort()
+        return {cid for _, cid in ds[:nprobe]}
+
+    queries = [(0, vecs[0]), (11, vecs[11])]
+    out = ivf_pq_topk(df, cb, coarse, queries, nprobe=nprobe, topk=8, m=m).collect()
+    assert out
+    qmap = dict(queries)
+    for r in out:
+        assert cells[r.vec_id] in probe(qmap[r.q_id]), (r.q_id, r.vec_id)
