@@ -474,15 +474,16 @@ bfd_bins AS (
 )"""
 
 
-def chunk_documents(
+def chunk_token_windows(
     df: DataFrame,
     max_tokens: int = 512,
     overlap: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Fixed-token training windows with overlap — the long-document
-    counterpart of ``pack_sequences`` (packing concatenates SHORT docs
+    """Fixed-TOKEN training windows with overlap — the long-document
+    counterpart of ``pack_sequences`` (distinct from operators/chunking.py::
+    chunk_documents, the fixed-CHARACTER RAG chunker) (packing concatenates SHORT docs
     onto a token tape; chunking splits LONG docs into windows a model's
     context can hold; real corpus prep runs both).
 
@@ -522,13 +523,13 @@ def chunk_documents(
     )
 
 
-def chunk_documents_sql(
+def chunk_token_windows_sql(
     max_tokens: int,
     overlap: int,
     docs_table: str = "documents",
     text_col: str = "text",
 ) -> str:
-    """DuckDB mirror of chunk_documents: produces a CTE named ``chunks``
+    """DuckDB mirror of chunk_token_windows: produces a CTE named ``chunks``
     (doc_id, chunk_id, n_tokens, chunk_text)."""
     stride = max_tokens - overlap
     norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"

@@ -5370,21 +5370,21 @@ del _b
 
 # ---------------------------------------------------------------------------
 # text_chunk_windows — fixed-token training windows with overlap
-# (operators/sampling.chunk_documents): the long-document counterpart of
+# (operators/sampling.chunk_token_windows): the long-document counterpart of
 # pack_sequences. Oracle: the same window arithmetic in DuckDB
-# (chunk_documents_sql), bucket-aggregated with an order-pinned string
+# (chunk_token_windows_sql), bucket-aggregated with an order-pinned string
 # fingerprint (zero-padded keys so string order == numeric order).
 # ---------------------------------------------------------------------------
-CHUNK_MAX = 48
-CHUNK_OVERLAP = 8
+TOKWIN_MAX = 48
+TOKWIN_OVERLAP = 8
 
 
 @_q("text_chunk_windows")
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from disq_spark.operators.sampling import chunk_documents
+    from disq_spark.operators.sampling import chunk_token_windows
 
     d = load(spark, sf_dir, "documents")
-    ch = chunk_documents(d, max_tokens=CHUNK_MAX, overlap=CHUNK_OVERLAP)
+    ch = chunk_token_windows(d, max_tokens=TOKWIN_MAX, overlap=TOKWIN_OVERLAP)
     s = F.concat_ws(
         ":",
         F.lpad(F.col("doc_id").cast("string"), 12, "0"),
@@ -5403,9 +5403,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunk_oracle() -> str:
-    from disq_spark.operators.sampling import chunk_documents_sql
+    from disq_spark.operators.sampling import chunk_token_windows_sql
 
-    return f"""WITH {chunk_documents_sql(CHUNK_MAX, CHUNK_OVERLAP)}
+    return f"""WITH {chunk_token_windows_sql(TOKWIN_MAX, TOKWIN_OVERLAP)}
 SELECT doc_id % 16 AS bucket, count(*) AS n_chunks, sum(n_tokens) AS sum_tokens,
        md5(string_agg(lpad(doc_id::VARCHAR, 12, '0') || ':' ||
                       lpad(chunk_id::VARCHAR, 6, '0') || ':' || md5(chunk_text),

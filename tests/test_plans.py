@@ -517,15 +517,15 @@ def test_pq_encode_is_exchange_free_and_topk_broadcasts(spark):
     assert "SortMergeJoin" not in topk_plan, topk_plan[:800]
 
 
-def test_chunk_documents_is_exchange_free(spark):
+def test_chunk_token_windows_is_exchange_free(spark):
     """Chunking is one posexplode over a per-row window sequence — a
     pure projection that pipelines onto the scan. An Exchange here
     means someone re-introduced a join/shuffle into a per-row op."""
-    from disq_spark.operators.sampling import chunk_documents
+    from disq_spark.operators.sampling import chunk_token_windows
     from disq_spark.queries.tables import load
 
     d = load(spark, SF, "documents")
-    plan = plan_of(chunk_documents(d, max_tokens=48, overlap=8))
+    plan = plan_of(chunk_token_windows(d, max_tokens=48, overlap=8))
     assert "Exchange" not in plan, plan[:800]
 
 

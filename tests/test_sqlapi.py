@@ -61,3 +61,31 @@ def test_sql_functions_idempotent_reregistration(spark):
     register_sql_functions(spark)
     register_sql_functions(spark)  # CREATE OR REPLACE: no error
     assert spark.sql("SELECT ds_token_count('a b') AS n").collect()[0].n == 2
+
+
+def test_query_modules_have_no_duplicate_constant_bindings():
+    """Regression guard for the r9 doc_chunking_stats incident: a gate
+    module's UPPERCASE constants are read at CALL time by gate
+    functions but baked at IMPORT time into oracle SQL strings — a
+    second top-level binding of the same name (e.g. a new gate block
+    appended with its own CHUNK_OVERLAP) silently changes every earlier
+    gate that reads it at runtime while their oracles keep the old
+    value. Each constant must be bound exactly once per module."""
+    import ast
+    import os
+
+    qdir = os.path.join(os.path.dirname(__file__), "..", "disq_spark", "queries")
+    for fn in sorted(os.listdir(qdir)):
+        if not fn.endswith(".py"):
+            continue
+        tree = ast.parse(open(os.path.join(qdir, fn)).read())
+        seen: set = set()
+        dups = []
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name) and t.id.isupper():
+                        if t.id in seen:
+                            dups.append(t.id)
+                        seen.add(t.id)
+        assert dups == [], f"{fn}: constants bound more than once: {dups}"

@@ -828,14 +828,14 @@ def test_bpe_oracle_sql_guard_errors_on_collision():
     assert con.execute(guard).fetchall() == [(1,)]
 
 
-def test_chunk_documents_hand_case(spark):
-    from disq_spark.operators.sampling import chunk_documents
+def test_chunk_token_windows_hand_case(spark):
+    from disq_spark.operators.sampling import chunk_token_windows
 
     txt = " ".join(f"t{i}" for i in range(11))  # 11 tokens
     df = spark.createDataFrame([(1, txt), (2, "a b"), (3, "")],
                                "doc_id long, text string")
     rows = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
-            for r in chunk_documents(df, max_tokens=4, overlap=1).collect()}
+            for r in chunk_token_windows(df, max_tokens=4, overlap=1).collect()}
     # stride 3; 11 tokens -> ceil((11-4)/3)+1 = 4 windows at starts 0,3,6,9
     assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
     assert rows[(1, 1)] == (4, "t3 t4 t5 t6")
@@ -846,11 +846,11 @@ def test_chunk_documents_hand_case(spark):
     assert len(rows) == 6
 
 
-def test_chunk_documents_covers_every_token(spark):
+def test_chunk_token_windows_covers_every_token(spark):
     """Every token index is covered by >= 1 window and consecutive
     windows overlap by exactly `overlap` (except the tail); windows
     never exceed max_tokens."""
-    from disq_spark.operators.sampling import chunk_documents
+    from disq_spark.operators.sampling import chunk_token_windows
 
     cases = [(n, mx, ov) for n in (0, 1, 7, 48, 49, 100, 101)
              for mx, ov in ((16, 0), (16, 4), (7, 6))]
@@ -861,7 +861,7 @@ def test_chunk_documents_covers_every_token(spark):
     )
     for mx, ov in {(c[1], c[2]) for c in cases}:
         sub = df.filter(F.col("doc_id").endswith(f"_{mx}_{ov}"))
-        out = chunk_documents(sub, max_tokens=mx, overlap=ov).collect()
+        out = chunk_token_windows(sub, max_tokens=mx, overlap=ov).collect()
         by_doc: dict = {}
         for r in out:
             by_doc.setdefault(r.doc_id, []).append(r)
@@ -877,11 +877,11 @@ def test_chunk_documents_covers_every_token(spark):
             assert covered == set(range(n)), (did, mx, ov)
 
 
-def test_chunk_documents_rejects_bad_overlap(spark):
+def test_chunk_token_windows_rejects_bad_overlap(spark):
     import pytest
 
-    from disq_spark.operators.sampling import chunk_documents
+    from disq_spark.operators.sampling import chunk_token_windows
 
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="overlap"):
-        chunk_documents(df, max_tokens=4, overlap=4)
+        chunk_token_windows(df, max_tokens=4, overlap=4)
