@@ -67,6 +67,9 @@ def train_pq(
     first = d.orderBy("id").limit(k).collect()
     if not first:
         return {}
+    # fewer vectors than k: train that many centroids (the kmeans
+    # convention) — downstream k is derived from the codebook keys
+    k = min(k, len(first))
     dim = len(first[0].v)
     sub = dim // m
     if sub * m != dim:
@@ -78,6 +81,13 @@ def train_pq(
             F.array(*_block_slices("v", dim, m))
         ).alias("block", "sv"),
     )
+    # fan a low-partition source out to the session's parallelism (the
+    # clustering.kmeans lesson: a single parquet file would cap every
+    # Lloyd round's row-local argmin at #input-partitions cores; all
+    # downstream math is row-level, so this is result-neutral)
+    sc = df.sparkSession.sparkContext
+    if blocks.rdd.getNumPartitions() < sc.defaultParallelism:
+        blocks = blocks.repartition(sc.defaultParallelism)
     # each Lloyd round rescans the exploded table: materialize once
     blocks = blocks.persist()
     try:
@@ -158,6 +168,8 @@ def pq_topk(
     ordered by (q_id, adist, id). ``queries`` is a driver-side list —
     query batches are small by definition; the corpus side never
     leaves the cluster."""
+    if not codebooks:
+        raise ValueError("empty codebooks (train_pq over an empty corpus?)")
     spark = df.sparkSession
     k = max(cid for _, cid in codebooks) + 1
     dim = m * len(codebooks[(0, 0)])
@@ -246,6 +258,8 @@ def ivf_pq_topk(
     (q_id, id) aggregation. Probing runs IN-PLAN, not driver-side: a
     knife-edge cell-distance tie resolved differently by a Python float
     fold would silently change the candidate set vs the SQL oracle."""
+    if not codebooks or not coarse:
+        raise ValueError("empty codebooks (train_pq over an empty corpus?)")
     spark = df.sparkSession
     K = max(cid for _, cid in coarse) + 1
     k = max(cid for _, cid in codebooks) + 1

@@ -534,16 +534,19 @@ def chunk_token_windows_sql(
     stride = max_tokens - overlap
     norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
     toks = f"(CASE WHEN {norm} = '' THEN [] ELSE string_split({norm}, ' ') END)"
+    # tokenize ONCE in the innermost subquery — inlining the CASE into
+    # the generate_series bound as well would run the regex pipeline up
+    # to three times per document
     return f"""chunks AS (
   SELECT doc_id, chunk_id,
          len(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {max_tokens}]) AS n_tokens,
          array_to_string(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {max_tokens}], ' ')
            AS chunk_text
   FROM (
-    SELECT doc_id, {toks} AS toks,
+    SELECT doc_id, toks,
            unnest(generate_series(0,
-             CASE WHEN len({toks}) <= {max_tokens} THEN 0
-                  ELSE cast(ceil((len({toks}) - {max_tokens}) / {float(stride)}) AS int)
+             CASE WHEN len(toks) <= {max_tokens} THEN 0
+                  ELSE cast(ceil((len(toks) - {max_tokens}) / {float(stride)}) AS int)
              END)) AS chunk_id
-    FROM {docs_table})
+    FROM (SELECT doc_id, {toks} AS toks FROM {docs_table}))
 )"""

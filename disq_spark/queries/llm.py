@@ -59,20 +59,29 @@ MAX_DF_FLOOR = 20.0
 MAX_DF_CAP = 100.0
 
 
-_N_DOCS_CACHE: dict[str, int] = {}
+_N_DOCS_CACHE: dict[tuple, int] = {}
 
 
 def _max_df(spark: SparkSession, sf_dir: str) -> float:
     # the corpus count is a full-scan ACTION at gate-BUILD time; bench's
-    # three passes re-invoke every gate, so memoize per sf_dir (r9 cold
-    # profile: ~0.2 s x 2 dedup gates x 3 passes). Same staleness
-    # contract as the operator caches: rewriting documents.parquet at
-    # the same path mid-session requires a fresh process (or clearing
-    # this dict) — the driver and the replica both use one dir per run.
-    n = _N_DOCS_CACHE.get(sf_dir)
+    # three passes re-invoke every gate, so memoize — keyed by the
+    # parquet file's identity (path, mtime_ns, size), not the path
+    # alone, so a corpus REWRITTEN at the same dir mid-session gets a
+    # fresh count instead of a silently stale max_df (which would change
+    # dedup gate OUTPUT, not just timing). Falls back to an uncached
+    # count when the stat fails (non-local/multi-file layouts).
+    import os as _os
+
+    try:
+        st = _os.stat(f"{sf_dir.rstrip('/')}/documents.parquet")
+        key = (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    n = _N_DOCS_CACHE.get(key) if key else None
     if n is None:
         n = load(spark, sf_dir, "documents").count()
-        _N_DOCS_CACHE[sf_dir] = n
+        if key:
+            _N_DOCS_CACHE[key] = n
     return min(max(MAX_DF_FLOOR, MAX_DF_FRACTION * n), MAX_DF_CAP)
 
 
@@ -1299,9 +1308,11 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard (it shares that gate's oracle verbatim):
     candidates come only from rarest-token prefixes and verification is
     an array intersect per pair. A second independently-shaped
-    implementation hash-gated against the same oracle; default-off in
-    the operator (measured-negative on this bounded-df corpus family,
-    SCALE.md §r8 probe)."""
+    implementation hash-gated against the same oracle. Operator default
+    is prefix_filter="auto" since r9: prefix on exactly when max_df is
+    None (measured ~2x faster on uncapped-df Zipfian text, SCALE.md
+    §r9 probe; pure overhead under a cap, §r8 probe) — this gate pins
+    True, the base gate's capped call resolves to the baseline path."""
     d = load(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(
         d,

@@ -81,11 +81,29 @@ def test_query_modules_have_no_duplicate_constant_bindings():
         tree = ast.parse(open(os.path.join(qdir, fn)).read())
         seen: set = set()
         dups = []
-        for node in tree.body:
-            if isinstance(node, ast.Assign):
-                for t in node.targets:
-                    if isinstance(t, ast.Name) and t.id.isupper():
-                        if t.id in seen:
-                            dups.append(t.id)
-                        seen.add(t.id)
+
+        def visit(stmts):
+            for node in stmts:
+                targets = []
+                if isinstance(node, ast.Assign):
+                    targets = node.targets
+                elif isinstance(node, ast.AnnAssign) and node.value is not None:
+                    targets = [node.target]
+                for tgt in targets:
+                    if isinstance(tgt, ast.Name) and tgt.id.isupper():
+                        if tgt.id in seen:
+                            dups.append(tgt.id)
+                        seen.add(tgt.id)
+                # module-level bindings hidden inside if/try/with blocks
+                # (but NOT function/class bodies) still rebind globals
+                for attr in ("body", "orelse", "finalbody"):
+                    if not isinstance(
+                        node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+                    ) and hasattr(node, attr):
+                        visit(getattr(node, attr))
+                if hasattr(node, "handlers"):
+                    for h in node.handlers:
+                        visit(h.body)
+
+        visit(tree.body)
         assert dups == [], f"{fn}: constants bound more than once: {dups}"

@@ -127,8 +127,8 @@ def textsinks_main(factor: int) -> None:
     format_sam_batch column-level assembly, format_vcf_batch raw-column
     zip — commit ba0eaa1 measured 11.4k->277k and 17.8k->325k rec/s).
     This mode makes those rates reproducible: replicate the fixtures
-    factor x, freeze the input with an eager localCheckpoint (timing
-    excludes read+replicate), write the single-file text sinks, report
+    factor x, freeze the input with persist + count (timing excludes
+    read+replicate), write the single-file text sinks, report
     rec/s and MB/s. BASELINE.md records the expected rates; a regression
     to per-row assembly shows up as a ~20x drop.
 
@@ -142,45 +142,53 @@ def textsinks_main(factor: int) -> None:
 
     tmp = tempfile.mkdtemp(prefix="textsinks_")
     out: dict = {"metric": "textsink_throughput", "factor": factor}
+    try:
+        # persist + count (NOT localCheckpoint): Dataset.unpersist() is a
+        # no-op for checkpointed RDDs (they bypass the CacheManager), and
+        # the multi-GB SAM frame must actually release before the VCF
+        # measurement or its spill pressure skews vcf_rec_per_s
+        base, header = read_bam(spark, FIXTURE, split_size=200_000)
+        rep = spark.range(factor).select(F.col("id").alias("__rep"))
+        big = base.crossJoin(rep).drop("__rep").repartition(32).persist()
+        n_sam = big.count()
+        sam_path = os.path.join(tmp, "big.sam")
+        t0 = time.time()
+        write_sam(big, header, sam_path)
+        t_sam = time.time() - t0
+        sam_bytes = os.path.getsize(sam_path)
+        out.update(
+            sam_records=n_sam,
+            sam_wall_s=round(t_sam, 2),
+            sam_rec_per_s=int(n_sam / t_sam),
+            sam_mb=round(sam_bytes / 1e6, 1),
+            sam_mb_per_s=round(sam_bytes / 1e6 / t_sam, 1),
+        )
+        big.unpersist(blocking=True)
+        os.remove(sam_path)
 
-    base, header = read_bam(spark, FIXTURE, split_size=200_000)
-    rep = spark.range(factor).select(F.col("id").alias("__rep"))
-    big = base.crossJoin(rep).drop("__rep").repartition(32).localCheckpoint()
-    n_sam = big.count()
-    sam_path = os.path.join(tmp, "big.sam")
-    t0 = time.time()
-    write_sam(big, header, sam_path)
-    t_sam = time.time() - t0
-    sam_bytes = os.path.getsize(sam_path)
-    out.update(
-        sam_records=n_sam,
-        sam_wall_s=round(t_sam, 2),
-        sam_rec_per_s=int(n_sam / t_sam),
-        sam_mb=round(sam_bytes / 1e6, 1),
-        sam_mb_per_s=round(sam_bytes / 1e6 / t_sam, 1),
-    )
-    big.unpersist()
-    os.remove(sam_path)
+        vcf_src = os.path.join(
+            os.path.dirname(FIXTURE), "HiSeq.10000.vcf.bgz"
+        )
+        vdf, vheader = read_vcf(spark, vcf_src)
+        vbig = vdf.crossJoin(rep).drop("__rep").repartition(32).persist()
+        n_vcf = vbig.count()
+        vcf_path = os.path.join(tmp, "big.vcf")
+        t0 = time.time()
+        write_vcf(vbig, vheader, vcf_path)  # plain text target: encode path
+        t_vcf = time.time() - t0
+        vcf_bytes = os.path.getsize(vcf_path)
+        out.update(
+            vcf_records=n_vcf,
+            vcf_wall_s=round(t_vcf, 2),
+            vcf_rec_per_s=int(n_vcf / t_vcf),
+            vcf_mb=round(vcf_bytes / 1e6, 1),
+            vcf_mb_per_s=round(vcf_bytes / 1e6 / t_vcf, 1),
+        )
+        vbig.unpersist(blocking=False)
+    finally:
+        import shutil
 
-    vcf_src = os.path.join(
-        os.path.dirname(FIXTURE), "HiSeq.10000.vcf.bgz"
-    )
-    vdf, vheader = read_vcf(spark, vcf_src)
-    vbig = vdf.crossJoin(rep).drop("__rep").repartition(32).localCheckpoint()
-    n_vcf = vbig.count()
-    vcf_path = os.path.join(tmp, "big.vcf")
-    t0 = time.time()
-    write_vcf(vbig, vheader, vcf_path)  # plain text target: encode path
-    t_vcf = time.time() - t0
-    vcf_bytes = os.path.getsize(vcf_path)
-    out.update(
-        vcf_records=n_vcf,
-        vcf_wall_s=round(t_vcf, 2),
-        vcf_rec_per_s=int(n_vcf / t_vcf),
-        vcf_mb=round(vcf_bytes / 1e6, 1),
-        vcf_mb_per_s=round(vcf_bytes / 1e6 / t_vcf, 1),
-    )
-    os.remove(vcf_path)
+        shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
 
 
