@@ -163,11 +163,19 @@ def pq_topk(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: (q_id, id_col, adist), ``topk`` rows per query,
     ordered by (q_id, adist, id). ``queries`` is a driver-side list —
     query batches are small by definition; the corpus side never
-    leaves the cluster."""
+    leaves the cluster.
+
+    ``codes_df`` (optional): a precomputed ``pq_encode`` output
+    (id_col, codes). THE serving shape at scale — encoding is the
+    expensive half (m*k row-local distance folds per vector; measured
+    dominant at 100k vectors, SCALE.md §r9 PQ probe) and runs ONCE at
+    ingest; searches against the stored codes pay only the broadcast
+    LUT join + one aggregation."""
     if not codebooks:
         raise ValueError("empty codebooks (train_pq over an empty corpus?)")
     spark = df.sparkSession
@@ -175,7 +183,9 @@ def pq_topk(
     dim = m * len(codebooks[(0, 0)])
     sub = dim // m
 
-    enc = pq_encode(df, codebooks, m, id_col, vec_col)
+    enc = codes_df if codes_df is not None else pq_encode(
+        df, codebooks, m, id_col, vec_col
+    )
     coded = enc.select(
         F.col(id_col), F.posexplode("codes").alias("block", "cid")
     )
@@ -240,6 +250,7 @@ def ivf_pq_topk(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encoded_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search: probe each query's ``nprobe`` nearest coarse cells
     and run ADC only within them — the FAISS-style serving shape where a
@@ -266,15 +277,24 @@ def ivf_pq_topk(
     dim = m * len(codebooks[(0, 0)])
     sub = dim // m
 
-    slices = _block_slices(vec_col, dim, m)
-    cell = _nearest(F.col(vec_col), [(cid, coarse[(0, cid)]) for cid in range(K)])["cid"]
-    codes = F.array(
-        *[
-            _nearest(slices[b], [(cid, codebooks[(b, cid)]) for cid in range(k)])["cid"]
-            for b in range(m)
-        ]
-    )
-    encoded = df.select(F.col(id_col), cell.alias("cell"), codes.alias("codes"))
+    if encoded_df is not None:
+        # precomputed (id, cell, codes) — the at-scale serving shape;
+        # see pq_topk's codes_df note
+        encoded = encoded_df
+    else:
+        slices = _block_slices(vec_col, dim, m)
+        cell = _nearest(
+            F.col(vec_col), [(cid, coarse[(0, cid)]) for cid in range(K)]
+        )["cid"]
+        codes = F.array(
+            *[
+                _nearest(
+                    slices[b], [(cid, codebooks[(b, cid)]) for cid in range(k)]
+                )["cid"]
+                for b in range(m)
+            ]
+        )
+        encoded = df.select(F.col(id_col), cell.alias("cell"), codes.alias("codes"))
 
     qv = spark.createDataFrame(
         [(qid, [float(x) for x in v]) for qid, v in queries],

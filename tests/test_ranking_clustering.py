@@ -404,3 +404,42 @@ def test_ivf_pq_candidates_respect_probed_cells(spark):
     qmap = dict(queries)
     for r in out:
         assert cells[r.vec_id] in probe(qmap[r.q_id]), (r.q_id, r.vec_id)
+
+
+def test_pq_topk_stored_codes_equals_inplan(spark):
+    """codes_df / encoded_df (the at-scale serving shape: encode once at
+    ingest, search stored codes) must produce exactly the in-plan
+    results."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from disq_spark.operators.clustering import _nearest
+    from disq_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq,
+    )
+
+    rng = random.Random(41)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(12)] for i in range(50)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    m, K = 3, 4
+    cb = train_pq(df, m=m, k=4, iters=2)
+    coarse = train_pq(df, m=1, k=K, iters=2)
+    queries = [(0, vecs[0]), (5, vecs[5])]
+    codes = pq_encode(df, cb, m=m)
+    cell = _nearest(
+        F.col("embedding"), [(cid, coarse[(0, cid)]) for cid in range(K)]
+    )["cid"]
+    enc = df.select(F.col("vec_id"), cell.alias("cell")).join(codes, "vec_id")
+
+    key = lambda rows: [(r.q_id, r.vec_id, round(r.adist, 9)) for r in rows]
+    assert key(pq_topk(df, cb, queries, topk=6, m=m, codes_df=codes).collect()) == \
+        key(pq_topk(df, cb, queries, topk=6, m=m).collect())
+    assert key(ivf_pq_topk(df, cb, coarse, queries, nprobe=2, topk=6, m=m,
+                           encoded_df=enc).collect()) == \
+        key(ivf_pq_topk(df, cb, coarse, queries, nprobe=2, topk=6, m=m).collect())
