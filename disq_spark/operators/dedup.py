@@ -509,11 +509,13 @@ def ngram_jaccard_pairs(
         inter = (
             joined.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
         )
+    # corpus-proportional join-backs: same no-broadcast rule as the
+    # prefix path's token-array join (see _ngram_jaccard_prefix note)
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        inter.join(sz_a.hint("shuffle_hash"), "id_a")
+        .join(sz_b.hint("shuffle_hash"), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
@@ -542,11 +544,22 @@ def _ngram_jaccard_prefix(sh: DataFrame, id_col: str, threshold: float) -> DataF
     exact jaccard as low as t - 5e-5 is KEPT — the candidate pruning
     must therefore run at the effective threshold t - 5e-5 (minus the
     float slack), or a near-threshold pair that rounds up could be
-    pruned that the baseline path and the shared oracle both keep."""
+    pruned that the baseline path and the shared oracle both keep.
+
+    Join-strategy note (r9, found by the 500k-doc zipf probe): every
+    corpus-sized table in this path — the df table and the per-doc
+    token-array table joined back after the pair distinct — carries a
+    shuffle_hash hint. Catalyst's pre-materialization size estimates
+    undercount array columns, and at 500k docs it chose to BROADCAST
+    the 500k-row token-array table: ~0.5 GB materialized on the driver
+    -> 'Not enough memory to build and broadcast'. A corpus-sized side
+    must never broadcast at any scale; the hint pins the partitioned
+    strategy (results identical — strategy hints don't change
+    semantics, and the shared oracle is unaffected)."""
     t = float(threshold) - 5e-5
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     docs = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq.hint("shuffle_hash"), "shingle")
         .groupBy(id_col)
         .agg(
             F.transform(
@@ -601,9 +614,12 @@ def _ngram_jaccard_prefix(sh: DataFrame, id_col: str, threshold: float) -> DataF
     ta = docs.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     tb = docs.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     n_common = F.size(F.array_intersect("toks_a", "toks_b"))
+    # merge, not shuffle_hash, for the ARRAY-carrying sides: SMJ sorts
+    # spill to disk under pressure, while a hash build of wide rows is
+    # the next OOM once broadcasting is ruled out
     return (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
+        cand.join(ta.hint("merge"), "id_a")
+        .join(tb.hint("merge"), "id_b")
         .withColumn(
             "jaccard",
             F.round(n_common / (F.col("n_a") + F.col("n_b") - n_common), 4),
