@@ -80,8 +80,16 @@ def release_caches(blocking: bool = True) -> int:
     asserting on cache state (tests) sees the release immediately."""
     n = 0
     while _TRACKED:
-        _TRACKED.pop().unpersist(blocking=blocking)
-        n += 1
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:
+            # the owning SparkSession may already be stopped (multi-
+            # session process): the entry is unrecoverable either way,
+            # so drop it and keep draining — a raise here would strand
+            # every remaining tracked entry
+            pass
     return n
 
 # Universal-hash modulus for minhash components: 2^31-1 (Mersenne prime).
@@ -465,7 +473,14 @@ def ngram_jaccard_pairs(
     prefix on exactly when ``max_df is None``, i.e. when nothing else
     bounds a shingle's candidate fan-out. Pass True/False to override.
     """
-    if prefix_filter == "auto":
+    if isinstance(prefix_filter, str):
+        if prefix_filter != "auto":
+            # only the literal "auto" is meaningful; any other string
+            # (e.g. "Auto", "true") would otherwise fall through to
+            # `if prefix_filter:` as truthy and silently enable the path
+            raise ValueError(
+                f"prefix_filter must be True, False or 'auto', got {prefix_filter!r}"
+            )
         # an explicit two_level_agg request overrides auto (the paths
         # are mutually exclusive; only a literal True conflicts)
         prefix_filter = max_df is None and not two_level_agg

@@ -503,7 +503,11 @@ def chunk_token_windows(
     from disq_spark.functions.text import tokens
 
     stride = max_tokens - overlap
-    toks = tokens(F.col(text_col))
+    # coalesce NULL text to '' so a NULL-text document yields one empty
+    # chunk (like an empty document) on BOTH engines: without it Spark
+    # emits a phantom row (size(NULL) = -1, NULL chunk_text) while the
+    # SQL mirror's generate_series(0, NULL) drops the doc entirely
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     n_chunks = (
         F.when(n <= max_tokens, F.lit(1))
@@ -532,7 +536,9 @@ def chunk_token_windows_sql(
     """DuckDB mirror of chunk_token_windows: produces a CTE named ``chunks``
     (doc_id, chunk_id, n_tokens, chunk_text)."""
     stride = max_tokens - overlap
-    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    # coalesce mirrors the Spark side's NULL-text handling (see
+    # chunk_token_windows): NULL -> '' -> one empty chunk per doc
+    norm = f"trim(regexp_replace(lower(coalesce({text_col}, '')), '\\s+', ' ', 'g'))"
     toks = f"(CASE WHEN {norm} = '' THEN [] ELSE string_split({norm}, ' ') END)"
     # tokenize ONCE in the innermost subquery — inlining the CASE into
     # the generate_series bound as well would run the regex pipeline up
@@ -540,8 +546,9 @@ def chunk_token_windows_sql(
     return f"""chunks AS (
   SELECT doc_id, chunk_id,
          len(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {max_tokens}]) AS n_tokens,
-         array_to_string(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {max_tokens}], ' ')
-           AS chunk_text
+         coalesce(array_to_string(
+             toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {max_tokens}], ' '),
+           '') AS chunk_text
   FROM (
     SELECT doc_id, toks,
            unnest(generate_series(0,

@@ -68,13 +68,21 @@ def _max_df(spark: SparkSession, sf_dir: str) -> float:
     # parquet file's identity (path, mtime_ns, size), not the path
     # alone, so a corpus REWRITTEN at the same dir mid-session gets a
     # fresh count instead of a silently stale max_df (which would change
-    # dedup gate OUTPUT, not just timing). Falls back to an uncached
-    # count when the stat fails (non-local/multi-file layouts).
+    # dedup gate OUTPUT, not just timing). Only a REGULAR file's stat is
+    # a valid identity: for a directory-shaped parquet (Spark-written),
+    # the dir stat succeeds but rewriting same-named part files in place
+    # does not bump the dir mtime — so directories (and any other
+    # non-file stat target, and stat failures) take the uncached path.
     import os as _os
+    import stat as _stat
 
     try:
         st = _os.stat(f"{sf_dir.rstrip('/')}/documents.parquet")
-        key = (sf_dir, st.st_mtime_ns, st.st_size)
+        key = (
+            (sf_dir, st.st_mtime_ns, st.st_size)
+            if _stat.S_ISREG(st.st_mode)
+            else None
+        )
     except OSError:
         key = None
     n = _N_DOCS_CACHE.get(key) if key else None

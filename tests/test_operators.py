@@ -4811,3 +4811,85 @@ def test_ngram_prefix_filter_auto_dispatch(spark):
     both = ngram_jaccard_pairs(docs, threshold=0.3, two_level_agg=True)
     assert "slice" not in both._jdf.queryExecution().analyzed().toString()
     release_caches()
+
+
+def test_ngram_prefix_filter_rejects_bad_string(spark):
+    """Only the literal 'auto' is a valid string for prefix_filter; any
+    other string (a typo like 'Auto') must raise instead of silently
+    enabling the prefix path as a truthy value (r9 advice)."""
+    import pytest
+
+    from disq_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in ("Auto", "true", "on", ""):
+        with pytest.raises(ValueError, match="prefix_filter"):
+            ngram_jaccard_pairs(docs, prefix_filter=bad)
+
+
+def test_release_caches_drains_past_failing_unpersist(spark):
+    """release_caches must complete the drain even when one tracked
+    entry's unpersist raises (e.g. its owning SparkSession was stopped
+    in a multi-session process): the failing entry is dropped, every
+    entry after it is still released (r9 advice)."""
+    from disq_spark.operators import dedup as DD
+
+    DD.release_caches()
+    good = spark.createDataFrame([(1,)], "x long").persist()
+    good.count()
+
+    class _Boom:
+        def unpersist(self, blocking=True):
+            raise RuntimeError("session stopped")
+
+    # pop order is LIFO: the boom entry is popped FIRST (raises,
+    # swallowed), and `good` — behind it in the list — must still be
+    # released for the drain-continues contract to hold
+    DD._TRACKED.extend([good, _Boom()])
+    released = DD.release_caches()
+    assert released == 1
+    assert DD._TRACKED == []
+    assert good.storageLevel.useMemory is False
+
+
+def test_max_df_caches_only_regular_file_corpora(spark, tmp_path):
+    """_max_df's memoization key is the corpus FILE's (path, mtime, size)
+    identity. A directory-shaped parquet (Spark-written) must NOT be
+    cached — rewriting part files in place does not bump the dir mtime,
+    so a cached count could go silently stale and change max_df, a gate
+    OUTPUT (r9 advice). A single-file corpus IS cached (and the second
+    call must not re-count: the bench cold-floor guard, r9 verdict #7)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from disq_spark.queries import llm
+
+    # directory-shaped corpus: stat succeeds on the dir, must not cache
+    ddir = tmp_path / "dirsf"
+    ddir.mkdir()
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(7)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(ddir / "documents.parquet"))
+    before = dict(llm._N_DOCS_CACHE)
+    llm._max_df(spark, str(ddir))
+    assert llm._N_DOCS_CACHE == before, "directory corpus must not be memoized"
+
+    # single-file corpus: cached, and the cached path does NOT re-count
+    fdir = tmp_path / "filesf"
+    fdir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": list(range(5)), "text": [f"t{i}" for i in range(5)]}),
+        str(fdir / "documents.parquet"),
+    )
+    v1 = llm._max_df(spark, str(fdir))
+    added = set(llm._N_DOCS_CACHE) - set(before)
+    assert any(k[0] == str(fdir) for k in added)
+    orig_load = llm.load
+    try:
+        def _no_count(*a, **kw):
+            raise AssertionError("memoized _max_df must not re-count the corpus")
+
+        llm.load = _no_count
+        assert llm._max_df(spark, str(fdir)) == v1
+    finally:
+        llm.load = orig_load

@@ -885,3 +885,42 @@ def test_chunk_token_windows_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="overlap"):
         chunk_token_windows(df, max_tokens=4, overlap=4)
+
+
+def test_chunk_token_windows_null_text_matches_sql_mirror(spark):
+    """NULL text behaves like empty text — exactly one empty window — on
+    BOTH engines (r9 advice: Spark used to emit n_tokens=-1 with NULL
+    chunk_text while the SQL mirror's generate_series(0, NULL) dropped
+    the doc entirely)."""
+    import duckdb
+
+    from disq_spark.operators.sampling import (
+        chunk_token_windows,
+        chunk_token_windows_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d e")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_token_windows(df, max_tokens=4, overlap=1).collect()
+    }
+    assert got[(1, 0)] == (0, "")
+    assert got[(2, 0)] == (0, "")
+    assert got[(3, 1)] == (2, "d e")
+    assert len(got) == 4
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, NULL), (2, ''), (3, 'a b c d e')) t(doc_id, text)"
+    )
+    sql = (
+        f"WITH {chunk_token_windows_sql(4, 1)} "
+        "SELECT doc_id, chunk_id, n_tokens, chunk_text FROM chunks"
+    )
+    oracle = {
+        (r[0], r[1]): (r[2], r[3]) for r in con.execute(sql).fetchall()
+    }
+    assert oracle == got
