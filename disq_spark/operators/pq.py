@@ -155,6 +155,41 @@ def pq_encode(
     return df.select(F.col(id_col), codes.alias("codes"))
 
 
+def ivf_pq_encode(
+    df: DataFrame,
+    codebooks: dict[tuple[int, int], list[float]],
+    coarse: dict[tuple[int, int], list[float]],
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cell, codes) — the IVF-PQ ingest projection: coarse cell
+    id and PQ codes computed in ONE row-local pass over the corpus scan
+    (zero shuffle, pipelines onto ingest like ``pq_encode``). This is
+    the write half of the at-scale serving split: run once when vectors
+    land, persist the output, and point ``ivf_pq_topk(encoded_df=...)``
+    at it — encoding is the measured-dominant cost (SCALE.md §r9 PQ
+    probe: 2.45 s stored vs 31.6 s in-plan at 100k vectors)."""
+    if not codebooks or not coarse:
+        raise ValueError("empty codebooks (train_pq over an empty corpus?)")
+    K = max(cid for _, cid in coarse) + 1
+    k = max(cid for _, cid in codebooks) + 1
+    dim = m * len(codebooks[(0, 0)])
+    slices = _block_slices(vec_col, dim, m)
+    cell = _nearest(
+        F.col(vec_col), [(cid, coarse[(0, cid)]) for cid in range(K)]
+    )["cid"]
+    codes = F.array(
+        *[
+            _nearest(
+                slices[b], [(cid, codebooks[(b, cid)]) for cid in range(k)]
+            )["cid"]
+            for b in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), cell.alias("cell"), codes.alias("codes"))
+
+
 def pq_topk(
     df: DataFrame,
     codebooks: dict[tuple[int, int], list[float]],
@@ -277,24 +312,13 @@ def ivf_pq_topk(
     dim = m * len(codebooks[(0, 0)])
     sub = dim // m
 
-    if encoded_df is not None:
-        # precomputed (id, cell, codes) — the at-scale serving shape;
-        # see pq_topk's codes_df note
-        encoded = encoded_df
-    else:
-        slices = _block_slices(vec_col, dim, m)
-        cell = _nearest(
-            F.col(vec_col), [(cid, coarse[(0, cid)]) for cid in range(K)]
-        )["cid"]
-        codes = F.array(
-            *[
-                _nearest(
-                    slices[b], [(cid, codebooks[(b, cid)]) for cid in range(k)]
-                )["cid"]
-                for b in range(m)
-            ]
-        )
-        encoded = df.select(F.col(id_col), cell.alias("cell"), codes.alias("codes"))
+    # precomputed (id, cell, codes) is the at-scale serving shape; see
+    # pq_topk's codes_df note
+    encoded = (
+        encoded_df
+        if encoded_df is not None
+        else ivf_pq_encode(df, codebooks, coarse, m, id_col, vec_col)
+    )
 
     qv = spark.createDataFrame(
         [(qid, [float(x) for x in v]) for qid, v in queries],

@@ -2772,6 +2772,71 @@ ORACLE["ann_ivf_pq_topk"] = _ivf_pq_oracle(
 
 
 # ---------------------------------------------------------------------------
+# ann_pq_stored_topk / ann_ivf_pq_stored_topk — the SERVING shape of the
+# PQ tier (r9 verdict #3): encode ONCE (pq_encode / ivf_pq_encode, both
+# zero-shuffle ingest projections), MATERIALIZE the codes, then search
+# the stored codes — pq_topk(codes_df=...) / ivf_pq_topk(encoded_df=...).
+# This is the path users should actually run at scale (measured 2.45 s
+# stored vs 31.6 s in-plan at 100k vectors, SCALE.md §r9: encoding is
+# the dominant cost and belongs at ingest, not per query). Same oracle
+# SQL as the in-plan gates — stored-vs-in-plan must be bit-identical,
+# and hash-matching both against ONE oracle is exactly that statement.
+# The persisted codes register in the dedup module's tracked-cache
+# registry so the replica/bench release them per gate like every other
+# materialized dedup intermediate.
+# ---------------------------------------------------------------------------
+@_q("ann_pq_stored_topk")
+def ann_pq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.dedup import _persist_tracked
+    from disq_spark.operators.pq import pq_encode, pq_topk, train_pq
+
+    e = load(spark, sf_dir, "embeddings")
+    cb = train_pq(e, m=PQ_M, k=PQ_K, iters=PQ_ITERS, round_centroids=PQ_ROUND)
+    codes = _persist_tracked(pq_encode(e, cb, m=PQ_M))
+    codes.count()  # materialize: the search below reads STORED codes
+    qrows = e.orderBy("vec_id").limit(PQ_NQ).collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    res = pq_topk(e, cb, queries, topk=PQ_TOPK, m=PQ_M, codes_df=codes)
+    return res.select(
+        "q_id", "vec_id", F.round("adist", 4).alias("adist")
+    ).orderBy("q_id", "adist", "vec_id")
+
+
+ORACLE["ann_pq_stored_topk"] = _pq_oracle(
+    PQ_M, PQ_K, PQ_ITERS, PQ_ROUND, PQ_NQ, PQ_TOPK
+)
+
+
+@_q("ann_ivf_pq_stored_topk")
+def ann_ivf_pq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from disq_spark.operators.dedup import _persist_tracked
+    from disq_spark.operators.pq import ivf_pq_encode, ivf_pq_topk, train_pq
+
+    e = load(spark, sf_dir, "embeddings")
+    coarse = train_pq(
+        e, m=1, k=IVFPQ_COARSE_K, iters=IVFPQ_COARSE_ITERS, round_centroids=PQ_ROUND
+    )
+    cb = train_pq(e, m=PQ_M, k=PQ_K, iters=PQ_ITERS, round_centroids=PQ_ROUND)
+    enc = _persist_tracked(ivf_pq_encode(e, cb, coarse, m=PQ_M))
+    enc.count()  # materialize: search reads stored (cell, codes) only
+    qrows = e.orderBy("vec_id").limit(PQ_NQ).collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    res = ivf_pq_topk(
+        e, cb, coarse, queries, nprobe=IVFPQ_NPROBE, topk=PQ_TOPK, m=PQ_M,
+        encoded_df=enc,
+    )
+    return res.select(
+        "q_id", "vec_id", F.round("adist", 4).alias("adist")
+    ).orderBy("q_id", "adist", "vec_id")
+
+
+ORACLE["ann_ivf_pq_stored_topk"] = _ivf_pq_oracle(
+    PQ_M, PQ_K, PQ_ITERS, PQ_ROUND,
+    IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS, IVFPQ_NPROBE, PQ_NQ, PQ_TOPK,
+)
+
+
+# ---------------------------------------------------------------------------
 # dedup_semantic — SemDeDup (Abbas et al. 2023): k-means cluster the
 # embeddings, exact pairwise cosine ONLY within each cluster. The oracle
 # extends the unrolled-kmeans CTE (same k/iters/rounding, so assignments

@@ -554,3 +554,40 @@ def test_ivf_pq_single_corpus_scan_and_broadcasts(spark):
         if "Location" in ln and "embeddings" in ln
     ]
     assert len(scan_locs) == 1, (scan_locs, plan[:800])
+
+
+def test_pq_stored_codes_search_never_scans_embeddings(spark):
+    """The stored-codes serving shape (r10 gates ann_pq_stored_topk /
+    ann_ivf_pq_stored_topk): a search against a materialized codes
+    table must not touch the embedding column at all — at scale the
+    float vectors may not even be co-resident with the serving tier.
+    Plan check: zero scans of the embeddings parquet in the search
+    plan when codes come from an independent source, and no cartesian/
+    SMJ (the LUT joins broadcast)."""
+    from disq_spark.operators.pq import ivf_pq_topk, pq_topk, train_pq
+    from disq_spark.queries.tables import load
+
+    e = load(spark, SF, "embeddings")
+    cb = train_pq(e, m=4, k=4, iters=1)
+    coarse = train_pq(e, m=1, k=4, iters=1)
+    queries = [(0, [0.0] * 64), (1, [1.0] * 64)]
+    # codes from an independent literal relation — stands in for the
+    # parquet codes table a real deployment would read
+    codes = spark.createDataFrame(
+        [(i, [i % 4] * 4) for i in range(20)], "vec_id long, codes array<int>"
+    )
+    plan = plan_of(pq_topk(e, cb, queries, topk=3, m=4, codes_df=codes))
+    assert "embeddings" not in plan, plan[:1200]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+    enc = spark.createDataFrame(
+        [(i, i % 4, [i % 4] * 4) for i in range(20)],
+        "vec_id long, cell int, codes array<int>",
+    )
+    iplan = plan_of(
+        ivf_pq_topk(e, cb, coarse, queries, nprobe=2, topk=3, m=4, encoded_df=enc)
+    )
+    assert "embeddings" not in iplan, iplan[:1200]
+    assert "CartesianProduct" not in iplan
+    assert "SortMergeJoin" not in iplan, iplan[:800]
