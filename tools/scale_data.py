@@ -136,6 +136,16 @@ def write_zipf_documents(
       copies of a template drawn Zipf-weighted from a pool of
       n_docs/100 templates — cluster sizes are heavy-tailed, so the
       candidate-join bucket sizes are too (the banding stressor).
+
+    Also writes ``doc_labels.parquet`` (doc_id, template_id) — the
+    PLANTED ground truth (r9 verdict #1): template_id = the doc's own
+    id for the first n_docs/100 docs (the cluster roots), the drawn
+    template's id for mutated copies, NULL for unique docs. Two docs
+    are a true near-dup pair iff they share a non-NULL template_id;
+    tools/dedup_quality.py scores each dedup tier's pair output as
+    precision/recall/F1 against these labels. Label emission consumes
+    no RNG draws, so corpora generated before the labels existed are
+    byte-identical to regenerated ones (same seed).
     """
     import numpy as np
     import pyarrow as pa
@@ -171,8 +181,13 @@ def write_zipf_documents(
     )
     texts: list[str] = []
     base_texts: list[str] = []  # template originals, index = template id
+    # planted truth: labels[i] = template id (cluster membership), or
+    # None for a unique doc; roots are docs 0..n_templates-1 (is_dup
+    # requires i >= n_templates, so the pool fills with originals)
+    labels: list[int | None] = []
     for i in range(n_docs):
         is_dup = i >= n_templates and rng.random() < dup_rate
+        t_id = None
         if is_dup:
             t_id = int(np.searchsorted(tmpl_cdf, rng.random(), side="right"))
             toks = base_texts[t_id].split(" ")
@@ -187,7 +202,9 @@ def write_zipf_documents(
             body = (bp + " " + body) if rng.random() < 0.5 else (body + " " + bp)
         if len(base_texts) < n_templates:
             base_texts.append(body)
+            t_id = i  # this doc IS template i (the cluster root)
         texts.append(body)
+        labels.append(t_id)
 
     table = pa.table(
         {
@@ -204,6 +221,16 @@ def write_zipf_documents(
     )
     pq.write_table(table, f"{out_dir}/documents.parquet")
     print(f"documents (zipf): {n_docs} rows -> {out_dir}/documents.parquet")
+    lab = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "template_id": pa.array(labels, type=pa.int64()),
+        }
+    )
+    pq.write_table(lab, f"{out_dir}/doc_labels.parquet")
+    n_lab = sum(1 for x in labels if x is not None)
+    print(f"doc_labels (planted truth): {n_lab}/{n_docs} labeled -> "
+          f"{out_dir}/doc_labels.parquet")
 
 
 def main() -> int:
