@@ -191,11 +191,15 @@ def shingle_table(
 ) -> DataFrame:
     """(id, shingle) inverted-index rows — distinct shingles per doc.
 
-    ``max_df``: drop shingles appearing in more than this many documents.
-    Ultra-common shingles carry no dedup signal but are exactly the hot
-    keys that make the candidate join quadratic — capping document
-    frequency is the standard production mitigation (and the one that
-    keeps this operator viable at 100 TB).
+    ``max_df``: drop shingles appearing in more than this many documents
+    — the hot keys that make the candidate join quadratic; capping df is
+    the standard production mitigation (and the one that keeps the
+    inverted-index tiers viable at 100 TB). Quality caveat (measured,
+    r10 planted-truth benchmark — SCALE.md §r10): a duplicate CLUSTER
+    larger than ``max_df`` pushes its own shingles past the cap, so the
+    cap trades away recall on exactly the heaviest dup clusters; it is
+    a COST bound. Where candidate generation doesn't need it (minhash
+    banding: 1 row/doc/band at any df), prefer uncapped for quality.
 
     Implementation notes (each measured at sf0.1, 32 cores):
     - The repartition keeps the CPU-bound explode off a single task when

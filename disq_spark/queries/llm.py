@@ -53,9 +53,18 @@ MAX_DF_FLOOR = 20.0
 # Absolute ceiling on shingle document frequency. Without it max_df grows
 # linearly with corpus size and the inverted-index candidate join is
 # O(sum df^2) = O((0.01 n)^2 per hot shingle) — measured 18x wall at 10x
-# data (sf0.1 -> sf1). A shingle shared by >100 documents carries no
-# near-dup signal, so the cap costs nothing in recall and makes candidate
-# generation O(n * CAP) — linear — at any corpus size.
+# data (sf0.1 -> sf1); the cap makes candidate generation O(n * CAP) —
+# linear — at any corpus size. It is a COST bound, not a free precision
+# filter: the r10 planted-truth benchmark (tools/dedup_quality.py,
+# SCALE.md §r10) measured that a duplicate CLUSTER larger than the cap
+# pushes its own shingles past max_df, so the cap blinds the tier to
+# exactly the heaviest dup clusters (recall 0.03-0.06 capped vs
+# 0.41-0.73 uncapped on Zipf-clustered corpora, ~equal precision; on
+# replica-structured corpora, where clusters never exceed the cap,
+# recall is unaffected — the pre-r10 claim). Production guidance:
+# minhash BANDING absorbs uncapped df (1 row/doc/band) — run it
+# uncapped for quality and keep the cap for the O(df^2) inverted-index
+# tiers (ngram/winnowing), whose uncapped path is the prefix filter.
 MAX_DF_CAP = 100.0
 
 

@@ -106,6 +106,10 @@ def main() -> int:
                     help="skip only winnowing's uncapped cell (min_shared=2 "
                     "emits ~quadratic pairs on hot boilerplate: 259M pairs "
                     "at 100k docs, SCALE.md §r9 — hostile at >=250k)")
+    ap.add_argument("--skip-uncapped-ngram", action="store_true",
+                    help="skip only ngram's uncapped cell (past the prefix "
+                    "path's measured envelope at >=250k zipf docs: SMJ "
+                    "spill exhausts a 63 GB disk — SCALE.md §r10)")
     ap.add_argument("--skip-lsh-recall", action="store_true",
                     help="skip the exact-jaccard ground-truth block (one "
                     "full uncapped exact-Jaccard pass)")
@@ -212,7 +216,7 @@ def main() -> int:
     if "ngram" in tiers:
         score("ngram_capped", lambda: DD.ngram_jaccard_pairs(
             docs, "text", "doc_id", max_df=max_df, **ng))
-        if not args.skip_uncapped:
+        if not (args.skip_uncapped or args.skip_uncapped_ngram):
             # prefix_filter="auto" resolves to the prefix path here
             score("ngram_uncapped", lambda: DD.ngram_jaccard_pairs(
                 docs, "text", "doc_id", max_df=None, **ng))
