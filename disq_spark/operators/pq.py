@@ -131,18 +131,105 @@ def train_pq(
         blocks.unpersist()
 
 
+def _np_block_codes(X, C):
+    """numpy argmin codes for one block, BIT-IDENTICAL to _nearest over
+    the same centroids: distances accumulate per COMPONENT in ascending
+    index order (the zip_with square then left-fold `acc + x` order —
+    each += below is the fold's one addition for component i), and
+    np.argmin keeps the FIRST minimum, matching the fold's strict `<`
+    lower-cid tie-break. (The SQL path's `** 2` is Math.pow(x, 2.0),
+    which fdlibm/OpenJDK special-case to x*x — the same multiply numpy
+    does; equality is locked by a randomized test, not assumed.)
+
+    X: (n, sub) float64 subvectors; C: (k, sub) float64 centroids."""
+    import numpy as np
+
+    n, sub = X.shape
+    d2 = np.zeros((n, C.shape[0]), dtype=np.float64)
+    for i in range(sub):
+        diff = X[:, i][:, None] - C[:, i][None, :]
+        d2 += diff * diff
+    return np.argmin(d2, axis=1)
+
+
+def _blas_encode(df, cents_per_block, m, id_col, vec_col, cell_cents=None):
+    """mapInPandas encode: (id, [cell,] codes) — one corpus scan, zero
+    shuffle, numpy inner loops instead of m*k interpreted HOF folds per
+    row (measured 8x at 100k vectors, SCALE.md §r10). cents_per_block:
+    list of (k, sub) float64 matrices; cell_cents: optional (K, dim)
+    coarse matrix (IVF)."""
+    import numpy as np
+
+    sub = cents_per_block[0].shape[1]
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), len(cents_per_block)), dtype=np.int64)
+            for b, C in enumerate(cents_per_block):
+                codes[:, b] = _np_block_codes(X[:, b * sub : (b + 1) * sub], C)
+            out = {id_col: pdf[id_col]}
+            if cell_cents is not None:
+                out["cell"] = _np_block_codes(X, cell_cents).astype(np.int32)
+            out["codes"] = [[int(c) for c in row] for row in codes]
+            yield pd.DataFrame(out)
+
+    src = df.select(F.col(id_col), F.col(vec_col))
+    # a low-partition source (one parquet file) would cap the scan at
+    # #files cores; result-neutral, required for wall (the kmeans lesson)
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    cell_field = "cell int, " if cell_cents is not None else ""
+    return src.mapInPandas(gen, f"{id_col} {id_t}, {cell_field}codes array<int>")
+
+
+def _cent_matrices(codebooks, m: int):
+    import numpy as np
+
+    k = max(cid for _, cid in codebooks) + 1
+    return [
+        np.array([codebooks[(b, cid)] for cid in range(k)], dtype=np.float64)
+        for b in range(m)
+    ]
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: dict[tuple[int, int], list[float]],
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
-    """(id_col, codes array<int>) — pure projection, zero shuffle."""
+    """(id_col, codes array<int>) — one corpus scan, zero shuffle.
+
+    ``method``: the repo's standard kernel dispatch
+    (operators/dispatch.resolve_method). ``"sql"`` is the pure-column
+    row-local argmin — m chained-when folds over centroid literals;
+    correct at any scale but the folds are higher-order functions,
+    which Spark evaluates INTERPRETED at every k (the r10 codegen
+    probe: no WholeStageCodegen span at k=8..256), so encode cost is
+    m*k interpreted sqdist folds per vector and dominates the PQ
+    serving split. ``"blas"`` streams the scan through an Arrow
+    ``mapInPandas`` kernel (ordered-accumulation numpy, bit-identical
+    codes — see _np_block_codes; equality test in
+    tests/test_ranking_clustering.py). ``"auto"`` picks sql under the
+    ~8 MB plan-size threshold (Python-worker spin-up dominates tiny
+    corpora), blas above."""
     if not codebooks:
         return df.select(F.col(id_col), F.array().cast("array<int>").alias("codes"))
+    from disq_spark.operators.dispatch import resolve_method
+
     k = max(cid for _, cid in codebooks) + 1
     dim = m * len(codebooks[(0, 0)])
+    if resolve_method(method, df) == "blas":
+        return _blas_encode(df, _cent_matrices(codebooks, m), m, id_col, vec_col)
     slices = _block_slices(vec_col, dim, m)
     codes = F.array(
         *[
@@ -162,6 +249,7 @@ def ivf_pq_encode(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """(id_col, cell, codes) — the IVF-PQ ingest projection: coarse cell
     id and PQ codes computed in ONE row-local pass over the corpus scan
@@ -172,9 +260,16 @@ def ivf_pq_encode(
     probe: 2.45 s stored vs 31.6 s in-plan at 100k vectors)."""
     if not codebooks or not coarse:
         raise ValueError("empty codebooks (train_pq over an empty corpus?)")
+    from disq_spark.operators.dispatch import resolve_method
+
     K = max(cid for _, cid in coarse) + 1
     k = max(cid for _, cid in codebooks) + 1
     dim = m * len(codebooks[(0, 0)])
+    if resolve_method(method, df) == "blas":
+        return _blas_encode(
+            df, _cent_matrices(codebooks, m), m, id_col, vec_col,
+            cell_cents=_cent_matrices(coarse, 1)[0],
+        )
     slices = _block_slices(vec_col, dim, m)
     cell = _nearest(
         F.col(vec_col), [(cid, coarse[(0, cid)]) for cid in range(K)]

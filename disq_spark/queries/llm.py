@@ -2794,14 +2794,13 @@ ORACLE["ann_ivf_pq_topk"] = _ivf_pq_oracle(
 # registry so the replica/bench release them per gate like every other
 # materialized dedup intermediate.
 # ---------------------------------------------------------------------------
-@_q("ann_pq_stored_topk")
-def ann_pq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_stored(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
     from disq_spark.operators.dedup import _persist_tracked
     from disq_spark.operators.pq import pq_encode, pq_topk, train_pq
 
     e = load(spark, sf_dir, "embeddings")
     cb = train_pq(e, m=PQ_M, k=PQ_K, iters=PQ_ITERS, round_centroids=PQ_ROUND)
-    codes = _persist_tracked(pq_encode(e, cb, m=PQ_M))
+    codes = _persist_tracked(pq_encode(e, cb, m=PQ_M, method=method))
     codes.count()  # materialize: the search below reads STORED codes
     qrows = e.orderBy("vec_id").limit(PQ_NQ).collect()
     queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
@@ -2811,13 +2810,27 @@ def ann_pq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "adist", "vec_id")
 
 
+@_q("ann_pq_stored_topk")
+def ann_pq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_stored(spark, sf_dir, "auto")
+
+
 ORACLE["ann_pq_stored_topk"] = _pq_oracle(
     PQ_M, PQ_K, PQ_ITERS, PQ_ROUND, PQ_NQ, PQ_TOPK
 )
 
 
-@_q("ann_ivf_pq_stored_topk")
-def ann_ivf_pq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_q("ann_pq_stored_topk_blas")
+def ann_pq_stored_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # forced-kernel twin (see the *_blas block above): the r10 Arrow
+    # encode kernel hash-checked against the SAME oracle as the sql path
+    return _pq_stored(spark, sf_dir, "blas")
+
+
+ORACLE["ann_pq_stored_topk_blas"] = ORACLE["ann_pq_stored_topk"]
+
+
+def _ivf_pq_stored(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
     from disq_spark.operators.dedup import _persist_tracked
     from disq_spark.operators.pq import ivf_pq_encode, ivf_pq_topk, train_pq
 
@@ -2826,7 +2839,7 @@ def ann_ivf_pq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, m=1, k=IVFPQ_COARSE_K, iters=IVFPQ_COARSE_ITERS, round_centroids=PQ_ROUND
     )
     cb = train_pq(e, m=PQ_M, k=PQ_K, iters=PQ_ITERS, round_centroids=PQ_ROUND)
-    enc = _persist_tracked(ivf_pq_encode(e, cb, coarse, m=PQ_M))
+    enc = _persist_tracked(ivf_pq_encode(e, cb, coarse, m=PQ_M, method=method))
     enc.count()  # materialize: search reads stored (cell, codes) only
     qrows = e.orderBy("vec_id").limit(PQ_NQ).collect()
     queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
@@ -2839,10 +2852,23 @@ def ann_ivf_pq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "adist", "vec_id")
 
 
+@_q("ann_ivf_pq_stored_topk")
+def ann_ivf_pq_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_pq_stored(spark, sf_dir, "auto")
+
+
 ORACLE["ann_ivf_pq_stored_topk"] = _ivf_pq_oracle(
     PQ_M, PQ_K, PQ_ITERS, PQ_ROUND,
     IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS, IVFPQ_NPROBE, PQ_NQ, PQ_TOPK,
 )
+
+
+@_q("ann_ivf_pq_stored_topk_blas")
+def ann_ivf_pq_stored_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_pq_stored(spark, sf_dir, "blas")
+
+
+ORACLE["ann_ivf_pq_stored_topk_blas"] = ORACLE["ann_ivf_pq_stored_topk"]
 
 
 # ---------------------------------------------------------------------------

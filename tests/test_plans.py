@@ -506,8 +506,14 @@ def test_pq_encode_is_exchange_free_and_topk_broadcasts(spark):
 
     e = load(spark, SF, "embeddings")
     cb = train_pq(e, m=4, k=4, iters=1)
-    enc_plan = plan_of(pq_encode(e, cb, m=4))
+    enc_plan = plan_of(pq_encode(e, cb, m=4, method="sql"))
     assert "Exchange" not in enc_plan, enc_plan[:800]
+    # the blas kernel is a single mapInPandas over the scan — one
+    # corpus pass, no joins/aggregates (its only exchange is the
+    # low-partition-source repartition, absent on real multi-file data)
+    blas_plan = plan_of(pq_encode(e, cb, m=4, method="blas"))
+    assert "MapInPandas" in blas_plan, blas_plan[:800]
+    assert "Join" not in blas_plan and "Aggregate" not in blas_plan
 
     queries = [(0, [0.0] * 64), (1, [1.0] * 64)]
     topk_plan = plan_of(pq_topk(e, cb, queries, topk=3, m=4))

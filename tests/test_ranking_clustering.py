@@ -443,3 +443,48 @@ def test_pq_topk_stored_codes_equals_inplan(spark):
     assert key(ivf_pq_topk(df, cb, coarse, queries, nprobe=2, topk=6, m=m,
                            encoded_df=enc).collect()) == \
         key(ivf_pq_topk(df, cb, coarse, queries, nprobe=2, topk=6, m=m).collect())
+
+
+def test_pq_encode_blas_bit_identical_to_sql(spark):
+    """The r10 Arrow encode kernel must produce BIT-IDENTICAL codes to
+    the pure-column argmin: ordered per-component accumulation mirrors
+    the zip_with/fold order, np.argmin's first-min matches the fold's
+    strict-< lower-cid tie-break, and Math.pow(x, 2.0) == x*x
+    (fdlibm/OpenJDK special case) — this test is the lock on all three
+    assumptions, over float32 inputs (the parquet embedding type, cast
+    to double on both paths) including exact-tie vectors."""
+    import random
+
+    from disq_spark.operators.pq import ivf_pq_encode, pq_encode
+
+    rng = random.Random(1007)
+    m, k, dim = 4, 16, 32
+    cb = {
+        (b, cid): [rng.uniform(-1, 1) for _ in range(dim // m)]
+        for b in range(m)
+        for cid in range(k)
+    }
+    # two identical centroids in block 2: any vector's distance ties
+    # exactly; both paths must keep the LOWER cid
+    cb[(2, 7)] = list(cb[(2, 3)])
+    coarse = {(0, cid): [rng.uniform(-1, 1) for _ in range(dim)] for cid in range(4)}
+    rows = [
+        (i, [float(f"{rng.uniform(-1, 1):.6g}") for _ in range(dim)])
+        for i in range(400)
+    ]
+    # plant exact-centroid rows (distance 0 in one block, tie-prone)
+    rows[5] = (5, cb[(0, 9)] + cb[(1, 0)] + cb[(2, 3)] + cb[(3, 15)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    sql_codes = {r.vec_id: list(r.codes)
+                 for r in pq_encode(df, cb, m=m, method="sql").collect()}
+    blas_codes = {r.vec_id: list(r.codes)
+                  for r in pq_encode(df, cb, m=m, method="blas").collect()}
+    assert sql_codes == blas_codes
+    assert blas_codes[5][0] == 9 and blas_codes[5][2] == 3  # tie -> low cid
+
+    sql_enc = {r.vec_id: (r.cell, list(r.codes))
+               for r in ivf_pq_encode(df, cb, coarse, m=m, method="sql").collect()}
+    blas_enc = {r.vec_id: (r.cell, list(r.codes))
+                for r in ivf_pq_encode(df, cb, coarse, m=m, method="blas").collect()}
+    assert sql_enc == blas_enc
