@@ -63,6 +63,9 @@ def main() -> int:
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--skip-codegen-probe", action="store_true")
+    ap.add_argument("--only-blas", action="store_true",
+                    help="run only the blas-encode wall block (recall "
+                    "sweep / ivf / codegen sections skipped)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -133,42 +136,70 @@ def main() -> int:
               file=sys.stderr)
         return cfg
 
-    # recall sweep at gate-ish and production-ish granularities
-    for m, k in [(4, 8), (4, 64), (4, 256), (8, 8), (8, 64), (8, 256)]:
-        out["configs"].append(run_cfg(m, k))
+    # a count() alone would let Catalyst PRUNE the codes column out of
+    # the scan (measured: "exec" 0.1 s at any k — the argmin never ran);
+    # every wall below materializes through an agg that CONSUMES the
+    # codes, immune to expression simplification
+    def consume_codes(enc_df) -> int:
+        return enc_df.agg(
+            F.count("*").alias("n"),
+            F.max(F.md5(F.concat_ws(",", F.col("codes").cast("array<string>")))),
+        ).collect()[0]["n"]
 
-    # IVF-PQ: recall vs nprobe at a fixed mid design point
-    m, k, K = 4, 64, 16
-    cb = train_pq(emb, m=m, k=k, iters=args.iters)
-    coarse = train_pq(emb, m=1, k=K, iters=args.iters)
-    enc = ivf_pq_encode(emb, cb, coarse, m=m).persist()
-    enc.count()
-    for nprobe in (1, 2, 4, 8, 16):
+    if not args.only_blas:
+        # recall sweep at gate-ish and production-ish granularities
+        for m, k in [(4, 8), (4, 64), (4, 256), (8, 8), (8, 64), (8, 256)]:
+            out["configs"].append(run_cfg(m, k))
+
+    if not args.only_blas:
+        # IVF-PQ: recall vs nprobe at a fixed mid design point
+        m, k, K = 4, 64, 16
+        cb = train_pq(emb, m=m, k=k, iters=args.iters)
+        coarse = train_pq(emb, m=1, k=K, iters=args.iters)
+        enc = ivf_pq_encode(emb, cb, coarse, m=m).persist()
+        enc.count()
+        for nprobe in (1, 2, 4, 8, 16):
+            t0 = time.time()
+            res = ivf_pq_topk(emb, cb, coarse, queries, nprobe=nprobe,
+                              topk=args.topk, m=m, encoded_df=enc).collect()
+            row = {"m": m, "k": k, "K": K, "nprobe": nprobe,
+                   "search_s": round(time.time() - t0, 2),
+                   "recall": round(recall_of(res), 4)}
+            out["ivf"].append(row)
+            print(f"# ivf nprobe={nprobe}/{K}: recall={row['recall']:.3f} "
+                  f"search={row['search_s']}s", file=sys.stderr)
+        enc.unpersist()
+
+    # blas encode kernel (r10): same configs' encode walls through the
+    # Arrow mapInPandas path — bit-identical codes (equality-tested), so
+    # this is pure serving-cost measurement vs the interpreted sql fold
+    out["blas_encode"] = []
+    for m, k in [(4, 8), (4, 64), (4, 256), (8, 256)]:
+        cb = train_pq(emb, m=m, k=k, iters=args.iters)
+        spark.catalog.clearCache()
         t0 = time.time()
-        res = ivf_pq_topk(emb, cb, coarse, queries, nprobe=nprobe,
-                          topk=args.topk, m=m, encoded_df=enc).collect()
-        row = {"m": m, "k": k, "K": K, "nprobe": nprobe,
-               "search_s": round(time.time() - t0, 2),
-               "recall": round(recall_of(res), 4)}
-        out["ivf"].append(row)
-        print(f"# ivf nprobe={nprobe}/{K}: recall={row['recall']:.3f} "
-              f"search={row['search_s']}s", file=sys.stderr)
-    enc.unpersist()
+        n2 = consume_codes(pq_encode(emb, cb, m=m, method="blas"))
+        t_enc = time.time() - t0
+        row = {"m": m, "k": k, "encode_s": round(t_enc, 2),
+               "encode_rows_per_s": int(n2 / t_enc)}
+        out["blas_encode"].append(row)
+        print(f"# blas encode m={m} k={k}: {t_enc:.1f}s "
+              f"({row['encode_rows_per_s']}/s)", file=sys.stderr)
 
     # codegen-width probe: encode wall per k at m=4 should be ~linear in
     # k (m*k sqdist folds/row); a superlinear cliff or a vanished
     # WholeStageCodegen span marks the width limit. Training is excluded
     # (its cost is iters * the same argmin — measured above).
-    if not args.skip_codegen_probe:
+    if not (args.skip_codegen_probe or args.only_blas):
         for k in (8, 32, 64, 128, 256):
             cb = train_pq(emb, m=4, k=k, iters=1)
             spark.catalog.clearCache()
             t0 = time.time()
-            enc2 = pq_encode(emb, cb, m=4)
+            enc2 = pq_encode(emb, cb, m=4, method="sql")
             plan = enc2._jdf.queryExecution().executedPlan().toString()
             t_plan = time.time() - t0
             t0 = time.time()
-            n2 = enc2.count()
+            n2 = consume_codes(enc2)
             t_exec = time.time() - t0
             row = {
                 "m": 4, "k": k, "plan_s": round(t_plan, 2),
