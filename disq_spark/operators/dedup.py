@@ -299,6 +299,16 @@ def minhash_lsh_pairs(
     est_jaccard = fraction of equal signature components >= threshold.
     Candidates come only from docs sharing a band bucket.
 
+    Design-point guidance (measured against planted truth on Zipf
+    corpora, SCALE.md §r10 quality tables): run UNCAPPED (max_df=None)
+    for retrieval quality — banding bounds candidate fan-out at one
+    row/doc/band at any df, and the cap blinds the tier to dup clusters
+    larger than itself. At 2 rows/band, widening the signature raises
+    BOTH precision and recall (8/4: P .77/R .41 -> 32/16: P .92/R .57
+    at 50k docs; the same ordering holds at 250k/500k) for linearly
+    more signature bytes; the gate default stays 8/4 because the
+    sf0.01 verification corpus doesn't exercise the difference.
+
     Plan shape (deliberately small — codegen time on a wide plan was the
     measured bottleneck, not compute): band keys come from ONE
     posexplode over an array of per-band md5s (not a bands-way union),

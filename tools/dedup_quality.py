@@ -100,6 +100,17 @@ def main() -> int:
     ap.add_argument(
         "--tiers", default="minhash,ngram,simhash,winnowing,semantic"
     )
+    ap.add_argument(
+        "--minhash-sweep", default=None,
+        help="comma list of H/B minhash designs (e.g. '8/4,16/8,32/16') "
+        "scored uncapped as extra tiers — the quality-vs-cost knob: more "
+        "hashes tighten the est_jaccard quantization, more bands raise "
+        "the LSH collision curve at fixed rows/band",
+    )
+    ap.add_argument(
+        "--verify-ratio", type=float, default=0.25,
+        help="levenshtein ratio cut for the verified/editdist tiers",
+    )
     ap.add_argument("--skip-uncapped", action="store_true",
                     help="skip every uncapped cell")
     ap.add_argument("--skip-uncapped-winnowing", action="store_true",
@@ -229,6 +240,42 @@ def main() -> int:
         if not (args.skip_uncapped or args.skip_uncapped_winnowing):
             score("winnowing_uncapped", lambda: DD.winnowing_pairs(
                 docs, text_col="text", id_col="doc_id"))
+    if args.minhash_sweep:
+        for spec in args.minhash_sweep.split(","):
+            h, b = (int(x) for x in spec.strip().split("/"))
+            kw = dict(mh, num_hashes=h, bands=b)
+            score(f"minhash_uncapped_h{h}b{b}",
+                  lambda kw=kw: DD.minhash_lsh_pairs(
+                      docs, "text", "doc_id", max_df=None, **kw))
+    if "winnowing_verified" in tiers:
+        # the intended composition: winnowing proposes (substring-witness
+        # candidates, P<=0.08 raw — see SCALE.md r10), an exact string
+        # metric disposes. Same normalize both sides as the operators.
+        from disq_spark.functions.text import normalize
+
+        def _winnow_verify():
+            cand = DD.winnowing_pairs(
+                docs, max_df=int(max_df), text_col="text", id_col="doc_id"
+            ).select("id_a", "id_b")
+            norm = docs.select(
+                F.col("doc_id"), normalize(F.col("text")).alias("__nt")
+            )
+            a = norm.select(F.col("doc_id").alias("id_a"), F.col("__nt").alias("t_a"))
+            b = norm.select(F.col("doc_id").alias("id_b"), F.col("__nt").alias("t_b"))
+            r = F.col("lev") / F.greatest(F.length("t_a"), F.length("t_b"))
+            return (
+                cand.join(a.hint("shuffle_hash"), "id_a")
+                .join(b.hint("shuffle_hash"), "id_b")
+                .withColumn("lev", F.levenshtein("t_a", "t_b"))
+                .filter(r <= args.verify_ratio)
+            )
+
+        score("winnowing_verified", _winnow_verify)
+    if "editdist" in tiers:
+        score("editdist_capped", lambda: DD.edit_distance_pairs(
+            docs, "text", "doc_id", max_ratio=args.verify_ratio,
+            candidate_threshold=0.1, k=SHINGLE_K, stride=SHINGLE_STRIDE,
+            max_df=max_df))
     if "semantic" in tiers:
         from disq_spark.operators.similarity import semantic_dedup_pairs
 
