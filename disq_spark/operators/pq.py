@@ -189,6 +189,33 @@ def _blas_encode(df, cents_per_block, m, id_col, vec_col, cell_cents=None):
     return src.mapInPandas(gen, f"{id_col} {id_t}, {cell_field}codes array<int>")
 
 
+def _resolve_encode_method(method: str, df, m: int, k: int) -> str:
+    """Encode-specific 'auto' dispatch. The generic size rule
+    (dispatch.resolve_method) keys on the INPUT's Catalyst size
+    estimate, which is the right proxy when kernel work scales with
+    bytes — but encode work is rows * m * k argmin folds, and k is a
+    free parameter: a 50k-doc hashed-BoW corpus is 1.9 MB of
+    parquet-compressed ints (under the 8 MB sql threshold) yet costs
+    80 s interpreted at m=4/k=256 vs ~1 s in the kernel (r10 BoW probe,
+    SCALE.md). 'auto' therefore weights the size estimate by the argmin
+    width relative to the 32-fold gate baseline (m=4, k=8), keeping
+    tiny-corpus/tiny-k gates on the zero-overhead column path while any
+    production-k encode takes the kernel."""
+    from disq_spark.operators.dispatch import (
+        SMALL_INPUT_BYTES,
+        plan_size_bytes,
+        resolve_method,
+    )
+
+    if method != "auto":
+        return resolve_method(method, df)  # validates the string
+    return (
+        "sql"
+        if plan_size_bytes(df) * (m * k) / 32 < SMALL_INPUT_BYTES
+        else "blas"
+    )
+
+
 def _cent_matrices(codebooks, m: int):
     import numpy as np
 
@@ -224,11 +251,9 @@ def pq_encode(
     corpora), blas above."""
     if not codebooks:
         return df.select(F.col(id_col), F.array().cast("array<int>").alias("codes"))
-    from disq_spark.operators.dispatch import resolve_method
-
     k = max(cid for _, cid in codebooks) + 1
     dim = m * len(codebooks[(0, 0)])
-    if resolve_method(method, df) == "blas":
+    if _resolve_encode_method(method, df, m, k) == "blas":
         return _blas_encode(df, _cent_matrices(codebooks, m), m, id_col, vec_col)
     slices = _block_slices(vec_col, dim, m)
     codes = F.array(
@@ -260,12 +285,11 @@ def ivf_pq_encode(
     probe: 2.45 s stored vs 31.6 s in-plan at 100k vectors)."""
     if not codebooks or not coarse:
         raise ValueError("empty codebooks (train_pq over an empty corpus?)")
-    from disq_spark.operators.dispatch import resolve_method
-
     K = max(cid for _, cid in coarse) + 1
     k = max(cid for _, cid in codebooks) + 1
     dim = m * len(codebooks[(0, 0)])
-    if resolve_method(method, df) == "blas":
+    # the coarse argmin adds K full-dim folds: weight by the total width
+    if _resolve_encode_method(method, df, 1, m * k + K) == "blas":
         return _blas_encode(
             df, _cent_matrices(codebooks, m), m, id_col, vec_col,
             cell_cents=_cent_matrices(coarse, 1)[0],
