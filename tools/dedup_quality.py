@@ -85,9 +85,11 @@ def hashed_bow_embeddings(docs, dim: int = SEM_DIM):
         .agg(F.map_from_entries(F.collect_list(F.struct("d", "x"))).alias("m"))
         .select(
             "doc_id",
+            # element_at on a MAP is a KEY lookup (no 1-based offset —
+            # that's the ARRAY overload): component i <- key i
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: F.coalesce(F.element_at("m", i + 1), F.lit(0.0)),
+                lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0)),
             ).alias("embedding"),
         )
     )
