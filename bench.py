@@ -193,14 +193,27 @@ def child_main() -> None:
             )
         )
         return
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        warm[name] = round(dt, 3)
+        warm_total += dt
+
     # Build-cost telemetry (r9 verdict #7): the cold-floor attribution
     # split r9's drift into first-touch PYTHON BUILD cost (parquet
     # listing, py4j, the _max_df corpus count before it was memoized)
     # vs execution. Record the JIT-warm BUILD-ONLY wall (no action) of
     # the two attribution queries plus whether the _max_df memo holds,
     # so the next build-side drift is a diffable BENCH_r{N}.json field
-    # instead of a judge excavation. Runs after the cold pass so the
-    # measured passes above are untouched.
+    # instead of a judge excavation. Runs AFTER the warm pass (r10
+    # advice): CacheManager matches by canonicalized plan, so
+    # unpersisting the rebuilt minhash signature table — whose persist
+    # was a no-op "already cached" — would evict the COLD pass's entry
+    # and silently make the warm pass's dedup query cache-cold. Here
+    # the only downstream pass is nocache, which clearCache()es before
+    # every query anyway, so the eviction is harmless by construction.
     from disq_spark.operators import dedup as _dd
     from disq_spark.queries.llm import _N_DOCS_CACHE
 
@@ -210,10 +223,6 @@ def child_main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir)  # build only — never executed
         build_s[name] = round(time.time() - t0, 3)
-    # drop ONLY the lazy persists these builds registered — a full
-    # release_caches() here would evict the COLD pass's materialized
-    # dedup caches and silently turn the warm pass into a second
-    # nocache pass (observed: warm 11.1 -> 13.1 s)
     for df in _dd._TRACKED[n_tracked_before:]:
         df.unpersist(blocking=False)
     del _dd._TRACKED[n_tracked_before:]
@@ -221,14 +230,6 @@ def child_main() -> None:
     if not max_df_memoized:
         print("# WARNING: _max_df memo missing after cold pass — the "
               "per-invocation corpus count is back", file=sys.stderr)
-
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        dt = time.time() - t0
-        warm[name] = round(dt, 3)
-        warm_total += dt
 
     # Third pass: warm with the session cache CLEARED before EVERY query.
     # Since r8 the dedup operators persist their signature/index tables,
@@ -258,6 +259,15 @@ def child_main() -> None:
         "queries": times,
         "queries_warm": warm,
         "value_warm": round(warm_total, 3),
+        # semantics marker (r10 verdict #6): cross-round tooling must
+        # not compare value_warm across different meanings.
+        #   v1 (r1-r9): warm pass reuses the cold pass's caches.
+        #   v2 (r10):   build-telemetry's unpersist accidentally
+        #               evicted the dedup cache -> minhash warm was
+        #               effectively nocache (a measurement artifact).
+        #   v3 (r11+):  v1 semantics restored — telemetry moved after
+        #               the warm pass; warm == steady-state cached.
+        "warm_semantics": "v3_cached",
         "queries_warm_nocache": warm_nc,
         "value_warm_nocache": round(warm_nc_total, 3),
         "build_s": build_s,

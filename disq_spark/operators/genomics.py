@@ -287,15 +287,27 @@ def _estimate_library_size(read_pairs: int, unique_read_pairs: int):
     """Lander-Waterman library-size estimate, Picard
     DuplicationMetrics.estimateLibrarySize semantics: solve
     uniquePairs = X * (1 - exp(-readPairs/X)) by 40-step bisection on
-    the multiplier m in [1, M], f(x) = c/x - 1 + exp(-n/x)."""
-    import math
+    the multiplier m in [1, M], f(x) = c/x - 1 + exp(-n/x).
+
+    Serial REFERENCE twin of ``_estimate_library_size_series`` (the
+    Arrow-batched product path); exp() is numpy's so the two agree to
+    the last bit — near the root f() is a catastrophic cancellation,
+    and a 1-ulp libm-vs-numpy exp difference measurably shifts the
+    bisection (75 parts in 1.25e9 on the n=50000 grid cell)."""
+    import numpy as np
 
     n, c = float(read_pairs), float(unique_read_pairs)
     if read_pairs <= 0 or read_pairs - unique_read_pairs <= 0 or c >= n:
         return None
+    if c == 0:
+        # Picard evaluates f as 0/0 -> NaN here; the NaN falls through
+        # every branch (no doubling, bisection walks M down to m=1) and
+        # (long)(0 * ...) returns 0 — mirror that rather than raising
+        # ZeroDivisionError on an all-duplicates library
+        return 0
 
     def f(x):
-        return c / x - 1.0 + math.exp(-n / x)
+        return c / x - 1.0 + float(np.exp(-n / x))
 
     m, M = 1.0, 100.0
     if f(m * c) < 0:
@@ -313,6 +325,58 @@ def _estimate_library_size(read_pairs: int, unique_read_pairs: int):
         else:
             M = r
     return int(c * (m + M) / 2.0)
+
+
+def _estimate_library_size_series(read_pairs, unique_read_pairs):
+    """Vectorized (Arrow-batched) twin of ``_estimate_library_size``:
+    the same 40-step bisection, run per-element with numpy array ops so
+    no row-at-a-time Python remains in the product path. The doubling
+    pre-loop is unrolled to 16 fixed steps (M reaches 1e18; the loop
+    provably exits once M >= n/c, and n/c < 2^63 for int64 counts) with
+    the condition re-evaluated per step, so the stop point — the FIRST
+    M with f(M*c) <= 0 — is identical to the scalar while-loop.
+    Differential equality vs the scalar reference is pinned by
+    tests/test_operators.py (serial-Picard fixture row 5437)."""
+    import numpy as np
+    import pandas as pd
+
+    n = read_pairs.to_numpy(dtype=np.float64, na_value=np.nan)
+    c = unique_read_pairs.to_numpy(dtype=np.float64, na_value=np.nan)
+    valid = np.isfinite(n) & np.isfinite(c) & (n > 0) & (n - c > 0) & (c < n)
+    # park invalid rows on a benign (n, c) so the array math never
+    # trips spurious branches; they are nulled on the way out. c == 0
+    # stays IN (Picard's 0/0 -> NaN falls through every branch below
+    # exactly as in the scalar reference, yielding estimate 0).
+    ns = np.where(valid, n, 2.0)
+    cs = np.where(valid, c, 1.0)
+
+    def f(x):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            return cs / x - 1.0 + np.exp(-ns / x)
+
+    m = np.ones_like(cs)
+    M = np.full_like(cs, 100.0)
+    for _ in range(16):
+        M = np.where(f(M * cs) > 0, M * 10.0, M)
+    for _ in range(40):
+        r = (m + M) / 2.0
+        u = f(r * cs)
+        # branch-for-branch with the scalar: u==0 pins both ends to r;
+        # u>0 raises m; ANY other u (u<0 or NaN) lowers M — NaN must
+        # take the else-branch like Python's `if u > 0: ... else: ...`
+        gt = u > 0
+        m = np.where(gt | (u == 0), r, m)
+        M = np.where(~gt, r, M)
+    est_f = cs * (m + M) / 2.0
+    # an estimate past int64 can't ride the `long` column (the scalar
+    # reference's arbitrary-precision int() can exceed it on absurd
+    # inputs like 1e12 pairs in one library) — surface NULL, not an
+    # overflow-wrapped negative
+    valid &= est_f < float(2**63)
+    est = np.where(valid, est_f, 0.0).astype(np.int64)
+    out = pd.Series(est, dtype="Int64")
+    out[~valid] = pd.NA
+    return out
 
 
 def duplication_metrics(
@@ -463,7 +527,7 @@ def duplication_metrics(
         )
     )
 
-    els = F.udf(_estimate_library_size, "long")
+    els = F.pandas_udf(_estimate_library_size_series, "long")
     z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
     examined = z("unpaired_reads_examined") + 2 * z("read_pairs_examined")
     dups = z("unpaired_read_duplicates") + 2 * z("read_pair_duplicates")

@@ -146,10 +146,20 @@ def _np_block_codes(X, C):
 
     n, sub = X.shape
     d2 = np.zeros((n, C.shape[0]), dtype=np.float64)
-    for i in range(sub):
-        diff = X[:, i][:, None] - C[:, i][None, :]
-        d2 += diff * diff
-    return np.argmin(d2, axis=1)
+    # overflow/NaN are INTENTIONAL here (they reproduce the JVM's
+    # double arithmetic on hostile rows and resolve to -1 below)
+    with np.errstate(over="ignore", invalid="ignore"):
+        for i in range(sub):
+            diff = X[:, i][:, None] - C[:, i][None, :]
+            d2 += diff * diff
+    codes = np.argmin(d2, axis=1)
+    # the fold's init is (cid=-1, dist=inf) and its `better` test is a
+    # strict `<`, so a row whose BEST distance is non-finite (an inf
+    # element, or a finite-but-huge one whose sqdist overflows — the
+    # same doubles overflow identically in the JVM) never beats the
+    # init and keeps cid -1; np.argmin would arbitrarily return 0
+    codes[~np.isfinite(d2[np.arange(n), codes])] = -1
+    return codes
 
 
 def _blas_encode(df, cents_per_block, m, id_col, vec_col, cell_cents=None):
@@ -161,6 +171,7 @@ def _blas_encode(df, cents_per_block, m, id_col, vec_col, cell_cents=None):
     import numpy as np
 
     sub = cents_per_block[0].shape[1]
+    dim = sub * len(cents_per_block)
     id_t = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
@@ -169,13 +180,41 @@ def _blas_encode(df, cents_per_block, m, id_col, vec_col, cell_cents=None):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            codes = np.empty((len(pdf), len(cents_per_block)), dtype=np.int64)
+            # NULL / ragged / non-finite rows must land exactly where
+            # the sql fold lands them (r10 advice: the old np.stack
+            # crashed where sql emitted sentinels, so 'auto' dispatch
+            # made the same corpus encode at one scale and fail at
+            # another). Fold semantics per block: init (cid=-1, inf),
+            # zip_with pads the SHORTER side with nulls, so the code is
+            # -1 unless the block slice has exactly `sub` finite
+            # elements; the coarse cell additionally requires the FULL
+            # vector length == dim (a longer vector pads the centroid
+            # side with nulls). NaN-padding the matrix reproduces all
+            # of that through the finite-min guard in _np_block_codes.
+            vals = pdf[vec_col].tolist()
+            nrows = len(vals)
+            lens = np.empty(nrows, dtype=np.int64)
+            X = np.full((nrows, dim), np.nan, dtype=np.float64)
+            for i, v in enumerate(vals):
+                if v is None:
+                    lens[i] = -1
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                lens[i] = a.shape[0]
+                a = a[:dim]
+                X[i, : a.shape[0]] = a
+            codes = np.full((nrows, len(cents_per_block)), -1, dtype=np.int64)
             for b, C in enumerate(cents_per_block):
-                codes[:, b] = _np_block_codes(X[:, b * sub : (b + 1) * sub], C)
+                ok = lens >= (b + 1) * sub
+                if ok.any():
+                    codes[ok, b] = _np_block_codes(X[ok, b * sub : (b + 1) * sub], C)
             out = {id_col: pdf[id_col]}
             if cell_cents is not None:
-                out["cell"] = _np_block_codes(X, cell_cents).astype(np.int32)
+                cell = np.full(nrows, -1, dtype=np.int64)
+                okc = lens == cell_cents.shape[1]
+                if okc.any():
+                    cell[okc] = _np_block_codes(X[okc][:, : cell_cents.shape[1]], cell_cents)
+                out["cell"] = cell.astype(np.int32)
             out["codes"] = [[int(c) for c in row] for row in codes]
             yield pd.DataFrame(out)
 
@@ -246,9 +285,13 @@ def pq_encode(
     serving split. ``"blas"`` streams the scan through an Arrow
     ``mapInPandas`` kernel (ordered-accumulation numpy, bit-identical
     codes — see _np_block_codes; equality test in
-    tests/test_ranking_clustering.py). ``"auto"`` picks sql under the
-    ~8 MB plan-size threshold (Python-worker spin-up dominates tiny
-    corpora), blas above."""
+    tests/test_ranking_clustering.py). ``"auto"`` weights the input's
+    plan-size estimate by the argmin width m*k relative to the 32-fold
+    gate baseline before comparing against the ~8 MB sql threshold
+    (see _resolve_encode_method: encode cost is rows*m*k folds with k a
+    free parameter, so a production-k encode takes the kernel even on
+    a byte-tiny corpus, while tiny-corpus/tiny-k gates keep the
+    zero-overhead column path)."""
     if not codebooks:
         return df.select(F.col(id_col), F.array().cast("array<int>").alias("codes"))
     k = max(cid for _, cid in codebooks) + 1

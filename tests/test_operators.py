@@ -2102,6 +2102,34 @@ def test_duplication_metrics_matches_serial_picard(spark, fixtures_dir):
     assert sum(optical.values()) >= 1
 
 
+def test_estimate_library_size_vectorized_matches_scalar():
+    """The Arrow-batched bisection (r11: the last row-at-a-time Python
+    UDF removed) must agree with the scalar Picard reference on every
+    (n, c) cell of a wide grid plus the invalid-input edges."""
+    import pandas as pd
+
+    from disq_spark.operators.genomics import (
+        _estimate_library_size,
+        _estimate_library_size_series,
+    )
+
+    cells = [
+        (n, c)
+        for n in [0, 1, 2, 5, 10, 100, 1_000, 50_000, 10**7, 10**9, 10**12]
+        for c in [0, 1, 2, 5, 9, 99, 999, 49_999, 10**7 - 1, 10**9 - 3, 10**12 - 1]
+    ] + [(2193 - 1, 2193 - 389), (10**15, 10**14), (7, 7), (5, 8)]
+    want = [_estimate_library_size(n, c) for n, c in cells]
+    # the Arrow path feeds a `long` column: estimates past int64 (only
+    # reachable on absurd inputs) surface as NULL instead of Python's
+    # arbitrary-precision int
+    want = [None if w is not None and w >= 2**63 else w for w in want]
+    got = _estimate_library_size_series(
+        pd.Series([n for n, _ in cells], dtype="int64"),
+        pd.Series([c for _, c in cells], dtype="int64"),
+    )
+    assert [None if pd.isna(x) else int(x) for x in got] == want
+
+
 def test_duplication_metrics_optical_edges(spark):
     """Synthetic optical clustering edge cases: distance boundary
     (inclusive), different tile / read group never link, transitive

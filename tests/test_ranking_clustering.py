@@ -474,6 +474,19 @@ def test_pq_encode_blas_bit_identical_to_sql(spark):
     ]
     # plant exact-centroid rows (distance 0 in one block, tie-prone)
     rows[5] = (5, cb[(0, 9)] + cb[(1, 0)] + cb[(2, 3)] + cb[(3, 15)])
+    # hostile rows (r10 advice): the sql fold emits sentinel -1 codes
+    # for NULL / ragged / non-finite vectors; the kernel must land on
+    # the SAME codes instead of crashing, or 'auto' dispatch makes the
+    # same corpus encode at one scale and fail at another
+    rows += [
+        (400, None),                                     # NULL vector
+        (401, []),                                       # empty
+        (402, [1.0] * (dim // m)),                       # one block only
+        (403, [0.5] * dim + [1.0]),                      # longer than dim
+        (404, [float("nan")] + [0.5] * (dim - 1)),       # NaN element
+        (405, [float("inf")] + [0.5] * (dim - 1)),       # inf element
+        (406, [None] + [0.5] * (dim - 1)),               # NULL element
+    ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
     sql_codes = {r.vec_id: list(r.codes)
@@ -482,6 +495,9 @@ def test_pq_encode_blas_bit_identical_to_sql(spark):
                   for r in pq_encode(df, cb, m=m, method="blas").collect()}
     assert sql_codes == blas_codes
     assert blas_codes[5][0] == 9 and blas_codes[5][2] == 3  # tie -> low cid
+    assert blas_codes[400] == [-1] * m and blas_codes[401] == [-1] * m
+    assert blas_codes[402][0] != -1 and blas_codes[402][1:] == [-1] * (m - 1)
+    assert blas_codes[404][0] == -1 and blas_codes[404][1] != -1
 
     sql_enc = {r.vec_id: (r.cell, list(r.codes))
                for r in ivf_pq_encode(df, cb, coarse, m=m, method="sql").collect()}
