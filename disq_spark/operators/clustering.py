@@ -72,6 +72,114 @@ def _nearest(v, centroids: list[tuple[int, list[float]]]):
     return F.aggregate(cent_arr, init, step)
 
 
+def scale_k(
+    n: int, target_cell_size: int = 1536, min_k: int = 8, max_k: int = 4096
+) -> int:
+    """Cluster-count sizing, the ``similarity.scale_n_bits`` convention
+    applied to k-means cells: enough clusters that the EXPECTED cell
+    holds <= target_cell_size vectors. SemDeDup-style within-cell
+    work is O(cell^2) and cell recall degrades as fixed-k cells span
+    more templates (measured: recall 0.81 -> 0.71 going 50k -> 500k
+    docs at fixed k=32, SCALE.md §r10) — k must grow with n. The
+    default target 1536 is the cell size at the measured-good 50k/k=32
+    point. Clamped to [min_k, max_k] for parallelism / plan sanity."""
+    if n <= 0:
+        return min_k
+    import math
+
+    return max(min_k, min(max_k, math.ceil(n / target_cell_size)))
+
+
+def _np_nearest(X, C, cids):
+    """numpy (cid, dist) for full vectors, BIT-IDENTICAL to ``_nearest``
+    over the same centroid list: per-component ascending-order
+    accumulation reproduces the zip_with-then-fold addition order,
+    np.argmin's first-min matches the fold's strict-< lower-list-index
+    tie-break (the list arrives sorted by cid), and rows whose best
+    distance is non-finite keep the fold's init (cid -1, dist inf) —
+    see pq._np_block_codes for the full argument and the equality
+    tests that lock it.
+
+    X: (n, dim) float64 (NaN-padded hostile rows); C: (m, dim) float64;
+    cids: (m,) int — the centroid ids in list order."""
+    import numpy as np
+
+    n = X.shape[0]
+    d2 = np.zeros((n, C.shape[0]), dtype=np.float64)
+    with np.errstate(over="ignore", invalid="ignore"):
+        for i in range(X.shape[1]):
+            diff = X[:, i][:, None] - C[:, i][None, :]
+            d2 += diff * diff
+    idx = np.argmin(d2, axis=1)
+    dist = d2[np.arange(n), idx]
+    out = cids[idx].astype(np.int64)
+    bad = ~np.isfinite(dist)
+    out[bad] = -1
+    dist[bad] = np.inf
+    return out, dist
+
+
+def _blas_assign(vecs, centroids):
+    """mapInPandas twin of the ``_nearest`` projection: (id, cid, dist,
+    v) in one Arrow pass with the centroid matrix in the task closure —
+    no plan literals, so neither Catalyst analysis time (measured
+    linear in chained-when width: 14-16 s per plan at 256 literals,
+    SCALE.md §r10) nor the interpreted HOF fold scales with k. The
+    wide-k path that makes ``scale_k`` practical."""
+    import numpy as np
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    C = np.array([c for _, c in centroids], dtype=np.float64)
+    dim = C.shape[1]
+    id_t = vecs.schema["id"].dataType.simpleString()
+    v_t = vecs.schema["v"].dataType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf["v"].tolist()
+            nrows = len(vals)
+            # NaN-pad hostile rows exactly as pq._blas_encode: the sql
+            # fold yields (cid -1, dist inf) unless the vector has
+            # exactly dim finite elements (zip_with pads the SHORTER
+            # side with nulls — a longer vector nulls the centroid side)
+            X = np.full((nrows, dim), np.nan, dtype=np.float64)
+            for i, v in enumerate(vals):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape[0] == dim:
+                    X[i] = a
+            cid, dist = _np_nearest(X, C, cids)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "cid": cid.astype(np.int32),
+                 "dist": dist, "v": pdf["v"]}
+            )
+
+    return vecs.mapInPandas(gen, f"id {id_t}, cid int, dist double, v {v_t}")
+
+
+def _resolve_assign_method(method: str, df, k: int) -> str:
+    """Assignment-kernel 'auto' dispatch: like pq's encode rule, the
+    input-size estimate is weighted by the argmin width relative to
+    the k=8 gate baseline — assignment work is rows * k * dim folds
+    with k a free parameter, so a wide-k run takes the kernel even on
+    a byte-tiny corpus while the k=8 oracle gates keep the
+    zero-overhead column path."""
+    from disq_spark.operators.dispatch import (
+        SMALL_INPUT_BYTES,
+        plan_size_bytes,
+        resolve_method,
+    )
+
+    if method != "auto":
+        return resolve_method(method, df)  # validates the string
+    return "sql" if plan_size_bytes(df) * (k / 8) < SMALL_INPUT_BYTES else "blas"
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -81,13 +189,29 @@ def kmeans(
     init: str = "first_ids",
     seed: int = 42,
     round_centroids: int = 6,
+    method: str = "auto",
 ) -> DataFrame:
     """Lloyd's k-means; returns (id, cid, dist) — final assignment plus
     the squared distance to the final (post-update) centroid.
 
     ``init="first_ids"`` seeds from the k lowest-id vectors
     (deterministic, oracle-matchable); ``init="sample"`` seeds from a
-    seeded uniform sample (scale-correct)."""
+    seeded uniform sample (scale-correct).
+
+    ``k`` may be ``"auto"``: sized by ``scale_k(n)`` so the expected
+    cell stays at the measured-good granularity as the corpus grows
+    (fixed k is a silent recall cliff for SemDeDup-style consumers —
+    SCALE.md §r10/r11).
+
+    ``method``: the repo's standard kernel dispatch. ``"sql"`` is the
+    pure-column row-local argmin over centroid plan literals (zero
+    Python; the oracle-locked gate path). ``"blas"`` runs the same
+    argmin in an Arrow ``mapInPandas`` kernel, bit-identical
+    (``_np_nearest``) — both Catalyst analysis time and the
+    interpreted fold cost scale with k on the sql path, so wide-k runs
+    (``scale_k`` output at corpus scale) need the kernel. ``"auto"``
+    weights the input size estimate by k/8 (see
+    ``_resolve_assign_method``)."""
     # each Lloyd round rescans the input: persist it for the iteration.
     # A low-partition source (one small parquet file) would otherwise
     # cap every round at #input-partitions cores; all downstream math
@@ -99,6 +223,9 @@ def kmeans(
         vecs = vecs.repartition(sc.defaultParallelism)
     vecs = vecs.persist()
     try:
+        if k == "auto":
+            k = scale_k(vecs.count())
+        use_blas = _resolve_assign_method(method, df, k) == "blas"
         if init == "first_ids":
             seed_rows = vecs.orderBy("id").limit(k).collect()
         elif init == "sample":
@@ -127,7 +254,10 @@ def kmeans(
 
         def assign(cents) -> DataFrame:
             # row-local argmin: no join, no exchange — assignment is a
-            # pure projection over the persisted scan
+            # pure projection over the persisted scan (sql) or one
+            # Arrow pass with the same math (blas, bit-identical)
+            if use_blas:
+                return _blas_assign(vecs, cents)
             best = _nearest(F.col("v"), cents)
             return vecs.select(
                 "id", best["cid"].alias("cid"), best["dist"].alias("dist"), "v"

@@ -292,6 +292,7 @@ def minhash_lsh_pairs(
     stride: int = 4,
     max_df: float | None = None,
     method: str = "auto",
+    carry_signatures: bool | str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -311,14 +312,35 @@ def minhash_lsh_pairs(
 
     Plan shape (deliberately small — codegen time on a wide plan was the
     measured bottleneck, not compute): band keys come from ONE
-    posexplode over an array of per-band md5s (not a bands-way union),
-    and the full signature array rides along into the bucket self-join,
-    so est_jaccard is a zip_with over columns already present — no
-    join-back to the signature table. One aggregate shuffle for
-    signatures, one shuffle for the bucket join, one for pair distinct.
-    At 100 TB the carried signature widens bucket rows by
-    num_hashes x 8 B (int64 components) — still far cheaper than two
-    extra hash joins against a table of every document.
+    posexplode over an array of per-band md5s (not a bands-way union).
+    One aggregate shuffle for signatures, one shuffle for the bucket
+    join, one for pair distinct.
+
+    ``carry_signatures`` picks how the signature reaches scoring:
+
+    - ``True`` ("carry"): the full signature array rides along into the
+      bucket self-join, so est_jaccard is a zip_with over columns
+      already present — no join-back. Cheapest at NARROW signatures:
+      the carried array widens every bucket row and every pair-distinct
+      state entry by num_hashes x 8 B x 2 sides, which is the measured
+      heap cliff at wide design points (32 hashes x 16 bands x 500k
+      Zipf docs needed 48 GB heap, SCALE.md §r10 — the whole candidate
+      volume rides the exchange and the distinct's hash map).
+    - ``False`` ("lean"): buckets carry only (band, band_key, id); the
+      pair distinct dedups bare (id_a, id_b) pairs, then TWO
+      shuffle-hash joins against the persisted signature table attach
+      mh_a/mh_b for scoring. Two extra narrow shuffles, but exchange
+      and distinct state are ~16 B/row regardless of signature width —
+      this is what unlocks the quality-recommended 32/16 design point
+      at corpus scale (same output bit-for-bit; equality locked by
+      tests/test_dedup.py). The join-backs are HINTED shuffle_hash with
+      the signature table as build side: Catalyst's size estimate
+      UNDERCOUNTS array columns and would otherwise broadcast a
+      corpus-proportional table (the r9 OOM lesson), and SMJ would
+      sort the much larger pair side for no benefit.
+    - ``"auto"`` (default): carry iff num_hashes <= 8 — the measured
+      safe width (8/4 at 500k docs ran in 37 s inside the default
+      heap); wider signatures go lean.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -347,29 +369,69 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select(
-        F.col(id_col), F.col("mh"), F.posexplode(band_keys).alias("band", "band_key")
+    carry = (
+        num_hashes <= 8 if carry_signatures == "auto" else bool(carry_signatures)
     )
-
-    left = buckets.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a"), F.col("mh").alias("mh_a")
-    )
-    right = buckets.select(
-        F.col("band").alias("band_r"),
-        F.col("band_key").alias("band_key_r"),
-        F.col(id_col).alias("id_b"),
-        F.col("mh").alias("mh_b"),
-    )
-    cand = (
-        left.join(
-            right,
-            (F.col("band") == F.col("band_r"))
-            & (F.col("band_key") == F.col("band_key_r"))
-            & (F.col("id_a") < F.col("id_b")),
+    if carry:
+        buckets = sig.select(
+            F.col(id_col), F.col("mh"), F.posexplode(band_keys).alias("band", "band_key")
         )
-        .select("id_a", "id_b", "mh_a", "mh_b")
-        .distinct()  # mh_* are functionally dependent on the ids
-    )
+        left = buckets.select(
+            F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a"), F.col("mh").alias("mh_a")
+        )
+        right = buckets.select(
+            F.col("band").alias("band_r"),
+            F.col("band_key").alias("band_key_r"),
+            F.col(id_col).alias("id_b"),
+            F.col("mh").alias("mh_b"),
+        )
+        cand = (
+            left.join(
+                right,
+                (F.col("band") == F.col("band_r"))
+                & (F.col("band_key") == F.col("band_key_r"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .select("id_a", "id_b", "mh_a", "mh_b")
+            .distinct()  # mh_* are functionally dependent on the ids
+        )
+    else:
+        buckets = sig.select(
+            F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+        )
+        left = buckets.select(
+            F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
+        )
+        right = buckets.select(
+            F.col("band").alias("band_r"),
+            F.col("band_key").alias("band_key_r"),
+            F.col(id_col).alias("id_b"),
+        )
+        pairs = (
+            left.join(
+                right,
+                (F.col("band") == F.col("band_r"))
+                & (F.col("band_key") == F.col("band_key_r"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = (
+            pairs.join(
+                sig.select(
+                    F.col(id_col).alias("id_a"), F.col("mh").alias("mh_a")
+                ).hint("shuffle_hash"),
+                "id_a",
+            )
+            .join(
+                sig.select(
+                    F.col(id_col).alias("id_b"), F.col("mh").alias("mh_b")
+                ).hint("shuffle_hash"),
+                "id_b",
+            )
+            .select("id_a", "id_b", "mh_a", "mh_b")
+        )
 
     # est_jaccard = fraction of equal signature components. Integer
     # equality counting is exact in any engine, so the Arrow-batched

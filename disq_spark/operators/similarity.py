@@ -628,7 +628,7 @@ def cosine_q(qa, qb) -> F.Column:
 def semantic_dedup_pairs(
     df: "DataFrame",
     threshold: float = 0.95,
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -636,6 +636,7 @@ def semantic_dedup_pairs(
     round_centroids: int = 6,
     method: str = "auto",
     block_size: int | None = None,
+    target_cell_size: int = 1536,
 ) -> "DataFrame":
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
     k-means cluster the embeddings, then compute EXACT pairwise cosine
@@ -678,8 +679,17 @@ def semantic_dedup_pairs(
     stays constant, while the block grid keeps task memory flat and
     parallelism >= clusters x block-pairs even when k is small.
     """
-    from disq_spark.operators.clustering import kmeans
+    from disq_spark.operators.clustering import kmeans, scale_k
 
+    if k == "auto":
+        # grow cells with the corpus (k ~ n / target_cell_size): fixed
+        # k is a measured recall cliff — 0.81 -> 0.71 going 50k -> 500k
+        # docs at k=32 (SCALE.md §r10) — and a quadratic cost cliff
+        # (within-cell work is sum(cell^2) ~ n^2/k). The default
+        # target (1536) is the cell size at the measured-good 50k/k=32
+        # operating point; r11 re-measured the series with this rule
+        # (SCALE.md §r11: recall held at 500k instead of easing).
+        k = scale_k(df.count(), target_cell_size)
     assign = kmeans(
         df,
         k=k,

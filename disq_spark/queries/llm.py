@@ -1435,7 +1435,7 @@ def dedup_semantic_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM2.semantic_dedup_pairs(
         e,
         threshold=SEMDEDUP_THRESHOLD,
-        k=KMEANS_K,
+        k=SEMDEDUP_K,
         iters=KMEANS_ITERS,
         round_centroids=KMEANS_ROUND,
         method="blas",
@@ -2891,6 +2891,16 @@ SEMDEDUP_THRESHOLD = 0.35
 SEMDEDUP_GATE_CAP = 4000
 SEMDEDUP_SEED = "semdedup_gate"
 
+#: k under the production auto-k rule (clustering.scale_k: k grows with
+#: n / target_cell_size so SemDeDup cell granularity — and therefore
+#: recall — holds as the corpus scales; SCALE.md §r11). Applied to the
+#: gate's CAPPED input size it clamps to min_k=8, so the gate exercises
+#: the same rule production uses while the unrolled-kmeans oracle CTE
+#: stays a fixed, matching width.
+from disq_spark.operators.clustering import scale_k as _scale_k  # noqa: E402
+
+SEMDEDUP_K = _scale_k(SEMDEDUP_GATE_CAP)
+
 
 @_q("dedup_semantic")
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2903,7 +2913,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM2.semantic_dedup_pairs(
         e,
         threshold=SEMDEDUP_THRESHOLD,
-        k=KMEANS_K,
+        k=SEMDEDUP_K,
         iters=KMEANS_ITERS,
         round_centroids=KMEANS_ROUND,
     ).orderBy("id_a", "id_b")
@@ -2919,7 +2929,7 @@ def _semantic_oracle() -> str:
         "(SELECT count(*) FROM embeddings)))"
     )
     parts = _kmeans_cte_parts(
-        KMEANS_K, KMEANS_ITERS, KMEANS_ROUND, source=sampled
+        SEMDEDUP_K, KMEANS_ITERS, KMEANS_ROUND, source=sampled
     )
     parts.append(
         "t AS (SELECT afin.id, afin.cid, vecs.v,\n"

@@ -4443,6 +4443,44 @@ def test_semantic_dedup_string_ids_blas(spark):
     assert blas == sql and len(sql) > 20
 
 
+def test_minhash_lean_buckets_equal_carry(spark):
+    """The lean-bucket variant (r11: bare-id bucket join + shuffle-hash
+    join-backs to the signature table) must produce the SAME pairs and
+    est_jaccard as the carry variant at a wide design point, and its
+    plan must keep the signature join-backs partitioned (no broadcast —
+    Catalyst undercounts array columns, the r9 OOM lesson) while the
+    default 8/4 gate design point stays on the carry plan."""
+    from disq_spark.operators.dedup import minhash_lsh_pairs, release_caches
+
+    docs = spark.createDataFrame(
+        [(i, f"sentence {i % 9} of the corpus repeats itself {i % 9} times over")
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+    kw = dict(num_hashes=32, bands=16, threshold=0.5, max_df=None)
+    carry = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, carry_signatures=True, **kw).collect()
+    }
+    lean_df = minhash_lsh_pairs(docs, carry_signatures=False, **kw)
+    lean = {(r.id_a, r.id_b): r.est_jaccard for r in lean_df.collect()}
+    assert carry == lean and len(carry) > 10
+
+    # both sig join-backs must be ShuffledHashJoin (the hint pins them:
+    # left unhinted, Catalyst's array-undercounting size estimate would
+    # broadcast the corpus-proportional signature table — r9 OOM
+    # lesson). The BUCKET self-join is free to broadcast here: this
+    # test corpus is genuinely tiny and AQE sizes it truthfully.
+    plan = lean_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") >= 2  # both sig join-backs
+    # auto: wide signatures go lean, the 8/4 gate default stays carry
+    auto_wide = minhash_lsh_pairs(docs, carry_signatures="auto", **kw)
+    assert "ShuffledHashJoin" in auto_wide._jdf.queryExecution().executedPlan().toString()
+    auto_gate = minhash_lsh_pairs(docs, threshold=0.5)
+    assert "ShuffledHashJoin" not in auto_gate._jdf.queryExecution().executedPlan().toString()
+    release_caches(spark)
+
+
 def test_size_dispatch_auto_and_path_equality(spark, tmp_path):
     """method="auto" must route provably-small inputs to the SQL path
     (no Python worker) — file-scan stats give real sizes; in-memory

@@ -53,6 +53,58 @@ def test_kmeans_partitions_all_vectors(spark):
     assert a.filter(F.col("dist") < 0).count() == 0
 
 
+def test_kmeans_blas_bit_identical_to_sql(spark):
+    """The r11 Arrow assignment kernel (the wide-k path behind
+    scale_k/auto-k) must be BIT-identical to the pure-column fold:
+    same cids on planted exact ties, same dist doubles, and the same
+    sentinel (cid -1, dist inf) on NULL/ragged/non-finite rows."""
+    import math
+    import random
+
+    from disq_spark.operators.clustering import kmeans
+
+    rng = random.Random(4099)
+    dim = 16
+    rows = [
+        (i, [float(f"{rng.uniform(-1, 1):.6g}") for _ in range(dim)])
+        for i in range(300)
+    ]
+    rows += [
+        (300, None),
+        (301, []),
+        (302, [0.5] * (dim - 1)),
+        (303, [0.5] * (dim + 1)),
+        (304, [float("nan")] + [0.5] * (dim - 1)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # duplicate seed rows (ids 0/1 share a vector) plant an exact
+    # centroid tie: both paths must keep the LOWER cid
+    dup = spark.createDataFrame([(1, rows[0][1])], "vec_id long, embedding array<float>")
+    df = df.filter("vec_id != 1").union(dup)
+
+    a = {r.id: (r.cid, r.dist) for r in kmeans(df, k=6, iters=2, method="sql").collect()}
+    b = {r.id: (r.cid, r.dist) for r in kmeans(df, k=6, iters=2, method="blas").collect()}
+    assert set(a) == set(b)
+    for i in a:
+        assert a[i][0] == b[i][0], (i, a[i], b[i])
+        if math.isinf(a[i][1]):
+            assert math.isinf(b[i][1])
+        else:
+            assert a[i][1] == b[i][1], (i, a[i], b[i])  # exact doubles
+    assert a[300][0] == -1 and a[301][0] == -1 and a[304][0] == -1
+    assert math.isinf(a[300][1])
+
+
+def test_scale_k_rule():
+    from disq_spark.operators.clustering import scale_k
+
+    assert scale_k(4000) == 8           # gate cap clamps to min_k
+    assert scale_k(50_000) == 33        # the measured-good 50k point
+    assert scale_k(500_000) == 326
+    assert scale_k(10**10, max_k=4096) == 4096
+    assert scale_k(0) == 8
+
+
 def test_kmeans_inertia_improves_over_iterations(spark):
     e = load(spark, SF, "embeddings")
 
