@@ -266,6 +266,10 @@ def kmeans(
         for _ in range(iters):
             new_rows = (
                 assign(centroids)
+                # hostile rows (NULL/ragged/non-finite -> cid -1, the
+                # fold's init) must not pool into a ragged
+                # pseudo-centroid for the next round
+                .filter(F.col("cid") >= 0)
                 .select("cid", F.posexplode("v").alias("pos", "x"))
                 .groupBy("cid", "pos")
                 .agg(

@@ -21,6 +21,10 @@ stays in whole-stage codegen):
 - edit_distance_pairs: Levenshtein verification tier computed only on
                       shingle-candidate pairs (sketches propose, the
                       exact string metric disposes).
+- verified_pairs:     the same propose->dispose verifier over ANY
+                      external candidate frame (winnowing, minhash,
+                      streaming sinks) — measured P 1.000 compositions
+                      in SCALE.md §r10 promoted to a first-class op.
 
 Determinism contract: all hashing is md5-of-string (identical in any
 engine), so every operator here has an exact ANSI-SQL oracle. MinHash
@@ -1749,6 +1753,59 @@ def edit_distance_pairs(
             "ratio",
             F.round(F.col("lev") / F.greatest(F.length("t_a"), F.length("t_b")), 4),
         )
+        .filter(F.col("ratio") <= max_ratio)
+        .select("id_a", "id_b", "lev", "ratio")
+    )
+
+
+def verified_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    max_ratio: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "editdist",
+) -> DataFrame:
+    """Propose -> dispose verification as a first-class composition:
+    an exact string metric over EXTERNALLY proposed candidate pairs.
+    ``candidates`` is any (id_a, id_b) frame — winnowing_pairs,
+    minhash_lsh_pairs, ngram_jaccard_pairs, a streaming sink — and the
+    verifier joins the normalized texts back and keeps pairs with
+    levenshtein / max(len) <= ``max_ratio``.
+
+    Measured rationale (SCALE.md §r10 planted-truth tables): cheap
+    candidate tiers are precision-poor alone (winnowing P 0.078), but
+    piping them through this verifier is P 1.000 at recall set by the
+    candidate tier — the "sketches propose, an exact metric disposes"
+    design. ``edit_distance_pairs`` is the pre-wired ngram-candidate
+    instance of the same shape.
+
+    Output: (id_a, id_b, lev, ratio), id_a < id_b ordering inherited
+    from the candidate frame. ratio is round(lev / max_len, 4), with
+    identical EMPTY normalized texts scored 0 (a true dup, not 0/0).
+
+    Scale shape: two shuffle-hash join-backs against the one-row-per-doc
+    normalized-text table (hinted — Catalyst's pre-materialization size
+    estimates undercount wide text columns and would broadcast a
+    corpus-proportional table, the r9 OOM lesson), then a row-local
+    Levenshtein. Cost is O(|candidates| * len^2) JVM-side DP — bounded
+    because candidate generation is bounded, never all-pairs.
+    """
+    if method != "editdist":
+        raise ValueError(f"unknown verification method {method!r}")
+    norm = df.select(F.col(id_col), normalize(F.col(text_col)).alias("__nt"))
+    a = norm.select(F.col(id_col).alias("id_a"), F.col("__nt").alias("t_a"))
+    b = norm.select(F.col(id_col).alias("id_b"), F.col("__nt").alias("t_b"))
+    max_len = F.greatest(F.length("t_a"), F.length("t_b"))
+    ratio = F.when(max_len == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("lev") / max_len, 4)
+    )
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .withColumn("lev", F.levenshtein(F.col("t_a"), F.col("t_b")))
+        .withColumn("ratio", ratio)
         .filter(F.col("ratio") <= max_ratio)
         .select("id_a", "id_b", "lev", "ratio")
     )

@@ -5282,6 +5282,53 @@ WHERE ratio <= {EDIT_MAX_RATIO} ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# dedup_verified — propose -> dispose as a first-class gated operator
+# (operators/dedup.py verified_pairs, r11): winnowing PROPOSES (substring
+# witnesses; P 0.078 standalone — a footgun unverified, SCALE.md §r10),
+# Levenshtein DISPOSES (measured P 1.000 after verification). The oracle
+# replays the winnowing candidate CTE and verifies with DuckDB's
+# levenshtein — the same DP metric, hash-exact.
+# ---------------------------------------------------------------------------
+VERIFY_MAX_RATIO = 0.6
+
+
+@_q("dedup_verified")
+def dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cand = DD.winnowing_pairs(
+        d, k=WINNOW_K, w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED, max_df=WINNOW_MAX_DF,
+    )
+    return DD.verified_pairs(d, cand, max_ratio=VERIFY_MAX_RATIO).orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLE["dedup_verified"] = f"""
+WITH {_WINNOW_FP_CTES},
+fpd AS (SELECT DISTINCT doc_id, fp FROM fp),
+keep AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+fpk AS (SELECT fpd.doc_id, fpd.fp FROM fpd JOIN keep USING (fp)),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+),
+nrm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+scored AS (
+  SELECT id_a, id_b, levenshtein(na.nt, nb.nt) AS lev,
+         CASE WHEN greatest(length(na.nt), length(nb.nt)) = 0 THEN 0.0
+              ELSE round(levenshtein(na.nt, nb.nt) * 1.0
+                         / greatest(length(na.nt), length(nb.nt)), 4)
+         END AS ratio
+  FROM cand JOIN nrm na ON id_a = na.doc_id JOIN nrm nb ON id_b = nb.doc_id
+)
+SELECT id_a, id_b, lev, ratio FROM scored
+WHERE ratio <= {VERIFY_MAX_RATIO} ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_gopher_repetition — Gopher repetition-rule signals (Rae et al. 2021
 # Table A1): top n-gram char fraction (n=2..4) and duplicate n-gram char
 # fraction (n=5,10). Character mass counts token characters (no spaces),

@@ -1451,6 +1451,40 @@ def test_edit_distance_pairs_matches_bruteforce_dp(spark):
     assert not any(3 in p for p in got)
 
 
+def test_verified_pairs_external_candidates(spark):
+    """verified_pairs (r11: propose->dispose promoted to a first-class
+    operator) must verify EXACTLY the candidate pairs it is given —
+    hand-computed levenshtein/ratio, empty-empty pairs scored 0 (true
+    dup, not 0/0), failing pairs dropped, and pairs never proposed
+    never scored (even exact duplicates)."""
+    from disq_spark.operators.dedup import verified_pairs
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumped over the lazy dog"),  # lev 2
+        (2, "completely different content with no overlap"),
+        (3, ""),
+        (4, "   "),   # normalizes empty too
+        (5, "the quick brown fox jumps over the lazy dog"),   # == doc 0
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.lev, r.ratio)
+        for r in verified_pairs(df, cand, max_ratio=0.25).collect()
+    }
+    # lev("...jumps...", "...jumped...") = 2, len 44 -> ratio 0.0455
+    assert got[(0, 1)] == (2, round(2 / 44, 4))
+    assert got[(3, 4)] == (0, 0.0)          # empty-empty: 0, not NaN
+    assert (0, 2) not in got                # fails the ratio cut
+    assert (0, 5) not in got                # dup but never proposed
+    # both text join-backs must stay partitioned (hinted shuffle_hash)
+    plan = verified_pairs(df, cand)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") >= 2
+
+
 def test_png_decode_all_filters_and_color_types():
     """The numpy PNG decoder (zlib + RFC 2083 row filters) must be
     pixel-exact for every filter type and 8-bit color type."""

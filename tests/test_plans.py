@@ -120,6 +120,19 @@ def test_minhash_has_no_bands_union(spark):
     assert "Generate" in plan
 
 
+def test_verified_pairs_joinbacks_stay_partitioned(spark):
+    """dedup_verified's text join-backs must honor the shuffle_hash
+    hint: Catalyst's size estimates undercount wide text columns, and an
+    unhinted plan would broadcast the corpus-proportional normalized-
+    text table (the r9 OOM lesson). Levenshtein itself must stay a
+    row-local JVM expression — no Python worker."""
+    from disq_spark.queries.llm import QUERIES
+
+    plan = simple_plan_of(QUERIES["dedup_verified"](spark, SF))
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
 def test_interval_overlap_filter_is_codegen(spark):
     """The genomic overlap predicate compiles to plain comparisons inside
     WholeStageCodegen — no Python worker in the hot filter path."""

@@ -123,6 +123,12 @@ def main() -> int:
                     help="skip only ngram's uncapped cell (past the prefix "
                     "path's measured envelope at >=250k zipf docs: SMJ "
                     "spill exhausts a 63 GB disk — SCALE.md §r10)")
+    ap.add_argument(
+        "--semantic-k", default="auto",
+        help="k for the semantic tier: an int, or 'auto' for the "
+        "production scale_k rule (k ~ n_docs / 1536 — the r11 fix for "
+        "the fixed-k recall droop, SCALE.md §r10/r11)",
+    )
     ap.add_argument("--skip-lsh-recall", action="store_true",
                     help="skip the exact-jaccard ground-truth block (one "
                     "full uncapped exact-Jaccard pass)")
@@ -143,6 +149,11 @@ def main() -> int:
     labels = spark.read.parquet(f"{args.sf}/doc_labels.parquet")
     n_docs = docs.count()
     max_df = _max_df(spark, args.sf)
+    from disq_spark.operators.clustering import scale_k
+
+    sem_k = (
+        scale_k(n_docs) if args.semantic_k == "auto" else int(args.semantic_k)
+    )
 
     # planted truth pairs: same non-NULL template_id, id_a < id_b.
     # Each pair carries its cluster's size band relative to the gate's
@@ -179,7 +190,7 @@ def main() -> int:
             "shingle_k": SHINGLE_K, "stride": SHINGLE_STRIDE,
             "minhash_threshold": MINHASH_THRESHOLD,
             "jaccard_threshold": JACCARD_THRESHOLD,
-            "sem_dim": SEM_DIM, "sem_k": SEM_K, "sem_threshold": SEM_THRESHOLD,
+            "sem_dim": SEM_DIM, "sem_k": sem_k, "sem_threshold": SEM_THRESHOLD,
         },
         "tiers": {},
     }
@@ -284,7 +295,7 @@ def main() -> int:
         emb = hashed_bow_embeddings(docs).persist()
         emb.count()
         score("semantic", lambda: semantic_dedup_pairs(
-            emb, threshold=SEM_THRESHOLD, k=SEM_K, iters=SEM_ITERS,
+            emb, threshold=SEM_THRESHOLD, k=sem_k, iters=SEM_ITERS,
             id_col="doc_id", vec_col="embedding",
         ).select(F.col("id_a"), F.col("id_b")))
         emb.unpersist()
