@@ -217,10 +217,11 @@ def kmeans(
     # cap every round at #input-partitions cores; all downstream math
     # is row-level and both init modes are partition-independent, so
     # fanning out to the session's parallelism is result-neutral.
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    sc = df.sparkSession.sparkContext
-    if vecs.rdd.getNumPartitions() < sc.defaultParallelism:
-        vecs = vecs.repartition(sc.defaultParallelism)
+    from disq_spark.operators.dispatch import fan_out
+
+    vecs = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+    )
     vecs = vecs.persist()
     try:
         if k == "auto":

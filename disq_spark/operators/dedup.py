@@ -232,9 +232,13 @@ def shingle_table(
         F.col(id_col),
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("__t"),
     )
-    sc = df.sparkSession.sparkContext
-    if norm.rdd.getNumPartitions() < sc.defaultParallelism:
-        norm = norm.repartition(sc.defaultParallelism)
+    # hash-by-id, not round-robin: a keyless repartition pays the
+    # deterministic map-side sort of the (wide) text rows
+    # (SPARK-23207); ids are unique so the hash spread is as even.
+    # Measured at sf0.1: minhash end-to-end 2.42 -> 1.86 s.
+    from disq_spark.operators.dispatch import fan_out
+
+    norm = fan_out(norm, id_col)
     sh = norm.select(
         F.col(id_col),
         F.explode(
@@ -277,12 +281,25 @@ def minhash_signatures(
     """
     sh = shingle_table(df, text_col, id_col, k, stride, max_df)
     sh = sh.select(F.col(id_col), minhash_base_hash(F.col("shingle")).alias("__h"))
-    P = F.lit(MINHASH_PRIME)
+    # one F.expr per component, not nested Column arithmetic: every
+    # Column op is a py4j round trip and every intermediate Dataset
+    # re-runs the analyzer — plan-build cost was 0.68 s/call at r11
+    # profiling, ~all driver-side. The parsed expression tree is
+    # identical (integer literals, same operators), so the gate oracle
+    # is unaffected.
     aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % P).alias(f"mh_{i}")
+        F.expr(f"min(({a} * __h + {b}) % {MINHASH_PRIME}) AS mh_{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def _mh_array(num_hashes: int, alias: str = "mh") -> F.Column:
+    """``array(mh_0, ..., mh_{n-1}) AS mh`` as one parsed expression
+    (one py4j round trip instead of num_hashes+1 Column calls)."""
+    return F.expr(
+        "array(" + ", ".join(f"mh_{i}" for i in range(num_hashes)) + f") AS {alias}"
+    )
 
 
 def minhash_lsh_pairs(
@@ -347,11 +364,8 @@ def minhash_lsh_pairs(
       heap); wider signatures go lean.
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, stride, max_df)
-    sig = sig.select(
-        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
-    )
+    sig = sig.select(F.col(id_col), _mh_array(num_hashes))
     # sig feeds both sides of the self-join below. Materialize it once:
     # the signature table is 1 row/doc x (id + num_hashes*8 B) — tiny
     # relative to the corpus — while its lineage (explode + hot-shingle
@@ -367,12 +381,7 @@ def minhash_lsh_pairs(
     # Bench: cold 9.9 -> 4.0 s, warm 2.6 -> 2.4 s for the full pipeline.
     sig = _persist_tracked(sig)
 
-    band_keys = F.array(
-        *[
-            F.md5(F.concat_ws("|", *[F.col("mh")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]))
-            for b in range(bands)
-        ]
-    )
+    band_keys = _band_key_array(num_hashes, bands)
     carry = (
         num_hashes <= 8 if carry_signatures == "auto" else bool(carry_signatures)
     )
@@ -463,10 +472,12 @@ def _score_signature_pairs(
     from disq_spark.operators.dispatch import resolve_method
 
     if resolve_method(method, dispatch_df) == "sql":
-        eq_sum = F.aggregate(
-            F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-            F.lit(0),
-            lambda acc, x: acc + x,
+        # one parsed expression == the previous zip_with/aggregate
+        # Column-lambda tree (CASE WHEN is exactly F.when); Column
+        # lambdas cost dozens of py4j round trips per build
+        eq_sum = F.expr(
+            "aggregate(zip_with(mh_a, mh_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+            "0, (acc, x) -> acc + x)"
         )
         return (
             cand.withColumn(
@@ -588,10 +599,12 @@ def ngram_jaccard_pairs(
         return _ngram_jaccard_prefix(sh, id_col, threshold)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    joined = a.join(b, ["shingle"]).filter(F.col("id_a") < F.col("id_b"))
     if two_level_agg:
+        # documented-negative probe path (see docstring): kept on the
+        # r7 join-back shape so its measurement stays comparable
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        joined = a.join(b, ["shingle"]).filter(F.col("id_a") < F.col("id_b"))
         inter = (
             joined.groupBy(
                 F.pmod("shingle", F.lit(agg_buckets)).alias("__gb"), "id_a", "id_b"
@@ -600,18 +613,45 @@ def ngram_jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.sum("__n").alias("n_common"))
         )
-    else:
-        inter = (
-            joined.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
+        # corpus-proportional join-backs: same no-broadcast rule as the
+        # prefix path's token-array join (see _ngram_jaccard_prefix note)
+        sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+        sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+        inter = inter.join(sz_a.hint("shuffle_hash"), "id_a").join(
+            sz_b.hint("shuffle_hash"), "id_b"
         )
-    # corpus-proportional join-backs: same no-broadcast rule as the
-    # prefix path's token-array join (see _ngram_jaccard_prefix note)
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    else:
+        # Carry each side's set size THROUGH the candidate join (the
+        # Vernica et al. SSJoin layout) instead of joining it back onto
+        # the aggregated pair table afterwards. Cost: one narrow shuffle
+        # of the inverted index by id (the sizes attach; shuffle_hash —
+        # sizes is corpus-proportional, it must never broadcast at
+        # scale) and +16 B on each pre-partial-agg candidate row.
+        # Saves: TWO full shuffles of the pair table (the id_a/id_b
+        # join-backs) and their joins — and the pair table, not the
+        # index, is what grows with duplication (sum df^2 vs sum df; at
+        # sf10 the measured pair stream was 872M rows). first(n) is
+        # exact: n is functionally dependent on the id key. Measured
+        # sf0.1: 1.82 -> 1.31 s, output identical.
+        wide = sh.join(sizes.hint("shuffle_hash"), id_col)
+        a = wide.select(
+            F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+        )
+        b = wide.select(
+            F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+        )
+        inter = (
+            a.join(b, ["shingle"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count("*").alias("n_common"),
+                F.first("n_a").alias("n_a"),
+                F.first("n_b").alias("n_b"),
+            )
+        )
     return (
-        inter.join(sz_a.hint("shuffle_hash"), "id_a")
-        .join(sz_b.hint("shuffle_hash"), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
         )
@@ -765,9 +805,11 @@ def _simhash_impl(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataF
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
     hex_chars = (bits + 3) // 4
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)  # parallelize the token explode
+    from disq_spark.operators.dispatch import fan_out
+
+    # parallelize the token explode; project to the two used columns
+    # FIRST so the exchange never carries the unused ones
+    df = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
     toks = (
         df.select(
             F.col(id_col),
@@ -954,9 +996,8 @@ def incremental_minhash_pairs(
     new_ids = new_df.select(F.col(id_col))
 
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     arr = lambda s: s.select(
-        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
+        F.col(id_col), _mh_array(num_hashes)
     )
     # persist, not localCheckpoint — same r8 finding as minhash_lsh_pairs:
     # checkpoint pays an eager plan->RDD codegen pass per table at build
@@ -965,13 +1006,11 @@ def incremental_minhash_pairs(
     sig_a = _persist_tracked(arr(all_sig))
 
     def buckets(sig):
-        band_keys = F.array(
-            *[
-                F.md5(F.concat_ws("|", *[F.col("mh")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]))
-                for b in range(bands)
-            ]
+        return sig.select(
+            F.col(id_col),
+            F.col("mh"),
+            F.posexplode(_band_key_array(num_hashes, bands)).alias("band", "band_key"),
         )
-        return sig.select(F.col(id_col), F.col("mh"), F.posexplode(band_keys).alias("band", "band_key"))
 
     left = buckets(sig_n).select(
         "band", "band_key", F.col(id_col).alias("id_a"), F.col("mh").alias("mh_a")
@@ -999,10 +1038,9 @@ def incremental_minhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    eq_sum = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    eq_sum = F.expr(
+        "aggregate(zip_with(mh_a, mh_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        "0, (acc, x) -> acc + x)"
     )
     pairs = (
         cand.withColumn("est_jaccard", F.round(eq_sum / F.lit(float(num_hashes)), 4))
@@ -1014,22 +1052,18 @@ def incremental_minhash_pairs(
 
 def _band_key_array(num_hashes: int, bands: int, mh_col: str = "mh") -> F.Column:
     """array<string> of per-band md5 keys over an mh signature array —
-    the single band-key expression every LSH path shares."""
+    the single band-key expression every LSH path shares. Built as ONE
+    SQL string (one py4j round trip) instead of nested Column calls;
+    the parsed tree — md5 over concat_ws over 0-based array items — is
+    identical, so every oracle stays bit-exact."""
     rows_per_band = num_hashes // bands
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(mh_col)[i]
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
+    parts = []
+    for b in range(bands):
+        items = ", ".join(
+            f"{mh_col}[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        parts.append(f"md5(concat_ws('|', {items}))")
+    return F.expr("array(" + ", ".join(parts) + ")")
 
 
 def _drop_table_and_location(spark, name: str) -> None:
@@ -1085,7 +1119,7 @@ def build_minhash_store(
         _drop_table_and_location(spark, t)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, stride, None)
     arr = sig.select(
-        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
+        F.col(id_col), _mh_array(num_hashes)
     )
     (
         arr.write.mode("overwrite")
@@ -1135,7 +1169,7 @@ def incremental_minhash_pairs_stored(
     spark = new_df.sparkSession
     new_sig = minhash_signatures(new_df, text_col, id_col, num_hashes, k, stride, None)
     new_arr = _persist_tracked(new_sig.select(
-        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
+        F.col(id_col), _mh_array(num_hashes)
     ))
     new_bands = new_arr.select(
         F.col(id_col),
@@ -1196,7 +1230,7 @@ def append_minhash_store(
     # computes once (lazy marker — not the eager checkpoint whose
     # build-time planning cost r8 measured).
     arr = sig.select(
-        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("mh")
+        F.col(id_col), _mh_array(num_hashes)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # both consuming actions run INSIDE this function, so — unlike the
     # lazy-returning operators above — the cache entry can be released
@@ -1718,6 +1752,31 @@ def winnowing_pairs(
     )
 
 
+def _bounded_lev(max_ratio: float) -> F.Column:
+    """Levenshtein over (t_a, t_b) with the THRESHOLDED kernel (Spark
+    3.5+): distances above the bound return -1 from a banded DP —
+    O(len * bound) cells plus a free length-difference early exit —
+    instead of paying the full O(len_a * len_b) table per pair. The
+    bound is chosen so the rewrite is EXACT w.r.t. the keep rule
+    ``round(lev / max_len, 4) <= max_ratio``:
+
+      kept  =>  lev / max_len < max_ratio + 5e-5   (half-up rounding)
+            =>  lev <= ceil((max_ratio + 5e-5) * max_len) + 1 = bound
+
+    so every kept pair's distance is computed exactly (the value the
+    output's ``lev`` column carries), and every -1 pair has
+    lev > bound >= (max_ratio + 5e-5) * max_len — dropped by the
+    original rule too (the +1 absorbs float ulp at the boundary).
+    Callers must ALSO filter ``lev >= 0``. Measured (sf0.01
+    dedup_verified, 15,148 winnowing candidates at max_ratio 0.6):
+    22.2 s -> see OPTIMIZATION_r11.md."""
+    r = float(max_ratio) + 5e-5
+    return F.expr(
+        f"levenshtein(t_a, t_b, cast(ceil({r!r} * greatest(length(t_a), "
+        "length(t_b))) + 1 as int))"
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1744,7 +1803,7 @@ def edit_distance_pairs(
     norm = df.select(F.col(id_col), normalize(F.col(text_col)).alias("__nt"))
     a = norm.select(F.col(id_col).alias("id_a"), F.col("__nt").alias("t_a"))
     b = norm.select(F.col(id_col).alias("id_b"), F.col("__nt").alias("t_b"))
-    lev = F.levenshtein(F.col("t_a"), F.col("t_b"))
+    lev = _bounded_lev(max_ratio)
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -1753,7 +1812,7 @@ def edit_distance_pairs(
             "ratio",
             F.round(F.col("lev") / F.greatest(F.length("t_a"), F.length("t_b")), 4),
         )
-        .filter(F.col("ratio") <= max_ratio)
+        .filter((F.col("lev") >= 0) & (F.col("ratio") <= max_ratio))
         .select("id_a", "id_b", "lev", "ratio")
     )
 
@@ -1800,13 +1859,15 @@ def verified_pairs(
     ratio = F.when(max_len == 0, F.lit(0.0)).otherwise(
         F.round(F.col("lev") / max_len, 4)
     )
+    # empty-empty pairs: bounded lev returns 0 (<= bound), ratio 0 — the
+    # same rows the unbounded version kept
     return (
         candidates.select("id_a", "id_b")
         .join(a.hint("shuffle_hash"), "id_a")
         .join(b.hint("shuffle_hash"), "id_b")
-        .withColumn("lev", F.levenshtein(F.col("t_a"), F.col("t_b")))
+        .withColumn("lev", _bounded_lev(max_ratio))
         .withColumn("ratio", ratio)
-        .filter(F.col("ratio") <= max_ratio)
+        .filter((F.col("lev") >= 0) & (F.col("ratio") <= max_ratio))
         .select("id_a", "id_b", "lev", "ratio")
     )
 

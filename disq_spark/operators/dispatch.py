@@ -44,3 +44,24 @@ def resolve_method(method: str, df, small_bytes: int = SMALL_INPUT_BYTES) -> str
     if method not in ("sql", "blas"):
         raise ValueError(f"method must be 'auto', 'blas' or 'sql': {method!r}")
     return method
+
+
+def fan_out(df, *cols):
+    """Repartition ``df`` to the session's parallelism — but ONLY when
+    the source is narrower than the core count (one small parquet file
+    -> every downstream CPU-bound operator runs serially). At scale the
+    branch never fires: real corpora already carry >> cores partitions,
+    so no exchange is added to the 100 TB plan.
+
+    With ``cols``, partitioning is hash-by-cols (no exchange-side local
+    sort); pass a high-cardinality key. Without, round-robin — which
+    pays the deterministic sort-before-repartition (SPARK-23207) on the
+    map side, so prefer a key when one exists. Result-neutral either
+    way: only row placement changes.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    if cols:
+        return df.repartition(sc.defaultParallelism, *cols)
+    return df.repartition(sc.defaultParallelism)

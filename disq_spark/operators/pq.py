@@ -85,9 +85,9 @@ def train_pq(
     # clustering.kmeans lesson: a single parquet file would cap every
     # Lloyd round's row-local argmin at #input-partitions cores; all
     # downstream math is row-level, so this is result-neutral)
-    sc = df.sparkSession.sparkContext
-    if blocks.rdd.getNumPartitions() < sc.defaultParallelism:
-        blocks = blocks.repartition(sc.defaultParallelism)
+    from disq_spark.operators.dispatch import fan_out
+
+    blocks = fan_out(blocks, "id", "block")
     # each Lloyd round rescans the exploded table: materialize once
     blocks = blocks.persist()
     try:
@@ -218,12 +218,11 @@ def _blas_encode(df, cents_per_block, m, id_col, vec_col, cell_cents=None):
             out["codes"] = [[int(c) for c in row] for row in codes]
             yield pd.DataFrame(out)
 
-    src = df.select(F.col(id_col), F.col(vec_col))
     # a low-partition source (one parquet file) would cap the scan at
     # #files cores; result-neutral, required for wall (the kmeans lesson)
-    sc = df.sparkSession.sparkContext
-    if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        src = src.repartition(sc.defaultParallelism)
+    from disq_spark.operators.dispatch import fan_out
+
+    src = fan_out(df.select(F.col(id_col), F.col(vec_col)), id_col)
     cell_field = "cell int, " if cell_cents is not None else ""
     return src.mapInPandas(gen, f"{id_col} {id_t}, {cell_field}codes array<int>")
 

@@ -333,7 +333,22 @@ LIMIT 50
 # ---------------------------------------------------------------------------
 @_q("topk_per_group")
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load(spark, sf_dir, "lineitem")
+    from disq_spark.operators.dispatch import fan_out
+
+    # Spark's WindowGroupLimit already keeps only the per-partition
+    # top-3 per flag BEFORE the exchange, so the exchange is tiny — but
+    # the partial limit full-sorts each INPUT partition, and a
+    # single-file scan leaves that sort serial (measured 0.9 s of the
+    # 1.1 s sf0.1 wall in one 3-task stage). fan_out parallelizes the
+    # partial sort when the scan is narrower than the core count; at
+    # scale the branch is a no-op (guide §2.5: window-skew family).
+    l = fan_out(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
     w = W.partitionBy("l_returnflag").orderBy(
         F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
     )

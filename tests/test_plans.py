@@ -246,16 +246,17 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     literals folded row-locally, so the returned (id, cid, dist) plan
     has NO key shuffle and NO join of any kind — the only per-iteration
     shuffle is the (cid, pos) centroid-update groupBy, O(k*dim) rows.
-    The single permitted exchange is the ONE-TIME round-robin input
-    fan-out (a low-partition source would otherwise cap every Lloyd
-    round at #input-partitions cores); it carries no key and happens
-    once, not per iteration."""
+    The single permitted exchange is the ONE-TIME input fan-out (a
+    low-partition source would otherwise cap every Lloyd round at
+    #input-partitions cores); since r11 it hashes by the unique id
+    (dispatch.fan_out — hash avoids round-robin's map-side binary sort,
+    SPARK-23207) and happens once, not per iteration."""
     from disq_spark.operators.clustering import kmeans
     from disq_spark.queries.tables import load
 
     e = load(spark, SF, "embeddings")
     plan = simple_plan_of(kmeans(e, k=4, iters=1))
-    assert "hashpartitioning" not in plan
+    assert plan.count("hashpartitioning") <= 1  # the one-time fan-out only
     assert "rangepartitioning" not in plan
     assert plan.count("Exchange") <= 1  # the one-time fan-out only
     assert "Join" not in plan
