@@ -226,7 +226,11 @@ def child_main() -> None:
     for df in _dd._TRACKED[n_tracked_before:]:
         df.unpersist(blocking=False)
     del _dd._TRACKED[n_tracked_before:]
-    max_df_memoized = any(k and k[0] == sf_dir for k in _N_DOCS_CACHE)
+    # _N_DOCS_CACHE keys are tables._table_key tuples:
+    # (session id, sf_dir, table, mtime_ns, size)
+    max_df_memoized = any(
+        k and k[1] == sf_dir and k[2] == "documents" for k in _N_DOCS_CACHE
+    )
     if not max_df_memoized:
         print("# WARNING: _max_df memo missing after cold pass — the "
               "per-invocation corpus count is back", file=sys.stderr)

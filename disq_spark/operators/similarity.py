@@ -30,7 +30,21 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """The dot-product fold as a SQL string. Parsed in ONE py4j round
+    trip; the tree (zip_with of double casts folded left-to-right from
+    a double 0) is the same one the Column-lambda form built — Column
+    HOF lambdas cost dozens of py4j round trips per call, which
+    dominated similarity-query plan-BUILD time (r11 profile)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        "cast(y as double)), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
 def _dot(a, b) -> F.Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -39,6 +53,8 @@ def _dot(a, b) -> F.Column:
 
 
 def _norm(a) -> F.Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_sql(a, a)})")
     return F.sqrt(_dot(a, a))
 
 
@@ -54,7 +70,10 @@ def cosine_with_norms(a, b, norm_a, norm_b) -> F.Column:
     once per *row* instead of twice more per *pair*. On a bucketed
     self-join emitting ~target_bucket_size pairs per vector this cuts
     the dominant HOF cost 3x (measured: dedup_embedding_cosine at sf1
-    65s -> ~22s). Oracles need no change."""
+    65s -> ~22s). Oracles need no change. Column-NAME args build one
+    parsed expression (see _dot_sql); Column args keep the lambda path."""
+    if all(isinstance(x, str) for x in (a, b, norm_a, norm_b)):
+        return F.expr(f"{_dot_sql(a, b)} / ({norm_a} * {norm_b})")
     return _dot(a, b) / (norm_a * norm_b)
 
 
@@ -153,14 +172,14 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
+        _norm(vec_col).alias("q_norm"),
     )
     # the |corpus| x |queries| HOF cosine folds are the stage cost; a
     # single-file scan would run them serially (sf0.1: 0.52 -> 0.40 s)
     c = fan_out(corpus.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
+        _norm(vec_col).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -203,8 +222,17 @@ def sign_bucket(vec, n_bits: int = 8, offset: int = 0) -> F.Column:
     Equivalent to hyperplane LSH with axis-aligned hyperplanes — cheap,
     engine-portable, and good enough for high-dim random embeddings.
     ``offset`` selects a disjoint dimension slice, giving independent
-    bucket families for multi-probe recall.
+    bucket families for multi-probe recall. Accepts a column NAME
+    (preferred — builds one parsed expression, see _dot_sql) or a
+    Column.
     """
+    if isinstance(vec, str):
+        terms = " + ".join(
+            f"(CASE WHEN element_at({vec}, {offset + i + 1}) >= 0.0d "
+            f"THEN {2**i} ELSE 0 END)"
+            for i in range(n_bits)
+        )
+        return F.expr(f"cast((0 + {terms}) as int)")
     b = F.lit(0)
     for i in range(n_bits):
         b = b + F.when(F.element_at(vec, offset + i + 1) >= 0.0, F.lit(2**i)).otherwise(F.lit(0))
@@ -240,20 +268,20 @@ def ivf_assign(
     from pyspark.sql import Window as W2
 
     c = centroids.select(
-        F.col("cid"), F.col("cvec"), _norm(F.col("cvec")).alias("c_n")
+        F.col("cid"), F.col("cvec"), _norm("cvec").alias("c_n")
     )
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("v_n"),
+        _norm(vec_col).alias("v_n"),
     )
     if prefilter_bits is None:
         scored = vecs.join(F.broadcast(c))
     else:
-        cb = c.withColumn("cb", sign_bucket(F.col("cvec"), prefilter_bits))
+        cb = c.withColumn("cb", sign_bucket("cvec", prefilter_bits))
         # tiny driver collect: <= 2^bits distinct centroid buckets
         covered = [r["cb"] for r in cb.select("cb").distinct().collect()]
-        vb = vecs.withColumn("vb", sign_bucket(F.col("v"), prefilter_bits))
+        vb = vecs.withColumn("vb", sign_bucket("v", prefilter_bits))
         matched = vb.filter(F.col("vb").isin(covered)).join(
             F.broadcast(cb), F.col("vb") == F.col("cb")
         )
@@ -261,7 +289,7 @@ def ivf_assign(
         scored = matched.unionByName(uncovered).drop("vb", "cb")
     w = W2.partitionBy("id").orderBy(
         F.desc(
-            cosine_with_norms(F.col("v"), F.col("cvec"), F.col("v_n"), F.col("c_n"))
+            cosine_with_norms("v", "cvec", "v_n", "c_n")
         ),
         F.asc("cid"),
     )
@@ -314,12 +342,12 @@ def ivf_topk(
     c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
+        _norm(vec_col).alias("c_norm"),
     )
     q_vec = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
+        _norm(vec_col).alias("q_norm"),
     )
     cand = (
         query_b.join(corpus_b, "bucket")
@@ -438,13 +466,13 @@ def embedding_neardup_pairs(
         base = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            _norm(F.col(vec_col)).alias("nrm"),
+            _norm(vec_col).alias("nrm"),
         )
         if n_families <= 1:
-            tagged = base.withColumn("bucket", sign_bucket(F.col("v"), n_bits))
+            tagged = base.withColumn("bucket", sign_bucket("v", n_bits))
             return tagged.groupBy("bucket").applyInPandas(kernel, schema)
         tagged = base.select(
-            "id", "v", "nrm", F.posexplode(_family_buckets(F.col("v"), n_bits, n_families)).alias("fam", "bucket")
+            "id", "v", "nrm", F.posexplode(_family_buckets("v", n_bits, n_families)).alias("fam", "bucket")
         )
         return (
             tagged.groupBy("fam", "bucket")
@@ -459,28 +487,28 @@ def embedding_neardup_pairs(
         a = df.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("a_vec"),
-            _norm(F.col(vec_col)).alias("a_norm"),
-            sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+            _norm(vec_col).alias("a_norm"),
+            sign_bucket(vec_col, n_bits).alias("bucket"),
         )
         b = df.select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("b_vec"),
-            _norm(F.col(vec_col)).alias("b_norm"),
-            sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+            _norm(vec_col).alias("b_norm"),
+            sign_bucket(vec_col, n_bits).alias("bucket"),
         )
         cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
-        fams = _family_buckets(F.col(vec_col), n_bits, n_families)
+        fams = _family_buckets(vec_col, n_bits, n_families)
         a = df.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("a_vec"),
-            _norm(F.col(vec_col)).alias("a_norm"),
+            _norm(vec_col).alias("a_norm"),
             F.posexplode(fams).alias("fam", "bucket"),
         )
         b = df.select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("b_vec"),
-            _norm(F.col(vec_col)).alias("b_norm"),
+            _norm(vec_col).alias("b_norm"),
             F.posexplode(fams).alias("fam", "bucket"),
         )
         cand = (
@@ -528,30 +556,30 @@ def signlsh_topk(
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            _norm(F.col(vec_col)).alias("q_norm"),
-            sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+            _norm(vec_col).alias("q_norm"),
+            sign_bucket(vec_col, n_bits).alias("bucket"),
         )
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            _norm(F.col(vec_col)).alias("c_norm"),
-            sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+            _norm(vec_col).alias("c_norm"),
+            sign_bucket(vec_col, n_bits).alias("bucket"),
         )
         scored = c.join(F.broadcast(q), "bucket").filter(
             F.col("query_id") != F.col("neighbor_id")
         )
     else:
-        fams = _family_buckets(F.col(vec_col), n_bits, n_families)
+        fams = _family_buckets(vec_col, n_bits, n_families)
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            _norm(F.col(vec_col)).alias("q_norm"),
+            _norm(vec_col).alias("q_norm"),
             F.posexplode(fams).alias("fam", "bucket"),
         )
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            _norm(F.col(vec_col)).alias("c_norm"),
+            _norm(vec_col).alias("c_norm"),
             F.posexplode(fams).alias("fam", "bucket"),
         )
         scored = (
@@ -709,7 +737,7 @@ def semantic_dedup_pairs(
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
+        _norm(vec_col).alias("nrm"),
     )
     t = assign.join(vecs, "id")
     # method="auto": SQL pair-fold for provably-small inputs, blocked
@@ -725,7 +753,7 @@ def semantic_dedup_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn(
                 "score",
-                F.round(cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4),
+                F.round(cosine_with_norms("va", "vb", "na", "nb"), 4),
             )
             .filter(F.col("score") >= threshold)
             .select("id_a", "id_b", "cid", "score")

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from disq_spark.functions import text as TX
 from disq_spark.operators import dedup as DD
 from disq_spark.operators import similarity as SIM
-from disq_spark.queries.tables import load
+from disq_spark.queries.tables import load, table_count
 
 QUERIES = {}
 ORACLE = {}
@@ -68,37 +68,18 @@ MAX_DF_FLOOR = 20.0
 MAX_DF_CAP = 100.0
 
 
-_N_DOCS_CACHE: dict[tuple, int] = {}
+# the corpus count is a full-scan ACTION at gate-BUILD time; bench's
+# three passes re-invoke every gate, so it is memoized — since r11 via
+# tables.table_count, whose key carries the parquet file's identity
+# (mtime_ns, size) so a corpus REWRITTEN at the same dir mid-session
+# gets a fresh count instead of a silently stale max_df (which would
+# change dedup gate OUTPUT, not just timing). _N_DOCS_CACHE stays
+# exported for the bench's memo-health telemetry.
+from disq_spark.queries.tables import _COUNT_CACHE as _N_DOCS_CACHE  # noqa: E402
 
 
 def _max_df(spark: SparkSession, sf_dir: str) -> float:
-    # the corpus count is a full-scan ACTION at gate-BUILD time; bench's
-    # three passes re-invoke every gate, so memoize — keyed by the
-    # parquet file's identity (path, mtime_ns, size), not the path
-    # alone, so a corpus REWRITTEN at the same dir mid-session gets a
-    # fresh count instead of a silently stale max_df (which would change
-    # dedup gate OUTPUT, not just timing). Only a REGULAR file's stat is
-    # a valid identity: for a directory-shaped parquet (Spark-written),
-    # the dir stat succeeds but rewriting same-named part files in place
-    # does not bump the dir mtime — so directories (and any other
-    # non-file stat target, and stat failures) take the uncached path.
-    import os as _os
-    import stat as _stat
-
-    try:
-        st = _os.stat(f"{sf_dir.rstrip('/')}/documents.parquet")
-        key = (
-            (sf_dir, st.st_mtime_ns, st.st_size)
-            if _stat.S_ISREG(st.st_mode)
-            else None
-        )
-    except OSError:
-        key = None
-    n = _N_DOCS_CACHE.get(key) if key else None
-    if n is None:
-        n = load(spark, sf_dir, "documents").count()
-        if key:
-            _N_DOCS_CACHE[key] = n
+    n = table_count(spark, sf_dir, "documents")
     return min(max(MAX_DF_FLOOR, MAX_DF_FRACTION * n), MAX_DF_CAP)
 
 
@@ -1393,7 +1374,7 @@ def ann_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("dedup_embedding_cosine_blas")
 def dedup_embedding_cosine_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    bits = SIM.scale_n_bits(e.count(), target_bucket_size=EMB_DEDUP_TARGET)
+    bits = SIM.scale_n_bits(table_count(spark, sf_dir, "embeddings"), target_bucket_size=EMB_DEDUP_TARGET)
     return SIM.embedding_neardup_pairs(
         e, threshold=EMB_DEDUP_THRESHOLD, n_bits=bits, method="blas"
     ).orderBy("id_a", "id_b")
@@ -1430,7 +1411,7 @@ def dedup_semantic_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from disq_spark.operators.sampling import uniform_sql
 
     e = load(spark, sf_dir, "embeddings")
-    rate = min(1.0, float(SEMDEDUP_GATE_CAP) / e.count())
+    rate = min(1.0, float(SEMDEDUP_GATE_CAP) / table_count(spark, sf_dir, "embeddings"))
     e = e.filter(F.expr(uniform_sql("vec_id", SEMDEDUP_SEED)) < rate)
     return SIM2.semantic_dedup_pairs(
         e,
@@ -1574,7 +1555,7 @@ EMB_DEDUP_TARGET = 32
 @_q("dedup_embedding_cosine")
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    bits = SIM.scale_n_bits(e.count(), target_bucket_size=EMB_DEDUP_TARGET)
+    bits = SIM.scale_n_bits(table_count(spark, sf_dir, "embeddings"), target_bucket_size=EMB_DEDUP_TARGET)
     return SIM.embedding_neardup_pairs(
         e, threshold=EMB_DEDUP_THRESHOLD, n_bits=bits
     ).orderBy("id_a", "id_b")
@@ -2908,7 +2889,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from disq_spark.operators.sampling import uniform_sql
 
     e = load(spark, sf_dir, "embeddings")
-    rate = min(1.0, float(SEMDEDUP_GATE_CAP) / e.count())
+    rate = min(1.0, float(SEMDEDUP_GATE_CAP) / table_count(spark, sf_dir, "embeddings"))
     e = e.filter(F.expr(uniform_sql("vec_id", SEMDEDUP_SEED)) < rate)
     return SIM2.semantic_dedup_pairs(
         e,

@@ -4970,11 +4970,15 @@ def test_max_df_caches_only_regular_file_corpora(spark, tmp_path):
     spark.createDataFrame(
         [(i, f"text {i}") for i in range(7)], "doc_id long, text string"
     ).coalesce(1).write.parquet(str(ddir / "documents.parquet"))
+    from disq_spark.queries import tables
+
     before = dict(llm._N_DOCS_CACHE)
     llm._max_df(spark, str(ddir))
     assert llm._N_DOCS_CACHE == before, "directory corpus must not be memoized"
 
-    # single-file corpus: cached, and the cached path does NOT re-count
+    # single-file corpus: cached, and the cached path does NOT re-count.
+    # Since r11 the memo lives in tables._COUNT_CACHE with
+    # tables._table_key keys: (session id, sf_dir, table, mtime_ns, size).
     fdir = tmp_path / "filesf"
     fdir.mkdir()
     pq.write_table(
@@ -4983,13 +4987,79 @@ def test_max_df_caches_only_regular_file_corpora(spark, tmp_path):
     )
     v1 = llm._max_df(spark, str(fdir))
     added = set(llm._N_DOCS_CACHE) - set(before)
-    assert any(k[0] == str(fdir) for k in added)
-    orig_load = llm.load
+    assert any(k[1] == str(fdir) and k[2] == "documents" for k in added)
+    orig_load = tables.load
     try:
         def _no_count(*a, **kw):
             raise AssertionError("memoized _max_df must not re-count the corpus")
 
-        llm.load = _no_count
+        tables.load = _no_count
         assert llm._max_df(spark, str(fdir)) == v1
     finally:
-        llm.load = orig_load
+        tables.load = orig_load
+
+
+def test_load_memo_invalidates_on_rewrite(spark, tmp_path):
+    """tables.load memoizes the DataFrame (plan/metadata only — no rows)
+    per (session, path, mtime_ns, size): the same single-file table
+    returns the same object (no footer re-read per query build), but a
+    corpus REWRITTEN at the same path must get a fresh scan — a stale
+    file listing would silently serve old bytes. Directory-shaped
+    tables are never memoized (rewriting part files in place does not
+    bump the dir mtime)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from disq_spark.queries import tables
+
+    fdir = tmp_path / "memosf"
+    fdir.mkdir()
+    path = str(fdir / "documents.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["a", "b"]}), path
+    )
+    d1 = tables.load(spark, str(fdir), "documents")
+    d2 = tables.load(spark, str(fdir), "documents")
+    assert d1 is d2, "same file identity must return the memoized DataFrame"
+    assert d1.count() == 2
+
+    # rewrite at the same path -> new identity -> fresh scan, fresh rows
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]}), path
+    )
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    d3 = tables.load(spark, str(fdir), "documents")
+    assert d3 is not d1
+    assert d3.count() == 3
+    assert tables.table_count(spark, str(fdir), "documents") == 3
+
+    # directory-shaped parquet: stat is not a regular file -> no memo
+    ddir = tmp_path / "memodir"
+    ddir.mkdir()
+    spark.createDataFrame([(1, "x")], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(ddir / "documents.parquet"))
+    e1 = tables.load(spark, str(ddir), "documents")
+    e2 = tables.load(spark, str(ddir), "documents")
+    assert e1 is not e2, "directory corpus must not be memoized"
+
+
+def test_fan_out_branches_on_source_width(spark):
+    """dispatch.fan_out: adds exactly one exchange (hash-by-key when
+    given a key) for a source narrower than the core count, and is an
+    exact no-op — same object — for a source already at or above it."""
+    from disq_spark.operators.dispatch import fan_out
+
+    narrow = spark.range(10).coalesce(1)
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fanned = fan_out(narrow, "id")
+    assert fanned is not narrow
+    assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in fanned.collect()) == list(range(10))
+    assert fan_out(wide, "id") is wide
