@@ -599,12 +599,22 @@ def ngram_jaccard_pairs(
         return _ngram_jaccard_prefix(sh, id_col, threshold)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
+    # Join-back shape, kept DELIBERATELY after measuring the
+    # alternative (r11): carrying each side's set size through the
+    # candidate join (Vernica et al.'s SSJoin layout — one index join
+    # up front, no post-agg join-backs) measured FASTER at sf0.1
+    # (1.82 -> 1.31 s, pure stage-count/driver overhead) but 1.7x
+    # SLOWER at 10x docs (12.3 -> 20.6 s, 50k zipf-free corpus,
+    # identical output): the carried n_a/n_b widen every
+    # PRE-partial-agg candidate row — the sum-df^2 stream that grows
+    # with duplication — and add a full index-sized shuffle for the
+    # size attach, while the join-backs they replace touch only the
+    # post-agg DISTINCT-pair table. Locally-faster/scale-slower is the
+    # wrong trade for this repo; see OPTIMIZATION_r11.md.
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    joined = a.join(b, ["shingle"]).filter(F.col("id_a") < F.col("id_b"))
     if two_level_agg:
-        # documented-negative probe path (see docstring): kept on the
-        # r7 join-back shape so its measurement stays comparable
-        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-        joined = a.join(b, ["shingle"]).filter(F.col("id_a") < F.col("id_b"))
         inter = (
             joined.groupBy(
                 F.pmod("shingle", F.lit(agg_buckets)).alias("__gb"), "id_a", "id_b"
@@ -613,45 +623,18 @@ def ngram_jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.sum("__n").alias("n_common"))
         )
-        # corpus-proportional join-backs: same no-broadcast rule as the
-        # prefix path's token-array join (see _ngram_jaccard_prefix note)
-        sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-        sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-        inter = inter.join(sz_a.hint("shuffle_hash"), "id_a").join(
-            sz_b.hint("shuffle_hash"), "id_b"
-        )
     else:
-        # Carry each side's set size THROUGH the candidate join (the
-        # Vernica et al. SSJoin layout) instead of joining it back onto
-        # the aggregated pair table afterwards. Cost: one narrow shuffle
-        # of the inverted index by id (the sizes attach; shuffle_hash —
-        # sizes is corpus-proportional, it must never broadcast at
-        # scale) and +16 B on each pre-partial-agg candidate row.
-        # Saves: TWO full shuffles of the pair table (the id_a/id_b
-        # join-backs) and their joins — and the pair table, not the
-        # index, is what grows with duplication (sum df^2 vs sum df; at
-        # sf10 the measured pair stream was 872M rows). first(n) is
-        # exact: n is functionally dependent on the id key. Measured
-        # sf0.1: 1.82 -> 1.31 s, output identical.
-        wide = sh.join(sizes.hint("shuffle_hash"), id_col)
-        a = wide.select(
-            F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
-        )
-        b = wide.select(
-            F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
-        )
         inter = (
-            a.join(b, ["shingle"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(
-                F.count("*").alias("n_common"),
-                F.first("n_a").alias("n_a"),
-                F.first("n_b").alias("n_b"),
-            )
+            joined.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
         )
+    # corpus-proportional join-backs: same no-broadcast rule as the
+    # prefix path's token-array join (see _ngram_jaccard_prefix note)
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.withColumn(
+        inter.join(sz_a.hint("shuffle_hash"), "id_a")
+        .join(sz_b.hint("shuffle_hash"), "id_b")
+        .withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
         )
