@@ -33,7 +33,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sqdist_fold_sql(a: str, b: str) -> str:
+    """Squared distance as a SQL string — the same zip_with/left-fold
+    tree the Column form builds (double casts, power 2, double 0 init)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> power(cast(x as double) - "
+        "cast(y as double), 2)), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
 def _sqdist(a, b) -> F.Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_sqdist_fold_sql(a, b))
     return F.aggregate(
         F.zip_with(
             a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
@@ -43,10 +54,43 @@ def _sqdist(a, b) -> F.Column:
     )
 
 
+def _dlit(x: float) -> str:
+    """A double literal in Spark SQL syntax; repr round-trips exactly."""
+    return f"{float(x)!r}d"
+
+
+def _nearest_sql(v: str, centroids: list[tuple[int, list[float]]]) -> str:
+    """``_nearest`` as one SQL string. Centroid lists are k*dim LITERALS:
+    built via Column calls, each literal is a py4j round trip and every
+    wrapping Dataset re-runs the analyzer — train_pq/kmeans plan builds
+    measured seconds per Lloyd round at gate sizes (r11 profile). One
+    parsed expression carries the identical tree: named structs, the
+    same fold init (cid -1, dist Infinity) and the same strict-< /
+    lower-cid tie-break, so every oracle stays hash-exact."""
+    cent_arr = ", ".join(
+        f"named_struct('cid', {int(cid)}, 'c', array("
+        + ", ".join(_dlit(x) for x in c)
+        + "))"
+        for cid, c in centroids
+    )
+    d = _sqdist_fold_sql(v, "cen.c")
+    return (
+        f"aggregate(array({cent_arr}), "
+        "named_struct('cid', cast(-1 as int), 'dist', cast('Infinity' as double)), "
+        "(acc, cen) -> named_struct("
+        f"'cid', CASE WHEN {d} < acc.dist THEN cen.cid ELSE acc.cid END, "
+        f"'dist', CASE WHEN {d} < acc.dist THEN {d} ELSE acc.dist END))"
+    )
+
+
 def _nearest(v, centroids: list[tuple[int, list[float]]]):
     """(cid, dist) of the nearest centroid, computed row-locally by
     folding over the centroid literals in ascending-cid order (strict <
-    keeps the lower cid on ties — the oracle's ORDER BY dist, cid)."""
+    keeps the lower cid on ties — the oracle's ORDER BY dist, cid).
+    A column-NAME ``v`` builds the whole fold as one parsed expression
+    (see _nearest_sql); a Column keeps the lambda path."""
+    if isinstance(v, str):
+        return F.expr(_nearest_sql(v, centroids))
     cent_arr = F.array(
         *[
             F.struct(
@@ -220,7 +264,9 @@ def kmeans(
     from disq_spark.operators.dispatch import fan_out
 
     vecs = fan_out(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "id",
+        min_bytes=2 * 1024 * 1024,
     )
     vecs = vecs.persist()
     try:
@@ -259,7 +305,7 @@ def kmeans(
             # Arrow pass with the same math (blas, bit-identical)
             if use_blas:
                 return _blas_assign(vecs, cents)
-            best = _nearest(F.col("v"), cents)
+            best = _nearest("v", cents)
             return vecs.select(
                 "id", best["cid"].alias("cid"), best["dist"].alias("dist"), "v"
             )

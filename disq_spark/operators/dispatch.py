@@ -46,7 +46,7 @@ def resolve_method(method: str, df, small_bytes: int = SMALL_INPUT_BYTES) -> str
     return method
 
 
-def fan_out(df, *cols):
+def fan_out(df, *cols, size_of=None, min_bytes: int = 0):
     """Repartition ``df`` to the session's parallelism — but ONLY when
     the source is narrower than the core count (one small parquet file
     -> every downstream CPU-bound operator runs serially). At scale the
@@ -58,9 +58,18 @@ def fan_out(df, *cols):
     pays the deterministic sort-before-repartition (SPARK-23207) on the
     map side, so prefer a key when one exists. Result-neutral either
     way: only row placement changes.
-    """
+
+    ``min_bytes`` (with ``size_of`` supplying the frame whose Catalyst
+    estimate to read — pass the pre-explode base when ``df`` contains a
+    Generate, whose estimates are unreliable): below the floor the
+    fan-out is SKIPPED — for per-byte-cheap work (k-means argmin over a
+    few hundred rows) 32-way task launch costs more than it buys.
+    Callers whose per-byte work is heavy (text shingling) keep the
+    default 0."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    if min_bytes and plan_size_bytes(size_of if size_of is not None else df) < min_bytes:
         return df
     if cols:
         return df.repartition(sc.defaultParallelism, *cols)

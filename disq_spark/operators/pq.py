@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from disq_spark.operators.clustering import _nearest, _sqdist
+from disq_spark.operators.clustering import _nearest, _nearest_sql, _sqdist
 
 
 def _block_slices(vec_col: str, dim: int, m: int) -> list:
@@ -87,7 +87,7 @@ def train_pq(
     # downstream math is row-level, so this is result-neutral)
     from disq_spark.operators.dispatch import fan_out
 
-    blocks = fan_out(blocks, "id", "block")
+    blocks = fan_out(blocks, "id", "block", size_of=d, min_bytes=2 * 1024 * 1024)
     # each Lloyd round rescans the exploded table: materialize once
     blocks = blocks.persist()
     try:
@@ -97,14 +97,24 @@ def train_pq(
                 cents[(b, cid)] = [float(x) for x in r.v[b * sub : (b + 1) * sub]]
 
         def assigned() -> DataFrame:
-            # row-local argmin, block-dispatched: one chained-when over
-            # the m per-block centroid sets — no join, no exchange
-            expr = _nearest(F.col("sv"), [(cid, cents[(0, cid)]) for cid in range(k)])
-            for b in range(1, m):
-                expr = F.when(
-                    F.col("block") == b,
-                    _nearest(F.col("sv"), [(cid, cents[(b, cid)]) for cid in range(k)]),
-                ).otherwise(expr)
+            # row-local argmin, block-dispatched: one CASE over the m
+            # per-block centroid sets — no join, no exchange. Built as
+            # ONE parsed expression: the centroid literals are m*k*sub
+            # doubles, and building them as nested Columns cost one
+            # py4j round trip each (seconds per Lloyd round at gate
+            # sizes — r11 profile; see clustering._nearest_sql).
+            base = _nearest_sql("sv", [(cid, cents[(0, cid)]) for cid in range(k)])
+            if m > 1:
+                branches = " ".join(
+                    f"WHEN block = {b} THEN "
+                    + _nearest_sql(
+                        "sv", [(cid, cents[(b, cid)]) for cid in range(k)]
+                    )
+                    for b in range(1, m)
+                )
+                expr = F.expr(f"CASE {branches} ELSE {base} END")
+            else:
+                expr = F.expr(base)
             return blocks.select("id", "block", "sv", expr["cid"].alias("cid"))
 
         for _ in range(iters):
@@ -297,14 +307,19 @@ def pq_encode(
     dim = m * len(codebooks[(0, 0)])
     if _resolve_encode_method(method, df, m, k) == "blas":
         return _blas_encode(df, _cent_matrices(codebooks, m), m, id_col, vec_col)
-    slices = _block_slices(vec_col, dim, m)
-    codes = F.array(
-        *[
-            _nearest(slices[b], [(cid, codebooks[(b, cid)]) for cid in range(k)])[
-                "cid"
-            ]
+    sub = dim // m
+    codes = F.expr(
+        "array("
+        + ", ".join(
+            "("
+            + _nearest_sql(
+                f"slice({vec_col}, {b * sub + 1}, {sub})",
+                [(cid, codebooks[(b, cid)]) for cid in range(k)],
+            )
+            + ").cid"
             for b in range(m)
-        ]
+        )
+        + ")"
     )
     return df.select(F.col(id_col), codes.alias("codes"))
 
@@ -336,17 +351,24 @@ def ivf_pq_encode(
             df, _cent_matrices(codebooks, m), m, id_col, vec_col,
             cell_cents=_cent_matrices(coarse, 1)[0],
         )
-    slices = _block_slices(vec_col, dim, m)
-    cell = _nearest(
-        F.col(vec_col), [(cid, coarse[(0, cid)]) for cid in range(K)]
-    )["cid"]
-    codes = F.array(
-        *[
-            _nearest(
-                slices[b], [(cid, codebooks[(b, cid)]) for cid in range(k)]
-            )["cid"]
+    sub = dim // m
+    cell = F.expr(
+        "("
+        + _nearest_sql(vec_col, [(cid, coarse[(0, cid)]) for cid in range(K)])
+        + ").cid"
+    )
+    codes = F.expr(
+        "array("
+        + ", ".join(
+            "("
+            + _nearest_sql(
+                f"slice({vec_col}, {b * sub + 1}, {sub})",
+                [(cid, codebooks[(b, cid)]) for cid in range(k)],
+            )
+            + ").cid"
             for b in range(m)
-        ]
+        )
+        + ")"
     )
     return df.select(F.col(id_col), cell.alias("cell"), codes.alias("codes"))
 
@@ -407,7 +429,7 @@ def _adc_lut(spark, codebooks, queries, m: int, k: int, sub: int):
         "q_id long, block int, qsv array<double>",
     )
     return qdf.join(F.broadcast(cdf), "block").select(
-        "q_id", "block", "cid", _sqdist(F.col("qsv"), F.col("c")).alias("bd")
+        "q_id", "block", "cid", _sqdist("qsv", "c").alias("bd")
     )
 
 
@@ -491,7 +513,7 @@ def ivf_pq_topk(
     wq = Window.partitionBy("q_id").orderBy("d", "cell")
     probed = (
         qv.crossJoin(F.broadcast(gdf))
-        .select("q_id", "cell", _sqdist(F.col("qv"), F.col("c")).alias("d"))
+        .select("q_id", "cell", _sqdist("qv", "c").alias("d"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "cell")
