@@ -5252,10 +5252,15 @@ cand AS (
   WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) >= {EDIT_CAND_THRESHOLD}
 ),
 norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
-scored AS (
+-- lev computed ONCE per pair (DuckDB does not CSE the O(len^2) DP;
+-- inlining it in ratio doubled the oracle's dominant cost — r11)
+lv AS (
   SELECT id_a, id_b, levenshtein(na.nt, nb.nt) AS lev,
-         round(levenshtein(na.nt, nb.nt) * 1.0 / greatest(length(na.nt), length(nb.nt)), 4) AS ratio
+         greatest(length(na.nt), length(nb.nt)) AS ml
   FROM cand JOIN norm na ON id_a = na.doc_id JOIN norm nb ON id_b = nb.doc_id
+),
+scored AS (
+  SELECT id_a, id_b, lev, round(lev * 1.0 / ml, 4) AS ratio FROM lv
 )
 SELECT id_a, id_b, lev, ratio FROM scored
 WHERE ratio <= {EDIT_MAX_RATIO} ORDER BY id_a, id_b
@@ -5296,13 +5301,17 @@ cand AS (
   GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
 ),
 nrm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
-scored AS (
+-- lev computed ONCE per pair (DuckDB does not CSE the O(len^2) DP;
+-- inlining it in ratio doubled the oracle's dominant cost — r11)
+lv AS (
   SELECT id_a, id_b, levenshtein(na.nt, nb.nt) AS lev,
-         CASE WHEN greatest(length(na.nt), length(nb.nt)) = 0 THEN 0.0
-              ELSE round(levenshtein(na.nt, nb.nt) * 1.0
-                         / greatest(length(na.nt), length(nb.nt)), 4)
-         END AS ratio
+         greatest(length(na.nt), length(nb.nt)) AS ml
   FROM cand JOIN nrm na ON id_a = na.doc_id JOIN nrm nb ON id_b = nb.doc_id
+),
+scored AS (
+  SELECT id_a, id_b, lev,
+         CASE WHEN ml = 0 THEN 0.0 ELSE round(lev * 1.0 / ml, 4) END AS ratio
+  FROM lv
 )
 SELECT id_a, id_b, lev, ratio FROM scored
 WHERE ratio <= {VERIFY_MAX_RATIO} ORDER BY id_a, id_b
