@@ -1752,12 +1752,45 @@ def _bounded_lev(max_ratio: float) -> F.Column:
     original rule too (the +1 absorbs float ulp at the boundary).
     Callers must ALSO filter ``lev >= 0``. Measured (sf0.01
     dedup_verified, 15,148 winnowing candidates at max_ratio 0.6):
-    22.2 s -> see OPTIMIZATION_r11.md."""
+    22.2 s -> see OPTIMIZATION_r11.md.
+
+    The DP is wrapped in ``element_at(shuffle(array(..)), 1)`` — a
+    value-identity wrapper (a one-element array has a single
+    permutation) whose only purpose is the NONDETERMINISTIC flag:
+    without it the optimizer substitutes the DP into the caller's keep
+    filter and pushes the filter into the text join-back's residual
+    condition, where the whole verify workload executes inside the
+    join's (byte-wise tiny, AQE-coalesced-to-one-task) probe stage.
+    The flag pins the DP in a Project ABOVE the join so the caller can
+    repartition the candidate pairs first (see ``_dp_fan_out``) —
+    same trick the optimization guide applies to expensive UDFs, r11."""
     r = float(max_ratio) + 5e-5
     return F.expr(
-        f"levenshtein(t_a, t_b, cast(ceil({r!r} * greatest(length(t_a), "
-        "length(t_b))) + 1 as int))"
+        f"element_at(shuffle(array(levenshtein(t_a, t_b, "
+        f"cast(ceil({r!r} * greatest(length(t_a), "
+        "length(t_b))) + 1 as int)))), 1)"
     )
+
+
+def _dp_fan_out(pairs: DataFrame) -> DataFrame:
+    """Spread candidate (id_a, id_b, t_a, t_b) rows across the session's
+    full width before the Levenshtein projection. The verify tier is the
+    one stage whose cost is CPU-per-row (O(len * bound) DP cells), not
+    bytes — AQE's byte-based coalescing sees a few MB of join output and
+    folds it to ONE post-shuffle partition, serializing the entire DP
+    (measured sf0.01: 15,148 pairs, 16.2 s single-task vs 2.5 s after
+    this + the _bounded_lev barrier). An explicit user partition count
+    is exempt from AQE coalescing, and hash-by-pair-key avoids the
+    keyless-repartition map-side sort (SPARK-23207). Scale-adaptive:
+    max(defaultParallelism, shuffle.partitions) grows with the session,
+    and per-task DP work stays (pair volume / n) — bounded exactly where
+    byte-based coalescing would unbound it."""
+    sc = pairs.sparkSession.sparkContext
+    n = max(
+        sc.defaultParallelism,
+        int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return pairs.repartition(n, "id_a", "id_b")
 
 
 def edit_distance_pairs(
@@ -1788,8 +1821,7 @@ def edit_distance_pairs(
     b = norm.select(F.col(id_col).alias("id_b"), F.col("__nt").alias("t_b"))
     lev = _bounded_lev(max_ratio)
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        _dp_fan_out(cand.join(a, "id_a").join(b, "id_b"))
         .withColumn("lev", lev)
         .withColumn(
             "ratio",
@@ -1829,9 +1861,12 @@ def verified_pairs(
     Scale shape: two shuffle-hash join-backs against the one-row-per-doc
     normalized-text table (hinted — Catalyst's pre-materialization size
     estimates undercount wide text columns and would broadcast a
-    corpus-proportional table, the r9 OOM lesson), then a row-local
-    Levenshtein. Cost is O(|candidates| * len^2) JVM-side DP — bounded
-    because candidate generation is bounded, never all-pairs.
+    corpus-proportional table, the r9 OOM lesson), a pair-keyed fan-out
+    of the joined candidates (``_dp_fan_out`` — the DP stage is
+    CPU-bound, so AQE's byte-based coalescing must not narrow it), then
+    a row-local Levenshtein. Cost is O(|candidates| * len * bound)
+    JVM-side banded DP — bounded because candidate generation is
+    bounded, never all-pairs.
     """
     if method != "editdist":
         raise ValueError(f"unknown verification method {method!r}")
@@ -1845,9 +1880,11 @@ def verified_pairs(
     # empty-empty pairs: bounded lev returns 0 (<= bound), ratio 0 — the
     # same rows the unbounded version kept
     return (
-        candidates.select("id_a", "id_b")
-        .join(a.hint("shuffle_hash"), "id_a")
-        .join(b.hint("shuffle_hash"), "id_b")
+        _dp_fan_out(
+            candidates.select("id_a", "id_b")
+            .join(a.hint("shuffle_hash"), "id_a")
+            .join(b.hint("shuffle_hash"), "id_b")
+        )
         .withColumn("lev", _bounded_lev(max_ratio))
         .withColumn("ratio", ratio)
         .filter((F.col("lev") >= 0) & (F.col("ratio") <= max_ratio))

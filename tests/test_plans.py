@@ -133,6 +133,29 @@ def test_verified_pairs_joinbacks_stay_partitioned(spark):
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
 
 
+def test_verified_pairs_dp_runs_wide_above_the_join(spark):
+    """The Levenshtein DP must be evaluated exactly ONCE, in a Project
+    ABOVE a pair-keyed repartition — not pushed into the text join's
+    residual condition, where AQE's byte-based coalescing serializes the
+    whole CPU-bound verify stage onto one task (r11: 16.2 s -> 2.5 s at
+    sf0.01). The shuffle(array(..)) nondeterminism barrier plus
+    _dp_fan_out lock this shape; this test locks the lock."""
+    from disq_spark.queries.llm import QUERIES
+
+    df = QUERIES["dedup_verified"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("levenshtein") == 1, plan
+    # the DP sits above the fan-out exchange: in the optimized plan the
+    # levenshtein Project must appear BEFORE (above) the repartition
+    lev_at = plan.find("levenshtein")
+    rep_at = plan.find("RepartitionByExpression")
+    assert rep_at != -1, plan
+    assert lev_at < rep_at, plan
+    # and no join condition carries it: joins appear only below
+    join_at = plan.find("Join")
+    assert join_at == -1 or lev_at < join_at, plan
+
+
 def test_interval_overlap_filter_is_codegen(spark):
     """The genomic overlap predicate compiles to plain comparisons inside
     WholeStageCodegen — no Python worker in the hot filter path."""
