@@ -1393,8 +1393,17 @@ def hamming_banded_pairs(
 
 def _word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id_col, gram): every positional word ``n``-gram of each text —
-    one explode, no shuffle. Documents with fewer than ``n`` tokens emit
-    no row. Shared by substring_dup_rate and ngram_contamination."""
+    one explode, no shuffle (the fan_out below is a no-op whenever the
+    source already carries >= cores partitions, i.e. always at scale).
+    Documents with fewer than ``n`` tokens emit no row. Shared by
+    substring_dup_rate and ngram_contamination."""
+    from disq_spark.operators.dispatch import fan_out
+
+    # tokenize + slice + md5-per-gram is per-byte heavy, and every
+    # consumer re-runs it per subtree (flag agg + join-back) — a narrow
+    # source serializes all of them (r11 stage sweep: 0.7 s/stage on
+    # one task at sf0.01). Same floor-0 contract as minhash shingling.
+    df = fan_out(df, id_col)
     toks = tokens(F.col(text_col))
     npos = F.size(toks) - F.lit(n - 1)
     # sequence(1, 0) would produce a DESCENDING [1, 0] in Spark — gate
@@ -1525,8 +1534,12 @@ def remove_duplicate_spans(
     """
     from pyspark.sql.window import Window
 
+    from disq_spark.operators.dispatch import fan_out
+
     toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("toks"))
+    # same narrow-source fan-out as _word_ngrams: the positional-gram
+    # explode is re-run by three subtrees (flag, covered, rebuild)
+    base = fan_out(df, id_col).select(F.col(id_col), toks.alias("toks"))
     npos = F.size(F.col("toks")) - F.lit(n - 1)
     # positional grams: (id, pos, gh) with pos 1-based
     grams = base.select(

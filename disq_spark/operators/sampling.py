@@ -244,8 +244,15 @@ def dsir_weights(
     (fit + score) and never joined against itself; nothing in the plan
     grows with corpus size except the two linear passes.
     """
-    rf = dsir_features(raw, text_col, buckets)
-    tf_ = dsir_features(target, text_col, buckets)
+    from disq_spark.operators.dispatch import fan_out
+
+    # the hashed-ngram explode is per-byte heavy and feeds THREE
+    # subtrees (raw fit, target fit, scoring join) — a narrow source
+    # runs each serially (r11 stage sweep: 1.2 s single-task fit
+    # stages at sf0.01). No-op whenever the corpus already carries
+    # >= cores partitions, i.e. always at scale.
+    rf = dsir_features(fan_out(raw, id_col), text_col, buckets)
+    tf_ = dsir_features(fan_out(target, id_col), text_col, buckets)
 
     import math
 

@@ -284,6 +284,14 @@ def bloom_prune(
     pruned rows never shuffle. Follow with the exact join; false
     positives (rate ~ (1 - e^(-kn/m))^k) are removed there, which is
     why bloom-pruned plans need no oracle of their own.
+
+    Deliberately NO fan_out here (r11 stage sweep flagged the 2.3 s
+    single-task k-bit-test scan at sf0.01): downstream consumers sum
+    doubles off the pruned rows, and a repartition changes partial-agg
+    accumulation order — measured flipping bloom_semi_join's
+    round(sum, 2) by one cent at a .415 boundary. The serial scan is a
+    narrow-fixture artifact only; at scale the source carries >= cores
+    partitions natively.
     """
     pred = None
     for i in range(k):

@@ -5063,3 +5063,29 @@ def test_fan_out_branches_on_source_width(spark):
     assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert sorted(r.id for r in fanned.collect()) == list(range(10))
     assert fan_out(wide, "id") is wide
+
+
+def test_ngram_and_dsir_stages_fan_out_on_narrow_source(spark):
+    """r11 stage-sweep fix: the per-byte-heavy gram/feature explodes in
+    substring_dup_rate and dsir_weights repartition a narrow source by
+    doc id (so the explode runs as wide as the session) and leave the
+    results identical to the single-partition execution."""
+    from disq_spark.operators.dedup import substring_dup_rate
+    from disq_spark.operators.sampling import dsir_weights
+
+    rows = [(i, f"tok{i % 7} alpha beta gamma tok{i % 5} delta") for i in range(40)]
+    narrow = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)
+
+    sd = substring_dup_rate(narrow, n=3)
+    assert "hashpartitioning(doc_id" in sd._jdf.queryExecution().executedPlan().toString()
+    tgt = narrow.filter("doc_id < 10")
+    dw = dsir_weights(narrow, tgt, buckets=64)
+    assert "hashpartitioning(doc_id" in dw._jdf.queryExecution().executedPlan().toString()
+
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    assert sorted(map(tuple, sd.collect())) == sorted(
+        map(tuple, substring_dup_rate(wide, n=3).collect())
+    )
+    assert sorted(map(tuple, dw.collect())) == sorted(
+        map(tuple, dsir_weights(wide, wide.filter("doc_id < 10"), buckets=64).collect())
+    )
