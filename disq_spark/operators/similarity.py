@@ -776,7 +776,14 @@ def semantic_dedup_pairs(
         F.col("b").alias("bi"),
         F.explode(F.sequence(F.col("b"), F.lit(n_blocks - 1))).alias("bj"),
     )
-    role_b = base.filter(F.lit(n_blocks) > 1).select(
+    # role B must skip b == 0: Spark's sequence(0, b-1) is DESCENDING
+    # for b == 0 — it yields [0, -1], not an empty array — which used
+    # to hand every block-0 row a spurious role-b copy in its own
+    # diagonal group (each same-block pair then scored 4x: 2x2 row
+    # copies, the diag keep-one filter halves orientations only). The
+    # literal n_blocks guard stays so the single-block plan prunes the
+    # whole branch at fold time.
+    role_b = base.filter((F.lit(n_blocks) > 1) & (F.col("b") > 0)).select(
         "cid", "id", "v", "nrm", F.lit("b").alias("role"),
         F.explode(F.sequence(F.lit(0), F.col("b") - 1)).alias("bi"),
         F.col("b").alias("bj"),

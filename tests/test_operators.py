@@ -2268,13 +2268,17 @@ def test_semantic_dedup_blas_matches_sql(spark):
         for r in semantic_dedup_pairs(df, method="sql", **kw).collect()
     }
     for bs in (8192, 16):  # single-block and forced multi-block grids
-        blas = {
-            (r.id_a, r.id_b): (r.cid, r.score)
-            for r in semantic_dedup_pairs(
-                df, method="blas", block_size=bs, **kw
-            ).collect()
-        }
+        rows = semantic_dedup_pairs(
+            df, method="blas", block_size=bs, **kw
+        ).collect()
+        blas = {(r.id_a, r.id_b): (r.cid, r.score) for r in rows}
         assert blas == sql, f"block_size={bs}"
+        # each unordered pair must appear exactly ONCE: block-0 rows
+        # used to gain a spurious role-b copy in their own diagonal
+        # group (sequence(0, -1) explodes DESCENDING, not empty), so
+        # same-block-0 pairs scored 4x — a dict comparison alone
+        # collapses the duplicates and cannot see it
+        assert len(rows) == len(blas), f"block_size={bs}: duplicate pairs"
     assert len(sql) > 50  # the comparison is not vacuous
 
 
@@ -4473,8 +4477,10 @@ def test_semantic_dedup_string_ids_blas(spark):
     }
     out = semantic_dedup_pairs(df, method="blas", block_size=16, **kw)
     assert dict(out.dtypes)["id_a"] == "string"
-    blas = {(r.id_a, r.id_b): (r.cid, r.score) for r in out.collect()}
+    rows = out.collect()
+    blas = {(r.id_a, r.id_b): (r.cid, r.score) for r in rows}
     assert blas == sql and len(sql) > 20
+    assert len(rows) == len(blas), "duplicate pairs from the block grid"
 
 
 def test_minhash_lean_buckets_equal_carry(spark):
