@@ -122,11 +122,13 @@ def scale_k(
     """Cluster-count sizing, the ``similarity.scale_n_bits`` convention
     applied to k-means cells: enough clusters that the EXPECTED cell
     holds <= target_cell_size vectors. SemDeDup-style within-cell
-    work is O(cell^2) and cell recall degrades as fixed-k cells span
-    more templates (measured: recall 0.81 -> 0.71 going 50k -> 500k
-    docs at fixed k=32, SCALE.md §r10) — k must grow with n. The
-    default target 1536 is the cell size at the measured-good 50k/k=32
-    point. Clamped to [min_k, max_k] for parallelism / plan sanity."""
+    work is O(cell^2) and cell quality degrades as fixed-k cells span
+    more templates (measured, clean kernel: recall 0.815 -> 0.705 and
+    precision 0.64 -> 0.49 going 50k -> 500k docs at fixed k=32; the
+    auto-k rule holds R 0.743 / P 0.787 at 500k — SCALE.md §Round-11)
+    — k must grow with n. The default target 1536 is the cell size at
+    the measured-good 50k/k=32 point. Clamped to [min_k, max_k] for
+    parallelism / plan sanity."""
     if n <= 0:
         return min_k
     import math

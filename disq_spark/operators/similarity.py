@@ -718,12 +718,14 @@ def semantic_dedup_pairs(
 
     if k == "auto":
         # grow cells with the corpus (k ~ n / target_cell_size): fixed
-        # k is a measured recall cliff — 0.81 -> 0.71 going 50k -> 500k
-        # docs at k=32 (SCALE.md §r10) — and a quadratic cost cliff
-        # (within-cell work is sum(cell^2) ~ n^2/k). The default
-        # target (1536) is the cell size at the measured-good 50k/k=32
-        # operating point; r11 re-measured the series with this rule
-        # (SCALE.md §r11: recall held at 500k instead of easing).
+        # k is a measured quality cliff — clean-kernel R 0.815 -> 0.705
+        # and P 0.64 -> 0.49 going 50k -> 500k docs at k=32 — and a
+        # quadratic cost cliff (within-cell work is sum(cell^2) ~
+        # n^2/k). The default target (1536) is the cell size at the
+        # measured-good 50k/k=32 operating point; the r11 re-measured
+        # series (SCALE.md §Round-11) shows auto-k dominating fixed k
+        # past 50k on every axis (500k: R .743 / P .787 / F1 .764 vs
+        # .705/.485/.574) while recall still eases mildly with scale.
         k = scale_k(df.count(), target_cell_size)
     assign = kmeans(
         df,
