@@ -147,6 +147,9 @@ def main() -> None:
         )
     result["canary_sec"] = _median(canaries)
     result["canary_runs"] = canaries
+    # per-pass canaries from every child (child 1 carries cold/warm/
+    # nocache/end; warm-skipping children carry cold/end)
+    result["pass_canaries_runs"] = [s.get("pass_canaries") for s in samples]
     print(json.dumps(result))
 
 
@@ -160,6 +163,16 @@ def child_main() -> None:
 
     # warm the JVM + parquet footers with a trivial action (not measured)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # Per-PASS canaries (r11 verdict #6): a stall in the middle of the
+    # warm or nocache pass is invisible to the parent's bracketing
+    # canaries (which only run between child processes). One canary
+    # before each pass + one after the last localizes a mid-child host
+    # stall to a pass. These run with the JVM LIVE, so they read a bit
+    # higher than the parent's idle-process canaries (GC/cleanup
+    # threads; see the single-run note below) — compare them to each
+    # other, not to CANARY_REF. Additive field; no timed region changes.
+    pass_canaries: dict[str, float] = {"cold": cpu_canary()}
 
     times: dict[str, float] = {}
     total = 0.0
@@ -180,6 +193,7 @@ def child_main() -> None:
     warm: dict[str, float] = {}
     warm_total = 0.0
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_WARM"):
+        pass_canaries["end"] = cpu_canary()
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         print(
             json.dumps(
@@ -188,11 +202,13 @@ def child_main() -> None:
                     "value": round(total, 3),
                     "unit": "sec",
                     "queries": times,
+                    "pass_canaries": pass_canaries,
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 }
             )
         )
         return
+    pass_canaries["warm"] = cpu_canary()
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
@@ -244,6 +260,7 @@ def child_main() -> None:
     # The clear is inside the loop (r8 advice): two headline queries with
     # canonically identical sub-plans (shared shingle/signature tables)
     # would otherwise make only the FIRST one cache-cold.
+    pass_canaries["nocache"] = cpu_canary()
     warm_nc: dict[str, float] = {}
     warm_nc_total = 0.0
     for name in HEADLINE:
@@ -254,6 +271,7 @@ def child_main() -> None:
         dt = time.time() - t0
         warm_nc[name] = round(dt, 3)
         warm_nc_total += dt
+    pass_canaries["end"] = cpu_canary()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -276,6 +294,7 @@ def child_main() -> None:
         "value_warm_nocache": round(warm_nc_total, 3),
         "build_s": build_s,
         "max_df_memoized": max_df_memoized,
+        "pass_canaries": pass_canaries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if not os.environ.get("SPARK_GRAFT_BENCH_CHILD"):

@@ -172,6 +172,178 @@ def jaccard_intervals(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def interval_algebra_summary(
+    a: DataFrame,
+    b: DataFrame,
+    refs: list[tuple[str, int]],
+    chunk_size: int = 1 << 20,
+) -> DataFrame:
+    """The five-op algebra summary — (op, n_intervals, total_bp) rows for
+    merge(a) / intersect(a,b) / subtract(a,b) / complement(a,refs) plus
+    the jaccard(a,b) row carrying (intersection_bp, union_bp) — computed
+    in ONE event-RLE pass instead of a 6-branch union of the individual
+    operators (r12, guide §2.4/§2.6).
+
+    Why it is equivalent: every op is an island count / span sum over
+    the SAME run-length segment table, just under a different depth
+    predicate — merge: depth_a>0; intersect: a>0 AND b>0; subtract:
+    a>0 AND b=0; complement: depth_ref>0 AND a=0; jaccard: span sums
+    under both/either. Adding the other inputs' boundary positions only
+    SPLITS runs into adjacent segments, which the gap-and-islands merge
+    re-joins, so one tri-depth segment table (a, b, reference) serves
+    all five predicates. Island starts are counted with an unfiltered
+    lag: segments tile each contig contiguously (next_pos = the next
+    event position), so "new island" is exactly "this segment qualifies
+    and its immediate predecessor does not" — the same breaks
+    ``_islands``'s filtered lag produces. The expensive input (``a`` is
+    a decoded BAM in the gate) enters through a single explode-based
+    event subtree, so the decode appears once per physical consumer of
+    the event table — the segment pass and the broadcast chunk-offset
+    (``meta``) side, 2 subtrees total where the 6-branch union carried
+    24 (plans/r12) — without a cache (the naive fix — persisting the
+    decoded table — measured NEGATIVE in r11 §4.6: AQE serializes
+    cached query stages the union overlapped).
+
+    Differs from composing the individual operators only on EMPTY
+    inputs: the jaccard sums return 0 (not null) whenever any boundary
+    exists, and null only when all inputs are empty.
+    """
+    spark = a.sparkSession
+    zero = F.lit(0)
+    # single-subtree events for the expensive input: explode, not union
+    a_ev = a.select(
+        "contig",
+        F.explode(
+            F.array(
+                F.struct(F.col("start").alias("pos"), F.lit(1).alias("d")),
+                F.struct((F.col("end") + 1).alias("pos"), F.lit(-1).alias("d")),
+            )
+        ).alias("e"),
+    ).select(
+        "contig",
+        F.col("e.pos").alias("pos"),
+        F.col("e.d").alias("da"),
+        zero.alias("db"),
+        zero.alias("dr"),
+    )
+    ref_df = spark.createDataFrame(
+        [(n, 1, int(ln)) for n, ln in refs], "contig string, start long, end long"
+    )
+
+    def _ev(df: DataFrame, col: str) -> DataFrame:
+        lo = df.select(
+            "contig", F.col("start").alias("pos"), F.lit(1).alias(col)
+        ).union(
+            df.select("contig", (F.col("end") + 1).alias("pos"), F.lit(-1).alias(col))
+        )
+        others = [c for c in ("da", "db", "dr") if c != col]
+        return lo.select(
+            "contig", "pos", *[zero.alias(c) for c in others], F.col(col)
+        ).select("contig", "pos", "da", "db", "dr")
+
+    events = (
+        a_ev.unionByName(_ev(b, "db"))
+        .unionByName(_ev(ref_df, "dr"))
+        .groupBy("contig", "pos")
+        .agg(F.sum("da").alias("da"), F.sum("db").alias("db"), F.sum("dr").alias("dr"))
+        .withColumn("chunk", (F.col("pos") / chunk_size).cast("long"))
+    )
+    # chunked two-level prefix sum, as dual_depth_segments, 3 counters
+    win = W.partitionBy("contig", "chunk").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    within = (
+        events.withColumn("wa", F.sum("da").over(win))
+        .withColumn("wb", F.sum("db").over(win))
+        .withColumn("wr", F.sum("dr").over(win))
+    )
+    meta = events.groupBy("contig", "chunk").agg(
+        F.sum("da").alias("ta"),
+        F.sum("db").alias("tb"),
+        F.sum("dr").alias("tr"),
+        F.min("pos").alias("first_pos"),
+    )
+    offw = W.partitionBy("contig").orderBy("chunk").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    leadw = W.partitionBy("contig").orderBy("chunk")
+    meta = meta.select(
+        "contig",
+        "chunk",
+        (F.sum("ta").over(offw) - F.col("ta")).alias("oa"),
+        (F.sum("tb").over(offw) - F.col("tb")).alias("ob"),
+        (F.sum("tr").over(offw) - F.col("tr")).alias("or_"),
+        F.lead("first_pos").over(leadw).alias("next_chunk_first"),
+    )
+    nextw = W.partitionBy("contig", "chunk").orderBy("pos")
+    segs = (
+        within.join(F.broadcast(meta), ["contig", "chunk"])
+        .withColumn("depth_a", (F.col("wa") + F.col("oa")).cast("long"))
+        .withColumn("depth_b", (F.col("wb") + F.col("ob")).cast("long"))
+        .withColumn("depth_r", (F.col("wr") + F.col("or_")).cast("long"))
+        .withColumn(
+            "next_pos",
+            F.coalesce(F.lead("pos").over(nextw), F.col("next_chunk_first")),
+        )
+        .select("contig", "pos", "next_pos", "depth_a", "depth_b", "depth_r")
+    )
+    valid = F.col("next_pos").isNotNull()
+    span = F.col("next_pos") - F.col("pos")
+    in_a, in_b, in_r = (
+        F.col("depth_a") > 0,
+        F.col("depth_b") > 0,
+        F.col("depth_r") > 0,
+    )
+    preds = {
+        "merge": valid & in_a,
+        "intersect": valid & in_a & in_b,
+        "subtract": valid & in_a & ~in_b,
+        "complement": valid & in_r & ~in_a,
+    }
+    flagged = segs.select(
+        "contig",
+        "pos",
+        span.alias("span"),
+        valid.alias("valid"),
+        (in_a & in_b).alias("both"),
+        (in_a | in_b).alias("either"),
+        *[p.alias(f"q_{k}") for k, p in preds.items()],
+    )
+    lagw = W.partitionBy("contig").orderBy("pos")
+    for k in preds:
+        flagged = flagged.withColumn(
+            f"new_{k}",
+            F.col(f"q_{k}")
+            & ~F.coalesce(F.lag(f"q_{k}").over(lagw), F.lit(False)),
+        )
+    aggs = []
+    for k in preds:
+        aggs.append(F.count(F.when(F.col(f"new_{k}"), 1)).alias(f"n_{k}"))
+        aggs.append(F.sum(F.when(F.col(f"q_{k}"), F.col("span"))).alias(f"bp_{k}"))
+    aggs.append(
+        F.sum(
+            F.when(F.col("valid"), F.when(F.col("both"), F.col("span")).otherwise(0))
+        ).alias("j_inter")
+    )
+    aggs.append(
+        F.sum(
+            F.when(F.col("valid"), F.when(F.col("either"), F.col("span")).otherwise(0))
+        ).alias("j_union")
+    )
+    one = flagged.agg(*aggs)
+    return one.select(
+        F.expr(
+            "stack(5, "
+            "'merge', n_merge, bp_merge, "
+            "'intersect', n_intersect, bp_intersect, "
+            "'subtract', n_subtract, bp_subtract, "
+            "'complement', n_complement, bp_complement, "
+            "'jaccard', j_inter, j_union"
+            ") AS (op, n_intervals, total_bp)"
+        )
+    )
+
+
 def liftover(
     df: DataFrame,
     chain: DataFrame,

@@ -2087,29 +2087,13 @@ def genomics_interval_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("1", 24795478, 24850000), ("1", 24900000, 24981705)],
         "contig string, start long, end long",
     )
-    parts = []
-    for name, t in (
-        ("merge", IV.merge_intervals_table(a)),
-        ("intersect", IV.intersect_intervals(a, b)),
-        ("subtract", IV.subtract_intervals(a, b)),
-        ("complement", IV.complement_intervals(a, [("1", 25000000)])),
-    ):
-        parts.append(
-            t.agg(
-                F.lit(name).alias("op"),
-                F.count("*").alias("n_intervals"),
-                F.sum("span").alias("total_bp"),
-            )
-        )
-    j = IV.jaccard_intervals(a, b).select(
-        F.lit("jaccard").alias("op"),
-        F.col("intersection_bp").alias("n_intervals"),
-        F.col("union_bp").alias("total_bp"),
-    )
-    out = parts[0]
-    for p in parts[1:] + [j]:
-        out = out.unionByName(p)
-    return out.orderBy("op")
+    # one-pass restructure (r12): the 6-branch union of the individual
+    # operators re-ran the BAM decode per branch (and its persist fix
+    # measured NEGATIVE, r11 §4.6); interval_algebra_summary computes
+    # the identical five rows from a single tri-depth event pass —
+    # equivalence is locked by test_interval_algebra_summary_one_pass
+    # and the unchanged golden oracle.
+    return IV.interval_algebra_summary(a, b, [("1", 25000000)]).orderBy("op")
 
 
 ORACLE["genomics_interval_algebra"] = """

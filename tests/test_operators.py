@@ -3369,6 +3369,67 @@ def test_interval_algebra_matches_serial(spark):
     assert j.n_intersections == len(to_intervals(pa & pb))
 
 
+def test_interval_algebra_summary_one_pass(spark):
+    """r12: interval_algebra_summary (one tri-depth event pass) returns
+    exactly the rows the 6-branch composition of the individual
+    operators produced — on random interval tables spanning chunk
+    boundaries, including an empty-b corner."""
+    import random
+
+    from disq_spark.operators import intervals as IV
+
+    rng = random.Random(12)
+
+    def gen(n):
+        rows = []
+        for _ in range(n):
+            c = rng.choice(["c1", "c2"])
+            s = rng.randrange(1, 3_000_000)
+            rows.append((c, s, s + rng.randrange(0, 200_000)))
+        return rows
+
+    refs = [("c1", 3_300_000), ("c2", 3_300_000)]
+    schema = "contig string, start long, end long"
+
+    def composed(a, b):
+        parts = []
+        for name, t in (
+            ("merge", IV.merge_intervals_table(a)),
+            ("intersect", IV.intersect_intervals(a, b)),
+            ("subtract", IV.subtract_intervals(a, b)),
+            ("complement", IV.complement_intervals(a, refs)),
+        ):
+            parts.append(
+                t.agg(
+                    F.lit(name).alias("op"),
+                    F.count("*").alias("n_intervals"),
+                    F.sum("span").alias("total_bp"),
+                )
+            )
+        j = IV.jaccard_intervals(a, b).select(
+            F.lit("jaccard").alias("op"),
+            F.col("intersection_bp").alias("n_intervals"),
+            F.col("union_bp").alias("total_bp"),
+        )
+        out = parts[0]
+        for p in parts[1:] + [j]:
+            out = out.unionByName(p)
+        return out
+
+    for ra, rb in ((gen(60), gen(60)), (gen(40), [])):
+        a = spark.createDataFrame(ra, schema)
+        b = spark.createDataFrame(rb, schema)
+        want = sorted(map(tuple, composed(a, b).collect()))
+        got_df = IV.interval_algebra_summary(a, b, refs)
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want
+        assert [f.dataType.simpleString() for f in got_df.schema.fields] == [
+            "string",
+            "bigint",
+            "bigint",
+        ]
+
+
 def test_consensus_sequence_matches_serial(spark, fixtures_dir):
     import os
 
@@ -5069,6 +5130,26 @@ def test_fan_out_branches_on_source_width(spark):
     assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert sorted(r.id for r in fanned.collect()) == list(range(10))
     assert fan_out(wide, "id") is wide
+
+
+def test_fan_out_partition_count_is_memoized(spark):
+    """r12 driver-gap fix: fan_out's source-width probe (a full physical
+    planning of the subtree via df.rdd) is memoized per (session,
+    semantic plan hash), so rebuilding the same query does not re-plan.
+    Proven by steering the memo entry and watching the branch follow it."""
+    from disq_spark.operators import dispatch
+
+    dispatch._NPART_MEMO.clear()
+    base = spark.range(64).coalesce(1)
+    assert dispatch.fan_out(base, "id") is not base
+    assert len(dispatch._NPART_MEMO) == 1
+    key = next(iter(dispatch._NPART_MEMO))
+    # a semantically identical rebuild must consult the memo, not re-plan:
+    # flip the stored width to "wide" and the no-op branch must fire
+    dispatch._NPART_MEMO[key] = spark.sparkContext.defaultParallelism
+    rebuilt = spark.range(64).coalesce(1)
+    assert dispatch.fan_out(rebuilt, "id") is rebuilt
+    dispatch._NPART_MEMO.clear()
 
 
 def test_ngram_and_dsir_stages_fan_out_on_narrow_source(spark):

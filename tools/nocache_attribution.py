@@ -6,11 +6,15 @@ wall alone doesn't say WHERE the next optimization round should dig:
 a query can be slow because its stages are slow (executor compute /
 shuffle — guide §2) or because the driver is busy between jobs
 (plan build, analysis, py4j, action overhead — guide §7.3). This tool
-runs every headline query exactly like the bench's nocache pass
-(JIT-warmed first, spark.catalog.clearCache() + release_caches()
-before each measured run) with the event log on, then splits each
+runs every headline query like the bench's nocache pass (JIT-warmed
+first, cache-cold per query) with the event log on, then splits each
 wall using the stage submission/completion intervals of the query's
-own jobs (matched via setJobDescription):
+own jobs (matched via setJobDescription). Cache clearing here is
+spark.catalog.clearCache() + release_caches() before each measured
+run; bench.py's nocache loop calls only clearCache() — an equivalent
+cache-cold state, since clearCache() drops the tracked persists'
+entries too (release_caches() additionally resets the module-level
+tracking list, which bench.py doesn't need):
 
 - stage_union_s : wall-clock during which >=1 of the query's stages
                   was in flight (interval union — concurrent stages
@@ -19,6 +23,13 @@ own jobs (matched via setJobDescription):
 - driver_gap_s  : wall - stage_union — time with NO stage in flight:
                   driver-side plan/analysis/py4j/AQE re-planning and
                   job-boundary scheduling
+
+Caveat: stages launched from driver-side threads that do not inherit
+the setJobDescription local property (e.g. broadcast-exchange thread
+pools on some Spark versions) are not attributed to any query; their
+in-flight time would be counted as driver gap. ``unattributed_s``
+reports the interval union of such stages inside the measured window
+so the gap-share headline can be sanity-checked against it.
 
 Prints one JSON line; run on a quiet box and read it next to the
 cpu canary. Usage: python tools/nocache_attribution.py [--sf DIR]
@@ -68,13 +79,14 @@ def main() -> int:
     for _ in range(args.warmups):
         for name in HEADLINE:
             qs[name](spark, args.sf).count()
-        release_caches(spark)
+        release_caches()
         spark.catalog.clearCache()
 
+    measure_start = time.time()
     walls: dict[str, float] = {}
     for name in HEADLINE:
         spark.catalog.clearCache()
-        release_caches(spark)
+        release_caches()
         sc.setJobDescription(f"attr:{name}")
         t0 = time.time()
         qs[name](spark, args.sf).count()
@@ -95,14 +107,22 @@ def main() -> int:
                     stage_to_q[sid] = desc[5:]
 
     intervals: dict[str, list[tuple[float, float]]] = {}
+    unattributed: list[tuple[float, float]] = []
     task_sum: dict[str, float] = {}
     for ev in events:
         if ev.get("Event") == "SparkListenerStageCompleted":
             si = ev["Stage Info"]
             q = stage_to_q.get(si["Stage ID"])
             sub, comp = si.get("Submission Time"), si.get("Completion Time")
-            if q and sub is not None and comp is not None:
+            if sub is None or comp is None:
+                continue
+            if q:
                 intervals.setdefault(q, []).append((sub / 1e3, comp / 1e3))
+            elif sub / 1e3 >= measure_start:
+                # stage inside the measured window with no attr: job
+                # description — would otherwise be silently counted as
+                # driver gap (see module docstring caveat)
+                unattributed.append((sub / 1e3, comp / 1e3))
         elif ev.get("Event") == "SparkListenerTaskEnd":
             q = stage_to_q.get(ev["Stage ID"])
             info = ev.get("Task Info") or {}
@@ -146,6 +166,7 @@ def main() -> int:
                 "total_wall_s": round(tot_w, 3),
                 "total_driver_gap_s": round(tot_g, 3),
                 "driver_gap_share": round(tot_g / tot_w, 3),
+                "unattributed_s": round(union(unattributed), 3),
                 "canary_sec": cpu_canary(),
                 "queries": per_q,
             }
